@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central collection of every [[QueryDef]] the engine exposes. */
+object Registry {
+  def defs: Seq[QueryDef] =
+    operators.RelationalOps.all
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+}

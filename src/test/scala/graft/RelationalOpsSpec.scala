@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // Every declared query must run and produce rows at the smoke SF.
+  for (q <- operators.RelationalOps.all) {
+    test(s"${q.name} runs non-empty at sf0.001") {
+      val df = q.fn(spark, sf)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q01 aggregates the full lineitem table into 6 flag/status groups") {
+    val rows = operators.RelationalOps.q01PricingSummary.fn(spark, sf).collect()
+    assert(rows.length === 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val liCount = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <=
+        org.apache.spark.sql.functions.lit("1998-09-02 00:00:00").cast("timestamp"))
+      .count()
+    assert(total === liCount)
+  }
+
+  test("q02 returns exactly 10 rows in descending price order") {
+    val prices = operators.RelationalOps.q02TopkOrders.fn(spark, sf)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length === 10)
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q13 upsert-latest yields one row per user (PK dedup, last-wins)") {
+    val df = operators.RelationalOps.q13UpsertLatest.fn(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() === users)
+    assert(df.select("user_id").distinct().count() === users)
+  }
+
+  test("q07 emits at most 3 ranked customers per nation") {
+    val df = operators.RelationalOps.q07WindowRank.fn(spark, sf)
+    val max = df.groupBy("c_nationkey").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(max <= 3)
+  }
+}
