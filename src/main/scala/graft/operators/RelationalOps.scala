@@ -91,7 +91,10 @@ object RelationalOps {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      // timestamp_ntz: parquet isAdjustedToUTC=false, matching the oracle's
+      // naive TIMESTAMP (session tz is UTC so the wall clock is identical)
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -187,7 +190,8 @@ object RelationalOps {
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     Tables.customer(s, dir)
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
-      .withColumn("rn", row_number().over(w))
+      // bigint: DuckDB's row_number() is int64, Spark's is int32
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy(col("c_nationkey"), col("rn"))
   }
@@ -249,7 +253,8 @@ object RelationalOps {
       |  count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
   }
@@ -260,7 +265,7 @@ object RelationalOps {
   val q12JsonExtract = QueryDef(
     "q12_json_extract",
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
@@ -287,7 +292,7 @@ object RelationalOps {
     Tables.events(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("ts").as("last_ts"),
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("last_ts"),
         col("event_type").as("last_event"), col("value").as("last_value"))
       .orderBy(col("user_id"))
   }
@@ -336,8 +341,8 @@ object RelationalOps {
   val q16ConditionalAgg = QueryDef(
     "q16_conditional_agg",
     """SELECT o_orderstatus,
-      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-      |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
       |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_value,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>

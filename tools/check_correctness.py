@@ -51,6 +51,16 @@ def main():
             print(f"FAIL {name}: columns {gcols} != {wcols}")
             n_fail += 1
             continue
+        # strict type compare (driver checks schema match too)
+        gt = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow().schema
+        wt = con.execute(sql).arrow().schema
+        tdiff = [(c, str(gt.field(c).type), str(wt.field(c).type))
+                 for c in gcols if str(gt.field(c).type) != str(wt.field(c).type)]
+        if tdiff:
+            print(f"FAIL {name}: type mismatch {tdiff}")
+            n_fail += 1
+            continue
         g = got[gcols].sort_values(gcols).values.tolist()
         w = want[wcols].sort_values(wcols).values.tolist()
         if len(g) != len(w):
