@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Central collection of every [[QueryDef]] the engine exposes. */
 object Registry {
   def defs: Seq[QueryDef] =
-    operators.RelationalOps.all ++ operators.IngestOps.all
+    operators.RelationalOps.all ++ operators.IngestOps.all ++
+      operators.PipelineOps.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

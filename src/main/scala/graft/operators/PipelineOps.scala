@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{QueryDef, Tables}
+import graft.catalog.GraftLake
+import graft.schema.SchemaInference
+import org.apache.spark.sql.functions._
+
+/** End-to-end write-path pipelines exposed as oracle-checkable queries:
+  * each runs real [[GraftLake]] writes into a temp warehouse and returns
+  * the landed state, with the equivalent merge/evolution semantics spelled
+  * out in DuckDB SQL. This makes the MERGE rewrite and schema evolution
+  * part of the driver's hash-checked correctness gate, not just unit-tested
+  * behavior. */
+object PipelineOps {
+
+  /** Upsert pipeline (reference W2/W3/W4): batch 1 (first half of events by
+    * event_id) lands in a fresh table via plain INSERT — the reference
+    * appends without PK dedup when the table is new; batch 2 MERGEs with
+    * last-wins PK dedup on user_id ordered by (ts, event_id).
+    *
+    * MERGE INTO semantics preserved exactly: every target row matching a
+    * batch PK is updated in place (so duplicate-PK target rows from the
+    * append era each become a copy of the batch winner), unmatched batch
+    * rows insert, unmatched target rows pass through
+    * (DucklakeWriter.java:89-187). */
+  val q18UpsertPipeline = QueryDef(
+    "q18_upsert_pipeline",
+    """WITH h AS (SELECT max(event_id) / 2 AS v FROM events),
+      |b1 AS (SELECT event_id, ts, user_id, event_type, value FROM events
+      |       WHERE event_id < (SELECT v FROM h)),
+      |b2 AS (SELECT event_id, ts, user_id, event_type, value FROM events
+      |       WHERE event_id >= (SELECT v FROM h)),
+      |w2 AS (SELECT event_id, ts, user_id, event_type, value FROM (
+      |         SELECT b2.*, row_number() OVER (PARTITION BY user_id
+      |                  ORDER BY ts DESC, event_id DESC) AS rn FROM b2)
+      |       WHERE rn = 1)
+      |SELECT b1.user_id AS user_id, w2.event_id AS event_id, w2.ts AS ts,
+      |       w2.event_type AS event_type, w2.value AS value
+      |FROM b1 JOIN w2 ON b1.user_id = w2.user_id
+      |UNION ALL
+      |SELECT user_id, event_id, ts, event_type, value FROM b1
+      |WHERE user_id NOT IN (SELECT user_id FROM w2)
+      |UNION ALL
+      |SELECT user_id, event_id, ts, event_type, value FROM w2
+      |WHERE user_id NOT IN (SELECT user_id FROM b1)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val h = ev.agg(max("event_id")).head().getLong(0) / 2.0
+    val wh = Files.createTempDirectory("graft-q18").toString
+    val lake = new GraftLake(s, wh)
+    val ordering = Seq(col("ts"), col("event_id"))
+    lake.write("state", ev.filter(col("event_id") < h),
+      pks = Seq("user_id"), ordering = ordering)
+    lake.write("state", ev.filter(col("event_id") >= h),
+      pks = Seq("user_id"), ordering = ordering)
+    lake.read("state")
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Schema-evolution pipeline (reference D4 + §1.3): two schemaless JSON
+    * batches with different shapes — inference + unification per batch, auto
+    * create, then ADD COLUMN evolution with null backfill on append. */
+  val q19EvolutionPipeline = QueryDef(
+    "q19_evolution_pipeline",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |j AS (SELECT
+      |  CASE WHEN o_orderkey < (SELECT v FROM h) THEN o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey >= (SELECT v FROM h) THEN o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey >= (SELECT v FROM h) THEN o_orderpriority END AS o_orderpriority
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n, count(o_orderstatus) AS n_status,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val h = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val batch1 = orders.filter(col("o_orderkey") < h)
+      .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"))).as("v"))
+    val batch2 = orders.filter(col("o_orderkey") >= h)
+      .select(to_json(struct(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))).as("v"))
+    val wh = Files.createTempDirectory("graft-q19").toString
+    val lake = new GraftLake(s, wh)
+    for (b <- Seq(batch1, batch2)) {
+      val schema = SchemaInference.inferSchemaDistributed(b.as[String])
+        .getOrElse(throw new IllegalStateException("no schema inferred"))
+      lake.write("orders_evolved", b.select(from_json(col("v"), schema).as("r")).select(col("r.*")))
+    }
+    lake.read("orders_evolved")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), count(col("o_orderstatus")).as("n_status"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline)
+}

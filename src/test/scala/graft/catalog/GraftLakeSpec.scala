@@ -1,0 +1,190 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftLakeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake = {
+    GraftLake.invalidateCaches()
+    new GraftLake(spark, Files.createTempDirectory("graft-lake").toString)
+  }
+
+  private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+  test("golden upsert sequence: alice -> bob -> (carol,dave)") {
+    val lake = newLake()
+    def batch(xs: (Int, String)*): DataFrame =
+      xs.toSeq.toDF("id", "name")
+    lake.write("users", batch(1 -> "alice"), pks = Seq("id"))
+    assert(rows(lake.read("users"), "id", "name") === Set(Seq(1, "alice")))
+    lake.write("users", batch(1 -> "bob"), pks = Seq("id"))
+    assert(rows(lake.read("users"), "id", "name") === Set(Seq(1, "bob")))
+    lake.write("users", batch(1 -> "carol", 2 -> "dave"), pks = Seq("id"))
+    assert(rows(lake.read("users"), "id", "name") ===
+      Set(Seq(1, "carol"), Seq(2, "dave")))
+  }
+
+  test("_inserted_at set on insert, preserved on merge-update") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    val ins1 = lake.read("t").select("_inserted_at").head().getTimestamp(0)
+    assert(ins1 != null)
+    Thread.sleep(50)
+    lake.write("t", Seq((1, "b"), (2, "c")).toDF("id", "v"), pks = Seq("id"))
+    val after = lake.read("t")
+      .select("id", "_inserted_at").collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    assert(after(1) === ins1, "_inserted_at must not change on update")
+    assert(after(2).after(ins1), "new row gets fresh _inserted_at")
+  }
+
+  test("duplicate PKs in one batch: last wins by ordering column") {
+    val lake = newLake()
+    lake.createTable("t",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType),
+        StructField("off", LongType))), pks = Seq("id"))
+    // make the table pre-existing so write() takes the upsert path
+    lake.write("t", Seq((0, "seed", 0L)).toDF("id", "v", "off"), pks = Seq("id"))
+    lake.write("t",
+      Seq((1, "first", 10L), (1, "second", 20L), (1, "stale", 15L)).toDF("id", "v", "off"),
+      pks = Seq("id"), ordering = Seq(col("off")))
+    assert(rows(lake.read("t"), "id", "v") === Set(Seq(0, "seed"), Seq(1, "second")))
+  }
+
+  test("no PKs configured -> append semantics (duplicates kept)") {
+    val lake = newLake()
+    lake.write("logs", Seq((1, "x")).toDF("id", "v"))
+    lake.write("logs", Seq((1, "x")).toDF("id", "v"))
+    assert(lake.read("logs").count() === 2)
+  }
+
+  test("schema evolution: new column added, nulls backfilled") {
+    val lake = newLake()
+    lake.write("e", Seq((1, "a")).toDF("id", "v"))
+    lake.write("e", Seq((2, "b", 9.5)).toDF("id", "v", "score"))
+    val got = lake.read("e").select("id", "score").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1) === null)
+    assert(got(2) === 9.5)
+  }
+
+  test("schema evolution: int widens to long; files stay readable") {
+    val lake = newLake()
+    lake.write("w", Seq((1, 100)).toDF("id", "n"))
+    assert(lake.readMeta("w").schema("n").dataType === IntegerType)
+    lake.write("w", Seq((2L, 5000000000L)).toDF("id", "n")
+      .select(col("id").cast("int").as("id"), col("n")))
+    assert(lake.readMeta("w").schema("n").dataType === LongType)
+    val got = lake.read("w").select("id", "n").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(1 -> 100L, 2 -> 5000000000L))
+  }
+
+  test("schema evolution: double column tolerates float batch unchanged") {
+    val lake = newLake()
+    lake.write("f", Seq((1, 1.5)).toDF("id", "x"))
+    lake.write("f", Seq((2, 2.5f)).toDF("id", "x"))
+    assert(lake.readMeta("f").schema("x").dataType === DoubleType)
+    assert(lake.read("f").count() === 2)
+  }
+
+  test("schema evolution: incompatible type change rejected") {
+    val lake = newLake()
+    lake.write("bad", Seq((1, "str")).toDF("id", "v"))
+    val e = intercept[LandedTypes.SchemaEvolutionException] {
+      lake.write("bad", Seq((2, true)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("Incompatible type for column 'v'"))
+  }
+
+  test("nested struct/array land as JSON strings and never retype") {
+    val lake = newLake()
+    val df = Seq((1, ("alice", 30), Seq("a", "b"))).toDF("id", "user", "tags")
+    lake.write("j", df)
+    val meta = lake.readMeta("j")
+    assert(meta.schema("user").dataType === StringType)
+    assert(LandedTypes.isJsonColumn(meta.schema("user")))
+    val got = lake.read("j").select("user", "tags").head()
+    assert(got.getString(0).contains("alice"))
+    assert(got.getString(1) === """["a","b"]""")
+    // JSON column accepts more nested data (Keep), but not an int
+    lake.write("j", Seq((2, ("bob", 40), Seq("c"))).toDF("id", "user", "tags"))
+    assert(lake.read("j").count() === 2)
+  }
+
+  test("expression partitioning: year/month layout on disk + pruned read") {
+    val lake = newLake()
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("2023-01-15 00:00:00"), "a"),
+      (2, java.sql.Timestamp.valueOf("2024-06-15 00:00:00"), "b"))
+      .toDF("id", "ts", "v")
+    lake.write("p", df, partitions = Seq("year(ts)", "month(ts)"), pks = Seq("id"))
+    val dir = new java.io.File(s"${lake.read("p").inputFiles.head}")
+    assert(dir.toString.contains("__p_year_ts="))
+    assert(dir.toString.contains("__p_month_ts="))
+    // upsert updates one partition, leaves the other file untouched
+    val beforeFiles = lake.read("p").inputFiles.toSet
+    lake.write("p",
+      Seq((2, java.sql.Timestamp.valueOf("2024-06-15 00:00:00"), "b2")).toDF("id", "ts", "v"),
+      partitions = Seq("year(ts)", "month(ts)"), pks = Seq("id"))
+    val afterFiles = lake.read("p").inputFiles.toSet
+    val untouched2023 = beforeFiles.filter(_.contains("__p_year_ts=2023"))
+    assert(untouched2023.subsetOf(afterFiles),
+      "2023 partition files must survive an upsert touching only 2024")
+    assert(rows(lake.read("p"), "id", "v") === Set(Seq(1, "a"), Seq(2, "b2")))
+  }
+
+  test("upsert moves a row across partitions without leaving a stale copy") {
+    val lake = newLake()
+    val t0 = java.sql.Timestamp.valueOf("2023-01-15 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-15 00:00:00")
+    lake.write("mv", Seq((0, t0, "seed")).toDF("id", "ts", "v"),
+      partitions = Seq("year(ts)"), pks = Seq("id"))
+    lake.write("mv", Seq((1, t0, "old")).toDF("id", "ts", "v"),
+      partitions = Seq("year(ts)"), pks = Seq("id"))
+    // id=1 moves from year 2023 to 2024
+    lake.write("mv", Seq((1, t1, "moved")).toDF("id", "ts", "v"),
+      partitions = Seq("year(ts)"), pks = Seq("id"))
+    assert(rows(lake.read("mv"), "id", "v") === Set(Seq(0, "seed"), Seq(1, "moved")))
+  }
+
+  test("conform: string values parse into a timestamp schema; junk nulls") {
+    // the C5 vector-population fallback lives at conversion time, under the
+    // (inferred/unified) logical schema — not at the table boundary
+    val target = StructType(Seq(
+      StructField("id", IntegerType), StructField("at", TimestampType)))
+    val out = LandedTypes.conform(
+      Seq((1, "2024-03-01T12:00:00Z"), (2, "not-a-time")).toDF("id", "at"), target)
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(out(1) != null)
+    assert(out(2) == null)
+  }
+
+  test("evolution: string batch into timestamp table column is rejected") {
+    // at the table boundary a Utf8 batch column cannot evolve a TIMESTAMP
+    // column (merge-layer error → DLQ candidate), matching the reference
+    val lake = newLake()
+    lake.createTable("ts",
+      StructType(Seq(StructField("id", IntegerType), StructField("at", TimestampType))))
+    intercept[LandedTypes.SchemaEvolutionException] {
+      lake.append("ts", Seq((1, "2024-03-01T12:00:00Z")).toDF("id", "at"))
+    }
+  }
+
+  test("read of missing table fails; tableExists answers correctly") {
+    val lake = newLake()
+    assert(!lake.tableExists("nope"))
+    intercept[Exception] { lake.read("nope") }
+    lake.write("yes", Seq((1, "a")).toDF("id", "v"))
+    assert(lake.tableExists("yes"))
+  }
+}
