@@ -132,7 +132,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       pks: Seq[String] = Nil): (TableMeta, Boolean) = {
     val lock = tableLocks.computeIfAbsent(s"$warehouse/$name", _ => new Object)
     lock.synchronized {
-      if (!tableExists(name)) (createTable(name, batchSchema, partitions, pks), false)
+      if (!tableExists(name))
+        (graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CreateTable) {
+          createTable(name, batchSchema, partitions, pks)
+        }, false)
       else {
         val meta = readMeta(name)
         val incoming = LandedTypes.landedSchema(batchSchema)
@@ -141,7 +144,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         val withSys = StructType(
           evolved.fields.toSeq :+ meta.schema(InsertedAtCol))
         val newMeta = meta.copy(schema = withSys)
-        if (newMeta.schema != meta.schema) writeMeta(name, newMeta)
+        if (newMeta.schema != meta.schema)
+          graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.EvolveSchema) {
+            writeMeta(name, newMeta)
+          }
         (newMeta, true)
       }
     }
@@ -197,11 +203,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       batch: DataFrame,
       partitions: Seq[String] = Nil,
       pks: Seq[String] = Nil,
-      ordering: Seq[Column] = Nil): Unit = {
-    val (meta, preExisted) = ensureTable(name, batch.schema, partitions, pks)
+      ordering: Seq[Column] = Nil,
+      exclude: Seq[String] = Nil): Unit = {
+    val dataSchema = StructType(batch.schema.filterNot(f => exclude.contains(f.name)))
+    val (meta, preExisted) = ensureTable(name, dataSchema, partitions, pks)
     val effectivePks = if (meta.pks.nonEmpty) meta.pks else pks
     if (preExisted && effectivePks.nonEmpty) upsert(name, batch, ordering)
-    else append(name, batch)
+    else append(name, batch.drop(exclude: _*))
   }
 
   /** Plain INSERT path (W3): conform + `_inserted_at = now()` + append. */
@@ -234,14 +242,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val pks = meta.pks
     val partCols = meta.partitionExprs.map(_.outputName)
 
-    // W4: dedup duplicate PKs within the batch — last wins.
+    // W4: dedup duplicate PKs within the batch — last wins. Runs on the raw
+    // batch so ordering-only columns (e.g. Kafka offset) are usable even
+    // though they are not landed.
     val order = if (ordering.nonEmpty) ordering.map(_.desc)
       else Seq(monotonically_increasing_id().desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pks.map(c => col(quoted(c))): _*).orderBy(order: _*)
-    val deduped = conformBatch(batch, meta)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val deduped = conformBatch(
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"),
+      meta)
 
     val existing = readInternal(name, meta)
 

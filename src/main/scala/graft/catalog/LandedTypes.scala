@@ -77,6 +77,14 @@ object LandedTypes {
     (intRank(existing), intRank(incoming)) match {
       case (Some(e), Some(i)) =>
         if (i > e) Widen(incoming) else Keep // narrower int tolerated
+      case (Some(e), None) if e <= 2 &&
+          (incoming == DoubleType || incoming == FloatType) =>
+        // engine improvement over the reference (which rejects int→float
+        // types): byte/short/int widen to DOUBLE — safe because Spark 4's
+        // parquet reader supports the int32→double widened read. int64 does
+        // NOT widen to double (lossy + unsupported read), matching the
+        // reference's rejection.
+        Widen(DoubleType)
       case _ =>
         (existing, incoming) match {
           case (FloatType, DoubleType) => Widen(DoubleType)

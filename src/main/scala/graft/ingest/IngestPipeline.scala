@@ -1,0 +1,300 @@
+package graft.ingest
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.catalog.GraftLake
+import graft.metrics.GraftMetrics
+import graft.schema.{SchemaInference, SchemaUnify}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Engine configuration (reference: connect/DucklakeSinkConfig.java).
+  *
+  * @param warehouse       lake root (≈ DATA_PATH)
+  * @param topic2table     explicit topic→table map; identity when absent
+  *                        (DucklakeWriterFactory.java:57-60)
+  * @param pks             per-TABLE primary keys (id-columns)
+  * @param partitions      per-TABLE partition expressions
+  * @param dlqTable        bad records land here; None → batch errors fail
+  *                        the batch (reference: no ErrantRecordReporter)
+  * @param triggerMs       flush.interval.ms analog (micro-batch trigger)
+  * @param maxOffsetsPerTrigger flush.size analog for the Kafka source
+  */
+final case class IngestConfig(
+    warehouse: String,
+    topic2table: Map[String, String] = Map.empty,
+    pks: Map[String, Seq[String]] = Map.empty,
+    partitions: Map[String, Seq[String]] = Map.empty,
+    dlqTable: Option[String] = Some("_dlq"),
+    triggerMs: Long = 60000L,
+    maxOffsetsPerTrigger: Option[Long] = None) {
+
+  def tableFor(topic: String): String = {
+    val t = topic2table.getOrElse(topic, topic)
+    IngestConfig.validateTableName(t)
+    t
+  }
+}
+
+object IngestConfig {
+  private val TableName = "^[a-zA-Z_][a-zA-Z0-9_-]*$".r
+
+  /** Reference validation (TopicToTableValidator.java:99-154). */
+  def validateTableName(t: String): Unit =
+    require(TableName.matches(t), s"Invalid table name: '$t'")
+
+  def validate(c: IngestConfig): Unit = {
+    c.topic2table.values.foreach(validateTableName)
+    val dups = c.topic2table.values.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"Duplicate table mappings: ${dups.mkString(", ")}")
+  }
+}
+
+/** Per-topic unified-schema cache (reference:
+  * SinkRecordToArrowConverter.java:74-80, 255-303): the cached schema is
+  * reused when all incoming field names are a subset of it; otherwise it is
+  * re-unified and replaced. Driver-side only — schemas, never data. */
+final class SchemaCache {
+  private val cache = new ConcurrentHashMap[String, StructType]()
+
+  def get(topic: String): Option[StructType] = Option(cache.get(topic))
+
+  def unifiedFor(topic: String, incoming: Seq[StructType]): StructType = {
+    val cached = Option(cache.get(topic))
+    cached match {
+      case Some(c) if incoming.forall(_.fieldNames.toSet.subsetOf(c.fieldNames.toSet)) &&
+          (try { SchemaUnify.unify(c +: incoming) == c } catch { case _: Exception => false }) =>
+        c
+      case _ =>
+        val u = SchemaUnify.unify(cached.toSeq ++ incoming)
+        cache.put(topic, u)
+        u
+    }
+  }
+
+  def put(topic: String, s: StructType): Unit = cache.put(topic, s)
+  def clear(): Unit = cache.clear()
+}
+
+/** The streaming ingestion engine: Kafka-shaped source → per-topic format
+  * dispatch (JSON vs Arrow IPC by value sniff — mixed topics supported,
+  * reference README.md:120-127) → schema inference/unification → landed
+  * write (MERGE or INSERT via [[GraftLake]]) → per-record DLQ triage on
+  * schema conflicts (reference E2, DucklakeSinkTask.java:1009-1097).
+  *
+  * Scale design: the source preserves Kafka partition parallelism; decode
+  * and inference are executor-side (`mapPartitions` / treeAggregate);
+  * per-batch flush maps to the micro-batch trigger with
+  * `maxOffsetsPerTrigger` bounding batch size (B1/B2); buffering/spill/
+  * memory-pressure handling (B3-B6) is delegated to Spark's own micro-batch
+  * and memory machinery by design.
+  */
+final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
+  IngestConfig.validate(config)
+
+  val lake = new GraftLake(spark, config.warehouse)
+  val schemaCache = new SchemaCache
+
+  import spark.implicits._
+
+  /** Kafka-shaped input: (topic, partition, offset, value-bytes). */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("value", BinaryType)))
+
+  /** Process one micro-batch (also the `foreachBatch` body). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val topics = batch.select("topic").distinct().as[String].collect()
+    GraftMetrics.recordBatch(batch.count())
+    topics.foreach { topic =>
+      val table = config.tableFor(topic)
+      val records = batch.filter(col("topic") === topic)
+        .select(col("value"), col("partition"), col("offset"))
+      processTopic(topic, table, records)
+    }
+  }
+
+  /** Dispatch one topic's records by wire format and land them. */
+  private def processTopic(topic: String, table: String, records: DataFrame): Unit = {
+    val sniff = udf((v: Array[Byte]) => v != null && ArrowIpc.looksLikeIpc(v))
+    val tagged = records.withColumn("__ipc", sniff(col("value"))).cache()
+    try {
+      val ipc = tagged.filter(col("__ipc"))
+      val json = tagged.filter(!col("__ipc"))
+      if (!ipc.isEmpty) processArrowIpc(topic, table, ipc)
+      if (!json.isEmpty) processJson(topic, table, json)
+    } finally tagged.unpersist()
+  }
+
+  // ---- JSON path (S3/C2/C3) ----
+
+  private def writeToLake(table: String, df: DataFrame): Unit = {
+    val pks = config.pks.getOrElse(table, Nil)
+    val preExisted = lake.tableExists(table)
+    val op = if (preExisted && pks.nonEmpty) GraftMetrics.UpsertWithMergeInto
+      else GraftMetrics.SimpleInsert
+    val hasOffset = df.columns.contains("__offset")
+    GraftMetrics.time(op) {
+      lake.write(table, df,
+        partitions = config.partitions.getOrElse(table, Nil),
+        pks = pks,
+        ordering = if (hasOffset) Seq(col("__offset")) else Nil,
+        exclude = if (hasOffset) Seq("__offset") else Nil)
+    }
+  }
+
+  private def processJson(topic: String, table: String, records: DataFrame): Unit = {
+    val values = records
+      .select(col("value").cast("string").as("v"), col("partition"), col("offset"))
+      .cache()
+    try {
+      val strings = values.select("v").as[String]
+      val inferred =
+        try Right(SchemaInference.inferSchemaDistributed(strings))
+        catch {
+          case e: org.apache.spark.SparkException
+              if causeChainHasSchemaConflict(e) => Left(e)
+          case e: SchemaUnify.GraftSchemaException => Left(e)
+        }
+      inferred match {
+        case Right(None) => () // nothing typed in this batch
+        case Right(Some(batchSchema)) =>
+          val unified = schemaCache.unifiedFor(topic, Seq(batchSchema))
+          landJson(table, values, unified)
+        case Left(_) =>
+          triageJson(topic, table, values)
+      }
+    } finally values.unpersist()
+  }
+
+  /** Reference E1: conflict detection via the exception cause chain
+    * (DucklakeSinkTask.java:989-1003) — here typed where possible, message
+    * sniff only across Spark's task-failure wrapper. */
+  private def causeChainHasSchemaConflict(e: Throwable): Boolean = {
+    var cur: Throwable = e
+    while (cur != null) {
+      if (cur.isInstanceOf[SchemaUnify.GraftSchemaException]) return true
+      if (cur.getMessage != null &&
+        cur.getMessage.contains("Cannot unify incompatible types")) return true
+      cur = cur.getCause
+    }
+    false
+  }
+
+  private def landJson(table: String, values: DataFrame, schema: StructType): Unit = {
+    // corrupt-record channel: from_json yields an all-null struct for
+    // malformed input, so a dedicated corrupt column is the reliable signal
+    val corrupt = "_graft_corrupt"
+    val parseSchema = StructType(
+      schema.fields.toSeq :+ StructField(corrupt, StringType))
+    val parsed = values
+      .withColumn("__parsed", from_json(col("v"), parseSchema,
+        Map("columnNameOfCorruptRecord" -> corrupt)))
+      .withColumn("__corrupt", col(s"__parsed.`$corrupt`"))
+      .withColumn("__offset", col("offset"))
+    val good = parsed.filter(col("__corrupt").isNull && col("__parsed").isNotNull)
+      .select((schema.fieldNames.map(n => col(s"__parsed.`$n`").as(n)) :+
+        col("__offset")).toSeq: _*)
+    writeToLake(table, good)
+    config.dlqTable.foreach { dlq =>
+      val bad = parsed.filter(col("__corrupt").isNotNull || col("__parsed").isNull)
+      if (!bad.isEmpty) sendToDlq(dlq, table, bad
+        .select(col("v"), col("partition"), col("offset")), "unparseable JSON")
+    }
+  }
+
+  /** Reference E2 per-record DLQ triage: on a batch-level schema conflict,
+    * each record is retried solo against a deterministic target schema (the
+    * cached topic schema, else the schema of the lowest-offset record);
+    * records whose schema cannot unify go to the DLQ, the rest are
+    * re-batched and landed. */
+  private def triageJson(topic: String, table: String, values: DataFrame): Unit = {
+    if (config.dlqTable.isEmpty) throw new SchemaUnify.GraftSchemaException(
+      s"Schema conflict in topic '$topic' and no DLQ configured")
+    val seed: StructType = schemaCache.get(topic).getOrElse {
+      val first = values.orderBy(col("partition"), col("offset"))
+        .select("v").as[String].head()
+      SchemaInference.inferFromJson(first).getOrElse(StructType(Nil))
+    }
+    val seedJson = seed.json
+    val compat = udf { (v: String) =>
+      val s = SchemaInference.inferFromJson(v)
+      s.isEmpty || (try {
+        SchemaUnify.unify(Seq(
+          DataType.fromJson(seedJson).asInstanceOf[StructType], s.get))
+        true
+      } catch { case _: Exception => false })
+    }
+    val tagged = values.withColumn("__ok", compat(col("v"))).cache()
+    try {
+      val bad = tagged.filter(!col("__ok"))
+      sendToDlq(config.dlqTable.get, table,
+        bad.select(col("v"), col("partition"), col("offset")),
+        "Cannot unify incompatible types with topic schema")
+      val good = tagged.filter(col("__ok"))
+        .select(col("v"), col("partition"), col("offset"))
+      if (!good.isEmpty) {
+        val schemas = SchemaInference.inferSchemaDistributed(good.select("v").as[String])
+        schemas.foreach { s =>
+          val unified = schemaCache.unifiedFor(topic, Seq(s))
+          landJson(table, good, unified)
+        }
+      }
+    } finally tagged.unpersist()
+  }
+
+  private def sendToDlq(dlq: String, table: String, records: DataFrame, error: String): Unit = {
+    val n = records.count()
+    if (n == 0) return
+    GraftMetrics.dlqRecords.add(n)
+    lake.append(dlq, records
+      .select(col("v").as("value"), col("partition"), col("offset"))
+      .withColumn("target_table", lit(table))
+      .withColumn("error", lit(error)))
+  }
+
+  // ---- Arrow IPC path (S4/S6) ----
+
+  private def processArrowIpc(topic: String, table: String, records: DataFrame): Unit = {
+    val bytesRdd: RDD[(Array[Byte], Long)] = records
+      .select(col("value"), col("offset")).as[(Array[Byte], Long)].rdd
+    // Pass 1: unify record schemas (schema-only header decode).
+    val schemas = bytesRdd.map { case (b, _) => ArrowIpc.decodeSchema(b) }
+      .distinct().collect()
+    if (schemas.isEmpty) return
+    val unified = schemaCache.unifiedFor(topic, schemas.toSeq)
+    val unifiedJson = unified.json
+    // Pass 2: decode + conform rows to the unified schema.
+    val rows: RDD[Row] = bytesRdd.mapPartitions { it =>
+      val target = DataType.fromJson(unifiedJson).asInstanceOf[StructType]
+      it.flatMap { case (bytes, offset) =>
+        val (schema, rs) = ArrowIpc.decode(bytes)
+        rs.map { r =>
+          Row.fromSeq(ArrowIpc.conformRow(r, schema, target).toSeq :+ offset)
+        }
+      }
+    }
+    val withOffset = StructType(unified.fields.toSeq :+ StructField("__offset", LongType))
+    val df = spark.createDataFrame(rows, withOffset)
+    writeToLake(table, df)
+  }
+
+  // ---- streaming assembly ----
+
+  /** Start the pipeline over a Kafka-shaped streaming source (columns
+    * topic/partition/offset/value). For a real Kafka cluster:
+    * `spark.readStream.format("kafka").option("subscribe", …)` produces
+    * exactly this shape. Checkpointing gives at-least-once (the reference's
+    * guarantee). */
+  def start(source: DataFrame, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .foreachBatch((df: Dataset[Row], id: Long) => processBatch(df.toDF(), id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(config.triggerMs))
+      .start()
+}

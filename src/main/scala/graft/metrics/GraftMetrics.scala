@@ -1,0 +1,84 @@
+package graft.metrics
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Operation-level engine metrics (reference §2.9,
+  * connect/DucklakeMetrics.java:38-467): per-operation tagged sensors for
+  * exactly `upsertWithMergeInto`, `simpleInsert`, `createTable`,
+  * `evolveSchema`, plus records-processed totals and batch-size stats.
+  * Spark-side realization: process-local concurrent counters (one engine
+  * instance per driver) + a [[StreamingQueryListener]] feeding
+  * records-processed from streaming progress.
+  */
+object GraftMetrics {
+
+  final class OpStats {
+    val count = new LongAdder
+    val totalNanos = new LongAdder
+    val maxNanos = new AtomicLong(0L)
+    def record(nanos: Long): Unit = {
+      count.increment(); totalNanos.add(nanos)
+      var prev = maxNanos.get()
+      while (nanos > prev && !maxNanos.compareAndSet(prev, nanos)) prev = maxNanos.get()
+    }
+    def avgMs: Double =
+      if (count.sum() == 0) 0.0 else totalNanos.sum() / 1e6 / count.sum()
+    def maxMs: Double = maxNanos.get() / 1e6
+  }
+
+  /** Reference sensor names (DucklakeMetrics.java:85-89). */
+  val UpsertWithMergeInto = "upsertWithMergeInto"
+  val SimpleInsert = "simpleInsert"
+  val CreateTable = "createTable"
+  val EvolveSchema = "evolveSchema"
+
+  private val ops = new ConcurrentHashMap[String, OpStats]()
+  val recordsProcessed = new LongAdder
+  val batchCount = new LongAdder
+  val maxBatchSize = new AtomicLong(0L)
+  val dlqRecords = new LongAdder
+
+  def op(name: String): OpStats = ops.computeIfAbsent(name, _ => new OpStats)
+
+  /** try-with-resources MetricTimer analog (DucklakeMetrics.java:452-466). */
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally op(name).record(System.nanoTime() - t0)
+  }
+
+  def recordBatch(size: Long): Unit = {
+    batchCount.increment(); recordsProcessed.add(size)
+    var prev = maxBatchSize.get()
+    while (size > prev && !maxBatchSize.compareAndSet(prev, size)) prev = maxBatchSize.get()
+  }
+
+  def snapshot(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val o = ops.asScala.flatMap { case (n, s) => Seq(
+      s"$n.count" -> s.count.sum().toDouble,
+      s"$n.avg_ms" -> s.avgMs,
+      s"$n.max_ms" -> s.maxMs)
+    }
+    o.toMap ++ Map(
+      "records.processed.total" -> recordsProcessed.sum().toDouble,
+      "batch.count" -> batchCount.sum().toDouble,
+      "batch.size.max" -> maxBatchSize.get().toDouble,
+      "dlq.records.total" -> dlqRecords.sum().toDouble)
+  }
+
+  def reset(): Unit = {
+    ops.clear(); recordsProcessed.reset(); batchCount.reset()
+    maxBatchSize.set(0); dlqRecords.reset()
+  }
+
+  /** Streaming listener: feeds per-batch progress into the sensors. */
+  final class Listener extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      recordBatch(e.progress.numInputRows)
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

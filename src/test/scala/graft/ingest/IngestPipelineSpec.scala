@@ -1,0 +1,193 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IngestPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newPipeline(
+      pks: Map[String, Seq[String]] = Map.empty,
+      partitions: Map[String, Seq[String]] = Map.empty): IngestPipeline = {
+    graft.catalog.GraftLake.invalidateCaches()
+    new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-ingest").toString,
+      pks = pks, partitions = partitions))
+  }
+
+  private def batchOf(records: (String, String)*) =
+    records.zipWithIndex.map { case ((topic, v), i) =>
+      (topic, 0, i.toLong, v.getBytes("UTF-8"))
+    }.toDF("topic", "partition", "offset", "value")
+
+  test("end-to-end slice: schemaless JSON -> auto-created table -> upsert") {
+    // SURVEY §7.2 minimum slice, EndToEndIntegrationTest semantics
+    val p = newPipeline(pks = Map("orders_t" -> Seq("id")))
+    p.processBatch(batchOf("orders_t" -> """{"id":1,"customer":"alice"}"""), 0)
+    val t1 = p.lake.read("orders_t").select("id", "customer").collect()
+    assert(t1.map(_.toSeq).toSet === Set(Seq(1, "alice")))
+    p.processBatch(batchOf("orders_t" -> """{"id":1,"customer":"bob"}"""), 1)
+    val t2 = p.lake.read("orders_t").select("id", "customer").collect()
+    assert(t2.map(_.toSeq).toSet === Set(Seq(1, "bob")), "second batch updates in place")
+    assert(p.lake.read("orders_t").columns.contains("_inserted_at"))
+  }
+
+  test("schema evolution through the pipeline: new field + promotion") {
+    val p = newPipeline()
+    p.processBatch(batchOf("ev" -> """{"id":1,"amount":10}"""), 0)
+    p.processBatch(batchOf("ev" -> """{"id":2,"amount":10.5,"note":"hi"}"""), 1)
+    val meta = p.lake.readMeta("ev")
+    assert(meta.schema("amount").dataType === DoubleType)
+    assert(meta.schema("note").dataType === StringType)
+    assert(p.lake.read("ev").count() === 2)
+  }
+
+  test("timestamp sniffing with ID-suffix guard flows to landed types") {
+    val p = newPipeline()
+    p.processBatch(batchOf(
+      "t" -> """{"created_at":"2024-03-01T12:00:00Z","distinct_id":"2024-03-01T12:00:00Z"}"""), 0)
+    val meta = p.lake.readMeta("t")
+    assert(meta.schema("created_at").dataType === TimestampType)
+    assert(meta.schema("distinct_id").dataType === StringType)
+  }
+
+  test("DLQ triage: conflicting record quarantined, rest land") {
+    val p = newPipeline()
+    // seed topic schema: a is numeric
+    p.processBatch(batchOf("c" -> """{"a":1,"b":"x"}"""), 0)
+    // next batch mixes numeric a with timestamp a -> per-record triage
+    p.processBatch(batchOf(
+      "c" -> """{"a":2,"b":"y"}""",
+      "c" -> """{"a":"2024-03-01T12:00:00Z","b":"z"}"""), 1)
+    assert(p.lake.read("c").count() === 2, "good records landed")
+    val dlq = p.lake.read("_dlq")
+    assert(dlq.count() === 1)
+    val r = dlq.select("target_table", "error", "value").head()
+    assert(r.getString(0) === "c")
+    assert(r.getString(1).contains("Cannot unify"))
+    assert(r.getString(2).contains("2024-03-01T12:00:00Z"))
+  }
+
+  test("unparseable JSON goes to DLQ, valid rows land") {
+    val p = newPipeline()
+    p.processBatch(batchOf(
+      "u" -> """{"id":1}""",
+      "u" -> """{{{not json"""), 0)
+    assert(p.lake.read("u").count() === 1)
+    assert(p.lake.read("_dlq").count() === 1)
+  }
+
+  test("mixed-format topic: Arrow IPC and JSON records both land") {
+    val p = newPipeline()
+    val ipcBytes = makeIpc(Seq((10L, "ivan"), (11L, "irma")))
+    val df = Seq(
+      ("m", 0, 0L, ipcBytes),
+      ("m", 0, 1L, """{"id":12,"name":"json-joe"}""".getBytes("UTF-8")))
+      .toDF("topic", "partition", "offset", "value")
+    p.processBatch(df, 0)
+    val got = p.lake.read("m").select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((10L, "ivan"), (11L, "irma"), (12L, "json-joe")))
+  }
+
+  test("arrow IPC schema conversion covers nested and temporal types") {
+    val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
+      java.util.List.of(
+        field("ts", new org.apache.arrow.vector.types.pojo.ArrowType.Timestamp(
+          org.apache.arrow.vector.types.TimeUnit.MILLISECOND, null)),
+        field("d", new org.apache.arrow.vector.types.pojo.ArrowType.Date(
+          org.apache.arrow.vector.types.DateUnit.DAY)),
+        field("s", org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE)))
+    val st = StructType(scala.jdk.CollectionConverters.ListHasAsScala(
+      arrowSchema.getFields).asScala.map(ArrowIpc.toSparkField).toSeq)
+    assert(st("ts").dataType === TimestampType)
+    assert(st("d").dataType === DateType)
+    assert(st("s").dataType === StringType)
+  }
+
+  test("streaming: MemoryStream micro-batches reach the lake with upsert") {
+    val p = newPipeline(pks = Map("s" -> Seq("id")))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Int, Long, Array[Byte])]
+    val source = mem.toDF().toDF("topic", "partition", "offset", "value")
+    val q = p.start(source, Files.createTempDirectory("graft-ckpt").toString)
+    try {
+      mem.addData(("s", 0, 0L, """{"id":1,"v":"a"}""".getBytes("UTF-8")))
+      q.processAllAvailable()
+      mem.addData(
+        ("s", 0, 1L, """{"id":1,"v":"b"}""".getBytes("UTF-8")),
+        ("s", 0, 2L, """{"id":2,"v":"c"}""".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val got = p.lake.read("s").select("id", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got === Set((1, "b"), (2, "c")))
+    } finally q.stop()
+  }
+
+  test("topic2table mapping and validation") {
+    val cfg = IngestConfig(warehouse = "/tmp/x", topic2table = Map("a.b" -> "a_b"))
+    assert(cfg.tableFor("a.b") === "a_b")
+    assert(cfg.tableFor("plain") === "plain")
+    intercept[IllegalArgumentException] { cfg.tableFor("bad.topic") }
+    intercept[IllegalArgumentException] {
+      IngestConfig.validate(IngestConfig(warehouse = "/t",
+        topic2table = Map("x" -> "t", "y" -> "t")))
+    }
+  }
+
+  test("metrics sensors record operations") {
+    graft.metrics.GraftMetrics.reset()
+    val p = newPipeline(pks = Map("mt" -> Seq("id")))
+    p.processBatch(batchOf("mt" -> """{"id":1}"""), 0)
+    p.processBatch(batchOf("mt" -> """{"id":1}"""), 1)
+    val snap = graft.metrics.GraftMetrics.snapshot()
+    assert(snap("createTable.count") >= 1.0)
+    assert(snap("simpleInsert.count") >= 1.0)
+    assert(snap("upsertWithMergeInto.count") >= 1.0)
+    assert(snap("records.processed.total") >= 2.0)
+  }
+
+  // -- helpers --
+
+  private def field(
+      name: String,
+      t: org.apache.arrow.vector.types.pojo.ArrowType) =
+    new org.apache.arrow.vector.types.pojo.Field(name,
+      org.apache.arrow.vector.types.pojo.FieldType.nullable(t), null)
+
+  /** Build Arrow IPC stream bytes for (id: int64, name: utf8) rows —
+    * the FIXTURES §4 shape. */
+  private def makeIpc(rows: Seq[(Long, String)]): Array[Byte] = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    val allocator = new RootAllocator(Long.MaxValue)
+    try {
+      val schema = new org.apache.arrow.vector.types.pojo.Schema(java.util.List.of(
+        field("id", new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
+        field("name", org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE)))
+      val root = VectorSchemaRoot.create(schema, allocator)
+      try {
+        val ids = root.getVector("id").asInstanceOf[BigIntVector]
+        val names = root.getVector("name").asInstanceOf[VarCharVector]
+        ids.allocateNew(rows.size); names.allocateNew()
+        rows.zipWithIndex.foreach { case ((id, nm), i) =>
+          ids.setSafe(i, id); names.setSafe(i, nm.getBytes("UTF-8"))
+        }
+        root.setRowCount(rows.size)
+        val out = new java.io.ByteArrayOutputStream()
+        val w = new ArrowStreamWriter(root, null,
+          java.nio.channels.Channels.newChannel(out))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+}
