@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   def defs: Seq[QueryDef] =
     operators.RelationalOps.all ++ operators.IngestOps.all ++
-      operators.PipelineOps.all
+      operators.PipelineOps.all ++ operators.TextOps.all ++
+      operators.DedupOps.all ++ operators.SimilarityOps.all ++
+      operators.MultimodalOps.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large text corpora: MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup. (Exact dedup is
+  * [[TextOps.q22DedupExact]].)
+  *
+  * Scale design: all variants follow shingle→sketch→band→bucket-join —
+  * candidate generation is a shuffle on (band, bucket-hash) whose cost is
+  * O(docs × bands), never O(docs²); exact verification runs only on
+  * in-bucket candidate pairs. Every hash is seeded/deterministic so results
+  * are stable across runs and cluster layouts.
+  */
+object DedupOps {
+
+  // ---- shingling ----
+
+  /** Distinct word k-shingles of a text column (empty array when the doc
+    * has fewer than k tokens). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  /** Exact Jaccard between two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(a) + size(b) - size(array_intersect(a, b))
+    when(uni === 0, lit(0.0)).otherwise(inter / uni.cast("double"))
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** (doc_id, minhash signature) with `numHashes` seeded hash functions.
+    * Distributed as explode(shingles) → per-seed min aggregation (map-side
+    * partial min, single shuffle on doc_id). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleK)).as("__sh"))
+    val mins = (0 until numHashes)
+      .map(i => min(hash(col("__sh"), lit(i))).as(s"__h$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+  }
+
+  /** LSH candidate pairs: signatures banded (bands × rowsPerBand), bucket
+    * join per band, pairs deduped. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(col(idCol), posexplode(
+      array((0 until bands).map { b =>
+        hash((0 until rowsPerBand).map(r =>
+          col("signature").getItem(b * rowsPerBand + r)) :+ lit(b): _*)
+      }: _*)).as(Seq("__band", "__bh")))
+    val l = banded.select(col(idCol).as("a"), col("__band"), col("__bh"))
+    val r = banded.select(col(idCol).as("b"), col("__band"), col("__bh"))
+    l.join(r, Seq("__band", "__bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates verified with exact
+    * shingle Jaccard ≥ threshold. */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleK)
+    val cands = lshCandidatePairs(sigs, idCol)
+    val shingled = docs.select(col(idCol),
+      wordShingles(col(textCol), shingleK).as("__shingles"))
+    cands
+      .join(shingled.select(col(idCol).as("a"), col("__shingles").as("__sa")), "a")
+      .join(shingled.select(col(idCol).as("b"), col("__shingles").as("__sb")), "b")
+      .select(col("a"), col("b"),
+        jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash fingerprint per document: token hashes vote ±1 per bit,
+    * sign becomes the bit. Explode + 64 conditional sums (all map-side
+    * combined) + bit assembly. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * banding the fingerprint into 4×16-bit chunks (a pair within distance
+    * ≤ 3 shares at least one chunk; wider distances need more bands). */
+  def simHashNearDups(fps: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = fps.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(j =>
+        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("__chunk", "__cv")))
+    val l = banded.select(col(idCol).as("a"), col("simhash").as("__fa"),
+      col("__chunk"), col("__cv"))
+    val r = banded.select(col(idCol).as("b"), col("simhash").as("__fb"),
+      col("__chunk"), col("__cv"))
+    l.join(r, Seq("__chunk", "__cv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- driver-facing queries ----
+
+  /** MinHash-LSH near-dups (deterministic; LSH bucketing is not
+    * SQL-expressible → rows-only driver check, exactness unit-tested
+    * against brute-force Jaccard). */
+  val q27MinHashNearDup = QueryDef.rowsOnly("q27_minhash_neardup") { (s, dir) =>
+    minHashNearDups(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Brute-force word-bigram Jaccard on a bounded slice — the exact
+    * verifier the LSH path approximates, DuckDB-checkable. */
+  val q28NgramJaccard = QueryDef(
+    "q28_ngram_jaccard",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      |           FROM documents WHERE doc_id < 40),
+      |g AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gs
+      |      FROM t),
+      |u AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+      |inter AS (SELECT ua.doc_id AS a, ub.doc_id AS b, count(*) AS c
+      |          FROM u ua JOIN u ub ON ua.gr = ub.gr AND ua.doc_id < ub.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(gs) AS n FROM g)
+      |SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |WHERE c * 1.0 / (sa.n + sb.n - c) > 0.1
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val sliced = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), wordShingles(col("text"), 2).as("gs"))
+    val a = sliced.select(col("doc_id").as("a"), col("gs").as("__sa"))
+    val b = sliced.select(col("doc_id").as("b"), col("gs").as("__sb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccard(col("__sa"), col("__sb")).as("j"))
+      .filter(col("j") > 0.1)
+      .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** SimHash fingerprints + near-dup pairs (rows-only: banding join not
+    * SQL-expressible). */
+  val q29SimHash = QueryDef.rowsOnly("q29_simhash_neardup") { (s, dir) =>
+    val fps = simHash(Tables.documents(s, dir), "doc_id", "text")
+    simHashNearDups(fps, "doc_id", maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q27MinHashNearDup, q28NgramJaccard, q29SimHash)
+}

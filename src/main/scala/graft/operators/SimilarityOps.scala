@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute force is O(queries × corpus) with the codegen'd
+  * [[VectorFunctions.CosineSimilarity]] kernel and a broadcast query side —
+  * right for small query sets / reranking. The LSH path buckets the corpus
+  * by bit signature (multiple independent tables), so candidate generation
+  * is a hash join on signatures — O(corpus) build, sub-linear probe —
+  * then exact cosine reranks in-bucket candidates only.
+  */
+object SimilarityOps {
+
+  /** Brute-force top-k: one row per (query, rank). The query side is
+    * broadcast; per-partition the join is a tight codegen'd loop. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("__qv"), col("__cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays. */
+  private[operators] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bit-signature for one LSH table: sign of the dot product against each
+    * hyperplane, packed into a long. */
+  private def signature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, lit(p), (x, w) => x * w), lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: `tables` independent signature tables of
+    * `bitsPerTable` hyperplanes each; candidates = corpus vectors sharing a
+    * signature with the query in ANY table; exact cosine reranks. */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, tables: Int = 8, bitsPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(bitsPerTable, dim, seed + t))
+    def signed(df: DataFrame, id: String): DataFrame =
+      df.select((col(idCol).as(id) +: col(vecCol).as(s"__v_$id") +:
+        allPlanes.zipWithIndex.map { case (p, t) =>
+          signature(col(vecCol), p).as(s"__sig$t")
+        }): _*)
+    val c = signed(corpus, "neighbor_id")
+    val q = signed(queries, "query_id")
+    val candidates = (0 until tables).map { t =>
+      c.select(col("neighbor_id"), col("__v_neighbor_id"), col(s"__sig$t").as("__s"))
+        .join(broadcast(q.select(col("query_id"), col("__v_query_id"),
+          col(s"__sig$t").as("__s"))), Seq("__s"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("__v_query_id"), col("__v_neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = candidates.select(col("query_id"), col("neighbor_id"),
+      VectorFunctions.cosineSim(col("__v_query_id"), col("__v_neighbor_id")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: a deterministic sample of corpus vectors acts as the
+    * coarse quantizer; every vector is assigned to its nearest centroid
+    * (argmax cosine), queries probe the `nprobe` nearest centroid lists and
+    * exact cosine reranks within them.
+    *
+    * Scale: assignment is a scan with C codegen'd cosine kernels per row
+    * (no shuffle); the candidate join hits ~nprobe/C of the corpus. The
+    * centroid set is driver-collected — at real scale replace the sampler
+    * with a k-means fit, the plumbing stays identical. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 3): DataFrame = {
+    val centroids: Array[Seq[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCentroids * 20)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.collect { case (r, i) if i % 20 == 0 =>
+        r.getSeq[Float](0).map(_.toDouble)
+      }.take(nCentroids)
+
+    def centroidSims(vec: Column): Seq[Column] = centroids.toSeq.map(c =>
+      VectorFunctions.cosineSimBuiltin(vec, lit(c.toArray)))
+
+    def assignTop(df: DataFrame, id: String, n: Int): DataFrame = {
+      val sims = centroidSims(col(vecCol))
+      val scored = sims.zipWithIndex.map { case (s, i) =>
+        struct(s.as("sim"), lit(i).as("cid"))
+      }
+      val sorted = array_sort(array(scored: _*),
+        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0))
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+        explode(slice(transform(sorted, s => s.getField("cid")), 1, n)).as("__cid"))
+    }
+
+    val c = assignTop(corpus, "neighbor_id", 1)
+    val q = assignTop(queries, "query_id", nprobe)
+    val scored = c.join(broadcast(q), Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("__v_query_id"), col("__v_neighbor_id")).as("cos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  // ---- driver-facing queries ----
+
+  /** Brute-force KNN, DuckDB-checkable via list_cosine_similarity. */
+  val q31KnnBrute = QueryDef(
+    "q31_knn_brute",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    knnBrute(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding cosine near-dup pairs on a bounded slice (brute force,
+    * DuckDB-checkable). */
+  val q30EmbeddingNearDup = QueryDef(
+    "q30_embedding_neardup",
+    """SELECT a.vec_id AS a, b.vec_id AS b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |    b.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id AND b.vec_id < 300
+      |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("__va"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("__vb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.cosineSim(col("__va"), col("__vb")).as("c"))
+      .filter(col("c") > 0.9)
+      .select(col("a"), col("b"), round(col("c"), 6).as("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** ANN scale path (IVF coarse quantizer; rows-only: approximate by
+    * construction; recall vs brute is unit-tested for both IVF and LSH). */
+  val q32AnnIvf = QueryDef.rowsOnly("q32_ann_ivf") { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    knnIvf(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf)
+}

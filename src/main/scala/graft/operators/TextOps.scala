@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, fingerprinting. All are pure
+  * column expressions (whole-stage codegen, no UDFs) so they scan-scale
+  * linearly — the per-document cost is a few regex/array kernels.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (empty-safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword ratio over tokens (null-safe: 0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Punctuation-character ratio of the raw text. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** Composite quality score in [0, 1]: token volume (cap 100) + low
+    * punctuation + presence of function words. */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - punctRatio(text)) * 0.25 +
+      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.25
+
+  /** Language-ID: n-gram/stopword profile scoring. Each profile is a small
+    * set of high-frequency marker words; the predicted language maximizes
+    * marker hits (ties break lexicographically). Heuristic by design —
+    * the reference pipeline has no langid; this is the LLM-pipeline
+    * extension surface. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "mit", "den", "ist"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em"))
+
+  def langIdPredict(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, then reverse-lexicographic lang so ties pick the
+    // alphabetically first language under greatest())
+    val best = greatest(scored.map(s =>
+      struct(s.getField("score").as("score"),
+        lit(0).minus(ascii(s.getField("lang"))).as("tie"),
+        s.getField("lang").as("lang"))): _*)
+    best.getField("lang")
+  }
+
+  // ---- driver-facing queries ----
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** Corpus statistics per language label. */
+  val q20DocStats = QueryDef(
+    "q20_doc_stats",
+    """SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    docs(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token counting: longest documents by whitespace-token count. */
+  val q21TokenCount = QueryDef(
+    "q21_token_count",
+    """SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens
+      |FROM documents ORDER BY n_tokens DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Exact deduplication: duplicate text groups by content hash
+    * (hash-groupBy — single shuffle on the digest). */
+  val q22DedupExact = QueryDef(
+    "q22_dedup_exact",
+    """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS first_doc
+      |FROM documents GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY h""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n") > 1)
+      .orderBy(col("h"))
+  }
+
+  /** Quality scoring aggregated per language. */
+  val q23TextQuality = QueryDef(
+    "q23_text_quality",
+    """WITH m AS (SELECT lang,
+      |  length(regexp_extract_all(text, '\S+')) AS toks,
+      |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+      |      / length(text) END AS punct,
+      |  CASE WHEN length(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+      |    len(list_filter(regexp_extract_all(text, '\S+'),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
+      |      / length(regexp_extract_all(text, '\S+')) END AS stop
+      |  FROM documents)
+      |SELECT lang, count(*) AS n,
+      |  round(avg(least(toks / 100.0, 1.0) * 0.5 + (1.0 - punct) * 0.25 +
+      |    least(stop * 5.0, 1.0) * 0.25), 4) AS avg_quality,
+      |  round(avg(stop), 4) AS avg_stopword_ratio
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("lang"), qualityScore(col("text")).as("q"),
+        stopwordRatio(col("text")).as("stop"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), round(avg(col("q")), 4).as("avg_quality"),
+        round(avg(col("stop")), 4).as("avg_stopword_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  /** Normalized-content fingerprinting: distinct fingerprints per source
+    * (dup-rate view). */
+  val q24Fingerprint = QueryDef(
+    "q24_fingerprint",
+    """SELECT source, count(*) AS n,
+      |  count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(md5(lower(regexp_replace(col("text"), "\\s+", " ")))).as("n_unique"))
+      .orderBy(col("source"))
+  }
+
+  /** Rolling-hash fingerprints via the native codegen'd expression
+    * (non-SQL-expressible → rows-only driver check; exactness covered by
+    * unit tests). */
+  val q25RollingFingerprint = QueryDef.rowsOnly("q25_rolling_fingerprint") { (s, dir) =>
+    TextExpressions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"), TextExpressions.rollingHash(col("text")).as("fp"))
+      .groupBy((col("fp") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("n_unique"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Language-ID heuristic: prediction distribution against the lang label
+    * (deterministic profile argmax → rows-only check). */
+  val q26LangId = QueryDef.rowsOnly("q26_langid") { (s, dir) =>
+    docs(s, dir)
+      .select(col("lang"), langIdPredict(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
+    q24Fingerprint, q25RollingFingerprint, q26LangId)
+}

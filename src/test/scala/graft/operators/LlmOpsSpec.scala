@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.{TextExpressions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = SparkTestSession.sf
+
+  // ---- vector functions ----
+
+  test("cosine expression matches known values and the builtin formulation") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical -> 1
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal -> 0
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)))   // parallel -> 1
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.cosineSim(col("a"), col("b")).as("c"),
+      VectorFunctions.cosineSimBuiltin(col("a"), col("b")).as("cb"))
+      .collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1).getDouble(0)) < 1e-12)
+    assert(math.abs(got(2).getDouble(0) - 1.0) < 1e-12)
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+      "custom expression and builtin formulation must agree"))
+  }
+
+  test("cosine of a zero vector is null; null input is null") {
+    VectorFunctions.register(spark)
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = spark.sql(
+      "SELECT graft_cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c")
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("rolling hash matches a hand-computed polynomial value") {
+    TextExpressions.register(spark)
+    val got = Seq("ab", "").toDF("t")
+      .select(TextExpressions.rollingHash(col("t"))).as[Long].collect()
+    // "ab" = 'a'*31 + 'b' = 97*31 + 98 = 3105
+    assert(got(0) === 3105L)
+    assert(got(1) === 0L)
+  }
+
+  // ---- text ops ----
+
+  test("token count, stopword and punct ratios on crafted strings") {
+    val df = Seq("the cat sat.", "", "   ", "one,two").toDF("text")
+    val got = df.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.stopwordRatio(col("text")).as("sw"),
+      TextOps.punctRatio(col("text")).as("p")).collect()
+    assert(got(0).getLong(0) === 3)
+    assert(math.abs(got(0).getDouble(1) - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(0).getDouble(2) - 1.0 / 12) < 1e-12)
+    assert(got(1).getLong(0) === 0 && got(1).getDouble(1) === 0.0)
+    assert(got(2).getLong(0) === 0)
+    assert(got(3).getLong(0) === 1) // "one,two" has no whitespace
+  }
+
+  test("langid picks the profile with most marker hits") {
+    val df = Seq(
+      "the cat and the dog is in that house of it",
+      "el perro y la casa de los gatos en el jardin del sol",
+      "der hund und die katze von dem haus mit den blumen ist").toDF("text")
+    val got = df.select(TextOps.langIdPredict(col("text"))).as[String].collect()
+    assert(got.toSeq === Seq("en", "es", "de"))
+  }
+
+  // ---- dedup ops ----
+
+  test("word shingles: distinct k-grams, short docs empty") {
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+    val got = df.select(DedupOps.wordShingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Nil)
+    assert(got(2) === Nil)
+  }
+
+  test("minhash-LSH finds exact duplicates with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different words here okay fine"),
+      (4L, "alpha beta gamma delta epsilon eta")) // near dup of 1
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minHashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((1L, 2L)).contains(1.0), s"exact dup must surface: ${pairs.toSeq}")
+    assert(!asMap.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("minhash verified jaccard equals brute-force jaccard") {
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val pairs = DedupOps.minHashNearDups(docs, "doc_id", "text", threshold = 0.4)
+    val shingled = docs.select(col("doc_id"),
+      DedupOps.wordShingles(col("text"), 3).as("gs"))
+    val brute = shingled.select(col("doc_id").as("a"), col("gs").as("ga"))
+      .crossJoin(shingled.select(col("doc_id").as("b"), col("gs").as("gb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), DedupOps.jaccard(col("ga"), col("gb")).as("j"))
+      .filter(col("j") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, v) =>
+      assert(brute.contains(k), s"LSH pair $k not in brute set")
+      assert(math.abs(brute(k) - v) < 1e-12)
+    }
+    // high-similarity pairs should essentially all be recalled at 64 hashes
+    val recalled = brute.keySet.count(lsh.contains)
+    assert(brute.isEmpty || recalled.toDouble / brute.size >= 0.8,
+      s"LSH recall too low: $recalled/${brute.size}")
+  }
+
+  test("simhash: identical docs distance 0; near-dups within threshold") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "completely unrelated content goes right here now then"))
+      .toDF("doc_id", "text")
+    val fps = DedupOps.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    val pairs = DedupOps.simHashNearDups(
+      DedupOps.simHash(docs, "doc_id", "text"), "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  // ---- similarity ops ----
+
+  test("ANN (IVF and LSH) recall vs brute force") {
+    VectorFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilarityOps.knnBrute(emb, queries, "vec_id", "embedding", 10))
+    val ivf = pairs(SimilarityOps.knnIvf(emb, queries, "vec_id", "embedding", 10))
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall below 0.5")
+    val lsh = pairs(SimilarityOps.knnLsh(emb, queries, "vec_id", "embedding", 10))
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    // random-hyperplane LSH is data-dependent; assert it at least prunes
+    // while finding a nontrivial share
+    assert(lshRecall >= 0.2, s"LSH recall $lshRecall below 0.2")
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal decode batch + frame sampling plumbing") {
+    val docs = Seq((1L, "x" * 600), (2L, "y")).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val meta = MultimodalOps.decodeBatch(docs, spark).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes === 600)
+    assert(meta(1L).n_frames === 3) // ceil(600/256)
+    assert(meta(2L).n_frames === 1)
+    assert(meta(1L).width === (64 + 600 % 577))
+    val frames = MultimodalOps.sampleFrames(docs, frameSize = 256, stride = 1)
+    assert(frames.filter(col("doc_id") === 1L).count() === 3)
+  }
+}
