@@ -19,13 +19,21 @@ object DedupOps {
   // ---- shingling ----
 
   /** Distinct word k-shingles of a text column (empty array when the doc
-    * has fewer than k tokens). */
+    * has fewer than k tokens). One-pass codegen'd expression — see
+    * [[graft.functions.ShingleExpression]]. Callers must have the session's
+    * functions registered; [[shingled]] handles that. */
   def wordShingles(text: Column, k: Int): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) < k, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " "))))
+    SparkSession.getActiveSession.foreach(graft.functions.ShingleExpression.register)
+    coalesce(
+      graft.functions.ShingleExpression.wordShingles(TextOps.tokens(text), k),
+      array().cast("array<string>"))
+  }
+
+  /** (id, shingles) with registration handled. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    graft.functions.ShingleExpression.register(docs.sparkSession)
+    docs.select(col(idCol), wordShingles(col(textCol), k).as("__shingles"))
   }
 
   /** Exact Jaccard between two distinct-element array columns. */
@@ -37,19 +45,17 @@ object DedupOps {
 
   // ---- MinHash + LSH ----
 
-  /** (doc_id, minhash signature) with `numHashes` seeded hash functions.
-    * Distributed as explode(shingles) → per-seed min aggregation (map-side
-    * partial min, single shuffle on doc_id). */
+  /** (doc_id, minhash signature): one codegen'd pass per document via
+    * [[graft.functions.SketchExpressions.MinHashSignature]] — a pure
+    * map-side scan, no explode, no shuffle. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleK)).as("__sh"))
-    val mins = (0 until numHashes)
-      .map(i => min(hash(col("__sh"), lit(i))).as(s"__h$i"))
-    exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+    graft.functions.SketchExpressions.register(docs.sparkSession)
+    graft.functions.ShingleExpression.register(docs.sparkSession)
+    docs.select(col(idCol),
+      graft.functions.SketchExpressions.minHash(
+        wordShingles(col(textCol), shingleK)).as("signature"))
+      .filter(col("signature").isNotNull)
   }
 
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand), bucket
@@ -74,11 +80,16 @@ object DedupOps {
       threshold: Double, shingleK: Int = 3): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, shingleK)
     val cands = lshCandidatePairs(sigs, idCol)
-    val shingled = docs.select(col(idCol),
-      wordShingles(col(textCol), shingleK).as("__shingles"))
+    // verify-side shingles only for docs that appear in a candidate pair —
+    // the expensive text pass runs on the (small) candidate set, not the
+    // whole corpus
+    val candIds = cands.select(col("a").as(idCol))
+      .union(cands.select(col("b").as(idCol))).distinct()
+    val candDocs = docs.join(broadcast(candIds), idCol)
+    val sh = shingled(candDocs, idCol, textCol, shingleK)
     cands
-      .join(shingled.select(col(idCol).as("a"), col("__shingles").as("__sa")), "a")
-      .join(shingled.select(col(idCol).as("b"), col("__shingles").as("__sb")), "b")
+      .join(sh.select(col(idCol).as("a"), col("__shingles").as("__sa")), "a")
+      .join(sh.select(col(idCol).as("b"), col("__shingles").as("__sb")), "b")
       .select(col("a"), col("b"),
         jaccard(col("__sa"), col("__sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -87,20 +98,15 @@ object DedupOps {
   // ---- SimHash ----
 
   /** 64-bit SimHash fingerprint per document: token hashes vote ±1 per bit,
-    * sign becomes the bit. Explode + 64 conditional sums (all map-side
-    * combined) + bit assembly. */
+    * sign becomes the bit — one codegen'd pass via
+    * [[graft.functions.SketchExpressions.SimHash64]] (map-side scan, no
+    * explode/shuffle). */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { i =>
-      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"__b$i")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), fp.as("simhash"))
+    graft.functions.SketchExpressions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      graft.functions.SketchExpressions.simHash64(
+        TextOps.tokens(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
@@ -153,6 +159,7 @@ object DedupOps {
       |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       |WHERE c * 1.0 / (sa.n + sb.n - c) > 0.1
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleExpression.register(s)
     val sliced = Tables.documents(s, dir).filter(col("doc_id") < 40)
       .select(col("doc_id"), wordShingles(col("text"), 2).as("gs"))
     val a = sliced.select(col("doc_id").as("a"), col("gs").as("__sa"))
