@@ -22,6 +22,9 @@ import org.apache.spark.sql.types._
   *                        the batch (reference: no ErrantRecordReporter)
   * @param triggerMs       flush.interval.ms analog (micro-batch trigger)
   * @param maxOffsetsPerTrigger flush.size analog for the Kafka source
+  * @param avroSchemas     per-topic Avro reader schema JSON — topics listed
+  *                        here decode as schemaful Avro (the Connect
+  *                        value.converter analog, reference S7)
   */
 final case class IngestConfig(
     warehouse: String,
@@ -30,7 +33,8 @@ final case class IngestConfig(
     partitions: Map[String, Seq[String]] = Map.empty,
     dlqTable: Option[String] = Some("_dlq"),
     triggerMs: Long = 60000L,
-    maxOffsetsPerTrigger: Option[Long] = None) {
+    maxOffsetsPerTrigger: Option[Long] = None,
+    avroSchemas: Map[String, String] = Map.empty) {
 
   def tableFor(topic: String): String = {
     val t = topic2table.getOrElse(topic, topic)
@@ -119,8 +123,15 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     }
   }
 
-  /** Dispatch one topic's records by wire format and land them. */
+  /** Dispatch one topic's records by wire format and land them. Topics with
+    * a configured Avro reader schema are schemaful (Connect-converter
+    * analog); otherwise records sniff per record as Arrow IPC vs JSON
+    * (mixed topics supported). */
   private def processTopic(topic: String, table: String, records: DataFrame): Unit = {
+    if (config.avroSchemas.contains(topic)) {
+      processAvro(topic, table, records)
+      return
+    }
     val sniff = udf((v: Array[Byte]) => v != null && ArrowIpc.looksLikeIpc(v))
     val tagged = records.withColumn("__ipc", sniff(col("value"))).cache()
     try {
@@ -129,6 +140,27 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       if (!ipc.isEmpty) processArrowIpc(topic, table, ipc)
       if (!json.isEmpty) processJson(topic, table, json)
     } finally tagged.unpersist()
+  }
+
+  // ---- Avro path (S7) ----
+
+  private def processAvro(topic: String, table: String, records: DataFrame): Unit = {
+    val schemaJson = config.avroSchemas(topic)
+    val sparkSchema = AvroDecode.toSparkType(
+      AvroDecode.readerSchema(schemaJson)).asInstanceOf[StructType]
+    val rows = records.select(col("value"), col("offset"))
+      .as[(Array[Byte], Long)].rdd
+      .mapPartitions { it =>
+        // one parsed schema + reader per partition
+        val schema = AvroDecode.readerSchema(schemaJson)
+        val target = DataType.fromJson(sparkSchema.json).asInstanceOf[StructType]
+        it.map { case (bytes, offset) =>
+          Row.fromSeq(AvroDecode.decode(bytes, schema, target).toSeq :+ offset)
+        }
+      }
+    val withOffset = StructType(
+      sparkSchema.fields.toSeq :+ StructField("__offset", LongType))
+    writeToLake(table, spark.createDataFrame(rows, withOffset))
   }
 
   // ---- JSON path (S3/C2/C3) ----

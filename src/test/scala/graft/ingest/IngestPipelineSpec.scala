@@ -131,6 +131,43 @@ class IngestPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("avro topic: schemaful decode with nullable fields and timestamps") {
+    val avroSchema =
+      """{"type":"record","name":"User","fields":[
+        |{"name":"name","type":"string"},{"name":"age","type":"int"},
+        |{"name":"nick","type":["null","string"],"default":null},
+        |{"name":"joined","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
+        .stripMargin
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-avro").toString,
+      avroSchemas = Map("users" -> avroSchema)))
+    def avroBytes(name: String, age: Int, nick: Option[String], joinedMs: Long): Array[Byte] = {
+      val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("name", name); rec.put("age", age)
+      rec.put("nick", nick.orNull); rec.put("joined", joinedMs)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val df = Seq(
+      ("users", 0, 0L, avroBytes("Alice", 30, None, 1700000000000L)),
+      ("users", 0, 1L, avroBytes("Bob", 40, Some("bobby"), 1700000100000L)))
+      .toDF("topic", "partition", "offset", "value")
+    p.processBatch(df, 0)
+    val got = p.lake.read("users")
+      .select("name", "age", "nick", "joined").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getTimestamp(3).getTime))
+      .toSet
+    assert(got === Set(
+      ("Alice", 30, null, 1700000000000L),
+      ("Bob", 40, "bobby", 1700000100000L)))
+  }
+
   test("topic2table mapping and validation") {
     val cfg = IngestConfig(warehouse = "/tmp/x", topic2table = Map("a.b" -> "a_b"))
     assert(cfg.tableFor("a.b") === "a_b")

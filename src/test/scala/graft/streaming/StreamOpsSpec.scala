@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly window aggregation emits closed windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.hourlyEventCounts(events, lateness = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hourly_out").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:20:00"), "click", 2.0),
+        (ts("2024-01-01 10:40:00"), "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark past 11:05 so the 10:00 window closes
+      mem.addData((ts("2024-01-01 12:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.toSet === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late events beyond the watermark are dropped") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.hourlyEventCounts(events, lateness = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData((ts("2024-01-01 10:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 13:00:00"), "click", 1.0)) // watermark → 12:55
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:30:00"), "click", 99.0)) // too late
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 15:00:00"), "click", 1.0)) // close everything open
+      q.processAllAvailable()
+      val n10 = spark.table("late_out")
+        .filter($"hour" === ts("2024-01-01 10:00:00")).head().getLong(2)
+      assert(n10 === 1L, "the 99.0 late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("sessionization: gap splits in-batch, idle keys time out via watermark") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L,
+        lateness = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_out").start()
+    try {
+      mem.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        StreamOps.Event(1L, ts("2024-01-01 10:05:00"), "view", 2.0),
+        // > 10 min gap -> new session for user 1 within the same batch
+        StreamOps.Event(1L, ts("2024-01-01 11:00:00"), "click", 5.0),
+        StreamOps.Event(2L, ts("2024-01-01 10:00:00"), "click", 7.0))
+      q.processAllAvailable()
+      val closed1 = spark.table("sessions_out").as[StreamOps.Session].collect()
+      assert(closed1.exists(s =>
+        s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0 &&
+          s.session_start == ts("2024-01-01 10:00:00") &&
+          s.session_end == ts("2024-01-01 10:05:00")),
+        s"in-batch gap split missing: ${closed1.toSeq}")
+      // push the watermark far ahead; the idle sessions (u1@11:00, u2@10:00)
+      // time out in the following batch
+      mem.addData(StreamOps.Event(3L, ts("2024-01-01 14:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(3L, ts("2024-01-01 14:00:30"), "click", 0.0))
+      q.processAllAvailable()
+      val closed2 = spark.table("sessions_out").as[StreamOps.Session].collect()
+      assert(closed2.exists(s => s.user_id == 2L && s.n_events == 1 && s.total_value == 7.0),
+        s"watermark timeout session missing: ${closed2.toSeq}")
+      assert(closed2.exists(s => s.user_id == 1L && s.n_events == 1 && s.total_value == 5.0),
+        s"second u1 session missing: ${closed2.toSeq}")
+    } finally q.stop()
+  }
+}
