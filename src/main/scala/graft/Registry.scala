@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Central collection of every [[QueryDef]] the engine exposes. */
 object Registry {
   def defs: Seq[QueryDef] =
-    operators.RelationalOps.all ++ operators.IngestOps.all ++
+    operators.RelationalOps.all ++ operators.RelationalOps2.all ++
+      operators.IngestOps.all ++
       operators.PipelineOps.all ++ operators.TextOps.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.MultimodalOps.all
