@@ -157,7 +157,7 @@ object SimilarityOps {
       |    b.embedding::DOUBLE[]), 6) AS cos
       |FROM embeddings a, embeddings b
       |WHERE a.vec_id < b.vec_id AND b.vec_id < 300
-      |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
+      |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
@@ -166,7 +166,7 @@ object SimilarityOps {
     a.crossJoin(b).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         VectorFunctions.cosineSim(col("__va"), col("__vb")).as("c"))
-      .filter(col("c") > 0.9)
+      .filter(col("c") > 0.4)
       .select(col("a"), col("b"), round(col("c"), 6).as("cos"))
       .orderBy(col("a"), col("b"))
   }

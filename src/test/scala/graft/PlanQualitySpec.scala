@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality guards: these assert the physical plans the engine is
+  * designed around — filter/column pushdown into the parquet scan,
+  * broadcast of dimension sides, top-k as TakeOrderedAndProject, window
+  * group-limit pushdown — so a regression in plan shape fails CI, not just
+  * a benchmark. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter pushed to scan; columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q03: dimension joins broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must push down")
+  }
+
+  test("q05: six-way join keeps small sides broadcast") {
+    val p = plan("q05_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q07: rank filter pushes a window group limit") {
+    val p = plan("q07_window_rank")
+    assert(p.contains("WindowGroupLimit"), "rn <= 3 should push into the window")
+  }
+
+  test("q02: top-k never global-sorts") {
+    val p = plan("q02_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("\n(1) Sort"), "limit+orderBy must not plan a full sort")
+  }
+
+  test("q31: brute-force KNN broadcasts the query side") {
+    val p = plan("q31_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
