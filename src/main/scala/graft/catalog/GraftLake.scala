@@ -306,6 +306,41 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     swapInto(stage, new Path(dataDir(name)), partCols.size)
   }
 
+  /** Compact a table's data files: rewrites each partition (or the whole
+    * table) into ~`targetRecordsPerFile`-row files via the staged-swap
+    * path. The small-file antidote for streaming ingest — micro-batches
+    * append many small files; compaction restores scan efficiency without
+    * changing table contents. Run it per partition predicate at scale
+    * (`predicate` limits the rewrite scope, e.g. yesterday's partition). */
+  def compact(name: String, targetRecordsPerFile: Long = maxRecordsPerFile,
+      predicate: Option[Column] = None): Unit = {
+    val meta = readMeta(name)
+    val partCols = meta.partitionExprs.map(_.outputName)
+    val all = readInternal(name, meta)
+    val scoped = predicate.map(all.filter).getOrElse(all)
+    val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+    // AQE rebalance: merges small shuffle partitions / splits skewed ones
+    // to the advisory size, so output files coalesce without hand-picking
+    // a partition count (partitioned tables rebalance per partition key)
+    val projected = scoped
+      .select(meta.schema.fieldNames.map(n => col(quoted(n))) ++
+        partCols.map(c => col(quoted(c))): _*)
+    val rebalanced =
+      if (partCols.nonEmpty) projected.hint("rebalance", partCols.map(col(_)): _*)
+      else projected.hint("rebalance")
+    val writer = rebalanced
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    swapInto(stage, new Path(dataDir(name)), partCols.size)
+  }
+
+  /** Data files currently backing a table (observability / compaction
+    * policy input). */
+  def dataFiles(name: String): Seq[String] =
+    read(name).inputFiles.toSeq
+
   /** Move staged output into the data dir: partitioned tables swap only the
     * partition directories present in the stage; unpartitioned tables swap
     * the whole file set. Best-effort atomicity (directory renames), mirroring
