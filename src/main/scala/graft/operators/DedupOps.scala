@@ -129,6 +129,48 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- clustering ----
+
+  /** Connected components over an undirected edge list (cols `a`,`b`) by
+    * min-label propagation: every node converges to the smallest id
+    * reachable from it. O(graph diameter) joined iterations — near-dup
+    * graphs are unions of small cliques, so convergence is fast; each
+    * iteration is one shuffle on node id. Returns (node, cluster_id). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val both = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = both.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = both
+        .join(labels, both("a") === labels("node"))
+        .select(col("b").as("node"), col("label"))
+      val next = labels.select("node", "label").union(prop)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      val changed = next.as("n")
+        .join(labels.select(col("node"), col("label").as("__old")), "node")
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    both.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Dedup a corpus given near-dup pairs: keep the representative
+    * (min doc id) of each cluster, drop the rest. */
+  def dropNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    val losers = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- driver-facing queries ----
 
   /** MinHash-LSH near-dups (deterministic; LSH bucketing is not
@@ -179,5 +221,56 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q27MinHashNearDup, q28NgramJaccard, q29SimHash)
+  /** Near-dup clustering: exact-dup pairs (content hash) ∪ bounded-slice
+    * Jaccard pairs → connected components → (doc_id, cluster_id) for every
+    * clustered doc. The oracle computes the same transitive closure with a
+    * recursive CTE. */
+  val q46DedupClusters = QueryDef(
+    "q46_dedup_clusters",
+    """WITH RECURSIVE
+      |dupe AS (SELECT md5(text) AS h, doc_id FROM documents),
+      |epairs AS (SELECT d1.doc_id AS a, d2.doc_id AS b FROM dupe d1
+      |           JOIN dupe d2 ON d1.h = d2.h AND d1.doc_id < d2.doc_id),
+      |t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      |      FROM documents WHERE doc_id < 40),
+      |g AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gs
+      |      FROM t),
+      |u AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+      |inter AS (SELECT ua.doc_id AS a, ub.doc_id AS b, count(*) AS c
+      |          FROM u ua JOIN u ub ON ua.gr = ub.gr AND ua.doc_id < ub.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+      |jp AS (SELECT a, b FROM inter
+      |       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |       WHERE c * 1.0 / (sa.n + sb.n - c) > 0.1),
+      |e0 AS (SELECT a, b FROM epairs UNION SELECT a, b FROM jp),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      |nodes AS (SELECT DISTINCT a AS n FROM edges),
+      |reach(node, r) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
+      |SELECT node AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleExpression.register(s)
+    val docs = Tables.documents(s, dir)
+    val dupe = docs.select(md5(col("text")).as("h"), col("doc_id"))
+    val epairs = dupe.as("d1").join(dupe.as("d2"),
+        col("d1.h") === col("d2.h") && col("d1.doc_id") < col("d2.doc_id"))
+      .select(col("d1.doc_id").as("a"), col("d2.doc_id").as("b"))
+    val sliced = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id"), wordShingles(col("text"), 2).as("gs"))
+    val jp = sliced.select(col("doc_id").as("a"), col("gs").as("__sa"))
+      .crossJoin(sliced.select(col("doc_id").as("b"), col("gs").as("__sb")))
+      .filter(col("a") < col("b"))
+      .filter(jaccard(col("__sa"), col("__sb")) > 0.1)
+      .select(col("a"), col("b"))
+    connectedComponents(epairs.union(jp).distinct())
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q27MinHashNearDup, q28NgramJaccard, q29SimHash, q46DedupClusters)
 }

@@ -176,7 +176,40 @@ object TextOps {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** Deterministic hash bucket in [0, 256) from any key column — the
+    * train/val/test splitter and stratified-sampling primitive. md5-based
+    * so the assignment is stable across engines, cluster layouts and
+    * reruns (never `rand()`). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Deterministic train/val/test split assignment (80/10/10). */
+  def splitAssign(key: Column): Column = {
+    val b = hashBucket(key)
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+  }
+
+  /** Deterministic sampling: keep rows whose bucket < fraction·256. */
+  def deterministicSample(key: Column, fraction: Double): Column =
+    hashBucket(key) < (fraction * 256).toInt
+
+  /** Train/val/test split statistics (hash-deterministic, so the exact
+    * assignment is DuckDB-checkable). */
+  val q47TrainSplit = QueryDef(
+    "q47_train_split",
+    """WITH t AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) AS b,
+      |             n_chars FROM documents)
+      |SELECT CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(splitAssign(col("doc_id")).as("split"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
-    q24Fingerprint, q25RollingFingerprint, q26LangId)
+    q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit)
 }

@@ -135,6 +135,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("connected components: chains and separate cliques") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L)).toDF("a", "b")
+    val got = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("dropNearDups keeps one representative per cluster") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = DedupOps.dropNearDups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L), "cluster {1,2,3} keeps 1; singleton 4 stays")
+  }
+
+  test("hash split: total partition, deterministic, roughly 80/10/10") {
+    val df = (1L to 2000L).toDF("id")
+    val counts = df.select(TextOps.splitAssign(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1450 && counts("train") < 1750, s"got $counts")
+    // determinism: same assignment on recompute
+    val again = df.select(TextOps.splitAssign(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+    val sampled = df.filter(TextOps.deterministicSample(col("id"), 0.25)).count()
+    assert(sampled > 350 && sampled < 650)
+  }
+
   // ---- similarity ops ----
 
   test("ANN (IVF and LSH) recall vs brute force") {
