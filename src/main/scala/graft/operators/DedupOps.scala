@@ -142,6 +142,11 @@ object DedupOps {
       .distinct().cache()
     var labels = both.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).cache()
+    // labels only ever decrease, so the label sum is a monotone convergence
+    // witness — one cheap aggregate per iteration instead of a diff join
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -150,12 +155,11 @@ object DedupOps {
         .select(col("b").as("node"), col("label"))
       val next = labels.select("node", "label").union(prop)
         .groupBy("node").agg(min("label").as("label")).cache()
-      val changed = next.as("n")
-        .join(labels.select(col("node"), col("label").as("__old")), "node")
-        .filter(col("label") =!= col("__old")).count()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     both.unpersist()
