@@ -143,7 +143,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           StructType(meta.schema.filterNot(_.name == InsertedAtCol)), incoming)
         val withSys = StructType(
           evolved.fields.toSeq :+ meta.schema(InsertedAtCol))
-        val newMeta = meta.copy(schema = withSys)
+        // a PK config arriving after auto-creation is adopted (the
+        // reference keeps id-columns in connector config, not the table)
+        val adoptedPks = if (meta.pks.isEmpty && pks.nonEmpty) pks else meta.pks
+        val newMeta = meta.copy(schema = withSys, pks = adoptedPks)
+        if (newMeta.pks != meta.pks && newMeta.schema == meta.schema)
+          writeMeta(name, newMeta)
         if (newMeta.schema != meta.schema)
           graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.EvolveSchema) {
             writeMeta(name, newMeta)
@@ -297,13 +302,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val result = withPartitionCols(
       untouched.unionByName(updates).unionByName(inserts), meta)
 
+    // Directories of the affected partitions BEFORE the rewrite: a
+    // partition that ends up empty (its only rows moved elsewhere) has no
+    // stage leaf, but its old files must still be deleted or a stale copy
+    // survives the merge. input_file_name() goes through the PRUNED scan
+    // (DataFrame.inputFiles would list every partition of the relation and
+    // delete data) and is encoding-robust (no hand-built partition names).
+    val affectedDirs: Seq[Path] =
+      if (partCols.isEmpty) Nil
+      else scoped.select(input_file_name().as("f")).distinct()
+        .collect().map(r => new Path(r.getString(0)).getParent)
+        .toSeq.distinct
+
     // Stage + swap (Spark cannot overwrite a path it is reading from).
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val writer = result.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    swapInto(stage, new Path(dataDir(name)), partCols.size)
+    swapInto(stage, new Path(dataDir(name)), partCols.size, affectedDirs)
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -341,11 +358,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def dataFiles(name: String): Seq[String] =
     read(name).inputFiles.toSeq
 
-  /** Move staged output into the data dir: partitioned tables swap only the
-    * partition directories present in the stage; unpartitioned tables swap
-    * the whole file set. Best-effort atomicity (directory renames), mirroring
-    * a commit-protocol boundary. */
-  private def swapInto(stage: Path, target: Path, partDepth: Int): Unit = {
+  /** Move staged output into the data dir: partitioned tables swap the
+    * partition directories present in the stage AND delete `affectedDirs`
+    * that produced no stage output (a rewrite can empty a partition);
+    * unpartitioned tables swap the whole file set. Best-effort atomicity
+    * (directory renames), mirroring a commit-protocol boundary. */
+  private def swapInto(stage: Path, target: Path, partDepth: Int,
+      affectedDirs: Seq[Path] = Nil): Unit = {
     val f = fs(target)
     def leaves(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
@@ -364,6 +383,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           .filter(s => s.getPath.getName.endsWith(".parquet"))
           .foreach(s => f.rename(s.getPath, new Path(target, s.getPath.getName)))
       } else {
+        // emptied partitions first: their old contents must go even though
+        // the stage has nothing to put in their place
+        affectedDirs.foreach(d => if (f.exists(d)) f.delete(d, true))
         val stageUri = f.makeQualified(stage).toUri
         leaves(stage, partDepth).foreach { leaf =>
           val rel = stageUri.relativize(f.makeQualified(leaf).toUri).getPath

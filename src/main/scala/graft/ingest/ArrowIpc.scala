@@ -28,9 +28,10 @@ import scala.jdk.CollectionConverters._
 object ArrowIpc {
 
   /** Fast sniff for Arrow IPC stream bytes: encapsulated-message framing
-    * starts with the 0xFFFFFFFF continuation marker (current writers) or a
-    * plausible little-endian metadata length (legacy). JSON objects/arrays
-    * never match. */
+    * starts with the 0xFFFFFFFF continuation marker (all Arrow ≥ 0.15
+    * writers). Legacy pre-0.15 streams (bare metadata length, no marker)
+    * are NOT recognized and would route to the JSON path → DLQ. JSON
+    * objects/arrays never match the marker. */
   def looksLikeIpc(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 8 &&
       bytes(0) == -1 && bytes(1) == -1 && bytes(2) == -1 && bytes(3) == -1

@@ -64,12 +64,6 @@ object AvroDecode {
 
   def readerSchema(json: String): ASchema = new ASchema.Parser().parse(json)
 
-  /** Strip Confluent (0x00 + id) or single-object (0xC3 0x01 + fp) framing. */
-  private def payloadOffset(bytes: Array[Byte]): Int =
-    if (bytes.length > 5 && bytes(0) == 0x00.toByte) 5
-    else if (bytes.length > 10 && bytes(0) == 0xC3.toByte && bytes(1) == 0x01.toByte) 10
-    else 0
-
   private def convert(v: Any, s: ASchema, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (r: GenericRecord, st: StructType) =>
@@ -105,12 +99,46 @@ object AvroDecode {
   private def resolve(s: ASchema): ASchema =
     if (s.getType == ASchema.Type.UNION) nonNullBranch(s).getOrElse(s) else s
 
-  /** Decode one Avro value with the given reader schema. */
-  def decode(bytes: Array[Byte], schema: ASchema, sparkSchema: StructType): Row = {
-    val off = payloadOffset(bytes)
-    val reader = new GenericDatumReader[GenericRecord](schema)
-    val dec = DecoderFactory.get().binaryDecoder(
-      new ByteArrayInputStream(bytes, off, bytes.length - off), null)
-    convert(reader.read(null, dec), schema, sparkSchema).asInstanceOf[Row]
+  private[ingest] def convertRecord(
+      r: GenericRecord, s: ASchema, sparkSchema: StructType): Row =
+    convert(r, s, sparkSchema).asInstanceOf[Row]
+
+  /** Decode one Avro value with the given reader schema (convenience /
+    * test entry; hot paths use [[AvroRowDecoder]]). */
+  def decode(bytes: Array[Byte], schema: ASchema, sparkSchema: StructType): Row =
+    new AvroRowDecoder(schema.toString, sparkSchema).decode(bytes)
+}
+
+/** Reusable per-partition decoder: one parsed schema + GenericDatumReader +
+  * recycled BinaryDecoder for all records of a partition.
+  *
+  * Framing: the payload is decoded RAW first (records arrive unframed from
+  * the Connect-converter-equivalent path — a leading 0x00 byte is a
+  * perfectly valid first field like `long 0` or `false`); only when the raw
+  * decode fails does the decoder retry past Confluent (0x00 + 4-byte id)
+  * or single-object (0xC3 0x01 + 8-byte fingerprint) framing. */
+final class AvroRowDecoder(schemaJson: String, sparkSchema: StructType)
+    extends Serializable {
+  @transient private lazy val schema = AvroDecode.readerSchema(schemaJson)
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](schema)
+  @transient private var binDecoder: org.apache.avro.io.BinaryDecoder = _
+
+  private def decodeAt(bytes: Array[Byte], off: Int): Row = {
+    binDecoder = DecoderFactory.get()
+      .binaryDecoder(bytes, off, bytes.length - off, binDecoder)
+    AvroDecode.convertRecord(
+      reader.read(null, binDecoder), schema, sparkSchema)
   }
+
+  def decode(bytes: Array[Byte]): Row =
+    try decodeAt(bytes, 0)
+    catch {
+      case e: Exception =>
+        if (bytes.length > 5 && bytes(0) == 0x00.toByte)
+          try decodeAt(bytes, 5) catch { case _: Exception => throw e }
+        else if (bytes.length > 10 && bytes(0) == 0xC3.toByte && bytes(1) == 0x01.toByte)
+          try decodeAt(bytes, 10) catch { case _: Exception => throw e }
+        else throw e
+    }
 }

@@ -111,16 +111,21 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     StructField("offset", LongType),
     StructField("value", BinaryType)))
 
-  /** Process one micro-batch (also the `foreachBatch` body). */
+  /** Process one micro-batch (also the `foreachBatch` body). The batch is
+    * cached for its lifetime — the per-topic fan-out and counters would
+    * otherwise re-read the source once per pass. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val topics = batch.select("topic").distinct().as[String].collect()
-    GraftMetrics.recordBatch(batch.count())
-    topics.foreach { topic =>
-      val table = config.tableFor(topic)
-      val records = batch.filter(col("topic") === topic)
-        .select(col("value"), col("partition"), col("offset"))
-      processTopic(topic, table, records)
-    }
+    val cached = batch.cache()
+    try {
+      val topics = cached.select("topic").distinct().as[String].collect()
+      GraftMetrics.recordBatch(cached.count())
+      topics.foreach { topic =>
+        val table = config.tableFor(topic)
+        val records = cached.filter(col("topic") === topic)
+          .select(col("value"), col("partition"), col("offset"))
+        processTopic(topic, table, records)
+      }
+    } finally cached.unpersist()
   }
 
   /** Dispatch one topic's records by wire format and land them. Topics with
@@ -151,11 +156,10 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     val rows = records.select(col("value"), col("offset"))
       .as[(Array[Byte], Long)].rdd
       .mapPartitions { it =>
-        // one parsed schema + reader per partition
-        val schema = AvroDecode.readerSchema(schemaJson)
-        val target = DataType.fromJson(sparkSchema.json).asInstanceOf[StructType]
+        // one parsed schema + datum reader + recycled decoder per partition
+        val decoder = new AvroRowDecoder(schemaJson, sparkSchema)
         it.map { case (bytes, offset) =>
-          Row.fromSeq(AvroDecode.decode(bytes, schema, target).toSeq :+ offset)
+          Row.fromSeq(decoder.decode(bytes).toSeq :+ offset)
         }
       }
     val withOffset = StructType(
@@ -186,8 +190,11 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       .cache()
     try {
       val strings = values.select("v").as[String]
+      // both the in-batch unification AND the merge with the cached topic
+      // schema can conflict — either routes to per-record triage
       val inferred =
-        try Right(SchemaInference.inferSchemaDistributed(strings))
+        try Right(SchemaInference.inferSchemaDistributed(strings)
+          .map(s => schemaCache.unifiedFor(topic, Seq(s))))
         catch {
           case e: org.apache.spark.SparkException
               if causeChainHasSchemaConflict(e) => Left(e)
@@ -195,11 +202,8 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         }
       inferred match {
         case Right(None) => () // nothing typed in this batch
-        case Right(Some(batchSchema)) =>
-          val unified = schemaCache.unifiedFor(topic, Seq(batchSchema))
-          landJson(table, values, unified)
-        case Left(_) =>
-          triageJson(topic, table, values)
+        case Right(Some(unified)) => landJson(table, values, unified)
+        case Left(_) => triageJson(topic, table, values)
       }
     } finally values.unpersist()
   }
@@ -271,11 +275,19 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       val good = tagged.filter(col("__ok"))
         .select(col("v"), col("partition"), col("offset"))
       if (!good.isEmpty) {
-        val schemas = SchemaInference.inferSchemaDistributed(good.select("v").as[String])
-        schemas.foreach { s =>
-          val unified = schemaCache.unifiedFor(topic, Seq(s))
-          landJson(table, good, unified)
-        }
+        // "good" records each unify with the seed, but may still conflict
+        // pairwise (two records adding the same NEW field with different
+        // types). In that case land under the seed schema alone — every
+        // good record parses under it; the conflicting new fields are
+        // dropped for this batch rather than poisoning the stream.
+        val unified =
+          try SchemaInference.inferSchemaDistributed(good.select("v").as[String])
+            .map(s => schemaCache.unifiedFor(topic, Seq(s)))
+            .getOrElse(seed)
+          catch {
+            case e: Throwable if causeChainHasSchemaConflict(e) => seed
+          }
+        if (unified.nonEmpty) landJson(table, good, unified)
       }
     } finally tagged.unpersist()
   }

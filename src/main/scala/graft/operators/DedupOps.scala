@@ -137,6 +137,10 @@ object DedupOps {
     * graphs are unions of small cliques, so convergence is fast; each
     * iteration is one shuffle on node id. Returns (node, cluster_id). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(edges.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "connectedComponents requires numeric node ids (the label-sum " +
+        "convergence witness needs an ordered additive domain); hash string " +
+        "ids to longs first, e.g. xxhash64(id)")
     val both = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()

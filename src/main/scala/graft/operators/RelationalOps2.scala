@@ -52,10 +52,16 @@ object RelationalOps2 {
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
-      .agg(round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2))
+      .agg(round(sum(col("o_totalprice")), 2))
       .withColumnRenamed("1-URGENT", "urgent")
       .withColumnRenamed("3-MEDIUM", "medium")
       .withColumnRenamed("5-LOW", "low")
+      // a status×priority cell with no rows pivots to null, but the
+      // oracle's CASE-WHEN sum yields 0.0 — align
+      .select(col("o_orderstatus"),
+        coalesce(col("urgent"), lit(0.0)).as("urgent"),
+        coalesce(col("medium"), lit(0.0)).as("medium"),
+        coalesce(col("low"), lit(0.0)).as("low"))
       .orderBy(col("o_orderstatus"))
   }
 

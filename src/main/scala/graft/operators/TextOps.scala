@@ -55,18 +55,17 @@ object TextOps {
 
   def langIdPredict(text: Column): Column = {
     val toks = tokens(text)
-    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+    // argmax by (score, tie) where tie = profiles in REVERSE alphabetical
+    // index order, so equal scores resolve to the alphabetically first
+    // language under greatest()
+    val sortedProfiles = LangProfiles.toSeq.sortBy(_._1)
+    val scored = sortedProfiles.zipWithIndex.map { case ((lang, markers), i) =>
       struct(
         size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(sortedProfiles.size - i).as("tie"),
         lit(lang).as("lang"))
     }
-    // argmax by (score, then reverse-lexicographic lang so ties pick the
-    // alphabetically first language under greatest())
-    val best = greatest(scored.map(s =>
-      struct(s.getField("score").as("score"),
-        lit(0).minus(ascii(s.getField("lang"))).as("tie"),
-        s.getField("lang").as("lang"))): _*)
-    best.getField("lang")
+    greatest(scored: _*).getField("lang")
   }
 
   // ---- driver-facing queries ----

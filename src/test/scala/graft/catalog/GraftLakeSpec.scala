@@ -143,6 +143,26 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(rows(lake.read("p"), "id", "v") === Set(Seq(1, "a"), Seq(2, "b2")))
   }
 
+  test("upsert that empties a partition leaves no stale copy") {
+    val lake = newLake()
+    val t0 = java.sql.Timestamp.valueOf("2023-01-15 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-15 00:00:00")
+    // the ONLY row of the 2023 partition moves to 2024
+    lake.write("mv2", Seq((1, t0, "old")).toDF("id", "ts", "v"),
+      partitions = Seq("year(ts)"), pks = Seq("id"))
+    lake.write("mv2", Seq((1, t1, "moved")).toDF("id", "ts", "v"),
+      partitions = Seq("year(ts)"), pks = Seq("id"))
+    assert(rows(lake.read("mv2"), "id", "v") === Set(Seq(1, "moved")),
+      "emptied source partition must be deleted, not left stale")
+  }
+
+  test("PK config arriving after auto-creation is adopted (upsert, not crash)") {
+    val lake = newLake()
+    lake.write("adopt", Seq((1, "a")).toDF("id", "v")) // created PK-less
+    lake.write("adopt", Seq((1, "b")).toDF("id", "v"), pks = Seq("id"))
+    assert(rows(lake.read("adopt"), "id", "v") === Set(Seq(1, "b")))
+  }
+
   test("upsert moves a row across partitions without leaving a stale copy") {
     val lake = newLake()
     val t0 = java.sql.Timestamp.valueOf("2023-01-15 00:00:00")

@@ -168,6 +168,38 @@ class IngestPipelineSpec extends AnyFunSuite {
       ("Bob", 40, "bobby", 1700000100000L)))
   }
 
+  test("avro record whose first field encodes to 0x00 decodes raw (no false framing strip)") {
+    val avroSchema =
+      """{"type":"record","name":"Z","fields":[
+        |{"name":"n","type":"long"},{"name":"tag","type":"string"}]}""".stripMargin
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-avro0").toString,
+      avroSchemas = Map("z" -> avroSchema)))
+    val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("n", 0L) // zigzag(0) = 0x00 first byte
+    rec.put("tag", "longer-than-five-bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    p.processBatch(Seq(("z", 0, 0L, out.toByteArray))
+      .toDF("topic", "partition", "offset", "value"), 0)
+    val got = p.lake.read("z").select("n", "tag").head()
+    assert(got.getLong(0) === 0L && got.getString(1) === "longer-than-five-bytes")
+  }
+
+  test("batch conflicting with the CACHED topic schema triages, not crashes") {
+    val p = newPipeline()
+    p.processBatch(batchOf("cc" -> """{"a":1}"""), 0) // cache: a int
+    // batch is internally consistent (single record) but conflicts with cache
+    p.processBatch(batchOf("cc" -> """{"a":"2024-03-01T12:00:00Z"}"""), 1)
+    assert(p.lake.read("cc").count() === 1)
+    assert(p.lake.read("_dlq").count() === 1, "conflicting record must DLQ")
+  }
+
   test("topic2table mapping and validation") {
     val cfg = IngestConfig(warehouse = "/tmp/x", topic2table = Map("a.b" -> "a_b"))
     assert(cfg.tableFor("a.b") === "a_b")
