@@ -97,6 +97,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     verifiedTables.put(s"$warehouse/$name", java.lang.Boolean.TRUE)
   }
 
+  /** Names of all tables in this warehouse (dirs with a meta sidecar). */
+  def listTables(): Seq[String] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        f.exists(new Path(s.getPath, "_graft_meta.json")))
+      .map(_.getPath.getName).sorted
+  }
+
   def dropTable(name: String): Unit = {
     val dir = new Path(tableDir(name))
     fs(dir).delete(dir, true)

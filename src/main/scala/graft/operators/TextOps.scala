@@ -208,7 +208,28 @@ object TextOps {
       .orderBy(col("split"))
   }
 
+  /** Deterministic stratified sample: k docs per language, chosen by md5
+    * order (stable across engines and reruns — the distributed analog of
+    * ORDER BY random() LIMIT k per group, without the nondeterminism). */
+  val q48GroupSample = QueryDef(
+    "q48_group_sample",
+    """SELECT lang, doc_id, rk FROM (
+      |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
-    q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit)
+    q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit,
+    q48GroupSample)
 }
