@@ -75,6 +75,31 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(r.getString(2).contains("2024-03-01T12:00:00Z"))
   }
 
+  test("fields null in some records and absent in others land as nulls") {
+    val p = newPipeline()
+    p.processBatch(batchOf(
+      "nn" -> """{"id":1,"x":7}""",
+      "nn" -> """{"id":2,"x":null}""",
+      "nn" -> """{"id":3}"""), 0)
+    val got = p.lake.read("nn").select("id", "x").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(got === Map(1 -> 7, 2 -> null, 3 -> null))
+  }
+
+  test("conflicting array element types across records triage to DLQ") {
+    val p = newPipeline()
+    p.processBatch(batchOf("arr" -> """{"id":1,"tags":["a","b"]}"""), 0)
+    p.processBatch(batchOf(
+      "arr" -> """{"id":2,"tags":["c"]}""",
+      "arr" -> """{"id":3,"tags":[7,8]}"""), 1)
+    assert(p.lake.read("arr").count() === 2, "string-tag records land")
+    assert(p.lake.read("_dlq").count() === 1, "int-tag record quarantined")
+    // landed type stays an array-of-string JSON column
+    val meta = p.lake.readMeta("arr")
+    assert(meta.schema("tags").dataType === org.apache.spark.sql.types.StringType)
+    assert(graft.catalog.LandedTypes.isJsonColumn(meta.schema("tags")))
+  }
+
   test("unparseable JSON goes to DLQ, valid rows land") {
     val p = newPipeline()
     p.processBatch(batchOf(
