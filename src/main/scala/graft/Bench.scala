@@ -31,7 +31,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // BASELINE.md comparability: the reference's MERGE-vs-INSERT protocol
+    // (100k base, 10k batches) at a 10% conflict rate, per-batch ms.
+    val perf = PerfHarness.run(spark, conflictPcts = Seq(10), iterations = 2)
+    val mergeMs = perf.map(_.mergeMs).sum / perf.size
+    val insertMs = perf.map(_.insertMs).sum / perf.size
+    val ops = graft.metrics.GraftMetrics.snapshot()
+      .filter { case (k, _) => k.endsWith("avg_ms") || k.endsWith("count") }
+      .toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""upsert_merge_ms_per_10k_batch":$mergeMs%.1f,""" +
+      f""""insert_ms_per_10k_batch":$insertMs%.1f,""" +
+      s""""op_metrics":$ops,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -293,25 +293,30 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         existing.filter(filter)
       }
 
-    // W2 rewrite with exact MERGE INTO semantics: every matching target row
-    // is updated in place (duplicate-PK target rows each become a copy of
-    // the batch winner, keeping their own _inserted_at); unmatched batch
-    // rows insert with a fresh _inserted_at; unmatched target rows pass
-    // through untouched.
-    val pkCols = pks.map(c => col(quoted(c)))
-    val untouched = scoped
-      .join(deduped.select(pkCols: _*), pks, "left_anti")
-      .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
-    val updates = scoped
-      .select((pkCols :+ col(InsertedAtCol)): _*)
-      .join(deduped, pks, "inner") // deduped is unique per PK
-      .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
-    val inserts = deduped
-      .join(scoped.select(pkCols: _*), pks, "left_anti")
-      .withColumn(InsertedAtCol, current_timestamp())
-      .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
-    val result = withPartitionCols(
-      untouched.unionByName(updates).unionByName(inserts), meta)
+    // W2 rewrite with exact MERGE INTO semantics in ONE full-outer join
+    // (each side shuffles once on the PK, vs three joins for a
+    // untouched/updates/inserts union):
+    //  - both sides matched → update in place: batch data columns, the
+    //    target row's own _inserted_at (duplicate-PK target rows each
+    //    become a copy of the unique batch winner);
+    //  - target only → untouched;
+    //  - batch only → insert with a fresh _inserted_at.
+    val dataCols = meta.schema.fieldNames
+      .filterNot(n => pks.contains(n) || n == InsertedAtCol)
+    val bRenamed = deduped.select(
+      pks.map(c => col(quoted(c))) ++
+        dataCols.map(c => col(quoted(c)).as(s"__b_$c")) :+
+        lit(true).as("__b_present"): _*)
+    val merged = scoped.join(bRenamed, pks, "full_outer")
+      .select(meta.schema.fieldNames.map {
+        case n if pks.contains(n) => col(quoted(n))
+        case n if n == InsertedAtCol =>
+          coalesce(col(InsertedAtCol), current_timestamp()).as(InsertedAtCol)
+        case n =>
+          when(col("__b_present").isNotNull, col(s"`__b_$n`"))
+            .otherwise(col(quoted(n))).as(n)
+      }: _*)
+    val result = withPartitionCols(merged, meta)
 
     // Directories of the affected partitions BEFORE the rewrite: a
     // partition that ends up empty (its only rows moved elsewhere) has no
