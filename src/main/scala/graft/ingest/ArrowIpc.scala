@@ -121,6 +121,71 @@ object ArrowIpc {
     } finally allocator.close()
   }
 
+  /** Encode rows to Arrow IPC stream bytes (S5 — the producer-side
+    * utility; reference ArrowIpcConverter.fromConnectData). Supports the
+    * flat primitive/temporal subset; one batch per call. */
+  def encode(schema: StructType, rows: Seq[Row]): Array[Byte] = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field => AF, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.types.{FloatingPointPrecision => FPP, TimeUnit => ATU, DateUnit}
+    def toArrowField(f: StructField): AF = {
+      val t = f.dataType match {
+        case ByteType => new ArrowType.Int(8, true)
+        case ShortType => new ArrowType.Int(16, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case LongType => new ArrowType.Int(64, true)
+        case FloatType => new ArrowType.FloatingPoint(FPP.SINGLE)
+        case DoubleType => new ArrowType.FloatingPoint(FPP.DOUBLE)
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case StringType => ArrowType.Utf8.INSTANCE
+        case BinaryType => ArrowType.Binary.INSTANCE
+        case TimestampType => new ArrowType.Timestamp(ATU.MILLISECOND, null)
+        case DateType => new ArrowType.Date(DateUnit.DAY)
+        case other => throw new IllegalArgumentException(
+          s"encode supports flat primitive columns, got $other")
+      }
+      new AF(f.name, FieldType.nullable(t), null)
+    }
+    val aSchema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
+    val allocator = new RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(aSchema, allocator)
+      try {
+        root.allocateNew()
+        rows.zipWithIndex.foreach { case (row, i) =>
+          schema.fields.zipWithIndex.foreach { case (f, j) =>
+            val vec = root.getVector(j)
+            if (row.isNullAt(j)) vec.setNull(i)
+            else (f.dataType, vec) match {
+              case (ByteType, v: TinyIntVector) => v.setSafe(i, row.getByte(j))
+              case (ShortType, v: SmallIntVector) => v.setSafe(i, row.getShort(j))
+              case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
+              case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
+              case (FloatType, v: Float4Vector) => v.setSafe(i, row.getFloat(j))
+              case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
+              case (BooleanType, v: BitVector) => v.setSafe(i, if (row.getBoolean(j)) 1 else 0)
+              case (StringType, v: VarCharVector) =>
+                v.setSafe(i, row.getString(j).getBytes("UTF-8"))
+              case (BinaryType, v: VarBinaryVector) =>
+                v.setSafe(i, row.getAs[Array[Byte]](j))
+              case (TimestampType, v: TimeStampMilliVector) =>
+                v.setSafe(i, row.getTimestamp(j).getTime)
+              case (DateType, v: DateDayVector) =>
+                v.setSafe(i, row.getDate(j).toLocalDate.toEpochDay.toInt)
+              case (t, v) => throw new IllegalStateException(s"unexpected $t / ${v.getClass}")
+            }
+          }
+        }
+        root.setRowCount(rows.size)
+        val out = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+          root, null, java.nio.channels.Channels.newChannel(out))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+
   /** Decode only the schema (cheap header read, for unification passes). */
   def decodeSchema(bytes: Array[Byte]): StructType = {
     val allocator = new RootAllocator(Long.MaxValue)

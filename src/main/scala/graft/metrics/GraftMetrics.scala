@@ -36,6 +36,7 @@ object GraftMetrics {
   val EvolveSchema = "evolveSchema"
 
   private val ops = new ConcurrentHashMap[String, OpStats]()
+  @volatile private var startedAtNanos: Long = System.nanoTime()
   val recordsProcessed = new LongAdder
   val batchCount = new LongAdder
   val maxBatchSize = new AtomicLong(0L)
@@ -62,16 +63,21 @@ object GraftMetrics {
       s"$n.avg_ms" -> s.avgMs,
       s"$n.max_ms" -> s.maxMs)
     }
+    val elapsedSec = math.max(1e-9, (System.nanoTime() - startedAtNanos) / 1e9)
     o.toMap ++ Map(
       "records.processed.total" -> recordsProcessed.sum().toDouble,
+      "records.processed.rate_per_sec" -> recordsProcessed.sum() / elapsedSec,
       "batch.count" -> batchCount.sum().toDouble,
       "batch.size.max" -> maxBatchSize.get().toDouble,
+      "batch.size.avg" -> (if (batchCount.sum() == 0) 0.0
+        else recordsProcessed.sum().toDouble / batchCount.sum()),
       "dlq.records.total" -> dlqRecords.sum().toDouble)
   }
 
   def reset(): Unit = {
     ops.clear(); recordsProcessed.reset(); batchCount.reset()
     maxBatchSize.set(0); dlqRecords.reset()
+    startedAtNanos = System.nanoTime()
   }
 
   /** Streaming listener: feeds per-batch progress into the sensors. */

@@ -256,32 +256,11 @@ class IngestPipelineSpec extends AnyFunSuite {
     new org.apache.arrow.vector.types.pojo.Field(name,
       org.apache.arrow.vector.types.pojo.FieldType.nullable(t), null)
 
-  /** Build Arrow IPC stream bytes for (id: int64, name: utf8) rows —
-    * the FIXTURES §4 shape. */
-  private def makeIpc(rows: Seq[(Long, String)]): Array[Byte] = {
-    import org.apache.arrow.memory.RootAllocator
-    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
-    import org.apache.arrow.vector.ipc.ArrowStreamWriter
-    val allocator = new RootAllocator(Long.MaxValue)
-    try {
-      val schema = new org.apache.arrow.vector.types.pojo.Schema(java.util.List.of(
-        field("id", new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
-        field("name", org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE)))
-      val root = VectorSchemaRoot.create(schema, allocator)
-      try {
-        val ids = root.getVector("id").asInstanceOf[BigIntVector]
-        val names = root.getVector("name").asInstanceOf[VarCharVector]
-        ids.allocateNew(rows.size); names.allocateNew()
-        rows.zipWithIndex.foreach { case ((id, nm), i) =>
-          ids.setSafe(i, id); names.setSafe(i, nm.getBytes("UTF-8"))
-        }
-        root.setRowCount(rows.size)
-        val out = new java.io.ByteArrayOutputStream()
-        val w = new ArrowStreamWriter(root, null,
-          java.nio.channels.Channels.newChannel(out))
-        w.start(); w.writeBatch(); w.end(); w.close()
-        out.toByteArray
-      } finally root.close()
-    } finally allocator.close()
-  }
+  /** Arrow IPC stream bytes for (id: int64, name: utf8) rows — the
+    * FIXTURES §4 shape, via the engine's own S5 encoder (round-trips
+    * through the S4 decoder in the pipeline). */
+  private def makeIpc(rows: Seq[(Long, String)]): Array[Byte] =
+    ArrowIpc.encode(
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
+      rows.map { case (id, nm) => org.apache.spark.sql.Row(id, nm) })
 }
