@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   def defs: Seq[QueryDef] =
     operators.RelationalOps.all ++ operators.RelationalOps2.all ++
-      operators.IngestOps.all ++
+      operators.RelationalOps3.all ++ operators.IngestOps.all ++
       operators.PipelineOps.all ++ operators.SessionOps.all ++
       operators.TextOps.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Third band of the relational surface: Spark 4 SQL features — recursive
+  * CTEs, UNPIVOT, GROUPING SETS, multiset EXCEPT ALL, ordered LISTAGG,
+  * and sketch aggregates. */
+object RelationalOps3 {
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL semantics — must be
+    * acyclic): ancestor-chain walk over a synthesized binary-tree key
+    * hierarchy (parent = floor(key/2)), aggregating balances along each
+    * chain. The identical SQL text runs on both engines. */
+  private val q51Sql =
+    """WITH RECURSIVE chain(start_key, cur, bal) AS (
+      |  SELECT c_custkey, c_custkey, c_acctbal FROM customer WHERE c_custkey < 100
+      |  UNION ALL
+      |  SELECT chain.start_key, c.c_custkey, c.c_acctbal
+      |  FROM chain JOIN customer c
+      |    ON c.c_custkey = CAST(floor(chain.cur / 2.0) AS BIGINT)
+      |  WHERE chain.cur > 1)
+      |SELECT start_key, count(*) AS depth, round(sum(bal), 2) AS chain_bal
+      |FROM chain GROUP BY start_key ORDER BY start_key""".stripMargin
+
+  val q51RecursiveChain = QueryDef(
+    "q51_recursive_chain",
+    q51Sql) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(q51Sql)
+  }
+
+  /** UNPIVOT: wide per-flag measures melted to (measure, value) rows. */
+  val q52Unpivot = QueryDef(
+    "q52_unpivot",
+    """WITH agg AS (SELECT l_returnflag,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  round(sum(l_discount), 2) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+      |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
+      |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM agg) t
+      |ORDER BY l_returnflag, measure""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** Explicit GROUPING SETS (mixed granularities in one pass). */
+  val q53GroupingSets = QueryDef(
+    "q53_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("__q53_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM __q53_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** Multiset EXCEPT ALL: order-priority multiset minus one row per
+    * status (bag semantics, duplicates preserved). */
+  val q54ExceptAll = QueryDef(
+    "q54_except_all",
+    """SELECT o_orderpriority, count(*) AS n FROM (
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+    ord.filter(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+      .exceptAll(ord.filter(col("o_orderstatus") === "F").select(col("o_orderpriority")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Ordered string aggregation (LISTAGG WITHIN GROUP): top customer names
+    * per nation, deterministic order. */
+  val q55Listagg = QueryDef(
+    "q55_listagg",
+    """WITH top3 AS (SELECT c_nationkey, c_name FROM (
+      |  SELECT c_nationkey, c_name, row_number() OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) t WHERE rn <= 3)
+      |SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+      |FROM top3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .createOrReplaceTempView("__q55_top3")
+    s.sql(
+      """SELECT c_nationkey,
+        |  listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        |FROM __q55_top3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** HLL sketch aggregate (approx_count_distinct): approximate by design →
+    * rows-only driver check; the relative-error bound is unit-tested. */
+  val q56ApproxDistinct = QueryDef.rowsOnly("q56_approx_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q51RecursiveChain, q52Unpivot, q53GroupingSets, q54ExceptAll,
+    q55Listagg, q56ApproxDistinct)
+}

@@ -32,6 +32,21 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct stays within the configured relative error") {
+    val approx = operators.RelationalOps3.q56ApproxDistinct.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val a = approx(flag)
+      assert(math.abs(a - n).toDouble / n < 0.1,
+        s"flag $flag: approx $a vs exact $n exceeds 10%")
+    }
+  }
+
   test("query names are unique and oracle keys subset queries") {
     val names = Registry.defs.map(_.name)
     assert(names.distinct.size === names.size)
