@@ -46,6 +46,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("\n(1) Sort"), "limit+orderBy must not plan a full sort")
   }
 
+  test("bucketed co-located join plans without a shuffle") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    operators.Bucketing.saveBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "orderkey"),
+      "b_lineitem", s"$base/li", "orderkey", 8)
+    operators.Bucketing.saveBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "orderkey"),
+      "b_orders", s"$base/ord", "orderkey", 8)
+    // small tables would broadcast; disable it so the test exercises the
+    // bucketed sort-merge path large joins would take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = operators.Bucketing.bucketedJoin(spark, "b_lineitem", "b_orders", "orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(2000)}")
+      assert(plan.contains("Bucketed: true"), "scan must use bucket layout")
+      assert(joined.count() === Tables.lineitem(spark, sf).count(),
+        "inner join on FK preserves lineitem cardinality")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q31: brute-force KNN broadcasts the query side") {
     val p = plan("q31_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
