@@ -28,9 +28,18 @@ final class GraftSession(val spark: SparkSession, val lake: GraftLake) {
     functions.ShingleExpression.register(spark)
   }
 
-  /** (Re-)register every lake table as a temp view named after it. */
+  /** (Re-)register every lake table as a temp view. Lake table names may
+    * contain '-' (valid per the topic→table rules) which SQL identifiers
+    * reject, so view names map '-' to '_'; a single bad table must not
+    * poison the whole session, so per-table failures are skipped. */
   def refresh(): Unit =
-    lake.listTables().foreach(t => lake.read(t).createOrReplaceTempView(t))
+    lake.listTables().foreach { t =>
+      try lake.read(t).createOrReplaceTempView(viewName(t))
+      catch { case _: Exception => () }
+    }
+
+  /** SQL view name for a lake table. */
+  def viewName(table: String): String = table.replace('-', '_')
 
   def table(name: String): DataFrame = lake.read(name)
 

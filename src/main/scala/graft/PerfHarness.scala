@@ -48,6 +48,10 @@ object PerfHarness {
         val t1 = System.nanoTime()
         lake.write("i", batch)
         val insertMs = (System.nanoTime() - t1) / 1e6
+        // clean the throwaway warehouse (repeated bench runs must not
+        // accumulate temp parquet or pin cache entries)
+        lake.dropTable("m"); lake.dropTable("i")
+        new java.io.File(wh).delete()
         Result(pct, iter, mergeMs, insertMs)
       }
     }

@@ -50,24 +50,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    requireRootNamespace(ident.namespace())
     if (!lake.tableExists(ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name))
     val meta = lake.readMeta(ident.name)
-    val partFields = meta.partitionExprs.map {
-      case PartitionExpr.Raw(c) =>
-        org.apache.spark.sql.types.StructField(s"__p_$c", meta.schema(c).dataType)
-      case e => org.apache.spark.sql.types.StructField(
-        e.outputName, org.apache.spark.sql.types.IntegerType)
-    }
-    val full = StructType(meta.schema.fields.toSeq ++ partFields)
-    ParquetTable(
+    val full = StructType(
+      meta.schema.fields.toSeq ++ GraftLake.partitionFields(meta))
+    val parquet = ParquetTable(
       ident.name,
       spark,
       new CaseInsensitiveStringMap(Map("path" -> dataDir(ident)).asJava),
       Seq(dataDir(ident)),
       Some(full),
       classOf[ParquetFileFormat])
+    // v2 file writes know nothing about graft's expression partitioning —
+    // a SQL INSERT on a partitioned table would drop flat files into the
+    // hive layout and corrupt it. Partitioned tables are read-only via
+    // SQL; writes go through the engine (GraftLake / IngestPipeline).
+    if (meta.partitions.isEmpty) parquet
+    else new ReadOnlyTable(parquet)
+  }
+
+  /** Read-only facade: delegates scans, refuses the write capability. */
+  private final class ReadOnlyTable(underlying: ParquetTable)
+      extends Table with SupportsRead {
+    override def name(): String = underlying.name
+    override def schema(): StructType = underlying.schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap) =
+      underlying.newScanBuilder(options)
+    override def partitioning(): Array[Transform] = underlying.partitioning()
+    override def properties(): util.Map[String, String] = underlying.properties()
   }
 
   private def dataDir(ident: Identifier): String =
@@ -78,6 +93,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    requireRootNamespace(ident.namespace())
     require(partitions.isEmpty,
       "use the 'partitions' table property (graft expression partitioning) " +
         "or the GraftLake API; SQL PARTITIONED BY is not mapped")
@@ -96,6 +112,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "schema evolution is engine-driven (GraftLake.ensureTable); ALTER TABLE is not exposed")
 
   override def dropTable(ident: Identifier): Boolean = {
+    requireRootNamespace(ident.namespace())
     val existed = lake.tableExists(ident.name)
     if (existed) lake.dropTable(ident.name)
     existed

@@ -172,10 +172,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   // ---- read ----
 
   private def partitionFields(meta: TableMeta): Seq[StructField] =
-    meta.partitionExprs.map {
-      case PartitionExpr.Raw(c) => StructField(s"__p_$c", meta.schema(c).dataType)
-      case e => StructField(e.outputName, IntegerType)
-    }
+    GraftLake.partitionFields(meta)
 
   /** Full on-disk view incl. generated partition columns. */
   private def readInternal(name: String, meta: TableMeta): DataFrame = {
@@ -303,17 +300,21 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     //  - batch only → insert with a fresh _inserted_at.
     val dataCols = meta.schema.fieldNames
       .filterNot(n => pks.contains(n) || n == InsertedAtCol)
+    // reserved __graft_b_ prefix + quoted() throughout: user column names
+    // with backticks or underscore prefixes must not break or collide
+    val bPrefix = "__graft_b_"
+    val bPresent = "__graft_b_present__"
     val bRenamed = deduped.select(
       pks.map(c => col(quoted(c))) ++
-        dataCols.map(c => col(quoted(c)).as(s"__b_$c")) :+
-        lit(true).as("__b_present"): _*)
+        dataCols.map(c => col(quoted(c)).as(s"$bPrefix$c")) :+
+        lit(true).as(bPresent): _*)
     val merged = scoped.join(bRenamed, pks, "full_outer")
       .select(meta.schema.fieldNames.map {
         case n if pks.contains(n) => col(quoted(n))
         case n if n == InsertedAtCol =>
           coalesce(col(InsertedAtCol), current_timestamp()).as(InsertedAtCol)
         case n =>
-          when(col("__b_present").isNotNull, col(s"`__b_$n`"))
+          when(col(bPresent).isNotNull, col(quoted(s"$bPrefix$n")))
             .otherwise(col(quoted(n))).as(n)
       }: _*)
     val result = withPartitionCols(merged, meta)
@@ -418,6 +419,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 }
 
 object GraftLake {
+  /** Generated partition columns of a table (shared by the lake reader and
+    * the DSv2 catalog so the naming/typing rules cannot drift). */
+  private[catalog] def partitionFields(meta: TableMeta): Seq[StructField] =
+    meta.partitionExprs.map {
+      case PartitionExpr.Raw(c) => StructField(s"__p_$c", meta.schema(c).dataType)
+      case e => StructField(e.outputName, IntegerType)
+    }
+
   /** Engine-side caches, mirroring the reference's static verified-tables /
     * known-columns caches with per-table locks
     * (DucklakeTableManager.java:51-59, 96-145). */

@@ -139,7 +139,7 @@ object ArrowIpc {
         case BooleanType => ArrowType.Bool.INSTANCE
         case StringType => ArrowType.Utf8.INSTANCE
         case BinaryType => ArrowType.Binary.INSTANCE
-        case TimestampType => new ArrowType.Timestamp(ATU.MILLISECOND, null)
+        case TimestampType => new ArrowType.Timestamp(ATU.MICROSECOND, null)
         case DateType => new ArrowType.Date(DateUnit.DAY)
         case other => throw new IllegalArgumentException(
           s"encode supports flat primitive columns, got $other")
@@ -168,8 +168,10 @@ object ArrowIpc {
                 v.setSafe(i, row.getString(j).getBytes("UTF-8"))
               case (BinaryType, v: VarBinaryVector) =>
                 v.setSafe(i, row.getAs[Array[Byte]](j))
-              case (TimestampType, v: TimeStampMilliVector) =>
-                v.setSafe(i, row.getTimestamp(j).getTime)
+              case (TimestampType, v: TimeStampMicroVector) =>
+                // full microsecond fidelity (getTime alone truncates to ms)
+                val t = row.getTimestamp(j).toInstant
+                v.setSafe(i, t.getEpochSecond * 1000000L + t.getNano / 1000L)
               case (DateType, v: DateDayVector) =>
                 v.setSafe(i, row.getDate(j).toLocalDate.toEpochDay.toInt)
               case (t, v) => throw new IllegalStateException(s"unexpected $t / ${v.getClass}")

@@ -18,7 +18,7 @@ object SessionOps {
   val q49SessionizeBatch = QueryDef(
     "q49_sessionize_batch",
     """WITH gaps AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |              > INTERVAL 30 MINUTE OR
       |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -26,7 +26,7 @@ object SessionOps {
       |  FROM events),
       |sessions AS (
       |  SELECT user_id, value,
-      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM gaps)
       |SELECT user_id, session_id, count(*) AS n_events,
@@ -34,13 +34,15 @@ object SessionOps {
       |FROM sessions WHERE user_id < 10
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .withColumn("__prev", lag(col("ts"), 1).over(byTime))
+      // microsecond-exact gap compare (a whole-second cast would disagree
+      // with the oracle's `> INTERVAL 30 MINUTE` for sub-second gaps)
       .withColumn("__brk",
         when(col("__prev").isNull ||
-          col("ts").cast("long") - col("__prev").cast("long") > 30 * 60, 1)
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > 30L * 60 * 1000000, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("__brk")).over(running).cast("long"))
       .filter(col("user_id") < 10)

@@ -53,6 +53,12 @@ class GraftCatalogSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(plan.contains("PartitionFilters: [isnotnull(__p_year_ts"),
         "partition filter must prune at scan")
+      // SQL INSERT would drop flat files into the hive layout — must be
+      // rejected (writes to partitioned tables are engine-only)
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.p (id, ts, v) SELECT 9, TIMESTAMP '2024-01-01', 'z'")
+      }
+      assert(spark.sql(s"SELECT count(*) FROM $cat.p").head().getLong(0) === 2)
     }
   }
 

@@ -122,6 +122,45 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(got === Set((10L, "ivan"), (11L, "irma"), (12L, "json-joe")))
   }
 
+  test("decoder handles externally-produced IPC bytes (independent fixture)") {
+    // built with raw Arrow APIs, NOT the engine encoder — guards against
+    // symmetric encode/decode bugs that a round-trip cannot catch
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    val allocator = new RootAllocator(Long.MaxValue)
+    val bytes = try {
+      val schema = new org.apache.arrow.vector.types.pojo.Schema(java.util.List.of(
+        field("id", new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
+        field("name", org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE)))
+      val root = VectorSchemaRoot.create(schema, allocator)
+      try {
+        root.getVector("id").asInstanceOf[BigIntVector].allocateNew(1)
+        root.getVector("id").asInstanceOf[BigIntVector].setSafe(0, 42L)
+        root.getVector("name").asInstanceOf[VarCharVector].allocateNew()
+        root.getVector("name").asInstanceOf[VarCharVector]
+          .setSafe(0, "ext".getBytes("UTF-8"))
+        root.setRowCount(1)
+        val out = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
+          java.nio.channels.Channels.newChannel(out))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+    val (schema, rows) = ArrowIpc.decode(bytes)
+    assert(schema.fieldNames.toSeq === Seq("id", "name"))
+    assert(rows.map(r => (r.getLong(0), r.getString(1))) === Seq((42L, "ext")))
+  }
+
+  test("encode/decode round-trip keeps microsecond timestamp precision") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456")
+    val bytes = ArrowIpc.encode(
+      StructType(Seq(StructField("t", org.apache.spark.sql.types.TimestampType))),
+      Seq(org.apache.spark.sql.Row(ts)))
+    val (_, rows) = ArrowIpc.decode(bytes)
+    assert(rows.head.getAs[java.sql.Timestamp](0) === ts)
+  }
+
   test("arrow IPC schema conversion covers nested and temporal types") {
     val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
       java.util.List.of(
