@@ -247,6 +247,30 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent appends to one table and writes across tables are safe") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lake = newLake()
+    lake.createTable("conc",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))))
+    // 8 threads × 50 rows appending to the SAME table (ensureTable races
+    // through the per-table lock; parquet appends are additive)
+    val appends = (0 until 8).map { t =>
+      Future {
+        lake.append("conc", (t * 100 until t * 100 + 50).map(i => (i, s"t$t")).toDF("id", "v"))
+      }
+    }
+    // plus parallel writers creating DIFFERENT tables concurrently
+    val creates = (0 until 4).map { t =>
+      Future { lake.write(s"side_$t", Seq((t, "x")).toDF("id", "v"), pks = Seq("id")) }
+    }
+    Await.result(Future.sequence(appends ++ creates), 120.seconds)
+    assert(lake.read("conc").count() === 400)
+    assert(lake.read("conc").select("id").distinct().count() === 400)
+    (0 until 4).foreach(t => assert(lake.read(s"side_$t").count() === 1))
+  }
+
   test("read of missing table fails; tableExists answers correctly") {
     val lake = newLake()
     assert(!lake.tableExists("nope"))
