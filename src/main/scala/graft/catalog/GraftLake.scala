@@ -225,20 +225,29 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     else append(name, batch.drop(exclude: _*))
   }
 
+  /** One write job per table at a time (the reference's flush lock,
+    * DucklakeSinkTask.java:769-770): concurrent Spark jobs writing one
+    * path share the committer's `_temporary` dir and clobber each other. */
+  private def writeLock[T](name: String)(f: => T): T =
+    tableLocks.computeIfAbsent(s"$warehouse/$name/__write", _ => new Object)
+      .synchronized(f)
+
   /** Plain INSERT path (W3): conform + `_inserted_at = now()` + append. */
   def append(name: String, batch: DataFrame): Unit = {
     val (meta, _) = ensureTable(name, batch.schema)
     val conformed = conformBatch(batch, meta)
       .withColumn(InsertedAtCol, current_timestamp())
     val out = withPartitionCols(conformed, meta)
-    val writer = out.write
-      .mode(SaveMode.Append)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    val parted =
-      if (meta.partitions.nonEmpty)
-        writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
-      else writer
-    parted.parquet(dataDir(name))
+    writeLock(name) {
+      val writer = out.write
+        .mode(SaveMode.Append)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      val parted =
+        if (meta.partitions.nonEmpty)
+          writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
+        else writer
+      parted.parquet(dataDir(name))
+    }
   }
 
   private def conformBatch(batch: DataFrame, meta: TableMeta): DataFrame = {
@@ -249,7 +258,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   /** MERGE path (W2/W4/W5): batch PK-dedup last-wins, affected-partition
     * discovery, anti-join + union rewrite of affected partitions only,
     * `_inserted_at` preserved on update / set on insert. */
-  def upsert(name: String, batch: DataFrame, ordering: Seq[Column] = Nil): Unit = {
+  def upsert(name: String, batch: DataFrame, ordering: Seq[Column] = Nil): Unit = writeLock(name) {
     val meta = readMeta(name)
     require(meta.pks.nonEmpty, s"upsert on '$name' requires configured PKs")
     val pks = meta.pks
