@@ -87,5 +87,31 @@ object MultimodalOps {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q33Multimodal)
+  /** Frame sampling on the gate: fixed-size byte windows of the payload,
+    * counted and content-hashed per source (ASCII text payloads make byte
+    * and character slicing coincide, so DuckDB can verify the exact frame
+    * hashes). */
+  val q34FrameSample = QueryDef(
+    "q34_frame_sample",
+    """WITH f AS (
+      |  SELECT source, doc_id,
+      |    md5(substring(text, (i - 1) * 256 + 1, 256)) AS fh
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1,
+      |      CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1)) AS i)
+      |  WHERE doc_id < 100)
+      |SELECT source, count(*) AS n_frames,
+      |  count(DISTINCT fh) AS n_unique_frames
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+    sampleFrames(docs, frameSize = 256, stride = 1)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), md5(col("frame").cast("string")).as("fh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_frames"), countDistinct(col("fh")).as("n_unique_frames"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q33Multimodal, q34FrameSample)
 }

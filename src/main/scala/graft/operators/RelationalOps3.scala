@@ -117,7 +117,24 @@ object RelationalOps3 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Skew-salted join on the gate: the engine's hot-key join (salted large
+    * side × replicated small side) must produce byte-identical results to
+    * the plain join the oracle runs. */
+  val q57SaltedJoin = QueryDef(
+    "q57_salted_join",
+    """SELECT n_name, count(*) AS n_supp, round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val supp = Tables.supplier(s, dir)
+      .withColumn("n_nationkey", col("s_nationkey"))
+    val nation = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    JoinOps.saltedJoin(supp, nation, Seq("n_nationkey"), saltFactor = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q51RecursiveChain, q52Unpivot, q53GroupingSets, q54ExceptAll,
-    q55Listagg, q56ApproxDistinct)
+    q55Listagg, q56ApproxDistinct, q57SaltedJoin)
 }
