@@ -231,8 +231,29 @@ object RelationalOps2 {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Distribution-rank windows: ntile/percent_rank/cume_dist per group. */
+  val q58WindowRanks = QueryDef(
+    "q58_window_ranks",
+    """SELECT c_nationkey, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pr,
+      |  round(cume_dist() OVER w, 4) AS cd
+      |FROM customer WHERE c_nationkey < 3
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .filter(col("c_nationkey") < 3)
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"), // DuckDB ntile is int64
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q34Cube, q35Percentiles, q36Pivot, q37CorrSubquery, q38InSubquery,
     q39FullOuter, q40StringFuncs, q41DateFuncs, q42NullHandling,
-    q43Intersect, q44WindowRunning, q45Having)
+    q43Intersect, q44WindowRunning, q45Having, q58WindowRanks)
 }
