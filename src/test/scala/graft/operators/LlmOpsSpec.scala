@@ -164,6 +164,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sampled > 350 && sampled < 650)
   }
 
+  test("simhash banded pairs are a subset of brute-force hamming pairs") {
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    val fps = DedupOps.simHash(docs, "doc_id", "text").cache()
+    val banded = DedupOps.simHashNearDups(fps, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val all = fps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    banded.foreach { case (k, h) =>
+      assert(brute.get(k).contains(h), s"pair $k hamming mismatch")
+    }
+    // hamming<=3 pairs always share at least one 16-bit chunk -> full recall
+    assert(banded.keySet === brute.keySet,
+      s"banding must find every pair within distance 3: missing ${brute.keySet -- banded.keySet}")
+    fps.unpersist()
+  }
+
   // ---- similarity ops ----
 
   test("ANN (IVF and LSH) recall vs brute force") {
