@@ -330,10 +330,26 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
 
   // ---- streaming assembly ----
 
+  /** Kafka source wired to the engine's flush semantics: the micro-batch
+    * trigger is flush.interval.ms, `maxOffsetsPerTrigger` is the
+    * flush.size analog (bounds records per flush). Requires the
+    * spark-sql-kafka connector on the classpath (not bundled in this
+    * environment — tests drive [[start]] with file/memory sources of the
+    * same shape). */
+  def kafkaSource(bootstrapServers: String, topics: Seq[String]): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+    config.maxOffsetsPerTrigger.foreach(n =>
+      base.option("maxOffsetsPerTrigger", n.toString))
+    base.load().select(
+      col("topic"), col("partition"), col("offset"), col("value"))
+  }
+
   /** Start the pipeline over a Kafka-shaped streaming source (columns
-    * topic/partition/offset/value). For a real Kafka cluster:
-    * `spark.readStream.format("kafka").option("subscribe", …)` produces
-    * exactly this shape. Checkpointing gives at-least-once (the reference's
+    * topic/partition/offset/value). For a real Kafka cluster use
+    * [[kafkaSource]]. Checkpointing gives at-least-once (the reference's
     * guarantee). */
   def start(source: DataFrame, checkpoint: String): StreamingQuery =
     source.writeStream

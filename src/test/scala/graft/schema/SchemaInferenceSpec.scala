@@ -86,6 +86,26 @@ class SchemaInferenceSpec extends AnyFunSuite {
       TimestampDetect.parseToEpochMillis("2024-03-01T12:00:00Z").get)
   }
 
+  test("property: random instants round-trip through every zone format") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val millis = math.abs(rnd.nextLong()) % 4102444800000L // < year 2100
+      val inst = java.time.Instant.ofEpochMilli(millis)
+      val base = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(inst)
+      val offsetHr = rnd.nextInt(28) - 14
+      val shifted = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.ofHours(offsetHr)).format(inst)
+      val sign = if (offsetHr < 0) "-" else "+"
+      val hh = f"${math.abs(offsetHr)}%02d"
+      for (repr <- Seq(s"${base}Z", base, s"$shifted$sign$hh:00", s"$shifted$sign${hh}00"))
+        assert(TimestampDetect.parseToEpochMillis(repr).contains(millis),
+          s"$repr should parse to $millis")
+    }
+  }
+
   test("distributed inference unifies heterogeneous records") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
