@@ -153,10 +153,23 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  /** Rolling-hash fingerprints via the native codegen'd expression
-    * (non-SQL-expressible → rows-only driver check; exactness covered by
-    * unit tests). */
-  val q25RollingFingerprint = QueryDef.rowsOnly("q25_rolling_fingerprint") { (s, dir) =>
+  /** Rolling-hash fingerprints via the native codegen'd expression. The
+    * oracle reproduces the polynomial fold (base 31, wrapping mod 2⁶⁴,
+    * signed-long result) with a HUGEINT list_reduce — exact for the ASCII
+    * corpus, where codepoints equal UTF-8 bytes. */
+  val q25RollingFingerprint = QueryDef(
+    "q25_rolling_fingerprint",
+    """WITH t AS (SELECT
+      |  (CASE WHEN h >= 9223372036854775808::HUGEINT
+      |    THEN CAST(h - 18446744073709551616::HUGEINT AS BIGINT)
+      |    ELSE CAST(h AS BIGINT) END) AS fp
+      |  FROM (SELECT list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        [CAST(unicode(c) AS HUGEINT) for c in string_split(text, '')]),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
+      |    FROM documents))
+      |SELECT fp % 16 AS bucket, count(*) AS n, count(DISTINCT fp) AS n_unique
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     TextExpressions.register(s)
     docs(s, dir)
       .select(col("doc_id"), TextExpressions.rollingHash(col("text")).as("fp"))
@@ -165,9 +178,25 @@ object TextOps {
       .orderBy(col("bucket"))
   }
 
-  /** Language-ID heuristic: prediction distribution against the lang label
-    * (deterministic profile argmax → rows-only check). */
-  val q26LangId = QueryDef.rowsOnly("q26_langid") { (s, dir) =>
+  /** Language-ID heuristic: prediction distribution against the lang
+    * label. The oracle replicates the profile argmax (alphabetically-first
+    * tie-break) with marker-hit counts per profile. */
+  val q26LangId = QueryDef(
+    "q26_langid",
+    """WITH s AS (SELECT lang,
+      |  len(list_filter(toks, t -> t IN ('der','die','und','das','von','mit','den','ist'))) AS s_de,
+      |  len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+      |  len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','del'))) AS s_es,
+      |  len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','en','une'))) AS s_fr,
+      |  len(list_filter(toks, t -> t IN ('o','a','de','que','e','do','da','em'))) AS s_pt
+      |  FROM (SELECT lang, regexp_extract_all(text, '\S+') AS toks FROM documents))
+      |SELECT lang, CASE
+      |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_pt THEN 'de'
+      |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+      |  WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+      |  WHEN s_fr >= s_pt THEN 'fr' ELSE 'pt' END AS predicted,
+      |  count(*) AS n
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     docs(s, dir)
       .select(col("lang"), langIdPredict(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
