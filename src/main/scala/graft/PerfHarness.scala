@@ -10,19 +10,34 @@ import org.apache.spark.sql.functions._
   * DucklakeWriterIntegrationTest.java:262-489): a base table of `baseRows`
   * rows with schema (id INTEGER, name VARCHAR, created_at TIMESTAMP),
   * write batches of `batchRows` at the given PK-conflict rates, timing the
-  * MERGE path vs the INSERT path; mean/std per scenario.
+  * MERGE path vs the INSERT path.
   *
   * Comparable numbers: the reference documents 10-50 ms simpleInsert and
   * 30-100 ms upsertWithMergeInto per flushed batch (embedded DuckDB,
-  * single node). Spark pays scheduler overhead per batch but the same
-  * protocol measures it honestly.
+  * single node). Spark pays a fixed job-scheduling floor per write job
+  * (~0.2-1 s on local mode), so the 10k-batch protocol measures mostly
+  * that floor; `amortized` measures the same write paths at the
+  * reference's real default flush size (flush.size = 1,000,000 rows,
+  * DucklakeSinkConfig.java:129-135) where the floor amortizes away.
+  *
+  * Measurement discipline (round-2 fix for the r1 insert>merge inversion):
+  * a discarded warm-up write precedes measurement, >=5 iterations are
+  * taken, the merge/insert order alternates per iteration so neither path
+  * systematically absorbs the other's GC/committer backwash, and the
+  * reported statistic is the per-path median.
   */
 object PerfHarness {
 
   final case class Result(conflictPct: Int, iter: Int, mergeMs: Double, insertMs: Double)
 
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   private def batchDf(spark: SparkSession, start: Long, n: Int): DataFrame = {
-    import spark.implicits._
     spark.range(start, start + n)
       .select(col("id").cast("int").as("id"),
         concat(lit("name-"), col("id")).as("name"),
@@ -30,11 +45,16 @@ object PerfHarness {
           .as("created_at"))
   }
 
-  /** Run the protocol; returns per-iteration timings. */
+  private def timeMs(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Run the protocol; returns per-iteration timings (warm-up discarded). */
   def run(spark: SparkSession, baseRows: Int = 100000, batchRows: Int = 10000,
-      conflictPcts: Seq[Int] = Seq(1, 10, 30), iterations: Int = 2): Seq[Result] = {
+      conflictPcts: Seq[Int] = Seq(1, 10, 30), iterations: Int = 5): Seq[Result] = {
     conflictPcts.flatMap { pct =>
-      (1 to iterations).map { iter =>
+      // -1 is the warm-up iteration: identical work, discarded result.
+      (-1 until iterations).flatMap { iter =>
         val wh = Files.createTempDirectory("graft-perf").toString
         val lake = new GraftLake(spark, wh)
         lake.write("m", batchDf(spark, 0, baseRows), pks = Seq("id"))
@@ -42,24 +62,50 @@ object PerfHarness {
         val conflicts = batchRows * pct / 100
         // batch: `conflicts` existing ids + the rest new ids
         val batch = batchDf(spark, baseRows - conflicts, batchRows)
-        val t0 = System.nanoTime()
-        lake.write("m", batch, pks = Seq("id"))
-        val mergeMs = (System.nanoTime() - t0) / 1e6
-        val t1 = System.nanoTime()
-        lake.write("i", batch)
-        val insertMs = (System.nanoTime() - t1) / 1e6
+        // alternate order so neither path always runs cold-after-setup
+        val (mergeMs, insertMs) =
+          if (iter % 2 == 0) {
+            val m = timeMs(lake.write("m", batch, pks = Seq("id")))
+            val i = timeMs(lake.write("i", batch))
+            (m, i)
+          } else {
+            val i = timeMs(lake.write("i", batch))
+            val m = timeMs(lake.write("m", batch, pks = Seq("id")))
+            (m, i)
+          }
         // clean the throwaway warehouse (repeated bench runs must not
         // accumulate temp parquet or pin cache entries)
         lake.dropTable("m"); lake.dropTable("i")
         new java.io.File(wh).delete()
-        Result(pct, iter, mergeMs, insertMs)
+        if (iter < 0) None else Some(Result(pct, iter, mergeMs, insertMs))
       }
     }
+  }
+
+  /** Amortized protocol: one flush at the reference's default flush.size
+    * (1M rows), reported as ms per 10k rows so the number is directly
+    * comparable with the 10k-batch protocol and BASELINE.md's per-batch
+    * range. Returns (mergeMsPer10k, insertMsPer10k). */
+  def amortized(spark: SparkSession, rows: Int = 1000000,
+      conflictPct: Int = 10): (Double, Double) = {
+    val wh = Files.createTempDirectory("graft-perf-amort").toString
+    val lake = new GraftLake(spark, wh)
+    lake.write("m", batchDf(spark, 0, rows), pks = Seq("id"))
+    lake.write("i", batchDf(spark, 0, rows))
+    val conflicts = rows.toLong * conflictPct / 100
+    val batch = batchDf(spark, rows - conflicts, rows)
+    val mergeMs = timeMs(lake.write("m", batch, pks = Seq("id")))
+    val insertMs = timeMs(lake.write("i", batch))
+    lake.dropTable("m"); lake.dropTable("i")
+    new java.io.File(wh).delete()
+    val per10k = rows / 10000.0
+    (mergeMs / per10k, insertMs / per10k)
   }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -72,9 +118,10 @@ object PerfHarness {
     results.foreach(r =>
       println(f"conflict,${r.conflictPct},${r.iter},${r.mergeMs}%.1f,${r.insertMs}%.1f"))
     results.groupBy(_.conflictPct).toSeq.sortBy(_._1).foreach { case (pct, rs) =>
-      val mm = rs.map(_.mergeMs); val im = rs.map(_.insertMs)
-      println(f"mean,$pct,-,${mm.sum / mm.size}%.1f,${im.sum / im.size}%.1f")
+      println(f"median,$pct,-,${median(rs.map(_.mergeMs))}%.1f,${median(rs.map(_.insertMs))}%.1f")
     }
+    val (am, ai) = amortized(spark)
+    println(f"amortized_1m_per10k,10,-,$am%.1f,$ai%.1f")
     spark.stop()
   }
 }

@@ -216,6 +216,18 @@ object ArrowIpc {
     if (v == null) return null
     (from, to) match {
       case (f, t) if f == t => v
+      // Boolean sources first: SchemaUnify legitimately promotes
+      // bool+int/long/float fields, and java.lang.Boolean is not a Number —
+      // a generic numeric arm matching first would MatchError the whole
+      // micro-batch (round-2 fix; was dead code below the numeric arms).
+      case (BooleanType, LongType) =>
+        Long.box(if (v.asInstanceOf[java.lang.Boolean]) 1L else 0L)
+      case (BooleanType, IntegerType) =>
+        Int.box(if (v.asInstanceOf[java.lang.Boolean]) 1 else 0)
+      case (BooleanType, DoubleType) =>
+        Double.box(if (v.asInstanceOf[java.lang.Boolean]) 1.0 else 0.0)
+      case (BooleanType, FloatType) =>
+        Float.box(if (v.asInstanceOf[java.lang.Boolean]) 1.0f else 0.0f)
       case (_, LongType) => (v: @unchecked) match {
         case n: java.lang.Number => n.longValue()
       }
@@ -223,15 +235,11 @@ object ArrowIpc {
         case n: java.lang.Number => n.intValue()
       }
       case (_, DoubleType) => (v: @unchecked) match {
-        case b: java.lang.Boolean => if (b) 1.0 else 0.0
         case n: java.lang.Number => n.doubleValue()
       }
       case (_, FloatType) => (v: @unchecked) match {
         case n: java.lang.Number => n.floatValue()
       }
-      case (BooleanType, t) if t == IntegerType || t == LongType =>
-        val b = v.asInstanceOf[java.lang.Boolean]
-        if (t == IntegerType) Int.box(if (b) 1 else 0) else Long.box(if (b) 1L else 0L)
       case (DateType, TimestampType) =>
         java.sql.Timestamp.from(
           v.asInstanceOf[java.sql.Date].toLocalDate.atStartOfDay.toInstant(ZoneOffset.UTC))

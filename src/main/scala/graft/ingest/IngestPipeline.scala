@@ -36,11 +36,17 @@ final case class IngestConfig(
     maxOffsetsPerTrigger: Option[Long] = None,
     avroSchemas: Map[String, String] = Map.empty) {
 
-  def tableFor(topic: String): String = {
-    val t = topic2table.getOrElse(topic, topic)
-    IngestConfig.validateTableName(t)
-    t
-  }
+  /** Explicit mappings are validated strictly (reference
+    * TopicToTableValidator.java:99-154 validates only configured mappings);
+    * the identity fallback is sanitized instead — the reference passes the
+    * raw topic name through unvalidated (DucklakeWriterFactory.create), and
+    * dotted topics (`db.schema.table`, ubiquitous with Debezium) must not
+    * become a poison batch that permanently fails the stream. */
+  def tableFor(topic: String): String =
+    topic2table.get(topic) match {
+      case Some(t) => IngestConfig.validateTableName(t); t
+      case None    => IngestConfig.sanitizeTableName(topic)
+    }
 }
 
 object IngestConfig {
@@ -49,6 +55,17 @@ object IngestConfig {
   /** Reference validation (TopicToTableValidator.java:99-154). */
   def validateTableName(t: String): Unit =
     require(TableName.matches(t), s"Invalid table name: '$t'")
+
+  /** Identity-fallback sanitization: map every character outside
+    * [a-zA-Z0-9_-] to '_' and prefix '_' if the result starts with a
+    * non-letter. Deterministic, so one topic always lands in one table. */
+  def sanitizeTableName(topic: String): String = {
+    val cleaned = topic.map(c =>
+      if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-') c else '_')
+    if (cleaned.isEmpty || !(cleaned.head.isLetter && cleaned.head < 128 || cleaned.head == '_'))
+      "_" + cleaned
+    else cleaned
+  }
 
   def validate(c: IngestConfig): Unit = {
     c.topic2table.values.foreach(validateTableName)

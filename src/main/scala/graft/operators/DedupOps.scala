@@ -136,35 +136,57 @@ object DedupOps {
     * reachable from it. O(graph diameter) joined iterations — near-dup
     * graphs are unions of small cliques, so convergence is fast; each
     * iteration is one shuffle on node id. Returns (node, cluster_id). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      checkEvery: Int = 3): DataFrame = {
     require(edges.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       "connectedComponents requires numeric node ids (the label-sum " +
         "convergence witness needs an ordered additive domain); hash string " +
         "ids to longs first, e.g. xxhash64(id)")
+    // Both directions PLUS self-loops: with (x,x) edges present, one
+    // neighbor-min join propagates labels AND retains each node's own —
+    // the iteration references the previous layer exactly once, keeping
+    // plan growth linear (a union-with-previous formulation references it
+    // twice and nests exponentially over iterations).
     val both = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .union(edges.select(col("a"), col("a").as("b")))
+      .union(edges.select(col("b").as("a"), col("b")))
       .distinct().cache()
     var labels = both.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).cache()
-    // labels only ever decrease, so the label sum is a monotone convergence
-    // witness — one cheap aggregate per iteration instead of a diff join
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    // Labels only ever decrease, so the label sum is a monotone convergence
+    // witness — one cheap aggregate instead of a diff join. Summed as
+    // decimal(38,0): full-range 64-bit ids (e.g. xxhash64 of string keys)
+    // overflow a LongType sum, which under ANSI mode is a runtime error.
+    // The witness runs every `checkEvery` iterations — sum(i)==sum(i-k)
+    // with a monotone sum still implies no label moved in between — which
+    // cuts the per-iteration job count for long diameters.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
+    // Only the checked frame is cached+materialized (one aggregate job per
+    // checkEvery iterations); between checks layers stay lazy — each
+    // references the previous exactly once, so the pending plan grows
+    // linearly in checkEvery.
+    var lastChecked = labels
     while (!converged && i < maxIter) {
-      val prop = both
+      var next = both
         .join(labels, both("a") === labels("node"))
         .select(col("b").as("node"), col("label"))
-      val next = labels.select("node", "label").union(prop)
-        .groupBy("node").agg(min("label").as("label")).cache()
-      val s = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
+        .groupBy("node").agg(min("label").as("label"))
       i += 1
+      if (i % checkEvery == 0 || i == maxIter) {
+        next = next.cache()
+        val s = labelSum(next) // one aggregate job per checkEvery iterations
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        lastChecked.unpersist()
+        lastChecked = next
+      }
+      labels = next
     }
     both.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))

@@ -299,11 +299,56 @@ class IngestPipelineSpec extends AnyFunSuite {
     val cfg = IngestConfig(warehouse = "/tmp/x", topic2table = Map("a.b" -> "a_b"))
     assert(cfg.tableFor("a.b") === "a_b")
     assert(cfg.tableFor("plain") === "plain")
-    intercept[IllegalArgumentException] { cfg.tableFor("bad.topic") }
+    // identity fallback sanitizes instead of throwing (reference passes raw
+    // topic names through unvalidated; dotted Debezium-style topics are
+    // ubiquitous and must not poison the stream)
+    assert(cfg.tableFor("db.schema.table") === "db_schema_table")
+    assert(cfg.tableFor("9starts-with-digit") === "_9starts-with-digit")
+    assert(cfg.tableFor("weird topic!ñ") === "weird_topic__")
+    // explicit mappings stay strictly validated
+    intercept[IllegalArgumentException] {
+      IngestConfig(warehouse = "/t", topic2table = Map("x" -> "bad.name"))
+        .tableFor("x")
+    }
     intercept[IllegalArgumentException] {
       IngestConfig.validate(IngestConfig(warehouse = "/t",
         topic2table = Map("x" -> "t", "y" -> "t")))
     }
+  }
+
+  test("dotted unmapped topic lands end-to-end in the sanitized table") {
+    val p = newPipeline()
+    p.processBatch(batchOf("db.public.users" -> """{"id":1}"""), 0)
+    assert(p.lake.read("db_public_users").count() === 1)
+  }
+
+  test("conformRow handles boolean -> promoted-numeric fields (mixed bool/int topic)") {
+    // SchemaUnify legitimately promotes bool+int/long/float; a MatchError
+    // here would fail the whole micro-batch
+    val from = StructType(Seq(StructField("f", BooleanType)))
+    def to(dt: org.apache.spark.sql.types.DataType) =
+      StructType(Seq(StructField("f", dt)))
+    assert(ArrowIpc.conformRow(Row(true), from, to(LongType)).get(0) === 1L)
+    assert(ArrowIpc.conformRow(Row(false), from, to(IntegerType)).get(0) === 0)
+    assert(ArrowIpc.conformRow(Row(true), from, to(DoubleType)).get(0) === 1.0)
+    assert(ArrowIpc.conformRow(Row(true), from, to(FloatType)).get(0) === 1.0f)
+    assert(ArrowIpc.conformRow(Row(null), from, to(LongType)).get(0) === null)
+  }
+
+  test("mixed bool/long Arrow records in one topic conform, not crash") {
+    val p = newPipeline()
+    val boolIpc = ArrowIpc.encode(
+      StructType(Seq(StructField("id", LongType), StructField("flag", BooleanType))),
+      Seq(Row(1L, true), Row(2L, false)))
+    val longIpc = ArrowIpc.encode(
+      StructType(Seq(StructField("id", LongType), StructField("flag", LongType))),
+      Seq(Row(3L, 7L)))
+    val df = Seq(("mixbl", 0, 0L, boolIpc), ("mixbl", 0, 1L, longIpc))
+      .toDF("topic", "partition", "offset", "value")
+    p.processBatch(df, 0)
+    val got = p.lake.read("mixbl").select("id", "flag").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 0L), (3L, 7L)))
   }
 
   test("metrics sensors record operations") {
