@@ -7,7 +7,8 @@ object Registry {
   def defs: Seq[QueryDef] =
     operators.RelationalOps.all ++ operators.RelationalOps2.all ++
       operators.RelationalOps3.all ++ operators.IngestOps.all ++
-      operators.PipelineOps.all ++ operators.SessionOps.all ++
+      operators.PipelineOps.all ++ operators.MergeSqlOps.all ++
+      operators.SessionOps.all ++
       operators.TextOps.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.MultimodalOps.all

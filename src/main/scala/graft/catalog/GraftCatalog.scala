@@ -5,6 +5,8 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -22,11 +24,13 @@ import scala.jdk.CollectionConverters._
   * spark.sql("INSERT INTO graft.raw_events SELECT ...")   // plain append
   * }}}
   *
-  * Reads/writes delegate to Spark's own v2 parquet machinery
-  * (vectorized scan, pushdown, partition pruning) under the registry's
-  * logical schema — so widened columns read correctly. MERGE/evolution
-  * semantics stay with the engine API ([[GraftLake]]); SQL INSERT is a raw
-  * append (no `_inserted_at` injection — documented).
+  * Reads delegate to Spark's own v2 parquet machinery (vectorized scan,
+  * pushdown, partition pruning) under the registry's logical schema — so
+  * widened columns read correctly. Writes route through the engine
+  * ([[GraftLake]]) as a `V1Write`: INSERT INTO appends with expression
+  * partitioning + `_inserted_at` stamping (partitioned tables included),
+  * INSERT OVERWRITE replaces contents, and `MERGE INTO` works via
+  * [[graft.plans.GraftExtensions]]. Schema evolution stays engine-driven.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -43,6 +47,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  /** Warehouse root this catalog is bound to (used by the SQL DML rewrite
+    * rules to construct the engine writer for a resolved target table). */
+  def warehouseDir: String = warehouse
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireRootNamespace(namespace)
@@ -64,25 +72,51 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Seq(dataDir(ident)),
       Some(full),
       classOf[ParquetFileFormat])
-    // v2 file writes know nothing about graft's expression partitioning —
-    // a SQL INSERT on a partitioned table would drop flat files into the
-    // hive layout and corrupt it. Partitioned tables are read-only via
-    // SQL; writes go through the engine (GraftLake / IngestPipeline).
-    if (meta.partitions.isEmpty) parquet
-    else new ReadOnlyTable(parquet)
+    new GraftTable(ident.name, parquet, warehouse)
   }
 
-  /** Read-only facade: delegates scans, refuses the write capability. */
-  private final class ReadOnlyTable(underlying: ParquetTable)
-      extends Table with SupportsRead {
+  /** Catalog table facade: scans delegate to Spark's v2 parquet machinery
+    * (vectorized read, pushdown, partition pruning over the generated
+    * `__p_*` columns), writes route through the engine as a
+    * [[org.apache.spark.sql.connector.write.V1Write]] — so SQL
+    * `INSERT INTO` lands through [[GraftLake.append]] (expression
+    * partitioning applied, `_inserted_at` stamped — the reference injects
+    * it on every write path, DucklakeWriter.java:205-214) and
+    * `INSERT OVERWRITE` through [[GraftLake.overwriteContents]]. The
+    * generated `__p_*` and `_inserted_at` columns are system-managed:
+    * values supplied for them by SQL writers are discarded. */
+  private final class GraftTable(tableName: String, underlying: ParquetTable,
+      wh: String) extends Table with SupportsRead with SupportsWrite {
     override def name(): String = underlying.name
     override def schema(): StructType = underlying.schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
       underlying.newScanBuilder(options)
     override def partitioning(): Array[Transform] = underlying.partitioning()
     override def properties(): util.Map[String, String] = underlying.properties()
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit = {
+                val lake = new GraftLake(SparkSession.active, wh)
+                val meta = lake.readMeta(tableName)
+                val system = GraftLake.partitionFields(meta).map(_.name) :+ "_inserted_at"
+                val userDf = data.drop(system.filter(data.columns.contains): _*)
+                if (overwrite)
+                  lake.overwriteContents(tableName, userDf.withColumn("_inserted_at",
+                    org.apache.spark.sql.functions.current_timestamp()))
+                else lake.append(tableName, userDf)
+              }
+            }
+        }
+      }
   }
 
   private def dataDir(ident: Identifier): String =

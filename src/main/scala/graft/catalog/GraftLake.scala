@@ -349,6 +349,28 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     swapInto(stage, new Path(dataDir(name)), partCols.size, affectedDirs)
   }
 
+  /** Replace the entire table contents with `df` (must carry exactly the
+    * table's user schema — typed columns incl. `_inserted_at`). Staged
+    * write + directory swap; partition columns are recomputed from the new
+    * row values. Used by the general-form SQL MERGE rewrite, which is an
+    * explicit whole-table copy-on-write (the upsert-shaped form routes
+    * through [[upsert]]'s affected-partition path instead). */
+  def overwriteContents(name: String, df: DataFrame): Unit = writeLock(name) {
+    val meta = readMeta(name)
+    val projected = df.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+    val out = withPartitionCols(projected, meta)
+    val partCols = meta.partitionExprs.map(_.outputName)
+    val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+    val writer = out.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    val dd = new Path(dataDir(name))
+    val f = fs(dd)
+    f.delete(dd, true)
+    f.rename(stage, dd)
+  }
+
   /** Compact a table's data files: rewrites each partition (or the whole
     * table) into ~`targetRecordsPerFile`-row files via the staged-swap
     * path. The small-file antidote for streaming ingest — micro-batches

@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{QueryDef, Tables}
+import graft.catalog.{GraftCatalog, GraftLake}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Literal `MERGE INTO` SQL against graft catalog tables — the reference's
+  * headline write operator (ingestor/DucklakeWriter.java:151-168) exposed
+  * as user SQL via [[graft.plans.RewriteGraftMerge]]. Both rewrite paths
+  * are oracle-gated:
+  *  - q59: upsert-shaped merge → routed onto [[GraftLake.upsert]]'s
+  *    affected-partition path (the table is partitioned; updates move rows
+  *    across partitions);
+  *  - q60: general-form merge (conditional UPDATE/DELETE, conditional
+  *    INSERT with partial column list, NOT MATCHED BY SOURCE) → staged
+  *    whole-table rewrite.
+  */
+object MergeSqlOps {
+
+  /** One graft catalog per session, bound lazily to a temp warehouse. The
+    * v2 catalog instance is cached at first use, so the warehouse conf must
+    * be set before any `gm.` reference and stays fixed for the session. */
+  private def warehouseFor(s: SparkSession, cat: String): String = {
+    val key = s"spark.sql.catalog.$cat.warehouse"
+    if (s.conf.getOption(key).isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(key, Files.createTempDirectory(s"graft-$cat").toString)
+    }
+    s.conf.get(key)
+  }
+
+  val q59MergeSql = QueryDef(
+    "q59_merge_sql",
+    """WITH h AS (SELECT max(c_custkey) / 2 AS v FROM customer),
+      |seed AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+      |         WHERE c_custkey < (SELECT v FROM h)),
+      |src AS (SELECT c_custkey, c_name,
+      |               CASE WHEN c_custkey % 2 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+      |               c_acctbal + 10 AS c_acctbal
+      |        FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+      |       round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal
+      |FROM seed t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val h = cust.agg(max("c_custkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("cust_state")) lake.dropTable("cust_state")
+    lake.write("cust_state", cust.filter(col("c_custkey") < h),
+      partitions = Seq("c_mktsegment"), pks = Seq("c_custkey"))
+    cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 2 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        (col("c_acctbal") + 10).as("c_acctbal"))
+      .createOrReplaceTempView("q59_src")
+    s.sql(
+      """MERGE INTO gm.cust_state t USING q59_src s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET
+        |  c_name = s.c_name, c_mktsegment = s.c_mktsegment, c_acctbal = s.c_acctbal
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_mktsegment, c_acctbal)
+        |  VALUES (s.c_custkey, s.c_name, s.c_mktsegment, s.c_acctbal)""".stripMargin)
+    lake.read("cust_state")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q60MergeGeneralSql = QueryDef(
+    "q60_merge_general_sql",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h)),
+      |src AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+      |m AS (SELECT t.o_orderkey AS tk, t.o_orderstatus, t.o_orderpriority,
+      |             t.o_totalprice AS tp, s.o_orderkey AS sk, s.o_totalprice AS sp
+      |      FROM seed t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |       round(o_totalprice, 2) AS o_totalprice FROM (
+      |  SELECT tk AS o_orderkey,
+      |         CASE WHEN sp > 150000 THEN 'B' ELSE o_orderstatus END AS o_orderstatus,
+      |         o_orderpriority, tp AS o_totalprice
+      |  FROM m WHERE tk IS NOT NULL AND sk IS NOT NULL AND sp >= 50000
+      |  UNION ALL
+      |  SELECT sk, 'N', CAST(NULL AS VARCHAR), sp
+      |  FROM m WHERE tk IS NULL AND sp > 100000
+      |  UNION ALL
+      |  SELECT tk, o_orderstatus, o_orderpriority, tp
+      |  FROM m WHERE sk IS NULL AND tp >= 1000)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+    val h = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("ord_state")) lake.dropTable("ord_state")
+    // no PKs: general-form rewrite path by construction
+    lake.write("ord_state", orders.filter(col("o_orderkey") < h))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("q60_src")
+    s.sql(
+      """MERGE INTO gm.ord_state t USING q60_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_totalprice > 150000 THEN UPDATE SET o_orderstatus = 'B'
+        |WHEN MATCHED AND s.o_totalprice < 50000 THEN DELETE
+        |WHEN NOT MATCHED AND s.o_totalprice > 100000 THEN
+        |  INSERT (o_orderkey, o_orderstatus, o_totalprice)
+        |  VALUES (s.o_orderkey, 'N', s.o_totalprice)
+        |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 1000 THEN DELETE""".stripMargin)
+    lake.read("ord_state")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SQL INSERT pipeline over a partitioned catalog table: CREATE TABLE
+    * with expression partitioning, two INSERT INTO batches through the
+    * V1Write path, read back. `n_ts` counts `_inserted_at` — equal to
+    * `count(*)` in the oracle, proving the system column is stamped on
+    * every SQL-inserted row (reference DucklakeWriter.java:205-214). */
+  val q61InsertSql = QueryDef(
+    "q61_insert_sql",
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n,
+      |       count(*) AS n_ts, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY y""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val h = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("ord_ins")) lake.dropTable("ord_ins")
+    s.sql(
+      """CREATE TABLE gm.ord_ins
+        |(o_orderkey BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE)
+        |TBLPROPERTIES ('partitions' = 'year(o_orderdate)')""".stripMargin)
+    orders.filter(col("o_orderkey") < h).createOrReplaceTempView("q61_b1")
+    orders.filter(col("o_orderkey") >= h).createOrReplaceTempView("q61_b2")
+    s.sql("INSERT INTO gm.ord_ins (o_orderkey, o_orderdate, o_totalprice) SELECT * FROM q61_b1")
+    s.sql("INSERT INTO gm.ord_ins (o_orderkey, o_orderdate, o_totalprice) SELECT * FROM q61_b2")
+    lake.read("ord_ins")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"), count(col("_inserted_at")).as("n_ts"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("y"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q59MergeSql, q60MergeGeneralSql, q61InsertSql)
+}

@@ -79,25 +79,71 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: a deterministic sample of corpus vectors acts as the
-    * coarse quantizer; every vector is assigned to its nearest centroid
+  /** Deterministic sample init for the IVF quantizer: every 20th of the
+    * first `n`×20 vectors by id. Cheap but skewed toward the id prefix —
+    * use [[fitCentroids]] for the refined quantizer. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      n: Int): Array[Seq[Double]] = corpus
+    .orderBy(col(idCol)).limit(n * 20)
+    .select(col(vecCol)).collect()
+    .zipWithIndex.collect { case (r, i) if i % 20 == 0 =>
+      r.getSeq[Float](0).map(_.toDouble)
+    }.take(n)
+
+  /** Argmax-cosine centroid id for each row's vector: C codegen'd kernels
+    * against literal centroids, map-side only (no shuffle). Ties break to
+    * the higher centroid id (struct ordering of array_max). */
+  private def nearestCid(vec: Column, cents: Seq[Seq[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosineSimBuiltin(vec, lit(c.toArray)).as("sim"),
+        lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Lloyd k-means fit of the IVF coarse quantizer (seeded by the
+    * deterministic sample, so runs are reproducible). Per iteration:
+    * assignment is a map-side scan (C cosine kernels per row, no
+    * shuffle), the centroid update is a `groupBy(cid)` of per-dimension
+    * `avg`s — partial aggregation ships only C×dim partials per task, so
+    * the per-iteration shuffle is bytes, not data. Clusters that lose all
+    * members keep their previous centroid. Cosine ranking is
+    * normalization-invariant, so plain means serve as spherical
+    * centroids. */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iters: Int = 3): Array[Seq[Double]] = {
+    var cents = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    if (cents.isEmpty) return cents
+    val dim = cents.head.size
+    val dimAggs = (1 to dim).map(i => avg(element_at(col(vecCol), i)))
+    for (_ <- 1 to iters) {
+      val rows = corpus
+        .select(col(vecCol), nearestCid(col(vecCol), cents.toSeq).as("__cid"))
+        .groupBy(col("__cid")).agg(dimAggs.head, dimAggs.tail: _*)
+        .collect()
+      val byCid = rows.map(r => r.getInt(0) ->
+        (1 to dim).map(i => r.getDouble(i))).toMap
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        byCid.getOrElse(cid, prev)
+      }
+    }
+    cents
+  }
+
+  /** IVF-style ANN: a k-means-fit coarse quantizer (or explicit
+    * `centroids`); every vector is assigned to its nearest centroid
     * (argmax cosine), queries probe the `nprobe` nearest centroid lists and
     * exact cosine reranks within them.
     *
     * Scale: assignment is a scan with C codegen'd cosine kernels per row
-    * (no shuffle); the candidate join hits ~nprobe/C of the corpus. The
-    * centroid set is driver-collected — at real scale replace the sampler
-    * with a k-means fit, the plumbing stays identical. */
+    * (no shuffle); the candidate join hits ~nprobe/C of the corpus; the
+    * quantizer fit itself is iterations of map-side assignment + a
+    * C×dim-sized partial-agg shuffle. */
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 3): DataFrame = {
-    val centroids: Array[Seq[Double]] = corpus
-      .orderBy(col(idCol)).limit(nCentroids * 20)
-      .select(col(vecCol)).collect()
-      .zipWithIndex.collect { case (r, i) if i % 20 == 0 =>
-        r.getSeq[Float](0).map(_.toDouble)
-      }.take(nCentroids)
+      vecCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 3,
+      centroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+    val cents: Array[Seq[Double]] = centroids.getOrElse(
+      fitCentroids(corpus, idCol, vecCol, nCentroids))
 
-    def centroidSims(vec: Column): Seq[Column] = centroids.toSeq.map(c =>
+    def centroidSims(vec: Column): Seq[Column] = cents.toSeq.map(c =>
       VectorFunctions.cosineSimBuiltin(vec, lit(c.toArray)))
 
     def assignTop(df: DataFrame, id: String, n: Int): DataFrame = {

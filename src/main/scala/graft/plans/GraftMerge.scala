@@ -1,0 +1,263 @@
+package graft.plans
+
+import graft.catalog.{GraftCatalog, GraftLake, TableMeta}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, TimestampType}
+
+/** Makes literal `MERGE INTO graft.t USING src ON ...` SQL execute against
+  * graft lake tables (reference DucklakeWriter.java:151-168 — MERGE is the
+  * reference's core write; here it becomes user-facing SQL).
+  *
+  * Spark's own row-level MERGE rewrite (`SupportsRowLevelOperations`) is a
+  * group-based copy-on-write: the table scan defines replacement groups and
+  * the whole scanned set is rewritten. Routing through the engine instead
+  * keeps the *upsert-shaped* merge — the only form the reference emits, and
+  * the overwhelmingly common form at ingest — on [[GraftLake.upsert]]'s
+  * partition-pruned path (affected-partition discovery via a column-pruned
+  * PK probe, staged rewrite of only those partitions). That is strictly
+  * less I/O at 100 TB than a COW over the full scan. General-form merges
+  * (extra conditions, DELETE actions, NOT MATCHED BY SOURCE, partial
+  * update column lists) fall back to an explicit whole-table staged
+  * rewrite, with ANSI multi-match detection.
+  */
+object RewriteGraftMerge extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution =>
+      graftTarget(m.targetTable) match {
+        case Some((cat, name)) =>
+          GraftMergeCommand(cat.warehouseDir, name, m.targetTable, m.sourceTable,
+            m.mergeCondition, m.matchedActions, m.notMatchedActions,
+            m.notMatchedBySourceActions)
+        case None => m
+      }
+  }
+
+  /** The graft (catalog, table-name) behind a resolved target relation. */
+  private def graftTarget(p: LogicalPlan): Option[(GraftCatalog, String)] = p match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case r: DataSourceV2Relation =>
+      r.catalog.collect { case c: GraftCatalog =>
+        (c, r.identifier.map(_.name).getOrElse(r.table.name))
+      }
+    case _ => None
+  }
+}
+
+/** Eagerly-executed command holding the resolved pieces of a MERGE over a
+  * graft table. `target`/`source` are analyzed plans kept out of
+  * `children` (leaf command) so the merge rewrite controls their use. */
+final case class GraftMergeCommand(
+    warehouse: String,
+    table: String,
+    target: LogicalPlan,
+    source: LogicalPlan,
+    cond: Expression,
+    matched: Seq[MergeAction],
+    notMatched: Seq[MergeAction],
+    notMatchedBySource: Seq[MergeAction]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(target, source)
+
+  private val InsertedAt = "_inserted_at"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = new GraftLake(spark, warehouse)
+    val meta = lake.readMeta(table)
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
+      case _: UpdateStarAction | _: InsertStarAction =>
+        throw new UnsupportedOperationException(
+          "unresolved star action reached the graft merge rewrite")
+      case _ => ()
+    }
+    upsertBatch(meta) match {
+      case Some(batch) =>
+        lake.upsert(table, PlanBridge.ofRows(spark, batch))
+      case None =>
+        generalMerge(spark, lake, meta)
+    }
+    Seq.empty
+  }
+
+  // ---- upsert-shaped fast path ----
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def castTo(e: Expression, dt: DataType): Expression =
+    if (PlanBridge.sameType(e.dataType, dt)) e
+    else Cast(e, dt, Option(SQLConf.get.sessionLocalTimeZone))
+
+  /** When the merge is exactly the engine upsert — `ON` equates precisely
+    * the table's PKs to source expressions, one unconditional
+    * matched-UPDATE and one unconditional not-matched-INSERT assign every
+    * data column the same source value, and nothing touches system or
+    * partition columns — return the equivalent batch plan for
+    * [[GraftLake.upsert]]. Otherwise None (general rewrite). */
+  private def upsertBatch(meta: TableMeta): Option[LogicalPlan] = {
+    if (notMatchedBySource.nonEmpty || meta.pks.isEmpty) return None
+    val up = matched match {
+      case Seq(UpdateAction(None, as, _)) => as
+      case _ => return None
+    }
+    val ins = notMatched match {
+      case Seq(InsertAction(None, as)) => as
+      case _ => return None
+    }
+    val tOut = target.outputSet
+    val sOut = source.outputSet
+    val eqs = conjuncts(cond).map {
+      case EqualTo(l: Attribute, r) if tOut.contains(l) && r.references.subsetOf(sOut) => (l, r)
+      case EqualTo(l, r: Attribute) if tOut.contains(r) && l.references.subsetOf(sOut) => (r, l)
+      case _ => return None
+    }
+    val pkMap = eqs.map { case (a, e) => a.name.toLowerCase -> e }.toMap
+    if (pkMap.size != eqs.size) return None
+    val lowerPks = meta.pks.map(_.toLowerCase).toSet
+    if (pkMap.keySet != lowerPks) return None
+
+    def asMap(as: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val pairs = as.map {
+        case Assignment(k: Attribute, v) if v.references.subsetOf(sOut) =>
+          k.name.toLowerCase -> v
+        case _ => return None
+      }
+      if (pairs.map(_._1).distinct.size != pairs.size) None else Some(pairs.toMap)
+    }
+    val upM = asMap(up).getOrElse(return None)
+    val insM = asMap(ins).getOrElse(return None)
+    // system/partition/PK columns must not be explicitly updated
+    val touched = upM.keySet ++ insM.keySet
+    if (touched.exists(k => k == InsertedAt || k.startsWith("__p_"))) return None
+    if (upM.keySet.exists(lowerPks)) return None
+    // inserted PKs must be the join keys themselves
+    for (pk <- lowerPks)
+      if (!insM.get(pk).exists(_.semanticEquals(pkMap(pk)))) return None
+
+    val dataFields = meta.schema.fields.toSeq
+      .filterNot(f => lowerPks(f.name.toLowerCase) || f.name == InsertedAt)
+    // every data column must get the same source value on both paths
+    for (f <- dataFields) {
+      val u = upM.getOrElse(f.name.toLowerCase, return None)
+      val i = insM.getOrElse(f.name.toLowerCase, return None)
+      if (!u.semanticEquals(i)) return None
+    }
+    if (insM.size != lowerPks.size + dataFields.size || upM.size != dataFields.size)
+      return None
+
+    val aliases =
+      meta.pks.map(pk =>
+        Alias(castTo(pkMap(pk.toLowerCase), meta.schema(pk).dataType), pk)()) ++
+        dataFields.map(f =>
+          Alias(castTo(upM(f.name.toLowerCase), f.dataType), f.name)())
+    Some(Project(aliases, source))
+  }
+
+  // ---- general path: staged whole-table rewrite ----
+
+  /** Full MERGE semantics in one full-outer join + projection:
+    * matched pairs take the first holding matched action (UPDATE assigns /
+    * DELETE drops / none keeps the target row), source-only rows take the
+    * first holding NOT MATCHED insert (else vanish), target-only rows take
+    * the first holding NOT MATCHED BY SOURCE action (else pass through).
+    * `_inserted_at` is preserved on update and stamped on insert unless
+    * explicitly assigned. ANSI cardinality: >1 source match per target row
+    * is an error (checked with a pre-join aggregate). */
+  private def generalMerge(spark: SparkSession, lake: GraftLake, meta: TableMeta): Unit = {
+    if (matched.nonEmpty) {
+      val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+      val innerJ = Join(Project(target.output :+ tid, target), source,
+        Inner, Some(cond), JoinHint.NONE)
+      val dups = PlanBridge.ofRows(spark, innerJ)
+        .groupBy(col("__graft_tid")).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dups > 0) throw new IllegalStateException(
+        s"MERGE into '$table': a target row matched more than one source row " +
+          "(ON condition must identify at most one source row per target row)")
+    }
+
+    val tPresent = Alias(Literal(true), "__graft_t_present")()
+    val sPresent = Alias(Literal(true), "__graft_s_present")()
+    val tProj = Project(target.output :+ tPresent, target)
+    val sProj = Project(source.output :+ sPresent, source)
+    val tp = tProj.output.last
+    val sp = sProj.output.last
+    val joined = Join(tProj, sProj, FullOuter, Some(cond), JoinHint.NONE)
+
+    val matchedP = And(IsNotNull(tp), IsNotNull(sp))
+    val sourceOnly = IsNull(tp)
+
+    def condOf(a: MergeAction): Expression =
+      a.condition.getOrElse(Literal.TrueLiteral)
+
+    def keepOf(actions: Seq[MergeAction], default: Boolean): Expression = {
+      val branches = actions.map {
+        case d: DeleteAction => condOf(d) -> Literal(false)
+        case a => condOf(a) -> Literal(true)
+      }
+      if (branches.isEmpty) Literal(default)
+      else CaseWhen(branches, Some(Literal(default)))
+    }
+
+    def assigned(as: Seq[Assignment], name: String): Option[Expression] =
+      as.collectFirst {
+        case Assignment(k: Attribute, v) if k.name.equalsIgnoreCase(name) => v
+        case Assignment(k, _) if !k.isInstanceOf[Attribute] =>
+          throw new UnsupportedOperationException(
+            s"MERGE into '$table': nested-field assignment '${k.sql}' is not supported")
+      }
+
+    def valueOf(actions: Seq[MergeAction], name: String, dt: DataType,
+        fallback: Expression, insertPath: Boolean): Expression = {
+      def insertDefault: Expression =
+        if (name == InsertedAt) Cast(CurrentTimestamp(), TimestampType,
+          Option(SQLConf.get.sessionLocalTimeZone))
+        else Literal(null, dt)
+      val branches = actions.map {
+        case UpdateAction(c, as, _) =>
+          c.getOrElse(Literal.TrueLiteral) ->
+            assigned(as, name).map(castTo(_, dt)).getOrElse(fallback)
+        case InsertAction(c, as) =>
+          c.getOrElse(Literal.TrueLiteral) ->
+            assigned(as, name).map(castTo(_, dt)).getOrElse(insertDefault)
+        case d: DeleteAction =>
+          condOf(d) -> fallback // dropped by keep expr; value irrelevant
+        case a => throw new UnsupportedOperationException(
+          s"MERGE into '$table': unsupported action $a")
+      }
+      val default = if (insertPath) Literal(null, dt) else fallback
+      if (branches.isEmpty) default else CaseWhen(branches, Some(default))
+    }
+
+    val tAttrByName = target.output.map(a => a.name.toLowerCase -> a).toMap
+    val outCols = meta.schema.fields.toSeq.map { f =>
+      val tAttr = tAttrByName.getOrElse(f.name.toLowerCase,
+        throw new IllegalStateException(s"target output missing column ${f.name}"))
+      val expr = CaseWhen(Seq(
+        matchedP -> valueOf(matched, f.name, f.dataType, tAttr, insertPath = false),
+        sourceOnly -> valueOf(notMatched, f.name, f.dataType,
+          Literal(null, f.dataType), insertPath = true)),
+        Some(valueOf(notMatchedBySource, f.name, f.dataType, tAttr, insertPath = false)))
+      Alias(expr, f.name)()
+    }
+    val keep = CaseWhen(Seq(
+      matchedP -> keepOf(matched, default = true),
+      sourceOnly -> keepOf(notMatched, default = false)),
+      Some(keepOf(notMatchedBySource, default = true)))
+
+    val outPlan = Project(outCols, Filter(EqualNullSafe(keep, Literal(true)), joined))
+    lake.overwriteContents(table, PlanBridge.ofRows(spark, outPlan))
+  }
+}

@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Narrow bridge into Spark's `private[sql]` plan/column APIs, placed in
+  * `org.apache.spark.sql` the same way other Spark extension libraries do
+  * (the DSv2 extension surface has no public LogicalPlan→DataFrame hook).
+  * Everything graft-specific stays in the `graft.*` packages; this object
+  * only re-exposes three conversions.
+  */
+object PlanBridge {
+
+  /** Materialize an analyzed LogicalPlan as a DataFrame (Dataset.ofRows). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
+
+  /** Nullability-insensitive type equality (DataType.sameType). */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+}

@@ -53,12 +53,19 @@ class GraftCatalogSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(plan.contains("PartitionFilters: [isnotnull(__p_year_ts"),
         "partition filter must prune at scan")
-      // SQL INSERT would drop flat files into the hive layout — must be
-      // rejected (writes to partitioned tables are engine-only)
-      intercept[Exception] {
-        spark.sql(s"INSERT INTO $cat.p (id, ts, v) SELECT 9, TIMESTAMP '2024-01-01', 'z'")
-      }
-      assert(spark.sql(s"SELECT count(*) FROM $cat.p").head().getLong(0) === 2)
+      // SQL INSERT routes through the engine: the row lands in the correct
+      // partition directory with _inserted_at stamped
+      spark.sql(s"INSERT INTO $cat.p (id, ts, v) SELECT 9, TIMESTAMP '2024-01-01', 'z'")
+      val inserted = spark.sql(
+        s"SELECT id, v, _inserted_at FROM $cat.p WHERE __p_year_ts = 2024 ORDER BY id")
+        .collect()
+      assert(inserted.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+        Seq((2, "b"), (9, "z")))
+      assert(inserted.forall(_.getTimestamp(2) != null),
+        "_inserted_at must be stamped on SQL INSERT")
+      val dir2024 = new java.io.File(s"$wh/p/data/__p_year_ts=2024")
+      assert(dir2024.isDirectory &&
+        dir2024.listFiles().exists(_.getName.endsWith(".parquet")))
     }
   }
 
@@ -70,11 +77,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       val lake = new GraftLake(spark, wh)
       assert(lake.tableExists("raw"))
       assert(lake.readMeta("raw").pks === Seq("id"))
-      // named-column insert: _inserted_at is engine-managed, SQL writers
+      // named-column insert: _inserted_at is engine-managed (stamped by the
+      // write path, reference DucklakeWriter.java:205-214), SQL writers
       // address the data columns
       spark.sql(s"INSERT INTO $cat.raw (id, v) SELECT 1, 'x'")
       assert(spark.sql(s"SELECT id, v FROM $cat.raw").collect()
         .map(_.toSeq).toSet === Set(Seq(1, "x")))
+      assert(spark.sql(s"SELECT _inserted_at FROM $cat.raw").head()
+        .getTimestamp(0) != null)
+      // INSERT OVERWRITE replaces contents through the engine
+      spark.sql(s"INSERT OVERWRITE $cat.raw (id, v) SELECT 2, 'y'")
+      assert(spark.sql(s"SELECT id, v FROM $cat.raw").collect()
+        .map(_.toSeq).toSet === Set(Seq(2, "y")))
       spark.sql(s"DROP TABLE $cat.raw")
       assert(!lake.tableExists("raw"))
     }

@@ -142,6 +142,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connected components: full-range 64-bit ids don't overflow the witness") {
+    // xxhash64(string-id) node ids span the whole Long range; a LongType
+    // label sum overflows (ANSI runtime error). Witness must be
+    // decimal-safe and still converge to correct clusters.
+    val big = Long.MaxValue
+    val edges = Seq(
+      (big, big - 1L), (big - 1L, big - 2L),          // clique near +inf
+      (Long.MinValue + 1L, Long.MinValue + 2L)        // clique near -inf
+    ).toDF("a", "b")
+    val got = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      big -> (big - 2L), (big - 1L) -> (big - 2L), (big - 2L) -> (big - 2L),
+      (Long.MinValue + 1L) -> (Long.MinValue + 1L),
+      (Long.MinValue + 2L) -> (Long.MinValue + 1L)))
+  }
+
+  test("connected components: long chain converges with sparse convergence checks") {
+    // a 9-node path has diameter 8 — far past the first checkEvery window;
+    // sparse checking must not declare early convergence
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = DedupOps.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("dropNearDups keeps one representative per cluster") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
@@ -201,6 +227,40 @@ class LlmOpsSpec extends AnyFunSuite {
     // random-hyperplane LSH is data-dependent; assert it at least prunes
     // while finding a nontrivial share
     assert(lshRecall >= 0.2, s"LSH recall $lshRecall below 0.2")
+  }
+
+  test("k-means-fit IVF quantizer beats the sampled quantizer at equal nprobe") {
+    VectorFunctions.register(spark)
+    // 8 well-separated cluster directions in 16 dims, ids interleaved so the
+    // deterministic sample init (every 20th of the first 320 ids) only ever
+    // sees clusters id%8 ∈ {0, 4} — maximally skewed. Small deterministic
+    // per-vector noise breaks assignment ties so Lloyd iterations can
+    // specialize centroids toward the unseen clusters.
+    val dims = 16
+    def vec(i: Int): Array[Float] = {
+      val c = i % 8
+      Array.tabulate(dims)(d =>
+        (if (d == 2 * c) 5.0f else 0.0f) + ((i * 31 + d * 7) % 13) / 13.0f * 0.4f)
+    }
+    val docs = (0 until 400).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .cache()
+    val queries = docs.filter(col("vec_id") >= 392) // one query per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilarityOps.knnBrute(docs, queries, "vec_id", "embedding", 5))
+    val sampled = SimilarityOps.sampleCentroids(docs, "vec_id", "embedding", 16)
+    val sampleRecall = (brute & pairs(SimilarityOps.knnIvf(
+      docs, queries, "vec_id", "embedding", 5,
+      centroids = Some(sampled)))).size.toDouble / brute.size
+    val fitted = SimilarityOps.fitCentroids(docs, "vec_id", "embedding", 16, iters = 3)
+    val fitRecall = (brute & pairs(SimilarityOps.knnIvf(
+      docs, queries, "vec_id", "embedding", 5,
+      centroids = Some(fitted)))).size.toDouble / brute.size
+    assert(fitRecall >= sampleRecall,
+      s"fit recall $fitRecall below sample recall $sampleRecall")
+    assert(fitRecall >= 0.5, s"fit recall $fitRecall too low")
+    docs.unpersist()
   }
 
   // ---- multimodal ----

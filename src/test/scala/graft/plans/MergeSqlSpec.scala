@@ -1,0 +1,116 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.catalog.{GraftCatalog, GraftLake}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior of literal MERGE INTO SQL over graft tables (both rewrite
+  * paths of [[RewriteGraftMerge]]). Reference semantics under test:
+  * DucklakeWriterMergeTest.java:119-148 (upsert), 224-292
+  * (`_inserted_at` set on insert / preserved on update). */
+class MergeSqlSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.gmt", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gmt.warehouse",
+      Files.createTempDirectory("graft-mergesql").toString)
+    s
+  }
+  private lazy val lake =
+    new GraftLake(spark, spark.conf.get("spark.sql.catalog.gmt.warehouse"))
+
+  test("upsert-shaped merge: update in place, insert, _inserted_at policy") {
+    import spark.implicits._
+    lake.write("t1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), pks = Seq("id"))
+    val before = lake.read("t1")
+      .select("id", "_inserted_at").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").createOrReplaceTempView("m_src1")
+    spark.sql(
+      """MERGE INTO gmt.t1 t USING m_src1 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val rows = lake.read("t1").orderBy("id")
+      .select("id", "v", "_inserted_at").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    val ts = rows.map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    assert(ts(1L) === before(1L), "untouched row keeps _inserted_at")
+    assert(ts(2L) === before(2L), "updated row preserves _inserted_at")
+    assert(ts(3L) != null, "inserted row gets _inserted_at")
+  }
+
+  test("upsert-shaped merge on a partitioned table moves rows across partitions") {
+    import spark.implicits._
+    lake.write("t2",
+      Seq((1L, "SEG_A", 1.0), (2L, "SEG_A", 2.0), (3L, "SEG_B", 3.0))
+        .toDF("id", "seg", "x"),
+      partitions = Seq("seg"), pks = Seq("id"))
+    Seq((2L, "SEG_C", 20.0), (4L, "SEG_B", 4.0)).toDF("id", "seg", "x")
+      .createOrReplaceTempView("m_src2")
+    spark.sql(
+      """MERGE INTO gmt.t2 t USING m_src2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET seg = s.seg, x = s.x
+        |WHEN NOT MATCHED THEN INSERT (id, seg, x) VALUES (s.id, s.seg, s.x)""".stripMargin)
+    val got = lake.read("t2").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "SEG_A", 1.0), (2L, "SEG_C", 20.0),
+      (3L, "SEG_B", 3.0), (4L, "SEG_B", 4.0)))
+    // physical layout: the moved row landed in its new partition directory
+    val segC = new java.io.File(
+      s"${spark.conf.get("spark.sql.catalog.gmt.warehouse")}/t2/data/__p_seg=SEG_C")
+    assert(segC.isDirectory && segC.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("general merge: conditional update/delete, partial columns, not-matched-by-source") {
+    import spark.implicits._
+    lake.write("t3",
+      Seq((1L, "keep", 10.0), (2L, "upd", 200.0), (3L, "del", 30.0), (4L, "nmbs", 5.0))
+        .toDF("id", "tag", "x"))
+    Seq((2L, 200.0), (3L, 1.0), (5L, 500.0), (6L, 50.0)).toDF("id", "x")
+      .createOrReplaceTempView("m_src3")
+    spark.sql(
+      """MERGE INTO gmt.t3 t USING m_src3 s ON t.id = s.id
+        |WHEN MATCHED AND s.x >= 100 THEN UPDATE SET tag = 'big'
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.x > 100 THEN INSERT (id, x) VALUES (s.id, s.x)
+        |WHEN NOT MATCHED BY SOURCE AND t.x < 8 THEN DELETE""".stripMargin)
+    val got = lake.read("t3").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    // 1: target-only, x=10 >= 8 → kept; 2: matched, s.x>=100 → tag updated,
+    // x untouched; 3: matched, s.x<100 → deleted; 4: target-only, x<8 →
+    // deleted; 5: unmatched source, x>100 → inserted with tag NULL;
+    // 6: unmatched source, x<=100 → no action
+    assert(got === Seq((1L, Some("keep"), 10.0), (2L, Some("big"), 200.0),
+      (5L, None, 500.0)))
+    val ins = lake.read("t3").filter(col("id") === 5L)
+      .select("_inserted_at").head()
+    assert(ins.getTimestamp(0) != null, "general-path insert stamps _inserted_at")
+  }
+
+  test("general merge rejects a target row matching multiple source rows") {
+    import spark.implicits._
+    lake.write("t4", Seq((1L, "a")).toDF("id", "v"))
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v").createOrReplaceTempView("m_src4")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gmt.t4 t USING m_src4 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(e.getMessage.contains("matched more than one source row"))
+  }
+
+  test("merge into a non-graft table still fails analysis (rule scoped to graft)") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("m_plain_t")
+    Seq((1L, "b")).toDF("id", "v").createOrReplaceTempView("m_plain_s")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO m_plain_t t USING m_plain_s s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+  }
+}
