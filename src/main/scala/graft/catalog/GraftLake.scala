@@ -291,11 +291,30 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
           .select(partCols.map(c => col(quoted(c))): _*).distinct()
         val parts = batchParts.union(matchedParts).distinct().collect()
-        val filter = parts.map { r =>
-          partCols.zipWithIndex.map { case (c, i) =>
-            if (r.isNullAt(i)) col(quoted(c)).isNull else col(quoted(c)) === lit(r.get(i))
-          }.reduce(_ && _)
-        }.reduceOption(_ || _).getOrElse(lit(false))
+        // Small batches get the exact per-tuple predicate; past
+        // `maxExactPartitionPredicates` affected partitions the OR-chain
+        // would blow up the optimizer, so switch to one `isin` set per
+        // partition column. The per-column form is a (cartesian) superset
+        // of the exact tuple set — still correct (extra partitions are
+        // rewritten unchanged), still prunes at the scan, and its size is
+        // O(distinct values per column), not O(tuples).
+        val filter =
+          if (parts.isEmpty) lit(false)
+          else if (parts.length <= maxExactPartitionPredicates)
+            parts.map { r =>
+              partCols.zipWithIndex.map { case (c, i) =>
+                if (r.isNullAt(i)) col(quoted(c)).isNull else col(quoted(c)) === lit(r.get(i))
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          else
+            partCols.zipWithIndex.map { case (c, i) =>
+              val vals = parts.map(r => if (r.isNullAt(i)) null else r.get(i)).distinct
+              val nonNull = vals.filter(_ != null)
+              val base =
+                if (nonNull.isEmpty) lit(false)
+                else col(quoted(c)).isin(nonNull.toIndexedSeq: _*)
+              if (vals.contains(null)) base || col(quoted(c)).isNull else base
+            }.reduce(_ && _)
         existing.filter(filter)
       }
 
@@ -467,6 +486,10 @@ object GraftLake {
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
+
+  /** Affected-partition count above which the upsert scope predicate
+    * switches from the exact per-tuple OR-chain to per-column isin sets. */
+  val maxExactPartitionPredicates = 64
 
   /** Clear caches (tests / external table mutation). */
   def invalidateCaches(): Unit = {

@@ -264,32 +264,63 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
   /** Reference E2 per-record DLQ triage: on a batch-level schema conflict,
     * each record is retried solo against a deterministic target schema (the
     * cached topic schema, else the schema of the lowest-offset record);
-    * records whose schema cannot unify go to the DLQ, the rest are
-    * re-batched and landed. */
+    * records whose schema cannot unify go to the DLQ — with a per-record
+    * error naming the offending field(s), both types, and the record's own
+    * sample value (reference ArrowSchemaMerge.java:76-87,
+    * SinkRecordToArrowConverterTest.java:518-537) — the rest are re-batched
+    * and landed. With no DLQ configured the batch fails with
+    * `partition@offset` samples (DucklakeSinkTask.java:643-667). */
   private def triageJson(topic: String, table: String, values: DataFrame): Unit = {
-    if (config.dlqTable.isEmpty) throw new SchemaUnify.GraftSchemaException(
-      s"Schema conflict in topic '$topic' and no DLQ configured")
+    if (config.dlqTable.isEmpty) {
+      val samples = values.orderBy(col("partition"), col("offset"))
+        .select(col("partition"), col("offset")).limit(5).collect()
+        .map(r => s"${r.getInt(0)}@${r.getLong(1)}").mkString(", ")
+      throw new SchemaUnify.GraftSchemaException(
+        s"Schema conflict in topic '$topic' and no DLQ configured; " +
+          s"sample records (partition@offset): $samples")
+    }
     val seed: StructType = schemaCache.get(topic).getOrElse {
       val first = values.orderBy(col("partition"), col("offset"))
         .select("v").as[String].head()
       SchemaInference.inferFromJson(first).getOrElse(StructType(Nil))
     }
     val seedJson = seed.json
-    val compat = udf { (v: String) =>
-      val s = SchemaInference.inferFromJson(v)
-      s.isEmpty || (try {
-        SchemaUnify.unify(Seq(
-          DataType.fromJson(seedJson).asInstanceOf[StructType], s.get))
-        true
-      } catch { case _: Exception => false })
+    // null = compatible; else the enriched per-record error message
+    val errorDetail = udf { (v: String) =>
+      SchemaInference.inferFromJson(v) match {
+        case None => null: String
+        case Some(s) =>
+          val seedT = DataType.fromJson(seedJson).asInstanceOf[StructType]
+          try { SchemaUnify.unify(Seq(seedT, s)); null: String }
+          catch {
+            case outer: Exception =>
+              val node =
+                try new com.fasterxml.jackson.databind.ObjectMapper().readTree(v)
+                catch { case _: Exception => null }
+              val perField = s.fields.toSeq.flatMap { f =>
+                seedT.fields.find(_.name == f.name).flatMap { sf =>
+                  try { SchemaUnify.unifyTypes(f.name, Seq(sf.dataType, f.dataType)); None }
+                  catch {
+                    case _: Exception =>
+                      val sample = Option(node).flatMap(n => Option(n.get(f.name)))
+                        .map(_.toString.take(64)).getOrElse("?")
+                      Some(s"field '${f.name}': topic type ${sf.dataType.simpleString} " +
+                        s"vs record type ${f.dataType.simpleString} (sample: $sample)")
+                  }
+                }
+              }
+              "Cannot unify incompatible types with topic schema: " +
+                (if (perField.isEmpty) outer.getMessage else perField.mkString("; "))
+          }
+      }
     }
-    val tagged = values.withColumn("__ok", compat(col("v"))).cache()
+    val tagged = values.withColumn("__err", errorDetail(col("v"))).cache()
     try {
-      val bad = tagged.filter(!col("__ok"))
+      val bad = tagged.filter(col("__err").isNotNull)
       sendToDlq(config.dlqTable.get, table,
-        bad.select(col("v"), col("partition"), col("offset")),
-        "Cannot unify incompatible types with topic schema")
-      val good = tagged.filter(col("__ok"))
+        bad.select(col("v"), col("partition"), col("offset"),
+          col("__err").as("error")))
+      val good = tagged.filter(col("__err").isNull)
         .select(col("v"), col("partition"), col("offset"))
       if (!good.isEmpty) {
         // "good" records each unify with the seed, but may still conflict
@@ -309,14 +340,20 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     } finally tagged.unpersist()
   }
 
-  private def sendToDlq(dlq: String, table: String, records: DataFrame, error: String): Unit = {
+  /** Land bad records in the DLQ table. `records` carries the raw payload
+    * (`v`), source `partition`/`offset`, and either a per-record `error`
+    * column or none (then `error` supplies the constant message). */
+  private def sendToDlq(dlq: String, table: String, records: DataFrame,
+      error: String = null): Unit = {
     val n = records.count()
     if (n == 0) return
     GraftMetrics.dlqRecords.add(n)
-    lake.append(dlq, records
-      .select(col("v").as("value"), col("partition"), col("offset"))
-      .withColumn("target_table", lit(table))
-      .withColumn("error", lit(error)))
+    val withErr =
+      if (records.columns.contains("error")) records
+      else records.withColumn("error", lit(error))
+    lake.append(dlq, withErr
+      .select(col("v").as("value"), col("partition"), col("offset"), col("error"))
+      .withColumn("target_table", lit(table)))
   }
 
   // ---- Arrow IPC path (S4/S6) ----

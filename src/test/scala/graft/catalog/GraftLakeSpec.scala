@@ -143,6 +143,28 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(rows(lake.read("p"), "id", "v") === Set(Seq(1, "a"), Seq(2, "b2")))
   }
 
+  test("upsert touching many partitions (isin-set scope path) stays correct") {
+    val lake = newLake()
+    // 100 raw partitions > maxExactPartitionPredicates (64) → the scope
+    // predicate takes the per-column isin form; an untouched partition's
+    // files must still survive (pruning intact), results exact
+    val base = (0 until 100).map(i => (i.toLong, s"p${i % 100}", s"v$i"))
+    lake.write("manyp", base.toDF("id", "part", "v"),
+      partitions = Seq("part"), pks = Seq("id"))
+    assert(GraftLake.maxExactPartitionPredicates < 100)
+    val beforeUntouched = lake.read("manyp").inputFiles
+      .filter(_.contains("__p_part=p0/")).toSet
+    // batch updates ids 1..99 (99 partitions affected), leaves p0 alone
+    val batch = (1 until 100).map(i => (i.toLong, s"p$i", s"V$i"))
+    lake.write("manyp", batch.toDF("id", "part", "v"), pks = Seq("id"))
+    val got = lake.read("manyp").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got === ((1 until 100).map(i => i.toLong -> s"V$i").toSet + (0L -> "v0")))
+    val afterFiles = lake.read("manyp").inputFiles.toSet
+    assert(beforeUntouched.subsetOf(afterFiles),
+      "partition p0 was not affected and must keep its files")
+  }
+
   test("upsert that empties a partition leaves no stale copy") {
     val lake = newLake()
     val t0 = java.sql.Timestamp.valueOf("2023-01-15 00:00:00")

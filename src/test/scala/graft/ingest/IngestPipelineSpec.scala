@@ -73,6 +73,29 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(r.getString(0) === "c")
     assert(r.getString(1).contains("Cannot unify"))
     assert(r.getString(2).contains("2024-03-01T12:00:00Z"))
+    // enriched error context (reference ArrowSchemaMerge.java:76-87 /
+    // SinkRecordToArrowConverterTest.java:518-537): offending field name,
+    // both types, and the record's own sample value
+    assert(r.getString(1).contains("field 'a'"), s"error was: ${r.getString(1)}")
+    assert(r.getString(1).contains("record type timestamp") &&
+      r.getString(1).contains("topic type int"))
+    assert(r.getString(1).contains("""sample: "2024-03-01T12:00:00Z""""))
+  }
+
+  test("schema conflict with no DLQ fails the batch with partition@offset samples") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-ingest").toString,
+      dlqTable = None))
+    p.processBatch(batchOf("nc" -> """{"a":1}"""), 0)
+    val e = intercept[Exception] {
+      p.processBatch(batchOf(
+        "nc" -> """{"a":2}""",
+        "nc" -> """{"a":"2024-03-01T12:00:00Z"}"""), 1)
+    }
+    assert(e.getMessage.contains("sample records (partition@offset)"),
+      s"message was: ${e.getMessage}")
+    assert(e.getMessage.contains("0@0"))
   }
 
   test("fields null in some records and absent in others land as nulls") {

@@ -265,6 +265,25 @@ class LlmOpsSpec extends AnyFunSuite {
 
   // ---- multimodal ----
 
+  test("PNG/WAV header parsers: exact metadata, junk falls back to the stub") {
+    // PNG RGBA 640x480 -> 4 channels, 1 frame
+    val png = MultimodalOps.synthPng(640, 480, colorType = 6)
+    val pm = MultimodalOps.decodeHeader(1L, png)
+    assert((pm.width, pm.height, pm.channels, pm.n_frames) === ((640, 480, 4, 1L)))
+    // PNG grayscale -> 1 channel
+    assert(MultimodalOps.decodeHeader(2L, MultimodalOps.synthPng(10, 7, 0)).channels === 1)
+    // WAV stereo 44100 Hz 16-bit, 250 sample frames
+    val wav = MultimodalOps.synthWav(2, 44100, 16, 250)
+    val wm = MultimodalOps.decodeHeader(3L, wav)
+    assert((wm.width, wm.height, wm.channels, wm.n_frames) === ((44100, 16, 2, 250L)))
+    // junk payload -> deterministic fallback (size-derived)
+    val junk = "not a container".getBytes("UTF-8")
+    assert(MultimodalOps.decodeHeader(4L, junk) === MultimodalOps.fakeDecode(4L, junk))
+    // truncated PNG signature -> fallback, not crash
+    val trunc = MultimodalOps.synthPng(5, 5, 2).take(10)
+    assert(MultimodalOps.decodeHeader(5L, trunc) === MultimodalOps.fakeDecode(5L, trunc))
+  }
+
   test("multimodal decode batch + frame sampling plumbing") {
     val docs = Seq((1L, "x" * 600), (2L, "y")).toDF("doc_id", "text")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
