@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial cases for the two approximate near-dup pipelines: exact
+  * expected pair sets at the decision boundary, and unicode token
+  * handling. The rows-only driver gate cannot hash-check these operators,
+  * so these specs pin the semantics instead. */
+class DedupAdversarialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("minhash-LSH: exact pair set at the Jaccard threshold boundary") {
+    // 11-token docs -> 9 word 3-shingles. A and B share the 8-token prefix:
+    // exactly 6 common shingles -> J = 6/(9+9-6) = 0.5, precisely ON the
+    // threshold (>= keeps it). C shares only a 7-token prefix with A/B:
+    // 5 common shingles -> J = 5/13 < 0.5, must be excluded. D == A -> J=1.
+    val p8 = (1 to 8).map(i => s"p$i").mkString(" ")
+    val p7 = (1 to 7).map(i => s"p$i").mkString(" ")
+    val docA = s"$p8 a9 a10 a11"
+    val docB = s"$p8 b9 b10 b11"
+    val docC = s"$p7 c8 c9 c10 c11"
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docA))
+      .toDF("doc_id", "text")
+    val got = DedupOps.minHashNearDups(docs, "doc_id", "text", 0.5)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 0.5), (2L, 4L, 0.5), (1L, 4L, 1.0)),
+      "boundary pair (J=0.5) kept, below-boundary (5/13) excluded, identical found")
+  }
+
+  test("minhash-LSH: sub-threshold candidates are killed by exact verification") {
+    // many docs sharing a few shingles (likely LSH candidates at low J) —
+    // verification must produce NO pairs at threshold 0.9
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 6).map { i =>
+      (i.toLong, base.replace("w12", s"x$i y$i z$i"))
+    }.toDF("doc_id", "text")
+    val got = DedupOps.minHashNearDups(docs, "doc_id", "text", 0.9).count()
+    assert(got === 0L)
+  }
+
+  test("minhash-LSH: unicode tokens (CJK, diacritics, emoji) behave exactly") {
+    val d1 = "café naïve 東京 größe ñandú 北京 résumé königsberg данные 処理 高速 動作"
+    val d3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq((1L, d1), (2L, d1), (3L, d3)).toDF("doc_id", "text")
+    val got = DedupOps.minHashNearDups(docs, "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)), "identical unicode docs pair at J=1, nothing else")
+  }
+
+  test("simhash banding: exact pair set around the hamming threshold") {
+    val base = 0x0123456789ABCDEFL
+    val fps = Map(
+      1L -> base,
+      2L -> (base ^ 1L),                                      // 1 flip
+      3L -> (base ^ ((1L << 0) | (1L << 17) | (1L << 34))),   // 3 flips, 3 chunks
+      4L -> (base ^ ((1L << 0) | (1L << 17) | (1L << 34) | (1L << 51))), // 4 flips, all chunks
+      5L -> (base ^ 0x7L))                                    // 3 flips, one chunk
+    val df = fps.toSeq.map { case (id, f) => (id, f) }.toDF("doc_id", "simhash")
+    val got = DedupOps.simHashNearDups(df, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth computed locally: every pair at hamming <= 3 MUST be
+    // found (pigeonhole: <=3 flips across 4 chunks always leaves a shared
+    // chunk), everything above excluded
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)).toLong
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.nonEmpty && expected.exists(_._3 == 3L))
+    assert(fps.exists { case (id, f) =>
+      id == 4L && java.lang.Long.bitCount(f ^ base) == 4 })
+    assert(got === expected)
+  }
+
+  test("simhash end-to-end on unicode text: identical docs at distance 0") {
+    val d = "データ 処理 エンジン cafés наïve 😀 große テスト"
+    val docs = Seq((1L, d), (2L, d), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val fps = DedupOps.simHash(docs, "doc_id", "text")
+    val got = DedupOps.simHashNearDups(fps, "doc_id", maxHamming = 0)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+}
