@@ -203,7 +203,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   // ---- write ----
 
-  private def withPartitionCols(df: DataFrame, meta: TableMeta): DataFrame =
+  private[graft] def withPartitionCols(df: DataFrame, meta: TableMeta): DataFrame =
     meta.partitionExprs.foldLeft(df)((d, e) =>
       d.withColumn(e.outputName, e.toColumn))
 
@@ -291,31 +291,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
           .select(partCols.map(c => col(quoted(c))): _*).distinct()
         val parts = batchParts.union(matchedParts).distinct().collect()
-        // Small batches get the exact per-tuple predicate; past
-        // `maxExactPartitionPredicates` affected partitions the OR-chain
-        // would blow up the optimizer, so switch to one `isin` set per
-        // partition column. The per-column form is a (cartesian) superset
-        // of the exact tuple set — still correct (extra partitions are
-        // rewritten unchanged), still prunes at the scan, and its size is
-        // O(distinct values per column), not O(tuples).
-        val filter =
-          if (parts.isEmpty) lit(false)
-          else if (parts.length <= maxExactPartitionPredicates)
-            parts.map { r =>
-              partCols.zipWithIndex.map { case (c, i) =>
-                if (r.isNullAt(i)) col(quoted(c)).isNull else col(quoted(c)) === lit(r.get(i))
-              }.reduce(_ && _)
-            }.reduce(_ || _)
-          else
-            partCols.zipWithIndex.map { case (c, i) =>
-              val vals = parts.map(r => if (r.isNullAt(i)) null else r.get(i)).distinct
-              val nonNull = vals.filter(_ != null)
-              val base =
-                if (nonNull.isEmpty) lit(false)
-                else col(quoted(c)).isin(nonNull.toIndexedSeq: _*)
-              if (vals.contains(null)) base || col(quoted(c)).isNull else base
-            }.reduce(_ && _)
-        existing.filter(filter)
+        existing.filter(GraftLake.partitionScope(partCols, parts))
       }
 
     // W2 rewrite with exact MERGE INTO semantics in ONE full-outer join
@@ -388,6 +364,27 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val f = fs(dd)
     f.delete(dd, true)
     f.rename(stage, dd)
+  }
+
+  /** Rewrite a scoped slice of the table: `survivors` replaces the
+    * contents of `affectedDirs` (every partition directory the scope
+    * covered — a partition whose rows all vanish has no staged leaf but
+    * must still be cleared). Unpartitioned tables replace the whole file
+    * set, so `survivors` must then be the full remaining table.
+    * Engine-internal support for the SQL DELETE/UPDATE rewrites. */
+  private[graft] def replaceScoped(name: String, survivors: DataFrame,
+      affectedDirs: Seq[String]): Unit = writeLock(name) {
+    val meta = readMeta(name)
+    val partCols = meta.partitionExprs.map(_.outputName)
+    val out = withPartitionCols(
+      survivors.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*), meta)
+    val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+    val writer = out.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    swapInto(stage, new Path(dataDir(name)), partCols.size,
+      affectedDirs.map(new Path(_)))
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -465,7 +462,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     } finally f.delete(stage, true)
   }
 
-  private def quoted(n: String): String = s"`${n.replace("`", "``")}`"
+  private def quoted(n: String): String = GraftLake.quoted(n)
 }
 
 object GraftLake {
@@ -490,6 +487,37 @@ object GraftLake {
   /** Affected-partition count above which the upsert scope predicate
     * switches from the exact per-tuple OR-chain to per-column isin sets. */
   val maxExactPartitionPredicates = 64
+
+  private[graft] def quoted(n: String): String = s"`${n.replace("`", "``")}`"
+
+  /** Scope predicate over the partition columns for a collected set of
+    * affected partition tuples. Small sets get the exact per-tuple
+    * OR-chain; past [[maxExactPartitionPredicates]] tuples the OR-chain
+    * would blow up the optimizer, so it switches to one `isin` set per
+    * partition column — a (cartesian) superset of the exact tuple set:
+    * still correct (extra partitions are rewritten unchanged), still
+    * prunes at the scan, and O(distinct values per column) in size. Row
+    * ordinals must match `partCols`. */
+  private[graft] def partitionScope(partCols: Seq[String],
+      parts: Array[org.apache.spark.sql.Row]): Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (parts.isEmpty) lit(false)
+    else if (parts.length <= maxExactPartitionPredicates)
+      parts.map { r =>
+        partCols.zipWithIndex.map { case (c, i) =>
+          if (r.isNullAt(i)) col(quoted(c)).isNull else col(quoted(c)) === lit(r.get(i))
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+    else
+      partCols.zipWithIndex.map { case (c, i) =>
+        val vals = parts.map(r => if (r.isNullAt(i)) null else r.get(i)).distinct
+        val nonNull = vals.filter(_ != null)
+        val base =
+          if (nonNull.isEmpty) lit(false)
+          else col(quoted(c)).isin(nonNull.toIndexedSeq: _*)
+        if (vals.contains(null)) base || col(quoted(c)).isNull else base
+      }.reduce(_ && _)
+  }
 
   /** Clear caches (tests / external table mutation). */
   def invalidateCaches(): Unit = {

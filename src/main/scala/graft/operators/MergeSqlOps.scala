@@ -151,5 +151,60 @@ object MergeSqlOps {
       .orderBy(col("y"))
   }
 
-  val all: Seq[QueryDef] = Seq(q59MergeSql, q60MergeGeneralSql, q61InsertSql)
+  /** SQL DELETE on a partitioned table (partition-scoped copy-on-write
+    * rewrite — only partitions holding matching rows are touched). */
+  val q62DeleteSql = QueryDef(
+    "q62_delete_sql",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h))
+      |SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+      |FROM seed WHERE NOT (o_totalprice < 100000)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val h = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("ord_del")) lake.dropTable("ord_del")
+    lake.write("ord_del", orders.filter(col("o_orderkey") < h),
+      partitions = Seq("o_orderpriority"))
+    s.sql("DELETE FROM gm.ord_del WHERE o_totalprice < 100000")
+    lake.read("ord_del")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SQL UPDATE that relocates rows across partitions (the updated
+    * partition-source column moves matching rows into the 'MOVED'
+    * partition; old-row semantics for the arithmetic RHS). */
+  val q63UpdateSql = QueryDef(
+    "q63_update_sql",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h))
+      |SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 250000 THEN 'MOVED' ELSE o_orderpriority END AS o_orderpriority,
+      |  round(CASE WHEN o_totalprice > 250000 THEN o_totalprice + 1
+      |             ELSE o_totalprice END, 2) AS o_totalprice
+      |FROM seed ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val h = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("ord_upd")) lake.dropTable("ord_upd")
+    lake.write("ord_upd", orders.filter(col("o_orderkey") < h),
+      partitions = Seq("o_orderpriority"))
+    s.sql(
+      """UPDATE gm.ord_upd
+        |SET o_orderpriority = 'MOVED', o_totalprice = o_totalprice + 1
+        |WHERE o_totalprice > 250000""".stripMargin)
+    lake.read("ord_upd")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q59MergeSql, q60MergeGeneralSql, q61InsertSql,
+    q62DeleteSql, q63UpdateSql)
 }

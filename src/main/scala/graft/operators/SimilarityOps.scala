@@ -114,17 +114,23 @@ object SimilarityOps {
     if (cents.isEmpty) return cents
     val dim = cents.head.size
     val dimAggs = (1 to dim).map(i => avg(element_at(col(vecCol), i)))
-    for (_ <- 1 to iters) {
-      val rows = corpus
-        .select(col(vecCol), nearestCid(col(vecCol), cents.toSeq).as("__cid"))
-        .groupBy(col("__cid")).agg(dimAggs.head, dimAggs.tail: _*)
-        .collect()
-      val byCid = rows.map(r => r.getInt(0) ->
-        (1 to dim).map(i => r.getDouble(i))).toMap
-      cents = cents.zipWithIndex.map { case (prev, cid) =>
-        byCid.getOrElse(cid, prev)
+    // the fit re-scans the vectors once per iteration — cache the pruned
+    // projection for its lifetime (at lake scale fit the quantizer on a
+    // deterministic subset, e.g. pmod(xxhash64(id), k) = 0, instead)
+    val vecs = corpus.select(col(vecCol)).cache()
+    try {
+      for (_ <- 1 to iters) {
+        val rows = vecs
+          .select(col(vecCol), nearestCid(col(vecCol), cents.toSeq).as("__cid"))
+          .groupBy(col("__cid")).agg(dimAggs.head, dimAggs.tail: _*)
+          .collect()
+        val byCid = rows.map(r => r.getInt(0) ->
+          (1 to dim).map(i => r.getDouble(i))).toMap
+        cents = cents.zipWithIndex.map { case (prev, cid) =>
+          byCid.getOrElse(cid, prev)
+        }
       }
-    }
+    } finally vecs.unpersist()
     cents
   }
 

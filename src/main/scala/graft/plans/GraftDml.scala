@@ -1,0 +1,133 @@
+package graft.plans
+
+import graft.catalog.GraftLake
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.internal.SQLConf
+
+/** SQL `DELETE FROM` over a graft table: partition-scoped copy-on-write.
+  * Affected partitions are discovered from the rows matching the
+  * condition; only those partitions are rewritten (survivors staged +
+  * directory swap). Unpartitioned tables rewrite the whole file set —
+  * same degradation as the engine upsert, documented there. */
+final case class GraftDeleteCommand(
+    warehouse: String,
+    table: String,
+    target: LogicalPlan,
+    cond: Expression) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(target)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = new GraftLake(spark, warehouse)
+    val meta = lake.readMeta(table)
+    val tdf = PlanBridge.ofRows(spark, target)
+    // DELETE removes rows where the condition IS TRUE; null-valued
+    // conditions keep the row
+    val hit = coalesce(PlanBridge.column(cond), lit(false))
+    val partCols = meta.partitionExprs.map(_.outputName)
+    if (partCols.isEmpty) {
+      lake.replaceScoped(table, tdf.filter(!hit), Nil)
+    } else {
+      GraftDml.scope(tdf, tdf.filter(hit), partCols) match {
+        case None => () // nothing matches — no partition touched
+        case Some((scoped, dirs)) =>
+          lake.replaceScoped(table, scoped.filter(!hit), dirs)
+      }
+    }
+    Seq.empty
+  }
+}
+
+/** SQL `UPDATE` over a graft table: partition-scoped copy-on-write. All
+  * assignment right-hand sides evaluate against the OLD row
+  * (simultaneous-assignment semantics). Scope = partitions holding
+  * matching rows ∪ partitions the updated rows move into (an update of a
+  * partition-source column relocates rows; the destination partitions
+  * must be rewritten too so the staged swap keeps their existing rows). */
+final case class GraftUpdateCommand(
+    warehouse: String,
+    table: String,
+    target: LogicalPlan,
+    assignments: Seq[Assignment],
+    cond: Option[Expression]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(target)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = new GraftLake(spark, warehouse)
+    val meta = lake.readMeta(table)
+    val tdf = PlanBridge.ofRows(spark, target)
+    val hit = cond.map(c => coalesce(PlanBridge.column(c), lit(false)))
+      .getOrElse(lit(true))
+    val assignByName: Map[String, Column] = assignments.map {
+      case Assignment(k: Attribute, v) =>
+        if (k.name.startsWith("__p_")) throw new UnsupportedOperationException(
+          s"UPDATE of generated partition column '${k.name}' — update the source column instead")
+        val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(k.name))
+          .map(_.dataType).getOrElse(k.dataType)
+        val castV = if (PlanBridge.sameType(v.dataType, dt)) v
+          else Cast(v, dt, Option(SQLConf.get.sessionLocalTimeZone))
+        k.name.toLowerCase -> PlanBridge.column(castV)
+      case Assignment(k, _) => throw new UnsupportedOperationException(
+        s"UPDATE with nested-field assignment '${k.sql}' is not supported")
+    }.toMap
+    def updatedCols(df: DataFrame): DataFrame =
+      df.select(meta.schema.fieldNames.toSeq.map { n =>
+        assignByName.get(n.toLowerCase) match {
+          case Some(v) => when(hit, v).otherwise(col(GraftLake.quoted(n))).as(n)
+          case None => col(GraftLake.quoted(n))
+        }
+      }: _*)
+    val partCols = meta.partitionExprs.map(_.outputName)
+    if (partCols.isEmpty) {
+      lake.replaceScoped(table, updatedCols(tdf), Nil)
+    } else {
+      val matching = tdf.filter(hit)
+      val srcParts = matching
+        .select(partCols.map(c => col(GraftLake.quoted(c))): _*).distinct()
+      // destination partitions: recompute partition expressions over the
+      // updated column values of the matching rows
+      val destParts = lake.withPartitionCols(updatedCols(matching), meta)
+        .select(partCols.map(c => col(GraftLake.quoted(c))): _*).distinct()
+      val parts = srcParts.union(destParts).distinct().collect()
+      if (parts.isEmpty) return Seq.empty
+      val scoped = tdf.filter(GraftLake.partitionScope(partCols, parts))
+      val dirs = GraftDml.partitionDirs(scoped)
+      lake.replaceScoped(table, updatedCols(scoped), dirs)
+    }
+    Seq.empty
+  }
+}
+
+private[plans] object GraftDml {
+
+  /** Partition directories currently backing `df` (via the pruned scan's
+    * `input_file_name`, never `DataFrame.inputFiles` — that ignores
+    * pruning). Bounded by the number of affected partitions × files. */
+  def partitionDirs(df: DataFrame): Seq[String] =
+    df.select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getParent.toString)
+      .toSeq.distinct
+
+  /** Scope a partitioned rewrite to the partitions containing `matching`
+    * rows: returns (scoped target rows, their backing partition dirs), or
+    * None when nothing matches. */
+  def scope(tdf: DataFrame, matching: DataFrame,
+      partCols: Seq[String]): Option[(DataFrame, Seq[String])] = {
+    val parts = matching
+      .select(partCols.map(c => col(GraftLake.quoted(c))): _*).distinct().collect()
+    if (parts.isEmpty) None
+    else {
+      val scoped = tdf.filter(GraftLake.partitionScope(partCols, parts))
+      Some((scoped, partitionDirs(scoped)))
+    }
+  }
+}

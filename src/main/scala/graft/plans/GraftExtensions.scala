@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   *
   * Injected rules:
-  *  - [[RewriteGraftMerge]] — `MERGE INTO graft.t USING ... ON ...` routes
-  *    into the engine's merge write path (the reference's headline
-  *    operator, ingestor/DucklakeWriter.java:151-168, as literal SQL).
+  *  - [[RewriteGraftMerge]] — literal `MERGE INTO` (the reference's
+  *    headline operator, ingestor/DucklakeWriter.java:151-168), plus
+  *    `UPDATE` and `DELETE FROM`, all routed into the engine's
+  *    partition-scoped copy-on-write rewrites.
   */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -41,6 +41,19 @@ object RewriteGraftMerge extends Rule[LogicalPlan] {
             m.notMatchedBySourceActions)
         case None => m
       }
+    case d: DeleteFromTable if d.resolved =>
+      graftTarget(d.table) match {
+        case Some((cat, name)) =>
+          GraftDeleteCommand(cat.warehouseDir, name, d.table, d.condition)
+        case None => d
+      }
+    case u: UpdateTable if u.resolved =>
+      graftTarget(u.table) match {
+        case Some((cat, name)) =>
+          GraftUpdateCommand(cat.warehouseDir, name, u.table, u.assignments,
+            u.condition)
+        case None => u
+      }
   }
 
   /** The graft (catalog, table-name) behind a resolved target relation. */

@@ -103,6 +103,58 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("matched more than one source row"))
   }
 
+  test("SQL DELETE is partition-scoped: untouched partition keeps its files") {
+    import spark.implicits._
+    lake.write("d1",
+      Seq((1L, "A", 5.0), (2L, "A", 50.0), (3L, "B", 5.0), (4L, "C", 9.0))
+        .toDF("id", "seg", "x"),
+      partitions = Seq("seg"))
+    val wh = spark.conf.get("spark.sql.catalog.gmt.warehouse")
+    def files(seg: String) = Option(new java.io.File(s"$wh/d1/data/__p_seg=$seg")
+      .listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    val beforeA = files("A"); val beforeB = files("B")
+    assert(beforeA.nonEmpty && beforeB.nonEmpty)
+    spark.sql("DELETE FROM gmt.d1 WHERE x < 8 AND seg <> 'B'")
+    val got = lake.read("d1").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((2L, "A"), (3L, "B"), (4L, "C")))
+    assert(files("B") === beforeB, "partition B had no matches — files untouched")
+    assert(files("A") !== beforeA, "partition A was rewritten")
+  }
+
+  test("SQL DELETE where the condition is null keeps the row") {
+    import spark.implicits._
+    lake.write("d2", Seq((1L, Some(3.0)), (2L, None), (3L, Some(30.0)))
+      .toDF("id", "x"))
+    spark.sql("DELETE FROM gmt.d2 WHERE x < 10")
+    assert(lake.read("d2").select("id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L), "null condition is not TRUE — row 2 stays")
+  }
+
+  test("SQL UPDATE relocates rows when a partition-source column changes") {
+    import spark.implicits._
+    lake.write("u1",
+      Seq((1L, "A", 1.0), (2L, "A", 100.0), (3L, "B", 2.0))
+        .toDF("id", "seg", "x"),
+      partitions = Seq("seg"))
+    spark.sql("UPDATE gmt.u1 SET seg = 'HOT', x = x * 2 WHERE x >= 100")
+    val got = lake.read("u1").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "A", 1.0), (2L, "HOT", 200.0), (3L, "B", 2.0)))
+    val hot = new java.io.File(
+      s"${spark.conf.get("spark.sql.catalog.gmt.warehouse")}/u1/data/__p_seg=HOT")
+    assert(hot.isDirectory && hot.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("SQL UPDATE uses simultaneous old-row assignment semantics") {
+    import spark.implicits._
+    lake.write("u2", Seq((1L, 10.0, 20.0)).toDF("id", "a", "b"))
+    spark.sql("UPDATE gmt.u2 SET a = b, b = a")
+    val r = lake.read("u2").select("a", "b").head()
+    assert((r.getDouble(0), r.getDouble(1)) === ((20.0, 10.0)),
+      "both RHS evaluate against the old row — a swap, not a copy chain")
+  }
+
   test("merge into a non-graft table still fails analysis (rule scoped to graft)") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("m_plain_t")
