@@ -359,15 +359,25 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
   // ---- Arrow IPC path (S4/S6) ----
 
   private def processArrowIpc(topic: String, table: String, records: DataFrame): Unit = {
+    // Pass 1: unify record schemas (schema-only header decode). A conflict
+    // routes the batch to per-record triage, same as the JSON path.
+    val schemas = records.select(col("value")).as[Array[Byte]].rdd
+      .map(ArrowIpc.decodeSchema).distinct().collect()
+    if (schemas.isEmpty) return
+    val unified =
+      try Some(schemaCache.unifiedFor(topic, schemas.toSeq))
+      catch {
+        case e: Throwable if causeChainHasSchemaConflict(e) =>
+          triageArrow(topic, table, records); None
+      }
+    unified.foreach(u => landArrow(table, records, u))
+  }
+
+  /** Pass 2: decode + conform rows to the unified schema, land. */
+  private def landArrow(table: String, records: DataFrame, unified: StructType): Unit = {
     val bytesRdd: RDD[(Array[Byte], Long)] = records
       .select(col("value"), col("offset")).as[(Array[Byte], Long)].rdd
-    // Pass 1: unify record schemas (schema-only header decode).
-    val schemas = bytesRdd.map { case (b, _) => ArrowIpc.decodeSchema(b) }
-      .distinct().collect()
-    if (schemas.isEmpty) return
-    val unified = schemaCache.unifiedFor(topic, schemas.toSeq)
     val unifiedJson = unified.json
-    // Pass 2: decode + conform rows to the unified schema.
     val rows: RDD[Row] = bytesRdd.mapPartitions { it =>
       val target = DataType.fromJson(unifiedJson).asInstanceOf[StructType]
       it.flatMap { case (bytes, offset) =>
@@ -378,8 +388,77 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       }
     }
     val withOffset = StructType(unified.fields.toSeq :+ StructField("__offset", LongType))
-    val df = spark.createDataFrame(rows, withOffset)
-    writeToLake(table, df)
+    writeToLake(table, spark.createDataFrame(rows, withOffset))
+  }
+
+  /** Reference E2 triage for the Arrow path: each record's schema is
+    * retried solo against the deterministic seed (cached topic schema,
+    * else the lowest-offset record's); incompatible or undecodable records
+    * land in the DLQ with enriched per-field errors (payload base64'd into
+    * the DLQ value column), the rest re-batch and land. */
+  private def triageArrow(topic: String, table: String, records: DataFrame): Unit = {
+    if (config.dlqTable.isEmpty) {
+      val samples = records.orderBy(col("partition"), col("offset"))
+        .select(col("partition"), col("offset")).limit(5).collect()
+        .map(r => s"${r.getInt(0)}@${r.getLong(1)}").mkString(", ")
+      throw new SchemaUnify.GraftSchemaException(
+        s"Arrow schema conflict in topic '$topic' and no DLQ configured; " +
+          s"sample records (partition@offset): $samples")
+    }
+    val seed: StructType = schemaCache.get(topic).getOrElse {
+      val first = records.orderBy(col("partition"), col("offset"))
+        .select("value").as[Array[Byte]].head()
+      try ArrowIpc.decodeSchema(first) catch { case _: Exception => StructType(Nil) }
+    }
+    val seedJson = seed.json
+    val errorDetail = udf { (v: Array[Byte]) =>
+      try {
+        val s = ArrowIpc.decodeSchema(v)
+        val seedT = DataType.fromJson(seedJson).asInstanceOf[StructType]
+        try { SchemaUnify.unify(Seq(seedT, s)); null: String }
+        catch {
+          case outer: Exception =>
+            val sampleRow =
+              try ArrowIpc.decode(v)._2.headOption catch { case _: Exception => None }
+            val perField = s.fields.toSeq.flatMap { f =>
+              seedT.fields.find(_.name == f.name).flatMap { sf =>
+                try { SchemaUnify.unifyTypes(f.name, Seq(sf.dataType, f.dataType)); None }
+                catch {
+                  case _: Exception =>
+                    val sample = sampleRow
+                      .map(r => String.valueOf(r.get(s.fieldIndex(f.name))).take(64))
+                      .getOrElse("?")
+                    Some(s"field '${f.name}': topic type ${sf.dataType.simpleString} " +
+                      s"vs record type ${f.dataType.simpleString} (sample: $sample)")
+                }
+              }
+            }
+            "Cannot unify incompatible types with topic schema: " +
+              (if (perField.isEmpty) outer.getMessage else perField.mkString("; "))
+        }
+      } catch {
+        case e: Exception => "undecodable Arrow IPC: " +
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(120)
+      }
+    }
+    val tagged = records.withColumn("__err", errorDetail(col("value"))).cache()
+    try {
+      val bad = tagged.filter(col("__err").isNotNull)
+      sendToDlq(config.dlqTable.get, table,
+        bad.select(base64(col("value")).as("v"), col("partition"), col("offset"),
+          col("__err").as("error")))
+      val good = tagged.filter(col("__err").isNull)
+      if (!good.isEmpty) {
+        val goodSchemas = good.select(col("value")).as[Array[Byte]].rdd
+          .map(ArrowIpc.decodeSchema).distinct().collect()
+        // good records each unify with the seed, but can conflict pairwise
+        // (same NEW field, different types) — land under the seed alone then
+        val unified =
+          try schemaCache.unifiedFor(topic, goodSchemas.toSeq)
+          catch { case e: Throwable if causeChainHasSchemaConflict(e) => seed }
+        if (unified.nonEmpty) landArrow(table, good, unified)
+      }
+    } finally tagged.unpersist()
   }
 
   // ---- streaming assembly ----

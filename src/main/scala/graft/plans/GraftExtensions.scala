@@ -1,6 +1,10 @@
 package graft.plans
 
+import graft.functions.{ShingleExpression, SketchExpressions, TextExpressions, VectorFunctions}
+
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extensions that make graft's DML surface reachable from plain
   * SQL. Register at session build time, the same way Delta/Iceberg require:
@@ -20,5 +24,33 @@ import org.apache.spark.sql.SparkSessionExtensions
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(_ => RewriteGraftMerge)
+    // the engine's native codegen'd expressions, available to every
+    // session built with the extensions (no per-session register() call)
+    GraftExtensions.functions.foreach(ext.injectFunction)
   }
+}
+
+object GraftExtensions {
+  private def fn(name: String, usage: String,
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, ""),
+      builder)
+
+  /** (identifier, info, builder) triples for the engine's native
+    * functions — shared by the extension injection; sessions without the
+    * extensions can still use the per-session `register()` helpers. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("graft_cosine_similarity",
+      "cosine similarity of two float/double array columns",
+      exprs => VectorFunctions.CosineSimilarity(exprs(0), exprs(1))),
+    fn("graft_minhash", "64-hash MinHash signature of a string array",
+      exprs => SketchExpressions.MinHashSignature(exprs.head, 64)),
+    fn("graft_simhash", "64-bit SimHash of a token array",
+      exprs => SketchExpressions.SimHash64(exprs.head)),
+    fn("graft_rolling_hash", "polynomial rolling-hash fingerprint of a string",
+      exprs => TextExpressions.RollingHash(exprs.head))) ++
+    (2 to 5).map(k => fn(s"graft_shingles_$k", s"distinct word $k-shingles",
+      exprs => ShingleExpression.WordShingles(exprs.head, k)))
 }

@@ -132,6 +132,27 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(p.lake.read("_dlq").count() === 1)
   }
 
+  test("conflicting Arrow record schemas triage to DLQ with enriched errors") {
+    val p = newPipeline()
+    val good = ArrowIpc.encode(
+      StructType(Seq(StructField("id", LongType), StructField("x", LongType))),
+      Seq(Row(1L, 5L)))
+    val conflicting = ArrowIpc.encode(
+      StructType(Seq(StructField("id", LongType), StructField("x", StringType))),
+      Seq(Row(2L, "oops")))
+    val df = Seq(("at", 0, 0L, good), ("at", 0, 1L, conflicting))
+      .toDF("topic", "partition", "offset", "value")
+    p.processBatch(df, 0)
+    assert(p.lake.read("at").select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L), "seed-compatible record lands")
+    val r = p.lake.read("_dlq").select("error", "value", "offset").head()
+    assert(r.getString(0).contains("field 'x'") &&
+      r.getString(0).contains("sample: oops"), s"error was: ${r.getString(0)}")
+    assert(java.util.Base64.getMimeDecoder.decode(r.getString(1))
+      .sameElements(conflicting), "DLQ value carries the base64 raw payload")
+    assert(r.getLong(2) === 1L)
+  }
+
   test("mixed-format topic: Arrow IPC and JSON records both land") {
     val p = newPipeline()
     val ipcBytes = makeIpc(Seq((10L, "ivan"), (11L, "irma")))
