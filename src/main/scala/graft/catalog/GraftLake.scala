@@ -356,14 +356,21 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val out = withPartitionCols(projected, meta)
     val partCols = meta.partitionExprs.map(_.outputName)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
-    val writer = out.write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(stage.toString)
     val dd = new Path(dataDir(name))
     val f = fs(dd)
-    f.delete(dd, true)
-    f.rename(stage, dd)
+    try {
+      val writer = out.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+      // rename-aside instead of delete-then-rename: a crash between the
+      // two renames leaves the old contents recoverable in .old-*, never
+      // a lost table
+      val old = new Path(s"${tableDir(name)}/.old-${UUID.randomUUID()}")
+      if (f.exists(dd)) f.rename(dd, old)
+      f.rename(stage, dd)
+      f.delete(old, true)
+    } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
   /** Rewrite a scoped slice of the table: `survivors` replaces the

@@ -58,13 +58,24 @@ object IngestConfig {
 
   /** Identity-fallback sanitization: map every character outside
     * [a-zA-Z0-9_-] to '_' and prefix '_' if the result starts with a
-    * non-letter. Deterministic, so one topic always lands in one table. */
+    * non-letter. Whenever sanitization CHANGED the name, a 4-hex-digit
+    * digest of the original topic is appended — so distinct topics that
+    * sanitize alike (`db.users` vs `db_users`, `a.b.c` vs `a.b_c`) land
+    * in distinct tables instead of silently interleaving. Deterministic:
+    * one topic always lands in one table. */
   def sanitizeTableName(topic: String): String = {
     val cleaned = topic.map(c =>
       if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-') c else '_')
-    if (cleaned.isEmpty || !(cleaned.head.isLetter && cleaned.head < 128 || cleaned.head == '_'))
-      "_" + cleaned
-    else cleaned
+    val based =
+      if (cleaned.isEmpty || !(cleaned.head.isLetter && cleaned.head < 128 || cleaned.head == '_'))
+        "_" + cleaned
+      else cleaned
+    if (based == topic) based
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(topic.getBytes("UTF-8"))
+      f"${based}_${md(0) & 0xff}%02x${md(1) & 0xff}%02x"
+    }
   }
 
   def validate(c: IngestConfig): Unit = {
@@ -98,6 +109,17 @@ final class SchemaCache {
 
   def put(topic: String, s: StructType): Unit = cache.put(topic, s)
   def clear(): Unit = cache.clear()
+}
+
+object IngestPipeline {
+  /** Ships the seed schema to executors as JSON, deserializing once per
+    * executor (`@transient lazy`) instead of once per record inside the
+    * triage UDFs. */
+  private final class SeedHolder(json: String) extends Serializable {
+    @transient lazy val schema: StructType =
+      DataType.fromJson(json).asInstanceOf[StructType]
+    @transient lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
 }
 
 /** The streaming ingestion engine: Kafka-shaped source → per-topic format
@@ -284,18 +306,18 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         .select("v").as[String].head()
       SchemaInference.inferFromJson(first).getOrElse(StructType(Nil))
     }
-    val seedJson = seed.json
+    val holder = new IngestPipeline.SeedHolder(seed.json)
     // null = compatible; else the enriched per-record error message
     val errorDetail = udf { (v: String) =>
       SchemaInference.inferFromJson(v) match {
         case None => null: String
         case Some(s) =>
-          val seedT = DataType.fromJson(seedJson).asInstanceOf[StructType]
+          val seedT = holder.schema
           try { SchemaUnify.unify(Seq(seedT, s)); null: String }
           catch {
             case outer: Exception =>
               val node =
-                try new com.fasterxml.jackson.databind.ObjectMapper().readTree(v)
+                try holder.mapper.readTree(v)
                 catch { case _: Exception => null }
               val perField = s.fields.toSeq.flatMap { f =>
                 seedT.fields.find(_.name == f.name).flatMap { sf =>
@@ -359,11 +381,18 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
   // ---- Arrow IPC path (S4/S6) ----
 
   private def processArrowIpc(topic: String, table: String, records: DataFrame): Unit = {
-    // Pass 1: unify record schemas (schema-only header decode). A conflict
-    // routes the batch to per-record triage, same as the JSON path.
-    val schemas = records.select(col("value")).as[Array[Byte]].rdd
-      .map(ArrowIpc.decodeSchema).distinct().collect()
-    if (schemas.isEmpty) return
+    // Pass 1: unify record schemas (schema-only header decode). A schema
+    // conflict OR an undecodable record routes the batch to per-record
+    // triage, same as the JSON path — a single corrupt payload must not
+    // become a poison pill that fails the stream on every retry.
+    val tried = records.select(col("value")).as[Array[Byte]].rdd
+      .map(b =>
+        try Right(ArrowIpc.decodeSchema(b))
+        catch { case e: Exception => Left(e.getClass.getName) })
+      .distinct().collect()
+    val schemas = tried.collect { case Right(s) => s }
+    if (tried.isEmpty) return
+    if (tried.exists(_.isLeft)) { triageArrow(topic, table, records); return }
     val unified =
       try Some(schemaCache.unifiedFor(topic, schemas.toSeq))
       catch {
@@ -410,11 +439,11 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         .select("value").as[Array[Byte]].head()
       try ArrowIpc.decodeSchema(first) catch { case _: Exception => StructType(Nil) }
     }
-    val seedJson = seed.json
+    val holder = new IngestPipeline.SeedHolder(seed.json)
     val errorDetail = udf { (v: Array[Byte]) =>
       try {
         val s = ArrowIpc.decodeSchema(v)
-        val seedT = DataType.fromJson(seedJson).asInstanceOf[StructType]
+        val seedT = holder.schema
         try { SchemaUnify.unify(Seq(seedT, s)); null: String }
         catch {
           case outer: Exception =>

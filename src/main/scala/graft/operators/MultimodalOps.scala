@@ -69,24 +69,30 @@ object MultimodalOps {
   private[operators] def parseWav(id: Long, b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var o = 12
+    // long offsets + unsigned chunk sizes: a corrupt 32-bit size must fall
+    // back (return None -> stub), never wrap the offset and throw
+    var o = 12L
     var channels = 0; var sampleRate = 0; var bits = 0; var blockAlign = 0
-    var frames = -1L
+    var dataSize = -1L
     while (o + 8 <= b.length) {
-      val cid = new String(b, o, 4, "US-ASCII")
-      val size = le32(b, o + 4)
-      if (cid == "fmt " && o + 24 <= b.length) {
-        channels = le16(b, o + 10)
-        sampleRate = le32(b, o + 12)
-        blockAlign = le16(b, o + 20)
-        bits = if (o + 24 <= b.length) le16(b, o + 22) else 0
+      val oi = o.toInt
+      val cid = new String(b, oi, 4, "US-ASCII")
+      val size = le32(b, oi + 4).toLong & 0xffffffffL
+      if (size > b.length.toLong) return None
+      if (cid == "fmt " && oi + 24 <= b.length) {
+        channels = le16(b, oi + 10)
+        sampleRate = le32(b, oi + 12)
+        blockAlign = le16(b, oi + 20)
+        bits = le16(b, oi + 22)
       } else if (cid == "data") {
-        frames = if (blockAlign > 0) size.toLong / blockAlign else size.toLong
+        dataSize = size
       }
       o += 8 + size + (size & 1) // chunks are word-aligned
-      if (size < 0) return None
     }
-    if (channels <= 0 || sampleRate <= 0 || frames < 0) return None
+    if (channels <= 0 || sampleRate <= 0 || dataSize < 0) return None
+    // frame count computed AFTER the walk: a data chunk preceding the fmt
+    // chunk (legal RIFF ordering) still divides by the final block align
+    val frames = if (blockAlign > 0) dataSize / blockAlign else dataSize
     Some(MediaMeta(id, b.length.toLong, sampleRate, bits, channels, frames))
   }
 

@@ -34,7 +34,10 @@ final case class GraftDeleteCommand(
     val hit = coalesce(PlanBridge.column(cond), lit(false))
     val partCols = meta.partitionExprs.map(_.outputName)
     if (partCols.isEmpty) {
-      lake.replaceScoped(table, tdf.filter(!hit), Nil)
+      // no-op guard: a condition matching nothing must not trigger a
+      // full-table rewrite (the partitioned branch early-exits via scope)
+      if (!tdf.filter(hit).isEmpty)
+        lake.replaceScoped(table, tdf.filter(!hit), Nil)
     } else {
       GraftDml.scope(tdf, tdf.filter(hit), partCols) match {
         case None => () // nothing matches — no partition touched
@@ -88,7 +91,8 @@ final case class GraftUpdateCommand(
       }: _*)
     val partCols = meta.partitionExprs.map(_.outputName)
     if (partCols.isEmpty) {
-      lake.replaceScoped(table, updatedCols(tdf), Nil)
+      if (!tdf.filter(hit).isEmpty)
+        lake.replaceScoped(table, updatedCols(tdf), Nil)
     } else {
       val matching = tdf.filter(hit)
       val srcParts = matching

@@ -4,7 +4,7 @@ import graft.catalog.{GraftCatalog, GraftLake, TableMeta}
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -186,10 +186,14 @@ final case class GraftMergeCommand(
     * first holding NOT MATCHED insert (else vanish), target-only rows take
     * the first holding NOT MATCHED BY SOURCE action (else pass through).
     * `_inserted_at` is preserved on update and stamped on insert unless
-    * explicitly assigned. ANSI cardinality: >1 source match per target row
-    * is an error (checked with a pre-join aggregate). */
+    * explicitly assigned. ANSI cardinality: with matched actions present,
+    * >1 source match per target row is an error (pre-join aggregate
+    * check); with NO matched actions the rewrite switches to semi/anti
+    * joins so a multiply-matched target row passes through exactly once
+    * instead of fanning out. */
   private def generalMerge(spark: SparkSession, lake: GraftLake, meta: TableMeta): Unit = {
-    if (matched.nonEmpty) {
+    if (matched.isEmpty) { noMatchedActionsMerge(spark, lake, meta); return }
+    locally {
       val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
       val innerJ = Join(Project(target.output :+ tid, target), source,
         Inner, Some(cond), JoinHint.NONE)
@@ -212,48 +216,6 @@ final case class GraftMergeCommand(
     val matchedP = And(IsNotNull(tp), IsNotNull(sp))
     val sourceOnly = IsNull(tp)
 
-    def condOf(a: MergeAction): Expression =
-      a.condition.getOrElse(Literal.TrueLiteral)
-
-    def keepOf(actions: Seq[MergeAction], default: Boolean): Expression = {
-      val branches = actions.map {
-        case d: DeleteAction => condOf(d) -> Literal(false)
-        case a => condOf(a) -> Literal(true)
-      }
-      if (branches.isEmpty) Literal(default)
-      else CaseWhen(branches, Some(Literal(default)))
-    }
-
-    def assigned(as: Seq[Assignment], name: String): Option[Expression] =
-      as.collectFirst {
-        case Assignment(k: Attribute, v) if k.name.equalsIgnoreCase(name) => v
-        case Assignment(k, _) if !k.isInstanceOf[Attribute] =>
-          throw new UnsupportedOperationException(
-            s"MERGE into '$table': nested-field assignment '${k.sql}' is not supported")
-      }
-
-    def valueOf(actions: Seq[MergeAction], name: String, dt: DataType,
-        fallback: Expression, insertPath: Boolean): Expression = {
-      def insertDefault: Expression =
-        if (name == InsertedAt) Cast(CurrentTimestamp(), TimestampType,
-          Option(SQLConf.get.sessionLocalTimeZone))
-        else Literal(null, dt)
-      val branches = actions.map {
-        case UpdateAction(c, as, _) =>
-          c.getOrElse(Literal.TrueLiteral) ->
-            assigned(as, name).map(castTo(_, dt)).getOrElse(fallback)
-        case InsertAction(c, as) =>
-          c.getOrElse(Literal.TrueLiteral) ->
-            assigned(as, name).map(castTo(_, dt)).getOrElse(insertDefault)
-        case d: DeleteAction =>
-          condOf(d) -> fallback // dropped by keep expr; value irrelevant
-        case a => throw new UnsupportedOperationException(
-          s"MERGE into '$table': unsupported action $a")
-      }
-      val default = if (insertPath) Literal(null, dt) else fallback
-      if (branches.isEmpty) default else CaseWhen(branches, Some(default))
-    }
-
     val tAttrByName = target.output.map(a => a.name.toLowerCase -> a).toMap
     val outCols = meta.schema.fields.toSeq.map { f =>
       val tAttr = tAttrByName.getOrElse(f.name.toLowerCase,
@@ -272,5 +234,85 @@ final case class GraftMergeCommand(
 
     val outPlan = Project(outCols, Filter(EqualNullSafe(keep, Literal(true)), joined))
     lake.overwriteContents(table, PlanBridge.ofRows(spark, outPlan))
+  }
+
+  /** MERGE with no WHEN MATCHED clauses: matched target rows pass through
+    * unchanged, and they must do so exactly ONCE even when several source
+    * rows match (a full-outer fanout would duplicate them, and the ANSI
+    * cardinality error does not apply when no matched action fires). Uses
+    * semi/anti joins — target splits into matched (pass-through) and
+    * not-matched-by-source (actions applied); source-only rows insert. */
+  private def noMatchedActionsMerge(spark: SparkSession, lake: GraftLake,
+      meta: TableMeta): Unit = {
+    val matchedT = Join(target, source, LeftSemi, Some(cond), JoinHint.NONE)
+    val unmatchedT = Join(target, source, LeftAnti, Some(cond), JoinHint.NONE)
+    val sourceOnlyS = Join(source, target, LeftAnti, Some(cond), JoinHint.NONE)
+
+    val tAttrByName = target.output.map(a => a.name.toLowerCase -> a).toMap
+    def tAttr(f: org.apache.spark.sql.types.StructField): Attribute =
+      tAttrByName.getOrElse(f.name.toLowerCase,
+        throw new IllegalStateException(s"target output missing column ${f.name}"))
+
+    val passThrough = Project(
+      meta.schema.fields.toSeq.map(f => Alias(tAttr(f), f.name)()), matchedT)
+    val nmbsApplied = Project(
+      meta.schema.fields.toSeq.map(f => Alias(valueOf(notMatchedBySource,
+        f.name, f.dataType, tAttr(f), insertPath = false), f.name)()),
+      Filter(EqualNullSafe(keepOf(notMatchedBySource, default = true),
+        Literal(true)), unmatchedT))
+    val inserts = Project(
+      meta.schema.fields.toSeq.map(f => Alias(valueOf(notMatched, f.name,
+        f.dataType, Literal(null, f.dataType), insertPath = true), f.name)()),
+      Filter(EqualNullSafe(keepOf(notMatched, default = false),
+        Literal(true)), sourceOnlyS))
+
+    val union = Union(Seq(passThrough, nmbsApplied, inserts))
+    lake.overwriteContents(table, PlanBridge.ofRows(spark, union))
+  }
+
+  // ---- shared action application ----
+
+  private def condOf(a: MergeAction): Expression =
+    a.condition.getOrElse(Literal.TrueLiteral)
+
+  /** Whether the row survives the first applicable action (DELETE drops). */
+  private def keepOf(actions: Seq[MergeAction], default: Boolean): Expression = {
+    val branches = actions.map {
+      case d: DeleteAction => condOf(d) -> Literal(false)
+      case a => condOf(a) -> Literal(true)
+    }
+    if (branches.isEmpty) Literal(default)
+    else CaseWhen(branches, Some(Literal(default)))
+  }
+
+  private def assigned(as: Seq[Assignment], name: String): Option[Expression] =
+    as.collectFirst {
+      case Assignment(k: Attribute, v) if k.name.equalsIgnoreCase(name) => v
+      case Assignment(k, _) if !k.isInstanceOf[Attribute] =>
+        throw new UnsupportedOperationException(
+          s"MERGE into '$table': nested-field assignment '${k.sql}' is not supported")
+    }
+
+  /** Column value under the first applicable action. */
+  private def valueOf(actions: Seq[MergeAction], name: String, dt: DataType,
+      fallback: Expression, insertPath: Boolean): Expression = {
+    def insertDefault: Expression =
+      if (name == InsertedAt) Cast(CurrentTimestamp(), TimestampType,
+        Option(SQLConf.get.sessionLocalTimeZone))
+      else Literal(null, dt)
+    val branches = actions.map {
+      case UpdateAction(c, as, _) =>
+        c.getOrElse(Literal.TrueLiteral) ->
+          assigned(as, name).map(castTo(_, dt)).getOrElse(fallback)
+      case InsertAction(c, as) =>
+        c.getOrElse(Literal.TrueLiteral) ->
+          assigned(as, name).map(castTo(_, dt)).getOrElse(insertDefault)
+      case d: DeleteAction =>
+        condOf(d) -> fallback // dropped by keep expr; value irrelevant
+      case a => throw new UnsupportedOperationException(
+        s"MERGE into '$table': unsupported action $a")
+    }
+    val default = if (insertPath) Literal(null, dt) else fallback
+    if (branches.isEmpty) default else CaseWhen(branches, Some(default))
   }
 }

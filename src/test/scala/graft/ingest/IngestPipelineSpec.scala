@@ -345,10 +345,14 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(cfg.tableFor("plain") === "plain")
     // identity fallback sanitizes instead of throwing (reference passes raw
     // topic names through unvalidated; dotted Debezium-style topics are
-    // ubiquitous and must not poison the stream)
-    assert(cfg.tableFor("db.schema.table") === "db_schema_table")
-    assert(cfg.tableFor("9starts-with-digit") === "_9starts-with-digit")
-    assert(cfg.tableFor("weird topic!ñ") === "weird_topic__")
+    // ubiquitous and must not poison the stream); changed names get a
+    // topic-digest suffix so near-collisions stay distinct
+    assert(cfg.tableFor("db.schema.table").matches("db_schema_table_[0-9a-f]{4}"))
+    assert(cfg.tableFor("9starts-with-digit").matches("_9starts-with-digit_[0-9a-f]{4}"))
+    assert(cfg.tableFor("weird topic!ñ").matches("weird_topic___[0-9a-f]{4}"))
+    assert(cfg.tableFor("db.users") !== cfg.tableFor("db_users"),
+      "distinct topics must land in distinct tables")
+    assert(cfg.tableFor("db_users") === "db_users", "already-valid names pass through")
     // explicit mappings stay strictly validated
     intercept[IllegalArgumentException] {
       IngestConfig(warehouse = "/t", topic2table = Map("x" -> "bad.name"))
@@ -363,7 +367,8 @@ class IngestPipelineSpec extends AnyFunSuite {
   test("dotted unmapped topic lands end-to-end in the sanitized table") {
     val p = newPipeline()
     p.processBatch(batchOf("db.public.users" -> """{"id":1}"""), 0)
-    assert(p.lake.read("db_public_users").count() === 1)
+    assert(p.lake.read(
+      IngestConfig.sanitizeTableName("db.public.users")).count() === 1)
   }
 
   test("conformRow handles boolean -> promoted-numeric fields (mixed bool/int topic)") {

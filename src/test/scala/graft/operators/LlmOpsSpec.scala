@@ -282,6 +282,19 @@ class LlmOpsSpec extends AnyFunSuite {
     // truncated PNG signature -> fallback, not crash
     val trunc = MultimodalOps.synthPng(5, 5, 2).take(10)
     assert(MultimodalOps.decodeHeader(5L, trunc) === MultimodalOps.fakeDecode(5L, trunc))
+    // corrupt RIFF chunk size near Int.MaxValue -> fallback, not overflow
+    val corrupt = "RIFF    WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ Array(0xf0, 0xff, 0xff, 0x7f).map(_.toByte) ++
+      new Array[Byte](16)
+    assert(MultimodalOps.decodeHeader(6L, corrupt) === MultimodalOps.fakeDecode(6L, corrupt))
+    // data chunk BEFORE fmt chunk (legal RIFF order): frames still divide
+    // by the final block align
+    val w = MultimodalOps.synthWav(2, 8000, 16, 100)
+    val fmtChunk = w.slice(12, 12 + 24)     // "fmt " + 16-byte PCM body
+    val dataChunk = w.drop(12 + 24)         // "data" + payload
+    val reordered = w.take(12) ++ dataChunk ++ fmtChunk
+    val rm = MultimodalOps.decodeHeader(7L, reordered)
+    assert((rm.channels, rm.width, rm.n_frames) === ((2, 8000, 100L)))
   }
 
   test("multimodal decode batch + frame sampling plumbing") {

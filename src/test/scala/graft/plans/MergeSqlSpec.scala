@@ -91,6 +91,21 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(ins.getTimestamp(0) != null, "general-path insert stamps _inserted_at")
   }
 
+  test("merge with only NOT MATCHED actions: multiply-matched target row is kept once") {
+    import spark.implicits._
+    lake.write("t5", Seq((1L, "a")).toDF("id", "v"))
+    // two source rows match target id=1 — with no matched action the ANSI
+    // cardinality error does not apply, and the row must survive exactly once
+    Seq((1L, "x"), (1L, "y"), (2L, "n")).toDF("id", "v")
+      .createOrReplaceTempView("m_src5")
+    spark.sql(
+      """MERGE INTO gmt.t5 t USING m_src5 s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = lake.read("t5").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "n")))
+  }
+
   test("general merge rejects a target row matching multiple source rows") {
     import spark.implicits._
     lake.write("t4", Seq((1L, "a")).toDF("id", "v"))
