@@ -97,5 +97,36 @@ object PipelineOps {
       .orderBy(col("o_orderpriority").asc_nulls_first)
   }
 
-  val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline)
+  /** Compaction pipeline (the small-file antidote for streaming ingest,
+    * SURVEY scale utility): five append batches land many small files, a
+    * compaction pass rewrites them into few — the oracle hash-checks that
+    * contents are untouched, and the query itself requires that the file
+    * count actually dropped. */
+  val q64Compaction = QueryDef(
+    "q64_compaction",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h))
+      |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM seed GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val h = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val wh = Files.createTempDirectory("graft-q64").toString
+    val lake = new GraftLake(s, wh)
+    for (i <- 0 until 5)
+      lake.append("oc", orders.filter(col("o_orderkey") < h &&
+        col("o_orderkey") % 5 === i))
+    val before = lake.dataFiles("oc").size
+    lake.compact("oc")
+    val after = lake.dataFiles("oc").size
+    require(after < before,
+      s"compaction must reduce the file count (was $before, now $after)")
+    lake.read("oc")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline, q64Compaction)
 }

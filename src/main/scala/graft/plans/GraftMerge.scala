@@ -95,9 +95,13 @@ final case class GraftMergeCommand(
     }
     upsertBatch(meta) match {
       case Some(batch) =>
-        lake.upsert(table, PlanBridge.ofRows(spark, batch))
+        graft.metrics.GraftMetrics.time("mergeSqlUpsertPath") {
+          lake.upsert(table, PlanBridge.ofRows(spark, batch))
+        }
       case None =>
-        generalMerge(spark, lake, meta)
+        graft.metrics.GraftMetrics.time("mergeSqlGeneralPath") {
+          generalMerge(spark, lake, meta)
+        }
     }
     Seq.empty
   }

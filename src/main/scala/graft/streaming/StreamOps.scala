@@ -36,6 +36,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** Streaming exact dedup for ingest pipelines: drops records whose key
+    * columns repeat within the watermark horizon. State is bounded — a
+    * key's entry is evicted once the watermark passes its event time
+    * (`dropDuplicatesWithinWatermark`), so state size tracks the lateness
+    * window, not the stream length. For content dedup pass a digest
+    * column (e.g. `xxhash64(text)`) as the key. */
+  def streamingDedup(records: DataFrame, keyCols: Seq[String], tsCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
   final case class Session(

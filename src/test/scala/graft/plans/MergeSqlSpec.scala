@@ -91,6 +91,27 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(ins.getTimestamp(0) != null, "general-path insert stamps _inserted_at")
   }
 
+  test("upsert-shaped merge routes onto the engine upsert path, not the COW rewrite") {
+    import spark.implicits._
+    graft.metrics.GraftMetrics.reset()
+    lake.write("t6", Seq((1L, "a")).toDF("id", "v"), pks = Seq("id"))
+    Seq((1L, "b"), (2L, "c")).toDF("id", "v").createOrReplaceTempView("m_src6")
+    spark.sql(
+      """MERGE INTO gmt.t6 t USING m_src6 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val snap = graft.metrics.GraftMetrics.snapshot()
+    assert(snap.getOrElse("mergeSqlUpsertPath.count", 0.0) === 1.0,
+      "PK-equality merge must take the partition-pruned upsert path")
+    assert(snap.getOrElse("mergeSqlGeneralPath.count", 0.0) === 0.0)
+    // a conditional matched action forces the general path
+    spark.sql(
+      """MERGE INTO gmt.t6 t USING m_src6 s ON t.id = s.id
+        |WHEN MATCHED AND s.v = 'b' THEN UPDATE SET v = s.v""".stripMargin)
+    assert(graft.metrics.GraftMetrics.snapshot()
+      .getOrElse("mergeSqlGeneralPath.count", 0.0) === 1.0)
+  }
+
   test("merge with only NOT MATCHED actions: multiply-matched target row is kept once") {
     import spark.implicits._
     lake.write("t5", Seq((1L, "a")).toDF("id", "v"))

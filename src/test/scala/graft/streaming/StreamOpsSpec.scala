@@ -59,6 +59,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark, state evicts after") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val recs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.streamingDedup(recs, Seq("doc_id"), "ts", lateness = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:01:00"), 1L, "a-dup"),
+        (ts("2024-01-01 10:02:00"), 2L, "b"))
+      q.processAllAvailable()
+      // same key again within the watermark window → dropped
+      mem.addData((ts("2024-01-01 10:03:00"), 1L, "a-dup2"))
+      q.processAllAvailable()
+      // advance the watermark far past key 1's entry, then replay the key:
+      // state was evicted, so the record is (correctly, per the bounded
+      // semantics) admitted again
+      mem.addData((ts("2024-01-01 12:00:00"), 3L, "c"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 11:58:00"), 1L, "a-after-horizon"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").collect().map(_.getString(2)).toSet
+      assert(texts === Set("a", "b", "c", "a-after-horizon"))
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits in-batch, idle keys time out via watermark") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
