@@ -64,6 +64,25 @@ object GraftDemo {
     spark.sql("SELECT id, customer, total FROM demo.orders ORDER BY id").show()
     println("== dead-letter queue ==")
     spark.sql("SELECT target_table, error, CAST(value AS STRING) AS value FROM demo.`_dlq`").show(false)
+
+    println("== SQL DML surface (MERGE / UPDATE / DELETE / INSERT) ==")
+    import spark.implicits._
+    Seq((2L, "carol", 20.0), (3L, "dave", 7.5)).toDF("id", "customer", "total")
+      .createOrReplaceTempView("updates")
+    spark.sql(
+      """MERGE INTO demo.orders t USING updates s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET customer = s.customer, total = s.total
+        |WHEN NOT MATCHED THEN INSERT (id, customer, total)
+        |  VALUES (s.id, s.customer, s.total)""".stripMargin)
+    spark.sql("INSERT INTO demo.orders (id, customer, total) VALUES (4, 'erin', 3.0)")
+    spark.sql("UPDATE demo.orders SET total = total * 2 WHERE total < 5")
+    spark.sql("DELETE FROM demo.orders WHERE customer = 'bob'")
+    spark.sql("SELECT id, customer, total FROM demo.orders ORDER BY id").show()
+    println("== native functions via extensions ==")
+    spark.sql(
+      """SELECT customer, graft_rolling_hash(customer) AS fp,
+        |       graft_simhash(split(customer, '')) AS simhash
+        |FROM demo.orders ORDER BY id""".stripMargin).show(false)
     println("== engine metrics ==")
     metrics.GraftMetrics.snapshot().toSeq.sorted
       .foreach { case (k, v) => println(f"  $k%-40s $v%.2f") }

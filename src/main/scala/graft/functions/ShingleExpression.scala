@@ -46,6 +46,11 @@ object ShingleUtil {
 object ShingleExpression {
 
   case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+    // returns null for docs with < k tokens even when the child is
+    // non-nullable — without this override codegen has no isNull slot to
+    // assign and Janino rejects the generated projection (silent
+    // interpreted fallback)
+    override def nullable: Boolean = true
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
 

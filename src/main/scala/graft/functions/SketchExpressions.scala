@@ -25,6 +25,10 @@ object SketchExpressions {
   case class MinHashSignature(child: Expression, k: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    // null on empty inputs regardless of child nullability — without the
+    // override codegen has no isNull slot to assign ("isNull_1 is not an
+    // rvalue") and the projection silently falls back to interpreted eval
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(v: Any): Any = {
@@ -87,6 +91,8 @@ object SketchExpressions {
     * per bit; the sign vector becomes the fingerprint. Null for empty. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
+    // null on empty token arrays regardless of child nullability
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(v: Any): Any = {
@@ -120,17 +126,23 @@ object SketchExpressions {
         val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
         val j = ctx.freshName("j"); val i = ctx.freshName("i")
         val s = ctx.freshName("s"); val h64 = ctx.freshName("h64")
+        val hi = ctx.freshName("hi"); val lo = ctx.freshName("lo")
         val fp = ctx.freshName("fp")
+        // NB: the hi/lo halves are separate statements on purpose — Janino
+        // mis-parses the fused `(((long) call(...) & mask) << 32) | ...`
+        // form as a cast-to-type and fails compilation (silent fallback to
+        // interpreted eval, which defeats the codegen'd design)
         s"""
            |int $n = $c.numElements();
            |if ($n == 0) { ${ev.isNull} = true; } else {
            |  int[] $votes = new int[64];
            |  for (int $j = 0; $j < $n; $j++) {
            |    UTF8String $s = $c.getUTF8String($j);
-           |    long $h64 = (((long) org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-           |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0x9747b28c) & 0xffffffffL) << 32)
-           |      | ((long) org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-           |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0x1b873593) & 0xffffffffL);
+           |    long $hi = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+           |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0x9747b28c);
+           |    long $lo = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+           |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0x1b873593);
+           |    long $h64 = (($hi & 0xffffffffL) << 32) | ($lo & 0xffffffffL);
            |    for (int $i = 0; $i < 64; $i++) {
            |      if ((($h64 >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
            |    }

@@ -24,6 +24,8 @@ object VectorFunctions {
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+    // null when either vector has zero norm, regardless of input nullability
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
 
     private def elemType(e: Expression): DataType = e.dataType match {

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions claim codegen — this spec makes a compile
+  * failure LOUD. `GenerateUnsafeProjection.generate` throws on invalid
+  * generated Java, whereas the production path silently falls back to
+  * interpreted eval (which is exactly how a Janino mis-parse and missing
+  * `nullable` overrides hid for a round). Non-nullable inputs are the
+  * regression case: the expressions return null on empty/degenerate
+  * inputs, so without `nullable = true` the generated projection has no
+  * isNull slot to assign. */
+class CodegenCompileSpec extends AnyFunSuite {
+
+  test("all custom expressions compile under codegen with non-nullable inputs") {
+    val strArr = BoundReference(0, ArrayType(StringType, containsNull = false),
+      nullable = false)
+    val dblArr = BoundReference(1, ArrayType(DoubleType, containsNull = false),
+      nullable = false)
+    val str = BoundReference(2, StringType, nullable = false)
+    GenerateUnsafeProjection.generate(Seq(
+      SketchExpressions.SimHash64(strArr),
+      SketchExpressions.MinHashSignature(strArr, 64),
+      ShingleExpression.WordShingles(strArr, 3),
+      VectorFunctions.CosineSimilarity(dblArr, dblArr),
+      TextExpressions.RollingHash(str)))
+  }
+
+  test("all custom expressions compile under codegen with nullable inputs") {
+    val strArr = BoundReference(0, ArrayType(StringType, containsNull = true),
+      nullable = true)
+    val fltArr = BoundReference(1, ArrayType(FloatType, containsNull = true),
+      nullable = true)
+    val str = BoundReference(2, StringType, nullable = true)
+    GenerateUnsafeProjection.generate(Seq(
+      SketchExpressions.SimHash64(strArr),
+      SketchExpressions.MinHashSignature(strArr, 64),
+      ShingleExpression.WordShingles(strArr, 3),
+      VectorFunctions.CosineSimilarity(fltArr, fltArr),
+      TextExpressions.RollingHash(str)))
+  }
+}
