@@ -373,6 +373,21 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
+  /** Append rows that already carry the full user schema including
+    * `_inserted_at` (the SQL MERGE insert-only path computes the system
+    * column by its own assignment/default policy). No conform pass — the
+    * caller has already cast every column to the table schema. */
+  private[graft] def appendPrepared(name: String, batch: DataFrame): Unit = writeLock(name) {
+    val meta = readMeta(name)
+    val out = withPartitionCols(
+      batch.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*), meta)
+    val writer = out.write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    val partCols = meta.partitionExprs.map(_.outputName)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(dataDir(name))
+  }
+
   /** Rewrite a scoped slice of the table: `survivors` replaces the
     * contents of `affectedDirs` (every partition directory the scope
     * covered — a partition whose rows all vanish has no staged leaf but

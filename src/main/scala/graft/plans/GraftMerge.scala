@@ -182,7 +182,7 @@ final case class GraftMergeCommand(
     Some(Project(aliases, source))
   }
 
-  // ---- general path: staged whole-table rewrite ----
+  // ---- general path: staged copy-on-write rewrite ----
 
   /** Full MERGE semantics in one full-outer join + projection:
     * matched pairs take the first holding matched action (UPDATE assigns /
@@ -194,12 +194,47 @@ final case class GraftMergeCommand(
     * >1 source match per target row is an error (pre-join aggregate
     * check); with NO matched actions the rewrite switches to semi/anti
     * joins so a multiply-matched target row passes through exactly once
-    * instead of fanning out. */
+    * instead of fanning out.
+    *
+    * Scope (100 TB): when the table is partitioned and there is no NOT
+    * MATCHED BY SOURCE clause, only the partitions holding matched target
+    * rows plus the partitions the inserts land in are rewritten —
+    * untouched partitions keep their files. NOT MATCHED BY SOURCE can
+    * touch every target row, so that form (and unpartitioned tables)
+    * rewrites the whole table. */
   private def generalMerge(spark: SparkSession, lake: GraftLake, meta: TableMeta): Unit = {
     if (matched.isEmpty) { noMatchedActionsMerge(spark, lake, meta); return }
+
+    val partCols = meta.partitionExprs.map(_.outputName)
+    def q(n: String) = GraftLake.quoted(n)
+    // (scoped target plan, affected dirs) — None = whole-table rewrite
+    val scoping: Option[(LogicalPlan, Seq[String])] =
+      if (partCols.isEmpty || notMatchedBySource.nonEmpty) None
+      else {
+        val tdf = PlanBridge.ofRows(spark, target)
+        val sdf = PlanBridge.ofRows(spark, source)
+        val condCol = PlanBridge.column(cond)
+        val matchedParts = tdf.join(sdf, condCol, "left_semi")
+          .select(partCols.map(c => col(q(c))): _*).distinct()
+        // partitions the kept insert rows will land in
+        val keptInserts = sdf.join(tdf, condCol, "left_anti")
+          .filter(PlanBridge.column(
+            EqualNullSafe(keepOf(notMatched, default = false), Literal(true))))
+          .select(meta.schema.fields.toSeq.map(f => PlanBridge.column(
+            valueOf(notMatched, f.name, f.dataType, Literal(null, f.dataType),
+              insertPath = true)).as(f.name)): _*)
+        val insertParts = lake.withPartitionCols(keptInserts, meta)
+          .select(partCols.map(c => col(q(c))): _*).distinct()
+        val parts = matchedParts.union(insertParts).distinct().collect()
+        if (parts.isEmpty) return // nothing matched, nothing inserts: no-op
+        val scoped = tdf.filter(GraftLake.partitionScope(partCols, parts))
+        Some((PlanBridge.planOf(scoped), GraftDml.partitionDirs(scoped)))
+      }
+    val scopedTarget = scoping.map(_._1).getOrElse(target)
+
     locally {
       val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
-      val innerJ = Join(Project(target.output :+ tid, target), source,
+      val innerJ = Join(Project(scopedTarget.output :+ tid, scopedTarget), source,
         Inner, Some(cond), JoinHint.NONE)
       val dups = PlanBridge.ofRows(spark, innerJ)
         .groupBy(col("__graft_tid")).count()
@@ -211,7 +246,7 @@ final case class GraftMergeCommand(
 
     val tPresent = Alias(Literal(true), "__graft_t_present")()
     val sPresent = Alias(Literal(true), "__graft_s_present")()
-    val tProj = Project(target.output :+ tPresent, target)
+    val tProj = Project(scopedTarget.output :+ tPresent, scopedTarget)
     val sProj = Project(source.output :+ sPresent, source)
     val tp = tProj.output.last
     val sp = sProj.output.last
@@ -220,7 +255,7 @@ final case class GraftMergeCommand(
     val matchedP = And(IsNotNull(tp), IsNotNull(sp))
     val sourceOnly = IsNull(tp)
 
-    val tAttrByName = target.output.map(a => a.name.toLowerCase -> a).toMap
+    val tAttrByName = scopedTarget.output.map(a => a.name.toLowerCase -> a).toMap
     val outCols = meta.schema.fields.toSeq.map { f =>
       val tAttr = tAttrByName.getOrElse(f.name.toLowerCase,
         throw new IllegalStateException(s"target output missing column ${f.name}"))
@@ -237,20 +272,40 @@ final case class GraftMergeCommand(
       Some(keepOf(notMatchedBySource, default = true)))
 
     val outPlan = Project(outCols, Filter(EqualNullSafe(keep, Literal(true)), joined))
-    lake.overwriteContents(table, PlanBridge.ofRows(spark, outPlan))
+    val result = PlanBridge.ofRows(spark, outPlan)
+    scoping match {
+      case Some((_, dirs)) => lake.replaceScoped(table, result, dirs)
+      case None => lake.overwriteContents(table, result)
+    }
   }
 
   /** MERGE with no WHEN MATCHED clauses: matched target rows pass through
     * unchanged, and they must do so exactly ONCE even when several source
     * rows match (a full-outer fanout would duplicate them, and the ANSI
-    * cardinality error does not apply when no matched action fires). Uses
-    * semi/anti joins — target splits into matched (pass-through) and
-    * not-matched-by-source (actions applied); source-only rows insert. */
+    * cardinality error does not apply when no matched action fires).
+    *
+    * Without NOT MATCHED BY SOURCE the statement is insert-only — no
+    * target row changes at all, so it lands as a plain APPEND of the
+    * unmatched source rows (no rewrite of any existing file, the cheapest
+    * possible plan at scale). With NOT MATCHED BY SOURCE the target side
+    * is rewritten via semi/anti joins. */
   private def noMatchedActionsMerge(spark: SparkSession, lake: GraftLake,
       meta: TableMeta): Unit = {
+    val sourceOnlyS = Join(source, target, LeftAnti, Some(cond), JoinHint.NONE)
+    val inserts = Project(
+      meta.schema.fields.toSeq.map(f => Alias(valueOf(notMatched, f.name,
+        f.dataType, Literal(null, f.dataType), insertPath = true), f.name)()),
+      Filter(EqualNullSafe(keepOf(notMatched, default = false),
+        Literal(true)), sourceOnlyS))
+
+    if (notMatchedBySource.isEmpty) {
+      val df = PlanBridge.ofRows(spark, inserts)
+      if (!df.isEmpty) lake.appendPrepared(table, df)
+      return
+    }
+
     val matchedT = Join(target, source, LeftSemi, Some(cond), JoinHint.NONE)
     val unmatchedT = Join(target, source, LeftAnti, Some(cond), JoinHint.NONE)
-    val sourceOnlyS = Join(source, target, LeftAnti, Some(cond), JoinHint.NONE)
 
     val tAttrByName = target.output.map(a => a.name.toLowerCase -> a).toMap
     def tAttr(f: org.apache.spark.sql.types.StructField): Attribute =
@@ -264,11 +319,6 @@ final case class GraftMergeCommand(
         f.name, f.dataType, tAttr(f), insertPath = false), f.name)()),
       Filter(EqualNullSafe(keepOf(notMatchedBySource, default = true),
         Literal(true)), unmatchedT))
-    val inserts = Project(
-      meta.schema.fields.toSeq.map(f => Alias(valueOf(notMatched, f.name,
-        f.dataType, Literal(null, f.dataType), insertPath = true), f.name)()),
-      Filter(EqualNullSafe(keepOf(notMatched, default = false),
-        Literal(true)), sourceOnlyS))
 
     val union = Union(Seq(passThrough, nmbsApplied, inserts))
     lake.overwriteContents(table, PlanBridge.ofRows(spark, union))

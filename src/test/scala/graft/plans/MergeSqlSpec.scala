@@ -139,6 +139,54 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("matched more than one source row"))
   }
 
+  test("general merge on a partitioned table is partition-scoped (no NMBS clause)") {
+    import spark.implicits._
+    lake.write("t7",
+      Seq((1L, "A", 10.0), (2L, "B", 200.0), (3L, "C", 3.0))
+        .toDF("id", "seg", "x"),
+      partitions = Seq("seg"))
+    val wh = spark.conf.get("spark.sql.catalog.gmt.warehouse")
+    def files(seg: String) = Option(new java.io.File(s"$wh/t7/data/__p_seg=$seg")
+      .listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    val beforeA = files("A"); val beforeC = files("C")
+    // conditional matched update (general path) touching only partition B,
+    // plus an insert landing in partition D
+    Seq((2L, "B", 1.0), (4L, "D", 4.0)).toDF("id", "seg", "x")
+      .createOrReplaceTempView("m_src7")
+    spark.sql(
+      """MERGE INTO gmt.t7 t USING m_src7 s ON t.id = s.id
+        |WHEN MATCHED AND t.x > 100 THEN UPDATE SET x = s.x
+        |WHEN NOT MATCHED THEN INSERT (id, seg, x) VALUES (s.id, s.seg, s.x)""".stripMargin)
+    val got = lake.read("t7").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "A", 10.0), (2L, "B", 1.0), (3L, "C", 3.0), (4L, "D", 4.0)))
+    assert(files("A") === beforeA && files("C") === beforeC,
+      "partitions without matches or inserts keep their files")
+    assert(files("D").nonEmpty, "insert created its partition")
+  }
+
+  test("insert-only merge (no MATCHED, no NMBS) appends without rewriting any file") {
+    import spark.implicits._
+    lake.write("t8", Seq((1L, "A", 1.0)).toDF("id", "seg", "x"),
+      partitions = Seq("seg"))
+    val wh = spark.conf.get("spark.sql.catalog.gmt.warehouse")
+    def files(seg: String) = Option(new java.io.File(s"$wh/t8/data/__p_seg=$seg")
+      .listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    val beforeA = files("A")
+    Seq((1L, "A", 99.0), (2L, "A", 2.0)).toDF("id", "seg", "x")
+      .createOrReplaceTempView("m_src8")
+    spark.sql(
+      """MERGE INTO gmt.t8 t USING m_src8 s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, seg, x) VALUES (s.id, s.seg, s.x)""".stripMargin)
+    val got = lake.read("t8").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 1.0), (2L, 2.0)), "matched row untouched, unmatched appended")
+    assert(beforeA.subsetOf(files("A")),
+      "append-only: the original files survive unmodified")
+    assert(lake.read("t8").filter(col("id") === 2L)
+      .select("_inserted_at").head().getTimestamp(0) != null)
+  }
+
   test("SQL DELETE is partition-scoped: untouched partition keeps its files") {
     import spark.implicits._
     lake.write("d1",
