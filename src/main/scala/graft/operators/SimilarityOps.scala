@@ -92,12 +92,17 @@ object SimilarityOps {
 
   /** Argmax-cosine centroid id for each row's vector: C codegen'd kernels
     * against literal centroids, map-side only (no shuffle). Ties break to
-    * the higher centroid id (struct ordering of array_max). */
-  private def nearestCid(vec: Column, cents: Seq[Seq[Double]]): Column =
+    * the higher centroid id (struct ordering of array_max). Uses the
+    * native CosineSimilarity expression — the zip_with/aggregate builtin
+    * formulation is a higher-order function chain, which is
+    * CodegenFallback and would break the stage's codegen span. */
+  private def nearestCid(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
     array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.cosineSimBuiltin(vec, lit(c.toArray)).as("sim"),
+      struct(VectorFunctions.cosineSim(vec, lit(c.toArray)).as("sim"),
         lit(i).as("cid"))
     }: _*)).getField("cid")
+  }
 
   /** Lloyd k-means fit of the IVF coarse quantizer (seeded by the
     * deterministic sample, so runs are reproducible). Per iteration:
@@ -149,19 +154,28 @@ object SimilarityOps {
     val cents: Array[Seq[Double]] = centroids.getOrElse(
       fitCentroids(corpus, idCol, vecCol, nCentroids))
 
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
     def centroidSims(vec: Column): Seq[Column] = cents.toSeq.map(c =>
-      VectorFunctions.cosineSimBuiltin(vec, lit(c.toArray)))
+      VectorFunctions.cosineSim(vec, lit(c.toArray)))
 
     def assignTop(df: DataFrame, id: String, n: Int): DataFrame = {
-      val sims = centroidSims(col(vecCol))
-      val scored = sims.zipWithIndex.map { case (s, i) =>
-        struct(s.as("sim"), lit(i).as("cid"))
+      // n == 1 (the corpus side — the bulk of the data) avoids the
+      // array_sort comparator lambda entirely: argmax via array_max stays
+      // inside whole-stage codegen, where the HOF sort would break it
+      if (n == 1)
+        df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+          nearestCid(col(vecCol), cents.toSeq).as("__cid"))
+      else {
+        val sims = centroidSims(col(vecCol))
+        val scored = sims.zipWithIndex.map { case (s, i) =>
+          struct(s.as("sim"), lit(i).as("cid"))
+        }
+        val sorted = array_sort(array(scored: _*),
+          (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+            .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0))
+        df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+          explode(slice(transform(sorted, s => s.getField("cid")), 1, n)).as("__cid"))
       }
-      val sorted = array_sort(array(scored: _*),
-        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0))
-      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
-        explode(slice(transform(sorted, s => s.getField("cid")), 1, n)).as("__cid"))
     }
 
     val c = assignTop(corpus, "neighbor_id", 1)

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokenization (empty-safe). */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+  def tokens(text: Column): Column = {
+    // trim + special-case empty instead of filter(split(...), _ =!= ""):
+    // the ArrayFilter higher-order function is CodegenFallback and breaks
+    // the whole-stage-codegen span of every stage it appears in — with
+    // \s+ as the separator, interior empty tokens cannot occur, so
+    // trimming the ends is equivalent and stays codegen'd
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

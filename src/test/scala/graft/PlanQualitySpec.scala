@@ -78,4 +78,19 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q31_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("sketch kernels run inside whole-stage codegen spans") {
+    // regression guard: the tokens()/shingles/sketch chain must not
+    // contain CodegenFallback expressions (higher-order functions), which
+    // silently drop the whole projection out of whole-stage codegen
+    val docs = Tables.documents(spark, sf)
+    val sim = operators.DedupOps.simHash(docs, "doc_id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(sim.contains("Project [codegen id"),
+      s"simhash projection must participate in whole-stage codegen:\n${sim.take(800)}")
+    val mh = operators.DedupOps.minHashSignatures(docs, "doc_id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(mh.contains("Project [codegen id"),
+      s"minhash projection must participate in whole-stage codegen:\n${mh.take(800)}")
+  }
 }
