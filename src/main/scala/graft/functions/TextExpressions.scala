@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{array, call_function, lit}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Document fingerprinting: 64-bit polynomial rolling hash over the raw
@@ -43,10 +44,74 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
-  def register(spark: SparkSession): Unit =
+  /** Count of array elements (with multiplicity) contained in a constant
+    * word set — the stopword-ratio / language-ID marker-count primitive.
+    * A `size(filter(tokens, isin(...)))` formulation is a higher-order
+    * function, which is CodegenFallback and breaks whole-stage codegen;
+    * this expression is one fused hash-set-probe loop. `words` must be a
+    * foldable string array. */
+  case class CountInSet(tokens: Expression, words: Expression)
+      extends BinaryExpression {
+    override def left: Expression = tokens
+    override def right: Expression = words
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+      require(words.foldable, "CountInSet word list must be foldable")
+      val arr = words.eval(null).asInstanceOf[ArrayData]
+      val s = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i < arr.numElements()) {
+        // clone: eval may return views over reused buffers
+        s.add(arr.getUTF8String(i).clone()); i += 1
+      }
+      s
+    }
+
+    override def nullSafeEval(t: Any, w: Any): Any = {
+      val arr = t.asInstanceOf[ArrayData]
+      var n = 0; var i = 0
+      while (i < arr.numElements()) {
+        if (wordSet.contains(arr.getUTF8String(i))) n += 1
+        i += 1
+      }
+      Integer.valueOf(n)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("wordSet", wordSet,
+        "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+      nullSafeCodeGen(ctx, ev, (t, _) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        s"""
+           |int $n = 0;
+           |for (int $i = 0; $i < $t.numElements(); $i++) {
+           |  if ($setRef.contains($t.getUTF8String($i))) $n++;
+           |}
+           |${ev.value} = $n;
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(tokens = newLeft, words = newRight)
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_count_in", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Rolling-hash fingerprint as a Column; [[register]] the session first. */
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
+
+  /** Count of tokens present in the given constant word list. */
+  def countIn(tokens: Column, wordList: Seq[String]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_count_in", tokens, array(wordList.map(lit): _*))
+  }
 }

@@ -91,14 +91,92 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Plain dot product of two float/double array columns — the LSH
+    * hyperplane-signature primitive (only the SIGN matters there, so no
+    * normalization). Same fused-loop codegen shape as
+    * [[CosineSimilarity]]; a `zip_with`+`aggregate` formulation would be
+    * a CodegenFallback higher-order chain. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    private def elemType(e: Expression): DataType = e.dataType match {
+      case ArrayType(et, _) => et
+      case t => throw new IllegalArgumentException(
+        s"dot_product expects array inputs, got $t")
+    }
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<float>/array<double>, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val xf = elemType(left) == FloatType
+      val yf = elemType(right) == FloatType
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xi * yi
+        i += 1
+      }
+      java.lang.Double.valueOf(dot)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+      val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+           |}
+           |${ev.value} = $dot;
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register the native expressions on a session (idempotent). Spark 4
     * keeps the Column↔Expression bridge internal, so the public route to a
     * custom Catalyst expression is the function registry +
     * `call_function`. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Dot product as a Column (codegen'd Catalyst expression). */
+  def dotProduct(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_dot_product", a, b)
+  }
 
   /** Cosine similarity as a Column (codegen'd Catalyst expression); call
     * [[register]] on the session first. */
