@@ -105,7 +105,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit = {
-                val lake = new GraftLake(SparkSession.active, wh)
+                // the session executing the write, not SparkSession.active —
+                // in multi-session apps the active session may carry a
+                // different conf/timezone than the one that owns this write
+                val lake = new GraftLake(data.sparkSession, wh)
                 val meta = lake.readMeta(tableName)
                 val system = GraftLake.partitionFields(meta).map(_.name) :+ "_inserted_at"
                 val userDf = data.drop(system.filter(data.columns.contains): _*)

@@ -349,15 +349,33 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         // pairwise (two records adding the same NEW field with different
         // types). In that case land under the seed schema alone — every
         // good record parses under it; the conflicting new fields are
-        // dropped for this batch rather than poisoning the stream.
+        // dropped for this batch rather than poisoning the stream. An
+        // EMPTY seed (first record was uninferrable) can't play that
+        // role: re-seed from the lowest-offset good record so the
+        // survivors still land, and as a last resort DLQ them — a triage
+        // pass must never silently drop records.
         val unified =
           try SchemaInference.inferSchemaDistributed(good.select("v").as[String])
             .map(s => schemaCache.unifiedFor(topic, Seq(s)))
             .getOrElse(seed)
           catch {
-            case e: Throwable if causeChainHasSchemaConflict(e) => seed
+            case e: Throwable if causeChainHasSchemaConflict(e) =>
+              if (seed.nonEmpty) seed
+              else {
+                val inferrable = udf { (v: String) =>
+                  SchemaInference.inferFromJson(v).isDefined
+                }
+                good.filter(inferrable(col("v")))
+                  .orderBy(col("partition"), col("offset"))
+                  .select("v").as[String].take(1).headOption
+                  .flatMap(SchemaInference.inferFromJson)
+                  .getOrElse(StructType(Nil))
+              }
           }
         if (unified.nonEmpty) landJson(table, good, unified)
+        else sendToDlq(config.dlqTable.get, table, good,
+          "pairwise schema conflict and no resolvable seed schema for topic '" +
+            topic + "'")
       }
     } finally tagged.unpersist()
   }
@@ -481,11 +499,28 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         val goodSchemas = good.select(col("value")).as[Array[Byte]].rdd
           .map(ArrowIpc.decodeSchema).distinct().collect()
         // good records each unify with the seed, but can conflict pairwise
-        // (same NEW field, different types) — land under the seed alone then
+        // (same NEW field, different types) — land under the seed alone
+        // then. An EMPTY seed (first record undecodable) can't play that
+        // role: re-seed deterministically from the lowest-offset good
+        // record, and as a last resort DLQ the survivors — a triage pass
+        // must never silently drop records.
         val unified =
           try schemaCache.unifiedFor(topic, goodSchemas.toSeq)
-          catch { case e: Throwable if causeChainHasSchemaConflict(e) => seed }
+          catch {
+            case e: Throwable if causeChainHasSchemaConflict(e) =>
+              if (seed.nonEmpty) seed
+              else {
+                val firstGood = good.orderBy(col("partition"), col("offset"))
+                  .select("value").as[Array[Byte]].head()
+                try ArrowIpc.decodeSchema(firstGood)
+                catch { case _: Exception => StructType(Nil) }
+              }
+          }
         if (unified.nonEmpty) landArrow(table, good, unified)
+        else sendToDlq(config.dlqTable.get, table,
+          good.select(base64(col("value")).as("v"), col("partition"), col("offset")),
+          "pairwise schema conflict and no resolvable seed schema for topic '" +
+            topic + "'")
       }
     } finally tagged.unpersist()
   }

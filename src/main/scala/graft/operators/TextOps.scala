@@ -12,16 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization (empty-safe). */
-  def tokens(text: Column): Column = {
-    // trim + special-case empty instead of filter(split(...), _ =!= ""):
-    // the ArrayFilter higher-order function is CodegenFallback and breaks
-    // the whole-stage-codegen span of every stage it appears in — with
-    // \s+ as the separator, interior empty tokens cannot occur, so
-    // trimming the ends is equivalent and stays codegen'd
-    val t = trim(text)
-    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
-  }
+  /** Whitespace tokenization (empty-safe). `\S+` extraction — the same
+    * formulation the DuckDB oracles use — never yields empty tokens, even
+    * for text bounded by tabs/newlines (plain `trim` strips only ASCII
+    * space, so `split(trim(x), "\\s+")` would emit a leading "" there).
+    * RegExpExtractAll is codegen'd, so the kernel stays in whole-stage
+    * codegen with no higher-order-function fallback. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

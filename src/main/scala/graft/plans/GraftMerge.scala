@@ -94,16 +94,29 @@ final case class GraftMergeCommand(
       case _ => ()
     }
     upsertBatch(meta) match {
-      case Some(batch) =>
+      // GraftLake.upsert dedups duplicate source PKs last-wins (by an
+      // arbitrary order for a SQL source) — but ANSI MERGE either raises
+      // the cardinality error (key present in target) or inserts every
+      // unmatched row (key absent). A duplicate-key source must therefore
+      // leave the fast path: the general rewrite reproduces both outcomes
+      // exactly. The probe is one partial-agg job over the source.
+      case Some(batch) if !hasDuplicatePks(spark, batch, meta.pks) =>
         graft.metrics.GraftMetrics.time("mergeSqlUpsertPath") {
           lake.upsert(table, PlanBridge.ofRows(spark, batch))
         }
-      case None =>
+      case _ =>
         graft.metrics.GraftMetrics.time("mergeSqlGeneralPath") {
           generalMerge(spark, lake, meta)
         }
     }
     Seq.empty
+  }
+
+  private def hasDuplicatePks(spark: SparkSession, batch: LogicalPlan,
+      pks: Seq[String]): Boolean = {
+    val df = PlanBridge.ofRows(spark, batch)
+    df.groupBy(pks.map(n => col(GraftLake.quoted(n))): _*)
+      .count().filter(col("count") > 1).limit(1).count() > 0
   }
 
   // ---- upsert-shaped fast path ----

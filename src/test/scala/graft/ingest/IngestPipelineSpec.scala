@@ -123,6 +123,25 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(graft.catalog.LandedTypes.isJsonColumn(meta.schema("tags")))
   }
 
+  test("empty-seed triage: pairwise-conflicting survivors re-seed or DLQ, never vanish") {
+    val p = newPipeline()
+    // one batch on a NEW topic: the lowest-offset record is uninferrable
+    // (empty object → empty seed schema) and the rest conflict pairwise.
+    // Before the fix the good records were neither landed nor DLQ'd.
+    p.processBatch(batchOf(
+      "es" -> """{}""",
+      "es" -> """{"a":2,"b":"y"}""",
+      "es" -> """{"a":"2024-03-01T12:00:00Z","b":"z"}"""), 0)
+    val landed = if (p.lake.tableExists("es")) p.lake.read("es").count() else 0L
+    val dlq = if (p.lake.tableExists("_dlq")) p.lake.read("_dlq").count() else 0L
+    assert(landed + dlq >= 3,
+      s"all 3 records must be accounted for (landed=$landed dlq=$dlq)")
+    // re-seeding from the lowest-offset inferrable record means the
+    // int-typed record lands and the timestamp-typed one quarantines
+    assert(landed >= 2, s"re-seeded records should land (landed=$landed)")
+    assert(dlq >= 1, "record conflicting with the re-seed quarantines")
+  }
+
   test("unparseable JSON goes to DLQ, valid rows land") {
     val p = newPipeline()
     p.processBatch(batchOf(

@@ -64,6 +64,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3).getLong(0) === 1) // "one,two" has no whitespace
   }
 
+  test("tokenization strips all whitespace kinds — no empty tokens") {
+    // trim() strips only ASCII space; tab/newline-bounded text must not
+    // leak empty tokens into counts, stopword ratios or shingles
+    val df = Seq("\thello\n", "\t \n", "a\tb\nc", "\n\nthe end\t").toDF("text")
+    val toks = df.select(TextOps.tokens(col("text"))).as[Seq[String]].collect()
+    assert(toks(0) === Seq("hello"))
+    assert(toks(1) === Nil)
+    assert(toks(2) === Seq("a", "b", "c"))
+    assert(toks(3) === Seq("the", "end"))
+    val sw = df.select(TextOps.stopwordRatio(col("text"))).as[Double].collect()
+    assert(sw(1) === 0.0 && math.abs(sw(3) - 0.5) < 1e-12)
+  }
+
   test("langid picks the profile with most marker hits") {
     val df = Seq(
       "the cat and the dog is in that house of it",

@@ -139,6 +139,35 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("matched more than one source row"))
   }
 
+  test("upsert-shaped merge with duplicate source keys leaves the fast path") {
+    import spark.implicits._
+    graft.metrics.GraftMetrics.reset()
+    lake.write("t11", Seq((1L, "a")).toDF("id", "v"), pks = Seq("id"))
+    // duplicate key MATCHING a target row: the fast path would silently
+    // pick one last-wins; ANSI MERGE requires the cardinality error
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v").createOrReplaceTempView("m_src11")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gmt.t11 t USING m_src11 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    }
+    assert(e.getMessage.contains("matched more than one source row"))
+    assert(graft.metrics.GraftMetrics.snapshot()
+      .getOrElse("mergeSqlUpsertPath.count", 0.0) === 0.0,
+      "duplicate-key source must not take the dedup-last-wins fast path")
+    // duplicate key NOT matching any target row: ANSI inserts every
+    // unmatched source row (no dedup)
+    Seq((2L, "p"), (2L, "q")).toDF("id", "v").createOrReplaceTempView("m_src11b")
+    spark.sql(
+      """MERGE INTO gmt.t11 t USING m_src11b s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = lake.read("t11").orderBy("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "p"), (2L, "q")))
+  }
+
   test("general merge on a partitioned table is partition-scoped (no NMBS clause)") {
     import spark.implicits._
     lake.write("t7",
