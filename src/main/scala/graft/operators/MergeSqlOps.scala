@@ -73,6 +73,49 @@ object MergeSqlOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Star-action merge: `UPDATE SET * / INSERT *` expands over the table's
+    * USER columns ([[graft.plans.ExpandGraftMergeStars]] — Spark's own
+    * expansion would fail on the engine-managed `_inserted_at`) and the
+    * expansion routes onto the same partition-pruned upsert fast path as an
+    * explicit-assignment merge. Updates move rows across partitions. */
+  val q65MergeStarSql = QueryDef(
+    "q65_merge_star_sql",
+    """WITH h AS (SELECT max(s_suppkey) / 2 AS v FROM supplier),
+      |seed AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |         WHERE s_suppkey < (SELECT v FROM h)),
+      |src AS (SELECT s_suppkey, s_name,
+      |               CAST((s_nationkey + 1) % 25 AS INT) AS s_nationkey,
+      |               s_acctbal + 5 AS s_acctbal
+      |        FROM supplier WHERE s_suppkey % 3 = 0)
+      |SELECT coalesce(s.s_suppkey, t.s_suppkey) AS s_suppkey,
+      |       CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_name ELSE t.s_name END AS s_name,
+      |       CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_nationkey ELSE t.s_nationkey END AS s_nationkey,
+      |       round(CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_acctbal ELSE t.s_acctbal END, 2) AS s_acctbal
+      |FROM seed t FULL OUTER JOIN src s ON t.s_suppkey = s.s_suppkey
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val h = sup.agg(max("s_suppkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("sup_state")) lake.dropTable("sup_state")
+    lake.write("sup_state", sup.filter(col("s_suppkey") < h),
+      partitions = Seq("s_nationkey"), pks = Seq("s_suppkey"))
+    sup.filter(col("s_suppkey") % 3 === 0)
+      .select(col("s_suppkey"), col("s_name"),
+        ((col("s_nationkey") + 1) % 25).cast("int").as("s_nationkey"),
+        (col("s_acctbal") + 5).as("s_acctbal"))
+      .createOrReplaceTempView("q65_src")
+    s.sql(
+      """MERGE INTO gm.sup_state t USING q65_src s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    lake.read("sup_state")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val q60MergeGeneralSql = QueryDef(
     "q60_merge_general_sql",
     """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
@@ -206,5 +249,5 @@ object MergeSqlOps {
   }
 
   val all: Seq[QueryDef] = Seq(q59MergeSql, q60MergeGeneralSql, q61InsertSql,
-    q62DeleteSql, q63UpdateSql)
+    q62DeleteSql, q63UpdateSql, q65MergeStarSql)
 }

@@ -23,6 +23,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Hints batch (pre-Resolution): expand MERGE star actions over user
+    // columns before Spark's own expansion trips on system columns
+    ext.injectHintResolutionRule(ExpandGraftMergeStars)
     ext.injectPostHocResolutionRule(_ => RewriteGraftMerge)
     // the engine's native codegen'd expressions, available to every
     // session built with the extensions (no per-session register() call)

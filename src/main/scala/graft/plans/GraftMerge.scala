@@ -3,11 +3,13 @@ package graft.plans
 import graft.catalog.{GraftCatalog, GraftLake, TableMeta}
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.PlanBridge
@@ -64,6 +66,85 @@ object RewriteGraftMerge extends Rule[LogicalPlan] {
         (c, r.identifier.map(_.name).getOrElse(r.table.name))
       }
     case _ => None
+  }
+}
+
+/** Expands `UPDATE SET *` / `INSERT *` in a MERGE over a graft table into
+  * explicit by-name assignments of the table's USER columns. Spark's own
+  * star expansion assigns every *target* column from the source — including
+  * the engine-managed `_inserted_at` (and `__p_*` partition columns), which
+  * sources never carry — so it fails analysis for every graft table. The
+  * engine stamps/preserves those system columns on write instead, exactly
+  * as it does for an explicit-assignment merge.
+  *
+  * Injected as a hint-resolution rule: the Hints batch runs before the
+  * Resolution batch, which is the only window where the star actions are
+  * still visible (ResolveReferences expands-and-throws inside one
+  * Resolution iteration, before any extended resolution rule runs). At
+  * that point the target is usually still an [[UnresolvedRelation]], so
+  * graft-ness is decided by looking the identifier up in the session's
+  * catalog manager. */
+final case class ExpandGraftMergeStars(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case m: MergeIntoTable if hasStar(m) =>
+      (graftUserColumns(m.targetTable), sourceAlias(m.sourceTable)) match {
+        case (Some(cols), Some(alias)) =>
+          def assigns = cols.map(c => Assignment(
+            UnresolvedAttribute(Seq(c)), UnresolvedAttribute(Seq(alias, c))))
+          m.copy(
+            matchedActions = m.matchedActions.map {
+              case UpdateStarAction(cond) => UpdateAction(cond, assigns)
+              case a => a
+            },
+            notMatchedActions = m.notMatchedActions.map {
+              case InsertStarAction(cond) => InsertAction(cond, assigns)
+              case a => a
+            })
+        case _ => m
+      }
+  }
+
+  private def hasStar(m: MergeIntoTable): Boolean =
+    (m.matchedActions ++ m.notMatchedActions).exists {
+      case _: UpdateStarAction | _: InsertStarAction => true
+      case _ => false
+    }
+
+  /** The alias SQL always gives the USING side (`USING src [AS] s`); the
+    * expansion qualifies source references with it, so an aliasless plan
+    * (not produced by the SQL parser) is left to Spark's own path. */
+  private def sourceAlias(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
+    case _ => None
+  }
+
+  /** User-facing columns of the merge target when it is a graft table
+    * (system `_inserted_at` / `__p_*` excluded); None for non-graft. */
+  private def graftUserColumns(p: LogicalPlan): Option[Seq[String]] = {
+    def user(schema: org.apache.spark.sql.types.StructType) = Some(
+      schema.fieldNames.toSeq.filterNot(n =>
+        n == "_inserted_at" || n.startsWith("__p_")))
+    p match {
+      case SubqueryAlias(_, child) => graftUserColumns(child)
+      case r: DataSourceV2Relation
+          if r.catalog.exists(_.isInstanceOf[GraftCatalog]) =>
+        user(r.schema)
+      case u: UnresolvedRelation =>
+        val mgr = PlanBridge.catalogManager(spark)
+        val (catName, tbl) = u.multipartIdentifier match {
+          case Seq(t) => (mgr.currentCatalog.name, t)
+          case Seq(c, t) => (c, t)
+          case _ => return None
+        }
+        try mgr.catalog(catName) match {
+          case g: GraftCatalog =>
+            user(g.loadTable(Identifier.of(Array.empty, tbl)).schema())
+          case _ => None
+        } catch { case _: Exception => None }
+      case _ => None
+    }
   }
 }
 
@@ -171,7 +252,11 @@ final case class GraftMergeCommand(
     // system/partition/PK columns must not be explicitly updated
     val touched = upM.keySet ++ insM.keySet
     if (touched.exists(k => k == InsertedAt || k.startsWith("__p_"))) return None
-    if (upM.keySet.exists(lowerPks)) return None
+    // a PK assignment is allowed only as the no-op `pk = <join key>` —
+    // star expansion emits exactly that; anything else rewrites the key
+    for (pk <- lowerPks.intersect(upM.keySet))
+      if (!upM(pk).semanticEquals(pkMap(pk))) return None
+    val upData = upM -- lowerPks
     // inserted PKs must be the join keys themselves
     for (pk <- lowerPks)
       if (!insM.get(pk).exists(_.semanticEquals(pkMap(pk)))) return None
@@ -180,18 +265,18 @@ final case class GraftMergeCommand(
       .filterNot(f => lowerPks(f.name.toLowerCase) || f.name == InsertedAt)
     // every data column must get the same source value on both paths
     for (f <- dataFields) {
-      val u = upM.getOrElse(f.name.toLowerCase, return None)
+      val u = upData.getOrElse(f.name.toLowerCase, return None)
       val i = insM.getOrElse(f.name.toLowerCase, return None)
       if (!u.semanticEquals(i)) return None
     }
-    if (insM.size != lowerPks.size + dataFields.size || upM.size != dataFields.size)
+    if (insM.size != lowerPks.size + dataFields.size || upData.size != dataFields.size)
       return None
 
     val aliases =
       meta.pks.map(pk =>
         Alias(castTo(pkMap(pk.toLowerCase), meta.schema(pk).dataType), pk)()) ++
         dataFields.map(f =>
-          Alias(castTo(upM(f.name.toLowerCase), f.dataType), f.name)())
+          Alias(castTo(upData(f.name.toLowerCase), f.dataType), f.name)())
     Some(Project(aliases, source))
   }
 

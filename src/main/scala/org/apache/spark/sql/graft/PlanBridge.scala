@@ -30,4 +30,9 @@ object PlanBridge {
   /** Nullability-insensitive type equality (DataType.sameType). */
   def sameType(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
+  /** The session's DSv2 catalog manager (private[sql] on SessionState). */
+  def catalogManager(spark: SparkSession)
+      : org.apache.spark.sql.connector.catalog.CatalogManager =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
 }

@@ -168,6 +168,27 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(got === Seq((1L, "a"), (2L, "p"), (2L, "q")))
   }
 
+  test("star actions: UPDATE SET * / INSERT * take the upsert fast path") {
+    import spark.implicits._
+    graft.metrics.GraftMetrics.reset()
+    lake.write("t12", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "x"),
+      pks = Seq("id"))
+    Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("id", "v", "x")
+      .createOrReplaceTempView("m_src12")
+    // the analyzer expands the stars into by-name assignments of every
+    // target column before the graft rewrite fires — the expansion is the
+    // canonical upsert shape, so it must route onto the pruned fast path
+    spark.sql(
+      """MERGE INTO gmt.t12 t USING m_src12 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = lake.read("t12").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+    assert(graft.metrics.GraftMetrics.snapshot()
+      .getOrElse("mergeSqlUpsertPath.count", 0.0) === 1.0)
+  }
+
   test("general merge on a partitioned table is partition-scoped (no NMBS clause)") {
     import spark.implicits._
     lake.write("t7",
