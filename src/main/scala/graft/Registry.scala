@@ -9,7 +9,7 @@ object Registry {
       operators.RelationalOps3.all ++ operators.IngestOps.all ++
       operators.PipelineOps.all ++ operators.MergeSqlOps.all ++
       operators.SessionOps.all ++
-      operators.TextOps.all ++
+      operators.TextOps.all ++ operators.QualityOps.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.MultimodalOps.all
 

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.ShingleExpression
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators for training-data curation, beyond the basic
+  * text metrics in [[TextOps]]: Gopher-style repetition scoring and a
+  * benchmark-contamination sweep. Both are designed as 100 TB scans:
+  *
+  *  - repetition is a pure map — the top-k-gram count is a single-pass
+  *    codegen'd expression ([[ShingleExpression.TopShingleCount]]), so no
+  *    k-gram explode or per-doc groupBy ever reaches the plan;
+  *  - contamination explodes k-grams ONLY map-side and joins them against
+  *    a BROADCAST benchmark-shingle set — the corpus is never shuffled;
+  *    the only exchanges are over the (tiny) flagged-doc-id set and the
+  *    final per-source aggregate.
+  */
+object QualityOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** Gopher-style repetition metrics per language: the fraction of 2-gram
+    * slots taken by the single most repeated phrase, lexical diversity
+    * (distinct/total tokens), and how many docs cross the repetition
+    * threshold a curation pipeline would drop at. */
+  val q66Repetition = QueryDef(
+    "q66_repetition",
+    """WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |d AS (SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS nd,
+      |        [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS grams
+      |      FROM t WHERE len(toks) >= 2),
+      |top AS (SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, gm, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(grams) AS gm FROM d)
+      |    GROUP BY doc_id, gm) GROUP BY doc_id),
+      |p AS (SELECT d.lang, top.topc * 1.0 / (d.n - 1) AS top2_frac,
+      |             d.nd * 1.0 / d.n AS diversity
+      |      FROM d JOIN top USING (doc_id))
+      |SELECT lang, count(*) AS n_docs,
+      |  round(avg(top2_frac), 4) AS avg_top2gram_frac,
+      |  round(avg(diversity), 4) AS avg_token_diversity,
+      |  CAST(sum(CASE WHEN top2_frac > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    ShingleExpression.register(s)
+    val toks = TextOps.tokens(col("text"))
+    val perDoc = docs(s, dir)
+      .select(col("lang"), size(toks).as("n"),
+        size(array_distinct(toks)).as("nd"),
+        ShingleExpression.topShingleCount(toks, 2).as("topc"))
+      .filter(col("n") >= 2)
+      .select(col("lang"),
+        (col("topc").cast("double") / (col("n") - 1)).as("top2_frac"),
+        (col("nd").cast("double") / col("n")).as("diversity"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("top2_frac")), 4).as("avg_top2gram_frac"),
+        round(avg(col("diversity")), 4).as("avg_token_diversity"),
+        sum(when(col("top2_frac") > 0.18, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("lang"))
+  }
+
+  /** Benchmark-contamination sweep: flag every document that shares at
+    * least one 5-gram with a (deterministically chosen) benchmark set —
+    * the n-gram-overlap decontamination step of LLM training pipelines.
+    * The benchmark side is tiny by construction, so its exploded shingle
+    * set broadcasts; corpus docs stream through map-side. */
+  val q67Contamination = QueryDef(
+    "q67_contamination",
+    """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, source,
+      |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |                       toks[i+3] || ' ' || toks[i+4]
+      |                       for i in range(1, len(toks) - 3)]) AS sh
+      |      FROM t WHERE len(toks) >= 5),
+      |bench AS (SELECT doc_id AS b_id, sh AS bsh FROM s WHERE doc_id % 97 = 0),
+      |flagged AS (SELECT DISTINCT s.doc_id FROM s JOIN bench
+      |            ON s.doc_id != bench.b_id AND list_has_any(s.sh, bench.bsh))
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated
+      |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    ShingleExpression.register(s)
+    val base = docs(s, dir)
+    val sh = base
+      .select(col("doc_id"), col("source"),
+        ShingleExpression.wordShingles(TextOps.tokens(col("text")), 5).as("sh"))
+      .filter(col("sh").isNotNull)
+    val benchGrams = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("b_id"), explode(col("sh")).as("bg"))
+    val corpusGrams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val flagged = corpusGrams
+      .join(broadcast(benchGrams),
+        col("g") === col("bg") && col("doc_id") =!= col("b_id"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(1L))
+    base.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination)
+}

@@ -55,5 +55,8 @@ object GraftExtensions {
     fn("graft_rolling_hash", "polynomial rolling-hash fingerprint of a string",
       exprs => TextExpressions.RollingHash(exprs.head))) ++
     (2 to 5).map(k => fn(s"graft_shingles_$k", s"distinct word $k-shingles",
-      exprs => ShingleExpression.WordShingles(exprs.head, k)))
+      exprs => ShingleExpression.WordShingles(exprs.head, k))) ++
+    (2 to 5).map(k => fn(s"graft_topgram_$k",
+      s"occurrence count of the most frequent word $k-gram",
+      exprs => ShingleExpression.TopShingleCount(exprs.head, k)))
 }

@@ -25,6 +25,7 @@ class CodegenCompileSpec extends AnyFunSuite {
       SketchExpressions.SimHash64(strArr),
       SketchExpressions.MinHashSignature(strArr, 64),
       ShingleExpression.WordShingles(strArr, 3),
+      ShingleExpression.TopShingleCount(strArr, 2),
       VectorFunctions.CosineSimilarity(dblArr, dblArr),
       TextExpressions.RollingHash(str)))
   }
@@ -39,6 +40,7 @@ class CodegenCompileSpec extends AnyFunSuite {
       SketchExpressions.SimHash64(strArr),
       SketchExpressions.MinHashSignature(strArr, 64),
       ShingleExpression.WordShingles(strArr, 3),
+      ShingleExpression.TopShingleCount(strArr, 2),
       VectorFunctions.CosineSimilarity(fltArr, fltArr),
       TextExpressions.RollingHash(str)))
   }

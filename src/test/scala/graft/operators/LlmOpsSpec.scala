@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
-import graft.functions.{TextExpressions, VectorFunctions}
+import graft.functions.{ShingleExpression, TextExpressions, VectorFunctions}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -94,6 +94,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(0) === Seq("a b c", "b c d"))
     assert(got(1) === Nil)
     assert(got(2) === Nil)
+  }
+
+  test("top-shingle count matches a hand-computed repetition profile") {
+    ShingleExpression.register(spark)
+    val df = Seq(
+      "a b a b a b",   // "a b" ×3 of 5 bigram slots
+      "x y z w",       // all bigrams unique → 1
+      "solo").toDF("text")
+    val got = df.select(ShingleExpression.topShingleCount(
+      TextOps.tokens(col("text")), 2)).collect()
+    assert(got(0).getLong(0) === 3L)
+    assert(got(1).getLong(0) === 1L)
+    assert(got(2).isNullAt(0), "doc shorter than k yields null")
   }
 
   test("minhash-LSH finds exact duplicates with jaccard 1.0") {
