@@ -74,6 +74,12 @@ object GraftDemo {
         |WHEN MATCHED THEN UPDATE SET customer = s.customer, total = s.total
         |WHEN NOT MATCHED THEN INSERT (id, customer, total)
         |  VALUES (s.id, s.customer, s.total)""".stripMargin)
+    Seq((5L, "fred", 11.0)).toDF("id", "customer", "total")
+      .createOrReplaceTempView("star_updates")
+    spark.sql(
+      """MERGE INTO demo.orders t USING star_updates s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     spark.sql("INSERT INTO demo.orders (id, customer, total) VALUES (4, 'erin', 3.0)")
     spark.sql("UPDATE demo.orders SET total = total * 2 WHERE total < 5")
     spark.sql("DELETE FROM demo.orders WHERE customer = 'bob'")

@@ -79,6 +79,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q66: repetition scoring shuffles only for the final aggregate") {
+    val p = plan("q66_repetition")
+    // one partial+final agg pair over lang — the per-doc repetition math
+    // must stay a map (no k-gram explode, no per-doc groupBy)
+    assert(!p.contains("Generate"), "no explode in the repetition path")
+    // formatted explain prints each node in the tree AND a detail section,
+    // so count tree occurrences only: partial→final agg + the sort for
+    // ORDER BY are the two legitimate exchanges
+    assert("- Exchange".r.findAllIn(p).size <= 2,
+      s"per-doc metrics must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("q67: contamination joins the corpus against a broadcast benchmark") {
+    val p = plan("q67_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingle set must broadcast — the corpus side never shuffles for the probe")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which
