@@ -106,5 +106,49 @@ object QualityOps {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination)
+  /** Deterministic sequence packing: assign documents to fixed-budget
+    * (512-token) training sequences in a stable md5 order, the way a
+    * pretraining pipeline packs shuffled docs into context windows. A doc
+    * starting inside a window belongs to it and may spill into the next
+    * (concat-and-split packing). The running sum is windowed PER LANGUAGE
+    * — the shard is the parallelism unit, exactly as packing shards
+    * scale-out at 100 TB; there is no global cumulative sum anywhere. */
+  val q68SequencePacking = QueryDef(
+    "q68_sequence_packing",
+    """WITH t AS (SELECT lang, doc_id,
+      |             len(regexp_extract_all(text, '\S+')) AS nt FROM documents),
+      |w AS (SELECT lang, nt,
+      |        sum(nt) OVER (PARTITION BY lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM t),
+      |p AS (SELECT lang, nt,
+      |        CAST(floor((cum - nt) * 1.0 / 512) AS BIGINT) AS seq_id FROM w)
+      |SELECT lang, count(DISTINCT seq_id) AS n_seqs, count(*) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+      |  round(count(*) * 1.0 / count(DISTINCT seq_id), 2) AS avg_docs_per_seq
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val budget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        TextOps.tokenCount(col("text")).as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .select(col("lang"), col("nt"),
+        floor((col("cum") - col("nt")) * lit(1.0) / budget).cast("long").as("seq_id"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        round(count(lit(1)).cast("double") / countDistinct(col("seq_id")), 2)
+          .as("avg_docs_per_seq"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination,
+    q68SequencePacking)
 }
