@@ -7,26 +7,40 @@ import java.util.Locale
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * emits ONE JSON line {"metric":…,"value":…,"queries":{…}} (driver
-  * contract).
+  * emits a JSON metric line (driver contract).
   *
-  * Round-2 handoff hardening (BENCH_r01.json had "parsed": null because the
-  * driver keeps only a bounded tail of stdout and the r1 line was longer
-  * than that window):
-  *   - the JSON line is kept short (3-decimal timings, no inline op_metrics)
-  *   - it is printed once as soon as it is ready AND again as the very last
-  *     line before shutdown, so the complete line sits inside any stdout
-  *     tail window with only sbt's epilogue after it
-  *   - the full payload (plus op_metrics, raw perf iterations, errors) is
-  *     also written to bench.json in the working directory
-  *   - query failures are recorded in an explicit "errors" map instead of
-  *     masquerading as fast timings
+  * Handoff hardening, round 3 of this lesson (BENCH_r01 and BENCH_r03 both
+  * came back "parsed": null because the driver keeps only a bounded tail of
+  * stdout and the final line's length grew with the query count):
+  *   - the FULL line (per-query map, perf scalars) is printed FIRST and
+  *     written to bench.json in the working directory
+  *   - the LAST printed line is O(1) bytes BY CONSTRUCTION — totals and
+  *     perf scalars only, no per-query map, plus "detail":"bench.json" —
+  *     so it fits any bounded tail window regardless of how many queries
+  *     future rounds add ([[Bench.tailLine]]; BenchTailSpec asserts the
+  *     size bound and parses it from a simulated 3 KB stdout tail)
+  *   - query failures are recorded in an explicit "errors" map (count only
+  *     in the tail line) instead of masquerading as fast timings
   */
 object Bench {
 
   private def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The bounded final stdout line: every field is a fixed-width scalar, so
+    * its size does not depend on the number of registered queries. Kept as a
+    * pure function so BenchTailSpec can assert the O(1)-size contract. */
+  def tailLine(total: Double, nQueries: Int, nErrors: Int, mergeMs: Double,
+      insertMs: Double, amortMergeMs: Double, amortInsertMs: Double,
+      sfDir: String): String =
+    s"""{"metric":"total","value":${num(total)},"unit":"sec"""" +
+      s""","n_queries":$nQueries,"n_errors":$nErrors""" +
+      s""","upsert_merge_ms_per_10k_batch":${num(mergeMs)}""" +
+      s""","insert_ms_per_10k_batch":${num(insertMs)}""" +
+      s""","upsert_merge_ms_per_10k_amortized_1m_flush":${num(amortMergeMs)}""" +
+      s""","insert_ms_per_10k_amortized_1m_flush":${num(amortInsertMs)}""" +
+      s""","sf":${jstr(sfDir)},"detail":"bench.json"}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +93,7 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec"""" +
+    val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec"""" +
       s""","queries":$qs""" +
       s""","upsert_merge_ms_per_10k_batch":${num(mergeMs)}""" +
       s""","insert_ms_per_10k_batch":${num(insertMs)}""" +
@@ -95,14 +109,15 @@ object Bench {
     val perfIters = perf.map(r =>
       s"""{"pct":${r.conflictPct},"iter":${r.iter},"merge_ms":${num(r.mergeMs)},"insert_ms":${num(r.insertMs)}}""")
       .mkString("[", ",", "]")
-    val full = line.dropRight(1) +
+    val full = fullLine.dropRight(1) +
       s""","op_metrics":$ops,"perf_iterations":$perfIters}"""
     Files.write(Paths.get("bench.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
 
-    println(line)
+    println(fullLine)
     spark.stop()
-    // printed again LAST so a bounded stdout tail still contains the whole
-    // line (only sbt's [success] epilogue follows)
-    println(line)
+    // printed LAST: the O(1)-size summary, so a bounded stdout tail always
+    // contains one complete metric line (only sbt's epilogue follows)
+    println(tailLine(total, ok.size, errors.size, mergeMs, insertMs,
+      amortMergeMs, amortInsertMs, sfDir))
   }
 }

@@ -63,11 +63,44 @@ object QualityOps {
       .orderBy(col("lang"))
   }
 
-  /** Benchmark-contamination sweep: flag every document that shares at
-    * least one 5-gram with a (deterministically chosen) benchmark set —
-    * the n-gram-overlap decontamination step of LLM training pipelines.
-    * The benchmark side is tiny by construction, so its exploded shingle
-    * set broadcasts; corpus docs stream through map-side. */
+  /** Benchmark-contamination sweep: flag every corpus document that shares
+    * at least one `k`-gram with any document of `bench` — the
+    * n-gram-overlap decontamination step of LLM training pipelines.
+    *
+    * `bench` is a caller-supplied DataFrame with columns `(doc_id, text)`
+    * (a real pipeline passes the eval-benchmark corpus here); `normalize`
+    * applies the common decontamination recipe of lowercasing and
+    * punctuation-stripping BOTH sides before shingling, so cosmetic edits
+    * don't hide overlap.
+    *
+    * Scale shape: the benchmark side is tiny by construction, so its
+    * exploded shingle set broadcasts; corpus docs stream through map-side
+    * and only the flagged-id set is ever shuffled. Returns the corpus with
+    * a `contaminated` flag column (doc_id, contaminated). */
+  def contaminationFlags(corpus: DataFrame, bench: DataFrame, k: Int = 5,
+      normalize: Boolean = false): DataFrame = {
+    val s = corpus.sparkSession
+    ShingleExpression.register(s)
+    def norm(c: org.apache.spark.sql.Column) =
+      if (normalize) lower(regexp_replace(c, "[\\p{Punct}]+", " ")) else c
+    def grams(df: DataFrame, id: String, out: String) = df
+      .select(col("doc_id").as(id),
+        ShingleExpression.wordShingles(TextOps.tokens(norm(col("text"))), k).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col(id), explode(col("sh")).as(out))
+    val benchGrams = grams(bench, "b_id", "bg")
+    val flagged = grams(corpus, "doc_id", "g")
+      .join(broadcast(benchGrams),
+        col("g") === col("bg") && col("doc_id") =!= col("b_id"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(1L))
+    corpus.select(col("doc_id")).join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+  }
+
+  /** q67: [[contaminationFlags]] driven with a deterministically chosen
+    * demo slice (`doc_id % 97 = 0`) standing in for the benchmark corpus,
+    * aggregated to a per-source contamination count. */
   val q67Contamination = QueryDef(
     "q67_contamination",
     """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
@@ -85,24 +118,12 @@ object QualityOps {
       |    AS n_contaminated
       |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
-    ShingleExpression.register(s)
     val base = docs(s, dir)
-    val sh = base
-      .select(col("doc_id"), col("source"),
-        ShingleExpression.wordShingles(TextOps.tokens(col("text")), 5).as("sh"))
-      .filter(col("sh").isNotNull)
-    val benchGrams = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("b_id"), explode(col("sh")).as("bg"))
-    val corpusGrams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val flagged = corpusGrams
-      .join(broadcast(benchGrams),
-        col("g") === col("bg") && col("doc_id") =!= col("b_id"))
-      .select(col("doc_id")).distinct()
-      .withColumn("contaminated", lit(1L))
-    base.join(flagged, Seq("doc_id"), "left")
+    val flags = contaminationFlags(base, base.filter(col("doc_id") % 97 === 0))
+    base.join(flags, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"))
+        sum(col("contaminated")).as("n_contaminated"))
       .orderBy(col("source"))
   }
 
@@ -110,42 +131,54 @@ object QualityOps {
     * (512-token) training sequences in a stable md5 order, the way a
     * pretraining pipeline packs shuffled docs into context windows. A doc
     * starting inside a window belongs to it and may spill into the next
-    * (concat-and-split packing). The running sum is windowed PER LANGUAGE
-    * — the shard is the parallelism unit, exactly as packing shards
-    * scale-out at 100 TB; there is no global cumulative sum anywhere. */
+    * (concat-and-split packing).
+    *
+    * Scale design: the running sum is windowed per `(lang, shard)` where
+    * `shard = md5-bucket(doc_id) % nShards` — the SHARD (not the language)
+    * is the parallelism unit, so no window partition ever holds an entire
+    * language's corpus on one task. Sequence ids are namespaced by shard
+    * (`n_seqs` counts distinct `(shard, seq_id)` pairs), mirroring how
+    * real packing shards emit independent sequence streams that are only
+    * unioned, never renumbered. The shard key reuses the engine-stable
+    * md5-bucket idiom ([[TextOps.hashBucket]]) so the exact assignment is
+    * reproducible in any engine — at 100 TB, raise `nShards` with the
+    * cluster; 8 here keeps the sf0.01 oracle readable. */
   val q68SequencePacking = QueryDef(
     "q68_sequence_packing",
     """WITH t AS (SELECT lang, doc_id,
+      |             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS shard,
       |             len(regexp_extract_all(text, '\S+')) AS nt FROM documents),
-      |w AS (SELECT lang, nt,
-      |        sum(nt) OVER (PARTITION BY lang
+      |w AS (SELECT lang, shard, nt,
+      |        sum(nt) OVER (PARTITION BY lang, shard
       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
       |          ROWS UNBOUNDED PRECEDING) AS cum
       |      FROM t),
-      |p AS (SELECT lang, nt,
+      |p AS (SELECT lang, shard, nt,
       |        CAST(floor((cum - nt) * 1.0 / 512) AS BIGINT) AS seq_id FROM w)
-      |SELECT lang, count(DISTINCT seq_id) AS n_seqs, count(*) AS n_docs,
+      |SELECT lang, count(DISTINCT (shard, seq_id)) AS n_seqs, count(*) AS n_docs,
       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
-      |  round(count(*) * 1.0 / count(DISTINCT seq_id), 2) AS avg_docs_per_seq
+      |  round(count(*) * 1.0 / count(DISTINCT (shard, seq_id)), 2) AS avg_docs_per_seq
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     val budget = 512
+    val nShards = 8
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
+      .partitionBy(col("lang"), col("shard"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     docs(s, dir)
       .select(col("lang"), col("doc_id"),
+        (TextOps.hashBucket(col("doc_id")) % nShards).as("shard"),
         TextOps.tokenCount(col("text")).as("nt"))
       .withColumn("cum", sum(col("nt")).over(w))
-      .select(col("lang"), col("nt"),
+      .select(col("lang"), col("shard"), col("nt"),
         floor((col("cum") - col("nt")) * lit(1.0) / budget).cast("long").as("seq_id"))
       .groupBy(col("lang"))
-      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+      .agg(countDistinct(col("shard"), col("seq_id")).as("n_seqs"),
         count(lit(1)).as("n_docs"),
         sum(col("nt")).as("total_tokens"),
-        round(count(lit(1)).cast("double") / countDistinct(col("seq_id")), 2)
-          .as("avg_docs_per_seq"))
+        round(count(lit(1)).cast("double") /
+          countDistinct(col("shard"), col("seq_id")), 2).as("avg_docs_per_seq"))
       .orderBy(col("lang"))
   }
 
