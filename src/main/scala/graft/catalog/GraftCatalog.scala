@@ -89,9 +89,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       wh: String) extends Table with SupportsRead with SupportsWrite {
     override def name(): String = underlying.name
     override def schema(): StructType = underlying.schema
+    // AUTOMATIC_SCHEMA_EVOLUTION lets Spark's own analysis rule
+    // (ResolveMergeIntoSchemaEvolution) route `MERGE … WITH SCHEMA
+    // EVOLUTION` through alterTable below — matching the reference's
+    // auto-evolution on every write (DucklakeTableManager.java:236-322)
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
       underlying.newScanBuilder(options)
     override def partitioning(): Array[Transform] = underlying.partitioning()
@@ -144,9 +149,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution is engine-driven (GraftLake.ensureTable); ALTER TABLE is not exposed")
+  /** Schema evolution through the engine's evolve path ([[GraftLake
+    * .ensureTable]] → [[LandedTypes.evolve]]): top-level ADD COLUMN and
+    * type widening are accepted — exactly what `MERGE … WITH SCHEMA
+    * EVOLUTION` produces for a source carrying new/wider columns. Added
+    * columns land under the landed-type policy (nullable, nested data as
+    * JSON strings), the same as ingest-driven evolution; anything else
+    * (drops, renames, nested edits, system columns) is rejected. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireRootNamespace(ident.namespace())
+    def topLevel(names: Array[String], what: String): String = {
+      if (names.length != 1) throw new UnsupportedOperationException(
+        s"graft table '${ident.name}': $what of nested field " +
+          s"'${names.mkString(".")}' is not supported (nested data lands as JSON strings)")
+      val n = names.head
+      if (n == "_inserted_at" || n.startsWith("__p_"))
+        throw new UnsupportedOperationException(
+          s"graft table '${ident.name}': column '$n' is engine-managed and cannot be altered")
+      n
+    }
+    val incoming = changes.map {
+      case a: TableChange.AddColumn =>
+        org.apache.spark.sql.types.StructField(
+          topLevel(a.fieldNames, "ADD COLUMN"), a.dataType, nullable = true)
+      case u: TableChange.UpdateColumnType =>
+        org.apache.spark.sql.types.StructField(
+          topLevel(u.fieldNames, "type change"), u.newDataType, nullable = true)
+      case c => throw new UnsupportedOperationException(
+        s"graft table '${ident.name}': unsupported table change $c " +
+          "(only ADD COLUMN and type widening evolve through the engine)")
+    }
+    lake.ensureTable(ident.name, StructType(incoming))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     requireRootNamespace(ident.namespace())

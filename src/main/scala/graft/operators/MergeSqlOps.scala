@@ -248,6 +248,52 @@ object MergeSqlOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `MERGE WITH SCHEMA EVOLUTION`: the source carries a column the table
+    * lacks (`c_zone`). The graft table advertises AUTOMATIC_SCHEMA_EVOLUTION,
+    * so Spark's own analysis routes the new column through
+    * [[GraftCatalog.alterTable]] — the engine's ADD-COLUMN evolve path, the
+    * same one ingest uses (reference auto-evolves on every write,
+    * DucklakeTableManager.java:236-322) — and the star actions expand from
+    * the SOURCE's columns. Pre-existing unmatched rows read NULL for the
+    * new column (registry-schema read over old files). */
+  val q69MergeEvolveSql = QueryDef(
+    "q69_merge_evolve_sql",
+    """WITH h AS (SELECT max(c_custkey) / 2 AS v FROM customer),
+      |seed AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+      |         WHERE c_custkey < (SELECT v FROM h)),
+      |src AS (SELECT c_custkey, lower(c_name) AS c_name, c_acctbal + 7 AS c_acctbal,
+      |               upper(substr(c_mktsegment, 1, 3)) AS c_zone
+      |        FROM customer WHERE c_custkey % 4 = 0)
+      |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+      |       round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
+      |       s.c_zone AS c_zone
+      |FROM seed t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val h = cust.agg(max("c_custkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("cust_evo")) lake.dropTable("cust_evo")
+    lake.write("cust_evo",
+      cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .filter(col("c_custkey") < h),
+      pks = Seq("c_custkey"))
+    cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"), lower(col("c_name")).as("c_name"),
+        (col("c_acctbal") + 7).as("c_acctbal"),
+        upper(substring(col("c_mktsegment"), 1, 3)).as("c_zone"))
+      .createOrReplaceTempView("q69_src")
+    s.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gm.cust_evo t USING q69_src s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    lake.read("cust_evo")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_zone"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q59MergeSql, q60MergeGeneralSql, q61InsertSql,
-    q62DeleteSql, q63UpdateSql, q65MergeStarSql)
+    q62DeleteSql, q63UpdateSql, q65MergeStarSql, q69MergeEvolveSql)
 }

@@ -34,8 +34,14 @@ import org.apache.spark.sql.types.{DataType, TimestampType}
   */
 object RewriteGraftMerge extends Rule[LogicalPlan] {
 
+  // `WITH SCHEMA EVOLUTION` merges are accepted too: the graft table
+  // advertises AUTOMATIC_SCHEMA_EVOLUTION, so by the time this post-hoc
+  // rule sees a resolved plan, Spark's ResolveMergeIntoSchemaEvolution has
+  // already routed the source's new/wider columns through
+  // GraftCatalog.alterTable (engine evolve path) and patched the target
+  // relation — the merge itself then executes against the evolved schema.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution =>
+    case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable) match {
         case Some((cat, name)) =>
           GraftMergeCommand(cat.warehouseDir, name, m.targetTable, m.sourceTable,
@@ -87,8 +93,12 @@ object RewriteGraftMerge extends Rule[LogicalPlan] {
 final case class ExpandGraftMergeStars(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
+  // `WITH SCHEMA EVOLUTION` star merges are left untouched: under the
+  // evolution flag Spark's own expansion derives the assignments from the
+  // SOURCE's columns (not every target column), so the engine-managed
+  // `_inserted_at` is never assigned and no pre-expansion is needed.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case m: MergeIntoTable if hasStar(m) =>
+    case m: MergeIntoTable if hasStar(m) && !m.withSchemaEvolution =>
       (graftUserColumns(m.targetTable), sourceAlias(m.sourceTable)) match {
         case (Some(cols), Some(alias)) =>
           def assigns = cols.map(c => Assignment(
@@ -102,6 +112,17 @@ final case class ExpandGraftMergeStars(spark: SparkSession)
               case InsertStarAction(cond) => InsertAction(cond, assigns)
               case a => a
             })
+        case (Some(_), None) =>
+          // Spark's own expansion would assign every target column from the
+          // source — including `_inserted_at`, which sources never carry —
+          // and fail with an opaque unresolved-column error; say why early
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_3100",
+            Map("message" ->
+              ("UPDATE SET * / INSERT * on a graft table requires an aliased " +
+                "USING source (e.g. `USING src AS s`); without the alias the " +
+                "star cannot be expanded against the table's user columns")),
+            scala.None)
         case _ => m
       }
   }
@@ -112,11 +133,15 @@ final case class ExpandGraftMergeStars(spark: SparkSession)
       case _ => false
     }
 
-  /** The alias SQL always gives the USING side (`USING src [AS] s`); the
-    * expansion qualifies source references with it, so an aliasless plan
-    * (not produced by the SQL parser) is left to Spark's own path. */
+  /** Qualifier for the USING side: its alias when present (`USING src AS
+    * s`; subqueries always get one — the parser auto-aliases), else the
+    * table name itself for a bare `USING tbl`. None only for plans built
+    * programmatically (e.g. `Dataset.mergeInto` with star actions), which
+    * get the descriptive error above instead of Spark's opaque
+    * `_inserted_at` resolution failure. */
   private def sourceAlias(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(ident, _) => Some(ident.name)
+    case u: UnresolvedRelation => u.multipartIdentifier.lastOption
     case _ => None
   }
 

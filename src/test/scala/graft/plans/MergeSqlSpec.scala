@@ -289,6 +289,92 @@ class MergeSqlSpec extends AnyFunSuite {
       "both RHS evaluate against the old row — a swap, not a copy chain")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: star merge adds the source's new column") {
+    import spark.implicits._
+    lake.write("evo1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), pks = Seq("id"))
+    val before = lake.read("evo1")
+      .select("id", "_inserted_at").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    Seq((2L, "B", 20), (3L, "c", 30)).toDF("id", "v", "extra")
+      .createOrReplaceTempView("m_evo1")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gmt.evo1 t USING m_evo1 s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val meta = lake.readMeta("evo1")
+    assert(meta.schema.fieldNames.contains("extra"), "table schema evolved")
+    assert(meta.pks === Seq("id"), "pks preserved across evolution")
+    val rows = lake.read("evo1").orderBy("id")
+      .select("id", "v", "extra", "_inserted_at").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getInt(2))).toSeq ===
+      Seq((1L, "a", null), (2L, "B", 20), (3L, "c", 30)),
+      "pre-existing unmatched row reads NULL for the evolved column")
+    assert(rows(1).getTimestamp(3) === before(2L), "update preserves _inserted_at")
+    assert(rows(2).getTimestamp(3) != null, "insert stamps _inserted_at")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: explicit assignment to a new column") {
+    import spark.implicits._
+    lake.write("evo2", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), pks = Seq("id"))
+    Seq((2L, "B", "x2"), (3L, "c", "x3")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("m_evo2")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gmt.evo2 t USING m_evo2 s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+        |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, s.tag)""".stripMargin)
+    val rows = lake.read("evo2").orderBy("id")
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq((1L, "a", null), (2L, "B", "x2"), (3L, "c", "x3")))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION with no new columns behaves as a plain merge") {
+    import spark.implicits._
+    lake.write("evo3", Seq((1L, "a")).toDF("id", "v"), pks = Seq("id"))
+    val schemaBefore = lake.readMeta("evo3").schema
+    Seq((1L, "A"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("m_evo3")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gmt.evo3 t USING m_evo3 s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(lake.readMeta("evo3").schema === schemaBefore, "schema untouched")
+    assert(lake.read("evo3").orderBy("id").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "A"), (2L, "b")))
+  }
+
+  test("star merge with a bare unaliased USING table expands via the table name") {
+    import spark.implicits._
+    lake.write("star_bare", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), pks = Seq("id"))
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").createOrReplaceTempView("m_star_bare")
+    spark.sql(
+      """MERGE INTO gmt.star_bare t USING m_star_bare ON t.id = m_star_bare.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(lake.read("star_bare").orderBy("id").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("star merge with an alias-less programmatic source fails descriptively") {
+    import spark.implicits._
+    lake.write("star_na", Seq((1L, "a")).toDF("id", "v"), pks = Seq("id"))
+    // Dataset.mergeInto carries the raw source plan — no SubqueryAlias, so
+    // the star cannot be qualified; the rule must say why instead of
+    // letting Spark fail on the engine-managed _inserted_at
+    val src = Seq((1L, "A")).toDF("id", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      src.mergeInto("gmt.star_na", src("id") === col("id"))
+        .whenMatched().updateAll().merge()
+    }
+    assert(e.getMessage.contains("aliased USING source"),
+      s"expected the descriptive star-expansion error, got: ${e.getMessage}")
+  }
+
   test("merge into a non-graft table still fails analysis (rule scoped to graft)") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("m_plain_t")
