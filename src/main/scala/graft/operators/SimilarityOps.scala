@@ -112,17 +112,30 @@ object SimilarityOps {
     * the per-iteration shuffle is bytes, not data. Clusters that lose all
     * members keep their previous centroid. Cosine ranking is
     * normalization-invariant, so plain means serve as spherical
-    * centroids. */
+    * centroids.
+    *
+    * Scale: above `maxFitVectors` the fit runs on a deterministic hash
+    * subset — `pmod(xxhash64(id), ceil(n / maxFitVectors)) = 0` — so the
+    * cached per-iteration scan is bounded regardless of corpus size. A
+    * coarse quantizer only needs the cluster structure, which a uniform
+    * hash sample preserves (recall parity vs the full fit is unit-tested);
+    * the assignment of the FULL corpus to centroids stays a map-side scan
+    * in [[knnIvf]] either way. */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, iters: Int = 3): Array[Seq[Double]] = {
+      nCentroids: Int = 16, iters: Int = 3,
+      maxFitVectors: Long = 1L << 20): Array[Seq[Double]] = {
     var cents = sampleCentroids(corpus, idCol, vecCol, nCentroids)
     if (cents.isEmpty) return cents
     val dim = cents.head.size
     val dimAggs = (1 to dim).map(i => avg(element_at(col(vecCol), i)))
     // the fit re-scans the vectors once per iteration — cache the pruned
-    // projection for its lifetime (at lake scale fit the quantizer on a
-    // deterministic subset, e.g. pmod(xxhash64(id), k) = 0, instead)
-    val vecs = corpus.select(col(vecCol)).cache()
+    // (and, at scale, subsetted) projection for its lifetime
+    val n = corpus.count()
+    val mod = (n + maxFitVectors - 1) / maxFitVectors
+    val fitSet =
+      if (mod <= 1) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+    val vecs = fitSet.select(col(vecCol)).cache()
     try {
       for (_ <- 1 to iters) {
         val rows = vecs

@@ -205,11 +205,27 @@ final case class GraftMergeCommand(
       // the cardinality error (key present in target) or inserts every
       // unmatched row (key absent). A duplicate-key source must therefore
       // leave the fast path: the general rewrite reproduces both outcomes
-      // exactly. The probe is one partial-agg job over the source.
-      case Some(batch) if !hasDuplicatePks(spark, batch, meta.pks) =>
-        graft.metrics.GraftMetrics.time("mergeSqlUpsertPath") {
-          lake.upsert(table, PlanBridge.ofRows(spark, batch))
-        }
+      // exactly.
+      //
+      // The projected source is cached for the whole fast path: the PK
+      // probe's aggregation materializes it, and the upsert's own jobs
+      // (affected-partition probe + rewrite) read the cache instead of
+      // re-executing the source plan — one source execution per MERGE, so
+      // an expensive or nondeterministic source is scanned once and the
+      // probe and the upsert observe the SAME data. The footprint is the
+      // projected batch (table columns only), spilling to disk if needed.
+      case Some(batch) =>
+        val src = PlanBridge.ofRows(spark, batch).cache()
+        try {
+          if (!hasDuplicatePks(src, meta.pks))
+            graft.metrics.GraftMetrics.time("mergeSqlUpsertPath") {
+              lake.upsert(table, src)
+            }
+          else
+            graft.metrics.GraftMetrics.time("mergeSqlGeneralPath") {
+              generalMerge(spark, lake, meta)
+            }
+        } finally src.unpersist()
       case _ =>
         graft.metrics.GraftMetrics.time("mergeSqlGeneralPath") {
           generalMerge(spark, lake, meta)
@@ -218,12 +234,10 @@ final case class GraftMergeCommand(
     Seq.empty
   }
 
-  private def hasDuplicatePks(spark: SparkSession, batch: LogicalPlan,
-      pks: Seq[String]): Boolean = {
-    val df = PlanBridge.ofRows(spark, batch)
-    df.groupBy(pks.map(n => col(GraftLake.quoted(n))): _*)
+  private def hasDuplicatePks(src: org.apache.spark.sql.DataFrame,
+      pks: Seq[String]): Boolean =
+    src.groupBy(pks.map(n => col(GraftLake.quoted(n))): _*)
       .count().filter(col("count") > 1).limit(1).count() > 0
-  }
 
   // ---- upsert-shaped fast path ----
 

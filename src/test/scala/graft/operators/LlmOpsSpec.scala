@@ -286,6 +286,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fitRecall >= sampleRecall,
       s"fit recall $fitRecall below sample recall $sampleRecall")
     assert(fitRecall >= 0.5, s"fit recall $fitRecall too low")
+
+    // subset fit: capping maxFitVectors forces the hash-sampled fit path
+    // (mod = ceil(400/100) = 4 -> ~1/4 of the vectors); the coarse
+    // quantizer it learns must stay within tolerance of the full fit at
+    // equal nprobe — the at-scale contract that lets the fit scan stay
+    // bounded on a 100 TB corpus
+    val subsetFitted = SimilarityOps.fitCentroids(
+      docs, "vec_id", "embedding", 16, iters = 3, maxFitVectors = 100L)
+    val subsetRecall = (brute & pairs(SimilarityOps.knnIvf(
+      docs, queries, "vec_id", "embedding", 5,
+      centroids = Some(subsetFitted)))).size.toDouble / brute.size
+    assert(subsetRecall >= fitRecall - 0.15,
+      s"subset-fit recall $subsetRecall more than 0.15 below full-fit $fitRecall")
+    assert(subsetRecall >= 0.5, s"subset-fit recall $subsetRecall too low")
     docs.unpersist()
   }
 

@@ -289,6 +289,26 @@ class MergeSqlSpec extends AnyFunSuite {
       "both RHS evaluate against the old row — a swap, not a copy chain")
   }
 
+  test("fast-path merge executes the source plan exactly once (probe + upsert share a cache)") {
+    import spark.implicits._
+    lake.write("src_once", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      pks = Seq("id"))
+    val acc = spark.sparkContext.longAccumulator("src_rows_seen")
+    val seen = udf { (id: Long) => acc.add(1); id }
+    (26L to 75L).map(i => (i, s"n$i")).toDF("id0", "v")
+      .select(seen(col("id0")).as("id"), col("v"))
+      .createOrReplaceTempView("m_src_once")
+    spark.sql(
+      """MERGE INTO gmt.src_once t USING m_src_once s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(lake.read("src_once").count() === 75)
+    // duplicate-PK probe + affected-partition probe + rewrite would be 3
+    // source executions uncached; the shared cache makes it exactly one
+    assert(acc.value === 50,
+      s"source rows evaluated ${acc.value} times for 50 rows — plan re-executed")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: star merge adds the source's new column") {
     import spark.implicits._
     lake.write("evo1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), pks = Seq("id"))
