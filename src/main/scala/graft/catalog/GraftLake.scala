@@ -257,7 +257,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   /** MERGE path (W2/W4/W5): batch PK-dedup last-wins, affected-partition
     * discovery, anti-join + union rewrite of affected partitions only,
-    * `_inserted_at` preserved on update / set on insert. */
+    * `_inserted_at` preserved on update / set on insert.
+    *
+    * NOTE a batch that changes a partition-source column relocates rows, so
+    * both the old and new partitions count as affected — a merge that
+    * rewrites its own partition key forfeits pruning by construction and
+    * degrades toward a full copy-on-write. Partition by a stable key that
+    * merges never update (see README "Scale design notes"). */
   def upsert(name: String, batch: DataFrame, ordering: Seq[Column] = Nil): Unit = writeLock(name) {
     val meta = readMeta(name)
     require(meta.pks.nonEmpty, s"upsert on '$name' requires configured PKs")
