@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond cleaning/dedup: context-window
+  * chunking, tokenizer-prep vocabulary statistics, and temperature-based
+  * source mixing — the steps that turn a curated corpus into model input.
+  *
+  * Scale shapes (100 TB):
+  *  - chunking is a pure map — chunk starts come from `sequence()` over
+  *    each doc's own token count, so the explode factor is the chunk
+  *    count, never a cross join; no shuffle until the caller aggregates;
+  *  - vocabulary is one token-count shuffle (partial aggs ship counts,
+  *    not tokens) + a driver-side top-k that is vocab-sized, then OOV
+  *    scoring re-scans map-side against the BROADCAST vocabulary;
+  *  - mixing rates derive from a source-cardinality aggregate (rows =
+  *    #sources), broadcast back; the sample itself is a map-side
+  *    deterministic hash filter — no data ever shuffles.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  // ---- context-window chunking ----
+
+  /** Split each document into fixed-budget token windows with overlap:
+    * chunk k covers tokens `[1 + k·step, 1 + k·step + chunkSize)` until the
+    * start passes the document's token count (trailing chunks may be
+    * short). Returns one row per chunk: every corpus column EXCEPT the
+    * text (chunk rows must not replicate whole documents), plus chunk_id,
+    * chunk_start, doc_tokens, chunk_tokens, chunk_text. `step = chunkSize
+    * - overlap` must be positive. */
+  def chunkDocuments(corpus: DataFrame, textCol: String, chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val keep = corpus.columns.filterNot(_ == textCol)
+    val toks = TextOps.tokens(col(textCol))
+    corpus
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 1)
+      .withColumn("chunk_start",
+        explode(sequence(lit(1), col("__n"), lit(step))))
+      .select(keep.map(col) ++ Seq(
+        ((col("chunk_start") - 1) / step).cast("long").as("chunk_id"),
+        col("chunk_start").cast("long"),
+        col("__n").cast("long").as("doc_tokens"),
+        least(lit(chunkSize), col("__n") - col("chunk_start") + 1)
+          .cast("long").as("chunk_tokens"),
+        array_join(slice(col("__toks"), col("chunk_start"), lit(chunkSize)), " ")
+          .as("chunk_text")): _*)
+  }
+
+  /** q70: chunking statistics per source at a 16-token window with 4-token
+    * overlap (miniature context-window prep for the synthetic docs). The
+    * oracle reproduces the start arithmetic with `range()`; chunk TEXT
+    * equality is pinned by the ScalaTest spec instead, keeping the gate on
+    * dialect-safe arithmetic. */
+  val q70DocChunks = QueryDef(
+    "q70_doc_chunks",
+    """WITH t AS (SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, source, n, unnest(range(1, n + 1, 12)) AS s
+      |      FROM t WHERE n >= 1)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+      |  CAST(sum(least(16, n - s + 1)) AS BIGINT) AS chunk_tokens,
+      |  round(avg(least(16, n - s + 1)), 2) AS avg_chunk_tokens
+      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    chunkDocuments(docs(s, dir), "text", chunkSize = 16, overlap = 4)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("chunk_tokens"),
+        round(avg(col("chunk_tokens")), 2).as("avg_chunk_tokens"))
+      .orderBy(col("source"))
+  }
+
+  // ---- tokenizer-prep vocabulary ----
+
+  /** Top-`vocabSize` tokens by global count (count desc, token asc on
+    * ties) — the seed vocabulary a tokenizer trainer starts from. One
+    * shuffle: the per-token partial counts. */
+  def buildVocabulary(corpus: DataFrame, textCol: String,
+      vocabSize: Int): DataFrame = {
+    corpus
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabSize)
+  }
+
+  /** Out-of-vocabulary rate per group against a given vocabulary
+    * (broadcast; corpus streams map-side). */
+  def oovRate(corpus: DataFrame, textCol: String, groupCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.select(col("token"), lit(1L).as("__in_vocab")))
+    corpus
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(v, Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** q71: 30-token vocabulary over the corpus, then per-language OOV rate
+    * — the coverage diagnostic run before committing to a tokenizer. */
+  val q71VocabOov = QueryDef(
+    "q71_vocab_oov",
+    """WITH tok AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS token
+      |             FROM documents),
+      |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      |vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 30)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+      |    AS oov_rate
+      |FROM tok LEFT JOIN vocab v USING (token)
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    oovRate(d, "text", "lang", buildVocabulary(d, "text", 30))
+      .orderBy(col("lang"))
+  }
+
+  // ---- temperature-based source mixing ----
+
+  /** Deterministic temperature-weighted sampling across sources: source
+    * `s` with `n_s` docs gets weight `n_s^alpha / Σ n^alpha` (alpha < 1
+    * up-weights small sources — multilingual-mixing practice), a target
+    * budget of `fraction · Σ n` docs overall, hence a per-source keep rate
+    * `min(1, weight · budget / n_s)`. Rows are kept by the engine-stable
+    * md5 bucket of the id — reproducible across engines, layouts and
+    * reruns, never `rand()`. Returns per-source (n_docs, keep_rate,
+    * n_sampled). */
+  def sourceMixPlan(corpus: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, fraction: Double): DataFrame = {
+    val counts = corpus.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = counts
+      .withColumn("__w", pow(col("n_docs").cast("double"), alpha))
+      .withColumn("__budget", sum(col("n_docs")).over(w) * fraction)
+      .withColumn("keep_rate",
+        least(lit(1.0), col("__w") / sum(col("__w")).over(w)
+          * col("__budget") / col("n_docs")))
+    val sampled = corpus
+      .join(broadcast(rates.select(col(groupCol), col("keep_rate"))), Seq(groupCol))
+      .filter(TextOps.hashBucket(col(idCol)) <
+        floor(col("keep_rate") * 256).cast("int"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_sampled"))
+    rates.select(col(groupCol), col("n_docs"), round(col("keep_rate"), 4).as("keep_rate"))
+      .join(sampled, Seq(groupCol), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+  }
+
+  /** q72: alpha=0.5, half-corpus budget over the `source` column. */
+  val q72SourceMix = QueryDef(
+    "q72_source_mix",
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |r AS (SELECT source, n_docs,
+      |        least(1.0, sqrt(n_docs * 1.0) / sum(sqrt(n_docs * 1.0)) OVER ()
+      |          * (sum(n_docs) OVER () * 0.5) / n_docs) AS rate
+      |      FROM c),
+      |kept AS (SELECT d.source, count(*) AS n_sampled
+      |         FROM documents d JOIN r ON d.source = r.source
+      |         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+      |               < CAST(floor(rate * 256) AS INTEGER)
+      |         GROUP BY d.source)
+      |SELECT r.source, n_docs, round(rate, 4) AS keep_rate,
+      |  coalesce(n_sampled, 0) AS n_sampled
+      |FROM r LEFT JOIN kept ON r.source = kept.source
+      |ORDER BY r.source""".stripMargin) { (s, dir) =>
+    sourceMixPlan(docs(s, dir), "source", "doc_id", alpha = 0.5, fraction = 0.5)
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix)
+}

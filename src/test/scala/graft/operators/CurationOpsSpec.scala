@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral contracts of the curation operators: exact chunk boundaries
+  * and texts, vocabulary tie-breaking, OOV accounting, and the
+  * temperature-mixing arithmetic. */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunking: exact starts, lengths and texts with overlap") {
+    // 10 tokens, chunkSize 4, overlap 1 -> step 3: starts 1,4,7,10
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = CurationOps.chunkDocuments(
+        Seq((7L, doc)).toDF("doc_id", "text"), "text", 4, 1)
+      .orderBy("chunk_id")
+      .select("doc_id", "chunk_id", "chunk_start", "doc_tokens",
+        "chunk_tokens", "chunk_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq === Seq(
+      (7L, 0L, 1L, 10L, 4L, "w1 w2 w3 w4"),
+      (7L, 1L, 4L, 10L, 4L, "w4 w5 w6 w7"),
+      (7L, 2L, 7L, 10L, 4L, "w7 w8 w9 w10"),
+      (7L, 3L, 10L, 10L, 1L, "w10")))
+  }
+
+  test("chunking: consecutive chunks share exactly `overlap` tokens") {
+    val doc = (1 to 23).map(i => s"t$i").mkString(" ")
+    val chunks = CurationOps.chunkDocuments(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text", 8, 3)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+      .map(_.split(" ").toSeq)
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(3) === b.take(3), s"overlap mismatch between $a and $b")
+    case _ => ()
+    }
+    // every token appears; interior chunks are full-size
+    assert(chunks.flatten.distinct.size === 23)
+    assert(chunks.init.forall(_.size === 8))
+  }
+
+  test("chunking: empty and whitespace-only docs produce no chunks; short doc one chunk") {
+    val got = CurationOps.chunkDocuments(
+        Seq((1L, ""), (2L, "   "), (3L, "only two")).toDF("doc_id", "text"),
+        "text", 16, 4)
+      .select("doc_id", "chunk_tokens", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq((3L, 2L, "only two")))
+  }
+
+  test("chunking rejects a non-positive step") {
+    intercept[IllegalArgumentException] {
+      CurationOps.chunkDocuments(Seq((1L, "a")).toDF("doc_id", "text"), "text", 4, 4)
+    }
+  }
+
+  test("vocabulary: ranked by count desc then token asc; limit applies after ties") {
+    val df = Seq("b b b a a c c", "a d").toDF("text")
+    val vocab = CurationOps.buildVocabulary(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // counts: a=3, b=3, c=2, d=1 -> ties a/b break alphabetically
+    assert(vocab.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("OOV rate counts token OCCURRENCES outside the vocabulary") {
+    val corpus = Seq(("g1", "a a b x"), ("g2", "x y")).toDF("g", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val got = CurationOps.oovRate(corpus, "text", "g", vocab)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("g1", 4L, 1L, 0.25), ("g2", 2L, 2L, 1.0)))
+  }
+
+  test("source mixing: rates follow n^alpha weighting and cap at 1") {
+    // sources of 80 and 20 docs, alpha 0.5, fraction 0.5 -> budget 50
+    // w_a = sqrt(80), w_b = sqrt(20); rate_b = w_b/(w_a+w_b)*50/20 > rate_a
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val got = CurationOps.sourceMixPlan(df, "src", "id", 0.5, 0.5)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val Seq((_, nBig, rBig, sBig), (_, nSmall, rSmall, sSmall)) = got.toSeq
+    assert((nBig, nSmall) === ((80L, 20L)))
+    val wa = math.sqrt(80); val wb = math.sqrt(20)
+    assert(math.abs(rBig - wa / (wa + wb) * 50 / 80) < 5e-5)
+    assert(math.abs(rSmall - wb / (wa + wb) * 50 / 20) < 5e-5)
+    assert(rSmall > rBig, "alpha<1 must up-weight the small source")
+    // the deterministic sample tracks the rate (md5 buckets are uniform-ish)
+    assert(sBig > 0 && sBig < nBig)
+    assert(sSmall > 0 && sSmall <= nSmall)
+  }
+
+  test("source mixing: fraction 1 with alpha 1 keeps everything") {
+    val df = (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val got = CurationOps.sourceMixPlan(df, "src", "id", 1.0, 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    got.foreach { case (_, n, rate, sampled) =>
+      assert(rate === 1.0)
+      assert(sampled === n, "rate 1 must keep every row")
+    }
+  }
+}

@@ -395,6 +395,27 @@ class MergeSqlSpec extends AnyFunSuite {
       s"expected the descriptive star-expansion error, got: ${e.getMessage}")
   }
 
+  test("nested-field merge assignment fails with the documented error") {
+    import spark.implicits._
+    // graft landed types serialize nested data to JSON strings, so real
+    // lake tables rarely carry struct columns — but the contract for a
+    // nested assignment must be the explicit unsupported error, not a
+    // silent misassignment. The struct column here comes in via a source
+    // with a struct the table stores as JSON; the assignment key `v.a`
+    // parses as a nested field reference.
+    lake.write("nest1", Seq((1L, "a", "b")).toDF("id", "a", "b"), pks = Seq("id"))
+    Seq((1L, "A")).toDF("id", "va").createOrReplaceTempView("m_nest1")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gmt.nest1 t USING m_nest1 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.a.x = s.va""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("nested") ||
+      e.getMessage.contains("FIELD_NOT_FOUND") ||
+      e.getMessage.contains("a.x"),
+      s"expected a clear nested-assignment failure, got: ${e.getMessage}")
+  }
+
   test("merge into a non-graft table still fails analysis (rule scoped to graft)") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("m_plain_t")
