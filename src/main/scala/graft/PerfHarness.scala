@@ -82,24 +82,41 @@ object PerfHarness {
     }
   }
 
-  /** Amortized protocol: one flush at the reference's default flush.size
+  /** Amortized protocol: flushes at the reference's default flush.size
     * (1M rows), reported as ms per 10k rows so the number is directly
     * comparable with the 10k-batch protocol and BASELINE.md's per-batch
-    * range. Returns (mergeMsPer10k, insertMsPer10k). */
+    * range. Same measurement discipline as [[run]] — a discarded warm-up
+    * flush, `iterations` measured flushes with the merge/insert order
+    * alternating per iteration, per-path MEDIAN reported — because a
+    * single unguarded sample is one host-contention spike away from a
+    * phantom regression (round 4 published 91.7 ms/10k for a path that
+    * re-measured at 12.1). Returns (mergeMsPer10k, insertMsPer10k)
+    * medians. */
   def amortized(spark: SparkSession, rows: Int = 1000000,
-      conflictPct: Int = 10): (Double, Double) = {
-    val wh = Files.createTempDirectory("graft-perf-amort").toString
-    val lake = new GraftLake(spark, wh)
-    lake.write("m", batchDf(spark, 0, rows), pks = Seq("id"))
-    lake.write("i", batchDf(spark, 0, rows))
-    val conflicts = rows.toLong * conflictPct / 100
-    val batch = batchDf(spark, rows - conflicts, rows)
-    val mergeMs = timeMs(lake.write("m", batch, pks = Seq("id")))
-    val insertMs = timeMs(lake.write("i", batch))
-    lake.dropTable("m"); lake.dropTable("i")
-    new java.io.File(wh).delete()
+      conflictPct: Int = 10, iterations: Int = 3): (Double, Double) = {
+    val samples = (-1 until iterations).flatMap { iter =>
+      val wh = Files.createTempDirectory("graft-perf-amort").toString
+      val lake = new GraftLake(spark, wh)
+      lake.write("m", batchDf(spark, 0, rows), pks = Seq("id"))
+      lake.write("i", batchDf(spark, 0, rows))
+      val conflicts = (rows.toLong * conflictPct / 100).toInt
+      val batch = batchDf(spark, rows - conflicts, rows)
+      val (mergeMs, insertMs) =
+        if (iter % 2 == 0) {
+          val m = timeMs(lake.write("m", batch, pks = Seq("id")))
+          val i = timeMs(lake.write("i", batch))
+          (m, i)
+        } else {
+          val i = timeMs(lake.write("i", batch))
+          val m = timeMs(lake.write("m", batch, pks = Seq("id")))
+          (m, i)
+        }
+      lake.dropTable("m"); lake.dropTable("i")
+      new java.io.File(wh).delete()
+      if (iter < 0) None else Some((mergeMs, insertMs))
+    }
     val per10k = rows / 10000.0
-    (mergeMs / per10k, insertMs / per10k)
+    (median(samples.map(_._1)) / per10k, median(samples.map(_._2)) / per10k)
   }
 
   def main(args: Array[String]): Unit = {

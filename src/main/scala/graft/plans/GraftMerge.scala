@@ -116,13 +116,10 @@ final case class ExpandGraftMergeStars(spark: SparkSession)
           // Spark's own expansion would assign every target column from the
           // source — including `_inserted_at`, which sources never carry —
           // and fail with an opaque unresolved-column error; say why early
-          throw new org.apache.spark.sql.AnalysisException(
-            "_LEGACY_ERROR_TEMP_3100",
-            Map("message" ->
-              ("UPDATE SET * / INSERT * on a graft table requires an aliased " +
-                "USING source (e.g. `USING src AS s`); without the alias the " +
-                "star cannot be expanded against the table's user columns")),
-            scala.None)
+          throw new org.apache.spark.sql.graft.GraftAnalysisException(
+            "UPDATE SET * / INSERT * on a graft table requires an aliased " +
+              "USING source (e.g. `USING src AS s`); without the alias the " +
+              "star cannot be expanded against the table's user columns")
         case _ => m
       }
   }

@@ -11,6 +11,18 @@ import org.apache.spark.sql.classic
   * Everything graft-specific stays in the `graft.*` packages; this object
   * only re-exposes three conversions.
   */
+/** [[org.apache.spark.sql.AnalysisException]] carrying a plain descriptive
+  * message and NO error class. Spark 4 exposes only error-class-keyed
+  * public constructors; routing a custom message through a legacy
+  * `_LEGACY_ERROR_TEMP_*` template couples the message to templates Spark
+  * deletes between releases. The primary constructor accepts a bare
+  * message and is reachable from a subclass in this bridge package, so
+  * this survives error-framework churn. */
+class GraftAnalysisException(msg: String)
+  extends org.apache.spark.sql.AnalysisException(
+    message = msg, line = None, startPosition = None, cause = None,
+    errorClass = None, messageParameters = Map.empty, context = Array.empty)
+
 object PlanBridge {
 
   /** Materialize an analyzed LogicalPlan as a DataFrame (Dataset.ofRows). */

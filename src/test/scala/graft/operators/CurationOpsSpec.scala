@@ -35,7 +35,7 @@ class CurationOpsSpec extends AnyFunSuite {
         Seq((1L, doc)).toDF("doc_id", "text"), "text", 8, 3)
       .orderBy("chunk_id").select("chunk_text").as[String].collect()
       .map(_.split(" ").toSeq)
-    chunks.sliding(2).foreach { case Seq(a, b) =>
+    chunks.sliding(2).foreach { case Array(a, b) =>
       assert(a.takeRight(3) === b.take(3), s"overlap mismatch between $a and $b")
     case _ => ()
     }

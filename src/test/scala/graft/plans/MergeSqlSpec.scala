@@ -395,25 +395,30 @@ class MergeSqlSpec extends AnyFunSuite {
       s"expected the descriptive star-expansion error, got: ${e.getMessage}")
   }
 
-  test("nested-field merge assignment fails with the documented error") {
+  test("nested-field merge assignment fails analysis, never misassigns") {
     import spark.implicits._
-    // graft landed types serialize nested data to JSON strings, so real
-    // lake tables rarely carry struct columns — but the contract for a
-    // nested assignment must be the explicit unsupported error, not a
-    // silent misassignment. The struct column here comes in via a source
-    // with a struct the table stores as JSON; the assignment key `v.a`
-    // parses as a nested field reference.
+    // graft landed types serialize nested data to JSON strings, so lake
+    // columns are never structs — a nested assignment key like `t.a.x`
+    // over a STRING column dies in Spark's own analyzer
+    // (INVALID_EXTRACT_BASE_FIELD_TYPE: can't extract a field from a
+    // non-struct) before the engine rewrite ever sees the plan. That
+    // analyzer error IS the contract for the SQL surface; the engine's
+    // own guard (GraftMerge.assigned's non-Attribute check) remains as
+    // the backstop for programmatically-built plans. Either way the
+    // statement must fail analysis — a silent assignment to the wrong
+    // column would be the only unacceptable outcome.
     lake.write("nest1", Seq((1L, "a", "b")).toDF("id", "a", "b"), pks = Seq("id"))
     Seq((1L, "A")).toDF("id", "va").createOrReplaceTempView("m_nest1")
-    val e = intercept[Exception] {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
         """MERGE INTO gmt.nest1 t USING m_nest1 s ON t.id = s.id
           |WHEN MATCHED THEN UPDATE SET t.a.x = s.va""".stripMargin)
     }
-    assert(e.getMessage.toLowerCase.contains("nested") ||
-      e.getMessage.contains("FIELD_NOT_FOUND") ||
-      e.getMessage.contains("a.x"),
-      s"expected a clear nested-assignment failure, got: ${e.getMessage}")
+    assert(e.getCondition == "INVALID_EXTRACT_BASE_FIELD_TYPE",
+      s"expected Spark's non-struct field-extraction error, got: " +
+        s"${e.getCondition} / ${e.getMessage}")
+    // and the table is untouched
+    assert(lake.read("nest1").select("a").as[String].collect().toSeq === Seq("a"))
   }
 
   test("merge into a non-graft table still fails analysis (rule scoped to graft)") {
