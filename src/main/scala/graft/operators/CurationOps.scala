@@ -32,12 +32,22 @@ object CurationOps {
     * short). Returns one row per chunk: every corpus column EXCEPT the
     * text (chunk rows must not replicate whole documents), plus chunk_id,
     * chunk_start, doc_tokens, chunk_tokens, chunk_text. `step = chunkSize
-    * - overlap` must be positive. */
+    * - overlap` must be positive.
+    *
+    * `maxChunksPerDoc` bounds the explode factor of a single row: a
+    * pathological multi-GB document would otherwise fan out into an
+    * unbounded number of chunk rows inside ONE task (the explode happens
+    * before any repartition can spread it). Docs over the cap emit exactly
+    * the first `maxChunksPerDoc` chunks; [[chunkOverflow]] is the DLQ-style
+    * side channel listing what was truncated. */
   def chunkDocuments(corpus: DataFrame, textCol: String, chunkSize: Int,
-      overlap: Int): DataFrame = {
+      overlap: Int, maxChunksPerDoc: Int = Int.MaxValue): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    require(maxChunksPerDoc > 0, s"need maxChunksPerDoc > 0, got $maxChunksPerDoc")
     val step = chunkSize - overlap
+    // last permitted start under the cap: chunk (max-1) starts here
+    val lastStart = 1L + (maxChunksPerDoc.toLong - 1L) * step
     val keep = corpus.columns.filterNot(_ == textCol)
     val toks = TextOps.tokens(col(textCol))
     corpus
@@ -45,38 +55,74 @@ object CurationOps {
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") >= 1)
       .withColumn("chunk_start",
-        explode(sequence(lit(1), col("__n"), lit(step))))
+        explode(sequence(lit(1L),
+          least(col("__n").cast("long"), lit(lastStart)), lit(step.toLong))))
       .select(keep.map(col) ++ Seq(
         ((col("chunk_start") - 1) / step).cast("long").as("chunk_id"),
         col("chunk_start").cast("long"),
         col("__n").cast("long").as("doc_tokens"),
         least(lit(chunkSize), col("__n") - col("chunk_start") + 1)
           .cast("long").as("chunk_tokens"),
-        array_join(slice(col("__toks"), col("chunk_start"), lit(chunkSize)), " ")
-          .as("chunk_text")): _*)
+        array_join(
+          slice(col("__toks"), col("chunk_start").cast("int"), lit(chunkSize)),
+          " ").as("chunk_text")): _*)
+  }
+
+  /** Side channel for [[chunkDocuments]]' `maxChunksPerDoc` cap: one row
+    * per TRUNCATED document (every corpus column except the text, plus
+    * doc_tokens, the chunk count the doc would have produced, and the
+    * cap), same idiom as the ingest DLQ — the main output stays clean and
+    * bounded, the overflow is queryable. */
+  def chunkOverflow(corpus: DataFrame, textCol: String, chunkSize: Int,
+      overlap: Int, maxChunksPerDoc: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    require(maxChunksPerDoc > 0, s"need maxChunksPerDoc > 0, got $maxChunksPerDoc")
+    val step = chunkSize - overlap
+    val keep = corpus.columns.filterNot(_ == textCol)
+    corpus
+      .withColumn("__n", TextOps.tokenCount(col(textCol)))
+      .withColumn("n_chunks",
+        when(col("__n") >= 1, floor((col("__n") - 1) / step) + 1).otherwise(0L))
+      .filter(col("n_chunks") > maxChunksPerDoc)
+      .select(keep.map(col) ++ Seq(
+        col("__n").as("doc_tokens"),
+        col("n_chunks").cast("long"),
+        lit(maxChunksPerDoc).cast("long").as("max_chunks_per_doc")): _*)
   }
 
   /** q70: chunking statistics per source at a 16-token window with 4-token
     * overlap (miniature context-window prep for the synthetic docs). The
-    * oracle reproduces the start arithmetic with `range()`; chunk TEXT
-    * equality is pinned by the ScalaTest spec instead, keeping the gate on
-    * dialect-safe arithmetic. */
+    * oracle reproduces the start arithmetic with `range()` AND gates the
+    * chunk TEXT itself through `text_witness` — an order-independent
+    * per-source sum of an md5-prefix hash of every chunk's text, computed
+    * independently by both dialects (DuckDB `list_slice` + md5 vs Spark
+    * `slice` + md5) — so a chunk with the right length but the wrong
+    * tokens hash-mismatches. */
   val q70DocChunks = QueryDef(
     "q70_doc_chunks",
-    """WITH t AS (SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n
+    """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
       |           FROM documents),
-      |c AS (SELECT doc_id, source, n, unnest(range(1, n + 1, 12)) AS s
-      |      FROM t WHERE n >= 1)
+      |c AS (SELECT doc_id, source, toks, len(toks) AS n,
+      |             unnest(range(1, len(toks) + 1, 12)) AS s
+      |      FROM t WHERE len(toks) >= 1),
+      |x AS (SELECT source, doc_id, n, s,
+      |             array_to_string(list_slice(toks, s, s + 15), ' ') AS chunk_text
+      |      FROM c)
       |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
       |  CAST(sum(least(16, n - s + 1)) AS BIGINT) AS chunk_tokens,
-      |  round(avg(least(16, n - s + 1)), 2) AS avg_chunk_tokens
-      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      |  round(avg(least(16, n - s + 1)), 2) AS avg_chunk_tokens,
+      |  CAST(sum(CAST(('0x' || substr(md5(chunk_text), 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS text_witness
+      |FROM x GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
     chunkDocuments(docs(s, dir), "text", chunkSize = 16, overlap = 4)
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_chunks"),
         sum(col("chunk_tokens")).as("chunk_tokens"),
-        round(avg(col("chunk_tokens")), 2).as("avg_chunk_tokens"))
+        round(avg(col("chunk_tokens")), 2).as("avg_chunk_tokens"),
+        sum(conv(substring(md5(col("chunk_text")), 1, 8), 16, 10).cast("long"))
+          .as("text_witness"))
       .orderBy(col("source"))
   }
 

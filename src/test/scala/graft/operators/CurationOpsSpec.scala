@@ -59,6 +59,76 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking properties: reconstruction, starts, lengths (random cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic sample-based driver, same idiom as SchemaUnifySpec
+    // (the scalatestplus bridge is not on the allowed dependency list);
+    // each seeded case checks 8 random docs in ONE Spark job.
+    val caseGen = for {
+      chunkSize <- Gen.choose(1, 12)
+      overlap <- Gen.choose(0, chunkSize - 1)
+      lens <- Gen.listOfN(8, Gen.choose(1, 60))
+    } yield (chunkSize, overlap, lens)
+    (1 to 10).foreach { i =>
+      caseGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (chunkSize, overlap, lens) =>
+          val step = chunkSize - overlap
+          val docs = lens.zipWithIndex.map { case (n, d) =>
+            (d.toLong, (1 to n).map(t => s"d${d}t$t").mkString(" "))
+          }
+          val rows = CurationOps.chunkDocuments(
+              docs.toDF("doc_id", "text"), "text", chunkSize, overlap)
+            .orderBy("doc_id", "chunk_id")
+            .select("doc_id", "chunk_id", "chunk_start", "chunk_tokens", "chunk_text")
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getString(4)))
+          docs.foreach { case (d, text) =>
+            val toks = text.split(" ").toSeq
+            val n = toks.size
+            val mine = rows.filter(_._1 == d).sortBy(_._2)
+            val clue = s"case $i doc $d: n=$n chunkSize=$chunkSize overlap=$overlap"
+            // starts are exactly 1, 1+step, ... up to n
+            assert(mine.map(_._3).toSeq === (1 to n by step).map(_.toLong), clue)
+            // chunk_tokens matches the text, and the arithmetic
+            mine.foreach { case (_, _, s, ct, txt) =>
+              assert(txt.split(" ").length.toLong === ct, clue)
+              assert(ct === math.min(chunkSize, n - s + 1), clue)
+            }
+            // dropping the overlap prefix of every chunk after the first
+            // reconstructs the document exactly — no token lost, none
+            // duplicated outside the declared overlap
+            val chunks = mine.map(_._5.split(" ").toSeq)
+            val rebuilt = chunks.head ++
+              chunks.tail.flatMap(_.drop(overlap))
+            assert(rebuilt === toks, clue)
+          }
+      }
+    }
+  }
+
+  test("maxChunksPerDoc caps the explode; chunkOverflow reports what was cut") {
+    val big = (1 to 100).map(i => s"b$i").mkString(" ")    // 10 chunks at 10/0
+    val small = (1 to 15).map(i => s"s$i").mkString(" ")   //  2 chunks
+    val df = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    val capped = CurationOps.chunkDocuments(df, "text", 10, 0, maxChunksPerDoc = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_start", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 truncated to its FIRST 3 chunks; doc 2 untouched
+    assert(capped.toSeq === Seq(
+      (1L, 0L, 1L, 10L), (1L, 1L, 11L, 10L), (1L, 2L, 21L, 10L),
+      (2L, 0L, 1L, 10L), (2L, 1L, 11L, 5L)))
+    val over = CurationOps.chunkOverflow(df, "text", 10, 0, maxChunksPerDoc = 3)
+      .select("doc_id", "doc_tokens", "n_chunks", "max_chunks_per_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(over.toSeq === Seq((1L, 100L, 10L, 3L)))
+    // a cap nothing hits changes nothing and reports nothing
+    assert(CurationOps.chunkOverflow(df, "text", 10, 0, 10).isEmpty)
+    assert(CurationOps.chunkDocuments(df, "text", 10, 0, 10).count() === 12)
+  }
+
   test("vocabulary: ranked by count desc then token asc; limit applies after ties") {
     val df = Seq("b b b a a c c", "a d").toDF("text")
     val vocab = CurationOps.buildVocabulary(df, "text", 3)
