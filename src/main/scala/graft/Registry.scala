@@ -10,7 +10,7 @@ object Registry {
       operators.PipelineOps.all ++ operators.MergeSqlOps.all ++
       operators.SessionOps.all ++
       operators.TextOps.all ++ operators.QualityOps.all ++
-      operators.CurationOps.all ++
+      operators.CurationOps.all ++ operators.PrivacyOps.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.MultimodalOps.all
 

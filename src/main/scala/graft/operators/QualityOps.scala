@@ -182,6 +182,116 @@ object QualityOps {
       .orderBy(col("lang"))
   }
 
+  /** Per-document unigram cross-entropy against the corpus's own unigram
+    * distribution — the cheap stand-in for LM-perplexity quality
+    * filtering: a doc of globally rare tokens scores high, a doc of
+    * boilerplate scores low.
+    *
+    * Scale shape: ONE token-count shuffle builds the model (partial aggs
+    * ship counts, not tokens); the model is vocab-sized, gets its total
+    * from a window over itself, and BROADCASTS back, so scoring is a
+    * map-side join + one per-doc aggregate — the corpus text never
+    * shuffles. */
+  def unigramCrossEntropy(corpus: DataFrame, textCol: String,
+      idCols: Seq[String]): DataFrame = {
+    val tok = corpus.select(idCols.map(col) :+
+      explode(TextOps.tokens(col(textCol))).as("token"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val model = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .select(col("token"),
+        (-log(col("c").cast("double") / sum(col("c")).over(w))).as("nll"))
+    tok.join(broadcast(model), Seq("token"))
+      .groupBy(idCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"), avg(col("nll")).as("xent"))
+  }
+
+  /** q74: per-language corpus cross-entropy profile + how many docs cross
+    * the "too surprising" filter line. */
+  val q74UnigramXent = QueryDef(
+    "q74_unigram_xent",
+    """WITH tok AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS token
+      |             FROM documents),
+      |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+      |m AS (SELECT token, -ln(c * 1.0 / (SELECT sum(c) FROM cnt)) AS nll FROM cnt),
+      |d AS (SELECT doc_id, lang, avg(nll) AS xent
+      |      FROM tok JOIN m USING (token) GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      |  round(avg(xent), 4) AS avg_xent,
+      |  round(min(xent), 4) AS min_xent,
+      |  round(max(xent), 4) AS max_xent,
+      |  CAST(sum(CASE WHEN xent > 3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    unigramCrossEntropy(docs(s, dir), "text", Seq("doc_id", "lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("xent")), 4).as("avg_xent"),
+        round(min(col("xent")), 4).as("min_xent"),
+        round(max(col("xent")), 4).as("max_xent"),
+        sum(when(col("xent") > 3.45, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("lang"))
+  }
+
+  /** Cross-document duplicate k-gram rate — Gopher's "duplicate n-grams
+    * across the corpus" signal: per doc, the fraction of its DISTINCT
+    * k-grams that also appear in at least one other document. High values
+    * mean templated/boilerplate text that near-dup sketches (banded on
+    * whole docs) can miss.
+    *
+    * Scale shape: grams explode map-side (distinct per doc via the
+    * codegen'd shingle expression), one shuffle counts distinct doc_ids
+    * per gram, and the shared-gram set joins back on the gram key — the
+    * same inherently shuffle-on-gram shape as the LSH band join; nothing
+    * here is quadratic in docs. */
+  def crossDocDupGramRate(corpus: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    ShingleExpression.register(corpus.sparkSession)
+    val g = corpus.select(col(idCol),
+      explode(ShingleExpression.wordShingles(
+        TextOps.tokens(col(textCol)), k)).as("gram"))
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gram"), lit(1L).as("__shared"))
+    g.join(dup, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__shared"), lit(0L))).as("n_shared"))
+      .withColumn("dup_frac",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
+
+  /** q75: 3-gram cross-doc duplication per source + docs over the 90 %
+    * boilerplate line. */
+  val q75CrossdocDupGrams = QueryDef(
+    "q75_crossdoc_dup_grams",
+    """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, source,
+      |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                       for i in range(1, len(toks) - 1)]) AS sh
+      |      FROM t WHERE len(toks) >= 3),
+      |g AS (SELECT doc_id, source, unnest(sh) AS gram FROM s),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+      |d AS (SELECT g.doc_id, g.source, count(*) AS n_grams,
+      |        sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+      |      FROM g LEFT JOIN dup ON g.gram = dup.gram
+      |      GROUP BY g.doc_id, g.source)
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(n_shared * 1.0 / n_grams), 4) AS avg_dup3_frac,
+      |  CAST(sum(CASE WHEN n_shared * 1.0 / n_grams > 0.9 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_boilerplate
+      |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+    crossDocDupGramRate(base, "text", "doc_id", k = 3)
+      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("dup_frac")), 4).as("avg_dup3_frac"),
+        sum(when(col("dup_frac") > 0.9, 1L).otherwise(0L)).as("n_boilerplate"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination,
-    q68SequencePacking)
+    q68SequencePacking, q74UnigramXent, q75CrossdocDupGrams)
 }

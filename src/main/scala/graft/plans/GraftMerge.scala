@@ -202,7 +202,9 @@ final case class GraftMergeCommand(
       // the cardinality error (key present in target) or inserts every
       // unmatched row (key absent). A duplicate-key source must therefore
       // leave the fast path: the general rewrite reproduces both outcomes
-      // exactly.
+      // exactly — including persisting duplicate-key INSERTs, because on
+      // the general path PKs are advisory, not a uniqueness constraint
+      // (README "Capability determinations").
       //
       // The projected source is cached for the whole fast path: the PK
       // probe's aggregation materializes it, and the upsert's own jobs

@@ -61,4 +61,50 @@ class QualityOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long)].collect()
     assert(got === Array((1L, 0L), (2L, 0L)))
   }
+
+  test("unigram cross-entropy matches the hand-computed model") {
+    // counts: a=2 b=2 c=1, total=5
+    // doc 1 "a a b": xent = (2·ln(5/2) + ln(5/2)) / 3 = ln(2.5)
+    // doc 2 "b c":   xent = (ln(2.5) + ln(5)) / 2
+    val corpus = df(1L -> "a a b", 2L -> "b c")
+    val got = QualityOps.unigramCrossEntropy(corpus, "text", Seq("doc_id"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "xent").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 3L), (2L, 2L)))
+    assert(math.abs(got(0)._3 - math.log(2.5)) < 1e-12)
+    assert(math.abs(got(1)._3 - (math.log(2.5) + math.log(5.0)) / 2) < 1e-12)
+  }
+
+  test("unigram scoring joins the model by broadcast (corpus never shuffles on token)") {
+    val corpus = df(1L -> "a a b", 2L -> "b c")
+    val plan = QualityOps.unigramCrossEntropy(corpus, "text", Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+  }
+
+  test("cross-doc duplicate gram rate counts distinct grams shared with OTHER docs") {
+    val corpus = df(
+      1L -> "x y z w",   // grams: "x y z", "y z w"
+      2L -> "x y z q",   // grams: "x y z", "y z q"
+      3L -> "p q r",     // gram:  "p q r"
+      4L -> "too short") // < 3 tokens: no rows
+    val got = QualityOps.crossDocDupGramRate(corpus, "text", "doc_id", k = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_shared", "dup_frac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("a gram repeated only WITHIN one doc is not cross-doc duplication") {
+    // "a b c" occurs twice in doc 1 (shingles are distinct per doc) and
+    // nowhere else — nd stays 1, nothing is shared
+    val corpus = df(1L -> "a b c a b c", 2L -> "u v w")
+    val got = QualityOps.crossDocDupGramRate(corpus, "text", "doc_id", k = 3)
+      .orderBy("doc_id").select("doc_id", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 0L), (2L, 0L)))
+  }
 }
