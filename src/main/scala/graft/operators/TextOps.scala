@@ -22,6 +22,22 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-style BPE pre-tokenization, lookahead-free so the SAME pattern
+    * runs identically on Java regex (Spark) and RE2 (DuckDB and most
+    * native engines): contraction suffixes (`'t`, `'re`, …), then
+    * space-prefixed letter runs, digit runs, and punctuation/symbol runs.
+    * Whitespace never becomes a token of its own. This is the
+    * pre-tokenizer a BPE trainer segments further; counting its pieces
+    * estimates model-token footprint far better than whitespace words on
+    * punctuated text ("don't stop!" → 4 BPE pieces vs 2 words). */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Stopword ratio over tokens (null-safe: 0 for empty docs). */
@@ -261,8 +277,48 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** q76: model-token footprint — whitespace words vs BPE pre-tokenizer
+    * pieces per source. The synthetic docs are unpunctuated (the two
+    * counts would tie), so both dialects append the same punctuated
+    * clause to every doc before counting; `token_witness` (md5-prefix sum
+    * over the '|'-joined piece list, q70's idiom) gates the exact piece
+    * BOUNDARIES, not just the totals. */
+  val q76BpeTokens = QueryDef(
+    "q76_bpe_tokens",
+    """WITH inj AS (SELECT doc_id, source,
+      |    text || ' plus don''t re-use 12,340 items (always)!' AS text
+      |  FROM documents),
+      |t AS (SELECT source,
+      |    len(regexp_extract_all(text, '\S+')) AS ws,
+      |    regexp_extract_all(text,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+') AS bpe
+      |  FROM inj)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(bpe)) AS BIGINT) AS bpe_tokens,
+      |  round(sum(len(bpe)) * 1.0 / sum(ws), 4) AS bpe_per_word,
+      |  CAST(sum(CAST(('0x' || substr(md5(array_to_string(bpe, '|')), 1, 8)) AS BIGINT))
+      |    AS BIGINT) AS token_witness
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        concat(col("text"), lit(" plus don't re-use 12,340 items (always)!"))
+          .as("text"))
+      .select(col("source"), tokenCount(col("text")).as("ws"),
+        bpeTokens(col("text")).as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(size(col("bpe")).cast("long")).as("bpe_tokens"),
+        round(sum(size(col("bpe")).cast("long")).cast("double") /
+          sum(col("ws")), 4).as("bpe_per_word"),
+        sum(conv(substring(md5(array_join(col("bpe"), "|")), 1, 8), 16, 10)
+          .cast("long")).as("token_witness"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
     q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit,
-    q48GroupSample)
+    q48GroupSample, q76BpeTokens)
 }

@@ -238,6 +238,34 @@ final case class GraftMergeCommand(
     src.groupBy(pks.map(n => col(GraftLake.quoted(n))): _*)
       .count().filter(col("count") > 1).limit(1).count() > 0
 
+  /** Opt-in strict-PK enforcement (`spark.graft.merge.strictPks=true`):
+    * PKs are ADVISORY on the general merge path — ANSI semantics insert
+    * every unmatched source row, duplicate key or not (README "Capability
+    * determinations"). Under the flag, a statement that would persist
+    * duplicate primary-key rows fails HERE, before any file is staged, so
+    * the table is left untouched. `future` is the statement's output for
+    * the slice of the table it rewrites; `rest` is the untouched remainder
+    * (None when `future` IS the whole post-merge table). The price is one
+    * extra execution of the merge plan plus PK-pruned probe scans — paid
+    * only when the flag is on. */
+  private def assertUniquePks(spark: SparkSession, meta: TableMeta,
+      future: org.apache.spark.sql.DataFrame,
+      rest: Option[org.apache.spark.sql.DataFrame]): Unit = {
+    if (meta.pks.isEmpty ||
+      !spark.conf.get("spark.graft.merge.strictPks", "false").toBoolean) return
+    def fail(): Nothing = throw new IllegalStateException(
+      s"MERGE into '$table': strict-pk mode (spark.graft.merge.strictPks) — " +
+        s"the statement would persist duplicate primary-key rows on " +
+        s"(${meta.pks.mkString(", ")}). Without the flag, PKs are advisory " +
+        "on the general merge path and the duplicates would be inserted.")
+    if (hasDuplicatePks(future, meta.pks)) fail()
+    val pkCols = meta.pks.map(n => col(GraftLake.quoted(n)))
+    rest.foreach { r =>
+      if (!future.select(pkCols: _*)
+        .join(r.select(pkCols: _*), meta.pks).isEmpty) fail()
+    }
+  }
+
   // ---- upsert-shaped fast path ----
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -343,8 +371,9 @@ final case class GraftMergeCommand(
 
     val partCols = meta.partitionExprs.map(_.outputName)
     def q(n: String) = GraftLake.quoted(n)
-    // (scoped target plan, affected dirs) — None = whole-table rewrite
-    val scoping: Option[(LogicalPlan, Seq[String])] =
+    // (scoped target plan, affected dirs, untouched remainder) —
+    // None = whole-table rewrite
+    val scoping: Option[(LogicalPlan, Seq[String], org.apache.spark.sql.DataFrame)] =
       if (partCols.isEmpty || notMatchedBySource.nonEmpty) None
       else {
         val tdf = PlanBridge.ofRows(spark, target)
@@ -363,8 +392,10 @@ final case class GraftMergeCommand(
           .select(partCols.map(c => col(q(c))): _*).distinct()
         val parts = matchedParts.union(insertParts).distinct().collect()
         if (parts.isEmpty) return // nothing matched, nothing inserts: no-op
-        val scoped = tdf.filter(GraftLake.partitionScope(partCols, parts))
-        Some((PlanBridge.planOf(scoped), GraftDml.partitionDirs(scoped)))
+        val scope = GraftLake.partitionScope(partCols, parts)
+        val scoped = tdf.filter(scope)
+        Some((PlanBridge.planOf(scoped), GraftDml.partitionDirs(scoped),
+          tdf.filter(!scope)))
       }
     val scopedTarget = scoping.map(_._1).getOrElse(target)
 
@@ -409,8 +440,9 @@ final case class GraftMergeCommand(
 
     val outPlan = Project(outCols, Filter(EqualNullSafe(keep, Literal(true)), joined))
     val result = PlanBridge.ofRows(spark, outPlan)
+    assertUniquePks(spark, meta, result, scoping.map(_._3))
     scoping match {
-      case Some((_, dirs)) => lake.replaceScoped(table, result, dirs)
+      case Some((_, dirs, _)) => lake.replaceScoped(table, result, dirs)
       case None => lake.overwriteContents(table, result)
     }
   }
@@ -436,7 +468,11 @@ final case class GraftMergeCommand(
 
     if (notMatchedBySource.isEmpty) {
       val df = PlanBridge.ofRows(spark, inserts)
-      if (!df.isEmpty) lake.appendPrepared(table, df)
+      if (!df.isEmpty) {
+        // insert-only append: the rest of the table is the WHOLE table
+        assertUniquePks(spark, meta, df, Some(lake.read(table)))
+        lake.appendPrepared(table, df)
+      }
       return
     }
 
@@ -457,7 +493,9 @@ final case class GraftMergeCommand(
         Literal(true)), unmatchedT))
 
     val union = Union(Seq(passThrough, nmbsApplied, inserts))
-    lake.overwriteContents(table, PlanBridge.ofRows(spark, union))
+    val result = PlanBridge.ofRows(spark, union)
+    assertUniquePks(spark, meta, result, None)
+    lake.overwriteContents(table, result)
   }
 
   // ---- shared action application ----

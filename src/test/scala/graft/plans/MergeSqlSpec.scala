@@ -421,6 +421,60 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(lake.read("nest1").select("a").as[String].collect().toSeq === Seq("a"))
   }
 
+  test("strict-pk mode fails a duplicate-key merge before any write") {
+    import spark.implicits._
+    lake.write("strict1", Seq((1L, "a")).toDF("id", "v"), pks = Seq("id"))
+    Seq((2L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("m_strict1")
+    val stmt =
+      """MERGE INTO gmt.strict1 t USING m_strict1 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin
+    spark.conf.set("spark.graft.merge.strictPks", "true")
+    try {
+      val e = intercept[IllegalStateException] { spark.sql(stmt) }
+      assert(e.getMessage.contains("strict-pk"))
+      // nothing was staged or swapped
+      assert(lake.read("strict1").count() === 1)
+    } finally spark.conf.unset("spark.graft.merge.strictPks")
+    // default (advisory) semantics: the same statement inserts both rows
+    spark.sql(stmt)
+    assert(lake.read("strict1").count() === 3)
+  }
+
+  test("strict-pk mode catches an insert colliding with an UNTOUCHED table row") {
+    import spark.implicits._
+    // insert-only merge matched on v, not the pk: source id=1 does not
+    // match any row by v, so ANSI inserts it — duplicating pk id=1 that
+    // already sits in the table. Strict mode must see across the append.
+    lake.write("strict2", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), pks = Seq("id"))
+    Seq((1L, "zzz")).toDF("id", "v").createOrReplaceTempView("m_strict2")
+    val stmt =
+      """MERGE INTO gmt.strict2 t USING m_strict2 s ON t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin
+    spark.conf.set("spark.graft.merge.strictPks", "true")
+    try {
+      val e = intercept[IllegalStateException] { spark.sql(stmt) }
+      assert(e.getMessage.contains("strict-pk"))
+      assert(lake.read("strict2").count() === 2)
+    } finally spark.conf.unset("spark.graft.merge.strictPks")
+  }
+
+  test("strict-pk mode passes a clean merge through unchanged") {
+    import spark.implicits._
+    lake.write("strict3", Seq((1L, "a")).toDF("id", "v"), pks = Seq("id"))
+    Seq((1L, "A"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("m_strict3")
+    spark.conf.set("spark.graft.merge.strictPks", "true")
+    try {
+      spark.sql(
+        """MERGE INTO gmt.strict3 t USING m_strict3 s ON t.id = s.id
+          |WHEN MATCHED AND s.v != 'never' THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      assert(lake.read("strict3").orderBy("id").select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "A"), (2L, "b")))
+    } finally spark.conf.unset("spark.graft.merge.strictPks")
+  }
+
   test("merge into a non-graft table still fails analysis (rule scoped to graft)") {
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("m_plain_t")
