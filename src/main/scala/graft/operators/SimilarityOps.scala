@@ -204,6 +204,41 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication: cluster embeddings with the
+    * IVF coarse quantizer, then mark as duplicate every vector that has a
+    * LOWER-id cluster-mate above the cosine threshold (keep-min-id greedy
+    * — deterministic, engine-stable). Returns (idCol, is_dup).
+    *
+    * Scale design: the quadratic term is confined WITHIN clusters — the
+    * corpus-wide cost is Σ|cluster|², never N². Assignment is the same
+    * map-side argmax-cosine scan as [[knnIvf]] (no shuffle); the pair
+    * search is one self-join on the cluster id. At 100 TB, scale
+    * `nCentroids` with the corpus (C ≈ N / targetClusterSize) so cluster
+    * sizes — and each join task's pair block — stay bounded; like all
+    * cluster-bucketed dedup, pairs straddling a cluster boundary are
+    * missed by construction (the spec pins ⊆-of-brute-force and
+    * single-cluster exactness). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16,
+      centroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      fitCentroids(corpus, idCol, vecCol, nCentroids))
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearestCid(col(vecCol), cents.toSeq).as("__cid"))
+    val a = assigned.select(col("__cid"), col(idCol).as("__a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("__cid"), col(idCol).as("__b"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("__cid"))
+      .filter(col("__a") < col("__b"))
+      .filter(VectorFunctions.cosineSim(col("__va"), col("__vb")) > threshold)
+      .select(col("__b").as(idCol)).distinct()
+      .withColumn("__dup", lit(1L))
+    corpus.select(col(idCol)).join(dropped, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
+  }
+
   // ---- driver-facing queries ----
 
   /** Brute-force KNN, DuckDB-checkable via list_cosine_similarity. */
@@ -261,5 +296,19 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf)
+  /** q77: semantic dedup summary per label at cosine 0.4 (rows-only:
+    * cluster-bucketed candidates are approximate by construction, like
+    * q27/q29/q32; exactness-vs-brute is pinned by SemanticDedupSpec). */
+  val q77SemanticDedup = QueryDef.rowsOnly("q77_semantic_dedup") { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    semanticDedup(emb, "vec_id", "embedding", threshold = 0.4)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("is_dup")).as("n_dups"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
+    q77SemanticDedup)
 }

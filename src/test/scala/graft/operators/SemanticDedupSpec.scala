@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of SemDeDup-style semantic dedup
+  * ([[SimilarityOps.semanticDedup]]): keep-min-id greedy semantics, exact
+  * equivalence to brute force when everything shares one cluster, and the
+  * ⊆-of-brute guarantee when clustering splits candidates. */
+class SemanticDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("planted near-identical vectors: every higher-id twin is dropped") {
+    // ids 1,2,3 are the same direction (cos=1); 10 is orthogonal
+    val df = Seq(
+      (1L, vec(1, 0, 0)), (2L, vec(2, 0, 0)), (3L, vec(0.5, 0, 0)),
+      (10L, vec(0, 1, 0))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDedup(df, "vec_id", "embedding", 0.9,
+        centroids = Some(Array(Seq(1.0, 0.0, 0.0))))
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 1L), (10L, 0L)))
+  }
+
+  /** Brute-force keep-min-id dedup for comparison. */
+  private def brute(rows: Seq[(Long, Seq[Float])], t: Double): Set[Long] = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) > t
+    } yield ib).toSet
+  }
+
+  private def randomRows(n: Int, dim: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("a single cluster reproduces brute force exactly") {
+    val rows = randomRows(60, 8, seed = 7)
+    val expected = brute(rows, 0.5)
+    val got = SimilarityOps.semanticDedup(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.5,
+        centroids = Some(Array(Seq.fill(8)(0.1))))
+      .filter(col("is_dup") === 1).select("vec_id").as[Long].collect().toSet
+    assert(got === expected)
+  }
+
+  test("with real clustering the dropped set is a subset of brute force") {
+    val rows = randomRows(120, 8, seed = 11)
+    val expected = brute(rows, 0.5)
+    val got = SimilarityOps.semanticDedup(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.5,
+        nCentroids = 4)
+      .filter(col("is_dup") === 1).select("vec_id").as[Long].collect().toSet
+    assert(got.subsetOf(expected),
+      s"cluster candidates invented a pair: ${got.diff(expected)}")
+    // and it still catches the guaranteed dup: an exact copy lands in the
+    // same cluster no matter how the quantizer fits
+    val withCopy = rows :+ (999L, rows.head._2)
+    val gotCopy = SimilarityOps.semanticDedup(
+        withCopy.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.99,
+        nCentroids = 4)
+      .filter(col("is_dup") === 1).select("vec_id").as[Long].collect().toSet
+    assert(gotCopy.contains(999L))
+  }
+}

@@ -87,6 +87,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation ops compose with Structured Streaming: PII redaction on a stream") {
+    // redactPii is a pure column map, so the SAME operator runs unchanged
+    // over readStream — the property a 100 TB pipeline needs to share one
+    // scrub implementation between its batch backfill and its live intake
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.operators.PrivacyOps.redactPii(docs, "text")
+      .select("doc_id", "redacted_text", "n_email", "n_url")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("redact_out").start()
+    try {
+      mem.addData(
+        (1L, "mail me at alice@example.com"),
+        (2L, "see https://example.org/x"),
+        (3L, "clean row"))
+      q.processAllAvailable()
+      val out = spark.table("redact_out").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq === Seq(
+        (1L, "mail me at <EMAIL>", 1L, 0L),
+        (2L, "see <URL>", 0L, 1L),
+        (3L, "clean row", 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits in-batch, idle keys time out via watermark") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
