@@ -227,5 +227,93 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix)
+  // ---- quantile-threshold data selection ----
+
+  /** Select the top `fraction` of rows per group by score WITHOUT a global
+    * sort — the way quality-threshold selection actually runs at 100 TB:
+    *
+    *  1. bucketize scores (assumed in [0,1]) into `nBuckets` fixed-width
+    *     buckets; one small `(group, bucket) → count` aggregate;
+    *  2. a cumulative window over that GROUPS×BUCKETS-sized histogram
+    *     finds each group's boundary bucket and how many boundary rows are
+    *     still needed; the result broadcasts back;
+    *  3. rows strictly above the boundary bucket are selected MAP-SIDE;
+    *     only the boundary bucket's rows (≈ 1/nBuckets of the data) pay a
+    *     per-group window rank (score desc, id asc) to fill the remainder.
+    *
+    * The selected set is IDENTICAL to the naive
+    * `row_number() OVER (ORDER BY score DESC, id) <= ceil(n·fraction)`
+    * per group — buckets are monotone in score, so "all higher buckets +
+    * top-of-boundary" IS the global top — which is exactly what the q79
+    * oracle proves (it runs the naive formulation; the hash gate pins
+    * every selected row). */
+  def selectTopFraction(corpus: DataFrame, groupCol: String, idCol: String,
+      scoreCol: Column, fraction: Double, nBuckets: Int = 1000): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"need fraction in (0,1], got $fraction")
+    val scored = corpus.select(col(groupCol), col(idCol), scoreCol.as("score"))
+      .withColumn("__b",
+        least(floor(col("score") * nBuckets), lit(nBuckets - 1)).cast("int"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__b").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val bounds = scored.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__target",
+        ceil(sum(col("__c")).over(wAll) * fraction).cast("long"))
+      .filter(col("__cum") >= col("__target") &&
+        col("__cum") - col("__c") < col("__target"))
+      .select(col(groupCol), col("__b").as("__bb"),
+        (col("__target") - col("__cum") + col("__c")).as("__need"))
+    val j = scored.join(broadcast(bounds), Seq(groupCol))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("score").desc, col(idCol))
+    val boundary = j.filter(col("__b") === col("__bb"))
+      .withColumn("__r", row_number().over(wRank))
+      .filter(col("__r") <= col("__need"))
+    j.filter(col("__b") > col("__bb"))
+      .select(col(groupCol), col(idCol), col("score"))
+      .unionByName(boundary.select(col(groupCol), col(idCol), col("score")))
+  }
+
+  /** q79: keep the top 25 % of each source by [[TextOps.qualityScore]].
+    * The oracle is the NAIVE global-sort selection; hash-matching it is
+    * the proof that the histogram path selects the identical rows
+    * (id_witness pins exact membership, not just counts). */
+  val q79QualitySelect = QueryDef(
+    "q79_quality_select",
+    """WITH m AS (SELECT source, doc_id,
+      |    least(length(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5 +
+      |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+      |        / length(text) END) * 0.25 +
+      |    least(CASE WHEN length(regexp_extract_all(text, '\S+')) = 0 THEN 0.0 ELSE
+      |      len(list_filter(regexp_extract_all(text, '\S+'),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
+      |        / length(regexp_extract_all(text, '\S+')) END * 5.0, 1.0) * 0.25
+      |    AS score FROM documents),
+      |r AS (SELECT source, doc_id, score,
+      |        row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY source) AS n
+      |      FROM m),
+      |sel AS (SELECT * FROM r WHERE rn <= CAST(ceil(n * 0.25) AS BIGINT))
+      |SELECT source, count(*) AS n_selected,
+      |  round(avg(score), 6) AS avg_score,
+      |  round(min(score), 6) AS min_score,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_witness
+      |FROM sel GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    selectTopFraction(docs(s, dir), "source", "doc_id",
+      TextOps.qualityScore(col("text")), fraction = 0.25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        round(avg(col("score")), 6).as("avg_score"),
+        round(min(col("score")), 6).as("min_score"),
+        sum(col("doc_id")).as("id_witness"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
+    q79QualitySelect)
 }

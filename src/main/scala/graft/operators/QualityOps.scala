@@ -292,6 +292,72 @@ object QualityOps {
       .orderBy(col("source"))
   }
 
+  /** Gopher-style quality filter funnel: a fixed, ordered rule chain where
+    * each document is charged to the FIRST rule it fails (`fail_rule`,
+    * null = passed all). First-fail attribution is what makes funnel
+    * metrics additive: per-rule counts + passes sum to the corpus size, so
+    * pipeline dashboards can stack them.
+    *
+    * Scale shape (100 TB): a PURE MAP — every signal (token count, mean
+    * word length, stopword ratio, duplicate-token fraction) is computed
+    * from the row's own token array; no shuffle until the caller
+    * aggregates, and that aggregate is per-source partial-agg bytes. */
+  def qualityFunnel(corpus: DataFrame, textCol: String,
+      minTokens: Int = 30, maxTokens: Int = 90,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 5.0,
+      minStopwordRatio: Double = 0.02,
+      maxDupTokenFrac: Double = 0.6): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val n = size(toks)
+    val mwl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / n.cast("double")
+    val stop = TextOps.stopwordRatio(col(textCol))
+    val dup = lit(1.0) - size(array_distinct(toks)).cast("double") / n.cast("double")
+    corpus.withColumn("fail_rule",
+      when(n < minTokens || n > maxTokens, lit("word_count"))
+        .when(mwl < minMeanWordLen || mwl > maxMeanWordLen, lit("mean_word_len"))
+        .when(stop < minStopwordRatio, lit("stopword_ratio"))
+        .when(dup > maxDupTokenFrac, lit("dup_token_frac")))
+  }
+
+  /** q78: the funnel aggregated per source — the per-rule drop accounting
+    * a curation pipeline publishes. Both dialects compute the same four
+    * signals from the same token arrays, so the hash gate pins the exact
+    * first-fail attribution of every document. */
+  val q78QualityFunnel = QueryDef(
+    "q78_quality_funnel",
+    """WITH t AS (SELECT source, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |m AS (SELECT source, len(toks) AS n,
+      |        list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks) AS mwl,
+      |        len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))
+      |          * 1.0 / len(toks) AS stop,
+      |        1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS dup
+      |      FROM t),
+      |f AS (SELECT source,
+      |        CASE WHEN n < 30 OR n > 90 THEN 'word_count'
+      |             WHEN mwl < 3.0 OR mwl > 5.0 THEN 'mean_word_len'
+      |             WHEN stop < 0.02 THEN 'stopword_ratio'
+      |             WHEN dup > 0.6 THEN 'dup_token_frac' END AS fail_rule
+      |      FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(count(*) FILTER (fail_rule = 'word_count') AS BIGINT) AS n_fail_word_count,
+      |  CAST(count(*) FILTER (fail_rule = 'mean_word_len') AS BIGINT) AS n_fail_word_len,
+      |  CAST(count(*) FILTER (fail_rule = 'stopword_ratio') AS BIGINT) AS n_fail_stopword,
+      |  CAST(count(*) FILTER (fail_rule = 'dup_token_frac') AS BIGINT) AS n_fail_dup,
+      |  CAST(count(*) FILTER (fail_rule IS NULL) AS BIGINT) AS n_pass
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    qualityFunnel(docs(s, dir), "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("fail_rule") === "word_count", 1)).as("n_fail_word_count"),
+        count(when(col("fail_rule") === "mean_word_len", 1)).as("n_fail_word_len"),
+        count(when(col("fail_rule") === "stopword_ratio", 1)).as("n_fail_stopword"),
+        count(when(col("fail_rule") === "dup_token_frac", 1)).as("n_fail_dup"),
+        count(when(col("fail_rule").isNull, 1)).as("n_pass"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination,
-    q68SequencePacking, q74UnigramXent, q75CrossdocDupGrams)
+    q68SequencePacking, q74UnigramXent, q75CrossdocDupGrams, q78QualityFunnel)
 }

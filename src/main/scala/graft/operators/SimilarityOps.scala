@@ -239,6 +239,138 @@ object SimilarityOps {
       .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
   }
 
+  // ---- IVF-PQ: product quantization over the IVF lists ----
+
+  /** Lloyd L2 k-means of one PQ subspace codebook: `ksub` centroids over
+    * the `d`-dim subvectors at 1-based offset `off`. Same fit discipline
+    * as [[fitCentroids]] (deterministic sample init, hash-bounded fit set
+    * at scale, lost clusters keep their previous centroid) but with L2
+    * assignment — PQ codebooks minimize RECONSTRUCTION error, for which
+    * cosine is the wrong objective on unnormalized subvectors. */
+  private def fitSubCodebook(normed: DataFrame, idCol: String, off: Int,
+      d: Int, ksub: Int, iters: Int): Array[Seq[Double]] = {
+    val sub = slice(col("__vn"), off, d)
+    val subVecs = normed.select(col(idCol), col("__vn"))
+    var cents: Array[Seq[Double]] = subVecs
+      .orderBy(col(idCol)).limit(ksub * 20)
+      .select(sub).collect()
+      .zipWithIndex.collect { case (r, i) if i % 20 == 0 =>
+        r.getSeq[Double](0).map(_.toDouble)
+      }.take(ksub)
+    if (cents.isEmpty) return cents
+    val dimAggs = (1 to d).map(i => avg(element_at(col("__s"), i)))
+    for (_ <- 1 to iters) {
+      val rows = subVecs
+        .select(sub.as("__s"), nearestSubCid(sub, cents.toSeq).as("__cid"))
+        .groupBy(col("__cid")).agg(dimAggs.head, dimAggs.tail: _*)
+        .collect()
+      val byCid = rows.map(r => r.getInt(0) ->
+        (1 to d).map(i => r.getDouble(i))).toMap
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        byCid.getOrElse(cid, prev)
+      }
+    }
+    cents
+  }
+
+  /** Argmin-L2 sub-centroid id: `argmin |v−c|² ≡ argmax (v·c − |c|²/2)`
+    * — the |v|² term is constant per row and drops out, so each candidate
+    * centroid costs one codegen'd dot product plus a literal. */
+  private def nearestSubCid(sub: Column, cents: Seq[Seq[Double]]): Column = {
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct((VectorFunctions.dotProduct(sub, lit(c.toArray)) -
+        lit(c.map(x => x * x).sum / 2.0)).as("s"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+  }
+
+  /** IVF-PQ ANN — the 100 TB similarity-search shape. The corpus is
+    * L2-normalized once, coarse-quantized into IVF lists ([[knnIvf]]'s
+    * map-side argmax-cosine scan), and each normalized vector is encoded
+    * as `m` sub-codebook ids (PQ codes: m bytes, not dim floats — at
+    * scale the codes table is ~dim·4/m× smaller than the vectors).
+    * Queries probe `nprobe` lists; scoring is ASYMMETRIC DISTANCE
+    * COMPUTATION: each query precomputes ONE m×ksub table of
+    * subvector-vs-centroid dot products (on the query side, BEFORE the
+    * join, so it is computed once per query, never per candidate), and a
+    * candidate's approximate cosine is m array lookups —
+    * `Σⱼ dtab[j][code[j]]` — no per-candidate float-vector math at all.
+    * The top `refine·k` by approximate score then pay exact cosine, and
+    * the final top-k ranks by that (so reported `cos` values are TRUE
+    * cosines; only the candidate choice is approximate).
+    *
+    * Query-side normalization is skipped on purpose: scaling q by 1/|q|
+    * scales every ADC score equally and cosine ranking is
+    * scale-invariant. */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 3,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, refine: Int = 5,
+      iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
+
+    // normalized corpus projection, cached for the codebook fits + encode
+    val normed = corpus
+      .select(col(idCol), col(vecCol), VectorFunctions.l2Norm(col(vecCol)).as("__nrm"))
+      .select(col(idCol), col(vecCol),
+        transform(col(vecCol), x => x.cast("double") / col("__nrm")).as("__vn"))
+      .cache()
+    try {
+      val books: Seq[Array[Seq[Double]]] =
+        (0 until m).map(j => fitSubCodebook(normed, idCol, j * d + 1, d, ksub, iters))
+      // coarse quantizer on the RAW vectors: cosine assignment is
+      // normalization-invariant, and the fit's sample init reads the
+      // original float column
+      val coarse = fitCentroids(corpus, idCol, vecCol, nCentroids)
+
+      val codes = array((0 until m).map(j =>
+        nearestSubCid(slice(col("__vn"), j * d + 1, d), books(j).toSeq)): _*)
+      val c = normed.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v_neighbor_id"),
+        nearestCid(col(vecCol), coarse.toSeq).as("__cid"), codes.as("__codes"))
+
+      // query side: nprobe coarse lists + the per-query ADC table
+      val centroidSims = coarse.toSeq.map(cc =>
+        VectorFunctions.cosineSim(col(vecCol), lit(cc.toArray)))
+      val sortedCids = array_sort(
+        array(centroidSims.zipWithIndex.map { case (s, i) =>
+          struct(s.as("sim"), lit(i).as("cid"))
+        }: _*),
+        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0))
+      val dtab = array((0 until m).map(j => array((0 until ksub).map(cc =>
+        VectorFunctions.dotProduct(
+          slice(col(vecCol), j * d + 1, d),
+          lit(books(j)(cc).toArray))): _*)): _*)
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__v_query_id"), dtab.as("__dtab"),
+        explode(slice(transform(sortedCids, s => s.getField("cid")),
+          1, nprobe)).as("__cid"))
+
+      val approx = (0 until m).map(j =>
+        element_at(element_at(col("__dtab"), j + 1),
+          element_at(col("__codes"), j + 1) + 1)).reduce(_ + _)
+      val candidates = c.join(broadcast(q), Seq("__cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("__v_query_id"), col("__v_neighbor_id"), approx.as("__approx"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val wApprox = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__approx").desc, col("neighbor_id"))
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      candidates
+        .withColumn("__ar", row_number().over(wApprox))
+        .filter(col("__ar") <= k * refine)
+        .select(col("query_id"), col("neighbor_id"),
+          VectorFunctions.cosineSim(col("__v_query_id"), col("__v_neighbor_id")).as("cos"))
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter(col("rank") <= k)
+    } finally normed.unpersist()
+  }
+
   // ---- driver-facing queries ----
 
   /** Brute-force KNN, DuckDB-checkable via list_cosine_similarity. */
@@ -309,6 +441,20 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  /** q80: IVF-PQ ANN (rows-only: approximate by construction like
+    * q27/q29/q32; recall vs brute force and ADC-vs-exact agreement are
+    * pinned by LlmOpsSpec). Reported `cos` is the TRUE cosine — the
+    * refine step reranks exactly — so every emitted row is verifiable
+    * even though the candidate set is approximate. */
+  val q80AnnIvfPq = QueryDef.rowsOnly("q80_ann_ivfpq") { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    knnIvfPq(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
-    q77SemanticDedup)
+    q77SemanticDedup, q80AnnIvfPq)
 }

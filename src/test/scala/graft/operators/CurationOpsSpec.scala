@@ -175,4 +175,37 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(sampled === n, "rate 1 must keep every row")
     }
   }
+
+  test("selectTopFraction matches the naive global-sort selection exactly") {
+    // scores deliberately collide inside coarse buckets (nBuckets = 7) so
+    // the boundary-bucket rank path is exercised; two skewed groups
+    val rows = (0 until 100).map(i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, ((i * 37) % 100) / 100.0))
+    val dfIn = rows.toDF("grp", "id", "score")
+    val got = CurationOps.selectTopFraction(
+        dfIn, "grp", "id", col("score"), fraction = 0.3, nBuckets = 7)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val target = math.ceil(rs.size * 0.3).toLong
+      rs.sortBy(r => (-r._3, r._2)).take(target.toInt).map(r => (g, r._2))
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("selectTopFraction: all-tied scores cut deterministically by id") {
+    val dfIn = (0L until 10L).map(i => ("g", i, 0.5)).toDF("grp", "id", "score")
+    val got = CurationOps.selectTopFraction(
+        dfIn, "grp", "id", col("score"), fraction = 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, 1L, 2L), "ties at the cut break by id asc")
+  }
+
+  test("selectTopFraction: fraction 1.0 keeps everything; score 1.0 lands in the top bucket") {
+    val dfIn = (0L until 5L).map(i => ("g", i, if (i == 0) 1.0 else 0.2))
+      .toDF("grp", "id", "score")
+    val got = CurationOps.selectTopFraction(
+        dfIn, "grp", "id", col("score"), fraction = 1.0)
+      .count()
+    assert(got === 5L)
+  }
 }

@@ -349,4 +349,41 @@ class LlmOpsSpec extends AnyFunSuite {
     val frames = MultimodalOps.sampleFrames(docs, frameSize = 256, stride = 1)
     assert(frames.filter(col("doc_id") === 1L).count() === 3)
   }
+
+  test("IVF-PQ: recall vs brute, ADC prunes, reported cosines are exact") {
+    VectorFunctions.register(spark)
+    // same separated-clusters construction as the quantizer test: 8 cluster
+    // directions in 16 dims + deterministic noise, so PQ codebooks have
+    // real structure to learn
+    val dims = 16
+    def vec(i: Int): Array[Float] = {
+      val c = i % 8
+      Array.tabulate(dims)(d =>
+        (if (d == 2 * c) 5.0f else 0.0f) + ((i * 31 + d * 7) % 13) / 13.0f * 0.4f)
+    }
+    val docs = (0 until 400).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .cache()
+    val queries = docs.filter(col("vec_id") >= 392)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteDf = SimilarityOps.knnBrute(docs, queries, "vec_id", "embedding", 5)
+    val brute = pairs(bruteDf)
+    val pqDf = SimilarityOps.knnIvfPq(docs, queries, "vec_id", "embedding", 5,
+      m = 4, ksub = 16, dim = dims)
+    val pq = pairs(pqDf)
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall below 0.5")
+    // the refine step reranks EXACTLY: any (query, neighbor) the PQ path
+    // emits that brute force also ranked must carry the identical cosine
+    val bruteCos = bruteDf.select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pqDf.select("query_id", "neighbor_id", "cos").collect().foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1))).foreach { cb =>
+        assert(math.abs(r.getDouble(2) - cb) < 1e-9,
+          s"PQ-reported cosine for (${r.getLong(0)},${r.getLong(1)}) is not the true cosine")
+      }
+    }
+    docs.unpersist()
+  }
 }

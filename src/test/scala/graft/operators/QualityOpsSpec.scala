@@ -107,4 +107,42 @@ class QualityOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 0L), (2L, 0L)))
   }
+
+  test("quality funnel: first-fail attribution, one rule charged per doc") {
+    val corpus = df(
+      1L -> "xx yy",                                    // 2 tokens: word_count
+      // 0 stopwords AND huge words — must be charged to mean_word_len,
+      // the EARLIER rule, never stopword_ratio
+      2L -> "elephants mastodons wonderful incredible",
+      3L -> "the cat sat on mat",                       // passes everything
+      4L -> "cat dog bird fish wolf",                   // stopword_ratio
+      5L -> "the the the the cat")                      // dup 0.6: dup_token_frac
+    val got = QualityOps.qualityFunnel(corpus, "text",
+        minTokens = 3, maxTokens = 10,
+        minMeanWordLen = 2.0, maxMeanWordLen = 6.0,
+        minStopwordRatio = 0.1, maxDupTokenFrac = 0.5)
+      .orderBy("doc_id").select("doc_id", "fail_rule").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq(
+      (1L, Some("word_count")),
+      (2L, Some("mean_word_len")),
+      (3L, None),
+      (4L, Some("stopword_ratio")),
+      (5L, Some("dup_token_frac"))))
+  }
+
+  test("quality funnel: per-rule counts + passes are additive to the corpus size") {
+    val corpus = (1L to 200L).map(i =>
+      (i, (1 to (i % 17).toInt + 1).map(j => s"w${(i + j) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val funneled = QualityOps.qualityFunnel(corpus, "text").cache()
+    try {
+      val total = funneled.count()
+      val byRule = funneled.groupBy("fail_rule").count().collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(byRule.values.sum === total,
+        "every doc must land in exactly one funnel bucket")
+      assert(total === 200L)
+    } finally funneled.unpersist()
+  }
 }
