@@ -8,7 +8,7 @@ object Registry {
     operators.RelationalOps.all ++ operators.RelationalOps2.all ++
       operators.RelationalOps3.all ++ operators.IngestOps.all ++
       operators.PipelineOps.all ++ operators.MergeSqlOps.all ++
-      operators.SessionOps.all ++
+      operators.SessionOps.all ++ operators.AnalyticsOps.all ++
       operators.TextOps.all ++ operators.QualityOps.all ++
       operators.CurationOps.all ++ operators.PrivacyOps.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++

@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Dataset-level analytics: column profiling (the ANALYZE-style statistics
+  * pass every lake table gets after ingest) and event-funnel conversion —
+  * two staples of the downstream query surface the reference delegates to
+  * its attached engine (SURVEY §2.10).
+  */
+object AnalyticsOps {
+
+  /** One profile row per column — row count, null count, exact distinct
+    * count, and min/max (numeric columns in `min_num`/`max_num`, all
+    * others cast to string in `min_str`/`max_str`; the split keeps the
+    * output schema uniform without the cross-engine float-formatting trap
+    * of stringifying doubles).
+    *
+    * Scale shape: ONE aggregate job. Multiple exact `count(DISTINCT)`s in
+    * a single agg plan through Spark's Expand — the input is replicated
+    * once per distinct-column in-task (never joined), partial aggs
+    * pre-shrink per distinct key, and one shuffle carries (column, value)
+    * partials. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` per column if the ±2 % HLL bound is
+    * acceptable; the plan shape is identical. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs = cols.flatMap { c =>
+      val isNum = types(c).isInstanceOf[NumericType]
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        (if (isNum) round(min(col(c)).cast("double"), 6) else lit(null).cast("double")).as(s"__minn_$c"),
+        (if (isNum) round(max(col(c)).cast("double"), 6) else lit(null).cast("double")).as(s"__maxn_$c"),
+        (if (isNum) lit(null).cast("string") else min(col(c)).cast("string")).as(s"__mins_$c"),
+        (if (isNum) lit(null).cast("string") else max(col(c)).cast("string")).as(s"__maxs_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map(c => struct(
+      lit(c).as("column_name"),
+      col("__rows").as("n_rows"),
+      (col("__rows") - col(s"__cnt_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__minn_$c").as("min_num"),
+      col(s"__maxn_$c").as("max_num"),
+      col(s"__mins_$c").as("min_str"),
+      col(s"__maxs_$c").as("max_str")))
+    one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** q81: profile five lineitem columns (two integer keys, two doubles, a
+    * flag, a date) — exact distincts, nulls, typed min/max. */
+  val q81Profile = QueryDef(
+    "q81_profile",
+    """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+      |  count(*) - count(l_orderkey) AS n_null,
+      |  count(DISTINCT l_orderkey) AS n_distinct,
+      |  round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min_num,
+      |  round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+      |  count(DISTINCT l_quantity),
+      |  round(CAST(min(l_quantity) AS DOUBLE), 6),
+      |  round(CAST(max(l_quantity) AS DOUBLE), 6), NULL, NULL
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+      |  count(DISTINCT l_extendedprice),
+      |  round(CAST(min(l_extendedprice) AS DOUBLE), 6),
+      |  round(CAST(max(l_extendedprice) AS DOUBLE), 6), NULL, NULL
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+      |  count(DISTINCT l_returnflag), NULL, NULL,
+      |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+      |  count(DISTINCT l_shipdate), NULL, NULL,
+      |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+      |FROM lineitem
+      |ORDER BY column_name""".stripMargin) { (s, dir) =>
+    profileColumns(Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Per-user earliest-event conversion funnel: first `view`, first
+    * `click` within 24 h AFTER that view, first `purchase` within 24 h
+    * after that click. One output row with step counts + conversion
+    * rates.
+    *
+    * Scale shape: three filtered groupBys over the events scan (each one
+    * shuffle on user_id — partial-agg'd `min`), and the step tables
+    * (≤ one row per user) BROADCAST into the next step's filter, so raw
+    * events never join raw events. */
+  def eventFunnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val c = events.filter(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .filter(col("ts") > col("t0") &&
+        col("ts") <= col("t0") + expr("interval 24 hours"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("interval 24 hours"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click"))).crossJoin(
+        p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 4).as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 4).as("click_to_purchase"))
+  }
+
+  /** q82: the view→click→purchase conversion funnel over `events`. */
+  val q82EventFunnel = QueryDef(
+    "q82_event_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t1
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t0
+      |        AND e.ts <= v.t0 + INTERVAL 24 HOUR
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      |        AND e.ts <= c.t1 + INTERVAL 24 HOUR
+      |      GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click,
+      |  (SELECT count(*) FROM p) AS n_purchase,
+      |  round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 4)
+      |    AS view_to_click,
+      |  round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 4)
+      |    AS click_to_purchase""".stripMargin) { (s, dir) =>
+    eventFunnel(Tables.events(s, dir))
+  }
+
+  /** q83: per-user rolling 7-day value sum via an event-time RANGE frame —
+    * the interval-bounded window surface (q44's running windows are
+    * ROWS-bounded). RANGE frames include event-time peers, so the result
+    * is insensitive to the intra-timestamp row order an engine happens to
+    * produce.
+    *
+    * Scale shape: one shuffle on user_id, a per-user time sort, and a
+    * sliding frame the window operator maintains incrementally; the
+    * per-user aggregate reuses the same partitioning — no second
+    * shuffle. */
+  val q83RollingWindow = QueryDef(
+    "q83_rolling_window",
+    """WITH w AS (SELECT user_id, value,
+      |    sum(value) OVER (PARTITION BY user_id ORDER BY ts
+      |      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS roll
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  round(max(roll), 2) AS max_7d_value,
+      |  round(min(roll), 2) AS min_7d_value
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .selectExpr("user_id", "value",
+        """sum(value) OVER (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS roll""".stripMargin)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("roll")), 2).as("max_7d_value"),
+        round(min(col("roll")), 2).as("min_7d_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- SCD2: slowly-changing-dimension history over the lake merge ----
+
+  /** Apply one batch of dimension updates to a type-2 SCD lake table
+    * (schema: key, tracked..., `valid_from` DATE, `valid_to` DATE,
+    * `is_current` BIGINT; PK = (key, valid_from)). Rows whose tracked
+    * values actually changed get their current version CLOSED
+    * (`valid_to` = effective, `is_current` = 0 — an upsert UPDATE on the
+    * existing PK) and a new current version INSERTED at
+    * (key, effective); unchanged update rows are no-ops; unseen keys
+    * insert their first version. One [[GraftLake.upsert]] carries closes
+    * + inserts together.
+    *
+    * Scale shape: current-version rows join the (typically much smaller)
+    * update batch — broadcast when small; the lake upsert then rewrites
+    * only affected partitions. Change detection is null-safe (`<=>`), so
+    * a tracked NULL→NULL is not a change. */
+  def scd2Apply(lake: graft.catalog.GraftLake, table: String,
+      updates: DataFrame, key: String, tracked: Seq[String],
+      effective: java.sql.Date): Unit = {
+    val eff = lit(effective)
+    val cur = lake.read(table).filter(col("is_current") === 1L)
+    val u = updates.select((key +: tracked).map(col): _*)
+    val j = cur.as("t").join(u.as("s"),
+      col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val differs = tracked.map(c => !(col(s"t.$c") <=> col(s"s.$c")))
+      .reduce(_ || _)
+    val changed = j.filter(col(s"t.$key").isNotNull &&
+      col(s"s.$key").isNotNull && differs)
+    val closes = changed.select(
+      (col(s"t.$key").as(key) +: tracked.map(c => col(s"t.$c").as(c))) ++
+        Seq(col("t.valid_from").as("valid_from"), eff.as("valid_to"),
+          lit(0L).as("is_current")): _*)
+    val newVersions = changed.select(
+      (col(s"s.$key").as(key) +: tracked.map(c => col(s"s.$c").as(c))) ++
+        Seq(eff.as("valid_from"), lit(null).cast("date").as("valid_to"),
+          lit(1L).as("is_current")): _*)
+    val firstVersions = j.filter(col(s"t.$key").isNull).select(
+      (col(s"s.$key").as(key) +: tracked.map(c => col(s"s.$c").as(c))) ++
+        Seq(eff.as("valid_from"), lit(null).cast("date").as("valid_to"),
+          lit(1L).as("is_current")): _*)
+    lake.upsert(table, closes.unionByName(newVersions).unionByName(firstVersions))
+  }
+
+  /** q84: SCD2 over the customer dimension. Initial load at 2024-01-01;
+    * one update batch at 2024-02-01 that REALLY changes only keys with
+    * `c_custkey % 10 IN (0, 5)` (the rest of the batch must no-op — the
+    * oracle's row set proves both the history arithmetic and the
+    * no-change suppression). */
+  val q84Scd2 = QueryDef(
+    "q84_scd2",
+    """WITH chg AS (SELECT c_custkey FROM customer
+      |             WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5),
+      |closed AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+      |    DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to,
+      |    CAST(0 AS BIGINT) AS is_current
+      |  FROM customer WHERE c_custkey IN (SELECT c_custkey FROM chg)),
+      |stay AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+      |    DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |    CAST(1 AS BIGINT) AS is_current
+      |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)),
+      |fresh AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 5 THEN 'SHIFTED' ELSE c_mktsegment END AS c_mktsegment,
+      |    round(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END, 2) AS c_acctbal,
+      |    DATE '2024-02-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |    CAST(1 AS BIGINT) AS is_current
+      |  FROM customer WHERE c_custkey IN (SELECT c_custkey FROM chg))
+      |SELECT * FROM (SELECT * FROM closed UNION ALL SELECT * FROM stay
+      |               UNION ALL SELECT * FROM fresh)
+      |ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-scd2").toString)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+    lake.write("dim_customer",
+      cust.withColumn("valid_from", lit(java.sql.Date.valueOf("2024-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(1L)),
+      partitions = Nil, pks = Seq("c_custkey", "valid_from"))
+    // the batch carries EVERY customer; only %10 ∈ {0,5} actually change
+    val batch = cust.select(col("c_custkey"),
+      when(col("c_custkey") % 10 === 5, lit("SHIFTED"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      round(col("c_acctbal") +
+        when(col("c_custkey") % 10 === 0, 100.0).otherwise(0.0), 2)
+        .as("c_acctbal"))
+    scd2Apply(lake, "dim_customer", batch, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), java.sql.Date.valueOf("2024-02-01"))
+    lake.read("dim_customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
+    q84Scd2)
+}

@@ -127,26 +127,72 @@ object SimilarityOps {
     var cents = sampleCentroids(corpus, idCol, vecCol, nCentroids)
     if (cents.isEmpty) return cents
     val dim = cents.head.size
-    val dimAggs = (1 to dim).map(i => avg(element_at(col(vecCol), i)))
-    // the fit re-scans the vectors once per iteration — cache the pruned
-    // (and, at scale, subsetted) projection for its lifetime
     val n = corpus.count()
     val mod = (n + maxFitVectors - 1) / maxFitVectors
     val fitSet =
       if (mod <= 1) corpus
       else corpus.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
-    val vecs = fitSet.select(col(vecCol)).cache()
+    // the per-iteration assignment runs as a treeAggregate of plain JVM
+    // loops, not a Catalyst expression: the centroid literals change every
+    // iteration, so an expression would re-Janino-compile a C×dim codegen
+    // unit per iteration — fixed seconds of driver-side compile that
+    // dwarf the math. Only C×(dim+1) doubles per task ship back. The
+    // corpus-wide ASSIGNMENT in [[knnIvf]]/[[semanticDedup]] stays a
+    // codegen'd expression, where one compile amortizes over every row.
+    val isFloat = fitSet.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val raw = fitSet.select(col(vecCol)).queryExecution.toRdd
+    val vecs = (if (isFloat) raw.map(_.getArray(0).toFloatArray().map(_.toDouble))
+      else raw.map(_.getArray(0).toDoubleArray())).cache()
+    val sc = corpus.sparkSession.sparkContext
     try {
       for (_ <- 1 to iters) {
-        val rows = vecs
-          .select(col(vecCol), nearestCid(col(vecCol), cents.toSeq).as("__cid"))
-          .groupBy(col("__cid")).agg(dimAggs.head, dimAggs.tail: _*)
-          .collect()
-        val byCid = rows.map(r => r.getInt(0) ->
-          (1 to dim).map(i => r.getDouble(i))).toMap
-        cents = cents.zipWithIndex.map { case (prev, cid) =>
-          byCid.getOrElse(cid, prev)
+        val k = cents.length
+        val withNorms = cents.map { c =>
+          val a = c.toArray
+          (a, math.sqrt(a.map(x => x * x).sum))
         }
+        val bCents = sc.broadcast(withNorms)
+        val zero = (Array.fill(k, dim)(0.0), Array.fill(k)(0L))
+        val (sums, counts) = vecs.treeAggregate(zero)(
+          seqOp = { case (acc, v) =>
+            val cs = bCents.value
+            var vn = 0.0
+            var i = 0
+            while (i < dim) { vn += v(i) * v(i); i += 1 }
+            vn = math.sqrt(vn)
+            var best = 0; var bestSim = Double.NegativeInfinity
+            var c = 0
+            while (c < k) {
+              val (cent, cnorm) = cs(c)
+              var dot = 0.0; i = 0
+              while (i < dim) { dot += v(i) * cent(i); i += 1 }
+              val sim = if (vn == 0.0 || cnorm == 0.0) 0.0 else dot / (vn * cnorm)
+              // >= : ties resolve to the higher cid, matching nearestCid's
+              // array_max struct ordering on the assignment path
+              if (sim >= bestSim) { bestSim = sim; best = c }
+              c += 1
+            }
+            i = 0
+            while (i < dim) { acc._1(best)(i) += v(i); i += 1 }
+            acc._2(best) += 1L
+            acc
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            for (c <- 0 until k) {
+              var i = 0
+              while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+              n1(c) += n2(c)
+            }
+            (s1, n1)
+          })
+        bCents.destroy()
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0L) cents(c)
+          else (0 until dim).map(i => sums(c)(i) / counts(c)))
       }
     } finally vecs.unpersist()
     cents
@@ -241,36 +287,78 @@ object SimilarityOps {
 
   // ---- IVF-PQ: product quantization over the IVF lists ----
 
-  /** Lloyd L2 k-means of one PQ subspace codebook: `ksub` centroids over
-    * the `d`-dim subvectors at 1-based offset `off`. Same fit discipline
-    * as [[fitCentroids]] (deterministic sample init, hash-bounded fit set
-    * at scale, lost clusters keep their previous centroid) but with L2
-    * assignment — PQ codebooks minimize RECONSTRUCTION error, for which
-    * cosine is the wrong objective on unnormalized subvectors. */
-  private def fitSubCodebook(normed: DataFrame, idCol: String, off: Int,
-      d: Int, ksub: Int, iters: Int): Array[Seq[Double]] = {
-    val sub = slice(col("__vn"), off, d)
-    val subVecs = normed.select(col(idCol), col("__vn"))
-    var cents: Array[Seq[Double]] = subVecs
+  /** Lloyd L2 k-means of ALL `m` PQ subspace codebooks AT ONCE: `ksub`
+    * centroids per subspace over the `d`-dim subvectors. Same fit
+    * discipline as [[fitCentroids]] (deterministic sample init, lost
+    * clusters keep their previous centroid) but with L2 assignment — PQ
+    * codebooks minimize RECONSTRUCTION error, for which cosine is the
+    * wrong objective on unnormalized subvectors.
+    *
+    * The m fits are BATCHED: one init collect, then per Lloyd iteration a
+    * single `treeAggregate` job computes every subspace's per-centroid
+    * sub-vector sums in plain JVM loops. Deliberately NOT a Catalyst
+    * expression: embedding m×ksub centroid literals regenerates (and
+    * re-Janino-compiles) a huge codegen unit every iteration, a fixed
+    * multi-second cost that dwarfs the math at any corpus size — while the
+    * aggregate ships only m×ksub×(d+1) doubles per task. The ENCODE path
+    * (the corpus-sized scan) stays a codegen'd expression, where the
+    * one-time compile amortizes over every row. */
+  private def fitPqCodebooks(normed: DataFrame, idCol: String, m: Int,
+      d: Int, ksub: Int, iters: Int): Array[Array[Seq[Double]]] = {
+    val init: Array[Seq[Double]] = normed
       .orderBy(col(idCol)).limit(ksub * 20)
-      .select(sub).collect()
+      .select(col("__vn")).collect()
       .zipWithIndex.collect { case (r, i) if i % 20 == 0 =>
-        r.getSeq[Double](0).map(_.toDouble)
+        r.getSeq[Double](0)
       }.take(ksub)
-    if (cents.isEmpty) return cents
-    val dimAggs = (1 to d).map(i => avg(element_at(col("__s"), i)))
+    var books: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(j => init.map(v => v.slice(j * d, (j + 1) * d)))
+    if (init.isEmpty) return books
+    val sc = normed.sparkSession.sparkContext
+    val vecs = normed.select(col("__vn")).queryExecution.toRdd
+      .map(_.getArray(0).toDoubleArray())
     for (_ <- 1 to iters) {
-      val rows = subVecs
-        .select(sub.as("__s"), nearestSubCid(sub, cents.toSeq).as("__cid"))
-        .groupBy(col("__cid")).agg(dimAggs.head, dimAggs.tail: _*)
-        .collect()
-      val byCid = rows.map(r => r.getInt(0) ->
-        (1 to d).map(i => r.getDouble(i))).toMap
-      cents = cents.zipWithIndex.map { case (prev, cid) =>
-        byCid.getOrElse(cid, prev)
-      }
+      val k = books(0).length
+      val bBooks = sc.broadcast(books.map(_.map(_.toArray)))
+      // acc layout: sums(j)(c)(dim) ++ counts(j)(c)
+      val zero = (Array.fill(m, k, d)(0.0), Array.fill(m, k)(0L))
+      val (sums, counts) = vecs.treeAggregate(zero)(
+        seqOp = { case (acc, v) =>
+          val bks = bBooks.value
+          var j = 0
+          while (j < m) {
+            var best = 0; var bestDist = Double.MaxValue
+            var c = 0
+            while (c < k) {
+              val cent = bks(j)(c)
+              var dist = 0.0; var i = 0
+              while (i < d) {
+                val diff = v(j * d + i) - cent(i); dist += diff * diff; i += 1
+              }
+              if (dist < bestDist) { bestDist = dist; best = c }
+              c += 1
+            }
+            var i = 0
+            while (i < d) { acc._1(j)(best)(i) += v(j * d + i); i += 1 }
+            acc._2(j)(best) += 1L
+            j += 1
+          }
+          acc
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          for (j <- 0 until m; c <- 0 until k) {
+            var i = 0
+            while (i < d) { s1(j)(c)(i) += s2(j)(c)(i); i += 1 }
+            n1(j)(c) += n2(j)(c)
+          }
+          (s1, n1)
+        })
+      bBooks.destroy()
+      books = Array.tabulate(m)(j => Array.tabulate(k)(c =>
+        if (counts(j)(c) == 0L) books(j)(c)
+        else (0 until d).map(i => sums(j)(c)(i) / counts(j)(c))))
     }
-    cents
+    books
   }
 
   /** Argmin-L2 sub-centroid id: `argmin |v−c|² ≡ argmax (v·c − |c|²/2)`
@@ -317,8 +405,8 @@ object SimilarityOps {
         transform(col(vecCol), x => x.cast("double") / col("__nrm")).as("__vn"))
       .cache()
     try {
-      val books: Seq[Array[Seq[Double]]] =
-        (0 until m).map(j => fitSubCodebook(normed, idCol, j * d + 1, d, ksub, iters))
+      val books: Array[Array[Seq[Double]]] =
+        fitPqCodebooks(normed, idCol, m, d, ksub, iters)
       // coarse quantizer on the RAW vectors: cosine assignment is
       // normalization-invariant, and the fit's sample init reads the
       // original float column

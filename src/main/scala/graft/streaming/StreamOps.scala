@@ -48,6 +48,30 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream INTERVAL join — the enrichment shape
+    * (impressions ⋈ clicks, requests ⋈ responses): each left event joins
+    * right events with the same key whose event time falls in
+    * `[leftTs, leftTs + within]`. BOTH sides carry watermarks and the join
+    * condition time-bounds both directions, so Spark can compute state
+    * eviction for each side — without the bound, stream-stream join state
+    * grows with the stream. Column names are prefixed `l_`/`r_` to keep
+    * the joined schema collision-free.
+    *
+    * Scale: join state is keyed by `keyCol` and bounded by
+    * watermark + `within`; state size ∝ in-flight interval, not history. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, within: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$leftTs", lateness)
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$rightTs", lateness)
+    l.join(r, expr(
+      s"l_$keyCol = r_$keyCol AND " +
+        s"r_$rightTs >= l_$leftTs AND " +
+        s"r_$rightTs <= l_$leftTs + interval $within"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
   final case class Session(

@@ -97,6 +97,32 @@ class PlanQualitySpec extends AnyFunSuite {
       "benchmark shingle set must broadcast — the corpus side never shuffles for the probe")
   }
 
+  test("q78: funnel signals are a pure map — no explode, no per-doc shuffle") {
+    val p = plan("q78_quality_funnel")
+    assert(!p.contains("Generate"), "no explode in the funnel path")
+    // partial→final agg over source + the ORDER BY sort are the only
+    // legitimate exchanges; the four per-doc signals must not shuffle
+    assert("- Exchange".r.findAllIn(p).size <= 2,
+      s"funnel signals must stay map-side:\n${p.take(1500)}")
+  }
+
+  test("q79: histogram selection broadcasts the bounds, never sort-merges") {
+    val p = plan("q79_quality_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-group boundary-bucket bounds must broadcast back to the data")
+    assert(!p.contains("SortMergeJoin"),
+      s"selection must not shuffle the corpus for the bounds join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q80: IVF-PQ candidate join broadcasts the query side") {
+    val p = plan("q80_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join must broadcast queries against the coarse-list corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "PQ path must never degenerate to all-pairs")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which

@@ -148,4 +148,36 @@ class StreamOpsSpec extends AnyFunSuite {
         s"second u1 session missing: ${closed2.toSeq}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the window, drops outside it") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("ts", "user_id", "ad"),
+      clicks.toDF().toDF("ts", "user_id", "target"),
+      keyCol = "user_id", leftTs = "ts", rightTs = "ts",
+      within = "10 minutes", lateness = "5 minutes")
+    val q = joined.select("l_user_id", "l_ad", "r_target")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ivj_out").start()
+    try {
+      imps.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "adA"),
+        (ts("2024-01-01 10:00:00"), 2L, "adB"))
+      clicks.addData(
+        (ts("2024-01-01 10:05:00"), 1L, "pageX"),   // in window for u1
+        (ts("2024-01-01 10:20:00"), 2L, "pageY"),   // OUTSIDE 10-minute window
+        (ts("2024-01-01 10:03:00"), 3L, "pageZ"))   // no matching impression
+      q.processAllAvailable()
+      val out = spark.table("ivj_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(out.toSet === Set((1L, "adA", "pageX")),
+        s"only the in-interval same-key pair may join: ${out.toSeq}")
+      // a click BEFORE its impression must not join either (one-directional)
+      clicks.addData((ts("2024-01-01 09:59:00"), 2L, "early"))
+      q.processAllAvailable()
+      assert(spark.table("ivj_out").count() === 1L)
+    } finally q.stop()
+  }
 }

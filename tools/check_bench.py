@@ -32,10 +32,14 @@ def main():
         print("FAIL: metric line in tail is not valid JSON (%s)" % e)
         print("line head: %r" % line[:120])
         sys.exit(1)
-    for k in ("metric", "value", "unit", "queries", "sf"):
+    # BENCH_r04.json shows the driver parses the LAST metric line it finds,
+    # i.e. the O(1) tail summary (metric/value/n_queries/...), NOT the full
+    # per-query line — so that is what this gate validates
+    for k in ("metric", "value", "unit", "sf"):
         assert k in parsed, "missing key %s" % k
-    print("PASS: tail-parsed metric line, %d chars, %d queries, total %.1fs" %
-          (len(line), len(parsed["queries"]), parsed["value"]))
+    nq = parsed.get("n_queries", len(parsed.get("queries", [])))
+    print("PASS: tail-parsed metric line, %d chars, %d queries, total %.1fs, %d errors" %
+          (len(line), nq, parsed["value"], parsed.get("n_errors", 0)))
     try:
         full = json.load(open("bench.json"))
         print("PASS: bench.json parses, keys: %s" % sorted(full.keys()))
