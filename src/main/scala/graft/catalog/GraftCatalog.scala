@@ -75,6 +75,46 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(ident.name, parquet, warehouse)
   }
 
+  /** `SELECT … FROM cat.t VERSION AS OF n` — a read-only table over the
+    * snapshot's manifest file set under the manifest's schema (which may
+    * predate later column evolution). Timestamp-based travel is not
+    * offered: manifests are deliberately wall-clock-free so snapshot
+    * content is fully deterministic. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    requireRootNamespace(ident.namespace())
+    if (!lake.tableExists(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft time travel takes a numeric snapshot id " +
+          s"(have: ${lake.versions(ident.name).mkString(", ")}), got '$version'")
+    }
+    val (schema, files) = lake.snapshotFiles(ident.name, v)
+    val parquet = ParquetTable(
+      s"${ident.name}@v$v",
+      spark,
+      new CaseInsensitiveStringMap(Map("path" -> dataDir(ident)).asJava),
+      files,
+      Some(schema),
+      classOf[ParquetFileFormat])
+    new SnapshotTable(parquet, schema)
+  }
+
+  /** Read-only snapshot facade: BATCH_READ only — writing to history is
+    * not a thing. */
+  private final class SnapshotTable(underlying: ParquetTable,
+      snapSchema: StructType) extends Table with SupportsRead {
+    override def name(): String = underlying.name
+    override def schema(): StructType = snapSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap) =
+      underlying.newScanBuilder(options)
+    override def partitioning(): Array[Transform] = Array.empty
+    override def properties(): util.Map[String, String] = underlying.properties()
+  }
+
   /** Catalog table facade: scans delegate to Spark's v2 parquet machinery
     * (vectorized read, pushdown, partition pruning over the generated
     * `__p_*` columns), writes route through the engine as a

@@ -247,6 +247,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
         else writer
       parted.parquet(dataDir(name))
+      commitVersion(name)
     }
   }
 
@@ -347,7 +348,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    swapInto(stage, new Path(dataDir(name)), partCols.size, affectedDirs)
+    swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
+    commitVersion(name)
   }
 
   /** Replace the entire table contents with `df` (must carry exactly the
@@ -375,7 +377,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val old = new Path(s"${tableDir(name)}/.old-${UUID.randomUUID()}")
       if (f.exists(dd)) f.rename(dd, old)
       f.rename(stage, dd)
-      f.delete(old, true)
+      retire(name, old)
+      commitVersion(name)
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -392,6 +395,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val partCols = meta.partitionExprs.map(_.outputName)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(dataDir(name))
+    commitVersion(name)
   }
 
   /** Rewrite a scoped slice of the table: `survivors` replaces the
@@ -411,8 +415,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    swapInto(stage, new Path(dataDir(name)), partCols.size,
+    swapInto(name, stage, new Path(dataDir(name)), partCols.size,
       affectedDirs.map(new Path(_)))
+    commitVersion(name)
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -442,7 +447,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .option("maxRecordsPerFile", targetRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    swapInto(stage, new Path(dataDir(name)), partCols.size)
+    swapInto(name, stage, new Path(dataDir(name)), partCols.size)
+    commitVersion(name)
   }
 
   /** Data files currently backing a table (observability / compaction
@@ -450,12 +456,153 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def dataFiles(name: String): Seq[String] =
     read(name).inputFiles.toSeq
 
+  // ---- snapshots / time travel ----
+  //
+  // DuckLake — the reference's storage layer — versions every commit in
+  // its catalog database (ducklake_snapshot / ducklake_data_file); the
+  // connector inherits snapshots for free. This engine reproduces the
+  // capability file-native, Iceberg-style: part files are immutable and
+  // globally unique, a rewrite RETIRES replaced files into `_history/`
+  // instead of deleting them, and each commit writes a manifest
+  // (`_versions/v{N}.json`) of the live file set + the schema at commit
+  // time. A snapshot read resolves the manifest's files (still-live ones
+  // in `data/`, replaced ones in `_history/`) — no directory-state
+  // coupling, so the current-version read path is untouched.
+  //
+  // Scale: the manifest is O(files) — the bookkeeping every lakehouse
+  // format pays per commit; `expireSnapshots` bounds retained history.
+
+  private def versionsDir(name: String) = new Path(s"${tableDir(name)}/_versions")
+  private def historyDir(name: String) = new Path(s"${tableDir(name)}/_history")
+
+  /** Move a replaced data file / partition directory into `_history`
+    * keyed by its globally unique part-file name (Spark part files embed
+    * a job UUID, so flat storage cannot collide); non-data droppings are
+    * deleted as before. */
+  private def retire(name: String, p: Path): Unit = {
+    val f = fs(p)
+    if (!f.exists(p)) return
+    val hd = historyDir(name)
+    f.mkdirs(hd)
+    def move(q: Path): Unit = {
+      if (f.getFileStatus(q).isDirectory) {
+        f.listStatus(q).foreach(s => move(s.getPath))
+        f.delete(q, true)
+      } else if (q.getName.endsWith(".parquet")) {
+        f.rename(q, new Path(hd, q.getName))
+      } else f.delete(q, false)
+    }
+    move(p)
+  }
+
+  /** Commit the next snapshot manifest for `name`: the full live
+    * (relative partition path, file name) list plus the schema. Called at
+    * the end of every data mutation, inside its write lock. */
+  private def commitVersion(name: String): Unit = {
+    val vd = versionsDir(name)
+    val f = fs(vd)
+    f.mkdirs(vd)
+    val dd = new Path(dataDir(name))
+    val ddUri = f.makeQualified(dd).toUri
+    def files(p: Path): Seq[(String, String)] =
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) files(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet"))
+          Seq((ddUri.relativize(f.makeQualified(s.getPath.getParent).toUri)
+            .getPath.stripSuffix("/"), s.getPath.getName))
+        else Nil
+      }
+    val list = files(dd).sortBy(identity)
+    val meta = readMeta(name)
+    val next = versions(name).lastOption.getOrElse(-1L) + 1L
+    val body = GraftLake.renderManifest(next, meta, list)
+    val p = new Path(vd, s"v$next.json")
+    val out = f.create(p, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Committed snapshot ids of a table, oldest first. */
+  def versions(name: String): Seq[Long] = {
+    val vd = versionsDir(name)
+    val f = fs(vd)
+    if (!f.exists(vd)) Nil
+    else f.listStatus(vd).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong
+      }.sorted
+  }
+
+  /** (schema at commit, resolved absolute file paths) of a snapshot —
+    * still-live files resolve into `data/`, replaced ones into
+    * `_history/`. Shared by [[readVersion]] and the DSv2 catalog's
+    * `VERSION AS OF` table. */
+  private[catalog] def snapshotFiles(name: String,
+      version: Long): (StructType, Seq[String]) = {
+    val p = new Path(versionsDir(name), s"v$version.json")
+    val f = fs(p)
+    require(f.exists(p), s"table '$name' has no snapshot $version " +
+      s"(have: ${versions(name).mkString(", ")})")
+    val in = f.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val (schema, files) = GraftLake.parseManifest(raw)
+    val hd = historyDir(name)
+    val paths = files.map { case (rel, fn) =>
+      val live = if (rel.isEmpty) new Path(dataDir(name), fn)
+        else new Path(s"${dataDir(name)}/$rel", fn)
+      if (f.exists(live)) live
+      else {
+        val retired = new Path(hd, fn)
+        require(f.exists(retired), s"snapshot $version of '$name' references " +
+          s"'$fn', which was vacuumed by expireSnapshots")
+        retired
+      }
+    }
+    (schema, paths.map(_.toString))
+  }
+
+  /** Read the table AS OF snapshot `version`: the manifest's file set
+    * under the manifest's schema. Partition-source columns are stored in
+    * the data files themselves (the generated `__p_*` dir columns are
+    * copies), so the user view needs no partition reconstruction. */
+  def readVersion(name: String, version: Long): DataFrame = {
+    val (schema, paths) = snapshotFiles(name, version)
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(paths: _*)
+      .select(schema.fieldNames.map(n => col(quoted(n))): _*)
+  }
+
+  /** Drop all but the last `keepLast` snapshots and physically delete
+    * retired files no surviving manifest references (the storage-bounding
+    * half of the snapshot contract). */
+  def expireSnapshots(name: String, keepLast: Int = 1): Unit = writeLock(name) {
+    require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
+    val vs = versions(name)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    if (drop.isEmpty) return
+    val f = fs(versionsDir(name))
+    val referenced: Set[String] = keep.flatMap { v =>
+      val p = new Path(versionsDir(name), s"v$v.json")
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      GraftLake.parseManifest(raw)._2.map(_._2)
+    }.toSet
+    drop.foreach(v => f.delete(new Path(versionsDir(name), s"v$v.json"), false))
+    val hd = historyDir(name)
+    if (f.exists(hd))
+      f.listStatus(hd).foreach { s =>
+        if (!referenced.contains(s.getPath.getName)) f.delete(s.getPath, false)
+      }
+  }
+
   /** Move staged output into the data dir: partitioned tables swap the
     * partition directories present in the stage AND delete `affectedDirs`
     * that produced no stage output (a rewrite can empty a partition);
     * unpartitioned tables swap the whole file set. Best-effort atomicity
     * (directory renames), mirroring a commit-protocol boundary. */
-  private def swapInto(stage: Path, target: Path, partDepth: Int,
+  private def swapInto(name: String, stage: Path, target: Path, partDepth: Int,
       affectedDirs: Seq[Path] = Nil): Unit = {
     val f = fs(target)
     def leaves(p: Path, depth: Int): Seq[Path] =
@@ -465,10 +612,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         .flatMap(s => leaves(s.getPath, depth - 1))
     try {
       if (partDepth == 0) {
-        // replace all data files
+        // replace all data files (replaced ones retire into _history)
         if (f.exists(target))
           f.listStatus(target).foreach { s =>
-            if (!s.getPath.getName.startsWith(".")) f.delete(s.getPath, true)
+            if (!s.getPath.getName.startsWith(".")) retire(name, s.getPath)
           }
         else f.mkdirs(target)
         f.listStatus(stage)
@@ -477,12 +624,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       } else {
         // emptied partitions first: their old contents must go even though
         // the stage has nothing to put in their place
-        affectedDirs.foreach(d => if (f.exists(d)) f.delete(d, true))
+        affectedDirs.foreach(d => retire(name, d))
         val stageUri = f.makeQualified(stage).toUri
         leaves(stage, partDepth).foreach { leaf =>
           val rel = stageUri.relativize(f.makeQualified(leaf).toUri).getPath
           val dest = new Path(target, rel)
-          if (f.exists(dest)) f.delete(dest, true)
+          retire(name, dest)
           f.mkdirs(dest.getParent)
           f.rename(leaf, dest)
         }
@@ -566,6 +713,26 @@ object GraftLake {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  /** Snapshot manifest: version + schema at commit + live file list. */
+  private[catalog] def renderManifest(version: Long, meta: TableMeta,
+      files: Seq[(String, String)]): String = {
+    val fileArr = files.map { case (rel, fn) =>
+      "{\"rel\":" + q(rel) + ",\"name\":" + q(fn) + "}"
+    }.mkString("[", ",", "]")
+    s"""{"version":$version,"schema":${meta.schema.json},"files":$fileArr}"""
+  }
+
+  private[catalog] def parseManifest(raw: String): (StructType, Seq[(String, String)]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(raw)
+    val schema = DataType.fromJson(node.get("schema").toString).asInstanceOf[StructType]
+    val fn = node.get("files")
+    val files = (0 until fn.size()).map { i =>
+      (fn.get(i).get("rel").asText(), fn.get(i).get("name").asText())
+    }
+    (schema, files)
+  }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {
     // The schema value is itself JSON produced by StructType.json; use

@@ -269,6 +269,48 @@ object AnalyticsOps {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** q85: time travel — write customers, upsert a deterministic mutation
+    * (`c_custkey % 7 = 0` gains 50), then read BOTH snapshots and
+    * aggregate each. The oracle recomputes both states from the raw table
+    * arithmetically, so a hash match proves the engine's snapshot
+    * reconstruction is exact (rows, schema, and values). */
+  val q85TimeTravel = QueryDef(
+    "q85_time_travel",
+    """WITH c AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer),
+      |v0 AS (SELECT 0 AS snapshot, count(*) AS n_rows,
+      |         round(sum(bal), 2) AS total_bal,
+      |         CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_mutated
+      |       FROM c),
+      |v1 AS (SELECT 1 AS snapshot, count(*) AS n_rows,
+      |         round(sum(CASE WHEN c_custkey % 7 = 0 THEN bal + 50 ELSE bal END), 2)
+      |           AS total_bal,
+      |         CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_mutated
+      |       FROM c)
+      |SELECT * FROM v0 UNION ALL SELECT * FROM v1
+      |ORDER BY snapshot""".stripMargin) { (s, dir) =>
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-tt").toString)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+    lake.write("tt_cust", cust, pks = Seq("c_custkey"))
+    lake.write("tt_cust",
+      cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("bal", round(col("bal") + 50, 2)),
+      pks = Seq("c_custkey"))
+    val vs = lake.versions("tt_cust")
+    def summarize(df: org.apache.spark.sql.DataFrame, tag: Int) = df
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("bal")), 2).as("total_bal"),
+        sum(when(col("c_custkey") % 7 === 0, 1L).otherwise(0L)).as("n_mutated"))
+      .select(lit(tag).as("snapshot"), col("n_rows"), col("total_bal"),
+        col("n_mutated"))
+    summarize(lake.readVersion("tt_cust", vs.head), 0)
+      .unionByName(summarize(lake.read("tt_cust"), 1))
+      .orderBy(col("snapshot"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
-    q84Scd2)
+    q84Scd2, q85TimeTravel)
 }

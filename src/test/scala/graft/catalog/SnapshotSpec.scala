@@ -1,0 +1,129 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot / time-travel contract: every data mutation commits a
+  * manifest, replaced files retire instead of dying, `readVersion`
+  * reconstructs any committed state (including pre-evolution schemas),
+  * and `expireSnapshots` bounds retained history. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake = {
+    GraftLake.invalidateCaches()
+    new GraftLake(spark, Files.createTempDirectory("graft-snap").toString)
+  }
+
+  private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+  test("upsert history: each write is a version; old versions read back exactly") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("t", Seq((2, "B2"), (3, "c")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("t", Seq((1, "A3")).toDF("id", "v"), pks = Seq("id"))
+    val vs = lake.versions("t")
+    assert(vs.size === 3, s"one version per write, got $vs")
+    assert(rows(lake.readVersion("t", vs(0)), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "b")))
+    assert(rows(lake.readVersion("t", vs(1)), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "B2"), Seq(3, "c")))
+    assert(rows(lake.readVersion("t", vs(2)), "id", "v") ===
+      rows(lake.read("t"), "id", "v"))
+  }
+
+  test("partitioned upsert: snapshot survives rows moving across partitions") {
+    val lake = newLake()
+    lake.write("p", Seq((1, "x", 10), (2, "y", 20)).toDF("id", "seg", "n"),
+      partitions = Seq("seg"), pks = Seq("id"))
+    // move id=1 from seg x to seg y — the x partition dir is rewritten
+    lake.write("p", Seq((1, "y", 11)).toDF("id", "seg", "n"),
+      partitions = Seq("seg"), pks = Seq("id"))
+    val vs = lake.versions("p")
+    assert(rows(lake.readVersion("p", vs(0)), "id", "seg", "n") ===
+      Set(Seq(1, "x", 10), Seq(2, "y", 20)))
+    assert(rows(lake.read("p"), "id", "seg", "n") ===
+      Set(Seq(1, "y", 11), Seq(2, "y", 20)))
+  }
+
+  test("snapshots carry their own schema: pre-evolution reads have no new column") {
+    val lake = newLake()
+    lake.write("e", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("e", Seq((2, "b", 9.5)).toDF("id", "v", "score"), pks = Seq("id"))
+    val vs = lake.versions("e")
+    val v0 = lake.readVersion("e", vs(0))
+    assert(!v0.columns.contains("score"),
+      s"pre-evolution snapshot must use its own schema: ${v0.columns.toSeq}")
+    assert(rows(v0, "id", "v") === Set(Seq(1, "a")))
+    val cur = lake.read("e")
+    assert(cur.columns.contains("score"))
+    assert(rows(cur.filter(col("id") === 1), "score") === Set(Seq(null)))
+  }
+
+  test("compaction commits a version and does not break older snapshots") {
+    val lake = newLake()
+    lake.write("c", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("c", Seq((2, "b")).toDF("id", "v"), pks = Seq("id"))
+    val before = lake.versions("c")
+    lake.compact("c")
+    val after = lake.versions("c")
+    assert(after.size === before.size + 1)
+    assert(rows(lake.readVersion("c", before.head), "id", "v") === Set(Seq(1, "a")))
+    assert(rows(lake.readVersion("c", after.last), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "b")))
+  }
+
+  test("expireSnapshots drops old manifests and vacuums unreferenced history") {
+    val lake = newLake()
+    lake.write("x", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("x", Seq((1, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("x", Seq((1, "c")).toDF("id", "v"), pks = Seq("id"))
+    val vs = lake.versions("x")
+    lake.expireSnapshots("x", keepLast = 1)
+    assert(lake.versions("x") === Seq(vs.last))
+    val err = intercept[IllegalArgumentException] {
+      lake.readVersion("x", vs.head)
+    }
+    assert(err.getMessage.contains("no snapshot"))
+    // the current version still reads, and its manifest still resolves
+    assert(rows(lake.read("x"), "id", "v") === Set(Seq(1, "c")))
+    assert(rows(lake.readVersion("x", vs.last), "id", "v") === Set(Seq(1, "c")))
+  }
+
+  test("SQL VERSION AS OF reads a snapshot through the catalog") {
+    val wh = Files.createTempDirectory("graft-snap-sql").toString
+    GraftLake.invalidateCaches()
+    spark.conf.set("spark.sql.catalog.gsnap", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsnap.warehouse", wh)
+    val lake = new GraftLake(spark, wh)
+    lake.write("sqlt", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("sqlt", Seq((2, "B2")).toDF("id", "v"), pks = Seq("id"))
+    val v0 = spark.sql("SELECT id, v FROM gsnap.sqlt VERSION AS OF 0")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(v0 === Set((1, "a"), (2, "b")))
+    val cur = spark.sql("SELECT id, v FROM gsnap.sqlt")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(cur === Set((1, "a"), (2, "B2")))
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM gsnap.sqlt VERSION AS OF 99").collect()
+    }
+    assert(err.getMessage.contains("no snapshot"), err.getMessage)
+  }
+
+  test("delete/update SQL rewrites are versioned too") {
+    val lake = newLake()
+    lake.write("d", (1 to 10).map(i => (i, i * 2)).toDF("id", "n"), pks = Seq("id"))
+    // engine-internal scoped replace is what SQL DELETE/UPDATE use
+    val survivors = lake.read("d").filter(col("id") <= 5)
+    lake.overwriteContents("d", survivors)
+    val vs = lake.versions("d")
+    assert(lake.readVersion("d", vs.head).count() === 10)
+    assert(lake.read("d").count() === 5)
+  }
+}
