@@ -574,6 +574,28 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .select(schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
+  /** Rows in data files ADDED between two snapshots (file-set difference
+    * by unique part-file name, read under the newer snapshot's schema) —
+    * the incremental-consumption primitive. EXACT change capture for
+    * append-only tables (each commit's new files hold exactly its new
+    * rows); after an upsert/rewrite it is file-level, not row-level: the
+    * rewrite's survivor rows reappear alongside the actual changes — consumers
+    * of merged tables should diff snapshots by key instead. */
+  def readAppendsBetween(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"need fromVersion <= toVersion, got $fromVersion > $toVersion")
+    val (schema, toFiles) = snapshotFiles(name, toVersion)
+    val fromNames = snapshotFiles(name, fromVersion)._2
+      .map(p => new Path(p).getName).toSet
+    val fresh = toFiles.filterNot(p => fromNames.contains(new Path(p).getName))
+    if (fresh.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(fresh: _*)
+      .select(schema.fieldNames.map(n => col(quoted(n))): _*)
+  }
+
   /** Drop all but the last `keepLast` snapshots and physically delete
     * retired files no surviving manifest references (the storage-bounding
     * half of the snapshot contract). */

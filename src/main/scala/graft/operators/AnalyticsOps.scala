@@ -311,6 +311,101 @@ object AnalyticsOps {
       .orderBy(col("snapshot"))
   }
 
+  /** Row-level change capture between two snapshots of a keyed table:
+    * full-outer join on the PKs, classify each key as insert (new side
+    * only), delete (old side only), update (both, any compared column
+    * differs — null-safe), or unchanged. This is the row-exact complement
+    * of [[graft.catalog.GraftLake.readAppendsBetween]]'s file-level
+    * increments, and what merged/rewritten tables should use.
+    *
+    * Scale shape: both snapshot scans shuffle once on the key; the
+    * classification is the join's projection — no second pass. */
+  def snapshotDiff(lake: graft.catalog.GraftLake, table: String,
+      fromVersion: Long, toVersion: Long, pks: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = lake.readVersion(table, fromVersion)
+      .select((pks ++ compareCols).map(col): _*)
+    val n = lake.readVersion(table, toVersion)
+      .select((pks ++ compareCols).map(col): _*)
+    val oldSide = o.select(pks.map(col) ++
+      compareCols.map(c => col(c).as(s"__o_$c")) :+ lit(1L).as("__o"): _*)
+    val newSide = n.select(pks.map(col) ++
+      compareCols.map(c => col(c).as(s"__n_$c")) :+ lit(1L).as("__n"): _*)
+    val differs = compareCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    oldSide.join(newSide, pks, "full_outer")
+      .withColumn("change_type",
+        when(col("__o").isNull, lit("insert"))
+          .when(col("__n").isNull, lit("delete"))
+          .when(differs, lit("update"))
+          .otherwise(lit("unchanged")))
+  }
+
+  /** q86: CDC between the two q85-style snapshots, plus inserts and
+    * deletes exercised through a general rewrite: keys `% 7 = 0` update,
+    * keys `% 11 = 3` delete, and a shifted-key block inserts. The oracle
+    * derives every class arithmetically. */
+  val q86SnapshotDiff = QueryDef(
+    "q86_snapshot_diff",
+    """WITH c AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer),
+      |cls AS (SELECT c_custkey,
+      |          CASE WHEN c_custkey % 11 = 3 THEN 'delete'
+      |               WHEN c_custkey % 7 = 0 THEN 'update'
+      |               ELSE 'unchanged' END AS change_type, bal
+      |        FROM c
+      |        UNION ALL
+      |        SELECT c_custkey + 1000000, 'insert', round(bal + 1, 2) FROM c
+      |        WHERE c_custkey % 13 = 1)
+      |SELECT change_type, count(*) AS n,
+      |  round(sum(bal), 2) AS old_bal_sum
+      |FROM cls GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, dir) =>
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-cdc").toString)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+    lake.write("cdc_cust", cust, pks = Seq("c_custkey"))
+    val next = cust
+      .filter(col("c_custkey") % 11 =!= 3)
+      .withColumn("bal",
+        when(col("c_custkey") % 7 === 0, round(col("bal") + 50, 2))
+          .otherwise(col("bal")))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 1)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          round(col("bal") + 1, 2).as("bal")))
+    lake.overwriteContents("cdc_cust",
+      next.withColumn("_inserted_at", current_timestamp()))
+    val vs = lake.versions("cdc_cust")
+    val diff = snapshotDiff(lake, "cdc_cust", vs.head, vs.last,
+      Seq("c_custkey"), Seq("bal"))
+    diff.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("__o_bal"), col("__n_bal"))), 2).as("old_bal_sum"))
+      .orderBy(col("change_type"))
+  }
+
+  /** q87: incremental consumption of an append-only table — two event
+    * batches land as two snapshots; [[graft.catalog.GraftLake
+    * .readAppendsBetween]] returns EXACTLY the second batch's rows. */
+  val q87IncrementalRead = QueryDef(
+    "q87_incremental_read",
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-incr").toString)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val mid = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    lake.write("ev_log", ev.filter(col("ts") < mid))
+    lake.append("ev_log", ev.filter(col("ts") >= mid))
+    val vs = lake.versions("ev_log")
+    lake.readAppendsBetween("ev_log", vs.head, vs.last)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
-    q84Scd2, q85TimeTravel)
+    q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead)
 }

@@ -116,6 +116,23 @@ class SnapshotSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no snapshot"), err.getMessage)
   }
 
+  test("readAppendsBetween: exact new rows on an append-only table") {
+    val lake = newLake()
+    lake.write("log", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.append("log", Seq((3, "c")).toDF("id", "v"))
+    lake.append("log", Seq((4, "d")).toDF("id", "v"))
+    val vs = lake.versions("log")
+    assert(vs.size === 3)
+    assert(rows(lake.readAppendsBetween("log", vs(0), vs(2)), "id", "v") ===
+      Set(Seq(3, "c"), Seq(4, "d")))
+    assert(rows(lake.readAppendsBetween("log", vs(1), vs(2)), "id", "v") ===
+      Set(Seq(4, "d")))
+    assert(lake.readAppendsBetween("log", vs(2), vs(2)).count() === 0L)
+    intercept[IllegalArgumentException] {
+      lake.readAppendsBetween("log", vs(2), vs(0))
+    }
+  }
+
   test("delete/update SQL rewrites are versioned too") {
     val lake = newLake()
     lake.write("d", (1 to 10).map(i => (i, i * 2)).toDF("id", "n"), pks = Seq("id"))
