@@ -427,22 +427,44 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * changing table contents. Run it per partition predicate at scale
     * (`predicate` limits the rewrite scope, e.g. yesterday's partition). */
   def compact(name: String, targetRecordsPerFile: Long = maxRecordsPerFile,
-      predicate: Option[Column] = None): Unit = {
+      predicate: Option[Column] = None,
+      clusterBy: Seq[String] = Nil): Unit = {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
     val all = readInternal(name, meta)
     val scoped = predicate.map(all.filter).getOrElse(all)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
-    // AQE rebalance: merges small shuffle partitions / splits skewed ones
-    // to the advisory size, so output files coalesce without hand-picking
-    // a partition count (partitioned tables rebalance per partition key)
     val projected = scoped
       .select(meta.schema.fieldNames.map(n => col(quoted(n))) ++
         partCols.map(c => col(quoted(c))): _*)
-    val rebalanced =
-      if (partCols.nonEmpty) projected.hint("rebalance", partCols.map(col(_)): _*)
-      else projected.hint("rebalance")
-    val writer = rebalanced
+    val arranged =
+      if (clusterBy.nonEmpty) {
+        // Z-ORDER clustering: range-partition + sort by the interleaved
+        // z-value so every output file covers a tight box over ALL cluster
+        // columns — min/max footer pruning then skips files for predicates
+        // on any of them. Bounds come from one tiny min/max agg.
+        val boundsRow = projected.agg(
+          clusterBy.flatMap(c => Seq(
+            min(col(quoted(c)).cast("double")),
+            max(col(quoted(c)).cast("double")))).head,
+          clusterBy.flatMap(c => Seq(
+            min(col(quoted(c)).cast("double")),
+            max(col(quoted(c)).cast("double")))).tail: _*).head()
+        val bounds = clusterBy.indices.map(i =>
+          (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1)))
+        val zv = graft.functions.ZOrder.zValue(
+          clusterBy.map(c => col(quoted(c))), bounds)
+        projected.repartitionByRange((partCols.map(c => col(quoted(c))) :+ zv): _*)
+          .sortWithinPartitions((partCols.map(c => col(quoted(c))) :+ zv): _*)
+      } else {
+        // AQE rebalance: merges small shuffle partitions / splits skewed
+        // ones to the advisory size, so output files coalesce without
+        // hand-picking a partition count (partitioned tables rebalance per
+        // partition key)
+        if (partCols.nonEmpty) projected.hint("rebalance", partCols.map(col(_)): _*)
+        else projected.hint("rebalance")
+      }
+    val writer = arranged
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)

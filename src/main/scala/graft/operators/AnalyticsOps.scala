@@ -406,6 +406,36 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** q88: Z-order clustered compaction — rewrite a lineitem-backed lake
+    * table clustered on (l_partkey, l_suppkey) and prove the contents are
+    * untouched (the oracle recomputes the same per-flag profile from the
+    * raw table; ZOrderSpec asserts the layout property itself: every
+    * output file bounds BOTH cluster columns, which is what lets min/max
+    * footer pruning skip files for predicates on either one). */
+  val q88ZorderCompact = QueryDef(
+    "q88_zorder_compact",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |  CAST(min(l_partkey) AS BIGINT) AS min_part,
+      |  CAST(max(l_partkey) AS BIGINT) AS max_part
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-zq").toString)
+    lake.write("li", Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_partkey"),
+        col("l_suppkey")))
+    lake.compact("li", targetRecordsPerFile = 10000,
+      clusterBy = Seq("l_partkey", "l_suppkey"))
+    lake.read("li")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
-    q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead)
+    q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
+    q88ZorderCompact)
 }
