@@ -201,6 +201,24 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     readInternal(name, meta).select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
+  /** Structured-Streaming source over an APPEND-ONLY lake table: every
+    * committed write lands whole part files (staged rename, never
+    * in-place mutation), so Spark's file-stream source tails the data
+    * directory and emits each file's rows exactly once. The same
+    * append-only contract as [[readAppendsBetween]]: after an
+    * upsert/rewrite the survivors land in NEW files and would re-emit —
+    * stream from ingest logs, diff snapshots on merged tables. */
+  def readStream(name: String): DataFrame = {
+    val meta = readMeta(name)
+    val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
+    spark.readStream
+      .schema(full)
+      .option("basePath", dataDir(name))
+      .parquet(if (meta.partitions.isEmpty) dataDir(name)
+        else s"${dataDir(name)}/*")
+      .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+  }
+
   // ---- write ----
 
   private[graft] def withPartitionCols(df: DataFrame, meta: TableMeta): DataFrame =
@@ -520,7 +538,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   /** Commit the next snapshot manifest for `name`: the full live
     * (relative partition path, file name) list plus the schema. Called at
     * the end of every data mutation, inside its write lock. */
-  private def commitVersion(name: String): Unit = {
+  private def commitVersion(name: String): Unit =
+      graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
     f.mkdirs(vd)

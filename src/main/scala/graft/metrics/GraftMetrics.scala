@@ -35,6 +35,12 @@ object GraftMetrics {
   val CreateTable = "createTable"
   val EvolveSchema = "evolveSchema"
 
+  /** Engine extension: snapshot-manifest commit cost (no reference
+    * counterpart — the reference's DuckLake does this inside its catalog
+    * DB; surfaced here so bench runs can prove the bookkeeping stays
+    * cheap). */
+  val CommitVersion = "commitVersion"
+
   private val ops = new ConcurrentHashMap[String, OpStats]()
   @volatile private var startedAtNanos: Long = System.nanoTime()
   val recordsProcessed = new LongAdder

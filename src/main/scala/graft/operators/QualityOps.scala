@@ -292,6 +292,83 @@ object QualityOps {
       .orderBy(col("source"))
   }
 
+  /** Per-document INTERPOLATED BIGRAM cross-entropy against the corpus's
+    * own n-gram LM — one step up the LM-quality ladder from
+    * [[unigramCrossEntropy]]: `p(w2|w1) = λ·c(w1 w2)/c(w1·) +
+    * (1−λ)·c(w2)/N` (λ = 0.75; `c(w1·)` counts w1 as a bigram head, so
+    * the conditional sums to 1 over observed continuations). Bigrams
+    * extract MAP-SIDE by zipping each token array with its own tail — no
+    * positional self-join.
+    *
+    * Scale shape: two token-shuffles build the model (bigram counts and
+    * unigram counts — partial aggs ship counts, not text); the model
+    * broadcasts back (vocab², still tiny vs corpus) and scoring is a
+    * map-side join + per-doc aggregate. At web scale swap the broadcast
+    * for a shuffle join on the gram key — same plan otherwise. */
+  def bigramCrossEntropy(corpus: DataFrame, textCol: String,
+      idCols: Seq[String], lambda: Double = 0.75): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val n = size(toks)
+    val pairs = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bg = corpus.filter(n >= 2)
+      .select(idCols.map(col) :+ explode(pairs).as("bg"): _*)
+    val tok = corpus.select(explode(toks).as("token"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      .select(col("token"), col("cu"),
+        sum(col("cu")).over(wAll).as("n_total"))
+    val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val wHead = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("bg"), " ", 1))
+    val model = bc
+      .withColumn("c1", sum(col("cb")).over(wHead))
+      .join(broadcast(uni), substring_index(col("bg"), " ", -1) === col("token"))
+      .select(col("bg"),
+        (-log(lit(lambda) * col("cb") / col("c1") +
+          lit(1.0 - lambda) * col("cu") / col("n_total"))).as("nll"))
+    bg.join(broadcast(model), Seq("bg"))
+      .groupBy(idCols.map(col): _*)
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("xent2"))
+  }
+
+  /** q89: per-language bigram cross-entropy profile — the discriminating
+    * version of q74's unigram filter line (boilerplate scores low, rare
+    * token sequences high). */
+  val q89BigramXent = QueryDef(
+    "q89_bigram_xent",
+    """WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |b AS (SELECT doc_id, lang, unnest([toks[i] || ' ' || toks[i+1]
+      |                                   for i in range(1, len(toks))]) AS bg
+      |      FROM t WHERE len(toks) >= 2),
+      |tok AS (SELECT unnest(toks) AS token FROM t),
+      |uni AS (SELECT token, count(*) AS cu FROM tok GROUP BY token),
+      |tot AS (SELECT sum(cu) AS n_total FROM uni),
+      |bc AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS c1 FROM bc GROUP BY 1),
+      |model AS (SELECT bg,
+      |    -ln(0.75 * cb / c1 + 0.25 * cu / (SELECT n_total FROM tot)) AS nll
+      |  FROM bc
+      |  JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+      |  JOIN uni ON split_part(bg, ' ', 2) = uni.token),
+      |d AS (SELECT doc_id, lang, avg(nll) AS xent2
+      |      FROM b JOIN model USING (bg) GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      |  round(avg(xent2), 4) AS avg_xent2,
+      |  round(min(xent2), 4) AS min_xent2,
+      |  round(max(xent2), 4) AS max_xent2
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    bigramCrossEntropy(docs(s, dir), "text", Seq("doc_id", "lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("xent2")), 4).as("avg_xent2"),
+        round(min(col("xent2")), 4).as("min_xent2"),
+        round(max(col("xent2")), 4).as("max_xent2"))
+      .orderBy(col("lang"))
+  }
+
   /** Gopher-style quality filter funnel: a fixed, ordered rule chain where
     * each document is charged to the FIRST rule it fails (`fail_rule`,
     * null = passed all). First-fail attribution is what makes funnel
@@ -359,5 +436,6 @@ object QualityOps {
   }
 
   val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination,
-    q68SequencePacking, q74UnigramXent, q75CrossdocDupGrams, q78QualityFunnel)
+    q68SequencePacking, q74UnigramXent, q75CrossdocDupGrams, q78QualityFunnel,
+    q89BigramXent)
 }

@@ -133,6 +133,26 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("lake readStream tails an append-only table exactly once per row") {
+    val lake = newLake()
+    lake.write("stream_log", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val q = lake.readStream("stream_log")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lake_tail")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-tail-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      lake.append("stream_log", Seq((3, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      val got = spark.table("lake_tail").select("id", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(got.toSeq.sorted === Seq((1, "a"), (2, "b"), (3, "c")),
+        s"each appended row must stream exactly once: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("delete/update SQL rewrites are versioned too") {
     val lake = newLake()
     lake.write("d", (1 to 10).map(i => (i, i * 2)).toDF("id", "n"), pks = Seq("id"))

@@ -145,4 +145,23 @@ class QualityOpsSpec extends AnyFunSuite {
       assert(total === 200L)
     } finally funneled.unpersist()
   }
+
+  test("bigram cross-entropy matches a hand-computed interpolated model") {
+    // corpus = one doc "a b a": unigrams a:2 b:1 (N=3); bigrams "a b","b a"
+    // c1(a)=1, c1(b)=1 -> p(b|a)=0.75*1/1+0.25*(1/3); p(a|b)=0.75+0.25*(2/3)
+    val got = QualityOps.bigramCrossEntropy(
+        df(1L -> "a b a"), "text", Seq("doc_id"))
+      .select("n_bigrams", "xent2").head()
+    val expected = -(math.log(0.75 + 0.25 / 3.0) + math.log(0.75 + 0.5 / 3.0)) / 2.0
+    assert(got.getLong(0) === 2L)
+    assert(math.abs(got.getDouble(1) - expected) < 1e-12,
+      s"got ${got.getDouble(1)}, expected $expected")
+  }
+
+  test("bigram cross-entropy: single-token docs are excluded, not zero") {
+    val got = QualityOps.bigramCrossEntropy(
+        df(1L -> "solo", 2L -> "x y"), "text", Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(2L))
+  }
 }
