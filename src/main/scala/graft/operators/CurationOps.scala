@@ -314,6 +314,106 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // ---- the end-to-end curation funnel ----
+
+  /** The whole curation pipeline as one report: raw corpus → exact dedup
+    * (keep-min-id per content hash) → quality funnel survivors →
+    * decontamination against a benchmark set, with per-source doc counts
+    * at every stage and the final token-retention ratio. This is the
+    * dashboard a data team watches while a crawl becomes a training set.
+    *
+    * Scale shape: each stage is an already-scale-shaped operator (content
+    * hash shuffle; map-side funnel; broadcast benchmark probe); the five
+    * stage aggregates are per-source partial-agg bytes joined on a
+    * #sources-row key. */
+  def curationReport(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val base = corpus.select(col("doc_id"), col("source"), col("text"),
+      TextOps.tokenCount(col("text")).as("__nt"))
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("doc_id"))
+    val deduped = base.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(wDup))
+      .filter(col("__rn") === 1).drop("__h", "__rn")
+    val survivors = QualityOps.qualityFunnel(deduped, "text")
+      .filter(col("fail_rule").isNull).drop("fail_rule")
+    val clean = survivors
+      .join(QualityOps.contaminationFlags(survivors, bench)
+        .filter(col("contaminated") === 0).select(col("doc_id")), Seq("doc_id"))
+    def stage(df: DataFrame, n: String, tok: Option[String]) = {
+      val aggs = count(lit(1)).as(n) +:
+        tok.map(t => sum(col("__nt")).as(t)).toSeq
+      df.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    }
+    stage(base, "n_raw", Some("raw_tokens"))
+      .join(stage(deduped, "n_dedup", None), Seq("source"), "left")
+      .join(stage(survivors, "n_quality", None), Seq("source"), "left")
+      .join(stage(clean, "n_clean", Some("clean_tokens")), Seq("source"), "left")
+      .select(col("source"), col("n_raw"), col("raw_tokens"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
+        round(coalesce(col("clean_tokens"), lit(0L)).cast("double") /
+          col("raw_tokens"), 4).as("token_retention"))
+      .orderBy(col("source"))
+  }
+
+  /** q90: the report over `documents` with the q67-style deterministic
+    * benchmark slice (`doc_id % 97 = 0`). The oracle re-derives every
+    * stage — dedup keys, all four funnel rules, and the 5-gram
+    * contamination probe — so a hash match pins the entire pipeline's
+    * row-level behavior at once. */
+  val q90CurationReport = QueryDef(
+    "q90_curation_report",
+    """WITH base AS (SELECT doc_id, source, text,
+      |    regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |ded AS (SELECT * FROM (SELECT base.*, row_number() OVER (
+      |          PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM base)
+      |        WHERE rn = 1),
+      |m AS (SELECT doc_id, source, text, toks, len(toks) AS n,
+      |        list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks) AS mwl,
+      |        len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))
+      |          * 1.0 / len(toks) AS stop,
+      |        1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS dup
+      |      FROM ded),
+      |surv AS (SELECT doc_id, source, text, toks FROM m
+      |         WHERE n >= 30 AND n <= 90 AND mwl >= 3.0 AND mwl <= 5.0
+      |           AND stop >= 0.02 AND dup <= 0.6),
+      |sh AS (SELECT doc_id, source, toks,
+      |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |                        toks[i+3] || ' ' || toks[i+4]
+      |                        for i in range(1, len(toks) - 3)]) AS g
+      |       FROM surv WHERE len(toks) >= 5),
+      |bsh AS (SELECT doc_id AS b_id,
+      |          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |                         toks[i+3] || ' ' || toks[i+4]
+      |                         for i in range(1, len(toks) - 3)]) AS bg
+      |        FROM base WHERE doc_id % 97 = 0 AND len(toks) >= 5),
+      |flagged AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bsh
+      |            ON sh.doc_id != bsh.b_id AND list_has_any(sh.g, bsh.bg)),
+      |clean AS (SELECT surv.* FROM surv LEFT JOIN flagged USING (doc_id)
+      |          WHERE flagged.doc_id IS NULL),
+      |r AS (SELECT source, count(*) AS n_raw,
+      |        CAST(sum(len(toks)) AS BIGINT) AS raw_tokens
+      |      FROM base GROUP BY source),
+      |d AS (SELECT source, count(*) AS n_dedup FROM ded GROUP BY source),
+      |q AS (SELECT source, count(*) AS n_quality FROM surv GROUP BY source),
+      |c AS (SELECT source, count(*) AS n_clean,
+      |        CAST(sum(len(toks)) AS BIGINT) AS clean_tokens
+      |      FROM clean GROUP BY source)
+      |SELECT r.source, n_raw, raw_tokens,
+      |  coalesce(n_dedup, 0) AS n_dedup,
+      |  coalesce(n_quality, 0) AS n_quality,
+      |  coalesce(n_clean, 0) AS n_clean,
+      |  coalesce(clean_tokens, 0) AS clean_tokens,
+      |  round(coalesce(clean_tokens, 0) * 1.0 / raw_tokens, 4) AS token_retention
+      |FROM r LEFT JOIN d USING (source) LEFT JOIN q USING (source)
+      |  LEFT JOIN c USING (source)
+      |ORDER BY r.source""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+    curationReport(base, base.filter(col("doc_id") % 97 === 0))
+  }
+
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
-    q79QualitySelect)
+    q79QualitySelect, q90CurationReport)
 }

@@ -123,6 +123,24 @@ class PlanQualitySpec extends AnyFunSuite {
       "PQ path must never degenerate to all-pairs")
   }
 
+  test("q83: rolling window and per-user aggregate share one user_id shuffle") {
+    val p = plan("q83_rolling_window")
+    // window partitionBy(user_id) then groupBy(user_id): Catalyst must
+    // reuse the hash partitioning — exactly two Exchange nodes total (one
+    // user_id hash for window+agg, one range for the final ORDER BY)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 2,
+      s"groupBy must reuse the window's partitioning:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the data shuffle must be on user_id:\n${p.take(1500)}")
+  }
+
+  test("q90: curation report broadcasts the benchmark probe, never all-pairs") {
+    val p = plan("q90_curation_report")
+    assert(p.contains("BroadcastHashJoin"),
+      "contamination benchmark must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which
