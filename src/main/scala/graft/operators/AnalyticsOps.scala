@@ -435,7 +435,33 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q91: per-group top-k through the native bounded-buffer aggregate
+    * ([[graft.functions.TopKAggregate]]) — the k largest distinct
+    * quantities per return flag, exploded to ranked rows. The oracle runs
+    * the window formulation (`row_number() <= k` over the distinct set);
+    * hash-matching it proves the k-bounded partial aggregation computes
+    * the identical answer while shuffling k-element buffers instead of
+    * every row. */
+  val q91TopkAgg = QueryDef(
+    "q91_topk_agg",
+    """WITH d AS (SELECT DISTINCT l_returnflag, l_quantity FROM lineitem),
+      |r AS (SELECT l_returnflag, l_quantity, row_number() OVER (
+      |        PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rank
+      |      FROM d)
+      |SELECT l_returnflag, rank, l_quantity AS qty
+      |FROM r WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin) { (s, dir) =>
+    graft.functions.TopKAggregate.register(s)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.TopKAggregate
+        .topKDistinct(col("l_quantity"), 5).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "qty")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+        col("qty"))
+      .orderBy(col("l_returnflag"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
-    q88ZorderCompact)
+    q88ZorderCompact, q91TopkAgg)
 }
