@@ -240,11 +240,84 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
           case e: SchemaUnify.GraftSchemaException => Left(e)
         }
       inferred match {
-        case Right(None) => () // nothing typed in this batch
-        case Right(Some(unified)) => landJson(table, values, unified)
+        case Right(None) =>
+          // NO record in the batch yielded a schema — every one is
+          // unparseable. They must not vanish (reference: every record is
+          // either landed or reported): DLQ them all, or fail loudly.
+          if (!values.isEmpty) config.dlqTable match {
+            case Some(dlq) => sendToDlq(dlq, table,
+              values.select(col("v"), col("partition"), col("offset")),
+              "unparseable JSON")
+            case None =>
+              val samples = values.orderBy(col("partition"), col("offset"))
+                .select(col("partition"), col("offset")).limit(5).collect()
+                .map(r => s"${r.getInt(0)}@${r.getLong(1)}").mkString(", ")
+              throw new SchemaUnify.GraftSchemaException(
+                s"No record in topic '$topic' batch parses as JSON and no " +
+                  s"DLQ configured; sample records (partition@offset): $samples")
+          }
+        case Right(Some(unified)) =>
+          // the batch unified INTERNALLY and with the topic cache, but can
+          // still conflict with the TABLE schema (cross-topic routing, a
+          // fresh cache over an old table): that conflict surfaces as the
+          // evolution rejection — triage per record, never crash the stream
+          try landJson(table, values, unified)
+          catch {
+            case e: graft.catalog.LandedTypes.SchemaEvolutionException =>
+              triageEvolution(topic, table, values, e)
+          }
         case Left(_) => triageJson(topic, table, values)
       }
     } finally values.unpersist()
+  }
+
+  /** Per-record triage for batch-vs-TABLE evolution conflicts: each record
+    * is checked against the table's CURRENT schema with the real landing
+    * rules ([[graft.catalog.LandedTypes.evolve]] over the record's landed
+    * schema — so nested fields compare in landed form, widenings pass);
+    * incompatible records park with the evolution reason, the rest land
+    * under their own unified schema (which now evolves cleanly by
+    * construction). */
+  private def triageEvolution(topic: String, table: String,
+      values: DataFrame, cause: Exception): Unit = {
+    if (config.dlqTable.isEmpty) throw cause
+    val tableSchema = StructType(lake.readMeta(table).schema
+      .filterNot(_.name == lake.InsertedAtCol).toSeq)
+    val tableHolder = new IngestPipeline.SeedHolder(tableSchema.json)
+    val errorDetail = udf { (v: String) =>
+      SchemaInference.inferFromJson(v) match {
+        case None => null: String
+        case Some(s) =>
+          try {
+            graft.catalog.LandedTypes.evolve(tableHolder.schema,
+              graft.catalog.LandedTypes.landedSchema(s))
+            null: String
+          } catch {
+            case e: Exception =>
+              s"Incompatible with table '$table' schema: ${e.getMessage}"
+          }
+      }
+    }
+    val tagged = values.withColumn("__err", errorDetail(col("v"))).cache()
+    try {
+      val bad = tagged.filter(col("__err").isNotNull)
+      sendToDlq(config.dlqTable.get, table,
+        bad.select(col("v"), col("partition"), col("offset"),
+          col("__err").as("error")))
+      val good = tagged.filter(col("__err").isNull)
+        .select(col("v"), col("partition"), col("offset"))
+      if (!good.isEmpty) {
+        val unified =
+          try SchemaInference.inferSchemaDistributed(good.select("v").as[String])
+          catch {
+            case e: Exception =>
+              sendToDlq(config.dlqTable.get, table, good,
+                "table-compatible records conflict pairwise: " + e.getMessage)
+              None
+          }
+        unified.foreach(u => landJson(table, good, u))
+      }
+    } finally tagged.unpersist()
   }
 
   /** Reference E1: conflict detection via the exception cause chain
@@ -554,4 +627,44 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(config.triggerMs))
       .start()
+
+  /** Re-drive a topic's dead-letter records through the normal decode →
+    * land path — the loop-closer the DLQ exists for: records parked by a
+    * since-resolved condition (no seed schema yet, a column that has
+    * since evolved) land on replay; records that STILL fail re-triage
+    * into the DLQ exactly as live traffic would.
+    *
+    * The DLQ rewrite leans on snapshots for correctness: the replayed
+    * originals are the rows of the PRE-replay snapshot parked for
+    * `fromTable` (default: the topic's CURRENT routing — pass it
+    * explicitly after a remap, when the parked rows carry the old target
+    * name); fresh failures are whatever the replay itself appended
+    * ([[GraftLake.readAppendsBetween]] over the pre/post versions — they
+    * share (partition, offset) with the originals, so identity-based
+    * deletion could not tell them apart). The new DLQ contents = other
+    * tables' rows + fresh failures.
+    *
+    * Returns (replayed, stillFailing). */
+  def replayDlq(topic: String, fromTable: Option[String] = None): (Long, Long) = {
+    val dlq = config.dlqTable.getOrElse(throw new IllegalStateException(
+      "replayDlq requires a configured dlqTable"))
+    if (!lake.tableExists(dlq)) return (0L, 0L)
+    val parkedAs = fromTable.getOrElse(config.tableFor(topic))
+    val pre = lake.versions(dlq).lastOption.getOrElse(return (0L, 0L))
+    val all = lake.readVersion(dlq, pre)
+    val mine = all.filter(col("target_table") === parkedAs).cache()
+    try {
+      val n = mine.count()
+      if (n == 0) return (0L, 0L)
+      processTopic(topic, config.tableFor(topic), mine.select(
+        col("value").cast("binary").as("value"),
+        col("partition"), col("offset")))
+      val post = lake.versions(dlq).last
+      val fresh = lake.readAppendsBetween(dlq, pre, post)
+      val still = fresh.count()
+      lake.overwriteContents(dlq,
+        all.filter(col("target_table") =!= parkedAs).unionByName(fresh))
+      (n, still)
+    } finally mine.unpersist()
+  }
 }

@@ -446,4 +446,40 @@ class IngestPipelineSpec extends AnyFunSuite {
     ArrowIpc.encode(
       StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
       rows.map { case (id, nm) => org.apache.spark.sql.Row(id, nm) })
+
+  test("DLQ replay: misrouted topic lands after a routing fix") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-replay").toString
+    // misconfiguration: rp2 routed into rp1's table, where its records
+    // conflict with the seeded schema
+    val p1 = new IngestPipeline(spark, IngestConfig(warehouse = wh,
+      topic2table = Map("rp2" -> "rp1")))
+    p1.processBatch(batchOf("rp1" -> """{"a":1,"b":"x"}"""), 0)
+    p1.processBatch(batchOf("rp2" -> """{"a":"2024-03-01T12:00:00Z","b":"z"}"""), 1)
+    assert(p1.lake.read("rp1").count() === 1)
+    assert(p1.lake.read("_dlq").count() === 1)
+    // the fix: rp2 routes to its own table; replay the parked rows
+    val p2 = new IngestPipeline(spark, IngestConfig(warehouse = wh,
+      topic2table = Map("rp2" -> "rp2_t")))
+    val (replayed, still) = p2.replayDlq("rp2", fromTable = Some("rp1"))
+    assert((replayed, still) === ((1L, 0L)))
+    assert(p2.lake.read("rp2_t").count() === 1, "replayed record lands")
+    assert(p2.lake.read("_dlq").count() === 0, "replayed original leaves the DLQ")
+    assert(p2.lake.read("rp1").count() === 1, "other table untouched")
+  }
+
+  test("DLQ replay: still-failing rows stay parked; other tables' rows survive") {
+    val p = newPipeline()
+    p.processBatch(batchOf("rt" -> """{"a":1}"""), 0)
+    p.processBatch(batchOf("rt" -> """{"a":"2024-03-01T12:00:00Z"}"""), 1)
+    p.processBatch(batchOf("other" -> """{{{not json"""), 2)
+    assert(p.lake.read("_dlq").count() === 2)
+    val (replayed, still) = p.replayDlq("rt")
+    assert((replayed, still) === ((1L, 1L)),
+      "the conflicting record must re-triage, not vanish")
+    val dlq = p.lake.read("_dlq").select("target_table").collect().map(_.getString(0))
+    assert(dlq.sorted.toSeq === Seq("other", "rt"),
+      "fresh failure for rt + the untouched other-table row")
+    assert(p.lake.read("rt").count() === 1, "no duplicate landings")
+  }
 }
