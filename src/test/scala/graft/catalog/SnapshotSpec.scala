@@ -133,6 +133,47 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("model check: every snapshot of a mixed op sequence reconstructs exactly") {
+    val lake = newLake()
+    // deterministic pseudo-random sequence of upserts/appends/compactions
+    // against an in-memory model; every committed version must read back
+    // as the model state at that point
+    var model = Map.empty[Long, String]
+    val states = scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+    def upsert(kvs: (Long, String)*): Unit = {
+      lake.write("mc", kvs.toSeq.toDF("id", "v"), pks = Seq("id"))
+      model ++= kvs; states += model
+    }
+    val rnd = new scala.util.Random(42)
+    // the CREATING write appends verbatim (upsert dedup starts once the
+    // table pre-exists — reference semantics), so seed with unique keys
+    upsert((0L to 3L).map(k => k -> s"seed-$k"): _*)
+    for (step <- 1 to 12) {
+      if (step % 5 == 0) {
+        lake.compact("mc", targetRecordsPerFile = 3)
+        states += model // compaction must not change contents
+      } else {
+        val kvs = (1 to 1 + rnd.nextInt(3)).map(_ =>
+          (rnd.nextInt(8).toLong, s"s$step-${rnd.nextInt(100)}"))
+        upsert(kvs: _*)
+      }
+    }
+    val vs = lake.versions("mc")
+    assert(vs.size === states.size,
+      s"one version per mutation: ${vs.size} vs ${states.size}")
+    vs.zip(states).foreach { case (v, expected) =>
+      val got = lake.readVersion("mc", v).select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, s"snapshot $v diverged from the model")
+    }
+    // retention sweep keeps the tail healthy
+    lake.expireSnapshots("mc", keepLast = 2)
+    val kept = lake.versions("mc")
+    assert(kept.size === 2)
+    assert(lake.readVersion("mc", kept.last).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === model)
+  }
+
   test("lake readStream tails an append-only table exactly once per row") {
     val lake = newLake()
     lake.write("stream_log", Seq((1, "a"), (2, "b")).toDF("id", "v"))
