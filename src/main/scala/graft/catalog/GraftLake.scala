@@ -615,6 +615,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .select(schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
+  /** Audit view of a table's shape over time: (version, live file count,
+    * column count, schema JSON) per committed snapshot — manifests carry
+    * the schema at commit, so evolution history costs no extra
+    * bookkeeping. */
+  def schemaHistory(name: String): Seq[(Long, Int, Int, String)] =
+    versions(name).map { v =>
+      val (schema, files) = snapshotFiles(name, v)
+      (v, files.size, schema.fields.length, schema.json)
+    }
+
   /** Rows in data files ADDED between two snapshots (file-set difference
     * by unique part-file name, read under the newer snapshot's schema) —
     * the incremental-consumption primitive. EXACT change capture for

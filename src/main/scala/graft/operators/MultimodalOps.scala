@@ -270,5 +270,60 @@ object MultimodalOps {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q33Multimodal, q34FrameSample, q35MultimodalHeaders)
+  /** Cross-document duplicate frames: frames whose content hash appears in
+    * MORE THAN ONE document — the frame-level dedup signal a video/image
+    * pipeline uses to catch shared intros, watermarks and boilerplate
+    * segments that whole-payload hashing misses.
+    *
+    * Scale shape: frames explode map-side ([[sampleFrames]]), ONE shuffle
+    * counts distinct docs per frame hash (partial aggs ship hashes, not
+    * frame bytes), and the shared-hash set joins back on the hash key —
+    * the same shape as cross-doc dup-grams, nothing quadratic in docs. */
+  def frameDupStats(framed: DataFrame, idCol: String): DataFrame = {
+    val f = framed.select(col(idCol), md5(col("frame").cast("string")).as("__fh"))
+    val dup = f.groupBy(col("__fh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__fh"), lit(1L).as("__shared"))
+    f.join(dup, Seq("__fh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(coalesce(col("__shared"), lit(0L))).as("n_dup_frames"))
+  }
+
+  /** q92: frame-level dedup over the text-payload gate slice (byte frames
+    * of ASCII text, so DuckDB reproduces the exact frame hashes). */
+  val q92FrameDedup = QueryDef(
+    "q92_frame_dedup",
+    """WITH f AS (
+      |  SELECT source, doc_id,
+      |    md5(substring(text, (i - 1) * 256 + 1, 256)) AS fh
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1,
+      |      CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1)) AS i)
+      |  WHERE doc_id < 200),
+      |dup AS (SELECT fh FROM f GROUP BY fh HAVING count(DISTINCT doc_id) > 1),
+      |d AS (SELECT source, doc_id, count(*) AS n_frames,
+      |        sum(CASE WHEN dup.fh IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      |      FROM f LEFT JOIN dup USING (fh) GROUP BY source, doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |  CAST(sum(n_dup) AS BIGINT) AS dup_frames,
+      |  CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_with_shared
+      |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+    frameDupStats(sampleFrames(docs, frameSize = 256, stride = 1), "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("n_dup_frames")).as("dup_frames"),
+        sum(when(col("n_dup_frames") > 0, 1L).otherwise(0L)).as("docs_with_shared"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q33Multimodal, q34FrameSample,
+    q35MultimodalHeaders, q92FrameDedup)
 }

@@ -174,6 +174,17 @@ class SnapshotSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap === model)
   }
 
+  test("schemaHistory: column growth tracked per version") {
+    val lake = newLake()
+    lake.write("h", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("h", Seq((2, "b", 1.5)).toDF("id", "v", "score"), pks = Seq("id"))
+    val hist = lake.schemaHistory("h")
+    assert(hist.map(_._3) === Seq(3, 4),
+      s"id+v+_inserted_at then +score: ${hist.map(h => (h._1, h._3))}")
+    assert(hist.last._4.contains("score"))
+    assert(!hist.head._4.contains("score"))
+  }
+
   test("lake readStream tails an append-only table exactly once per row") {
     val lake = newLake()
     lake.write("stream_log", Seq((1, "a"), (2, "b")).toDF("id", "v"))
