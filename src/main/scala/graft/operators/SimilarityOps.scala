@@ -459,6 +459,39 @@ object SimilarityOps {
     } finally normed.unpersist()
   }
 
+  // ---- index persistence ----
+
+  /** Persist a fitted coarse quantizer as a lake table (`cid`,
+    * `centroid`) so the fit cost is paid once per corpus refresh, not per
+    * query — at 100 TB the fit scans the corpus; readers should load the
+    * index table instead. The table versions with the lake's snapshots,
+    * so an index is reproducibly tied to the corpus state it was fit
+    * on. */
+  def saveCentroids(lake: graft.catalog.GraftLake, table: String,
+      centroids: Array[Seq[Double]]): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    if (lake.tableExists(table)) lake.dropTable(table)
+    lake.write(table,
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cid", "centroid"),
+      pks = Seq("cid"))
+  }
+
+  /** Load a quantizer saved by [[saveCentroids]], cid order restored.
+    * The lake lands array columns as JSON strings ([[graft.catalog
+    * .LandedTypes]] — the reference's complex-type boundary), so the
+    * vector parses back out of its landed form. */
+  def loadCentroids(lake: graft.catalog.GraftLake,
+      table: String): Array[Seq[Double]] =
+    lake.read(table)
+      .select(col("cid"),
+        from_json(col("centroid"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1))
+
   // ---- driver-facing queries ----
 
   /** Brute-force KNN, DuckDB-checkable via list_cosine_similarity. */

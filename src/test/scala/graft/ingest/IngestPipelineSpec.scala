@@ -482,4 +482,25 @@ class IngestPipelineSpec extends AnyFunSuite {
       "fresh failure for rt + the untouched other-table row")
     assert(p.lake.read("rt").count() === 1, "no duplicate landings")
   }
+
+  test("table-conflict triage splits a mixed batch: compatible rows land, rest park") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-tev").toString,
+      topic2table = Map("te2" -> "te")))
+    p.processBatch(batchOf("te" -> """{"a":1}"""), 0) // table: a int
+    // second topic, fresh cache, routed into the same table: the batch
+    // unifies INTERNALLY (a: timestamp, b: long) but conflicts with the
+    // TABLE -> per-record evolution triage, not a crash
+    p.processBatch(batchOf(
+      "te2" -> """{"b":5}""",
+      "te2" -> """{"a":"2024-03-01T12:00:00Z","b":6}"""), 1)
+    val t = p.lake.read("te")
+    assert(t.count() === 2, "the a-less record must land")
+    assert(t.columns.contains("b"), "compatible new column evolves")
+    val dlq = p.lake.read("_dlq")
+    assert(dlq.count() === 1)
+    val err = dlq.select("error").head().getString(0)
+    assert(err.contains("Incompatible with table 'te'"), s"error was: $err")
+  }
 }

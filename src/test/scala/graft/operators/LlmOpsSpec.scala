@@ -350,6 +350,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames.filter(col("doc_id") === 1L).count() === 3)
   }
 
+  test("saved quantizer round-trips through the lake and reproduces results") {
+    VectorFunctions.register(spark)
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-index").toString)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val fitted = SimilarityOps.fitCentroids(emb, "vec_id", "embedding", 16)
+    SimilarityOps.saveCentroids(lake, "ivf_idx", fitted)
+    val loaded = SimilarityOps.loadCentroids(lake, "ivf_idx")
+    assert(loaded.length === fitted.length)
+    fitted.zip(loaded).foreach { case (a, b) => assert(a === b) }
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = pairs(SimilarityOps.knnIvf(emb, queries, "vec_id", "embedding",
+      10, centroids = Some(fitted)))
+    val viaLake = pairs(SimilarityOps.knnIvf(emb, queries, "vec_id", "embedding",
+      10, centroids = Some(loaded)))
+    assert(direct === viaLake, "a persisted index must answer identically")
+  }
+
   test("IVF-PQ: recall vs brute, ADC prunes, reported cosines are exact") {
     VectorFunctions.register(spark)
     // same separated-clusters construction as the quantizer test: 8 cluster
