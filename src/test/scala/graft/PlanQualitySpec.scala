@@ -141,6 +141,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q89: bigram model broadcasts back; no cartesian anywhere") {
+    val p = plan("q89_bigram_xent")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-sized model must broadcast; the corpus text never shuffles for scoring")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q92: frame dedup joins on the hash key, never all-pairs") {
+    val p = plan("q92_frame_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frame dedup must stay a hash join on fh:\n${p.take(1200)}")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which

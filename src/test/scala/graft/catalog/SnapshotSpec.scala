@@ -174,6 +174,27 @@ class SnapshotSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap === model)
   }
 
+  test("stale .stage/.old debris from a crashed writer never corrupts reads or commits") {
+    val lake = newLake()
+    lake.write("cr", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    // simulate a writer that died mid-swap: orphan stage + old dirs with
+    // plausible parquet droppings inside the table dir
+    val wh = lake.read("cr").inputFiles.head
+      .replaceAll("/data/.*$", "")
+    for (junk <- Seq(".stage-deadbeef", ".old-deadbeef")) {
+      val dir = java.nio.file.Paths.get(new java.net.URI(s"$wh/$junk"))
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("part-junk.parquet"), "not parquet")
+    }
+    assert(rows(lake.read("cr"), "id", "v") === Set(Seq(1, "a")),
+      "reads must ignore dot-dir debris")
+    lake.write("cr", Seq((2, "b")).toDF("id", "v"), pks = Seq("id"))
+    assert(rows(lake.read("cr"), "id", "v") === Set(Seq(1, "a"), Seq(2, "b")))
+    val vs = lake.versions("cr")
+    assert(rows(lake.readVersion("cr", vs.head), "id", "v") === Set(Seq(1, "a")),
+      "snapshots must not pick up debris either")
+  }
+
   test("schemaHistory: column growth tracked per version") {
     val lake = newLake()
     lake.write("h", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
