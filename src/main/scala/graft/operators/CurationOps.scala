@@ -414,6 +414,120 @@ object CurationOps {
     curationReport(base, base.filter(col("doc_id") % 97 === 0))
   }
 
+  // ---- BPE merge-pair counting (tokenizer training primitive) ----
+
+  /** The first iteration of BPE training: count adjacent symbol pairs
+    * across the corpus, weighted by word frequency — the statistic whose
+    * argmax becomes the next merge rule.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: ONE
+    * corpus-sized shuffle builds the word-frequency table (partial aggs
+    * ship counts); every subsequent pair computation runs over the
+    * VOCABULARY (distinct words), whose size is corpus-independent. A
+    * full trainer loops this: count pairs → pick argmax → re-segment the
+    * vocab — never touching the corpus again. */
+  def bpeMergePairCounts(corpus: DataFrame, textCol: String,
+      topN: Int): DataFrame = {
+    val tok = corpus
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val chars = regexp_extract_all(col("token"), lit("."), lit(0))
+    val n = size(chars)
+    val pairs = zip_with(slice(chars, lit(1), n - 1), slice(chars, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    tok.filter(n >= 2)
+      .select(col("cnt"), explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** q93: the top-10 first-merge candidates over `documents`. */
+  val q93BpeMerges = QueryDef(
+    "q93_bpe_merges",
+    """WITH tok AS (SELECT token, count(*) AS cnt
+      |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+      |        FROM documents) GROUP BY token),
+      |ch AS (SELECT cnt, string_split(token, '') AS cs FROM tok),
+      |p AS (SELECT cnt, cs[i] || ' ' || cs[i+1] AS pair
+      |      FROM ch, LATERAL (SELECT unnest(range(1, len(cs))) AS i)
+      |      WHERE len(cs) >= 2)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 10""".stripMargin) { (s, dir) =>
+    bpeMergePairCounts(docs(s, dir), "text", topN = 10)
+  }
+
+  // ---- split-leakage audit ----
+
+  /** Audit whether duplicate-content families straddle train/val/test
+    * splits: group rows by `contentKey`, keep groups with >1 member, and
+    * for each split-assignment strategy count the groups whose members
+    * landed in MORE THAN ONE split (= leakage: a model evaluated on test
+    * saw the same content in train). Splitting BY ID leaks duplicate
+    * families by construction; splitting BY CONTENT KEY provably cannot
+    * — the audit quantifies exactly that.
+    *
+    * Scale shape: one shuffle on the content key; per-group distinct
+    * splits are tiny partial aggs. */
+  def splitLeakage(corpus: DataFrame, idCol: String,
+      contentKey: Column): DataFrame = {
+    val assigned = corpus.select(contentKey.as("__k"),
+      TextOps.splitAssign(col(idCol)).as("__id_split"))
+      .withColumn("__content_split", TextOps.splitAssign(col("__k")))
+    val groups = assigned.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col("__id_split")).as("__d_id"),
+        countDistinct(col("__content_split")).as("__d_content"))
+      .filter(col("__n") > 1)
+    groups.agg(
+        count(lit(1)).as("n_dup_groups"),
+        sum(when(col("__d_content") > 1, 1L).otherwise(0L)).as("__leak_content"),
+        sum(when(col("__d_id") > 1, 1L).otherwise(0L)).as("__leak_id"))
+      .select(explode(array(
+        struct(lit("by_content").as("method"), col("n_dup_groups"),
+          col("__leak_content").as("n_leaking")),
+        struct(lit("by_doc_id").as("method"), col("n_dup_groups"),
+          col("__leak_id").as("n_leaking")))).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("method"))
+  }
+
+  /** q94: leakage audit with 2-token-prefix families as the duplicate
+    * groups (the synthetic corpus has no exact duplicates; shared
+    * prefixes stand in for the near-dup families a real crawl has). */
+  val q94SplitLeakage = QueryDef(
+    "q94_split_leakage",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |a AS (SELECT md5(toks[1] || ' ' || toks[2]) AS k,
+      |        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 205
+      |             THEN 'train'
+      |             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230
+      |             THEN 'val' ELSE 'test' END AS id_split
+      |      FROM t WHERE len(toks) >= 2),
+      |b AS (SELECT k, id_split,
+      |        CASE WHEN CAST(('0x' || substr(md5(k), 1, 2)) AS INTEGER) < 205 THEN 'train'
+      |             WHEN CAST(('0x' || substr(md5(k), 1, 2)) AS INTEGER) < 230 THEN 'val'
+      |             ELSE 'test' END AS content_split
+      |      FROM a),
+      |g AS (SELECT k, count(*) AS n, count(DISTINCT id_split) AS d_id,
+      |        count(DISTINCT content_split) AS d_content
+      |      FROM b GROUP BY k HAVING count(*) > 1)
+      |SELECT 'by_content' AS method, count(*) AS n_dup_groups,
+      |  CAST(sum(CASE WHEN d_content > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+      |FROM g
+      |UNION ALL
+      |SELECT 'by_doc_id', count(*),
+      |  CAST(sum(CASE WHEN d_id > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM g
+      |ORDER BY method""".stripMargin) { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    splitLeakage(
+      docs(s, dir).filter(size(toks) >= 2),
+      "doc_id",
+      md5(concat_ws(" ", slice(toks, 1, 2))))
+  }
+
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
-    q79QualitySelect, q90CurationReport)
+    q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage)
 }
