@@ -154,6 +154,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"frame dedup must stay a hash join on fh:\n${p.take(1200)}")
   }
 
+  test("q93: pair counting shuffles words once, then vocab-sized data only") {
+    val p = plan("q93_bpe_merges")
+    // token-count agg (1 exchange) -> pair agg over the VOCAB (1 exchange)
+    // -> TakeOrdered for the top-N; no third data shuffle, no explode of
+    // the corpus text itself beyond tokenization
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      s"pair counting must run over the vocabulary:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which

@@ -149,6 +149,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: lake tail -> map-only funnel -> curated lake table") {
+    // the composition a continuous curation pipeline runs: tail an ingest
+    // table as a stream, apply the (pure-map, streaming-safe) quality
+    // funnel, land survivors in a curated table via foreachBatch
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-cur").toString)
+    def doc(id: Long, words: Int) =
+      (id, (1 to words).map(i => s"w${i % 9} the").mkString(" "))
+    lake.write("raw_docs", Seq(doc(1, 30), doc(2, 2)).toDF("doc_id", "text"))
+    val q = graft.operators.QualityOps
+      .qualityFunnel(lake.readStream("raw_docs"), "text",
+        minTokens = 10, maxTokens = 1000, minMeanWordLen = 1.0,
+        maxMeanWordLen = 10.0, minStopwordRatio = 0.1, maxDupTokenFrac = 0.99)
+      .filter(org.apache.spark.sql.functions.col("fail_rule").isNull)
+      .select("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        lake.write("curated_docs", df.toDF())
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      lake.append("raw_docs", Seq(doc(3, 40), doc(4, 3)).toDF("doc_id", "text"))
+      q.processAllAvailable()
+      val got = lake.read("curated_docs").select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 3L),
+        s"only funnel survivors may land, exactly once: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, drops outside it") {
     implicit val sq = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long, String)]
