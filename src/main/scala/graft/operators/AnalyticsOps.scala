@@ -461,7 +461,43 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"), col("rank"))
   }
 
+  /** Weekly cohort retention: users grouped by first-seen week, counted
+    * in each subsequent week they stayed active — the retention matrix
+    * behind every growth dashboard.
+    *
+    * Scale shape: one shuffle builds the (user → cohort) table, the
+    * distinct (user, week) activity set reuses the user_id partitioning,
+    * and cohorts broadcast back for the offset join; the output is
+    * weeks² rows regardless of event volume. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    active.join(broadcast(cohorts), Seq("user_id"))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  /** q95: the retention matrix over `events`. */
+  val q95CohortRetention = QueryDef(
+    "q95_cohort_retention",
+    """WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      |SELECT CAST(c.cohort AS TIMESTAMP) AS cohort,
+      |  CAST(datediff('day', c.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY c.cohort, week_offset
+      |ORDER BY cohort, week_offset""".stripMargin) { (s, dir) =>
+    cohortRetention(Tables.events(s, dir))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
-    q88ZorderCompact, q91TopkAgg)
+    q88ZorderCompact, q91TopkAgg, q95CohortRetention)
 }
