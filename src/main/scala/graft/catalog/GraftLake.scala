@@ -446,7 +446,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * (`predicate` limits the rewrite scope, e.g. yesterday's partition). */
   def compact(name: String, targetRecordsPerFile: Long = maxRecordsPerFile,
       predicate: Option[Column] = None,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil): Unit = writeLock(name) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
     val all = readInternal(name, meta)

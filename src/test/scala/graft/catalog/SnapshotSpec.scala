@@ -174,6 +174,26 @@ class SnapshotSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap === model)
   }
 
+  test("parallel writers on different tables commit consistent snapshots") {
+    val lake = newLake()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (0 until 4).map { t =>
+      Future {
+        for (i <- 1 to 3)
+          lake.write(s"pt$t", Seq((i, s"t$t-$i")).toDF("id", "v"), pks = Seq("id"))
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    (0 until 4).foreach { t =>
+      assert(lake.versions(s"pt$t").size === 3,
+        s"table pt$t must have one snapshot per write")
+      assert(rows(lake.read(s"pt$t"), "id", "v") ===
+        (1 to 3).map(i => Seq(i, s"t$t-$i")).toSet)
+    }
+  }
+
   test("stale .stage/.old debris from a crashed writer never corrupts reads or commits") {
     val lake = newLake()
     lake.write("cr", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
