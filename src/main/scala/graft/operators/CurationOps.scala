@@ -528,6 +528,72 @@ object CurationOps {
       md5(concat_ws(" ", slice(toks, 1, 2))))
   }
 
+  // ---- content-defined chunking ----
+
+  /** Content-defined chunking: a token ENDS a chunk when its own content
+    * hash lands in the boundary bucket (`md5-bucket % 1/p == 0`,
+    * p ≈ 1/8 → expected 8-token chunks). Unlike [[chunkDocuments]]'s
+    * fixed windows — where one inserted token shifts every later chunk —
+    * boundaries here depend only on token content, so an edit disturbs
+    * at most its own chunk: the property that makes chunk-level dedup
+    * and incremental re-embedding stable under document edits.
+    *
+    * Scale shape: boundary flags are a pure map; the running boundary
+    * count and the in-chunk reassembly shuffle ONCE on doc_id (each
+    * doc's tokens land in one task — docs, not the corpus, bound the
+    * window size). */
+  def contentDefinedChunks(corpus: DataFrame, textCol: String,
+      idCols: Seq[String], boundaryMod: Int = 8): DataFrame = {
+    val tok = corpus.select(idCols.map(col) :+
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "token")): _*)
+    val boundary = (TextOps.hashBucket(col("token")) % boundaryMod === 0)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCols.map(col): _*).orderBy(col("pos"))
+      .rowsBetween(Long.MinValue, -1)
+    tok
+      .withColumn("chunk_id", coalesce(sum(boundary).over(w), lit(0L)))
+      .groupBy((idCols :+ "chunk_id").map(col): _*)
+      .agg(count(lit(1)).as("chunk_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("chunk_text"))
+  }
+
+  /** q96: content-defined chunks over `documents` with the q70-style
+    * text witness pinning every chunk's exact reassembled text. */
+  val q96ContentChunks = QueryDef(
+    "q96_content_chunks",
+    """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |tok AS (SELECT doc_id, source, i AS pos, toks[i] AS token
+      |        FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+      |f AS (SELECT doc_id, source, pos, token,
+      |        CASE WHEN CAST(('0x' || substr(md5(token), 1, 2)) AS INTEGER) % 8 = 0
+      |             THEN 1 ELSE 0 END AS b
+      |      FROM tok),
+      |c AS (SELECT doc_id, source, pos, token,
+      |        COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |      FROM f),
+      |ch AS (SELECT doc_id, source, chunk_id, count(*) AS n_toks,
+      |         md5(string_agg(token, ' ' ORDER BY pos)) AS h
+      |       FROM c GROUP BY doc_id, source, chunk_id)
+      |SELECT source, count(*) AS n_chunks,
+      |  round(avg(n_toks), 2) AS avg_chunk_tokens,
+      |  CAST(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS text_witness
+      |FROM ch GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    contentDefinedChunks(docs(s, dir), "text", Seq("doc_id", "source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        round(avg(col("chunk_tokens")), 2).as("avg_chunk_tokens"),
+        sum(conv(substring(md5(col("chunk_text")), 1, 8), 16, 10).cast("long"))
+          .as("text_witness"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
-    q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage)
+    q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage,
+    q96ContentChunks)
 }

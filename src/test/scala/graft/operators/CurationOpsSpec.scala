@@ -208,4 +208,31 @@ class CurationOpsSpec extends AnyFunSuite {
       .count()
     assert(got === 5L)
   }
+
+  test("content-defined chunking: an edit disturbs only its own chunk") {
+    val words = (1 to 60).map(i => s"tok${i % 23}x$i")
+    val original = words.mkString(" ")
+    // insert one token mid-document
+    val edited = (words.take(30) ++ Seq("INSERTED") ++ words.drop(30)).mkString(" ")
+    def chunks(text: String): Seq[String] = CurationOps.contentDefinedChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", Seq("doc_id"))
+      .orderBy("chunk_id").select("chunk_text").as[String].collect().toSeq
+    val a = chunks(original)
+    val b = chunks(edited)
+    // every original chunk except the edited one survives verbatim —
+    // fixed-window chunking would shift every chunk after the edit
+    val common = a.toSet & b.toSet
+    assert(a.size - common.size <= 1,
+      s"at most the edited chunk may change; lost: ${a.toSet -- b.toSet}")
+    assert(b.flatMap(_.split(" ")).count(_ == "INSERTED") === 1)
+  }
+
+  test("content-defined chunking: total partition, order preserved") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val got = CurationOps.contentDefinedChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", Seq("doc_id"))
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+    assert(got.mkString(" ") === text,
+      "chunks concatenated in order must reconstruct the document")
+  }
 }
