@@ -647,6 +647,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .select(schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
+  /** Reconcile the directory and manifest views after a crash: a writer
+    * that died between landing part files and committing its manifest
+    * leaves rows visible to directory-based CURRENT reads but missing
+    * from every snapshot. Adopting the data directory as-is into a fresh
+    * manifest makes the newest snapshot match `read` again. Returns the
+    * adopted snapshot id. */
+  def repairTable(name: String): Long = writeLock(name) {
+    commitVersion(name)
+    versions(name).last
+  }
+
   /** Drop all but the last `keepLast` snapshots and physically delete
     * retired files no surviving manifest references (the storage-bounding
     * half of the snapshot contract). */

@@ -497,7 +497,56 @@ object AnalyticsOps {
     cohortRetention(Tables.events(s, dir))
   }
 
+  /** q97: dataset integrity audit across the documents↔embeddings pair —
+    * the pre-training gate that catches broken joins and degenerate
+    * vectors before a run burns compute: per source, documents without an
+    * embedding, embeddings orphaned of any document (corpus-wide),
+    * zero-norm/degenerate vectors, and empty texts. A healthy dataset
+    * reports zeros everywhere except the counts — and the oracle pins
+    * that the audit itself computes honestly, not that the data is
+    * assumed clean.
+    *
+    * Scale shape: two key-shuffled anti-joins (both sides pruned to id
+    * columns) plus a map-side norm scan; nothing quadratic. */
+  val q97IntegrityAudit = QueryDef(
+    "q97_integrity_audit",
+    """WITH nv AS (SELECT vec_id,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |j AS (SELECT d.source, d.doc_id, d.text, nv.vec_id, nv.nrm
+      |      FROM documents d LEFT JOIN nv ON d.doc_id = nv.vec_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_without_embedding,
+      |  (SELECT count(*) FROM nv LEFT JOIN documents d2 ON nv.vec_id = d2.doc_id
+      |   WHERE d2.doc_id IS NULL) AS orphan_embeddings,
+      |  CAST(sum(CASE WHEN nrm IS NOT NULL AND nrm < 1e-9 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS zero_norm_vectors,
+      |  CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS empty_texts,
+      |  round(avg(nrm), 4) AS avg_norm
+      |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    val nv = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    val docs = Tables.documents(s, dir)
+    val orphans = nv.join(docs.select(col("doc_id")),
+        nv("vec_id") === col("doc_id"), "left_anti")
+      .count()
+    docs.join(nv, docs("doc_id") === nv("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("docs_without_embedding"),
+        lit(orphans).as("orphan_embeddings"),
+        sum(when(col("nrm").isNotNull && col("nrm") < 1e-9, 1L).otherwise(0L))
+          .as("zero_norm_vectors"),
+        sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+          .otherwise(0L)).as("empty_texts"),
+        round(avg(col("nrm")), 4).as("avg_norm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
-    q88ZorderCompact, q91TopkAgg, q95CohortRetention)
+    q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit)
 }

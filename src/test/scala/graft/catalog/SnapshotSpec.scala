@@ -215,6 +215,26 @@ class SnapshotSpec extends AnyFunSuite {
       "snapshots must not pick up debris either")
   }
 
+  test("repairTable adopts orphan part files a crashed writer left behind") {
+    val lake = newLake()
+    lake.write("rp", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    // simulate a writer that landed a part file but died before its
+    // manifest commit: copy a valid same-schema file in under a new name
+    val dataDir = java.nio.file.Paths.get(
+      new java.net.URI(lake.read("rp").inputFiles.head)).getParent
+    val src = java.nio.file.Files.list(dataDir)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(src,
+      dataDir.resolve("part-orphan-deadbeef-c000.snappy.parquet"))
+    assert(lake.read("rp").count() === 2, "directory read sees the orphan")
+    val vs = lake.versions("rp")
+    assert(lake.readVersion("rp", vs.last).count() === 1,
+      "pre-repair snapshot misses it")
+    val adopted = lake.repairTable("rp")
+    assert(lake.readVersion("rp", adopted).count() === 2,
+      "repair reconciles the snapshot view with the directory")
+  }
+
   test("schemaHistory: column growth tracked per version") {
     val lake = newLake()
     lake.write("h", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
