@@ -113,6 +113,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     fs(dir).delete(dir, true)
     metaCache.remove(s"$warehouse/$name")
     verifiedTables.remove(s"$warehouse/$name")
+    lastVersionCache.remove(s"$warehouse/$name")
+    liveSetCache.remove(s"$warehouse/$name")
   }
 
   // ---- DDL ----
@@ -250,22 +252,29 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     tableLocks.computeIfAbsent(s"$warehouse/$name/__write", _ => new Object)
       .synchronized(f)
 
-  /** Plain INSERT path (W3): conform + `_inserted_at = now()` + append. */
+  /** Plain INSERT path (W3): conform + `_inserted_at = now()` + append.
+    * The batch lands in a stage dir and its part files are renamed into
+    * `data/` — the renames are how the commit knows EXACTLY which files it
+    * added (the O(delta) manifest input) without ever listing the table. */
   def append(name: String, batch: DataFrame): Unit = {
     val (meta, _) = ensureTable(name, batch.schema)
     val conformed = conformBatch(batch, meta)
       .withColumn(InsertedAtCol, current_timestamp())
     val out = withPartitionCols(conformed, meta)
     writeLock(name) {
-      val writer = out.write
-        .mode(SaveMode.Append)
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-      val parted =
-        if (meta.partitions.nonEmpty)
-          writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
-        else writer
-      parted.parquet(dataDir(name))
-      commitVersion(name)
+      val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+      try {
+        val writer = out.write
+          .mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+        val parted =
+          if (meta.partitions.nonEmpty)
+            writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
+          else writer
+        parted.parquet(stage.toString)
+        val added = mergeStageInto(stage, new Path(dataDir(name)))
+        commitVersion(name, added, Nil)
+      } finally fs(stage).delete(stage, true)
     }
   }
 
@@ -366,8 +375,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
-    commitVersion(name)
+    val (added, removed) =
+      swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
+    commitVersion(name, added, removed)
   }
 
   /** Replace the entire table contents with `df` (must carry exactly the
@@ -393,10 +403,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // two renames leaves the old contents recoverable in .old-*, never
       // a lost table
       val old = new Path(s"${tableDir(name)}/.old-${UUID.randomUUID()}")
-      if (f.exists(dd)) f.rename(dd, old)
-      f.rename(stage, dd)
-      retire(name, old)
-      commitVersion(name)
+      if (f.exists(dd)) renameOrFail(f, dd, old)
+      renameOrFail(f, stage, dd)
+      val removed = retire(name, old, old)
+      // a whole-table replace's "delta" IS the new contents — list just the
+      // freshly renamed directory (O(new files), not O(history))
+      val added = listDataFiles(name)
+      commitVersion(name, added, removed)
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -408,12 +421,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val meta = readMeta(name)
     val out = withPartitionCols(
       batch.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*), meta)
-    val writer = out.write.mode(SaveMode.Append)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    val partCols = meta.partitionExprs.map(_.outputName)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(dataDir(name))
-    commitVersion(name)
+    val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+    try {
+      val writer = out.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      val partCols = meta.partitionExprs.map(_.outputName)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+      val added = mergeStageInto(stage, new Path(dataDir(name)))
+      commitVersion(name, added, Nil)
+    } finally fs(stage).delete(stage, true)
   }
 
   /** Rewrite a scoped slice of the table: `survivors` replaces the
@@ -433,9 +450,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    swapInto(name, stage, new Path(dataDir(name)), partCols.size,
-      affectedDirs.map(new Path(_)))
-    commitVersion(name)
+    val (added, removed) = swapInto(name, stage, new Path(dataDir(name)),
+      partCols.size, affectedDirs.map(new Path(_)))
+    commitVersion(name, added, removed)
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -443,18 +460,49 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * path. The small-file antidote for streaming ingest — micro-batches
     * append many small files; compaction restores scan efficiency without
     * changing table contents. Run it per partition predicate at scale
-    * (`predicate` limits the rewrite scope, e.g. yesterday's partition). */
+    * (`predicate` limits the rewrite scope, e.g. yesterday's partition).
+    *
+    * Contents-preserving by construction: the predicate selects WHICH
+    * PARTITIONS to rewrite (every partition with at least one matching
+    * row), and those partitions are rewritten WHOLE — a predicate cutting
+    * through the middle of a partition cannot drop its non-matching rows.
+    * Unpartitioned tables always rewrite the full file set (there is no
+    * sub-table swap unit), so the predicate only matters as an is-empty
+    * no-op check there. */
   def compact(name: String, targetRecordsPerFile: Long = maxRecordsPerFile,
       predicate: Option[Column] = None,
       clusterBy: Seq[String] = Nil): Unit = writeLock(name) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
     val all = readInternal(name, meta)
-    val scoped = predicate.map(all.filter).getOrElse(all)
+    val scoped = (predicate, partCols) match {
+      case (None, _) => all
+      case (Some(p), Nil) =>
+        // whole-table rewrite unit: an empty match is a no-op, anything
+        // else must carry ALL rows or the swap would drop the rest
+        if (all.filter(p).isEmpty) return
+        all
+      case (Some(p), pcs) =>
+        val parts = all.filter(p)
+          .select(pcs.map(c => col(quoted(c))): _*).distinct().collect()
+        if (parts.isEmpty) return // nothing matches: no rewrite, no commit
+        all.filter(GraftLake.partitionScope(pcs, parts))
+    }
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val projected = scoped
       .select(meta.schema.fieldNames.map(n => col(quoted(n))) ++
         partCols.map(c => col(quoted(c))): _*)
+    // validate cluster columns BEFORE any write starts: z-values need a
+    // numeric domain, and half-compacted tables are the worst failure mode
+    clusterBy.foreach { c =>
+      val field = projected.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"compact clusterBy column '$c' does not exist in table '$name'"))
+      if (!field.dataType.isInstanceOf[NumericType])
+        throw new IllegalArgumentException(
+          s"compact clusterBy column '$c' must be numeric for z-ordering, " +
+            s"got ${field.dataType.sql} — drop it from clusterBy or cast it")
+    }
     val arranged =
       if (clusterBy.nonEmpty) {
         // Z-ORDER clustering: range-partition + sort by the interleaved
@@ -468,12 +516,21 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           clusterBy.flatMap(c => Seq(
             min(col(quoted(c)).cast("double")),
             max(col(quoted(c)).cast("double")))).tail: _*).head()
-        val bounds = clusterBy.indices.map(i =>
-          (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1)))
-        val zv = graft.functions.ZOrder.zValue(
-          clusterBy.map(c => col(quoted(c))), bounds)
-        projected.repartitionByRange((partCols.map(c => col(quoted(c))) :+ zv): _*)
-          .sortWithinPartitions((partCols.map(c => col(quoted(c))) :+ zv): _*)
+        val boundsValid = (0 until 2 * clusterBy.size).forall(!boundsRow.isNullAt(_))
+        if (!boundsValid) {
+          // empty scope or all-null cluster column: no z-domain to spread
+          // over — fall back to the plain rebalance arrangement instead of
+          // NPE-ing mid-compaction
+          if (partCols.nonEmpty) projected.hint("rebalance", partCols.map(col(_)): _*)
+          else projected.hint("rebalance")
+        } else {
+          val bounds = clusterBy.indices.map(i =>
+            (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1)))
+          val zv = graft.functions.ZOrder.zValue(
+            clusterBy.map(c => col(quoted(c))), bounds)
+          projected.repartitionByRange((partCols.map(c => col(quoted(c))) :+ zv): _*)
+            .sortWithinPartitions((partCols.map(c => col(quoted(c))) :+ zv): _*)
+        }
       } else {
         // AQE rebalance: merges small shuffle partitions / splits skewed
         // ones to the advisory size, so output files coalesce without
@@ -487,8 +544,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .option("maxRecordsPerFile", targetRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
-    swapInto(name, stage, new Path(dataDir(name)), partCols.size)
-    commitVersion(name)
+    val (added, removed) =
+      swapInto(name, stage, new Path(dataDir(name)), partCols.size)
+    commitVersion(name, added, removed)
   }
 
   /** Data files currently backing a table (observability / compaction
@@ -501,49 +559,94 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   // DuckLake — the reference's storage layer — versions every commit in
   // its catalog database (ducklake_snapshot / ducklake_data_file); the
   // connector inherits snapshots for free. This engine reproduces the
-  // capability file-native, Iceberg-style: part files are immutable and
-  // globally unique, a rewrite RETIRES replaced files into `_history/`
-  // instead of deleting them, and each commit writes a manifest
-  // (`_versions/v{N}.json`) of the live file set + the schema at commit
-  // time. A snapshot read resolves the manifest's files (still-live ones
-  // in `data/`, replaced ones in `_history/`) — no directory-state
+  // capability file-native, Iceberg-style: part files are immutable, a
+  // file's identity is its (relative partition path, file name) pair
+  // (part-file NAMES repeat across partition dirs within one job — the
+  // dynamic-partition writer resets its file counter per partition — so
+  // the name alone is NOT unique), and a rewrite RETIRES replaced files
+  // into `_history/<rel>/` (partition layout preserved) instead of
+  // deleting them. A snapshot read resolves its file list (still-live
+  // files in `data/`, replaced ones in `_history/`) — no directory-state
   // coupling, so the current-version read path is untouched.
   //
-  // Scale: the manifest is O(files) — the bookkeeping every lakehouse
-  // format pays per commit; `expireSnapshots` bounds retained history.
+  // Scale: commits are O(delta), not O(table). Every writer knows exactly
+  // which files it added (stage-dir renames) and which it retired, so the
+  // commit writes a DELTA manifest `{base, add, remove}` against the
+  // previous snapshot; a FULL manifest checkpoint lands every
+  // [[GraftLake.checkpointInterval]] commits (and whenever the delta
+  // would be bigger than the full list) to bound resolution chains.
+  // An in-memory live-set cache makes the common commit path zero-read;
+  // nothing on the hot path lists the data directory — the full recursive
+  // listing survives only in [[repairTable]].
 
   private def versionsDir(name: String) = new Path(s"${tableDir(name)}/_versions")
   private def historyDir(name: String) = new Path(s"${tableDir(name)}/_history")
 
-  /** Move a replaced data file / partition directory into `_history`
-    * keyed by its globally unique part-file name (Spark part files embed
-    * a job UUID, so flat storage cannot collide); non-data droppings are
-    * deleted as before. */
-  private def retire(name: String, p: Path): Unit = {
+  private def renameOrFail(f: FileSystem, src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new IllegalStateException(
+        s"FileSystem.rename failed: $src -> $dst (destination exists or " +
+          "source vanished) — refusing to continue with a half-moved commit")
+
+  /** Move a replaced data file / partition directory into `_history`,
+    * PRESERVING its path relative to `base` (the dir that mirrors the
+    * `data/` layout — `data/` itself, or a renamed-aside `.old-*` root):
+    * partitioned tables reuse part-file names across partition dirs, so a
+    * flat history would collide and silently corrupt time travel.
+    * Returns the retired (rel, name) identities; non-data droppings are
+    * deleted. */
+  private def retire(name: String, base: Path, p: Path): Seq[(String, String)] = {
     val f = fs(p)
-    if (!f.exists(p)) return
+    if (!f.exists(p)) return Nil
     val hd = historyDir(name)
-    f.mkdirs(hd)
+    val baseUri = f.makeQualified(base).toUri
+    val out = Seq.newBuilder[(String, String)]
     def move(q: Path): Unit = {
       if (f.getFileStatus(q).isDirectory) {
         f.listStatus(q).foreach(s => move(s.getPath))
         f.delete(q, true)
       } else if (q.getName.endsWith(".parquet")) {
-        f.rename(q, new Path(hd, q.getName))
+        val rel = baseUri.relativize(f.makeQualified(q.getParent).toUri)
+          .getPath.stripSuffix("/")
+        val destDir = if (rel.isEmpty) hd else new Path(hd, rel)
+        f.mkdirs(destDir)
+        renameOrFail(f, q, new Path(destDir, q.getName))
+        out += ((rel, q.getName))
       } else f.delete(q, false)
     }
     move(p)
+    out.result()
   }
 
-  /** Commit the next snapshot manifest for `name`: the full live
-    * (relative partition path, file name) list plus the schema. Called at
-    * the end of every data mutation, inside its write lock. */
-  private def commitVersion(name: String): Unit =
-      graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
-    val vd = versionsDir(name)
-    val f = fs(vd)
-    f.mkdirs(vd)
+  /** Rename every staged part file into `target` keeping its partition
+    * path, WITHOUT touching files already there (append semantics).
+    * Returns the added (rel, name) identities — the commit's add-delta. */
+  private def mergeStageInto(stage: Path, target: Path): Seq[(String, String)] = {
+    val f = fs(target)
+    val stageUri = f.makeQualified(stage).toUri
+    val out = Seq.newBuilder[(String, String)]
+    def move(q: Path): Unit = {
+      if (f.getFileStatus(q).isDirectory) f.listStatus(q).foreach(s => move(s.getPath))
+      else if (q.getName.endsWith(".parquet")) {
+        val rel = stageUri.relativize(f.makeQualified(q.getParent).toUri)
+          .getPath.stripSuffix("/")
+        val destDir = if (rel.isEmpty) target else new Path(target, rel)
+        f.mkdirs(destDir)
+        renameOrFail(f, q, new Path(destDir, q.getName))
+        out += ((rel, q.getName))
+      } // _SUCCESS and committer droppings stay in the stage and die with it
+    }
+    move(stage)
+    out.result()
+  }
+
+  /** Full recursive (rel, name) listing of a table's data directory —
+    * O(table files), used ONLY by [[repairTable]] and the whole-table
+    * replace path (where the listing IS the delta), never by ordinary
+    * commits. */
+  private def listDataFiles(name: String): Seq[(String, String)] = {
     val dd = new Path(dataDir(name))
+    val f = fs(dd)
     val ddUri = f.makeQualified(dd).toUri
     def files(p: Path): Seq[(String, String)] =
       if (!f.exists(p)) Nil
@@ -554,13 +657,78 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             .getPath.stripSuffix("/"), s.getPath.getName))
         else Nil
       }
-    val list = files(dd).sortBy(identity)
+    files(dd)
+  }
+
+  /** Commit the next snapshot for `name` from the write's own delta.
+    * Called at the end of every data mutation, inside its write lock.
+    * O(delta) on the hot path: the previous live set comes from the
+    * in-memory cache (or one manifest-chain read on a cold start), and
+    * the manifest written is a delta unless a checkpoint is due. */
+  private def commitVersion(name: String, added: Seq[(String, String)],
+      removed: Seq[(String, String)]): Unit =
+      graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
+    val vd = versionsDir(name)
+    val f = fs(vd)
+    f.mkdirs(vd)
+    val key = s"$warehouse/$name"
+    val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+    val (prevList, prevDepth) = last match {
+      case None => (Vector.empty[(String, String)], 0)
+      case Some(v) =>
+        val cached = liveSetCache.get(key)
+        if (cached != null && cached._1 == v) (cached._2, cached._3)
+        else { val r = resolveManifest(name, v); (r._2, r._3) }
+    }
+    val next = last.getOrElse(-1L) + 1L
+    val removedSet = removed.toSet
+    val addedV = added.toVector.sorted
+    val newList = ((prevList.filterNot(removedSet) ++ addedV).distinct: Vector[(String, String)]).sorted
     val meta = readMeta(name)
-    val next = versions(name).lastOption.getOrElse(-1L) + 1L
-    val body = GraftLake.renderManifest(next, meta, list)
+    val asFull = last.isEmpty || prevDepth + 1 >= checkpointInterval ||
+      added.size + removed.size >= newList.size
+    val body =
+      if (asFull) GraftLake.renderManifest(next, meta, newList)
+      else GraftLake.renderDelta(next, meta, next - 1, prevDepth + 1,
+        addedV, removed.sorted)
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    lastVersionCache.put(key, java.lang.Long.valueOf(next))
+    liveSetCache.put(key, (next, newList, if (asFull) 0 else prevDepth + 1))
+  }
+
+  /** Read one manifest file verbatim. */
+  private def readManifestFile(name: String, version: Long): GraftLake.Manifest = {
+    val p = new Path(versionsDir(name), s"v$version.json")
+    val f = fs(p)
+    require(f.exists(p), s"table '$name' has no snapshot $version " +
+      s"(have: ${versions(name).mkString(", ")})")
+    val in = f.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    GraftLake.parseManifest(raw)
+  }
+
+  /** Resolve a snapshot to (schema at commit, sorted live file list,
+    * delta-chain depth): walk delta manifests back to the nearest full
+    * checkpoint (bounded by [[GraftLake.checkpointInterval]]), then apply
+    * the add/remove deltas forward. */
+  private def resolveManifest(name: String,
+      version: Long): (StructType, Vector[(String, String)], Int) = {
+    val top = readManifestFile(name, version)
+    var deltas = List.empty[GraftLake.Manifest]
+    var m = top
+    while (m.files.isEmpty) {
+      deltas = m :: deltas // ends up oldest-first
+      m = readManifestFile(name, m.base)
+    }
+    var set = m.files.get.toVector
+    deltas.foreach { d =>
+      val rm = d.remove.toSet
+      set = set.filterNot(rm.contains) ++ d.add
+    }
+    (top.schema, set.sorted, deltas.size)
   }
 
   /** Committed snapshot ids of a table, oldest first. */
@@ -574,32 +742,37 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       }.sorted
   }
 
-  /** (schema at commit, resolved absolute file paths) of a snapshot —
-    * still-live files resolve into `data/`, replaced ones into
-    * `_history/`. Shared by [[readVersion]] and the DSv2 catalog's
-    * `VERSION AS OF` table. */
-  private[catalog] def snapshotFiles(name: String,
-      version: Long): (StructType, Seq[String]) = {
-    val p = new Path(versionsDir(name), s"v$version.json")
-    val f = fs(p)
-    require(f.exists(p), s"table '$name' has no snapshot $version " +
-      s"(have: ${versions(name).mkString(", ")})")
-    val in = f.open(p)
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val (schema, files) = GraftLake.parseManifest(raw)
+  /** (schema at commit, (rel,name) identity → resolved absolute path) of
+    * a snapshot — still-live files resolve into `data/<rel>/`, replaced
+    * ones into `_history/<rel>/`. */
+  private def snapshotResolved(name: String,
+      version: Long): (StructType, Seq[((String, String), Path)]) = {
+    val (schema, files, _) = resolveManifest(name, version)
     val hd = historyDir(name)
-    val paths = files.map { case (rel, fn) =>
+    val f = fs(hd)
+    val resolved = files.map { case ref @ (rel, fn) =>
       val live = if (rel.isEmpty) new Path(dataDir(name), fn)
         else new Path(s"${dataDir(name)}/$rel", fn)
-      if (f.exists(live)) live
+      if (f.exists(live)) (ref, live)
       else {
-        val retired = new Path(hd, fn)
+        val retired = if (rel.isEmpty) new Path(hd, fn)
+          else new Path(new Path(hd, rel), fn)
         require(f.exists(retired), s"snapshot $version of '$name' references " +
-          s"'$fn', which was vacuumed by expireSnapshots")
-        retired
+          s"'${if (rel.isEmpty) fn else s"$rel/$fn"}', which was vacuumed by " +
+          "expireSnapshots")
+        (ref, retired)
       }
     }
-    (schema, paths.map(_.toString))
+    (schema, resolved)
+  }
+
+  /** (schema at commit, resolved absolute file paths) of a snapshot.
+    * Shared by [[readVersion]] and the DSv2 catalog's `VERSION AS OF`
+    * table. */
+  private[catalog] def snapshotFiles(name: String,
+      version: Long): (StructType, Seq[String]) = {
+    val (schema, resolved) = snapshotResolved(name, version)
+    (schema, resolved.map(_._2.toString))
   }
 
   /** Read the table AS OF snapshot `version`: the manifest's file set
@@ -636,10 +809,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"need fromVersion <= toVersion, got $fromVersion > $toVersion")
-    val (schema, toFiles) = snapshotFiles(name, toVersion)
-    val fromNames = snapshotFiles(name, fromVersion)._2
-      .map(p => new Path(p).getName).toSet
-    val fresh = toFiles.filterNot(p => fromNames.contains(new Path(p).getName))
+    val (schema, toResolved) = snapshotResolved(name, toVersion)
+    // diff by (rel, name) identity — the NAME alone repeats across
+    // partition dirs within one job, so it would conflate distinct files
+    val fromRefs = resolveManifest(name, fromVersion)._2.toSet
+    val fresh = toResolved.collect {
+      case (ref, p) if !fromRefs.contains(ref) => p.toString
+    }
     if (fresh.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -654,41 +830,86 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * manifest makes the newest snapshot match `read` again. Returns the
     * adopted snapshot id. */
   def repairTable(name: String): Long = writeLock(name) {
-    commitVersion(name)
-    versions(name).last
+    val key = s"$warehouse/$name"
+    val list = listDataFiles(name).toVector.sorted
+    val next = versions(name).lastOption.getOrElse(-1L) + 1L
+    val vd = versionsDir(name)
+    val f = fs(vd)
+    f.mkdirs(vd)
+    val body = GraftLake.renderManifest(next, readMeta(name), list)
+    val p = new Path(vd, s"v$next.json")
+    val out = f.create(p, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    lastVersionCache.put(key, java.lang.Long.valueOf(next))
+    liveSetCache.put(key, (next, list, 0))
+    next
   }
 
   /** Drop all but the last `keepLast` snapshots and physically delete
     * retired files no surviving manifest references (the storage-bounding
-    * half of the snapshot contract). */
+    * half of the snapshot contract). The oldest KEPT manifest is first
+    * rewritten as a full checkpoint if it is a delta — its resolution
+    * chain may run through manifests about to be dropped.
+    *
+    * Contract with concurrent readers: expiry is fail-fast, not
+    * fenced — a reader still holding an expired version (an open
+    * [[readVersion]] DataFrame or an in-flight stream) fails at its next
+    * resolution/scan with the explicit "vacuumed by expireSnapshots"
+    * message (or a file-not-found mid-scan if the scan already resolved
+    * paths). Pick `keepLast` to cover your longest reader, as with every
+    * lakehouse vacuum. */
   def expireSnapshots(name: String, keepLast: Int = 1): Unit = writeLock(name) {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
     val vs = versions(name)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     if (drop.isEmpty) return
     val f = fs(versionsDir(name))
-    val referenced: Set[String] = keep.flatMap { v =>
-      val p = new Path(versionsDir(name), s"v$v.json")
-      val in = f.open(p)
-      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      GraftLake.parseManifest(raw)._2.map(_._2)
+    // re-anchor: the oldest kept snapshot becomes self-contained BEFORE
+    // its chain predecessors are deleted
+    val oldest = keep.head
+    val oldestManifest = readManifestFile(name, oldest)
+    if (oldestManifest.files.isEmpty) {
+      val (_, files, _) = resolveManifest(name, oldest)
+      val p = new Path(versionsDir(name), s"v$oldest.json")
+      val tmp = new Path(versionsDir(name), s".v$oldest-${UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(GraftLake.renderManifestWithSchema(oldest,
+        oldestManifest.schema, files).getBytes("UTF-8")) finally out.close()
+      f.delete(p, false)
+      renameOrFail(f, tmp, p)
+    }
+    val referenced: Set[(String, String)] = keep.flatMap { v =>
+      resolveManifest(name, v)._2
     }.toSet
     drop.foreach(v => f.delete(new Path(versionsDir(name), s"v$v.json"), false))
     val hd = historyDir(name)
-    if (f.exists(hd))
-      f.listStatus(hd).foreach { s =>
-        if (!referenced.contains(s.getPath.getName)) f.delete(s.getPath, false)
+    val hdUri = f.makeQualified(hd).toUri
+    def vacuum(p: Path): Unit =
+      f.listStatus(p).foreach { s =>
+        if (s.isDirectory) {
+          vacuum(s.getPath)
+          if (f.listStatus(s.getPath).isEmpty) f.delete(s.getPath, false)
+        } else {
+          val rel = hdUri.relativize(f.makeQualified(s.getPath.getParent).toUri)
+            .getPath.stripSuffix("/")
+          if (!referenced.contains((rel, s.getPath.getName)))
+            f.delete(s.getPath, false)
+        }
       }
+    if (f.exists(hd)) vacuum(hd)
   }
 
   /** Move staged output into the data dir: partitioned tables swap the
     * partition directories present in the stage AND delete `affectedDirs`
     * that produced no stage output (a rewrite can empty a partition);
     * unpartitioned tables swap the whole file set. Best-effort atomicity
-    * (directory renames), mirroring a commit-protocol boundary. */
+    * (directory renames), mirroring a commit-protocol boundary. Returns
+    * the commit delta: ((rel, name) files added, files retired). */
   private def swapInto(name: String, stage: Path, target: Path, partDepth: Int,
-      affectedDirs: Seq[Path] = Nil): Unit = {
+      affectedDirs: Seq[Path] = Nil): (Seq[(String, String)], Seq[(String, String)]) = {
     val f = fs(target)
+    val added = Seq.newBuilder[(String, String)]
+    val removed = Seq.newBuilder[(String, String)]
     def leaves(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
       else f.listStatus(p).toSeq
@@ -699,25 +920,35 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         // replace all data files (replaced ones retire into _history)
         if (f.exists(target))
           f.listStatus(target).foreach { s =>
-            if (!s.getPath.getName.startsWith(".")) retire(name, s.getPath)
+            if (!s.getPath.getName.startsWith("."))
+              removed ++= retire(name, target, s.getPath)
           }
         else f.mkdirs(target)
         f.listStatus(stage)
           .filter(s => s.getPath.getName.endsWith(".parquet"))
-          .foreach(s => f.rename(s.getPath, new Path(target, s.getPath.getName)))
+          .foreach { s =>
+            renameOrFail(f, s.getPath, new Path(target, s.getPath.getName))
+            added += (("", s.getPath.getName))
+          }
       } else {
         // emptied partitions first: their old contents must go even though
         // the stage has nothing to put in their place
-        affectedDirs.foreach(d => retire(name, d))
+        affectedDirs.foreach(d => removed ++= retire(name, target, d))
         val stageUri = f.makeQualified(stage).toUri
         leaves(stage, partDepth).foreach { leaf =>
-          val rel = stageUri.relativize(f.makeQualified(leaf).toUri).getPath
+          val rel = stageUri.relativize(f.makeQualified(leaf).toUri)
+            .getPath.stripSuffix("/")
           val dest = new Path(target, rel)
-          retire(name, dest)
+          removed ++= retire(name, target, dest)
+          f.listStatus(leaf).foreach { s =>
+            if (s.getPath.getName.endsWith(".parquet"))
+              added += ((rel, s.getPath.getName))
+          }
           f.mkdirs(dest.getParent)
-          f.rename(leaf, dest)
+          renameOrFail(f, leaf, dest)
         }
       }
+      (added.result(), removed.result())
     } finally f.delete(stage, true)
   }
 
@@ -739,6 +970,30 @@ object GraftLake {
   private val verifiedTables = new ConcurrentHashMap[String, java.lang.Boolean]()
   private val metaCache = new ConcurrentHashMap[String, TableMeta]()
   private val tableLocks = new ConcurrentHashMap[String, Object]()
+
+  /** Snapshot-side caches: last committed version and its resolved live
+    * file set + delta-chain depth, so the hot commit path reads nothing.
+    * Only ever written under the table's write lock. */
+  private val lastVersionCache = new ConcurrentHashMap[String, java.lang.Long]()
+  private val liveSetCache =
+    new ConcurrentHashMap[String, (Long, Vector[(String, String)], Int)]()
+
+  /** A full manifest checkpoint lands every this-many commits; between
+    * checkpoints manifests are O(delta) `{base, add, remove}` records, so
+    * snapshot resolution reads at most this many manifest files. */
+  val checkpointInterval = 20
+
+  /** One parsed `_versions/v{N}.json`: full manifests carry `files`,
+    * delta manifests carry `base` (always N−1) + `add`/`remove` and a
+    * `depth` hint (distance to the nearest full checkpoint). */
+  private[catalog] final case class Manifest(
+      version: Long,
+      schema: StructType,
+      files: Option[Vector[(String, String)]],
+      base: Long,
+      depth: Int,
+      add: Vector[(String, String)],
+      remove: Vector[(String, String)])
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -781,6 +1036,7 @@ object GraftLake {
   /** Clear caches (tests / external table mutation). */
   def invalidateCaches(): Unit = {
     verifiedTables.clear(); metaCache.clear()
+    lastVersionCache.clear(); liveSetCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --
@@ -798,24 +1054,46 @@ object GraftLake {
       case c => c.toString
     } + "\""
 
-  /** Snapshot manifest: version + schema at commit + live file list. */
-  private[catalog] def renderManifest(version: Long, meta: TableMeta,
-      files: Seq[(String, String)]): String = {
-    val fileArr = files.map { case (rel, fn) =>
+  private def fileArr(files: Seq[(String, String)]): String =
+    files.map { case (rel, fn) =>
       "{\"rel\":" + q(rel) + ",\"name\":" + q(fn) + "}"
     }.mkString("[", ",", "]")
-    s"""{"version":$version,"schema":${meta.schema.json},"files":$fileArr}"""
-  }
 
-  private[catalog] def parseManifest(raw: String): (StructType, Seq[(String, String)]) = {
+  /** Full snapshot manifest: version + schema at commit + live file list. */
+  private[catalog] def renderManifest(version: Long, meta: TableMeta,
+      files: Seq[(String, String)]): String =
+    renderManifestWithSchema(version, meta.schema, files)
+
+  private[catalog] def renderManifestWithSchema(version: Long,
+      schema: StructType, files: Seq[(String, String)]): String =
+    s"""{"version":$version,"schema":${schema.json},"files":${fileArr(files)}}"""
+
+  /** Delta snapshot manifest: O(commit delta), applied on top of `base`
+    * (always version−1) at resolution time. */
+  private[catalog] def renderDelta(version: Long, meta: TableMeta,
+      base: Long, depth: Int, add: Seq[(String, String)],
+      remove: Seq[(String, String)]): String =
+    s"""{"version":$version,"schema":${meta.schema.json},"base":$base,""" +
+      s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}}"""
+
+  private[catalog] def parseManifest(raw: String): Manifest = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(raw)
     val schema = DataType.fromJson(node.get("schema").toString).asInstanceOf[StructType]
-    val fn = node.get("files")
-    val files = (0 until fn.size()).map { i =>
-      (fn.get(i).get("rel").asText(), fn.get(i).get("name").asText())
+    def refs(field: String): Vector[(String, String)] = {
+      val fn = node.get(field)
+      if (fn == null) Vector.empty
+      else (0 until fn.size()).map { i =>
+        (fn.get(i).get("rel").asText(), fn.get(i).get("name").asText())
+      }.toVector
     }
-    (schema, files)
+    val version = node.get("version").asLong()
+    if (node.has("files"))
+      Manifest(version, schema, Some(refs("files")), -1L, 0, Vector.empty, Vector.empty)
+    else
+      Manifest(version, schema, None, node.get("base").asLong(),
+        if (node.has("depth")) node.get("depth").asInt() else 1,
+        refs("add"), refs("remove"))
   }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {

@@ -39,6 +39,23 @@ case class TopKDistinct(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // numeric-only domain, enforced at ANALYSIS time: values order and merge
+  // as doubles, so strings/dates/arrays would need a different buffer —
+  // checking here turns a would-be runtime MatchError into a clear
+  // AnalysisException naming the function and the offending type.
+  // (NumericType/AbstractDataType are private[sql] in Spark 4, so match
+  // the public concrete numeric types instead of using ExpectsInputTypes.)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk_distinct requires a numeric column, got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): java.util.TreeSet[Double] =
     new java.util.TreeSet[Double]()
 
@@ -111,9 +128,21 @@ object TopKAggregate {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk_distinct",
-      exprs => TopKDistinct(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())
-        .toAggregateExpression(),
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_topk_distinct(x, k) takes 2 arguments, got ${exprs.length}")
+        val kExpr = exprs(1)
+        require(kExpr.foldable,
+          s"graft_topk_distinct's k must be a literal, got ${kExpr.sql}")
+        val k = kExpr.eval(null) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_distinct's k must be a positive integer, got " +
+              s"${if (other == null) "NULL" else other.toString})")
+        }
+        require(k > 0, s"graft_topk_distinct's k must be positive, got $k")
+        TopKDistinct(exprs.head, k).toAggregateExpression()
+      },
       "built-in")
 
   /** Top-k distinct values as a Column; registers on first use. */

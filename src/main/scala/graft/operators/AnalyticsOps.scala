@@ -96,18 +96,23 @@ object AnalyticsOps {
     *
     * Scale shape: three filtered groupBys over the events scan (each one
     * shuffle on user_id — partial-agg'd `min`), and the step tables
-    * (≤ one row per user) BROADCAST into the next step's filter, so raw
-    * events never join raw events. */
+    * (≤ one row per user) joined into the next step's filter on the SAME
+    * user_id key, so raw events never join raw events and the step-table
+    * shuffles reuse the groupBy partitioning. No broadcast hint on
+    * purpose: the step tables are bounded per-user but UNBOUNDED in user
+    * count, so a forced broadcast would OOM the driver at 100 TB — AQE
+    * promotes the join to broadcast at runtime when the step table
+    * actually fits. */
   def eventFunnel(events: DataFrame): DataFrame = {
     val v = events.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
     val c = events.filter(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
+      .join(v, Seq("user_id"))
       .filter(col("ts") > col("t0") &&
         col("ts") <= col("t0") + expr("interval 24 hours"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val p = events.filter(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .filter(col("ts") > col("t1") &&
         col("ts") <= col("t1") + expr("interval 24 hours"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
@@ -467,15 +472,17 @@ object AnalyticsOps {
     *
     * Scale shape: one shuffle builds the (user → cohort) table, the
     * distinct (user, week) activity set reuses the user_id partitioning,
-    * and cohorts broadcast back for the offset join; the output is
-    * weeks² rows regardless of event volume. */
+    * and the offset join runs on that same key; the output is weeks²
+    * rows regardless of event volume. The cohort table is one row per
+    * user — unbounded in users — so it is NOT broadcast-hinted; AQE
+    * promotes to broadcast when it actually fits. */
   def cohortRetention(events: DataFrame): DataFrame = {
     val cohorts = events.groupBy(col("user_id"))
       .agg(min(date_trunc("week", col("ts"))).as("cohort"))
     val active = events
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .distinct()
-    active.join(broadcast(cohorts), Seq("user_id"))
+    active.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort"),
         (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
@@ -507,7 +514,9 @@ object AnalyticsOps {
     * assumed clean.
     *
     * Scale shape: two key-shuffled anti-joins (both sides pruned to id
-    * columns) plus a map-side norm scan; nothing quadratic. */
+    * columns) plus a map-side norm scan; nothing quadratic. The
+    * corpus-wide orphan count folds in as a 1-row aggregate cross join —
+    * ONE composable plan / ONE job, no driver-side `.count()` splice. */
   val q97IntegrityAudit = QueryDef(
     "q97_integrity_audit",
     """WITH nv AS (SELECT vec_id,
@@ -530,19 +539,22 @@ object AnalyticsOps {
     val nv = Tables.embeddings(s, dir).select(col("vec_id"),
       graft.functions.VectorFunctions.l2Norm(col("embedding")).as("nrm"))
     val docs = Tables.documents(s, dir)
-    val orphans = nv.join(docs.select(col("doc_id")),
+    val orphanAgg = nv.join(docs.select(col("doc_id")),
         nv("vec_id") === col("doc_id"), "left_anti")
-      .count()
+      .agg(count(lit(1)).as("orphan_embeddings"))
     docs.join(nv, docs("doc_id") === nv("vec_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("docs_without_embedding"),
-        lit(orphans).as("orphan_embeddings"),
         sum(when(col("nrm").isNotNull && col("nrm") < 1e-9, 1L).otherwise(0L))
           .as("zero_norm_vectors"),
         sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
           .otherwise(0L)).as("empty_texts"),
         round(avg(col("nrm")), 4).as("avg_norm"))
+      .crossJoin(orphanAgg)
+      .select(col("source"), col("n_docs"), col("docs_without_embedding"),
+        col("orphan_embeddings"), col("zero_norm_vectors"),
+        col("empty_texts"), col("avg_norm"))
       .orderBy(col("source"))
   }
 

@@ -257,6 +257,51 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(lake2.dataFiles("cp").forall(_.contains("__p_year_ts=")))
   }
 
+  test("compact predicate cutting through a partition never drops rows") {
+    val lake = newLake()
+    for (i <- 1 to 3)
+      lake.write("scp", Seq((i, "x", i * 10), (100 + i, "y", i * 20))
+        .toDF("id", "seg", "n"), partitions = Seq("seg"))
+    val contentBefore = rows(lake.read("scp"), "id", "seg", "n")
+    // id <= 1 matches ONE row inside seg=x: the whole x partition must be
+    // rewritten (and y untouched), not just the matching row kept
+    lake.compact("scp", predicate = Some(col("id") <= 1))
+    assert(rows(lake.read("scp"), "id", "seg", "n") === contentBefore,
+      "a sub-partition predicate must scope the rewrite, not filter the data")
+    // unpartitioned: same contract — the whole file set is the swap unit
+    val lake2 = newLake()
+    for (i <- 1 to 3) lake2.append("u", Seq((i, s"v$i")).toDF("id", "v"))
+    val ub = rows(lake2.read("u"), "id", "v")
+    lake2.compact("u", predicate = Some(col("id") === 2))
+    assert(rows(lake2.read("u"), "id", "v") === ub)
+    // empty match: clean no-op, no extra snapshot
+    val vsBefore = lake2.versions("u")
+    lake2.compact("u", predicate = Some(col("id") === 999))
+    assert(lake2.versions("u") === vsBefore, "empty-scope compact must be a no-op")
+  }
+
+  test("compact clusterBy: non-numeric rejected pre-write; null bounds fall back") {
+    val lake = newLake()
+    lake.write("zg", Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "v", "x"))
+    val contentBefore = rows(lake.read("zg"), "id", "v", "x")
+    val err = intercept[IllegalArgumentException] {
+      lake.compact("zg", clusterBy = Seq("v"))
+    }
+    assert(err.getMessage.contains("numeric"), err.getMessage)
+    assert(rows(lake.read("zg"), "id", "v", "x") === contentBefore,
+      "rejected compaction must not have touched the table")
+    val missing = intercept[IllegalArgumentException] {
+      lake.compact("zg", clusterBy = Seq("nope"))
+    }
+    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
+    // all-null cluster column: falls back to plain rebalance, no NPE
+    val lake2 = newLake()
+    lake2.write("zn", Seq((1, None: Option[Double]), (2, None))
+      .toDF("id", "x"))
+    lake2.compact("zn", clusterBy = Seq("x"))
+    assert(rows(lake2.read("zn"), "id").map(_.head) === Set(1, 2))
+  }
+
   test("salted join equals plain join (inner and left)") {
     val large = (1 to 500).map(i => (i % 5, s"row$i")).toDF("k", "payload")
     val small = Seq((0, "zero"), (1, "one"), (2, "two"), (7, "seven")).toDF("k", "name")

@@ -266,6 +266,133 @@ class SnapshotSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("colliding part-file names across partition dirs: time travel stays exact") {
+    val lake = newLake()
+    // ONE task writing BOTH partitions: the dynamic-partition writer
+    // resets its file counter per partition, so seg=x and seg=y get
+    // identically named part files from the same job — the case a flat
+    // _history/ keyed by name alone would silently corrupt
+    lake.write("coll",
+      Seq((1, "x", 10), (2, "y", 20)).toDF("id", "seg", "n").coalesce(1),
+      partitions = Seq("seg"), pks = Seq("id"))
+    // rewrite BOTH partitions in one upsert (again one task) — both
+    // same-named originals must retire without clobbering each other
+    lake.write("coll",
+      Seq((1, "x", 11), (2, "y", 21)).toDF("id", "seg", "n").coalesce(1),
+      partitions = Seq("seg"), pks = Seq("id"))
+    val vs = lake.versions("coll")
+    assert(rows(lake.readVersion("coll", vs(0)), "id", "seg", "n") ===
+      Set(Seq(1, "x", 10), Seq(2, "y", 20)),
+      "v0 must read its own files, not a history survivor of a name collision")
+    assert(rows(lake.readVersion("coll", vs(1)), "id", "seg", "n") ===
+      Set(Seq(1, "x", 11), Seq(2, "y", 21)))
+    // both retired files must coexist in history under their partition rel
+    val wh = lake.read("coll").inputFiles.head.replaceAll("/data/.*$", "")
+    val hist = java.nio.file.Paths.get(new java.net.URI(s"$wh/_history"))
+    val count = java.nio.file.Files.walk(hist)
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(count >= 2, s"both same-named retired files must survive, saw $count")
+  }
+
+  test("manifests are O(delta) between checkpoints; resolution equals the directory") {
+    val lake = newLake()
+    lake.write("inc", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.append("inc", Seq((3, "c")).toDF("id", "v"))
+    lake.append("inc", Seq((4, "d")).toDF("id", "v"))
+    lake.write("inc", Seq((2, "B")).toDF("id", "v"), pks = Seq("id"))
+    val vs = lake.versions("inc")
+    val wh = lake.read("inc").inputFiles.head.replaceAll("/data/.*$", "")
+    def manifest(v: Long): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(s"$wh/_versions/v$v.json")))
+    assert(manifest(vs.head).contains("\"files\""), "v0 is a full checkpoint")
+    // appends between checkpoints commit deltas whose size is the delta,
+    // not the table: one added file, nothing removed, no full list
+    val delta = manifest(vs(1))
+    assert(!delta.contains("\"files\""), s"append commit must be a delta: $delta")
+    assert(delta.contains("\"add\"") && delta.contains("\"base\":0"), delta)
+    // incremental resolution == the actual data directory, every version
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val (_, latestFiles) = lake.snapshotFiles("inc", vs.last)
+    assert(latestFiles.map(norm).toSet === lake.read("inc").inputFiles.map(norm).toSet,
+      "latest snapshot resolution must equal the live directory")
+    assert(rows(lake.readVersion("inc", vs.last), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "B"), Seq(3, "c"), Seq(4, "d")))
+  }
+
+  test("a full checkpoint lands every checkpointInterval commits") {
+    val lake = newLake()
+    lake.write("ckpt", Seq((0, "seed")).toDF("id", "v"))
+    for (i <- 1 to GraftLake.checkpointInterval + 1)
+      lake.append("ckpt", Seq((i, s"r$i")).toDF("id", "v"))
+    val wh = lake.read("ckpt").inputFiles.head.replaceAll("/data/.*$", "")
+    def manifest(v: Long): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(s"$wh/_versions/v$v.json")))
+    val k = GraftLake.checkpointInterval
+    assert(manifest(k).contains("\"files\""),
+      s"v$k must be a full checkpoint (delta chain bounded)")
+    assert(!manifest(k - 1).contains("\"files\""), s"v${k - 1} stays a delta")
+    assert(!manifest(k + 1).contains("\"files\""), s"v${k + 1} restarts the chain")
+    // chain resolution across the checkpoint boundary is exact
+    assert(lake.readVersion("ckpt", k + 1).count() === (k + 2).toLong)
+    assert(lake.readVersion("ckpt", 3).count() === 4L)
+  }
+
+  test("cold-start commit (empty caches) resolves the previous manifest chain") {
+    val wh = Files.createTempDirectory("graft-snap-cold").toString
+    GraftLake.invalidateCaches()
+    val lake = new GraftLake(spark, wh)
+    lake.write("cold", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("cold", Seq((2, "b")).toDF("id", "v"), pks = Seq("id"))
+    // a different engine instance with cold caches continues the history
+    GraftLake.invalidateCaches()
+    val lake2 = new GraftLake(spark, wh)
+    lake2.write("cold", Seq((3, "c")).toDF("id", "v"), pks = Seq("id"))
+    val vs = lake2.versions("cold")
+    assert(vs.size === 3)
+    assert(rows(lake2.readVersion("cold", vs(0)), "id", "v") === Set(Seq(1, "a")))
+    assert(rows(lake2.readVersion("cold", vs(2)), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+  }
+
+  test("expireSnapshots re-anchors the oldest kept delta as a full checkpoint") {
+    val lake = newLake()
+    lake.write("anchor", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("anchor", Seq((1, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("anchor", Seq((1, "c")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("anchor", Seq((1, "d")).toDF("id", "v"), pks = Seq("id"))
+    val vs = lake.versions("anchor")
+    // keep the last two — the oldest kept (v2) is a delta whose chain ran
+    // through v0/v1, which are about to be deleted
+    lake.expireSnapshots("anchor", keepLast = 2)
+    assert(lake.versions("anchor") === vs.takeRight(2))
+    assert(rows(lake.readVersion("anchor", vs(2)), "id", "v") === Set(Seq(1, "c")),
+      "oldest kept snapshot must stay resolvable after its base chain is dropped")
+    assert(rows(lake.readVersion("anchor", vs(3)), "id", "v") === Set(Seq(1, "d")))
+  }
+
+  test("read-after-expire contract: held snapshots fail fast, live tail unaffected") {
+    val lake = newLake()
+    lake.write("race", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("race", Seq((1, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.write("race", Seq((1, "c")).toDF("id", "v"), pks = Seq("id"))
+    val vs = lake.versions("race")
+    // a reader holding v0 while its files are vacuumed: fail-fast with an
+    // explicit message at resolution; a plan that already resolved paths
+    // fails at scan — pick keepLast to cover your longest reader
+    val held = lake.readVersion("race", vs.head)
+    lake.expireSnapshots("race", keepLast = 1)
+    val err = intercept[Exception] { held.collect() }
+    assert(err.getMessage != null, "held expired snapshot must fail, not misread")
+    val err2 = intercept[IllegalArgumentException] {
+      lake.readVersion("race", vs.head)
+    }
+    assert(err2.getMessage.contains("no snapshot"))
+    // the CURRENT version and a live stream tail only ever touch data/,
+    // which vacuum never deletes — expiry cannot break them
+    assert(rows(lake.read("race"), "id", "v") === Set(Seq(1, "c")))
+    assert(rows(lake.readVersion("race", vs.last), "id", "v") === Set(Seq(1, "c")))
+  }
+
   test("delete/update SQL rewrites are versioned too") {
     val lake = newLake()
     lake.write("d", (1 to 10).map(i => (i, i * 2)).toDF("id", "n"), pks = Seq("id"))
