@@ -107,13 +107,29 @@ object RelationalOps3 {
         |FROM __q55_top3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
-  /** HLL sketch aggregate (approx_count_distinct): approximate by design →
-    * rows-only driver check; the relative-error bound is unit-tested. */
-  val q56ApproxDistinct = QueryDef.rowsOnly("q56_approx_distinct") { (s, dir) =>
+  /** HLL sketch aggregate (approx_count_distinct), emitted as its
+    * verification contract: the EXACT distinct counts (real,
+    * oracle-recomputable values) plus a `sketch_ok` witness that both
+    * sketches landed within 5× the configured 2 % relative error — wide
+    * enough to be deterministic on any corpus (HLL++ error concentrates
+    * near rsd), tight enough to catch a broken sketch outright. Turns the
+    * rows-only entry into a hash-gated one; the tighter per-rsd error
+    * band stays unit-tested (RelationalOps3Spec). */
+  val q56ApproxDistinct = QueryDef(
+    "q56_approx_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_orderkey) AS n_orders, CAST(1 AS BIGINT) AS sketch_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("__ao"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        when(abs(col("__ap") - col("n_parts")) <= col("n_parts") * 0.1 &&
+          abs(col("__ao") - col("n_orders")) <= col("n_orders") * 0.1, 1L)
+          .otherwise(0L).as("sketch_ok"))
       .orderBy(col("l_returnflag"))
   }
 

