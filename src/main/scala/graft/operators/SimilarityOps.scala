@@ -548,6 +548,112 @@ object SimilarityOps {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
 
+  // ---- persisted-index serving path ----
+
+  /** Build and persist the COMPLETE IVF-PQ index for a corpus as three
+    * lake tables: `{prefix}_coarse` (coarse centroids), `{prefix}_books`
+    * (PQ codebooks) and `{prefix}_codes` — one row per corpus vector with
+    * its coarse list id and all m PQ codes PACKED into a single BIGINT
+    * (8 bits per code ⇒ m ≤ 8, ksub ≤ 256): native lake column types, no
+    * JSON array round-trip on the serving scan.
+    *
+    * This is the offline half of the textbook ANN serving split: the
+    * corpus-sized work (two quantizer fits + ONE encode scan) happens
+    * once per corpus refresh; [[knnIvfPqIndexed]] then serves queries
+    * from the codes table — at 100 TB the per-query cost is a scan of
+    * ~nprobe/C of a 9-byte-per-vector table plus an id-join rerank,
+    * never a corpus re-encode. */
+  def buildPqIndex(lake: graft.catalog.GraftLake, prefix: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      iters: Int = 3): Unit = {
+    require(m <= 8 && ksub <= 256,
+      s"packed codes hold at most 8 subspaces of 256 centroids, got m=$m ksub=$ksub")
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
+    val coarse = fitCentroids(corpus, idCol, vecCol, nCentroids)
+    val books = fitPq(corpus, idCol, vecCol, m, ksub, dim, iters)
+    saveCentroids(lake, s"${prefix}_coarse", coarse)
+    savePqCodebooks(lake, s"${prefix}_books", books)
+    val normed = corpus
+      .select(col(idCol), col(vecCol), VectorFunctions.l2Norm(col(vecCol)).as("__nrm"))
+      .select(col(idCol), col(vecCol),
+        transform(col(vecCol), x => x.cast("double") / col("__nrm")).as("__vn"))
+    val packed = (0 until m).map(j =>
+      shiftleft(nearestSubCid(slice(col("__vn"), j * d + 1, d),
+        books(j).toSeq).cast("long"), 8 * j)).reduce(_ + _)
+    val codes = normed.select(col(idCol),
+      nearestCid(col(vecCol), coarse.toSeq).as("cid"), packed.as("code"))
+    if (lake.tableExists(s"${prefix}_codes")) lake.dropTable(s"${prefix}_codes")
+    lake.write(s"${prefix}_codes", codes, pks = Seq(idCol))
+  }
+
+  /** Serve top-k ANN queries from a [[buildPqIndex]]-persisted index.
+    * Same ADC + exact-rerank semantics as [[knnIvfPq]] — per-query
+    * distance tables computed BEFORE the candidate join, approximate
+    * score is m bit-extract lookups per candidate, the top `refine·k`
+    * rerank by true cosine via an id-join back to the corpus — but the
+    * candidate scan reads the 9-byte (cid, packed-code) index rows, not
+    * float vectors, and nothing re-encodes or re-fits.
+    *
+    * Scale shape: codes ⋈ broadcast(query ADC tables) on the coarse list
+    * id; the survivors (queries × refine·k ids) broadcast into the two
+    * vector rejoins; one window per stage on queries×candidates rows. */
+  def knnIvfPqIndexed(lake: graft.catalog.GraftLake, prefix: String,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 3, refine: Int = 5): DataFrame = {
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
+    val coarse = loadCentroids(lake, s"${prefix}_coarse")
+    val books = loadPqCodebooks(lake, s"${prefix}_books")
+    val m = books.length
+    val ksub = books(0).length
+    val d = books(0)(0).size
+    val codes = lake.read(s"${prefix}_codes")
+      .select(col(idCol).as("neighbor_id"), col("cid").as("__cid"), col("code"))
+
+    val centroidSims = coarse.toSeq.map(cc =>
+      VectorFunctions.cosineSim(col(vecCol), lit(cc.toArray)))
+    val sortedCids = array_sort(
+      array(centroidSims.zipWithIndex.map { case (s, i) =>
+        struct(s.as("sim"), lit(i).as("cid"))
+      }: _*),
+      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0))
+    val dtab = array((0 until m).map(j => array((0 until ksub).map(cc =>
+      VectorFunctions.dotProduct(
+        slice(col(vecCol), j * d + 1, d),
+        lit(books(j)(cc).toArray))): _*)): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), dtab.as("__dtab"),
+      explode(slice(transform(sortedCids, s => s.getField("cid")),
+        1, nprobe)).as("__cid"))
+
+    val approx = (0 until m).map(j =>
+      element_at(element_at(col("__dtab"), j + 1),
+        (shiftright(col("code"), 8 * j).bitwiseAND(lit(255L)) + 1).cast("int")))
+      .reduce(_ + _)
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val survivors = codes.join(broadcast(q), Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"),
+        approx.as("__approx"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("__ar", row_number().over(wApprox))
+      .filter(col("__ar") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"), col("__qv"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(survivors), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("__qv"), col("__nv")).as("cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-JVM quantizer memo for the driver-facing ANN queries, keyed by
     * corpus dir: the production contract is "fit once per corpus refresh,
     * persist ([[saveCentroids]]/[[savePqCodebooks]]), load at query time"
@@ -696,10 +802,13 @@ object SimilarityOps {
     * reported `cos` is the TRUE cosine (exact rerank), so the witness
     * column must come back all-k, and recall-vs-brute clears the floor
     * (measured per-query minimum 0.5–0.7 across SFs at nprobe=8,
-    * refine=10; floor 0.4 with deterministic margin). Quantizers come
-    * from the per-corpus memo — the production load-persisted path
-    * ([[saveCentroids]]/[[savePqCodebooks]]); ADC-vs-exact agreement and
-    * recall at tighter params stay pinned by LlmOpsSpec. */
+    * refine=10; floor 0.4 with deterministic margin). Served from the
+    * PERSISTED index ([[buildPqIndex]] → [[knnIvfPqIndexed]]): the first
+    * call per corpus pays the offline build (fits + one encode scan +
+    * codes-table write), every later call scans 9-byte packed-code rows
+    * — the production offline/online ANN split. Indexed-vs-in-memory
+    * parity, ADC-vs-exact agreement and recall at tighter params stay
+    * pinned by LlmOpsSpec. */
   val q80AnnIvfPq = QueryDef(
     "q80_ann_ivfpq",
     """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
@@ -708,15 +817,15 @@ object SimilarityOps {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    val coarse = memo(s"$dir#coarse16") {
-      fitCentroids(emb, "vec_id", "embedding", 16)
+    val lake = memo(s"$dir#pqindex") {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-ann-index").toString)
+      buildPqIndex(l, "emb", emb, "vec_id", "embedding",
+        nCentroids = 16, m = 8, ksub = 16, dim = 64)
+      l
     }
-    val books = memo(s"$dir#pq8x16") {
-      fitPq(emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64)
-    }
-    val ann = knnIvfPq(emb, queries, "vec_id", "embedding", 10,
-      nprobe = 8, refine = 10,
-      coarseCentroids = Some(coarse), codebooks = Some(books))
+    val ann = knnIvfPqIndexed(lake, "emb", emb, queries, "vec_id", "embedding",
+      10, nprobe = 8, refine = 10)
     annContract(emb, queries, ann, "vec_id", "embedding", 10, recallFloor = 0.4)
   }
 

@@ -402,6 +402,30 @@ class LlmOpsSpec extends AnyFunSuite {
       "fit-inline and load-persisted paths must agree on the same corpus")
   }
 
+  test("persisted-index serving (buildPqIndex/knnIvfPqIndexed) answers identically") {
+    VectorFunctions.register(spark)
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-srv").toString)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    SimilarityOps.buildPqIndex(lake, "emb", emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16, dim = 64)
+    // the index tables the serving path reads are exactly the persisted fits
+    val coarse = SimilarityOps.loadCentroids(lake, "emb_coarse")
+    val books = SimilarityOps.loadPqCodebooks(lake, "emb_books")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val served = rows(SimilarityOps.knnIvfPqIndexed(lake, "emb", emb, queries,
+      "vec_id", "embedding", 10, nprobe = 8, refine = 10))
+    val inMemory = rows(SimilarityOps.knnIvfPq(emb, queries, "vec_id", "embedding",
+      10, nprobe = 8, refine = 10,
+      coarseCentroids = Some(coarse), codebooks = Some(books)))
+    assert(served === inMemory,
+      "the packed-code serving path must answer identically to the in-memory path")
+    assert(served.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("IVF-PQ: recall vs brute, ADC prunes, reported cosines are exact") {
     VectorFunctions.register(spark)
     // same separated-clusters construction as the quantizer test: 8 cluster
