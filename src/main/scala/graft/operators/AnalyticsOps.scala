@@ -346,6 +346,57 @@ object AnalyticsOps {
           .otherwise(lit("unchanged")))
   }
 
+  /** Apply a [[snapshotDiff]] change set to a replica table — the
+    * replication primitive that completes the CDC loop: `snapshotDiff`
+    * extracts row-level changes from the source's snapshots, this folds
+    * them into a replica that was seeded from an earlier snapshot.
+    * Deletes rewrite only the affected partitions (unpartitioned replicas
+    * rewrite the file set, as all engine deletes do); inserts and updates
+    * land through the PK upsert path in one batch.
+    *
+    * Scale shape: the change set is the ONLY data moved — source and
+    * replica never join corpus-to-corpus, deletes anti-join the replica
+    * against just the deleted keys, and the upsert reuses the engine's
+    * affected-partition merge. Replica lag is bounded by change volume,
+    * not table size. */
+  def applyChanges(lake: graft.catalog.GraftLake, table: String,
+      changes: DataFrame, pks: Seq[String], compareCols: Seq[String]): Unit = {
+    val dels = changes.filter(col("change_type") === "delete")
+      .select(pks.map(col): _*)
+    if (!dels.isEmpty) {
+      val replica = lake.read(table)
+      val partCols = lake.readMeta(table).partitionExprs.map(_.outputName)
+      if (partCols.isEmpty)
+        lake.replaceScoped(table, replica.join(dels, pks, "left_anti"), Nil)
+      else {
+        // scope the rewrite to partitions that actually hold deleted keys
+        // (same shape as the SQL DELETE rewrite): survivors of those
+        // partitions replace them; the rest of the table is untouched.
+        // read() drops the derived __p_* columns, so recompute them the
+        // way every write path does
+        val replicaP = lake.withPartitionCols(replica,
+          lake.readMeta(table))
+        val hit = replicaP.join(dels, pks, "left_semi")
+        val parts = hit.select(partCols.map(c =>
+          col(graft.catalog.GraftLake.quoted(c))): _*).distinct().collect()
+        if (parts.nonEmpty) {
+          val scoped = replicaP.filter(
+            graft.catalog.GraftLake.partitionScope(partCols, parts))
+          val dirs = scoped.select(input_file_name().as("f")).distinct()
+            .collect()
+            .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+              .getParent.toString)
+            .toSeq.distinct
+          lake.replaceScoped(table, scoped.join(dels, pks, "left_anti"), dirs)
+        }
+      }
+    }
+    val ups = changes.filter(col("change_type").isin("insert", "update"))
+      .select(pks.map(col) ++
+        compareCols.map(c => col(s"__n_$c").as(c)): _*)
+    if (!ups.isEmpty) lake.write(table, ups, pks = pks)
+  }
+
   /** q86: CDC between the two q85-style snapshots, plus inserts and
     * deletes exercised through a general rewrite: keys `% 7 = 0` update,
     * keys `% 11 = 3` delete, and a shifted-key block inserts. The oracle
@@ -409,6 +460,61 @@ object AnalyticsOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** q98: the full CDC replication loop — seed a replica from the
+    * source's first snapshot, extract row-level changes between the two
+    * source snapshots ([[snapshotDiff]]: the q86 update/delete/insert
+    * mix), fold them in with [[applyChanges]], and prove the replica
+    * CONVERGED: the oracle recomputes the expected final state
+    * arithmetically from the raw table, and the emitted `n_out_of_sync`
+    * (symmetric set difference vs the live source, computed in-plan, no
+    * driver scalar) must be zero. */
+  val q98CdcReplicate = QueryDef(
+    "q98_cdc_replicate",
+    """WITH c AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer),
+      |next AS (SELECT c_custkey,
+      |           CASE WHEN c_custkey % 7 = 0 THEN round(bal + 50, 2)
+      |                ELSE bal END AS bal
+      |         FROM c WHERE c_custkey % 11 <> 3
+      |         UNION ALL
+      |         SELECT c_custkey + 1000000, round(bal + 1, 2) FROM c
+      |         WHERE c_custkey % 13 = 1)
+      |SELECT count(*) AS n_rows, round(sum(bal), 2) AS total_bal,
+      |  CAST(0 AS BIGINT) AS n_out_of_sync
+      |FROM next""".stripMargin) { (s, dir) =>
+    val srcLake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-cdc-src").toString)
+    val repLake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-cdc-rep").toString)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+    srcLake.write("src", cust, pks = Seq("c_custkey"))
+    val next = cust
+      .filter(col("c_custkey") % 11 =!= 3)
+      .withColumn("bal",
+        when(col("c_custkey") % 7 === 0, round(col("bal") + 50, 2))
+          .otherwise(col("bal")))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 1)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          round(col("bal") + 1, 2).as("bal")))
+    srcLake.overwriteContents("src",
+      next.withColumn("_inserted_at", current_timestamp()))
+    val vs = srcLake.versions("src")
+    repLake.write("rep",
+      srcLake.readVersion("src", vs.head).select(col("c_custkey"), col("bal")),
+      pks = Seq("c_custkey"))
+    val changes = snapshotDiff(srcLake, "src", vs.head, vs.last,
+      Seq("c_custkey"), Seq("bal"))
+    applyChanges(repLake, "rep", changes, Seq("c_custkey"), Seq("bal"))
+    val replica = repLake.read("rep").select(col("c_custkey"), col("bal"))
+    val source = srcLake.read("src").select(col("c_custkey"), col("bal"))
+    val outOfSync = replica.exceptAll(source)
+      .unionByName(source.exceptAll(replica))
+      .agg(count(lit(1)).as("n_out_of_sync"))
+    replica
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("bal")), 2).as("total_bal"))
+      .crossJoin(outOfSync)
   }
 
   /** q88: Z-order clustered compaction — rewrite a lineitem-backed lake
@@ -560,5 +666,6 @@ object AnalyticsOps {
 
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
-    q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit)
+    q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
+    q98CdcReplicate)
 }

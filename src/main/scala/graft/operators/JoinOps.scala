@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 
 /** Join utilities for skewed keys at scale.
@@ -32,5 +34,58 @@ object JoinOps {
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit(_)): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Register the bloom expressions through the function-registry bridge
+    * (the Spark 4 route to custom/internal Catalyst expressions as
+    * Columns — same pattern as
+    * [[graft.functions.VectorFunctions.register]]). Both sides hash the
+    * key through XxHash64 so build and probe agree. */
+  def registerBloom(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs(0))),
+        exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))),
+      "built-in")
+  }
+
+  /** Build a bloom filter over a key column as one partial-agg'd pass —
+    * the serialized sketch (MBs for hundreds of millions of keys at 1 %
+    * fpp) is the only thing that reaches the driver. */
+  def buildBloom(keys: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    registerBloom(keys.sparkSession)
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    keys.select(call_function("graft_bloom_agg", col(keyCol),
+      lit(expectedItems), lit(numBits)))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-pruned semi-join: keep `large` rows whose `largeKey` appears
+    * in `keys`' `keysKey` — for the regime where the key set is too big
+    * to broadcast as a hash relation but its bloom sketch is not.
+    *
+    * The sketch is built in one pass over the key side, shipped as a
+    * literal into a map-side `might_contain` filter on the large side —
+    * so the shuffle for the exact semi-join that follows carries only
+    * rows that CAN match (plus the fpp sliver) instead of the whole
+    * table. The trailing exact join removes false positives: the result
+    * EQUALS the plain semi-join row-for-row (oracle-gated by q99), the
+    * bloom only cuts exchange volume. This is the manual form of the
+    * runtime-filter pushdown Spark applies inside one query, made
+    * available ACROSS queries/tables (e.g. pruning a 100 TB corpus by a
+    * billion-key dedup list). */
+  def bloomSemiJoin(large: DataFrame, keys: DataFrame, largeKey: String,
+      keysKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val sketch = buildBloom(keys, keysKey, expectedItems, fpp)
+    val pruned = large.filter(
+      call_function("graft_bloom_contains", lit(sketch), col(largeKey)))
+    pruned.join(keys.select(col(keysKey).as(largeKey)).distinct(),
+      Seq(largeKey), "left_semi")
   }
 }

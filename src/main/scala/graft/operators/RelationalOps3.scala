@@ -150,7 +150,36 @@ object RelationalOps3 {
       .orderBy(col("n_name"))
   }
 
+  /** q99: bloom-pruned semi-join — restrict lineitem to urgent orders'
+    * keys. The key set is a real fraction of a fact-sized table (too big
+    * to broadcast as a hash relation at scale); the bloom sketch prunes
+    * the large side MAP-SIDE before the semi-join shuffle, and the exact
+    * join removes false positives, so the result equals the plain
+    * semi-join row-for-row — which is exactly what the oracle runs. */
+  val q99BloomPrune = QueryDef(
+    "q99_bloom_prune",
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  round(sum(l_extendedprice), 2) AS total_price
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // sketch sizing: one column-pruned count of the key side (a sketch
+    // sized from table stats would do at scale; the count is the honest
+    // local form)
+    val n = urgent.count()
+    JoinOps.bloomSemiJoin(Tables.lineitem(s, dir), urgent,
+      "l_orderkey", "o_orderkey", expectedItems = math.max(n, 1L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q51RecursiveChain, q52Unpivot, q53GroupingSets, q54ExceptAll,
-    q55Listagg, q56ApproxDistinct, q57SaltedJoin)
+    q55Listagg, q56ApproxDistinct, q57SaltedJoin, q99BloomPrune)
 }

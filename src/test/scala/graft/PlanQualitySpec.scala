@@ -149,6 +149,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // was spliced back in as a literal — the plan then contained no anti-join
   }
 
+  test("q99: bloom prune is a map-side filter before the semi-join shuffle") {
+    val p = plan("q99_bloom_prune")
+    assert(p.contains("might_contain"),
+      s"the bloom sketch must filter the large side in the scan stage:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"),
+      "the exact semi-join must remain (it removes bloom false positives)")
+  }
+
   test("q90: curation report broadcasts the benchmark probe, never all-pairs") {
     val p = plan("q90_curation_report")
     assert(p.contains("BroadcastHashJoin"),

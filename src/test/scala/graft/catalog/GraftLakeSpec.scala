@@ -314,6 +314,25 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom semi-join equals plain semi-join; the bloom never drops a match") {
+    val large = (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("k", "payload")
+    val keys = (1 to 2000).filter(_ % 7 == 0).map(i => (i.toLong, "x"))
+      .toDF("kk", "tag")
+    val plain = large.join(keys.select(col("kk").as("k")).distinct(),
+      Seq("k"), "left_semi").collect().map(_.toSeq).toSet
+    val bloomed = graft.operators.JoinOps.bloomSemiJoin(large, keys, "k", "kk",
+      expectedItems = 300).collect().map(_.toSeq).toSet
+    assert(bloomed === plain,
+      "bloom pruning must be invisible in the result (exact join removes FPs)")
+    // no false negatives by construction: every true key passes the sketch
+    val sketch = graft.operators.JoinOps.buildBloom(keys, "kk", 300)
+    val pruned = large.filter(org.apache.spark.sql.functions.call_function(
+      "graft_bloom_contains", lit(sketch), col("k")))
+    assert(pruned.join(keys.select(col("kk").as("k")), Seq("k"), "left_semi")
+      .count() === plain.size.toLong)
+    assert(pruned.count() >= plain.size.toLong)
+  }
+
   test("concurrent appends to one table and writes across tables are safe") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

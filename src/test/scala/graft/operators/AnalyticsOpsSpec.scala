@@ -84,4 +84,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(hist1.toSeq === Seq(("x", 0L), ("x2", 0L), ("x3", 1L)))
   }
+
+  test("applyChanges converges a PARTITIONED replica; untouched partitions keep their files") {
+    val srcLake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-src-spec").toString)
+    val repLake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-rep-spec").toString)
+    def df(rows: Seq[(Long, String, Double)]) = rows.toDF("k", "seg", "bal")
+    val v0 = df(Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40)))
+    srcLake.write("s", v0, partitions = Seq("seg"), pks = Seq("k"))
+    // v1: k=1 updates, k=3 deletes, k=5 inserts; partition c untouched
+    srcLake.overwriteContents("s",
+      df(Seq((1L, "a", 11), (2L, "a", 20), (4L, "c", 40), (5L, "b", 50)))
+        .withColumn("_inserted_at", current_timestamp()))
+    val vs = srcLake.versions("s")
+    repLake.write("r", srcLake.readVersion("s", vs.head)
+      .select(col("k"), col("seg"), col("bal")),
+      partitions = Seq("seg"), pks = Seq("k"))
+    def segCFiles() =
+      repLake.read("r").inputFiles.filter(_.contains("__p_seg=c")).toSet
+    val untouched = segCFiles()
+    assert(untouched.nonEmpty)
+    val changes = AnalyticsOps.snapshotDiff(srcLake, "s", vs.head, vs.last,
+      Seq("k"), Seq("seg", "bal"))
+    AnalyticsOps.applyChanges(repLake, "r", changes, Seq("k"), Seq("seg", "bal"))
+    val got = repLake.read("r").select("k", "seg", "bal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "a", 11.0), (2L, "a", 20.0), (4L, "c", 40.0),
+      (5L, "b", 50.0)), "replica must converge to the source's final state")
+    // the delete rewrite must have been scoped: partition c (no changes)
+    // keeps its physical files
+    assert(segCFiles() === untouched,
+      "untouched partitions must keep their files")
+  }
 }
