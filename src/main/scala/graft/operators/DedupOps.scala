@@ -58,18 +58,25 @@ object DedupOps {
       .filter(col("signature").isNotNull)
   }
 
+  /** (id, band, band_hash) LSH band keys of a signature frame — the
+    * probe/build unit shared by [[lshCandidatePairs]] and the persisted
+    * index ([[buildMinhashIndex]]). */
+  def bandKeys(sigs: DataFrame, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    sigs.select(col(idCol), posexplode(
+      array((0 until bands).map { b =>
+        hash((0 until rowsPerBand).map(r =>
+          col("signature").getItem(b * rowsPerBand + r)) :+ lit(b): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand), bucket
     * join per band, pairs deduped. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val banded = sigs.select(col(idCol), posexplode(
-      array((0 until bands).map { b =>
-        hash((0 until rowsPerBand).map(r =>
-          col("signature").getItem(b * rowsPerBand + r)) :+ lit(b): _*)
-      }: _*)).as(Seq("__band", "__bh")))
-    val l = banded.select(col(idCol).as("a"), col("__band"), col("__bh"))
-    val r = banded.select(col(idCol).as("b"), col("__band"), col("__bh"))
-    l.join(r, Seq("__band", "__bh"))
+    val banded = bandKeys(sigs, idCol, bands, rowsPerBand)
+    val l = banded.select(col(idCol).as("a"), col("band"), col("band_hash"))
+    val r = banded.select(col(idCol).as("b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
@@ -93,6 +100,103 @@ object DedupOps {
       .select(col("a"), col("b"),
         jaccard(col("__sa"), col("__sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- persisted LSH index + incremental admission ----
+
+  /** Persist an incrementally maintainable LSH dedup index: the corpus
+    * itself lands as `{prefix}_docs` (id, text) and its band keys as
+    * `{prefix}_bands` (id, band, band_hash) — native column types, both
+    * versioned with the lake's snapshots. The offline half of incremental
+    * dedup: the corpus is sketched ONCE; every future batch probes the
+    * band table and reads partner text by id, never re-scanning the
+    * corpus. */
+  def buildMinhashIndex(lake: graft.catalog.GraftLake, prefix: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val keys = bandKeys(
+      minHashSignatures(corpus, idCol, textCol, shingleK, bands * rowsPerBand),
+      idCol, bands, rowsPerBand)
+    Seq(s"${prefix}_docs", s"${prefix}_bands").foreach { t =>
+      if (lake.tableExists(t)) lake.dropTable(t)
+    }
+    lake.write(s"${prefix}_docs",
+      corpus.select(col(idCol), col(textCol)), pks = Seq(idCol))
+    lake.write(s"${prefix}_bands", keys, pks = Seq(idCol, "band"))
+  }
+
+  /** Admit a new batch against a [[buildMinhashIndex]]-persisted corpus:
+    * flag every batch doc that near-duplicates (exact shingle Jaccard ≥
+    * `threshold`) an indexed doc or a LOWER-id batch-mate, and (when
+    * `admit`) append the surviving docs AND their band keys so the index
+    * stays current for the next batch. Returns (id, is_dup).
+    *
+    * This is the 100 TB ingestion-dedup shape: cost scales with the
+    * BATCH, never the corpus — the batch's band keys probe the band table
+    * by hash join, indexed text is read only for the matched candidate
+    * ids (a broadcast semi-join of a batch-bounded id set prunes the
+    * scan), and admission is a normal lake append. The corpus is never
+    * re-sketched or shuffled. Same approximate-candidates/exact-verify
+    * contract as [[minHashNearDups]]: identical docs share every band by
+    * construction, so exact copies are ALWAYS caught. */
+  def incrementalNearDups(lake: graft.catalog.GraftLake, prefix: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, admit: Boolean = true): DataFrame = {
+    val bKeys = bandKeys(
+      minHashSignatures(batch, idCol, textCol, shingleK, bands * rowsPerBand),
+      idCol, bands, rowsPerBand).cache()
+    val index = lake.read(s"${prefix}_bands")
+    // corpus candidates: the index side stays partitioned on its own
+    // (band, band_hash); the batch side broadcasts into it
+    val vsCorpus = index
+      .join(broadcast(bKeys.withColumnRenamed(idCol, "__bid")),
+        Seq("band", "band_hash"))
+      .select(col("__bid"), col(idCol).as("__partner"))
+      .distinct()
+    // batch-internal candidates, keep-min-id (lower id wins admission)
+    val l = bKeys.select(col(idCol).as("__bid"), col("band"), col("band_hash"))
+    val r = bKeys.select(col(idCol).as("__partner"), col("band"), col("band_hash"))
+    val vsBatch = l.join(r, Seq("band", "band_hash"))
+      .filter(col("__partner") < col("__bid"))
+      .select(col("__bid"), col("__partner")).distinct()
+    // exact-Jaccard verify on candidate texts only: batch shingles are
+    // batch-bounded; indexed shingles are computed for just the candidate
+    // partner ids (broadcast semi-join keeps the scan pruned)
+    val bSh = shingled(batch, idCol, textCol, shingleK)
+      .select(col(idCol).as("__bid"), col("__shingles").as("__sb")).cache()
+    val partnerIds = vsCorpus.select(col("__partner")).distinct()
+    val indexedDocs = lake.read(s"${prefix}_docs")
+    val cSh = shingled(
+      indexedDocs.join(broadcast(partnerIds),
+        indexedDocs(idCol) === col("__partner"), "left_semi"),
+      idCol, textCol, shingleK)
+      .select(col(idCol).as("__partner"), col("__shingles").as("__sc"))
+    val dupVsCorpus = vsCorpus
+      .join(bSh, Seq("__bid"))
+      .join(cSh, Seq("__partner"))
+      .filter(jaccard(col("__sb"), col("__sc")) >= threshold)
+      .select(col("__bid")).distinct()
+    val dupVsBatch = vsBatch
+      .join(bSh, Seq("__bid"))
+      .join(bSh.select(col("__bid").as("__partner"), col("__sb").as("__sp")),
+        Seq("__partner"))
+      .filter(jaccard(col("__sb"), col("__sp")) >= threshold)
+      .select(col("__bid")).distinct()
+    val dups = dupVsCorpus.unionByName(dupVsBatch).distinct()
+      .withColumn("__dup", lit(1L))
+    val flagged = batch.select(col(idCol))
+      .join(dups.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
+    if (admit) {
+      val admittedIds = flagged.filter(col("is_dup") === 0L).select(col(idCol))
+      lake.append(s"${prefix}_docs",
+        batch.select(col(idCol), col(textCol))
+          .join(admittedIds, Seq(idCol), "left_semi"))
+      lake.append(s"${prefix}_bands",
+        bKeys.join(admittedIds, Seq(idCol), "left_semi"))
+    }
+    flagged
   }
 
   // ---- SimHash ----
@@ -212,6 +316,42 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q101: incremental dedup against a persisted LSH index, hash-gated by
+    * a deterministic admission contract. The batch mixes exact COPIES of
+    * indexed corpus docs (identical text ⇒ identical signature ⇒ every
+    * band collides ⇒ caught, guaranteed — every sampled doc has ≥ 10
+    * tokens so signatures exist) with UNIQUE docs whose every token embeds
+    * their own id (shingle sets disjoint from everything ⇒ no verified
+    * pair can reach the threshold). The oracle recomputes the expected
+    * per-class outcome from the raw table: all copies flagged, no uniques
+    * flagged. */
+  val q101IncrementalDedup = QueryDef(
+    "q101_incremental_dedup",
+    """WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 5)
+      |SELECT 'copy' AS class, count(*) AS n_docs, count(*) AS n_dups FROM s
+      |UNION ALL
+      |SELECT 'unique' AS class, count(*) AS n_docs,
+      |  CAST(0 AS BIGINT) AS n_dups FROM s
+      |ORDER BY class""".stripMargin) { (s, dir) =>
+    val corpus = Tables.documents(s, dir)
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-lsh-index").toString)
+    buildMinhashIndex(lake, "docs", corpus, "doc_id", "text")
+    val sample = corpus.filter(col("doc_id") % 31 === 5)
+    val copies = sample.select((col("doc_id") + 10000000L).as("doc_id"),
+      col("text"))
+    val uniques = sample.select((col("doc_id") + 20000000L).as("doc_id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        concat(lit(s"u${i}x"), col("doc_id") + 20000000L)): _*).as("text"))
+    val batch = copies.unionByName(uniques)
+    incrementalNearDups(lake, "docs", batch, "doc_id", "text",
+      threshold = 0.8)
+      .groupBy(when(col("doc_id") < 20000000L, "copy").otherwise("unique")
+        .as("class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .orderBy(col("class"))
+  }
+
   /** Brute-force word-bigram Jaccard on a bounded slice — the exact
     * verifier the LSH path approximates, DuckDB-checkable. */
   val q28NgramJaccard = QueryDef(
@@ -302,5 +442,6 @@ object DedupOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q27MinHashNearDup, q28NgramJaccard, q29SimHash, q46DedupClusters)
+    q27MinHashNearDup, q28NgramJaccard, q29SimHash, q46DedupClusters,
+    q101IncrementalDedup)
 }

@@ -317,8 +317,70 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** BM25 relevance of every document against a query term set — the
+    * classical retrieval scorer; in a curation pipeline it selects
+    * documents matching a topic profile (seed-query mining) without
+    * embeddings.
+    *
+    * Scale shape: doc lengths are a MAP-SIDE `size(tokens)` (no explode),
+    * the explode is immediately filtered to the query terms so the one
+    * corpus-width shuffle carries only query-term hits, and the per-term
+    * document frequencies (|terms| rows) plus the 1-row corpus stats
+    * broadcast back. Nothing joins corpus-to-corpus. */
+  def bm25(corpus: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = corpus.select(col(idCol),
+      size(tokens(col(textCol))).cast("double").as("__dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val hits = corpus.select(col(idCol),
+      explode(tokens(col(textCol))).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = hits.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    hits.join(broadcast(dfreq), Seq("__term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (idf * col("__tf") * lit(k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("bm25"))
+  }
+
+  /** q100: BM25 top-20 docs for a three-term query, oracle-gated — the
+    * whole scorer (tf, df, idf, length normalization) re-derived in SQL. */
+  val q100Bm25 = QueryDef(
+    "q100_bm25",
+    """WITH lens AS (SELECT doc_id,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+      |tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      |        FROM documents),
+      |hits AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+      |         WHERE term IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY 1),
+      |scored AS (SELECT h.doc_id,
+      |    sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * h.tf * 2.2
+      |        / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+      |  FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      |  CROSS JOIN stats s GROUP BY h.doc_id)
+      |SELECT doc_id, round(score, 4) AS bm25
+      |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    bm25(docs(s, dir), "doc_id", "text", Seq("spark", "join", "merge"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
     q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit,
-    q48GroupSample, q76BpeTokens)
+    q48GroupSample, q76BpeTokens, q100Bm25)
 }

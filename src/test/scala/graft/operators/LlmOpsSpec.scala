@@ -124,6 +124,34 @@ class LlmOpsSpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("incremental dedup vs a persisted LSH index: copies caught, uniques admitted, index maintained") {
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-lsh-spec").toString)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red green blue yellow purple orange")).toDF("doc_id", "text")
+    DedupOps.buildMinhashIndex(lake, "t", corpus, "doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // copy of corpus 1
+      (11L, "u0x11 u1x11 u2x11 u3x11 u4x11"),       // unique
+      (12L, "u0x11 u1x11 u2x11 u3x11 u4x11"))       // copy of batch-mate 11
+      .toDF("doc_id", "text")
+    val got = DedupOps.incrementalNearDups(lake, "t", batch,
+      "doc_id", "text", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 1L, 11L -> 0L, 12L -> 1L),
+      s"corpus copy and batch-mate copy flagged, unique admitted: $got")
+    // admission maintains the index: a SECOND batch copying doc 11 must
+    // now collide with the previously admitted doc
+    val got2 = DedupOps.incrementalNearDups(lake, "t",
+      Seq((20L, "u0x11 u1x11 u2x11 u3x11 u4x11")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(20L -> 1L),
+      "a copy of an ADMITTED doc must be caught by the maintained index")
+  }
+
   test("minhash verified jaccard equals brute-force jaccard") {
     val docs = graft.Tables.documents(spark, sf).limit(200)
     val pairs = DedupOps.minHashNearDups(docs, "doc_id", "text", threshold = 0.4)
