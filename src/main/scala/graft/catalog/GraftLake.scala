@@ -115,6 +115,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     verifiedTables.remove(s"$warehouse/$name")
     lastVersionCache.remove(s"$warehouse/$name")
     liveSetCache.remove(s"$warehouse/$name")
+    statsMapCache.remove(s"$warehouse/$name")
   }
 
   // ---- DDL ----
@@ -201,6 +202,46 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def read(name: String): DataFrame = {
     val meta = readMeta(name)
     readInternal(name, meta).select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+  }
+
+  /** Data-skipping read: like `read(...).filter(predicate)` (identical
+    * results, oracle-gated by q102) but the scan is PLANNED against the
+    * manifest's per-file numeric bounds — files whose [min, max] ranges
+    * cannot satisfy the predicate are never listed, opened, or scheduled.
+    * With Z-order/range-clustered layout ([[compact]] `clusterBy`) this
+    * is what turns clustering into real I/O savings: at 100 TB a
+    * selective predicate plans a task set proportional to the MATCHING
+    * key range, not the table. Supported pruning shapes: conjunctions /
+    * disjunctions of `col <op> literal` on numeric columns; anything else
+    * falls back to keep-the-file (always safe — the full predicate is
+    * re-applied row-level after the scan). */
+  def readWhere(name: String, predicate: Column): DataFrame = {
+    val meta = readMeta(name)
+    val key = s"$warehouse/$name"
+    val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+    last match {
+      case None => read(name).filter(predicate)
+      case Some(v) =>
+        val (_, files, _) = resolveManifest(name, v)
+        val stats = statsFor(name, v)
+        val keep = GraftLake.filePruner(
+          org.apache.spark.sql.graft.PlanBridge.simplePredicate(predicate))
+        val kept = files.filter(ref =>
+          keep(stats.getOrElse(GraftLake.fileKey(ref), Map.empty)))
+        if (kept.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+        else {
+          val paths = kept.map { case (rel, fn) =>
+            if (rel.isEmpty) s"${dataDir(name)}/$fn"
+            else s"${dataDir(name)}/$rel/$fn"
+          }
+          spark.read.schema(meta.schema).parquet(paths: _*)
+            .filter(predicate)
+            .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+        }
+    }
   }
 
   /** Structured-Streaming source over an APPEND-ONLY lake table: every
@@ -660,11 +701,91 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     files(dd)
   }
 
+  /** Aggregate numeric (int/long/float/double, no logical annotation)
+    * column bounds from a parquet file's footer — O(footer), driver-side,
+    * paid once per ADDED file at commit. Columns with a statless or
+    * all-null row group, nested paths, NaN bounds, or annotated logical
+    * types (date/timestamp/decimal) are omitted: a missing entry means
+    * "cannot bound", which the pruner treats as keep-the-file. */
+  private def footerStats(p: Path): Map[String, (Double, Double)] = try {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+      val dead = scala.collection.mutable.Set[String]()
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          val path = c.getPath.toArray
+          if (path.length == 1 && !dead(path(0))) {
+            val col = path(0)
+            val pt = c.getPrimitiveType
+            val st = c.getStatistics
+            val numeric = pt.getLogicalTypeAnnotation == null &&
+              Set(INT32, INT64, FLOAT, DOUBLE)(pt.getPrimitiveTypeName)
+            if (!numeric) () // non-numeric columns never enter acc
+            else if (st == null || !st.hasNonNullValue) {
+              dead += col; acc.remove(col) // one unbounded group poisons the file
+            } else {
+              val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: Number, b: Number) => (a.doubleValue(), b.doubleValue())
+                case _ => (Double.NaN, Double.NaN)
+              }
+              if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) {
+                dead += col; acc.remove(col)
+              } else acc.get(col) match {
+                case Some((omn, omx)) =>
+                  acc(col) = (math.min(omn, mn), math.max(omx, mx))
+                case None => acc(col) = (mn, mx)
+              }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  } catch { case _: Throwable => Map.empty } // stats are advisory, never fatal
+
+  /** Per-file bounds map of a snapshot: checkpoint stats + delta add
+    * stats along the same chain [[resolveManifest]] walks. */
+  private def resolveStats(name: String,
+      version: Long): Map[String, Map[String, (Double, Double)]] = {
+    val top = readManifestFile(name, version)
+    var deltas = List.empty[GraftLake.Manifest]
+    var m = top
+    while (m.files.isEmpty) {
+      deltas = m :: deltas
+      m = readManifestFile(name, m.base)
+    }
+    var stats = m.stats
+    deltas.foreach { d =>
+      stats = (stats -- d.remove.map(GraftLake.fileKey)) ++ d.stats
+    }
+    stats
+  }
+
+  /** Cached bounds map of a version (latest-version cache; older
+    * versions resolve the chain). */
+  private def statsFor(name: String,
+      version: Long): Map[String, Map[String, (Double, Double)]] = {
+    val key = s"$warehouse/$name"
+    val cached = statsMapCache.get(key)
+    if (cached != null && cached._1 == version) cached._2
+    else {
+      val s = resolveStats(name, version)
+      statsMapCache.put(key, (version, s))
+      s
+    }
+  }
+
   /** Commit the next snapshot for `name` from the write's own delta.
     * Called at the end of every data mutation, inside its write lock.
     * O(delta) on the hot path: the previous live set comes from the
-    * in-memory cache (or one manifest-chain read on a cold start), and
-    * the manifest written is a delta unless a checkpoint is due. */
+    * in-memory cache (or one manifest-chain read on a cold start), the
+    * manifest written is a delta unless a checkpoint is due, and the
+    * per-file bounds read only the ADDED files' footers. */
   private def commitVersion(name: String, added: Seq[(String, String)],
       removed: Seq[(String, String)]): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
@@ -681,22 +802,32 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         if (cached != null && cached._1 == v) (cached._2, cached._3)
         else { val r = resolveManifest(name, v); (r._2, r._3) }
     }
+    val prevStats = last.map(v => statsFor(name, v)).getOrElse(Map.empty)
     val next = last.getOrElse(-1L) + 1L
     val removedSet = removed.toSet
     val addedV = added.toVector.sorted
     val newList = ((prevList.filterNot(removedSet) ++ addedV).distinct: Vector[(String, String)]).sorted
+    val addedStats = addedV.flatMap { ref =>
+      val p = if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
+        else new Path(s"${dataDir(name)}/${ref._1}", ref._2)
+      val s = footerStats(p)
+      if (s.isEmpty) None else Some(GraftLake.fileKey(ref) -> s)
+    }.toMap
+    val newStats =
+      (prevStats -- removed.map(GraftLake.fileKey)) ++ addedStats
     val meta = readMeta(name)
     val asFull = last.isEmpty || prevDepth + 1 >= checkpointInterval ||
       added.size + removed.size >= newList.size
     val body =
-      if (asFull) GraftLake.renderManifest(next, meta, newList)
+      if (asFull) GraftLake.renderManifest(next, meta, newList, newStats)
       else GraftLake.renderDelta(next, meta, next - 1, prevDepth + 1,
-        addedV, removed.sorted)
+        addedV, removed.sorted, addedStats)
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, newList, if (asFull) 0 else prevDepth + 1))
+    statsMapCache.put(key, (next, newStats))
   }
 
   /** Read one manifest file verbatim. */
@@ -832,16 +963,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def repairTable(name: String): Long = writeLock(name) {
     val key = s"$warehouse/$name"
     val list = listDataFiles(name).toVector.sorted
+    // repair is the one O(table) path by design — refreshing every
+    // file's bounds here keeps data skipping alive for adopted orphans
+    val stats = list.flatMap { ref =>
+      val p = if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
+        else new Path(s"${dataDir(name)}/${ref._1}", ref._2)
+      val s = footerStats(p)
+      if (s.isEmpty) None else Some(GraftLake.fileKey(ref) -> s)
+    }.toMap
     val next = versions(name).lastOption.getOrElse(-1L) + 1L
     val vd = versionsDir(name)
     val f = fs(vd)
     f.mkdirs(vd)
-    val body = GraftLake.renderManifest(next, readMeta(name), list)
+    val body = GraftLake.renderManifest(next, readMeta(name), list, stats)
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, list, 0))
+    statsMapCache.put(key, (next, stats))
     next
   }
 
@@ -870,11 +1010,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val oldestManifest = readManifestFile(name, oldest)
     if (oldestManifest.files.isEmpty) {
       val (_, files, _) = resolveManifest(name, oldest)
+      val oldStats = resolveStats(name, oldest)
       val p = new Path(versionsDir(name), s"v$oldest.json")
       val tmp = new Path(versionsDir(name), s".v$oldest-${UUID.randomUUID()}.tmp")
       val out = f.create(tmp, true)
       try out.write(GraftLake.renderManifestWithSchema(oldest,
-        oldestManifest.schema, files).getBytes("UTF-8")) finally out.close()
+        oldestManifest.schema, files, oldStats).getBytes("UTF-8")) finally out.close()
       f.delete(p, false)
       renameOrFail(f, tmp, p)
     }
@@ -977,6 +1118,44 @@ object GraftLake {
   private val lastVersionCache = new ConcurrentHashMap[String, java.lang.Long]()
   private val liveSetCache =
     new ConcurrentHashMap[String, (Long, Vector[(String, String)], Int)]()
+  /** Per-file numeric column bounds of the latest version (file key →
+    * col → (min, max)), maintained with the same delta discipline. */
+  private val statsMapCache = new ConcurrentHashMap[
+    String, (Long, Map[String, Map[String, (Double, Double)]])]()
+
+  /** Manifest key of a (rel, name) file identity. */
+  private[catalog] def fileKey(ref: (String, String)): String =
+    if (ref._1.isEmpty) ref._2 else s"${ref._1}/${ref._2}"
+
+  /** Compile a lowered predicate ([[org.apache.spark.sql.graft.PlanBridge
+    * .simplePredicate]]) into a per-file keep/skip decision over the
+    * manifest's column bounds. Conservative by construction: any shape
+    * the lowering could not express — and any column without bounds —
+    * keeps the file; only provably-disjoint ranges skip. (The row-level
+    * filter still runs after the scan, so pruning can never change
+    * results, only I/O.) */
+  private[catalog] def filePruner(
+      p: org.apache.spark.sql.graft.PlanBridge.SimplePred)
+      : Map[String, (Double, Double)] => Boolean = {
+    import org.apache.spark.sql.graft.PlanBridge._
+    def bound(c: String)(f: ((Double, Double)) => Boolean)
+        : Map[String, (Double, Double)] => Boolean =
+      s => s.get(c).forall(f)
+    p match {
+      case PAnd(l, r) =>
+        val (pl, pr) = (filePruner(l), filePruner(r))
+        s => pl(s) && pr(s)
+      case POr(l, r) =>
+        val (pl, pr) = (filePruner(l), filePruner(r))
+        s => pl(s) || pr(s)
+      case PCmp(">", c, v) => bound(c)(_._2 > v)
+      case PCmp(">=", c, v) => bound(c)(_._2 >= v)
+      case PCmp("<", c, v) => bound(c)(_._1 < v)
+      case PCmp("<=", c, v) => bound(c)(_._1 <= v)
+      case PCmp("=", c, v) => bound(c)(r => r._1 <= v && v <= r._2)
+      case _ => _ => true
+    }
+  }
 
   /** A full manifest checkpoint lands every this-many commits; between
     * checkpoints manifests are O(delta) `{base, add, remove}` records, so
@@ -985,7 +1164,9 @@ object GraftLake {
 
   /** One parsed `_versions/v{N}.json`: full manifests carry `files`,
     * delta manifests carry `base` (always N−1) + `add`/`remove` and a
-    * `depth` hint (distance to the nearest full checkpoint). */
+    * `depth` hint (distance to the nearest full checkpoint). `stats`
+    * holds per-file numeric column bounds (full: all live files; delta:
+    * added files) — the data-skipping half of the manifest. */
   private[catalog] final case class Manifest(
       version: Long,
       schema: StructType,
@@ -993,7 +1174,8 @@ object GraftLake {
       base: Long,
       depth: Int,
       add: Vector[(String, String)],
-      remove: Vector[(String, String)])
+      remove: Vector[(String, String)],
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -1036,7 +1218,7 @@ object GraftLake {
   /** Clear caches (tests / external table mutation). */
   def invalidateCaches(): Unit = {
     verifiedTables.clear(); metaCache.clear()
-    lastVersionCache.clear(); liveSetCache.clear()
+    lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --
@@ -1059,22 +1241,42 @@ object GraftLake {
       "{\"rel\":" + q(rel) + ",\"name\":" + q(fn) + "}"
     }.mkString("[", ",", "]")
 
-  /** Full snapshot manifest: version + schema at commit + live file list. */
+  /** JSON object of per-file column bounds, restricted to `keys` (and to
+    * files that have any stats — statless files simply don't prune). */
+  private def statsObj(
+      stats: Map[String, Map[String, (Double, Double)]],
+      keys: Seq[String]): String =
+    keys.distinct.sorted.flatMap { k =>
+      stats.get(k).filter(_.nonEmpty).map { s =>
+        q(k) + ":" + s.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          q(c) + s":[$mn,$mx]"
+        }.mkString("{", ",", "}")
+      }
+    }.mkString("{", ",", "}")
+
+  /** Full snapshot manifest: version + schema at commit + live file list
+    * (+ per-file numeric bounds for data skipping). */
   private[catalog] def renderManifest(version: Long, meta: TableMeta,
-      files: Seq[(String, String)]): String =
-    renderManifestWithSchema(version, meta.schema, files)
+      files: Seq[(String, String)],
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String =
+    renderManifestWithSchema(version, meta.schema, files, stats)
 
   private[catalog] def renderManifestWithSchema(version: Long,
-      schema: StructType, files: Seq[(String, String)]): String =
-    s"""{"version":$version,"schema":${schema.json},"files":${fileArr(files)}}"""
+      schema: StructType, files: Seq[(String, String)],
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String =
+    s"""{"version":$version,"schema":${schema.json},"files":${fileArr(files)}""" +
+      s""","stats":${statsObj(stats, files.map(fileKey))}}"""
 
   /** Delta snapshot manifest: O(commit delta), applied on top of `base`
-    * (always version−1) at resolution time. */
+    * (always version−1) at resolution time; `stats` covers the added
+    * files only. */
   private[catalog] def renderDelta(version: Long, meta: TableMeta,
       base: Long, depth: Int, add: Seq[(String, String)],
-      remove: Seq[(String, String)]): String =
+      remove: Seq[(String, String)],
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String =
     s"""{"version":$version,"schema":${meta.schema.json},"base":$base,""" +
-      s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}}"""
+      s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}""" +
+      s""","stats":${statsObj(stats, add.map(fileKey))}}"""
 
   private[catalog] def parseManifest(raw: String): Manifest = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1087,13 +1289,30 @@ object GraftLake {
         (fn.get(i).get("rel").asText(), fn.get(i).get("name").asText())
       }.toVector
     }
+    val stats: Map[String, Map[String, (Double, Double)]] = {
+      val sn = node.get("stats")
+      if (sn == null) Map.empty
+      else {
+        val b = Map.newBuilder[String, Map[String, (Double, Double)]]
+        sn.fields().forEachRemaining { e =>
+          val cols = Map.newBuilder[String, (Double, Double)]
+          e.getValue.fields().forEachRemaining { c =>
+            cols += c.getKey -> (c.getValue.get(0).asDouble(),
+              c.getValue.get(1).asDouble())
+          }
+          b += e.getKey -> cols.result()
+        }
+        b.result()
+      }
+    }
     val version = node.get("version").asLong()
     if (node.has("files"))
-      Manifest(version, schema, Some(refs("files")), -1L, 0, Vector.empty, Vector.empty)
+      Manifest(version, schema, Some(refs("files")), -1L, 0,
+        Vector.empty, Vector.empty, stats)
     else
       Manifest(version, schema, None, node.get("base").asLong(),
         if (node.has("depth")) node.get("depth").asInt() else 1,
-        refs("add"), refs("remove"))
+        refs("add"), refs("remove"), stats)
   }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {

@@ -546,6 +546,34 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q102: manifest-stats data skipping end-to-end — land lineitem in
+    * the lake, range-cluster it on `l_partkey` ([[graft.catalog.GraftLake
+    * .compact]] `clusterBy`, so each file bounds a narrow key range),
+    * then answer a selective key-range query through
+    * [[graft.catalog.GraftLake.readWhere]], which plans the scan from
+    * the manifest's per-file bounds. The oracle runs the same filter
+    * over the raw table: a hash match proves skipping is invisible in
+    * the results (SnapshotSpec separately proves files really are
+    * skipped). */
+  val q102FileSkipping = QueryDef(
+    "q102_file_skipping",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem WHERE l_partkey BETWEEN 50 AND 150
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-skip").toString)
+    lake.write("li", Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_partkey")))
+    lake.compact("li", targetRecordsPerFile = 10000,
+      clusterBy = Seq("l_partkey"))
+    lake.readWhere("li", col("l_partkey") >= 50 && col("l_partkey") <= 150)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q91: per-group top-k through the native bounded-buffer aggregate
     * ([[graft.functions.TopKAggregate]]) — the k largest distinct
     * quantities per return flag, exploded to ranked rows. The oracle runs
@@ -667,5 +695,5 @@ object AnalyticsOps {
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
-    q98CdcReplicate)
+    q98CdcReplicate, q102FileSkipping)
 }

@@ -393,6 +393,57 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows(lake.readVersion("race", vs.last), "id", "v") === Set(Seq(1, "c")))
   }
 
+  test("readWhere skips files the manifest bounds rule out; results identical") {
+    val lake = newLake()
+    // three appends with disjoint id ranges — three files, known bounds
+    lake.append("skip", (1 to 100).map(i => (i, i * 2.0)).toDF("id", "v"))
+    lake.append("skip", (1001 to 1100).map(i => (i, i * 2.0)).toDF("id", "v"))
+    lake.append("skip", (2001 to 2100).map(i => (i, i * 2.0)).toDF("id", "v"))
+    val all = lake.read("skip")
+    assert(all.inputFiles.length >= 3)
+    val pred = col("id") >= 1001 && col("id") <= 1100
+    val skipped = lake.readWhere("skip", pred)
+    assert(skipped.inputFiles.length < all.inputFiles.length,
+      s"bounds must prune files: read ${skipped.inputFiles.length} of ${all.inputFiles.length}")
+    assert(rows(skipped, "id", "v") === rows(all.filter(pred), "id", "v"),
+      "skipping must be invisible in the results")
+    // equality predicate and a no-match range
+    assert(rows(lake.readWhere("skip", col("id") === 2050), "id").map(_.head)
+      === Set(2050))
+    assert(lake.readWhere("skip", col("id") > 90000).count() === 0L)
+    // unsupported shapes fall back to keep-everything, still correct
+    assert(lake.readWhere("skip", col("v") / 2.0 === col("id").cast("double"))
+      .count() === all.count())
+  }
+
+  test("file stats survive rewrites, checkpoint re-anchoring, and repair") {
+    val lake = newLake()
+    lake.write("sv", (1 to 50).map(i => (i, s"r$i")).toDF("id", "v"), pks = Seq("id"))
+    lake.append("sv", (1001 to 1050).map(i => (i, s"r$i")).toDF("id", "v"))
+    // upsert rewrites the file set (unpartitioned: whole-set swap); the
+    // fresh files must carry fresh bounds — a provably-disjoint range
+    // plans ZERO files iff stats survived (statless files are kept)
+    lake.write("sv", Seq((25, "X")).toDF("id", "v"), pks = Seq("id"))
+    val pred = col("id") >= 1001
+    val skipped = lake.readWhere("sv", pred)
+    assert(rows(skipped, "id", "v") === rows(lake.read("sv").filter(pred), "id", "v"))
+    def keptFor(p: org.apache.spark.sql.Column): Int =
+      lake.readWhere("sv", p).inputFiles.length
+    assert(keptFor(col("id") > 90000) === 0,
+      "post-rewrite files must still carry prunable bounds")
+    // expire re-anchors the kept manifest as a full checkpoint WITH stats
+    lake.expireSnapshots("sv", keepLast = 1)
+    assert(keptFor(col("id") > 90000) === 0,
+      "re-anchored checkpoint must preserve per-file bounds")
+    // repair re-lists AND re-bounds every file
+    GraftLake.invalidateCaches()
+    lake.repairTable("sv")
+    val repaired = lake.readWhere("sv", pred)
+    assert(rows(repaired, "id", "v") === rows(lake.read("sv").filter(pred), "id", "v"))
+    assert(keptFor(col("id") > 90000) === 0,
+      "repairTable must recompute bounds")
+  }
+
   test("delete/update SQL rewrites are versioned too") {
     val lake = newLake()
     lake.write("d", (1 to 10).map(i => (i, i * 2)).toDF("id", "n"), pks = Seq("id"))
