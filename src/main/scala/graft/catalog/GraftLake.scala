@@ -707,11 +707,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * all-null row group, nested paths, NaN bounds, or annotated logical
     * types (date/timestamp/decimal) are omitted: a missing entry means
     * "cannot bound", which the pruner treats as keep-the-file. */
-  private def footerStats(p: Path): Map[String, (Double, Double)] = try {
+  private def footerStats(p: Path,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, (Double, Double)] = try {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      p, spark.sessionState.newHadoopConf())
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val acc = scala.collection.mutable.Map[String, (Double, Double)]()
@@ -747,6 +747,23 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       acc.toMap
     } finally reader.close()
   } catch { case _: Throwable => Map.empty } // stats are advisory, never fatal
+
+  /** Footer bounds for a set of files, read CONCURRENTLY (one hadoop
+    * conf for the batch — building it per file dominates the footer read
+    * itself; parallelism hides the per-file open latency). O(delta)
+    * work, bounded wall-clock. */
+  private def boundsOf(name: String,
+      refs: Seq[(String, String)]): Map[String, Map[String, (Double, Double)]] = {
+    if (refs.isEmpty) return Map.empty
+    import scala.collection.parallel.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    refs.toVector.par.flatMap { ref =>
+      val p = if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
+        else new Path(s"${dataDir(name)}/${ref._1}", ref._2)
+      val s = footerStats(p, conf)
+      if (s.isEmpty) None else Some(GraftLake.fileKey(ref) -> s)
+    }.seq.toMap
+  }
 
   /** Per-file bounds map of a snapshot: checkpoint stats + delta add
     * stats along the same chain [[resolveManifest]] walks. */
@@ -807,12 +824,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val removedSet = removed.toSet
     val addedV = added.toVector.sorted
     val newList = ((prevList.filterNot(removedSet) ++ addedV).distinct: Vector[(String, String)]).sorted
-    val addedStats = addedV.flatMap { ref =>
-      val p = if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
-        else new Path(s"${dataDir(name)}/${ref._1}", ref._2)
-      val s = footerStats(p)
-      if (s.isEmpty) None else Some(GraftLake.fileKey(ref) -> s)
-    }.toMap
+    val addedStats = boundsOf(name, addedV)
     val newStats =
       (prevStats -- removed.map(GraftLake.fileKey)) ++ addedStats
     val meta = readMeta(name)
@@ -965,12 +977,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val list = listDataFiles(name).toVector.sorted
     // repair is the one O(table) path by design — refreshing every
     // file's bounds here keeps data skipping alive for adopted orphans
-    val stats = list.flatMap { ref =>
-      val p = if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
-        else new Path(s"${dataDir(name)}/${ref._1}", ref._2)
-      val s = footerStats(p)
-      if (s.isEmpty) None else Some(GraftLake.fileKey(ref) -> s)
-    }.toMap
+    val stats = boundsOf(name, list)
     val next = versions(name).lastOption.getOrElse(-1L) + 1L
     val vd = versionsDir(name)
     val f = fs(vd)
