@@ -179,7 +179,39 @@ object RelationalOps3 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q103: quantile sketch (percentile_approx — Spark's GK-style
+    * approximate percentile) through the same contract pattern as q56:
+    * the EXACT interpolated percentiles are the oracle-recomputable
+    * content (DuckDB `quantile_cont` uses the same continuous
+    * interpolation), and `sketch_ok` witnesses that the sketch landed
+    * within 5 % of exact on both quantiles — deterministic, wide enough
+    * to never flap, tight enough to catch a broken sketch. At 100 TB the
+    * sketch is the only viable path (exact percentile sorts every group);
+    * this query pins that the cheap path stays near the truth. */
+  val q103ApproxQuantile = QueryDef(
+    "q103_approx_quantile",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      |  CAST(1 AS BIGINT) AS sketch_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95D)"), 2).as("p95"),
+        expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("__a50"),
+        expr("percentile_approx(l_extendedprice, 0.95D, 10000)").as("__a95"),
+        expr("percentile(l_extendedprice, 0.5D)").as("__e50"),
+        expr("percentile(l_extendedprice, 0.95D)").as("__e95"))
+      .select(col("l_returnflag"), col("p50"), col("p95"),
+        when(abs(col("__a50") - col("__e50")) <= col("__e50") * 0.05 &&
+          abs(col("__a95") - col("__e95")) <= col("__e95") * 0.05, 1L)
+          .otherwise(0L).as("sketch_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q51RecursiveChain, q52Unpivot, q53GroupingSets, q54ExceptAll,
-    q55Listagg, q56ApproxDistinct, q57SaltedJoin, q99BloomPrune)
+    q55Listagg, q56ApproxDistinct, q57SaltedJoin, q99BloomPrune,
+    q103ApproxQuantile)
 }

@@ -182,6 +182,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion dedup: batches admit against the maintained LSH index") {
+    // the continuous form of incremental dedup: each micro-batch probes
+    // the persisted index, dups are diverted, survivors are admitted AND
+    // appended to the index — so a later batch duplicating an earlier
+    // batch's doc is caught even though neither is in the seed corpus
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString)
+    graft.operators.DedupOps.buildMinhashIndex(lake, "ing",
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!df.isEmpty) {
+          val flags = graft.operators.DedupOps.incrementalNearDups(
+            lake, "ing", df.toDF(), "doc_id", "text", threshold = 0.8)
+          lake.write("flags", flags)
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+      .start()
+    try {
+      mem.addData((10L, "alpha beta gamma delta epsilon zeta"), // dup of seed
+        (11L, "u0x11 u1x11 u2x11 u3x11 u4x11"))                 // fresh
+      q.processAllAvailable()
+      mem.addData((20L, "u0x11 u1x11 u2x11 u3x11 u4x11"))       // dup of batch-1 doc
+      q.processAllAvailable()
+      val got = lake.read("flags").select("doc_id", "is_dup").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(10L -> 1L, 11L -> 0L, 20L -> 1L),
+        s"cross-micro-batch dup must be caught by the maintained index: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, drops outside it") {
     implicit val sq = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long, String)]
