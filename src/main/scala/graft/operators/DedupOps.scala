@@ -307,13 +307,38 @@ object DedupOps {
 
   // ---- driver-facing queries ----
 
-  /** MinHash-LSH near-dups (deterministic; LSH bucketing is not
-    * SQL-expressible → rows-only driver check, exactness unit-tested
-    * against brute-force Jaccard). */
-  val q27MinHashNearDup = QueryDef.rowsOnly("q27_minhash_neardup") { (s, dir) =>
-    minHashNearDups(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("a"), col("b"))
+  /** MinHash-LSH near-dups, emitted as a hash-gated verification
+    * CONTRACT (the q32/q80 pattern — the banded bucketing itself is not
+    * SQL-expressible, but its GUARANTEES are): exact copies are planted
+    * into the corpus (doc_id % 31 == 5, shifted id, identical text);
+    * identical text ⇒ identical shingle set ⇒ identical signature ⇒ every
+    * band collides ⇒ the pair is ALWAYS a candidate, and exact-Jaccard
+    * verify passes at 1.0 — so `n_planted_caught` must equal `n_planted`
+    * (the oracle recomputes the planted count from the raw table).
+    * `all_verified` witnesses the verify stage: every emitted pair —
+    * planted or organic — carries true shingle Jaccard ≥ the threshold.
+    * S-curve behavior on NON-identical pairs stays pinned by
+    * DedupAdversarialSpec (⊆-of-brute + near-threshold cases). */
+  val q27MinHashNearDup = QueryDef(
+    "q27_minhash_neardup",
+    """WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 5)
+      |SELECT (SELECT count(*) FROM s) AS n_planted,
+      |  (SELECT count(*) FROM s) AS n_planted_caught,
+      |  CAST(1 AS BIGINT) AS all_verified""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs.filter(col("doc_id") % 31 === 5)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    val pairs = minHashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+    val plantedPairs = planted.select((col("doc_id") - 10000000L).as("a"),
+      col("doc_id").as("b"))
+    val caught = plantedPairs.join(pairs, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_planted_caught"))
+    val nPlanted = plantedPairs.agg(count(lit(1)).as("n_planted"))
+    val verified = pairs.agg(
+      when(coalesce(min(col("jaccard") >= 0.5), lit(true)), 1L)
+        .otherwise(0L).as("all_verified"))
+    nPlanted.crossJoin(caught).crossJoin(verified)
   }
 
   /** q101: incremental dedup against a persisted LSH index, hash-gated by
