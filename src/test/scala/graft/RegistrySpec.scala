@@ -30,12 +30,12 @@ class RegistrySpec extends AnyFunSuite {
     // approximate-by-construction operators only — adding a rows-only
     // entry is a deliberate decision, not a shortcut; update this list
     // (and the README) when one is genuinely necessary
-    // r6: q32/q80 (ANN) and q56 (HLL) moved to hash-gated contract
-    // formulations (k-results + true-cosine witness + recall floor; exact
-    // counts + sketch-error witness) — only banded/bucketed dedup, whose
-    // pair sets have no SQL-expressible contract, stays rows-only
-    assert(rowsOnly === Seq("q27_minhash_neardup", "q29_simhash_neardup",
-      "q77_semantic_dedup"),
+    // r6: q32/q80 (ANN), q56 (HLL) and q27 (minhash) moved to hash-gated
+    // contract formulations (k-results + true-cosine witness + recall
+    // floor; exact counts + sketch-error witness) — only simhash and
+    // semantic dedup, whose pair sets have no SQL-expressible contract
+    // yet, stay rows-only
+    assert(rowsOnly === Seq("q29_simhash_neardup", "q77_semantic_dedup"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
