@@ -54,6 +54,23 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   val InsertedAtCol = "_inserted_at"
 
+  /** Run `f` with the lake's parquet timestamp format forced to INT64
+    * TIMESTAMP_MICROS, restoring the caller's setting after. Spark's
+    * legacy INT96 default carries no usable column statistics, which
+    * would leave `_inserted_at` — the dominant pruning predicate of a
+    * time-partitioned corpus — invisible to data skipping. Scoped per
+    * write (it is not a DataFrameWriter option) so the lake never changes
+    * how the application's own parquet output lands. */
+  private def withLakeTimestampFormat[T](f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def tableDir(name: String) = s"$warehouse/$name"
   private def dataDir(name: String) = s"$warehouse/$name/data"
   private def metaPath(name: String) = new Path(s"$warehouse/$name/_graft_meta.json")
@@ -212,9 +229,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * is what turns clustering into real I/O savings: at 100 TB a
     * selective predicate plans a task set proportional to the MATCHING
     * key range, not the table. Supported pruning shapes: conjunctions /
-    * disjunctions of `col <op> literal` on numeric columns; anything else
-    * falls back to keep-the-file (always safe — the full predicate is
-    * re-applied row-level after the scan). */
+    * disjunctions of `col <op> literal` on numeric, date, and timestamp
+    * columns (temporal literals — Date/Timestamp/Instant/ISO strings —
+    * lower to the epoch day/micros domain the manifest bounds use);
+    * anything else falls back to keep-the-file (always safe — the full
+    * predicate is re-applied row-level after the scan). */
   def readWhere(name: String, predicate: Column): DataFrame = {
     val meta = readMeta(name)
     val key = s"$warehouse/$name"
@@ -225,8 +244,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       case Some(v) =>
         val (_, files, _) = resolveManifest(name, v)
         val stats = statsFor(name, v)
+        val zone = spark.conf.get("spark.sql.session.timeZone",
+          java.time.ZoneId.systemDefault().getId)
         val keep = GraftLake.filePruner(
-          org.apache.spark.sql.graft.PlanBridge.simplePredicate(predicate))
+          org.apache.spark.sql.graft.PlanBridge.simplePredicate(
+            predicate, meta.schema, zone))
         val kept = files.filter(ref =>
           keep(stats.getOrElse(GraftLake.fileKey(ref), Map.empty)))
         if (kept.isEmpty)
@@ -312,7 +334,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           if (meta.partitions.nonEmpty)
             writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
           else writer
-        parted.parquet(stage.toString)
+        withLakeTimestampFormat { parted.parquet(stage.toString) }
         val added = mergeStageInto(stage, new Path(dataDir(name)))
         commitVersion(name, added, Nil)
       } finally fs(stage).delete(stage, true)
@@ -414,8 +436,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val writer = result.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(stage.toString)
+    withLakeTimestampFormat {
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+    }
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
     commitVersion(name, added, removed)
@@ -438,8 +462,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     try {
       val writer = out.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .parquet(stage.toString)
+      withLakeTimestampFormat {
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+          .parquet(stage.toString)
+      }
       // rename-aside instead of delete-then-rename: a crash between the
       // two renames leaves the old contents recoverable in .old-*, never
       // a lost table
@@ -467,8 +493,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val writer = out.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
       val partCols = meta.partitionExprs.map(_.outputName)
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .parquet(stage.toString)
+      withLakeTimestampFormat {
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+          .parquet(stage.toString)
+      }
       val added = mergeStageInto(stage, new Path(dataDir(name)))
       commitVersion(name, added, Nil)
     } finally fs(stage).delete(stage, true)
@@ -489,8 +517,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val writer = out.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(stage.toString)
+    withLakeTimestampFormat {
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+    }
     val (added, removed) = swapInto(name, stage, new Path(dataDir(name)),
       partCols.size, affectedDirs.map(new Path(_)))
     commitVersion(name, added, removed)
@@ -533,30 +563,38 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val projected = scoped
       .select(meta.schema.fieldNames.map(n => col(quoted(n))) ++
         partCols.map(c => col(quoted(c))): _*)
-    // validate cluster columns BEFORE any write starts: z-values need a
-    // numeric domain, and half-compacted tables are the worst failure mode
-    clusterBy.foreach { c =>
+    // validate cluster columns BEFORE any write starts: z-values need an
+    // orderable numeric domain, and half-compacted tables are the worst
+    // failure mode. Temporal columns cluster on their epoch value (days /
+    // micros) — the same domain the manifest bounds and the pruner use,
+    // so time-range predicates skip files over a time-clustered layout.
+    val zNumeric: Map[String, Column] = clusterBy.map { c =>
       val field = projected.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"compact clusterBy column '$c' does not exist in table '$name'"))
-      if (!field.dataType.isInstanceOf[NumericType])
-        throw new IllegalArgumentException(
-          s"compact clusterBy column '$c' must be numeric for z-ordering, " +
-            s"got ${field.dataType.sql} — drop it from clusterBy or cast it")
-    }
+      val numeric = field.dataType match {
+        case _: NumericType => col(quoted(c)).cast("double")
+        case DateType => unix_date(col(quoted(c))).cast("double")
+        case TimestampType => unix_micros(col(quoted(c))).cast("double")
+        // any monotone map works for clustering; the session-zone cast is
+        // monotone in the local datetime
+        case TimestampNTZType =>
+          unix_micros(col(quoted(c)).cast("timestamp")).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"compact clusterBy column '$c' must be numeric or temporal for " +
+            s"z-ordering, got ${other.sql} — drop it from clusterBy or cast it")
+      }
+      c -> numeric
+    }.toMap
     val arranged =
       if (clusterBy.nonEmpty) {
         // Z-ORDER clustering: range-partition + sort by the interleaved
         // z-value so every output file covers a tight box over ALL cluster
         // columns — min/max footer pruning then skips files for predicates
         // on any of them. Bounds come from one tiny min/max agg.
-        val boundsRow = projected.agg(
-          clusterBy.flatMap(c => Seq(
-            min(col(quoted(c)).cast("double")),
-            max(col(quoted(c)).cast("double")))).head,
-          clusterBy.flatMap(c => Seq(
-            min(col(quoted(c)).cast("double")),
-            max(col(quoted(c)).cast("double")))).tail: _*).head()
+        val boundExprs = clusterBy.flatMap(c =>
+          Seq(min(zNumeric(c)), max(zNumeric(c))))
+        val boundsRow = projected.agg(boundExprs.head, boundExprs.tail: _*).head()
         val boundsValid = (0 until 2 * clusterBy.size).forall(!boundsRow.isNullAt(_))
         if (!boundsValid) {
           // empty scope or all-null cluster column: no z-domain to spread
@@ -568,7 +606,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           val bounds = clusterBy.indices.map(i =>
             (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1)))
           val zv = graft.functions.ZOrder.zValue(
-            clusterBy.map(c => col(quoted(c))), bounds)
+            clusterBy.map(zNumeric), bounds)
           projected.repartitionByRange((partCols.map(c => col(quoted(c))) :+ zv): _*)
             .sortWithinPartitions((partCols.map(c => col(quoted(c))) :+ zv): _*)
         }
@@ -583,8 +621,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val writer = arranged
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRecordsPerFile)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(stage.toString)
+    withLakeTimestampFormat {
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+    }
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size)
     commitVersion(name, added, removed)
@@ -701,52 +741,26 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     files(dd)
   }
 
-  /** Aggregate numeric (int/long/float/double, no logical annotation)
-    * column bounds from a parquet file's footer — O(footer), driver-side,
-    * paid once per ADDED file at commit. Columns with a statless or
-    * all-null row group, nested paths, NaN bounds, or annotated logical
-    * types (date/timestamp/decimal) are omitted: a missing entry means
+  /** Aggregate prunable column bounds from a parquet file's footer —
+    * O(footer), paid once per ADDED file at commit. Bounds land in the
+    * column's canonical pruning domain (shared with
+    * [[org.apache.spark.sql.graft.PlanBridge.simplePredicate]]):
+    *  - plain int/long/float/double (incl. signed-int annotations): the
+    *    value itself;
+    *  - DATE (int32 days): epoch days;
+    *  - TIMESTAMP int64, both adjusted-to-UTC (TimestampType —
+    *    TIMESTAMP_MICROS is forced in the constructor) and NTZ
+    *    (TimestampNTZType): epoch MICROS, normalized across
+    *    MILLIS/MICROS/NANOS units.
+    * Long-valued bounds outside ±2^53 are widened one ulp outward so the
+    * double never understates the range (a rounded-up min could skip a
+    * file that holds a matching row). Columns with a statless or all-null
+    * row group, nested paths, NaN/±Inf bounds, or any other logical type
+    * (decimal/string/NTZ/INT96) are omitted: a missing entry means
     * "cannot bound", which the pruner treats as keep-the-file. */
   private def footerStats(p: Path,
-      conf: org.apache.hadoop.conf.Configuration): Map[String, (Double, Double)] = try {
-    import scala.jdk.CollectionConverters._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val acc = scala.collection.mutable.Map[String, (Double, Double)]()
-      val dead = scala.collection.mutable.Set[String]()
-      reader.getFooter.getBlocks.asScala.foreach { block =>
-        block.getColumns.asScala.foreach { c =>
-          val path = c.getPath.toArray
-          if (path.length == 1 && !dead(path(0))) {
-            val col = path(0)
-            val pt = c.getPrimitiveType
-            val st = c.getStatistics
-            val numeric = pt.getLogicalTypeAnnotation == null &&
-              Set(INT32, INT64, FLOAT, DOUBLE)(pt.getPrimitiveTypeName)
-            if (!numeric) () // non-numeric columns never enter acc
-            else if (st == null || !st.hasNonNullValue) {
-              dead += col; acc.remove(col) // one unbounded group poisons the file
-            } else {
-              val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
-                case (a: Number, b: Number) => (a.doubleValue(), b.doubleValue())
-                case _ => (Double.NaN, Double.NaN)
-              }
-              if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) {
-                dead += col; acc.remove(col)
-              } else acc.get(col) match {
-                case Some((omn, omx)) =>
-                  acc(col) = (math.min(omn, mn), math.max(omx, mx))
-                case None => acc(col) = (mn, mx)
-              }
-            }
-          }
-        }
-      }
-      acc.toMap
-    } finally reader.close()
-  } catch { case _: Throwable => Map.empty } // stats are advisory, never fatal
+      conf: org.apache.hadoop.conf.Configuration): Map[String, (Double, Double)] =
+    GraftLake.footerStats(p, conf)
 
   /** Footer bounds for a set of files, read CONCURRENTLY (one hadoop
     * conf for the batch — building it per file dominates the footer read
@@ -1163,6 +1177,109 @@ object GraftLake {
       case _ => _ => true
     }
   }
+
+  /** Long → conservative double LOWER bound: exact within ±2^53, else one
+    * ulp below the nearest double (which may sit above the true value). */
+  private[catalog] def loD(l: Long): Double = {
+    val d = l.toDouble
+    if (l >= -(1L << 53) && l <= (1L << 53)) d else Math.nextDown(d)
+  }
+
+  /** Long → conservative double UPPER bound (mirror of [[loD]]). */
+  private[catalog] def hiD(l: Long): Double = {
+    val d = l.toDouble
+    if (l >= -(1L << 53) && l <= (1L << 53)) d else Math.nextUp(d)
+  }
+
+  /** Static footer-bounds extraction (runs on the driver for small deltas
+    * and inside a Spark job for large ones — keep it free of instance
+    * state). See the instance method's doc for the domain rules. */
+  private[catalog] def footerStats(p: Path,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, (Double, Double)] = try {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.{DateLogicalTypeAnnotation,
+      IntLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+      val dead = scala.collection.mutable.Set[String]()
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          val path = c.getPath.toArray
+          if (path.length == 1 && !dead(path(0))) {
+            val col = path(0)
+            val pt = c.getPrimitiveType
+            val st = c.getStatistics
+            val phys = pt.getPrimitiveTypeName
+            // (bounds converter) for supported physical/logical pairs;
+            // None = never prunable on this column
+            val convert: Option[(Any, Any) => (Double, Double)] =
+              (pt.getLogicalTypeAnnotation, phys) match {
+                case (null, INT32 | FLOAT | DOUBLE) =>
+                  Some((a, b) => (a.asInstanceOf[Number].doubleValue(),
+                    b.asInstanceOf[Number].doubleValue()))
+                case (null, INT64) =>
+                  Some((a, b) => (loD(a.asInstanceOf[Number].longValue()),
+                    hiD(b.asInstanceOf[Number].longValue())))
+                case (i: IntLogicalTypeAnnotation, INT32) if i.isSigned =>
+                  Some((a, b) => (a.asInstanceOf[Number].doubleValue(),
+                    b.asInstanceOf[Number].doubleValue()))
+                case (i: IntLogicalTypeAnnotation, INT64) if i.isSigned =>
+                  Some((a, b) => (loD(a.asInstanceOf[Number].longValue()),
+                    hiD(b.asInstanceOf[Number].longValue())))
+                case (_: DateLogicalTypeAnnotation, INT32) =>
+                  Some((a, b) => (a.asInstanceOf[Number].doubleValue(),
+                    b.asInstanceOf[Number].doubleValue()))
+                case (t: TimestampLogicalTypeAnnotation, INT64) =>
+                  // both variants share the epoch-micros domain:
+                  // adjusted-to-UTC stores instant micros, NTZ stores the
+                  // local datetime's micros as if UTC — each matching the
+                  // lowering PlanBridge applies for the corresponding
+                  // Spark column type (lake-written files always carry
+                  // the annotation their registry type implies).
+                  // NANOS divides with floor (min) / ceil (max) so
+                  // truncation widens outward
+                  val toMicrosLo: Long => Long = t.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+                    case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                      n => Math.floorDiv(n, 1000L)
+                  }
+                  val toMicrosHi: Long => Long = t.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+                    case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                      n => -Math.floorDiv(-n, 1000L)
+                  }
+                  Some((a, b) =>
+                    (loD(toMicrosLo(a.asInstanceOf[Number].longValue())),
+                      hiD(toMicrosHi(b.asInstanceOf[Number].longValue()))))
+                case _ => None // decimal/string/NTZ/INT96/unsigned: no bounds
+              }
+            convert match {
+              case None => () // unprunable columns never enter acc
+              case Some(_) if st == null || !st.hasNonNullValue =>
+                dead += col; acc.remove(col) // one unbounded group poisons the file
+              case Some(conv) =>
+                val (mn, mx) = try conv(st.genericGetMin, st.genericGetMax)
+                  catch { case _: Exception => (Double.NaN, Double.NaN) }
+                if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) {
+                  dead += col; acc.remove(col)
+                } else acc.get(col) match {
+                  case Some((omn, omx)) =>
+                    acc(col) = (math.min(omn, mn), math.max(omx, mx))
+                  case None => acc(col) = (mn, mx)
+                }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  } catch { case _: Throwable => Map.empty } // stats are advisory, never fatal
 
   /** A full manifest checkpoint lands every this-many commits; between
     * checkpoints manifests are O(delta) `{base, add, remove}` records, so

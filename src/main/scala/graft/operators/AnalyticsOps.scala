@@ -574,6 +574,39 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q104: TEMPORAL data skipping — the timestamp twin of
+    * [[q102FileSkipping]], covering the predicate class that dominates a
+    * time-partitioned 100 TB corpus. lineitem lands in the lake
+    * (timestamps forced to INT64 TIMESTAMP_MICROS so footers carry usable
+    * bounds), is time-clustered on `l_shipdate`, and a ship-date range —
+    * written as plain ISO strings, the way users write it — is answered
+    * through [[graft.catalog.GraftLake.readWhere]]: the literal lowers to
+    * epoch micros, the manifest bounds are epoch micros, and files whose
+    * time range cannot match are never planned. The oracle runs the same
+    * range over the raw table; SnapshotSpec separately proves the planned
+    * file count really shrinks. */
+  val q104TemporalSkipping = QueryDef(
+    "q104_temporal_skipping",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val lake = new graft.catalog.GraftLake(s,
+      java.nio.file.Files.createTempDirectory("graft-tskip").toString)
+    lake.write("li", Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_shipdate")))
+    lake.compact("li", targetRecordsPerFile = 10000,
+      clusterBy = Seq("l_shipdate"))
+    lake.readWhere("li",
+      col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q91: per-group top-k through the native bounded-buffer aggregate
     * ([[graft.functions.TopKAggregate]]) — the k largest distinct
     * quantities per return flag, exploded to ranked rows. The oracle runs
@@ -695,5 +728,5 @@ object AnalyticsOps {
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
-    q98CdcReplicate, q102FileSkipping)
+    q98CdcReplicate, q102FileSkipping, q104TemporalSkipping)
 }

@@ -53,7 +53,8 @@ object PlanBridge {
     * wrap `private[sql]` ColumnNode trees (the DSL's `>=`/`&&` become
     * `internal.UnresolvedFunction(">=")` / `("and")`), so the walk lives
     * in this bridge. Anything not a conjunction/disjunction of
-    * `col <op> numeric-literal` lowers to [[PUnknown]]. */
+    * `col <op> literal` — where the literal lowers into the column's
+    * canonical pruning domain (see below) — lowers to [[PUnknown]]. */
   sealed trait SimplePred
   final case class PAnd(l: SimplePred, r: SimplePred) extends SimplePred
   final case class POr(l: SimplePred, r: SimplePred) extends SimplePred
@@ -61,8 +62,55 @@ object PlanBridge {
   final case class PCmp(op: String, col: String, value: Double) extends SimplePred
   case object PUnknown extends SimplePred
 
-  def simplePredicate(c: Column): SimplePred = {
+  /** Epoch micros of an instant (the timestamp pruning domain). Direct
+    * arithmetic, not ChronoUnit.MICROS.between — the latter goes through
+    * nanos and overflows past ±292 years. Throws ArithmeticException only
+    * past ±292,000 years; callers Try-wrap to fall back to keep-the-file. */
+  private def epochMicros(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+      i.getNano / 1000L)
+
+  /** Parse a literal temporal string the way Spark's string→timestamp cast
+    * does for the common ISO shapes: instant (trailing Z / offset), local
+    * datetime (space or 'T' separator, optional fraction) in the session
+    * zone, or bare date at midnight in the session zone. Anything else →
+    * None (the caller falls back to keep-the-file). */
+  private def parseInstant(s: String, zone: java.time.ZoneId)
+      : Option[java.time.Instant] = {
+    val t = s.trim
+    def attempt[T](f: => T): Option[T] = scala.util.Try(f).toOption
+    attempt(java.time.Instant.parse(t))
+      .orElse(attempt(java.time.OffsetDateTime.parse(t).toInstant))
+      .orElse(attempt(java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .atZone(zone).toInstant))
+      .orElse(attempt(java.time.LocalDate.parse(t)
+        .atStartOfDay(zone).toInstant))
+  }
+
+  /** Lower a predicate to the pruning tree, resolving literal values into
+    * the referenced column's canonical bounds domain:
+    *  - numeric columns (or columns absent from `schema`): the literal's
+    *    double value — NaN / ±Infinity literals lower to [[PUnknown]]
+    *    (min/max arithmetic on non-finite values would prune wrongly:
+    *    Spark orders NaN above every double, while `min < NaN` is false);
+    *  - `DateType`: epoch DAYS (from Date / LocalDate / ISO string);
+    *  - `TimestampType`: epoch MICROS UTC (from Timestamp / Instant, or a
+    *    string parsed in the session `zone`, mirroring Spark's cast);
+    *  - `TimestampNTZType`: the local datetime's epoch micros as if UTC
+    *    (the parquet NTZ annotation's own domain — zone-free).
+    * Columns of any other type (string, decimal, nested) lower to
+    * [[PUnknown]] — their files carry no bounds anyway. */
+  def simplePredicate(c: Column,
+      schema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType(),
+      zone: String = "UTC"): SimplePred = {
     import org.apache.spark.sql.internal._
+    import org.apache.spark.sql.types._
+    val zoneId = scala.util.Try(java.time.ZoneId.of(zone))
+      .getOrElse(java.time.ZoneOffset.UTC)
+    val types: Map[String, DataType] =
+      schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) ->
+        f.dataType).toMap
     def flip(op: String): String = op match {
       case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
       case o => o
@@ -71,14 +119,53 @@ object PlanBridge {
       case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
       case _ => None
     }
-    def num(n: ColumnNode): Option[Double] = n match {
-      case l: Literal => l.value match {
-        case x: Number => Some(x.doubleValue())
-        case d: scala.math.BigDecimal => Some(d.doubleValue)
-        case _ => None
-      }
+    def litVal(n: ColumnNode): Option[Any] = n match {
+      case l: Literal => Option(l.value)
       case _ => None
     }
+    def finite(d: Double): Option[Double] =
+      if (d.isNaN || d.isInfinite) None else Some(d)
+    def lower(colName: String, v: Any): Option[Double] =
+      types.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(DateType) => v match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+          case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+          case s: String =>
+            scala.util.Try(java.time.LocalDate.parse(s.trim)).toOption
+              .map(_.toEpochDay.toDouble)
+          case _ => None
+        }
+        case Some(TimestampType) =>
+          val inst = v match {
+            case t: java.sql.Timestamp => Some(t.toInstant)
+            case i: java.time.Instant => Some(i)
+            case s: String => parseInstant(s, zoneId)
+            case _ => None
+          }
+          inst.flatMap(i =>
+            scala.util.Try(epochMicros(i).toDouble).toOption)
+        case Some(TimestampNTZType) =>
+          // zoneless domain: the local datetime's micros as if UTC —
+          // exactly what the parquet NTZ annotation stores, so no session
+          // zone enters on either side of the comparison
+          def attempt[T](f: => T): Option[T] = scala.util.Try(f).toOption
+          val ldt = v match {
+            case l: java.time.LocalDateTime => Some(l)
+            case s: String =>
+              val t = s.trim
+              attempt(java.time.LocalDateTime.parse(t.replace(' ', 'T')))
+                .orElse(attempt(java.time.LocalDate.parse(t).atStartOfDay))
+            case _ => None
+          }
+          ldt.flatMap(l => scala.util.Try(
+            epochMicros(l.toInstant(java.time.ZoneOffset.UTC)).toDouble).toOption)
+        case None | Some(_: NumericType) => v match {
+          case x: Number => finite(x.doubleValue())
+          case d: scala.math.BigDecimal => finite(d.doubleValue)
+          case _ => None
+        }
+        case _ => None // string/NTZ/nested columns: no bounds domain
+      }
     def walk(n: ColumnNode): SimplePred = n match {
       case f: UnresolvedFunction =>
         val args = f.arguments
@@ -87,9 +174,11 @@ object PlanBridge {
           case "or" if args.size == 2 => POr(walk(args(0)), walk(args(1)))
           case op @ ("<" | "<=" | ">" | ">=" | "=" | "==") if args.size == 2 =>
             val o = if (op == "==") "=" else op
-            (attr(args(0)), num(args(1)), num(args(0)), attr(args(1))) match {
-              case (Some(c0), Some(v), _, _) => PCmp(o, c0, v)
-              case (_, _, Some(v), Some(c1)) => PCmp(flip(o), c1, v)
+            (attr(args(0)), litVal(args(1)), litVal(args(0)), attr(args(1))) match {
+              case (Some(c0), Some(v), _, _) =>
+                lower(c0, v).map(PCmp(o, c0, _)).getOrElse(PUnknown)
+              case (_, _, Some(v), Some(c1)) =>
+                lower(c1, v).map(PCmp(flip(o), c1, _)).getOrElse(PUnknown)
               case _ => PUnknown
             }
           case _ => PUnknown

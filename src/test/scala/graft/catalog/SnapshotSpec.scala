@@ -416,6 +416,46 @@ class SnapshotSpec extends AnyFunSuite {
       .count() === all.count())
   }
 
+  test("temporal predicates prune files; NaN predicates never mis-prune") {
+    val lake = newLake()
+    def month(m: Int): DataFrame =
+      (1 to 50).map { i =>
+        (m * 1000 + i,
+          java.sql.Timestamp.valueOf(f"2024-$m%02d-10 0${i % 9}:00:00"),
+          java.sql.Date.valueOf(f"2024-$m%02d-${1 + i % 28}%02d"),
+          i.toDouble)
+      }.toDF("id", "ts", "d", "v")
+    // three appends with disjoint months — three files, disjoint time bounds
+    Seq(1, 2, 3).foreach(m => lake.append("tt", month(m)))
+    val all = lake.read("tt")
+    assert(all.inputFiles.length >= 3)
+    def kept(p: org.apache.spark.sql.Column): Int =
+      lake.readWhere("tt", p).inputFiles.length
+    // timestamp range as ISO strings (the user-facing shape)
+    val tsPred = col("ts") >= "2024-02-01" && col("ts") < "2024-03-01"
+    assert(kept(tsPred) < all.inputFiles.length,
+      "timestamp bounds must prune files")
+    assert(rows(lake.readWhere("tt", tsPred), "id") ===
+      rows(all.filter(tsPred), "id"), "pruning must be invisible")
+    // date equality with a typed literal
+    val dPred = col("d") === lit(java.sql.Date.valueOf("2024-03-15"))
+    assert(kept(dPred) < all.inputFiles.length, "date bounds must prune files")
+    assert(rows(lake.readWhere("tt", dPred), "id") ===
+      rows(all.filter(dPred), "id"))
+    // provably-disjoint future range plans ZERO files — including on the
+    // injected `_inserted_at` system column (the 100 TB ingest-time filter)
+    assert(kept(col("ts") > "2999-01-01") === 0)
+    assert(kept(col("_inserted_at") > "2999-01-01T00:00:00Z") === 0)
+    assert(kept(col("_inserted_at") <= "2999-01-01") === all.inputFiles.length,
+      "past-to-now _inserted_at range keeps everything")
+    // NaN literal must lower to keep-the-file, not skip-everything: Spark
+    // orders NaN above every double, so `v < NaN` matches all rows
+    val nanPred = col("v") < Double.NaN
+    assert(lake.readWhere("tt", nanPred).count() === all.filter(nanPred).count())
+    assert(lake.readWhere("tt", col("v") < Double.PositiveInfinity).count()
+      === all.count())
+  }
+
   test("file stats survive rewrites, checkpoint re-anchoring, and repair") {
     val lake = newLake()
     lake.write("sv", (1 to 50).map(i => (i, s"r$i")).toDF("id", "v"), pks = Seq("id"))
