@@ -420,12 +420,39 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
-  /** SimHash fingerprints + near-dup pairs (rows-only: banding join not
-    * SQL-expressible). */
-  val q29SimHash = QueryDef.rowsOnly("q29_simhash_neardup") { (s, dir) =>
+  /** q29: SimHash near-dup EXACTNESS contract. For maxHamming = 3 the
+    * 4×16-bit banding is COMPLETE by pigeonhole — a pair differing in at
+    * most 3 bits cannot differ in all 4 chunks, so the banded pair set
+    * must EQUAL the brute-force pair set exactly. The contract emits that
+    * equality as hash-gated data: fingerprint count (= corpus size; every
+    * doc tokenizes), zero brute pairs missed by banding, zero banded
+    * pairs outside the brute set, and every emitted distance within the
+    * bound. Raw pairs come from [[simHashNearDups]] directly; recall
+    * behavior stays pinned by its spec. The brute side is O(n²) on a
+    * 64-bit XOR+popcount — a verification harness for test SFs, never
+    * the production path (that IS the banded join). */
+  val q29SimHash = QueryDef(
+    "q29_simhash_neardup",
+    """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_missed,
+      |  CAST(0 AS BIGINT) AS n_extra, CAST(1 AS BIGINT) AS all_within_hamming
+      |FROM documents""".stripMargin) { (s, dir) =>
     val fps = simHash(Tables.documents(s, dir), "doc_id", "text")
-    simHashNearDups(fps, "doc_id", maxHamming = 3)
-      .orderBy(col("a"), col("b"))
+    val banded = simHashNearDups(fps, "doc_id", maxHamming = 3)
+    val pairs = banded.select(col("a"), col("b"))
+    val l = fps.select(col("doc_id").as("a"), col("simhash").as("__fa"))
+    val r = fps.select(col("doc_id").as("b"), col("simhash").as("__fb"))
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .filter(bit_count(col("__fa").bitwiseXOR(col("__fb"))) <= 3)
+      .select(col("a"), col("b"))
+    val nDocs = fps.agg(count(lit(1)).as("n_docs"))
+    val missed = brute.join(pairs, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val extra = pairs.join(brute, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    val within = banded.agg(
+      when(coalesce(min(col("hamming") <= 3), lit(true)), 1L)
+        .otherwise(0L).as("all_within_hamming"))
+    nDocs.crossJoin(missed).crossJoin(extra).crossJoin(within)
   }
 
   /** Near-dup clustering: exact-dup pairs (content hash) ∪ bounded-slice

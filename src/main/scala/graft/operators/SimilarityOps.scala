@@ -781,20 +781,65 @@ object SimilarityOps {
     annContract(emb, queries, ann, "vec_id", "embedding", 10, recallFloor = 0.4)
   }
 
-  /** q77: semantic dedup summary per label at cosine 0.4 (rows-only:
-    * cluster-bucketed candidates are approximate by construction, like
-    * q27/q29/q32; exactness-vs-brute is pinned by SemanticDedupSpec). */
-  val q77SemanticDedup = QueryDef.rowsOnly("q77_semantic_dedup") { (s, dir) =>
+  /** q77: SemDeDup verification CONTRACT, hash-gated per label (the
+    * q32/q80 pattern applied to cluster-bucketed dedup). Three
+    * deterministic guarantees the DuckDB oracle can state from the data:
+    *  - `n_planted_caught` = `n_planted`: exact copies planted into the
+    *    corpus (vec_id % 17 = 3, shifted ids) MUST be flagged — an
+    *    identical vector lands in the same coarse cluster under any
+    *    centroid set and has cosine 1.0 to its original;
+    *  - `n_unwitnessed` = 0: every vec the cluster-bucketed pass flags
+    *    has a TRUE global cosine witness (an earlier vec above the
+    *    threshold) — SemDeDup's candidate set is a subset of all pairs,
+    *    and the contract re-verifies each flag against the full corpus;
+    *  - `n_vecs`: per-label corpus counts tie the run to the data.
+    * Raw flags come from [[semanticDedup]] directly; Σ|cluster|²-vs-brute
+    * exactness stays pinned by SemanticDedupSpec. */
+  val q77SemanticDedup = QueryDef(
+    "q77_semantic_dedup",
+    """SELECT e.label, count(*) AS n_vecs,
+      |  count(*) FILTER (WHERE e.vec_id % 17 = 3) AS n_planted,
+      |  count(*) FILTER (WHERE e.vec_id % 17 = 3) AS n_planted_caught,
+      |  CAST(0 AS BIGINT) AS n_unwitnessed
+      |FROM embeddings e GROUP BY e.label ORDER BY e.label""".stripMargin) { (s, dir) =>
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
+    val planted = emb.filter(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(planted)
     val coarse = memo(s"$dir#coarse16") {
       fitCentroids(emb, "vec_id", "embedding", 16)
     }
-    semanticDedup(emb, "vec_id", "embedding", threshold = 0.4,
-      centroids = Some(coarse))
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("is_dup")).as("n_dups"))
+    val flags = semanticDedup(corpus.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", threshold = 0.4, centroids = Some(coarse))
+    val nv = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val np = planted.groupBy(col("label")).agg(count(lit(1)).as("n_planted"))
+    val caught = flags
+      .filter(col("vec_id") >= 10000000L && col("is_dup") === 1L)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_planted_caught"))
+    // re-verify every flag against the FULL corpus: does an earlier vec
+    // above the threshold really exist? (|flagged| × n cosines, bounded)
+    val flaggedIds = flags.filter(col("is_dup") === 1L).select(col("vec_id"))
+    val fb = corpus.join(flaggedIds, Seq("vec_id"))
+      .select(col("vec_id").as("__b"), col("embedding").as("__vb"),
+        col("label"))
+    val fa = corpus.select(col("vec_id").as("__a"), col("embedding").as("__va"))
+    val witnessed = fb.crossJoin(fa).filter(col("__a") < col("__b"))
+      .filter(VectorFunctions.cosineSim(col("__va"), col("__vb")) > 0.4)
+      .select(col("__b")).distinct()
+    val unwitnessed = fb.select(col("__b"), col("label")).distinct()
+      .join(witnessed, Seq("__b"), "left_anti")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_unwitnessed"))
+    nv.join(np, Seq("label"), "left")
+      .join(caught, Seq("label"), "left")
+      .join(unwitnessed, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_planted"), lit(0L)).as("n_planted"),
+        coalesce(col("n_planted_caught"), lit(0L)).as("n_planted_caught"),
+        coalesce(col("n_unwitnessed"), lit(0L)).as("n_unwitnessed"))
       .orderBy(col("label"))
   }
 

@@ -27,15 +27,13 @@ class RegistrySpec extends AnyFunSuite {
 
   test("rows-only entries stay an explicit, bounded set") {
     val rowsOnly = Registry.defs.filter(_.oracle.isEmpty).map(_.name).sorted
-    // approximate-by-construction operators only — adding a rows-only
-    // entry is a deliberate decision, not a shortcut; update this list
-    // (and the README) when one is genuinely necessary
-    // r6: q32/q80 (ANN), q56 (HLL) and q27 (minhash) moved to hash-gated
-    // contract formulations (k-results + true-cosine witness + recall
-    // floor; exact counts + sketch-error witness) — only simhash and
-    // semantic dedup, whose pair sets have no SQL-expressible contract
-    // yet, stay rows-only
-    assert(rowsOnly === Seq("q29_simhash_neardup", "q77_semantic_dedup"),
+    // adding a rows-only entry is a deliberate decision, not a shortcut;
+    // update this list (and the README) when one is genuinely necessary.
+    // r6 moved q27/q32/q56/q80 to hash-gated contract formulations; r7
+    // closed the last two: q29 via pigeonhole banded==brute equality,
+    // q77 via planted-copy catch + per-flag global-witness re-verify —
+    // every registered query is now oracle-gated
+    assert(rowsOnly === Seq.empty,
       s"unexpected rows-only set: $rowsOnly")
   }
 }
