@@ -762,21 +762,37 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       conf: org.apache.hadoop.conf.Configuration): Map[String, (Double, Double)] =
     GraftLake.footerStats(p, conf)
 
-  /** Footer bounds for a set of files, read CONCURRENTLY (one hadoop
-    * conf for the batch — building it per file dominates the footer read
-    * itself; parallelism hides the per-file open latency). O(delta)
-    * work, bounded wall-clock. */
+  /** Footer bounds for a set of files. Small deltas (the merge/upsert hot
+    * path) read CONCURRENTLY on the driver — one hadoop conf for the
+    * batch, parallelism hiding the per-file open latency; a Spark job's
+    * scheduling latency would dominate. Deltas past
+    * `spark.graft.stats.distributedThreshold` (default 64 — a bulk load
+    * or compaction) fan the footer reads out to EXECUTORS instead
+    * ([[org.apache.spark.sql.graft.FooterStatsJob]]): at 100 TB a commit
+    * adding thousands of files must not serialize its I/O through the
+    * driver. Both paths run the same [[GraftLake.footerStats]] per file
+    * (SnapshotSpec asserts stats parity). O(delta) either way. */
   private def boundsOf(name: String,
-      refs: Seq[(String, String)]): Map[String, Map[String, (Double, Double)]] = {
-    if (refs.isEmpty) return Map.empty
-    import scala.collection.parallel.CollectionConverters._
-    val conf = spark.sessionState.newHadoopConf()
-    refs.toVector.par.flatMap { ref =>
-      val p = if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
-        else new Path(s"${dataDir(name)}/${ref._1}", ref._2)
-      val s = footerStats(p, conf)
-      if (s.isEmpty) None else Some(GraftLake.fileKey(ref) -> s)
-    }.seq.toMap
+      refs: Seq[(String, String)]): Map[String, Map[String, (Double, Double)]] =
+      graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CollectStats) {
+    def pathOf(ref: (String, String)): Path =
+      if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
+      else new Path(s"${dataDir(name)}/${ref._1}", ref._2)
+    val threshold = spark.conf.getOption("spark.graft.stats.distributedThreshold")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(64)
+    if (refs.isEmpty) Map.empty
+    else if (refs.size > threshold) {
+      org.apache.spark.sql.graft.FooterStatsJob.run(spark,
+        refs.map(r => GraftLake.fileKey(r) -> pathOf(r).toString),
+        GraftLake.footerStats)
+    } else {
+      import scala.collection.parallel.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      refs.toVector.par.flatMap { ref =>
+        val s = footerStats(pathOf(ref), conf)
+        if (s.isEmpty) None else Some(GraftLake.fileKey(ref) -> s)
+      }.seq.toMap
+    }
   }
 
   /** Per-file bounds map of a snapshot: checkpoint stats + delta add

@@ -41,6 +41,12 @@ object GraftMetrics {
     * cheap). */
   val CommitVersion = "commitVersion"
 
+  /** Engine extension: per-commit added-file bounds collection (the
+    * data-skipping stats source) — split out of [[CommitVersion]] so
+    * bench runs attribute footer-read cost separately from manifest
+    * bookkeeping. */
+  val CollectStats = "collectStats"
+
   private val ops = new ConcurrentHashMap[String, OpStats]()
   @volatile private var startedAtNanos: Long = System.nanoTime()
   val recordsProcessed = new LongAdder

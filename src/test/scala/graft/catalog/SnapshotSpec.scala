@@ -456,6 +456,36 @@ class SnapshotSpec extends AnyFunSuite {
       === all.count())
   }
 
+  test("driver and distributed stats collection produce identical bounds") {
+    // same deterministic 6-file layout written through both collection
+    // paths: the driver parallel-collection path (small deltas) and the
+    // executor-side FooterStatsJob path (large deltas, forced here by
+    // threshold 0) must land byte-identical bounds in the manifest
+    val df = (1 to 300).map { i =>
+      (i, i * 1.5, java.sql.Timestamp.valueOf(f"2024-03-${1 + i % 28}%02d 12:00:00"))
+    }.toDF("id", "v", "ts").repartition(6, col("id"))
+    val wh = Files.createTempDirectory("graft-snap").toString
+    def statsOf(table: String): Seq[Map[String, (Double, Double)]] = {
+      val raw = scala.io.Source.fromFile(
+        s"$wh/$table/_versions/v0.json").mkString
+      // the two appends run at different wall-clock instants, so the
+      // injected _inserted_at bounds legitimately differ — drop them
+      GraftLake.parseManifest(raw).stats.values.toSeq
+        .map(_ - "_inserted_at")
+        .sortBy(m => m.get("id").map(_._1).getOrElse(Double.NaN))
+    }
+    GraftLake.invalidateCaches()
+    val lake = new GraftLake(spark, wh)
+    lake.append("drv", df)
+    val key = "spark.graft.stats.distributedThreshold"
+    spark.conf.set(key, "0")
+    try lake.append("dist", df) finally spark.conf.unset(key)
+    val a = statsOf("drv")
+    val b = statsOf("dist")
+    assert(a.nonEmpty && a.size === b.size)
+    assert(a === b, "distributed footer stats must equal driver-path stats")
+  }
+
   test("file stats survive rewrites, checkpoint re-anchoring, and repair") {
     val lake = newLake()
     lake.write("sv", (1 to 50).map(i => (i, s"r$i")).toDF("id", "v"), pks = Seq("id"))
