@@ -108,8 +108,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val tmp = new Path(p.getParent, s".meta-${UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write(renderMeta(meta).getBytes("UTF-8")) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    f.rename(tmp, p)
+    replaceAtomic(f, tmp, p)
     metaCache.put(s"$warehouse/$name", meta)
     verifiedTables.put(s"$warehouse/$name", java.lang.Boolean.TRUE)
   }
@@ -669,6 +668,19 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         s"FileSystem.rename failed: $src -> $dst (destination exists or " +
           "source vanished) — refusing to continue with a half-moved commit")
 
+  /** Atomically replace `dst` with `src` — no delete-then-rename window.
+    * A crash can leave either the old or the new content at `dst`, never
+    * neither (POSIX rename semantics via FileContext OVERWRITE; HDFS
+    * implements the same contract). delete+rename instead loses `dst`
+    * entirely when the crash lands between the two calls — fatal when
+    * `dst` is the only resolvable manifest of a kept snapshot. */
+  private def replaceAtomic(f: FileSystem, src: Path, dst: Path): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options}
+    val fc = FileContext.getFileContext(f.getUri, f.getConf)
+    fc.rename(f.makeQualified(src), f.makeQualified(dst),
+      Options.Rename.OVERWRITE)
+  }
+
   /** Move a replaced data file / partition directory into `_history`,
     * PRESERVING its path relative to `base` (the dir that mirrors the
     * `data/` layout — `data/` itself, or a renamed-aside `.old-*` root):
@@ -1036,6 +1048,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * paths). Pick `keepLast` to cover your longest reader, as with every
     * lakehouse vacuum. */
   def expireSnapshots(name: String, keepLast: Int = 1): Unit = writeLock(name) {
+    graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.ExpireSnapshots) {
+      expireSnapshotsLocked(name, keepLast)
+    }
+  }
+
+  private def expireSnapshotsLocked(name: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
     val vs = versions(name)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
@@ -1053,8 +1071,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val out = f.create(tmp, true)
       try out.write(GraftLake.renderManifestWithSchema(oldest,
         oldestManifest.schema, files, oldStats).getBytes("UTF-8")) finally out.close()
-      f.delete(p, false)
-      renameOrFail(f, tmp, p)
+      // atomic: a crash leaves either the delta (still resolvable — its
+      // chain predecessors are deleted only below) or the checkpoint
+      replaceAtomic(f, tmp, p)
     }
     val referenced: Set[(String, String)] = keep.flatMap { v =>
       resolveManifest(name, v)._2
@@ -1070,8 +1089,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         } else {
           val rel = hdUri.relativize(f.makeQualified(s.getPath.getParent).toUri)
             .getPath.stripSuffix("/")
-          if (!referenced.contains((rel, s.getPath.getName)))
+          if (!referenced.contains((rel, s.getPath.getName))) {
             f.delete(s.getPath, false)
+            graft.metrics.GraftMetrics.historyFilesVacuumed.increment()
+          }
         }
       }
     if (f.exists(hd)) vacuum(hd)

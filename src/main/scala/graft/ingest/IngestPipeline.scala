@@ -25,6 +25,13 @@ import org.apache.spark.sql.types._
   * @param avroSchemas     per-topic Avro reader schema JSON — topics listed
   *                        here decode as schemaful Avro (the Connect
   *                        value.converter analog, reference S7)
+  * @param dedup           per-TABLE ingestion-time near-dup gate: every
+  *                        landing batch probes a persisted LSH index in the
+  *                        same lake and lands with a dup flag (or drops
+  *                        dups), and admitted docs extend the index — the
+  *                        reference's curation-on-ingest identity applied
+  *                        to dedup. Cost scales with the batch, never the
+  *                        corpus ([[graft.operators.DedupOps.incrementalNearDups]]).
   */
 final case class IngestConfig(
     warehouse: String,
@@ -34,7 +41,8 @@ final case class IngestConfig(
     dlqTable: Option[String] = Some("_dlq"),
     triggerMs: Long = 60000L,
     maxOffsetsPerTrigger: Option[Long] = None,
-    avroSchemas: Map[String, String] = Map.empty) {
+    avroSchemas: Map[String, String] = Map.empty,
+    dedup: Map[String, DedupConfig] = Map.empty) {
 
   /** Explicit mappings are validated strictly (reference
     * TopicToTableValidator.java:99-154 validates only configured mappings);
@@ -48,6 +56,25 @@ final case class IngestConfig(
       case None    => IngestConfig.sanitizeTableName(topic)
     }
 }
+
+/** Ingestion-time near-dup config for one table (see [[IngestConfig.dedup]]).
+  *
+  * @param idCol    unique document id column (must appear in every batch)
+  * @param textCol  text column to sketch (cast to string)
+  * @param threshold exact-shingle-Jaccard admission threshold
+  * @param flagCol  name of the landed dup-flag column (`0`/`1`)
+  * @param dropDups true → duplicates never land (the flag column is not
+  *                 written either); false → everything lands, flagged
+  */
+final case class DedupConfig(
+    idCol: String,
+    textCol: String,
+    threshold: Double = 0.8,
+    shingleK: Int = 3,
+    bands: Int = 16,
+    rowsPerBand: Int = 4,
+    flagCol: String = "is_dup",
+    dropDups: Boolean = false)
 
 object IngestConfig {
   private val TableName = "^[a-zA-Z_][a-zA-Z0-9_-]*$".r
@@ -208,7 +235,45 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
 
   // ---- JSON path (S3/C2/C3) ----
 
-  private def writeToLake(table: String, df: DataFrame): Unit = {
+  /** Ingestion-time near-dup gate: probe the table's persisted LSH index
+    * (`{table}_lshidx_docs` / `_bands`, created by the first batch), flag
+    * or drop duplicates, and admit survivors into the index. Probing and
+    * admission are batch-bounded — the corpus is never re-sketched
+    * (reference identity: curation happens ON ingest, not as a later
+    * full-corpus pass). A batch whose inferred schema lacks the configured
+    * columns lands un-flagged and bumps `dedup.skipped.batches` — schema
+    * drift must not poison the stream, but it must be visible.
+    *
+    * Admission runs before the landing write: a crash between the two can
+    * leave an admitted doc whose landing retries next batch — it then
+    * flags as a dup of itself in the index, matching the pipeline's
+    * at-least-once contract (re-delivered records are expected; PK
+    * last-wins landing absorbs them). */
+  private def applyDedup(table: String, dc: DedupConfig, df: DataFrame): DataFrame = {
+    if (!df.columns.contains(dc.idCol) || !df.columns.contains(dc.textCol)) {
+      GraftMetrics.dedupSkippedBatches.increment()
+      return df
+    }
+    val probe = df
+      .select(col(dc.idCol), col(dc.textCol).cast("string").as(dc.textCol))
+      .dropDuplicates(dc.idCol)
+    val flags = GraftMetrics.time(GraftMetrics.IngestDedup) {
+      graft.operators.DedupOps.incrementalNearDups(
+        lake, s"${table}_lshidx", probe, dc.idCol, dc.textCol,
+        dc.threshold, dc.shingleK, dc.bands, dc.rowsPerBand, admit = true)
+    }
+    val flagged = df
+      .join(flags.withColumnRenamed("is_dup", dc.flagCol), Seq(dc.idCol), "left")
+      .withColumn(dc.flagCol, coalesce(col(dc.flagCol), lit(0L)))
+    if (dc.dropDups) flagged.filter(col(dc.flagCol) === 0L).drop(dc.flagCol)
+    else flagged
+  }
+
+  private def writeToLake(table: String, rawDf: DataFrame): Unit = {
+    val df = config.dedup.get(table) match {
+      case Some(dc) => applyDedup(table, dc, rawDf)
+      case None => rawDf
+    }
     val pks = config.pks.getOrElse(table, Nil)
     val preExisted = lake.tableExists(table)
     val op = if (preExisted && pks.nonEmpty) GraftMetrics.UpsertWithMergeInto

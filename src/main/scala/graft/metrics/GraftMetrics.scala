@@ -47,12 +47,28 @@ object GraftMetrics {
     * bookkeeping. */
   val CollectStats = "collectStats"
 
+  /** Engine extension: ingestion-time near-dup probe against the
+    * persisted LSH index (curation-on-ingest — the reference's core
+    * identity applied to dedup). Separately timed so flush-latency
+    * regressions attribute to the probe, not the landing write. */
+  val IngestDedup = "ingestDedup"
+
+  /** Engine extension: snapshot expiry + `_history` vacuum cost. */
+  val ExpireSnapshots = "expireSnapshots"
+
   private val ops = new ConcurrentHashMap[String, OpStats]()
   @volatile private var startedAtNanos: Long = System.nanoTime()
   val recordsProcessed = new LongAdder
   val batchCount = new LongAdder
   val maxBatchSize = new AtomicLong(0L)
   val dlqRecords = new LongAdder
+  /** Batches that skipped the configured dedup gate because the batch
+    * schema lacked the id/text columns (schema drift must not poison the
+    * stream, but it must be visible). */
+  val dedupSkippedBatches = new LongAdder
+  /** `_history` files physically deleted by vacuum — the storage-bounding
+    * half of the snapshot contract, observable. */
+  val historyFilesVacuumed = new LongAdder
 
   def op(name: String): OpStats = ops.computeIfAbsent(name, _ => new OpStats)
 
@@ -83,12 +99,15 @@ object GraftMetrics {
       "batch.size.max" -> maxBatchSize.get().toDouble,
       "batch.size.avg" -> (if (batchCount.sum() == 0) 0.0
         else recordsProcessed.sum().toDouble / batchCount.sum()),
-      "dlq.records.total" -> dlqRecords.sum().toDouble)
+      "dlq.records.total" -> dlqRecords.sum().toDouble,
+      "dedup.skipped.batches" -> dedupSkippedBatches.sum().toDouble,
+      "history.files.vacuumed" -> historyFilesVacuumed.sum().toDouble)
   }
 
   def reset(): Unit = {
     ops.clear(); recordsProcessed.reset(); batchCount.reset()
     maxBatchSize.set(0); dlqRecords.reset()
+    dedupSkippedBatches.reset(); historyFilesVacuumed.reset()
     startedAtNanos = System.nanoTime()
   }
 

@@ -146,7 +146,26 @@ object DedupOps {
     val bKeys = bandKeys(
       minHashSignatures(batch, idCol, textCol, shingleK, bands * rowsPerBand),
       idCol, bands, rowsPerBand).cache()
-    val index = lake.read(s"${prefix}_bands")
+    val bShOuter = shingled(batch, idCol, textCol, shingleK)
+      .select(col(idCol).as("__bid"), col("__shingles").as("__sb")).cache()
+    try incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
+      threshold, shingleK, admit, bKeys, bShOuter)
+    // the per-batch caches must not outlive the call — in the intended
+    // long-lived ingestion loop (one call per micro-batch) leaked cached
+    // partitions would accumulate on executors until eviction pressure
+    finally { bKeys.unpersist(); bShOuter.unpersist() }
+  }
+
+  private def incrementalNearDupsBody(lake: graft.catalog.GraftLake,
+      prefix: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int, admit: Boolean,
+      bKeys: DataFrame, bSh: DataFrame): DataFrame = {
+    // self-bootstrapping: a missing index reads as empty, and the (admit)
+    // appends below create the tables — so the FIRST micro-batch of an
+    // ingestion loop needs no separate buildMinhashIndex call
+    val index =
+      if (lake.tableExists(s"${prefix}_bands")) lake.read(s"${prefix}_bands")
+      else bKeys.limit(0)
     // corpus candidates: the index side stays partitioned on its own
     // (band, band_hash); the batch side broadcasts into it
     val vsCorpus = index
@@ -163,10 +182,10 @@ object DedupOps {
     // exact-Jaccard verify on candidate texts only: batch shingles are
     // batch-bounded; indexed shingles are computed for just the candidate
     // partner ids (broadcast semi-join keeps the scan pruned)
-    val bSh = shingled(batch, idCol, textCol, shingleK)
-      .select(col(idCol).as("__bid"), col("__shingles").as("__sb")).cache()
     val partnerIds = vsCorpus.select(col("__partner")).distinct()
-    val indexedDocs = lake.read(s"${prefix}_docs")
+    val indexedDocs =
+      if (lake.tableExists(s"${prefix}_docs")) lake.read(s"${prefix}_docs")
+      else batch.select(col(idCol), col(textCol)).limit(0)
     val cSh = shingled(
       indexedDocs.join(broadcast(partnerIds),
         indexedDocs(idCol) === col("__partner"), "left_semi"),
@@ -185,9 +204,13 @@ object DedupOps {
       .select(col("__bid")).distinct()
     val dups = dupVsCorpus.unionByName(dupVsBatch).distinct()
       .withColumn("__dup", lit(1L))
+    // materialize (batch-bounded: two narrow columns) BEFORE the caller's
+    // finally releases the caches — later evaluations of the returned
+    // frame must not re-run the probe joins against an unpersisted lineage
     val flagged = batch.select(col(idCol))
       .join(dups.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
+      .localCheckpoint(true)
     if (admit) {
       val admittedIds = flagged.filter(col("is_dup") === 0L).select(col(idCol))
       lake.append(s"${prefix}_docs",

@@ -128,5 +128,60 @@ object PipelineOps {
       .orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline, q64Compaction)
+  /** q105: ingestion-time near-dup gate, end-to-end through the FULL
+    * pipeline — Kafka-shaped JSON batches → schema inference (doc_id takes
+    * the ID-suffix string rule) → [[graft.ingest.IngestPipeline]] landing
+    * with a [[graft.ingest.DedupConfig]] gate → per-batch probe/admission
+    * against the lake-persisted LSH index.
+    *
+    * Deterministic by construction (the hash-gate requirement): every doc
+    * text is synthetic with its own id embedded in every token, so batch 1
+    * ("base") has pairwise-disjoint shingle sets (zero intra-batch dups,
+    * guaranteed), batch 2's "copy" class repeats base texts VERBATIM
+    * (identical shingles ⇒ identical signature ⇒ every band collides ⇒
+    * always caught at Jaccard 1.0) and its "unique" class embeds fresh ids
+    * (disjoint from everything ⇒ never flagged). Organic-text S-curve
+    * behavior stays pinned by q27/q101 and the dedup specs; this gate
+    * proves the WIRING — flags land, admission persists across
+    * micro-batches, the stream schema carries the flag column. */
+  val q105IngestDedup = QueryDef(
+    "q105_ingest_dedup",
+    """WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 5)
+      |SELECT 'base' AS class, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_dups FROM s
+      |UNION ALL
+      |SELECT 'copy' AS class, count(*) AS n_docs, count(*) AS n_dups FROM s
+      |UNION ALL
+      |SELECT 'unique' AS class, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_dups FROM s
+      |ORDER BY class""".stripMargin) { (s, dir) =>
+    val ids = Tables.documents(s, dir).filter(col("doc_id") % 31 === 5)
+      .select(col("doc_id"))
+    def idText(prefix: String, id: org.apache.spark.sql.Column) =
+      concat_ws(" ", (0 until 8).map(i => concat(lit(s"$prefix${i}x"), id)): _*)
+    val base = ids.select(col("doc_id"), idText("b", col("doc_id")).as("text"))
+    // copies keep the BASE doc's text verbatim; uniques embed their own id
+    val copies = ids.select((col("doc_id") + 10000000L).as("doc_id"),
+      idText("b", col("doc_id")).as("text"))
+    val uniques = ids.select((col("doc_id") + 20000000L).as("doc_id"),
+      idText("u", col("doc_id") + 20000000L).as("text"))
+    val wh = Files.createTempDirectory("graft-q105").toString
+    val pipeline = new graft.ingest.IngestPipeline(s,
+      graft.ingest.IngestConfig(warehouse = wh, dlqTable = None,
+        dedup = Map("docs" ->
+          graft.ingest.DedupConfig("doc_id", "text", threshold = 0.8))))
+    def kafkaShaped(b: org.apache.spark.sql.DataFrame) = b.select(
+      lit("docs").as("topic"), lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      to_json(struct(col("doc_id"), col("text"))).cast("binary").as("value"))
+    pipeline.processBatch(kafkaShaped(base), 0L)
+    pipeline.processBatch(kafkaShaped(copies.unionByName(uniques)), 1L)
+    pipeline.lake.read("docs")
+      .select(col("doc_id").cast("long").as("id"), col("is_dup"))
+      .groupBy(when(col("id") < 10000000L, "base")
+        .when(col("id") < 20000000L, "copy").otherwise("unique").as("class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .orderBy(col("class"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline,
+    q64Compaction, q105IngestDedup)
 }

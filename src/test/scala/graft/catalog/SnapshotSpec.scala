@@ -96,6 +96,50 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows(lake.readVersion("x", vs.last), "id", "v") === Set(Seq(1, "c")))
   }
 
+  test("history audit: vacuum leaves exactly the kept-version references in _history") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-snap").toString
+    val lake = new GraftLake(spark, wh)
+    // rewrite churn: every upsert retires the previous file into _history
+    for (i <- 1 to 6)
+      lake.write("h", Seq((1, s"v$i"), (2, s"w$i")).toDF("id", "v"),
+        pks = Seq("id"))
+    val vacuumedBefore = graft.metrics.GraftMetrics.historyFilesVacuumed.sum()
+    lake.expireSnapshots("h", keepLast = 3)
+    val kept = lake.versions("h")
+    assert(kept.size === 3)
+    // normalize to the path below _history/ — snapshot resolution and the
+    // raw directory walk may differ in scheme qualification
+    def relHist(p: String): Option[String] = {
+      val i = p.indexOf("/_history/")
+      if (i < 0) None else Some(p.substring(i + "/_history/".length))
+    }
+    val referenced = kept
+      .flatMap(v => lake.snapshotFiles("h", v)._2).flatMap(relHist).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hd = new org.apache.hadoop.fs.Path(s"$wh/h/_history")
+    val hfs = hd.getFileSystem(conf)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      if (!hfs.exists(p)) Nil
+      else hfs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath.toString))
+    val historyFiles = walk(hd).flatMap(relHist).toSet
+    // equality BOTH ways: no unreferenced file survives the vacuum (history
+    // is retention-bounded — it cannot grow with rewrite churn between
+    // expires), and no still-referenced file was lost
+    assert(historyFiles === referenced,
+      s"_history after vacuum must hold exactly the kept-version references;" +
+        s" extra=${historyFiles -- referenced} missing=${referenced -- historyFiles}")
+    assert(historyFiles.nonEmpty, "rewrite churn must have retired files")
+    assert(graft.metrics.GraftMetrics.historyFilesVacuumed.sum() > vacuumedBefore,
+      "the vacuum sensor observes deleted history files")
+    // the kept snapshots still reconstruct exactly
+    assert(rows(lake.readVersion("h", kept.head), "id", "v") ===
+      Set(Seq(1, "v4"), Seq(2, "w4")))
+    assert(rows(lake.readVersion("h", kept.last), "id", "v") ===
+      Set(Seq(1, "v6"), Seq(2, "w6")))
+  }
+
   test("SQL VERSION AS OF reads a snapshot through the catalog") {
     val wh = Files.createTempDirectory("graft-snap-sql").toString
     GraftLake.invalidateCaches()

@@ -503,4 +503,79 @@ class IngestPipelineSpec extends AnyFunSuite {
     val err = dlq.select("error").head().getString(0)
     assert(err.contains("Incompatible with table 'te'"), s"error was: $err")
   }
+
+  // ---- ingestion-time dedup gate (curation-on-ingest) ----
+
+  private def dedupPipeline(dropDups: Boolean = false): IngestPipeline = {
+    graft.catalog.GraftLake.invalidateCaches()
+    new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-dedup").toString,
+      dedup = Map("d" -> DedupConfig("doc_id", "text", threshold = 0.8,
+        dropDups = dropDups))))
+  }
+
+  private def doc(id: Int, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+  private val tA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val tB = "one two three four five six seven eight"
+  private val tC = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+
+  test("ingest dedup: flags land and the LSH index persists across batches") {
+    val p = dedupPipeline()
+    p.processBatch(batchOf("d" -> doc(1, tA), "d" -> doc(2, tB)), 0)
+    // first batch bootstraps the index; nothing to collide with yet
+    val b1 = p.lake.read("d").select("doc_id", "is_dup").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(b1 === Map(1 -> 0L, 2 -> 0L))
+    assert(p.lake.tableExists("d_lshidx_docs") &&
+      p.lake.tableExists("d_lshidx_bands"), "first batch creates the index")
+    // second batch: doc 3 is an exact copy of INDEXED doc 1 (identical
+    // text => identical signature => every band collides => caught,
+    // guaranteed); doc 4 is fresh
+    p.processBatch(batchOf("d" -> doc(3, tA), "d" -> doc(4, tC)), 1)
+    val b2 = p.lake.read("d").select("doc_id", "is_dup").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(b2 === Map(1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 0L))
+    // only non-dups were admitted: the index never poisons itself
+    val admitted = p.lake.read("d_lshidx_docs").select("doc_id").collect()
+      .map(_.getInt(0)).toSet
+    assert(admitted === Set(1, 2, 4))
+  }
+
+  test("ingest dedup: dropDups lands only non-duplicates, no flag column") {
+    val p = dedupPipeline(dropDups = true)
+    p.processBatch(batchOf("d" -> doc(1, tA)), 0)
+    p.processBatch(batchOf("d" -> doc(2, tA), "d" -> doc(3, tB)), 1)
+    val landed = p.lake.read("d")
+    assert(!landed.columns.contains("is_dup"))
+    assert(landed.select("doc_id").collect().map(_.getInt(0)).toSet ===
+      Set(1, 3), "the copy never lands")
+  }
+
+  test("ingest dedup: a batch without the keyed columns lands unflagged and is counted") {
+    val p = dedupPipeline()
+    val before = graft.metrics.GraftMetrics.dedupSkippedBatches.sum()
+    p.processBatch(batchOf("d" -> """{"other":1}"""), 0)
+    assert(p.lake.read("d").count() === 1, "schema drift must not poison the stream")
+    assert(!p.lake.read("d").columns.contains("is_dup"))
+    assert(graft.metrics.GraftMetrics.dedupSkippedBatches.sum() === before + 1)
+  }
+
+  test("streaming: micro-batches land with is_dup flags against the persisted index") {
+    val p = dedupPipeline()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Int, Long, Array[Byte])]
+    val source = mem.toDF().toDF("topic", "partition", "offset", "value")
+    val q = p.start(source, Files.createTempDirectory("graft-ckpt").toString)
+    try {
+      mem.addData(("d", 0, 0L, doc(1, tA).getBytes("UTF-8")),
+        ("d", 0, 1L, doc(2, tB).getBytes("UTF-8")))
+      q.processAllAvailable()
+      mem.addData(("d", 0, 2L, doc(3, tA).getBytes("UTF-8")),
+        ("d", 0, 3L, doc(4, tC).getBytes("UTF-8")))
+      q.processAllAvailable()
+      val got = p.lake.read("d").select("doc_id", "is_dup").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got === Map(1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 0L))
+    } finally q.stop()
+  }
 }
