@@ -771,7 +771,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * (decimal/string/NTZ/INT96) are omitted: a missing entry means
     * "cannot bound", which the pruner treats as keep-the-file. */
   private def footerStats(p: Path,
-      conf: org.apache.hadoop.conf.Configuration): Map[String, (Double, Double)] =
+      conf: org.apache.hadoop.conf.Configuration): Map[String, GraftLake.Bounds] =
     GraftLake.footerStats(p, conf)
 
   /** Footer bounds for a set of files. Small deltas (the merge/upsert hot
@@ -785,7 +785,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * driver. Both paths run the same [[GraftLake.footerStats]] per file
     * (SnapshotSpec asserts stats parity). O(delta) either way. */
   private def boundsOf(name: String,
-      refs: Seq[(String, String)]): Map[String, Map[String, (Double, Double)]] =
+      refs: Seq[(String, String)]): Map[String, Map[String, GraftLake.Bounds]] =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CollectStats) {
     def pathOf(ref: (String, String)): Path =
       if (ref._1.isEmpty) new Path(dataDir(name), ref._2)
@@ -810,7 +810,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   /** Per-file bounds map of a snapshot: checkpoint stats + delta add
     * stats along the same chain [[resolveManifest]] walks. */
   private def resolveStats(name: String,
-      version: Long): Map[String, Map[String, (Double, Double)]] = {
+      version: Long): Map[String, Map[String, GraftLake.Bounds]] = {
     val top = readManifestFile(name, version)
     var deltas = List.empty[GraftLake.Manifest]
     var m = top
@@ -828,7 +828,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   /** Cached bounds map of a version (latest-version cache; older
     * versions resolve the chain). */
   private def statsFor(name: String,
-      version: Long): Map[String, Map[String, (Double, Double)]] = {
+      version: Long): Map[String, Map[String, GraftLake.Bounds]] = {
     val key = s"$warehouse/$name"
     val cached = statsMapCache.get(key)
     if (cached != null && cached._1 == version) cached._2
@@ -1179,7 +1179,7 @@ object GraftLake {
   /** Per-file numeric column bounds of the latest version (file key →
     * col → (min, max)), maintained with the same delta discipline. */
   private val statsMapCache = new ConcurrentHashMap[
-    String, (Long, Map[String, Map[String, (Double, Double)]])]()
+    String, (Long, Map[String, Map[String, GraftLake.Bounds]])]()
 
   /** Manifest key of a (rel, name) file identity. */
   private[catalog] def fileKey(ref: (String, String)): String =
@@ -1194,11 +1194,22 @@ object GraftLake {
     * results, only I/O.) */
   private[catalog] def filePruner(
       p: org.apache.spark.sql.graft.PlanBridge.SimplePred)
-      : Map[String, (Double, Double)] => Boolean = {
+      : Map[String, Bounds] => Boolean = {
     import org.apache.spark.sql.graft.PlanBridge._
-    def bound(c: String)(f: ((Double, Double)) => Boolean)
-        : Map[String, (Double, Double)] => Boolean =
-      s => s.get(c).forall(f)
+    // a bound of the WRONG kind (schema drift between commit and read)
+    // keeps the file — mis-typed stats must never skip data
+    def num(c: String)(f: ((Double, Double)) => Boolean)
+        : Map[String, Bounds] => Boolean =
+      s => s.get(c).forall {
+        case NumBounds(lo, hi) => f((lo, hi))
+        case _ => true
+      }
+    def str(c: String)(f: ((String, String)) => Boolean)
+        : Map[String, Bounds] => Boolean =
+      s => s.get(c).forall {
+        case StrBounds(lo, hi) => f((lo, hi))
+        case _ => true
+      }
     p match {
       case PAnd(l, r) =>
         val (pl, pr) = (filePruner(l), filePruner(r))
@@ -1206,14 +1217,38 @@ object GraftLake {
       case POr(l, r) =>
         val (pl, pr) = (filePruner(l), filePruner(r))
         s => pl(s) || pr(s)
-      case PCmp(">", c, v) => bound(c)(_._2 > v)
-      case PCmp(">=", c, v) => bound(c)(_._2 >= v)
-      case PCmp("<", c, v) => bound(c)(_._1 < v)
-      case PCmp("<=", c, v) => bound(c)(_._1 <= v)
-      case PCmp("=", c, v) => bound(c)(r => r._1 <= v && v <= r._2)
+      case PCmp(">", c, v) => num(c)(_._2 > v)
+      case PCmp(">=", c, v) => num(c)(_._2 >= v)
+      case PCmp("<", c, v) => num(c)(_._1 < v)
+      case PCmp("<=", c, v) => num(c)(_._1 <= v)
+      case PCmp("=", c, v) => num(c)(r => r._1 <= v && v <= r._2)
+      case PStr(">", c, v) => str(c)(r => strCmp(r._2, v) > 0)
+      case PStr(">=", c, v) => str(c)(r => strCmp(r._2, v) >= 0)
+      case PStr("<", c, v) => str(c)(r => strCmp(r._1, v) < 0)
+      case PStr("<=", c, v) => str(c)(r => strCmp(r._1, v) <= 0)
+      case PStr("=", c, v) =>
+        str(c)(r => strCmp(r._1, v) <= 0 && strCmp(v, r._2) <= 0)
       case _ => _ => true
     }
   }
+
+  /** Typed per-column file bounds. Numeric/temporal columns live in a
+    * shared double domain ([[NumBounds]] — see [[footerStats]] for the
+    * per-type encoding); string columns keep their parquet footer min/max
+    * verbatim ([[StrBounds]]) and compare in unsigned UTF-8 byte order —
+    * the SAME total order Spark's `UTF8String.compareTo` and parquet's
+    * STRING column order define, so manifest-level pruning and row-level
+    * filtering can never disagree (Java `String.compareTo` is UTF-16
+    * code-unit order, which diverges above the BMP — never use it here). */
+  sealed trait Bounds extends Serializable
+  final case class NumBounds(lo: Double, hi: Double) extends Bounds
+  final case class StrBounds(lo: String, hi: String) extends Bounds
+
+  /** Unsigned UTF-8 byte-order comparison (the string pruning domain). */
+  private[catalog] def strCmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Long → conservative double LOWER bound: exact within ±2^53, else one
     * ulp below the nearest double (which may sit above the true value). */
@@ -1232,16 +1267,17 @@ object GraftLake {
     * and inside a Spark job for large ones — keep it free of instance
     * state). See the instance method's doc for the domain rules. */
   private[catalog] def footerStats(p: Path,
-      conf: org.apache.hadoop.conf.Configuration): Map[String, (Double, Double)] = try {
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Bounds] = try {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import LogicalTypeAnnotation.{DateLogicalTypeAnnotation,
-      IntLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+      IntLogicalTypeAnnotation, StringLogicalTypeAnnotation,
+      TimestampLogicalTypeAnnotation}
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+      val acc = scala.collection.mutable.Map[String, Bounds]()
       val dead = scala.collection.mutable.Set[String]()
       reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { c =>
@@ -1294,9 +1330,47 @@ object GraftLake {
                   Some((a, b) =>
                     (loD(toMicrosLo(a.asInstanceOf[Number].longValue())),
                       hiD(toMicrosHi(b.asInstanceOf[Number].longValue()))))
-                case _ => None // decimal/string/NTZ/INT96/unsigned: no bounds
+                case _ => None // decimal/NTZ/INT96/unsigned: no bounds
               }
-            convert match {
+            val isString = (pt.getLogicalTypeAnnotation, phys) match {
+              case (_: StringLogicalTypeAnnotation, BINARY) => true
+              case _ => false
+            }
+            if (isString) {
+              // footer min/max are valid bounds even when parquet-mr
+              // truncated them (BinaryTruncator increments the last byte
+              // of a truncated max, preserving the upper-bound contract)
+              if (st == null || !st.hasNonNullValue) { dead += col; acc.remove(col) }
+              else {
+                val utf8 = java.nio.charset.StandardCharsets.UTF_8
+                val b: Option[(String, String)] = try {
+                  val mnB = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  val mxB = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  val mn = new String(mnB, utf8)
+                  val mx = new String(mxB, utf8)
+                  // round-trip guard: bytes that are not valid UTF-8 decode
+                  // with replacement chars, corrupting the byte order the
+                  // pruner compares in; oversized bounds would bloat every
+                  // manifest for marginal pruning value — drop the column
+                  if (!java.util.Arrays.equals(mn.getBytes(utf8), mnB) ||
+                      !java.util.Arrays.equals(mx.getBytes(utf8), mxB) ||
+                      mn.length > 256 || mx.length > 256) None
+                  else Some((mn, mx))
+                } catch { case _: Exception => None }
+                b match {
+                  case None => dead += col; acc.remove(col)
+                  case Some((mn, mx)) => acc.get(col) match {
+                    case Some(StrBounds(omn, omx)) =>
+                      acc(col) = StrBounds(
+                        if (strCmp(mn, omn) < 0) mn else omn,
+                        if (strCmp(mx, omx) > 0) mx else omx)
+                    case _ => acc(col) = StrBounds(mn, mx)
+                  }
+                }
+              }
+            } else convert match {
               case None => () // unprunable columns never enter acc
               case Some(_) if st == null || !st.hasNonNullValue =>
                 dead += col; acc.remove(col) // one unbounded group poisons the file
@@ -1306,9 +1380,9 @@ object GraftLake {
                 if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) {
                   dead += col; acc.remove(col)
                 } else acc.get(col) match {
-                  case Some((omn, omx)) =>
-                    acc(col) = (math.min(omn, mn), math.max(omx, mx))
-                  case None => acc(col) = (mn, mx)
+                  case Some(NumBounds(omn, omx)) =>
+                    acc(col) = NumBounds(math.min(omn, mn), math.max(omx, mx))
+                  case _ => acc(col) = NumBounds(mn, mx)
                 }
             }
           }
@@ -1336,7 +1410,7 @@ object GraftLake {
       depth: Int,
       add: Vector[(String, String)],
       remove: Vector[(String, String)],
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty)
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -1403,14 +1477,18 @@ object GraftLake {
     }.mkString("[", ",", "]")
 
   /** JSON object of per-file column bounds, restricted to `keys` (and to
-    * files that have any stats — statless files simply don't prune). */
+    * files that have any stats — statless files simply don't prune).
+    * Numeric bounds render as `[lo,hi]` numbers, string bounds as
+    * `["lo","hi"]` — the element's JSON type IS the discriminator
+    * [[parseManifest]] reads back. */
   private def statsObj(
-      stats: Map[String, Map[String, (Double, Double)]],
+      stats: Map[String, Map[String, GraftLake.Bounds]],
       keys: Seq[String]): String =
     keys.distinct.sorted.flatMap { k =>
       stats.get(k).filter(_.nonEmpty).map { s =>
-        q(k) + ":" + s.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          q(c) + s":[$mn,$mx]"
+        q(k) + ":" + s.toSeq.sortBy(_._1).map {
+          case (c, NumBounds(mn, mx)) => q(c) + s":[$mn,$mx]"
+          case (c, StrBounds(mn, mx)) => q(c) + s":[${q(mn)},${q(mx)}]"
         }.mkString("{", ",", "}")
       }
     }.mkString("{", ",", "}")
@@ -1419,12 +1497,12 @@ object GraftLake {
     * (+ per-file numeric bounds for data skipping). */
   private[catalog] def renderManifest(version: Long, meta: TableMeta,
       files: Seq[(String, String)],
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String =
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): String =
     renderManifestWithSchema(version, meta.schema, files, stats)
 
   private[catalog] def renderManifestWithSchema(version: Long,
       schema: StructType, files: Seq[(String, String)],
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String =
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): String =
     s"""{"version":$version,"schema":${schema.json},"files":${fileArr(files)}""" +
       s""","stats":${statsObj(stats, files.map(fileKey))}}"""
 
@@ -1434,7 +1512,7 @@ object GraftLake {
   private[catalog] def renderDelta(version: Long, meta: TableMeta,
       base: Long, depth: Int, add: Seq[(String, String)],
       remove: Seq[(String, String)],
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String =
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): String =
     s"""{"version":$version,"schema":${meta.schema.json},"base":$base,""" +
       s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}""" +
       s""","stats":${statsObj(stats, add.map(fileKey))}}"""
@@ -1450,16 +1528,20 @@ object GraftLake {
         (fn.get(i).get("rel").asText(), fn.get(i).get("name").asText())
       }.toVector
     }
-    val stats: Map[String, Map[String, (Double, Double)]] = {
+    val stats: Map[String, Map[String, GraftLake.Bounds]] = {
       val sn = node.get("stats")
       if (sn == null) Map.empty
       else {
-        val b = Map.newBuilder[String, Map[String, (Double, Double)]]
+        val b = Map.newBuilder[String, Map[String, GraftLake.Bounds]]
         sn.fields().forEachRemaining { e =>
-          val cols = Map.newBuilder[String, (Double, Double)]
+          val cols = Map.newBuilder[String, GraftLake.Bounds]
           e.getValue.fields().forEachRemaining { c =>
-            cols += c.getKey -> (c.getValue.get(0).asDouble(),
-              c.getValue.get(1).asDouble())
+            val bounds: GraftLake.Bounds =
+              if (c.getValue.get(0).isTextual)
+                StrBounds(c.getValue.get(0).asText(), c.getValue.get(1).asText())
+              else NumBounds(c.getValue.get(0).asDouble(),
+                c.getValue.get(1).asDouble())
+            cols += c.getKey -> bounds
           }
           b += e.getKey -> cols.result()
         }
