@@ -21,11 +21,12 @@ object FooterStatsJob {
 
   /** Read bounds for `files` = (fileKey, absolute path string) pairs in a
     * Spark job; entries whose reader returns empty are dropped (meaning
-    * "cannot bound" — the pruner keeps those files). */
-  def run(spark: SparkSession,
+    * "cannot bound" — the pruner keeps those files). Generic in the
+    * bounds value `B` (must be Serializable — it crosses the wire). */
+  def run[B](spark: SparkSession,
       files: Seq[(String, String)],
-      reader: (Path, Configuration) => Map[String, (Double, Double)])
-      : Map[String, Map[String, (Double, Double)]] = {
+      reader: (Path, Configuration) => Map[String, B])
+      : Map[String, Map[String, B]] = {
     if (files.isEmpty) return Map.empty
     val bc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))

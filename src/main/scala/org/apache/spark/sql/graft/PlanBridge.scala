@@ -60,6 +60,12 @@ object PlanBridge {
   final case class POr(l: SimplePred, r: SimplePred) extends SimplePred
   /** `op` ∈ <, <=, >, >=, = with the attribute on the LEFT. */
   final case class PCmp(op: String, col: String, value: Double) extends SimplePred
+  /** String-column comparison; `value` compares in unsigned UTF-8 byte
+    * order (Spark's default UTF8_BINARY collation — the same total order
+    * parquet STRING min/max are computed in). Only lowered for columns
+    * whose schema type is the default-collation StringType; any other
+    * collation would sort differently and must not prune. */
+  final case class PStr(op: String, col: String, value: String) extends SimplePred
   case object PUnknown extends SimplePred
 
   /** Epoch micros of an instant (the timestamp pruning domain). Direct
@@ -98,8 +104,12 @@ object PlanBridge {
     *    string parsed in the session `zone`, mirroring Spark's cast);
     *  - `TimestampNTZType`: the local datetime's epoch micros as if UTC
     *    (the parquet NTZ annotation's own domain — zone-free).
-    * Columns of any other type (string, decimal, nested) lower to
-    * [[PUnknown]] — their files carry no bounds anyway. */
+    *  - default-collation `StringType`: the literal string verbatim
+    *    ([[PStr]] — compared in unsigned UTF-8 byte order, matching both
+    *    Spark's UTF8_BINARY row comparison and parquet's STRING column
+    *    order; non-default collations lower to [[PUnknown]]).
+    * Columns of any other type (decimal, nested) lower to [[PUnknown]] —
+    * their files carry no bounds anyway. */
   def simplePredicate(c: Column,
       schema: org.apache.spark.sql.types.StructType =
         new org.apache.spark.sql.types.StructType(),
@@ -164,7 +174,17 @@ object PlanBridge {
           case d: scala.math.BigDecimal => finite(d.doubleValue)
           case _ => None
         }
-        case _ => None // string/NTZ/nested columns: no bounds domain
+        case _ => None // collated-string/decimal/nested: no bounds domain
+      }
+    // Build the comparison node for `col <op> literal`, routing string
+    // columns to the PStr domain and everything else through `lower`.
+    def cmp(op: String, colName: String, v: Any): SimplePred =
+      types.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(st: StringType) if st == StringType => v match {
+          case s: String => PStr(op, colName, s)
+          case _ => PUnknown
+        }
+        case _ => lower(colName, v).map(PCmp(op, colName, _)).getOrElse(PUnknown)
       }
     def walk(n: ColumnNode): SimplePred = n match {
       case f: UnresolvedFunction =>
@@ -175,10 +195,8 @@ object PlanBridge {
           case op @ ("<" | "<=" | ">" | ">=" | "=" | "==") if args.size == 2 =>
             val o = if (op == "==") "=" else op
             (attr(args(0)), litVal(args(1)), litVal(args(0)), attr(args(1))) match {
-              case (Some(c0), Some(v), _, _) =>
-                lower(c0, v).map(PCmp(o, c0, _)).getOrElse(PUnknown)
-              case (_, _, Some(v), Some(c1)) =>
-                lower(c1, v).map(PCmp(flip(o), c1, _)).getOrElse(PUnknown)
+              case (Some(c0), Some(v), _, _) => cmp(o, c0, v)
+              case (_, _, Some(v), Some(c1)) => cmp(flip(o), c1, v)
               case _ => PUnknown
             }
           case _ => PUnknown

@@ -500,6 +500,39 @@ class SnapshotSpec extends AnyFunSuite {
       === all.count())
   }
 
+  test("string predicates prune files in UTF-8 byte order; collation-unsafe shapes keep") {
+    val lake = newLake()
+    // three appends with disjoint key ranges — three files, disjoint
+    // string bounds (all ASCII, so byte order == code-point order here)
+    def batch(p: String): DataFrame =
+      (1 to 60).map(i => (f"$p${i}%03d", i)).toDF("k", "n")
+    Seq("alpha_", "mike_", "zulu_").foreach(p => lake.append("st", batch(p)))
+    val all = lake.read("st")
+    assert(all.inputFiles.length >= 3)
+    def kept(p: org.apache.spark.sql.Column): Int =
+      lake.readWhere("st", p).inputFiles.length
+    val midPred = col("k") >= "mike_" && col("k") < "mike_~"
+    assert(kept(midPred) < all.inputFiles.length, "string bounds must prune")
+    assert(rows(lake.readWhere("st", midPred), "k", "n") ===
+      rows(all.filter(midPred), "k", "n"), "pruning must be invisible")
+    // equality inside one file's range; provably-out-of-range plans zero
+    assert(rows(lake.readWhere("st", col("k") === "zulu_005"), "k").map(_.head)
+      === Set("zulu_005"))
+    assert(kept(col("k") > "zzzz") === 0)
+    assert(kept(col("k") < "a") === 0)
+    // non-BMP data: parquet min/max are UTF-8 byte-ordered; a supplementary
+    // character (U+10400, bytes F0 90 90 80) sorts ABOVE U+FFFD in byte
+    // order but BELOW it in Java UTF-16 code-unit order (lead surrogate
+    // D801 < FFFD). Separate files so a Java-ordered pruner would wrongly
+    // skip the supplementary file for `k >= "\uFFFD"` — byte order keeps it.
+    val hi = new String(Character.toChars(0x10400))
+    lake.append("nb", Seq(("\uFFFD", 2)).toDF("k", "n"))
+    lake.append("nb", Seq((hi, 1)).toDF("k", "n"))
+    val nbPred = col("k") >= "\uFFFD"
+    assert(rows(lake.readWhere("nb", nbPred), "n").map(_.head) === Set(1, 2),
+      "non-BMP bounds must prune in the same order Spark compares rows")
+  }
+
   test("driver and distributed stats collection produce identical bounds") {
     // same deterministic 6-file layout written through both collection
     // paths: the driver parallel-collection path (small deltas) and the
@@ -509,14 +542,17 @@ class SnapshotSpec extends AnyFunSuite {
       (i, i * 1.5, java.sql.Timestamp.valueOf(f"2024-03-${1 + i % 28}%02d 12:00:00"))
     }.toDF("id", "v", "ts").repartition(6, col("id"))
     val wh = Files.createTempDirectory("graft-snap").toString
-    def statsOf(table: String): Seq[Map[String, (Double, Double)]] = {
+    def statsOf(table: String): Seq[Map[String, GraftLake.Bounds]] = {
       val raw = scala.io.Source.fromFile(
         s"$wh/$table/_versions/v0.json").mkString
       // the two appends run at different wall-clock instants, so the
       // injected _inserted_at bounds legitimately differ — drop them
       GraftLake.parseManifest(raw).stats.values.toSeq
         .map(_ - "_inserted_at")
-        .sortBy(m => m.get("id").map(_._1).getOrElse(Double.NaN))
+        .sortBy(m => m.get("id") match {
+          case Some(GraftLake.NumBounds(lo, _)) => lo
+          case _ => Double.NaN
+        })
     }
     GraftLake.invalidateCaches()
     val lake = new GraftLake(spark, wh)
