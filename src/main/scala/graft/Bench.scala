@@ -63,18 +63,35 @@ object Bench {
     // scheduler noise into the comparison; the min is the honest capability
     // number
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def runAll(): Seq[(String, Double)] =
+    // per-query engine-op attribution (captured on the steady-state second
+    // pass): sensor (count, total-ms) deltas around each query, so a
+    // regression on e.g. q19 decomposes into commitVersion/collectStats/
+    // ingestDedup time instead of one opaque wall number
+    val perQueryOps = scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]()
+    def runAll(capture: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val before = if (capture) graft.metrics.GraftMetrics.totalsMs()
+          else Map.empty[String, (Long, Double)]
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             errors(name) = e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(120)
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (capture) {
+          val delta = graft.metrics.GraftMetrics.totalsMs().toSeq.flatMap {
+            case (k, (c, t)) =>
+              val (c0, t0v) = before.getOrElse(k, (0L, 0.0))
+              if (c == c0) Nil
+              else Seq(s"$k.count" -> (c - c0).toDouble, s"$k.ms" -> (t - t0v))
+          }.toMap
+          if (delta.nonEmpty) perQueryOps(name) = delta
+        }
+        name -> wall
       }
-    val pass1 = runAll().toMap
-    val results = runAll().map { case (n, t) => n -> math.min(t, pass1(n)) }
+    val pass1 = runAll(capture = false).toMap
+    val results = runAll(capture = true).map { case (n, t) => n -> math.min(t, pass1(n)) }
     val ok = results.filterNot { case (n, _) => errors.contains(n) }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
@@ -109,8 +126,12 @@ object Bench {
     val perfIters = perf.map(r =>
       s"""{"pct":${r.conflictPct},"iter":${r.iter},"merge_ms":${num(r.mergeMs)},"insert_ms":${num(r.insertMs)}}""")
       .mkString("[", ",", "]")
+    val queryOps = perQueryOps.map { case (q, m) =>
+      jstr(q) + ":" + m.toSeq.sorted.map { case (k, v) => jstr(k) + ":" + num(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val full = fullLine.dropRight(1) +
-      s""","op_metrics":$ops,"perf_iterations":$perfIters}"""
+      s""","op_metrics":$ops,"query_op_ms":$queryOps,"perf_iterations":$perfIters}"""
     Files.write(Paths.get("bench.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
 
     println(fullLine)

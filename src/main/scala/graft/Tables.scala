@@ -24,11 +24,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to µs TimestampType —
-    * the same ns→µs truncation DuckDB applies, so oracle values align.
-    * Integer `div` (not `/`) — epoch-nanos exceed 2^53 and would lose
-    * precision through a double. */
+  /** Normalizes `events.ts` to session-tz TimestampType regardless of the
+    * physical parquet type the data generator picked:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read nanos
+    *    as long and truncate to µs TimestampType, the same ns→µs truncation
+    *    DuckDB applies, so oracle values align. Integer `div` (not `/`) —
+    *    epoch-nanos exceed 2^53 and would lose precision through a double.
+    *  - timestamp[us] without timezone: Spark 4 infers TIMESTAMP_NTZ, which
+    *    `unix_micros` and friends reject — cast to TimestampType (session tz
+    *    is UTC, so values match the oracle's naive timestamps). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
@@ -37,6 +41,9 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
   }

@@ -54,20 +54,28 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   val InsertedAtCol = "_inserted_at"
 
-  /** Run `f` with the lake's parquet timestamp format forced to INT64
-    * TIMESTAMP_MICROS, restoring the caller's setting after. Spark's
-    * legacy INT96 default carries no usable column statistics, which
-    * would leave `_inserted_at` — the dominant pruning predicate of a
-    * time-partitioned corpus — invisible to data skipping. Scoped per
-    * write (it is not a DataFrameWriter option) so the lake never changes
-    * how the application's own parquet output lands. */
+  /** Run `f` with the lake's write-side session confs applied, restoring
+    * the caller's settings after. Scoped per write (neither is a
+    * DataFrameWriter option) so the lake never changes how the
+    * application's own parquet output lands. Two confs:
+    *  - parquet timestamps forced to INT64 TIMESTAMP_MICROS: Spark's
+    *    legacy INT96 default carries no usable column statistics, which
+    *    would leave `_inserted_at` — the dominant pruning predicate of a
+    *    time-partitioned corpus — invisible to data skipping;
+    *  - the commit protocol swapped for
+    *    [[org.apache.spark.sql.graft.StatsCommitProtocol]], which collects
+    *    per-file bounds INSIDE the write job (executor-side footer reads
+    *    at task commit) so [[commitVersion]] needs no second I/O pass. */
   private def withLakeTimestampFormat[T](f: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    val keys = Seq(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.sources.commitProtocolClass" ->
+        org.apache.spark.sql.graft.StatsCommitProtocol.className)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -334,8 +342,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
           else writer
         withLakeTimestampFormat { parted.parquet(stage.toString) }
+        val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
         val added = mergeStageInto(stage, new Path(dataDir(name)))
-        commitVersion(name, added, Nil)
+        commitVersion(name, added, Nil, writeStats)
       } finally fs(stage).delete(stage, true)
     }
   }
@@ -439,9 +448,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(stage.toString)
     }
+    val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
-    commitVersion(name, added, removed)
+    commitVersion(name, added, removed, writeStats)
   }
 
   /** Replace the entire table contents with `df` (must carry exactly the
@@ -468,6 +478,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // rename-aside instead of delete-then-rename: a crash between the
       // two renames leaves the old contents recoverable in .old-*, never
       // a lost table
+      val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
       val old = new Path(s"${tableDir(name)}/.old-${UUID.randomUUID()}")
       if (f.exists(dd)) renameOrFail(f, dd, old)
       renameOrFail(f, stage, dd)
@@ -475,7 +486,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // a whole-table replace's "delta" IS the new contents — list just the
       // freshly renamed directory (O(new files), not O(history))
       val added = listDataFiles(name)
-      commitVersion(name, added, removed)
+      commitVersion(name, added, removed, writeStats)
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -496,8 +507,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
           .parquet(stage.toString)
       }
+      val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
       val added = mergeStageInto(stage, new Path(dataDir(name)))
-      commitVersion(name, added, Nil)
+      commitVersion(name, added, Nil, writeStats)
     } finally fs(stage).delete(stage, true)
   }
 
@@ -520,9 +532,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(stage.toString)
     }
+    val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) = swapInto(name, stage, new Path(dataDir(name)),
       partCols.size, affectedDirs.map(new Path(_)))
-    commitVersion(name, added, removed)
+    commitVersion(name, added, removed, writeStats)
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -624,9 +637,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(stage.toString)
     }
+    val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size)
-    commitVersion(name, added, removed)
+    commitVersion(name, added, removed, writeStats)
   }
 
   /** Data files currently backing a table (observability / compaction
@@ -844,9 +858,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * O(delta) on the hot path: the previous live set comes from the
     * in-memory cache (or one manifest-chain read on a cold start), the
     * manifest written is a delta unless a checkpoint is due, and the
-    * per-file bounds read only the ADDED files' footers. */
+    * per-file bounds come from `writeStats` — collected INSIDE the write
+    * job by [[org.apache.spark.sql.graft.StatsCommitProtocol]] — with a
+    * footer read only for added files the write job didn't report
+    * (rename-only paths, repair). */
   private def commitVersion(name: String, added: Seq[(String, String)],
-      removed: Seq[(String, String)]): Unit =
+      removed: Seq[(String, String)],
+      writeStats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
@@ -866,7 +884,15 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val removedSet = removed.toSet
     val addedV = added.toVector.sorted
     val newList = ((prevList.filterNot(removedSet) ++ addedV).distinct: Vector[(String, String)]).sorted
-    val addedStats = boundsOf(name, addedV)
+    val addedStats = {
+      val addedKeys = addedV.map(GraftLake.fileKey).toSet
+      val fromWrite = writeStats.view.filterKeys(addedKeys).toMap
+      val missing = addedV.filterNot(r => fromWrite.contains(GraftLake.fileKey(r)))
+      // footer fallback ONLY for files the write job didn't report — the
+      // hot path leaves the CollectStats sensor untouched, which is the
+      // observable contract SnapshotSpec pins
+      if (missing.isEmpty) fromWrite else fromWrite ++ boundsOf(name, missing)
+    }
     val newStats =
       (prevStats -- removed.map(GraftLake.fileKey)) ++ addedStats
     val meta = readMeta(name)
@@ -1263,10 +1289,13 @@ object GraftLake {
     if (l >= -(1L << 53) && l <= (1L << 53)) d else Math.nextUp(d)
   }
 
-  /** Static footer-bounds extraction (runs on the driver for small deltas
-    * and inside a Spark job for large ones — keep it free of instance
-    * state). See the instance method's doc for the domain rules. */
-  private[catalog] def footerStats(p: Path,
+  /** Static footer-bounds extraction (runs on the driver for small deltas,
+    * inside a Spark job for large ones, and executor-side at task commit
+    * via [[org.apache.spark.sql.graft.StatsCommitProtocol]] — keep it free
+    * of instance state). Public for the commit protocol (which lives under
+    * `org.apache.spark.sql`); engine-internal otherwise. See the instance
+    * method's doc for the domain rules. */
+  def footerStats(p: Path,
       conf: org.apache.hadoop.conf.Configuration): Map[String, Bounds] = try {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._

@@ -203,8 +203,15 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       processAvro(topic, table, records)
       return
     }
-    val sniff = udf((v: Array[Byte]) => v != null && ArrowIpc.looksLikeIpc(v))
-    val tagged = records.withColumn("__ipc", sniff(col("value"))).cache()
+    // native codegen'd sniff (same contract as ArrowIpc.looksLikeIpc): the
+    // 0xFFFFFFFF continuation marker in the first 4 bytes + 8-byte minimum.
+    // coalesce(false) keeps null payloads on the JSON path, matching the
+    // former UDF's null => false
+    val tagged = records.withColumn("__ipc",
+      coalesce(
+        length(col("value")) >= 8 &&
+          substring(col("value"), 1, 4) === lit(Array[Byte](-1, -1, -1, -1)),
+        lit(false))).cache()
     try {
       val ipc = tagged.filter(col("__ipc"))
       val json = tagged.filter(!col("__ipc"))

@@ -104,6 +104,16 @@ object GraftMetrics {
       "history.files.vacuumed" -> historyFilesVacuumed.sum().toDouble)
   }
 
+  /** Raw (count, total ms) per sensor — the delta-friendly view bench
+    * runs use to attribute engine-op cost to individual queries
+    * (snapshot() exposes averages, which don't subtract). */
+  def totalsMs(): Map[String, (Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    ops.asScala.map { case (n, s) =>
+      n -> ((s.count.sum(), s.totalNanos.sum() / 1e6))
+    }.toMap
+  }
+
   def reset(): Unit = {
     ops.clear(); recordsProcessed.reset(); batchCount.reset()
     maxBatchSize.set(0); dlqRecords.reset()

@@ -145,15 +145,27 @@ object DedupOps {
       rowsPerBand: Int = 4, admit: Boolean = true): DataFrame = {
     val bKeys = bandKeys(
       minHashSignatures(batch, idCol, textCol, shingleK, bands * rowsPerBand),
-      idCol, bands, rowsPerBand).cache()
+      idCol, bands, rowsPerBand)
     val bShOuter = shingled(batch, idCol, textCol, shingleK)
-      .select(col(idCol).as("__bid"), col("__shingles").as("__sb")).cache()
-    try incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
-      threshold, shingleK, admit, bKeys, bShOuter)
-    // the per-batch caches must not outlive the call — in the intended
-    // long-lived ingestion loop (one call per micro-batch) leaked cached
-    // partitions would accumulate on executors until eviction pressure
-    finally { bKeys.unpersist(); bShOuter.unpersist() }
+      .select(col(idCol).as("__bid"), col("__shingles").as("__sb"))
+    if (admit) {
+      // admission evaluates bKeys in the dup-verify job AND the band-table
+      // append — cache for the call's duration only (in the long-lived
+      // ingestion loop leaked cached partitions would accumulate on
+      // executors until eviction pressure)
+      val bKeysC = bKeys.cache()
+      try incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
+        threshold, shingleK, admit = true, bKeysC, bShOuter)
+      finally bKeysC.unpersist()
+    } else {
+      // pure probe: ONE lazy plan the caller evaluates — no caches, no
+      // materialization job inside the call. The multiply-referenced
+      // sketch frames are map-side scans of the (small) batch; recomputing
+      // them inside one job is cheaper than cache bookkeeping + an eager
+      // checkpoint job per micro-batch.
+      incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
+        threshold, shingleK, admit = false, bKeys, bShOuter)
+    }
   }
 
   private def incrementalNearDupsBody(lake: graft.catalog.GraftLake,
@@ -202,15 +214,17 @@ object DedupOps {
         Seq("__partner"))
       .filter(jaccard(col("__sb"), col("__sp")) >= threshold)
       .select(col("__bid")).distinct()
-    val dups = dupVsCorpus.unionByName(dupVsBatch).distinct()
+    val dupsRaw = dupVsCorpus.unionByName(dupVsBatch).distinct()
       .withColumn("__dup", lit(1L))
-    // materialize (batch-bounded: two narrow columns) BEFORE the caller's
-    // finally releases the caches — later evaluations of the returned
-    // frame must not re-run the probe joins against an unpersisted lineage
+    // Admission mutates the very index tables the probe lineage reads, so
+    // the dup-id set (narrow, batch-bounded — just ids) is materialized
+    // FIRST: re-evaluating the returned frame after the appends must not
+    // find the batch in its own index and flag everything. Probe-only
+    // calls are pure — the lazy plan is the caller's to evaluate.
+    val dups = if (admit) dupsRaw.localCheckpoint(true) else dupsRaw
     val flagged = batch.select(col(idCol))
       .join(dups.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
-      .localCheckpoint(true)
     if (admit) {
       val admittedIds = flagged.filter(col("is_dup") === 0L).select(col(idCol))
       lake.append(s"${prefix}_docs",

@@ -22,8 +22,10 @@ object FooterStatsJob {
   /** Read bounds for `files` = (fileKey, absolute path string) pairs in a
     * Spark job; entries whose reader returns empty are dropped (meaning
     * "cannot bound" — the pruner keeps those files). Generic in the
-    * bounds value `B` (must be Serializable — it crosses the wire). */
-  def run[B](spark: SparkSession,
+    * bounds value `B`, bounded `<: Serializable` so the
+    * it-crosses-the-wire contract is compile-checked instead of failing
+    * at runtime only on the distributed path. */
+  def run[B <: Serializable](spark: SparkSession,
       files: Seq[(String, String)],
       reader: (Path, Configuration) => Map[String, B])
       : Map[String, Map[String, B]] = {

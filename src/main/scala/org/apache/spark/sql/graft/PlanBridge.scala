@@ -178,9 +178,19 @@ object PlanBridge {
       }
     // Build the comparison node for `col <op> literal`, routing string
     // columns to the PStr domain and everything else through `lower`.
+    // The guard is EXPLICIT about what may prune in UTF-8 byte order:
+    // the default UTF8_BINARY collation only (any other collation sorts
+    // differently than the parquet footer min/max), and never
+    // CharType/VarcharType (their pad/truncate read semantics shift
+    // values relative to stored bounds). Do not collapse this back to
+    // `st == StringType` — it only works while StringType.equals happens
+    // to compare collation AND constraint, which is not a stable contract
+    // across Spark upgrades.
     def cmp(op: String, colName: String, v: Any): SimplePred =
       types.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
-        case Some(st: StringType) if st == StringType => v match {
+        case Some(st: StringType)
+            if st.isUTF8BinaryCollation && !st.isInstanceOf[CharType] &&
+              !st.isInstanceOf[VarcharType] => v match {
           case s: String => PStr(op, colName, s)
           case _ => PUnknown
         }

@@ -604,4 +604,67 @@ class SnapshotSpec extends AnyFunSuite {
     assert(lake.readVersion("d", vs.head).count() === 10)
     assert(lake.read("d").count() === 5)
   }
+
+  test("write-job stats equal footer-read stats and skip the second pass") {
+    // the commit protocol collects bounds INSIDE the write job; the
+    // manifest must carry exactly what a footer read would produce, and
+    // the commit must not fall back to the footer pass (observable as the
+    // collectStats sensor staying flat)
+    val wh = Files.createTempDirectory("graft-snap").toString
+    GraftLake.invalidateCaches()
+    val lake = new GraftLake(spark, wh)
+    val df = (1 to 400).map { i =>
+      (i, i * 1.5, f"k$i%04d",
+        java.sql.Timestamp.valueOf(f"2024-05-${1 + i % 28}%02d 08:00:00"))
+    }.toDF("id", "v", "k", "ts").repartition(5, col("id"))
+    val sensor = graft.metrics.GraftMetrics.op(graft.metrics.GraftMetrics.CollectStats)
+    val before = sensor.count.sum()
+    lake.append("wj", df)
+    assert(sensor.count.sum() === before,
+      "append must take its bounds from the write job, not a footer re-read")
+    val manifest = GraftLake.parseManifest(
+      scala.io.Source.fromFile(s"$wh/wj/_versions/v0.json").mkString)
+    val files = manifest.files.get
+    assert(files.size >= 5)
+    assert(manifest.stats.keySet === files.map(GraftLake.fileKey).toSet,
+      "every written file must carry write-job stats")
+    val conf = spark.sessionState.newHadoopConf()
+    files.foreach { case ref @ (rel, fn) =>
+      val p = new org.apache.hadoop.fs.Path(
+        if (rel.isEmpty) s"$wh/wj/data/$fn" else s"$wh/wj/data/$rel/$fn")
+      assert(manifest.stats(GraftLake.fileKey(ref)) ===
+        GraftLake.footerStats(p, conf),
+        s"write-job bounds for $fn must equal a direct footer read")
+    }
+    // partitioned path: rel-keyed stats must line up the same way
+    val before2 = sensor.count.sum()
+    lake.write("wjp", (1 to 90).map(i => (i, i % 3, i * 2.0)).toDF("id", "p", "v"),
+      partitions = Seq("p"))
+    assert(sensor.count.sum() === before2)
+    assert(lake.readWhere("wjp", col("id") > 90000).inputFiles.length === 0,
+      "partitioned write-job stats must prune provably-disjoint ranges")
+  }
+
+  test("collation-unsafe string shapes lower to keep-the-file") {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.types._
+    def pred(schema: StructType) =
+      PlanBridge.simplePredicate(col("k") >= "m", schema)
+    // default UTF8_BINARY collation: prunable, in the PStr domain
+    assert(pred(StructType(Seq(StructField("k", StringType))))
+      === PlanBridge.PStr(">=", "k", "m"))
+    // any other collation sorts differently than parquet's byte-ordered
+    // min/max — must keep the file
+    assert(pred(StructType(Seq(StructField("k", StringType("UTF8_LCASE")))))
+      === PlanBridge.PUnknown)
+    // char/varchar read semantics pad/truncate values relative to stored
+    // bounds — must keep the file
+    assert(pred(StructType(Seq(StructField("k", CharType(8)))))
+      === PlanBridge.PUnknown)
+    assert(pred(StructType(Seq(StructField("k", VarcharType(8)))))
+      === PlanBridge.PUnknown)
+    // string column against a non-string literal: no shared domain
+    assert(PlanBridge.simplePredicate(col("k") >= lit(5),
+      StructType(Seq(StructField("k", StringType)))) === PlanBridge.PUnknown)
+  }
 }
