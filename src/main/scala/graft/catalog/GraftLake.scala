@@ -67,10 +67,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     *    per-file bounds INSIDE the write job (executor-side footer reads
     *    at task commit) so [[commitVersion]] needs no second I/O pass. */
   private def withLakeTimestampFormat[T](f: => T): T = {
+    // the protocol swap can be disabled (micro-bench A/B, diagnosis) —
+    // commits then fall back to the footer-read path, same results
+    val statsInWriteJob = spark.conf
+      .getOption("spark.graft.stats.writeJobCollection").forall(_ != "false")
     val keys = Seq(
-      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-      "spark.sql.sources.commitProtocolClass" ->
-        org.apache.spark.sql.graft.StatsCommitProtocol.className)
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
+      (if (statsInWriteJob) Seq("spark.sql.sources.commitProtocolClass" ->
+        org.apache.spark.sql.graft.StatsCommitProtocol.className) else Nil)
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try f finally prev.foreach {
