@@ -137,8 +137,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    /** Scans go through manifest-level file skipping: when the optimizer
+      * pushes prunable data filters, the parquet table is rebuilt over
+      * only the files whose manifest bounds can satisfy them (`WHERE
+      * ts > X` on a 100 TB table plans a task set proportional to the
+      * matching range, through plain SQL). `basePath` keeps the generated
+      * `__p_*` partition-directory columns parsing identically on the
+      * explicit file list. Falls back to the full directory scan whenever
+      * pruning proves nothing. */
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
-      underlying.newScanBuilder(options)
+      new org.apache.spark.sql.graft.PruningScanBuilder(
+        underlying.newScanBuilder(options),
+        filters => {
+          val sp = SparkSession.active
+          val lake = new GraftLake(sp, wh)
+          lake.prunedScanPaths(tableName, filters).map { kept =>
+            val opts = new CaseInsensitiveStringMap(
+              (options.asScala ++ Map(
+                "basePath" -> s"$wh/$tableName/data")).asJava)
+            ParquetTable(underlying.name, sp, opts, kept,
+              Some(underlying.schema), classOf[ParquetFileFormat])
+              .newScanBuilder(opts)
+          }
+        })
     override def partitioning(): Array[Transform] = underlying.partitioning()
     override def properties(): util.Map[String, String] = underlying.properties()
 

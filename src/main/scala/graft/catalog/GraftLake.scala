@@ -277,6 +277,43 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Manifest-level file skipping for the DSv2 SQL scan: lower the
+    * optimizer's pushed data filters against the LATEST snapshot's
+    * per-file bounds and return the kept absolute paths — but only when
+    * pruning actually removes files (`None` otherwise, so the caller
+    * keeps the plain directory-listing scan and its exact current
+    * behavior). The same conservative pruner as [[readWhere]]; row-level
+    * filters still run after the scan, so a pruned plan can never change
+    * results. A never-empty path list is returned (one arbitrary file is
+    * kept when everything proves disjoint) because an empty-relation scan
+    * cannot be expressed through the parquet table. */
+  private[catalog] def prunedScanPaths(name: String,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Seq[String]] = {
+    if (filters.isEmpty) return None
+    val key = s"$warehouse/$name"
+    val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+    last.flatMap { v =>
+      val pred = filters
+        .map(org.apache.spark.sql.graft.PlanBridge.catalystPredicate)
+        .reduce(org.apache.spark.sql.graft.PlanBridge.PAnd(_, _))
+      val (_, files, _) = resolveManifest(name, v)
+      val stats = statsFor(name, v)
+      val keep = GraftLake.filePruner(pred)
+      val kept = files.filter(ref =>
+        keep(stats.getOrElse(GraftLake.fileKey(ref), Map.empty)))
+      if (kept.size >= files.size) None
+      else {
+        val effective = if (kept.nonEmpty) kept else files.take(1)
+        Some(effective.map { case (rel, fn) =>
+          if (rel.isEmpty) s"${dataDir(name)}/$fn"
+          else s"${dataDir(name)}/$rel/$fn"
+        })
+      }
+    }
+  }
+
   /** Structured-Streaming source over an APPEND-ONLY lake table: every
     * committed write lands whole part files (staged rename, never
     * in-place mutation), so Spark's file-stream source tails the data

@@ -121,18 +121,6 @@ object PlanBridge {
     val types: Map[String, DataType] =
       schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) ->
         f.dataType).toMap
-    def flip(op: String): String = op match {
-      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
-      case o => o
-    }
-    def attr(n: ColumnNode): Option[String] = n match {
-      case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
-      case _ => None
-    }
-    def litVal(n: ColumnNode): Option[Any] = n match {
-      case l: Literal => Option(l.value)
-      case _ => None
-    }
     def finite(d: Double): Option[Double] =
       if (d.isNaN || d.isInfinite) None else Some(d)
     def lower(colName: String, v: Any): Option[Double] =
@@ -196,6 +184,24 @@ object PlanBridge {
         }
         case _ => lower(colName, v).map(PCmp(op, colName, _)).getOrElse(PUnknown)
       }
+    walkColumn(c)(cmp)
+  }
+
+  private def walkColumn(c: Column)(
+      cmp: (String, String, Any) => SimplePred): SimplePred = {
+    import org.apache.spark.sql.internal._
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case o => o
+    }
+    def attr(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    def litVal(n: ColumnNode): Option[Any] = n match {
+      case l: Literal => Option(l.value)
+      case _ => None
+    }
     def walk(n: ColumnNode): SimplePred = n match {
       case f: UnresolvedFunction =>
         val args = f.arguments
@@ -214,5 +220,75 @@ object PlanBridge {
       case _ => PUnknown
     }
     walk(c.node)
+  }
+
+  /** Lower an optimizer-pushed catalyst predicate — resolved
+    * `AttributeReference`s, constant-folded `Literal`s — into the pruning
+    * tree: the SQL-surface twin of [[simplePredicate]]. Much simpler than
+    * the Column walk because analysis already resolved types and folded
+    * casts: a literal's internal value is ALREADY in the column's bounds
+    * domain (`TimestampType`/NTZ → epoch micros, `DateType` → epoch days,
+    * strings → UTF8String). Same conservative contract: any shape outside
+    * and/or/IN over `attr <op> literal` lowers to [[PUnknown]]
+    * (keep-the-file); non-finite numeric literals and non-UTF8_BINARY /
+    * char/varchar string columns likewise. */
+  def catalystPredicate(e: Expression): SimplePred = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr,
+      EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+      AttributeReference, Literal => CLit}
+    import org.apache.spark.sql.types._
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case o => o
+    }
+    def leaf(op: String, a: Expression, l: CLit): SimplePred = a match {
+      case ar: AttributeReference if l.value != null =>
+        ar.dataType match {
+          case st: StringType
+              if st.isUTF8BinaryCollation && !st.isInstanceOf[CharType] &&
+                !st.isInstanceOf[VarcharType] =>
+            l.dataType match {
+              case ls: StringType if ls.isUTF8BinaryCollation =>
+                PStr(op, ar.name, l.value.toString)
+              case _ => PUnknown
+            }
+          case DateType | TimestampType | TimestampNTZType
+              if l.dataType == ar.dataType =>
+            l.value match {
+              case n: Number => PCmp(op, ar.name, n.doubleValue())
+              case _ => PUnknown
+            }
+          case _: NumericType if l.dataType.isInstanceOf[NumericType] =>
+            val d = l.value match {
+              case n: Number => Some(n.doubleValue())
+              case dec: Decimal => Some(dec.toDouble)
+              case _ => None
+            }
+            d.filter(v => !v.isNaN && !v.isInfinite)
+              .map(PCmp(op, ar.name, _)).getOrElse(PUnknown)
+          case _ => PUnknown
+        }
+      case _ => PUnknown
+    }
+    e match {
+      case CAnd(a, b) => PAnd(catalystPredicate(a), catalystPredicate(b))
+      case COr(a, b) => POr(catalystPredicate(a), catalystPredicate(b))
+      case GreaterThan(a, l: CLit) => leaf(">", a, l)
+      case GreaterThan(l: CLit, a) => leaf(flip(">"), a, l)
+      case GreaterThanOrEqual(a, l: CLit) => leaf(">=", a, l)
+      case GreaterThanOrEqual(l: CLit, a) => leaf(flip(">="), a, l)
+      case LessThan(a, l: CLit) => leaf("<", a, l)
+      case LessThan(l: CLit, a) => leaf(flip("<"), a, l)
+      case LessThanOrEqual(a, l: CLit) => leaf("<=", a, l)
+      case LessThanOrEqual(l: CLit, a) => leaf(flip("<="), a, l)
+      case EqualTo(a, l: CLit) => leaf("=", a, l)
+      case EqualTo(l: CLit, a) => leaf("=", a, l)
+      // a bounded IN unfolds to an OR of equalities (one PUnknown member
+      // keeps the file — POr(PUnknown, _) compiles to keep)
+      case In(a, vs) if vs.nonEmpty && vs.size <= 64 &&
+          vs.forall(_.isInstanceOf[CLit]) =>
+        vs.map(v => leaf("=", a, v.asInstanceOf[CLit])).reduce(POr)
+      case _ => PUnknown
+    }
   }
 }

@@ -69,6 +69,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest bounds prune files for plain SQL scans") {
+    withCatalog { (cat, wh) =>
+      val lake = new GraftLake(spark, wh)
+      // three appends with disjoint id/ts ranges — three+ files with
+      // disjoint manifest bounds
+      def batch(base: Int, month: Int) = (1 to 80).map { i =>
+        (base + i, (base + i) * 2.0,
+          java.sql.Timestamp.valueOf(f"2024-$month%02d-10 12:00:00"))
+      }.toDF("id", "v", "ts")
+      lake.append("sq", batch(0, 1))
+      lake.append("sq", batch(1000, 2))
+      lake.append("sq", batch(2000, 3))
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length
+        }.foldLeft(0)(_ + _)
+      val all = scannedFiles(spark.sql(s"SELECT * FROM $cat.sq"))
+      assert(all >= 3)
+      // numeric range: files outside [1001, 1080] must not be planned
+      val mid = spark.sql(s"SELECT id, v FROM $cat.sq WHERE id BETWEEN 1001 AND 1080")
+      assert(scannedFiles(mid) < all, "SQL scan must plan only bounds-matching files")
+      assert(mid.collect().map(_.getInt(0)).sorted.toSeq === (1001 to 1080))
+      // timestamp predicate (string literal folds to a timestamp literal)
+      val ts = spark.sql(s"SELECT count(*) AS n FROM $cat.sq WHERE ts >= '2024-03-01'")
+      assert(scannedFiles(ts) < all)
+      assert(ts.head().getLong(0) === 80L)
+      // provably-disjoint range: minimal plan (one kept file), zero rows
+      val none = spark.sql(s"SELECT * FROM $cat.sq WHERE id > 900000")
+      assert(scannedFiles(none) === 1)
+      assert(none.count() === 0L)
+      // unprunable shape keeps the full directory scan
+      assert(scannedFiles(
+        spark.sql(s"SELECT * FROM $cat.sq WHERE v / 2.0 = CAST(id AS DOUBLE)")) === all)
+      // partitioned table: data-filter pruning composes with the generated
+      // partition columns (they must still parse off the pruned path list)
+      lake.write("sqp",
+        (1 to 60).map(i => (i, i % 3, i * 1.0)).toDF("id", "p", "v"),
+        partitions = Seq("p"))
+      lake.append("sqp",
+        (5001 to 5060).map(i => (i, i % 3, i * 1.0)).toDF("id", "p", "v"))
+      val allP = scannedFiles(spark.sql(s"SELECT * FROM $cat.sqp"))
+      val prunedP = spark.sql(
+        s"SELECT id, __p_p FROM $cat.sqp WHERE id >= 5001 ORDER BY id")
+      assert(scannedFiles(prunedP) < allP)
+      val rows = prunedP.collect()
+      assert(rows.map(_.getInt(0)).toSeq === (5001 to 5060))
+      assert(rows.forall(r => r.getInt(1) === r.getInt(0) % 3),
+        "generated partition columns must survive the pruned file list")
+    }
+  }
+
   test("CREATE TABLE / INSERT INTO / DROP TABLE through SQL") {
     withCatalog { (cat, wh) =>
       spark.sql(
