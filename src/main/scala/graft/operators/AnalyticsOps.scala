@@ -607,6 +607,58 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-JVM memo of q106's catalog registration: catalog instances are
+    * cached per session at first use, so the warehouse behind a catalog
+    * name must never change — one catalog name per sf dir. */
+  private val sqlSkipCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q106: manifest data skipping through the SQL surface — the catalog
+    * twin of [[q102FileSkipping]]. The same z-ordered lake table is
+    * queried via plain `spark.sql` against the DSv2 catalog; the pushed
+    * `BETWEEN` lowers against the manifest bounds inside the scan builder
+    * ([[org.apache.spark.sql.graft.PruningScanBuilder]]) and the query
+    * REQUIRES that the planned file set actually shrank — making SQL-side
+    * skipping a hard driver-gated contract, not just a spec. The oracle
+    * runs the same filter over the raw table: a hash match proves pruning
+    * is invisible in results. */
+  val q106SqlSkipping = QueryDef(
+    "q106_sql_skipping",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem WHERE l_partkey BETWEEN 50 AND 150
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val cat = sqlSkipCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gskip${sqlSkipCatalogs.size()}"
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlskip").toString
+      val lake = new graft.catalog.GraftLake(s, wh)
+      lake.write("li", Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_partkey")))
+      lake.compact("li", targetRecordsPerFile = 10000,
+        clusterBy = Seq("l_partkey"))
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      name
+    })
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.foldLeft(0)(_ + _)
+    val df = s.sql(
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+         |FROM $cat.li WHERE l_partkey BETWEEN 50 AND 150
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    val all = scannedFiles(s.sql(s"SELECT * FROM $cat.li"))
+    val pruned = scannedFiles(df)
+    require(pruned < all,
+      s"SQL scan must plan only bounds-matching files (planned $pruned of $all)")
+    df
+  }
+
   /** q91: per-group top-k through the native bounded-buffer aggregate
     * ([[graft.functions.TopKAggregate]]) — the k largest distinct
     * quantities per return flag, exploded to ranked rows. The oracle runs
@@ -728,5 +780,5 @@ object AnalyticsOps {
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
-    q98CdcReplicate, q102FileSkipping, q104TemporalSkipping)
+    q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping)
 }
