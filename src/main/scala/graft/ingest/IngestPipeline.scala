@@ -32,6 +32,13 @@ import org.apache.spark.sql.types._
   *                        reference's curation-on-ingest identity applied
   *                        to dedup. Cost scales with the batch, never the
   *                        corpus ([[graft.operators.DedupOps.incrementalNearDups]]).
+  * @param quality         per-TABLE ingestion-time quality gate: every
+  *                        landing batch is scored map-side (length,
+  *                        composite quality score, language-ID allowlist)
+  *                        and lands flagged (or failures are dropped) —
+  *                        see [[QualityConfig]]. Runs BEFORE the dedup
+  *                        gate so junk never costs LSH sketching or index
+  *                        admission.
   */
 final case class IngestConfig(
     warehouse: String,
@@ -42,7 +49,8 @@ final case class IngestConfig(
     triggerMs: Long = 60000L,
     maxOffsetsPerTrigger: Option[Long] = None,
     avroSchemas: Map[String, String] = Map.empty,
-    dedup: Map[String, DedupConfig] = Map.empty) {
+    dedup: Map[String, DedupConfig] = Map.empty,
+    quality: Map[String, QualityConfig] = Map.empty) {
 
   /** Explicit mappings are validated strictly (reference
     * TopicToTableValidator.java:99-154 validates only configured mappings);
@@ -75,6 +83,31 @@ final case class DedupConfig(
     rowsPerBand: Int = 4,
     flagCol: String = "is_dup",
     dropDups: Boolean = false)
+
+/** Ingestion-time quality config for one table (see
+  * [[IngestConfig.quality]]) — the LLM-curation twin of [[DedupConfig]]:
+  * the reference's curation-on-ingest identity applied to text quality.
+  * All signals are codegen'd map-side expressions over the batch
+  * ([[graft.operators.TextOps.qualityScore]] /
+  * [[graft.operators.TextOps.langIdPredict]]) — no shuffle, no state, so
+  * the gate's cost is one scan of the batch regardless of corpus size.
+  *
+  * @param textCol      text column to score (cast to string)
+  * @param minChars     minimum raw character length
+  * @param minScore     minimum composite quality score (0..1 — token
+  *                     volume, punctuation, stopword density)
+  * @param langAllow    language-ID allowlist (empty = any language)
+  * @param flagCol      landed pass-flag column (`1` pass / `0` fail)
+  * @param dropFailures true → failing rows never land (no flag column);
+  *                     false → everything lands, flagged
+  */
+final case class QualityConfig(
+    textCol: String,
+    minChars: Int = 1,
+    minScore: Double = 0.0,
+    langAllow: Seq[String] = Nil,
+    flagCol: String = "quality_ok",
+    dropFailures: Boolean = false)
 
 object IngestConfig {
   private val TableName = "^[a-zA-Z_][a-zA-Z0-9_-]*$".r
@@ -276,10 +309,39 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     else flagged
   }
 
+  /** Ingestion-time quality gate: score the batch map-side and flag (or
+    * drop) failures. A batch whose inferred schema lacks the text column
+    * lands un-flagged and bumps `quality.skipped.batches` — schema drift
+    * must not poison the stream, but it must be visible. Runs BEFORE the
+    * dedup gate so junk rows never pay LSH sketching or index admission. */
+  private def applyQuality(table: String, qc: QualityConfig, df: DataFrame): DataFrame = {
+    if (!df.columns.contains(qc.textCol)) {
+      GraftMetrics.qualitySkippedBatches.increment()
+      return df
+    }
+    GraftMetrics.time(GraftMetrics.IngestQuality) {
+      val text = col(qc.textCol).cast("string")
+      val checks = Seq(
+        length(coalesce(text, lit(""))) >= qc.minChars,
+        graft.operators.TextOps.qualityScore(coalesce(text, lit(""))) >= qc.minScore) ++
+        (if (qc.langAllow.nonEmpty)
+          Seq(graft.operators.TextOps.langIdPredict(coalesce(text, lit("")))
+            .isin(qc.langAllow: _*))
+        else Nil)
+      val ok = checks.reduce(_ && _)
+      if (qc.dropFailures) df.filter(ok)
+      else df.withColumn(qc.flagCol, when(ok, 1L).otherwise(0L))
+    }
+  }
+
   private def writeToLake(table: String, rawDf: DataFrame): Unit = {
-    val df = config.dedup.get(table) match {
-      case Some(dc) => applyDedup(table, dc, rawDf)
+    val gated = config.quality.get(table) match {
+      case Some(qc) => applyQuality(table, qc, rawDf)
       case None => rawDf
+    }
+    val df = config.dedup.get(table) match {
+      case Some(dc) => applyDedup(table, dc, gated)
+      case None => gated
     }
     val pks = config.pks.getOrElse(table, Nil)
     val preExisted = lake.tableExists(table)

@@ -53,6 +53,12 @@ object GraftMetrics {
     * regressions attribute to the probe, not the landing write. */
   val IngestDedup = "ingestDedup"
 
+  /** Engine extension: ingestion-time quality gate (length / composite
+    * score / language allowlist, all map-side) — separately timed so
+    * flush-latency attribution can tell curation cost from landing
+    * cost. */
+  val IngestQuality = "ingestQuality"
+
   /** Engine extension: snapshot expiry + `_history` vacuum cost. */
   val ExpireSnapshots = "expireSnapshots"
 
@@ -66,6 +72,9 @@ object GraftMetrics {
     * schema lacked the id/text columns (schema drift must not poison the
     * stream, but it must be visible). */
   val dedupSkippedBatches = new LongAdder
+  /** Batches that skipped the configured quality gate for the same
+    * schema-drift reason. */
+  val qualitySkippedBatches = new LongAdder
   /** `_history` files physically deleted by vacuum — the storage-bounding
     * half of the snapshot contract, observable. */
   val historyFilesVacuumed = new LongAdder
@@ -101,6 +110,7 @@ object GraftMetrics {
         else recordsProcessed.sum().toDouble / batchCount.sum()),
       "dlq.records.total" -> dlqRecords.sum().toDouble,
       "dedup.skipped.batches" -> dedupSkippedBatches.sum().toDouble,
+      "quality.skipped.batches" -> qualitySkippedBatches.sum().toDouble,
       "history.files.vacuumed" -> historyFilesVacuumed.sum().toDouble)
   }
 
@@ -117,7 +127,8 @@ object GraftMetrics {
   def reset(): Unit = {
     ops.clear(); recordsProcessed.reset(); batchCount.reset()
     maxBatchSize.set(0); dlqRecords.reset()
-    dedupSkippedBatches.reset(); historyFilesVacuumed.reset()
+    dedupSkippedBatches.reset(); qualitySkippedBatches.reset()
+    historyFilesVacuumed.reset()
     startedAtNanos = System.nanoTime()
   }
 

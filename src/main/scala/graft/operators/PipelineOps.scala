@@ -182,6 +182,50 @@ object PipelineOps {
       .orderBy(col("class"))
   }
 
+  /** q107: ingestion-time QUALITY gate, end-to-end through the full
+    * pipeline — Kafka-shaped JSON batches → [[graft.ingest.IngestPipeline]]
+    * landing with a [[graft.ingest.QualityConfig]] gate (min length,
+    * composite score, language allowlist, all map-side codegen'd
+    * expressions — one scan of the batch, no shuffle, no state).
+    *
+    * Deterministic by construction: "good" docs carry 6 stopwords + 2
+    * English markers + 12 id-embedding filler tokens (length ≫ 20 chars,
+    * score = 0.2·0.5 + 0.25 + 0.25 = 0.6 ≥ 0.3, langid = en), "junk"
+    * docs are a 3-char symbol token (fails length AND score AND the en
+    * allowlist — three independent rejections). The oracle recomputes the
+    * expected flag per class from the raw table. */
+  val q107IngestQuality = QueryDef(
+    "q107_ingest_quality",
+    """WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 5)
+      |SELECT 'good' AS class, count(*) AS n_docs, count(*) AS n_pass FROM s
+      |UNION ALL
+      |SELECT 'junk' AS class, count(*) AS n_docs,
+      |  CAST(0 AS BIGINT) AS n_pass FROM s
+      |ORDER BY class""".stripMargin) { (s, dir) =>
+    val ids = Tables.documents(s, dir).filter(col("doc_id") % 31 === 5)
+      .select(col("doc_id"))
+    val good = ids.select(col("doc_id"),
+      concat(lit("the and of to is in that it "),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit(s"g${i}x"), col("doc_id"))): _*)).as("text"))
+    val junk = ids.select((col("doc_id") + 10000000L).as("doc_id"),
+      lit("@@@").as("text"))
+    val wh = Files.createTempDirectory("graft-q107").toString
+    val pipeline = new graft.ingest.IngestPipeline(s,
+      graft.ingest.IngestConfig(warehouse = wh, dlqTable = None,
+        quality = Map("docs" -> graft.ingest.QualityConfig(
+          "text", minChars = 20, minScore = 0.3, langAllow = Seq("en")))))
+    pipeline.processBatch(good.unionByName(junk).select(
+      lit("docs").as("topic"), lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      to_json(struct(col("doc_id"), col("text"))).cast("binary").as("value")), 0L)
+    pipeline.lake.read("docs")
+      .select(col("doc_id").cast("long").as("id"), col("quality_ok"))
+      .groupBy(when(col("id") < 10000000L, "good").otherwise("junk").as("class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("quality_ok")).as("n_pass"))
+      .orderBy(col("class"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline,
-    q64Compaction, q105IngestDedup)
+    q64Compaction, q105IngestDedup, q107IngestQuality)
 }

@@ -560,6 +560,67 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(graft.metrics.GraftMetrics.dedupSkippedBatches.sum() === before + 1)
   }
 
+  // ---- ingestion-time quality gate ----
+
+  private def qualityPipeline(qc: QualityConfig,
+      dedup: Boolean = false): IngestPipeline = {
+    graft.catalog.GraftLake.invalidateCaches()
+    new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-qual").toString,
+      quality = Map("d" -> qc),
+      dedup = if (dedup) Map("d" -> DedupConfig("doc_id", "text",
+        threshold = 0.8)) else Map.empty))
+  }
+
+  private val goodText = "the and of to is in that it wind river stone light " +
+    "morning harbor garden window"
+
+  test("ingest quality: flags land per the length/score/lang rules") {
+    val p = qualityPipeline(QualityConfig("text", minChars = 20,
+      minScore = 0.3, langAllow = Seq("en")))
+    p.processBatch(batchOf(
+      "d" -> doc(1, goodText),
+      "d" -> doc(2, "@@@"),
+      "d" -> doc(3, "el la de que y en los del pero casa")), 0)
+    val got = p.lake.read("d").select("doc_id", "quality_ok").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // 2 fails length+score+lang; 3 is long enough but Spanish-profiled
+    assert(got === Map(1 -> 1L, 2 -> 0L, 3 -> 0L))
+  }
+
+  test("ingest quality: dropFailures lands only passing rows, no flag column") {
+    val pDrop = qualityPipeline(QualityConfig("text", minChars = 20,
+      minScore = 0.3, dropFailures = true))
+    pDrop.processBatch(batchOf(
+      "d" -> doc(1, goodText), "d" -> doc(2, "@@@")), 0)
+    val landed = pDrop.lake.read("d")
+    assert(!landed.columns.contains("quality_ok"))
+    assert(landed.select("doc_id").collect().map(_.getInt(0)).toSet === Set(1))
+  }
+
+  test("ingest quality: schema-drift batch lands unflagged and is counted") {
+    val p = qualityPipeline(QualityConfig("other_text"))
+    val before = graft.metrics.GraftMetrics.qualitySkippedBatches.sum()
+    p.processBatch(batchOf("d" -> doc(9, tA)), 0)
+    assert(p.lake.read("d").count() === 1)
+    assert(!p.lake.read("d").columns.contains("quality_ok"))
+    assert(graft.metrics.GraftMetrics.qualitySkippedBatches.sum() === before + 1)
+  }
+
+  test("ingest quality composes with dedup: junk is dropped before sketching") {
+    val p = qualityPipeline(QualityConfig("text", minChars = 20,
+      minScore = 0.3, dropFailures = true), dedup = true)
+    p.processBatch(batchOf("d" -> doc(1, goodText), "d" -> doc(2, "@@@")), 0)
+    // the junk row must not have been admitted into the LSH index either
+    val admitted = p.lake.read("d_lshidx_docs").select("doc_id").collect()
+      .map(_.getInt(0)).toSet
+    assert(admitted === Set(1), "quality gate runs before dedup admission")
+    p.processBatch(batchOf("d" -> doc(3, goodText)), 1)
+    val got = p.lake.read("d").select("doc_id", "is_dup").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got === Map(1 -> 0L, 3 -> 1L), "dup of a quality-passing doc flags")
+  }
+
   test("streaming: micro-batches land with is_dup flags against the persisted index") {
     val p = dedupPipeline()
     implicit val sq = spark.sqlContext
