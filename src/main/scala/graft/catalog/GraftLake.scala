@@ -689,6 +689,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def dataFiles(name: String): Seq[String] =
     read(name).inputFiles.toSeq
 
+  /** Live file count of the latest snapshot — O(1) from the commit cache
+    * on the hot path (one manifest-chain read on a cold start; a
+    * directory listing only for tables with no snapshot yet). The cheap
+    * signal auto-compaction polls after every flush: a listing per
+    * micro-batch would pay O(files) exactly when the table has the
+    * small-file problem the policy exists to fix. */
+  def liveFileCount(name: String): Int = {
+    val key = s"$warehouse/$name"
+    val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+    last match {
+      case Some(v) =>
+        val cached = liveSetCache.get(key)
+        if (cached != null && cached._1 == v) cached._2.size
+        else resolveManifest(name, v)._2.size
+      case None => listDataFiles(name).size
+    }
+  }
+
   // ---- snapshots / time travel ----
   //
   // DuckLake — the reference's storage layer — versions every commit in

@@ -50,7 +50,8 @@ final case class IngestConfig(
     maxOffsetsPerTrigger: Option[Long] = None,
     avroSchemas: Map[String, String] = Map.empty,
     dedup: Map[String, DedupConfig] = Map.empty,
-    quality: Map[String, QualityConfig] = Map.empty) {
+    quality: Map[String, QualityConfig] = Map.empty,
+    autoCompact: Map[String, CompactionConfig] = Map.empty) {
 
   /** Explicit mappings are validated strictly (reference
     * TopicToTableValidator.java:99-154 validates only configured mappings);
@@ -108,6 +109,22 @@ final case class QualityConfig(
     langAllow: Seq[String] = Nil,
     flagCol: String = "quality_ok",
     dropFailures: Boolean = false)
+
+/** Auto-compaction policy for one table (see [[IngestConfig.autoCompact]]):
+  * after each flush, when the table's LIVE file count (an O(1) read of
+  * the commit cache, never a listing) reaches `minFiles`, the table is
+  * compacted toward `targetRecordsPerFile`-row files — the small-file
+  * antidote for streaming ingest expressed as policy instead of an
+  * operator someone must remember to run. Contents-preserving by
+  * [[graft.catalog.GraftLake.compact]]'s construction; `clusterBy`
+  * optionally Z-orders while it is rewriting anyway, so the same pass
+  * that fixes file sizes also buys data skipping. At-least-once safe:
+  * compaction commits a snapshot like any write, and a crash mid-compact
+  * leaves the staged dir orphaned, never the table corrupted. */
+final case class CompactionConfig(
+    minFiles: Int = 64,
+    targetRecordsPerFile: Long = graft.catalog.GraftLake.maxRecordsPerFile,
+    clusterBy: Seq[String] = Nil)
 
 object IngestConfig {
   private val TableName = "^[a-zA-Z_][a-zA-Z0-9_-]*$".r
@@ -354,6 +371,14 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         pks = pks,
         ordering = if (hasOffset) Seq(col("__offset")) else Nil,
         exclude = if (hasOffset) Seq("__offset") else Nil)
+    }
+    // post-flush auto-compaction: the trigger check is O(1) against the
+    // commit cache, so polling it every micro-batch costs nothing
+    config.autoCompact.get(table).foreach { cc =>
+      if (lake.liveFileCount(table) >= cc.minFiles)
+        GraftMetrics.time(GraftMetrics.AutoCompact) {
+          lake.compact(table, cc.targetRecordsPerFile, clusterBy = cc.clusterBy)
+        }
     }
   }
 

@@ -59,6 +59,12 @@ object GraftMetrics {
     * cost. */
   val IngestQuality = "ingestQuality"
 
+  /** Engine extension: policy-triggered post-flush compaction
+    * ([[graft.ingest.CompactionConfig]]) — timed apart from the landing
+    * write so flush-latency spikes attribute to the rewrite, not the
+    * ingest path. */
+  val AutoCompact = "autoCompact"
+
   /** Engine extension: snapshot expiry + `_history` vacuum cost. */
   val ExpireSnapshots = "expireSnapshots"
 

@@ -226,6 +226,46 @@ object PipelineOps {
       .orderBy(col("class"))
   }
 
+  /** q108: POLICY-driven compaction through the full ingest pipeline —
+    * [[graft.ingest.CompactionConfig]] wired into [[graft.ingest
+    * .IngestPipeline]]: five Kafka-shaped micro-batches land five+ small
+    * files, the post-flush trigger crosses `minFiles` and rewrites them,
+    * and the query REQUIRES the live file count actually shrank (q64's
+    * in-query gate, now exercised by the automatic path instead of a
+    * manual call). The oracle hash-checks that the policy never touched
+    * contents. */
+  val q108AutoCompact = QueryDef(
+    "q108_auto_compact",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h))
+      |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM seed GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val h = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val wh = Files.createTempDirectory("graft-q108").toString
+    val pipeline = new graft.ingest.IngestPipeline(s,
+      graft.ingest.IngestConfig(warehouse = wh, dlqTable = None,
+        autoCompact = Map("oc" -> graft.ingest.CompactionConfig(
+          minFiles = 4, targetRecordsPerFile = 1000000))))
+    def kafkaShaped(b: org.apache.spark.sql.DataFrame) = b.select(
+      lit("oc").as("topic"), lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))).cast("binary").as("value"))
+    for (i <- 0 until 5)
+      pipeline.processBatch(kafkaShaped(orders.filter(
+        col("o_orderkey") < h && col("o_orderkey") % 5 === i)), i.toLong)
+    val files = pipeline.lake.liveFileCount("oc")
+    require(files < 4,
+      s"auto-compaction must have rewritten the small files (live: $files)")
+    pipeline.lake.read("oc")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline,
-    q64Compaction, q105IngestDedup, q107IngestQuality)
+    q64Compaction, q105IngestDedup, q107IngestQuality, q108AutoCompact)
 }

@@ -560,6 +560,36 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(graft.metrics.GraftMetrics.dedupSkippedBatches.sum() === before + 1)
   }
 
+  // ---- auto-compaction policy ----
+
+  test("auto-compaction: small files from micro-batches are rewritten at the threshold") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-ac").toString,
+      autoCompact = Map("d" -> CompactionConfig(minFiles = 4,
+        targetRecordsPerFile = 100000))))
+    // each single-record batch appends at least one file; below the
+    // threshold nothing compacts
+    (1 to 3).foreach(i =>
+      p.processBatch(batchOf("d" -> s"""{"id":$i,"v":"x$i"}"""), i - 1L))
+    val before = p.lake.liveFileCount("d")
+    assert(before >= 3 && before < 4)
+    val versionsBefore = p.lake.versions("d").size
+    // crossing the threshold triggers a compaction commit after the flush
+    p.processBatch(batchOf("d" -> """{"id":4,"v":"d"}""",
+      "d" -> """{"id":5,"v":"e"}"""), 3)
+    assert(p.lake.liveFileCount("d") < 4,
+      s"auto-compaction must shrink the file set, have ${p.lake.liveFileCount("d")}")
+    assert(p.lake.versions("d").size > versionsBefore + 1,
+      "the compaction lands as its own snapshot after the flush commit")
+    // contents intact
+    assert(p.lake.read("d").select("id").collect().map(_.getInt(0)).toSet ===
+      Set(1, 2, 3, 4, 5))
+    // the sensor metered the rewrite
+    assert(graft.metrics.GraftMetrics.op(
+      graft.metrics.GraftMetrics.AutoCompact).count.sum() >= 1)
+  }
+
   // ---- ingestion-time quality gate ----
 
   private def qualityPipeline(qc: QualityConfig,
