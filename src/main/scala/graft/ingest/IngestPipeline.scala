@@ -51,7 +51,8 @@ final case class IngestConfig(
     avroSchemas: Map[String, String] = Map.empty,
     dedup: Map[String, DedupConfig] = Map.empty,
     quality: Map[String, QualityConfig] = Map.empty,
-    autoCompact: Map[String, CompactionConfig] = Map.empty) {
+    autoCompact: Map[String, CompactionConfig] = Map.empty,
+    retention: Map[String, RetentionConfig] = Map.empty) {
 
   /** Explicit mappings are validated strictly (reference
     * TopicToTableValidator.java:99-154 validates only configured mappings);
@@ -125,6 +126,20 @@ final case class CompactionConfig(
     minFiles: Int = 64,
     targetRecordsPerFile: Long = graft.catalog.GraftLake.maxRecordsPerFile,
     clusterBy: Seq[String] = Nil)
+
+/** Snapshot-retention policy for one table (see
+  * [[IngestConfig.retention]]): when the committed snapshot count reaches
+  * `keepLast + slack`, all but the last `keepLast` are expired and
+  * unreferenced retired files vacuumed ([[graft.catalog.GraftLake
+  * .expireSnapshots]]) — bounding manifest-chain length and `_history`
+  * storage for streams that commit every few seconds, without an
+  * operator running vacuums by hand. `slack` batches the expiry (one
+  * O(keep) pass per `slack` commits, not per flush). Pick `keepLast` to
+  * cover the longest concurrent reader, as with any lakehouse vacuum —
+  * expired versions fail fast on their next resolution. */
+final case class RetentionConfig(
+    keepLast: Int = 8,
+    slack: Int = 16)
 
 object IngestConfig {
   private val TableName = "^[a-zA-Z_][a-zA-Z0-9_-]*$".r
@@ -379,6 +394,13 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         GraftMetrics.time(GraftMetrics.AutoCompact) {
           lake.compact(table, cc.targetRecordsPerFile, clusterBy = cc.clusterBy)
         }
+    }
+    // post-flush snapshot retention: expiry batches up per `slack` commits
+    // (the versions listing is bounded by keepLast + slack precisely
+    // because this keeps pruning it); expireSnapshots meters itself
+    config.retention.get(table).foreach { rc =>
+      if (lake.versions(table).size >= rc.keepLast + rc.slack)
+        lake.expireSnapshots(table, rc.keepLast)
     }
   }
 

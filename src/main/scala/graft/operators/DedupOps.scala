@@ -227,11 +227,20 @@ object DedupOps {
       .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
     if (admit) {
       val admittedIds = flagged.filter(col("is_dup") === 0L).select(col(idCol))
-      lake.append(s"${prefix}_docs",
+      // the two index tables are independent (separate write locks,
+      // separate manifests) — submit their append jobs concurrently so a
+      // streaming trigger pays ONE append's latency, not two in sequence.
+      // Both read only the checkpointed dup set + the caller's batch, so
+      // neither depends on the other's commit.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDocs = Future(lake.append(s"${prefix}_docs",
         batch.select(col(idCol), col(textCol))
-          .join(admittedIds, Seq(idCol), "left_semi"))
-      lake.append(s"${prefix}_bands",
-        bKeys.join(admittedIds, Seq(idCol), "left_semi"))
+          .join(admittedIds, Seq(idCol), "left_semi")))
+      val fBands = Future(lake.append(s"${prefix}_bands",
+        bKeys.join(admittedIds, Seq(idCol), "left_semi")))
+      Await.result(fDocs, scala.concurrent.duration.Duration.Inf)
+      Await.result(fBands, scala.concurrent.duration.Duration.Inf)
     }
     flagged
   }

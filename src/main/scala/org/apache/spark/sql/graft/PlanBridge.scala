@@ -215,6 +215,15 @@ object PlanBridge {
               case (_, _, Some(v), Some(c1)) => cmp(flip(o), c1, v)
               case _ => PUnknown
             }
+          // a bounded isin unfolds to an OR of equalities, mirroring the
+          // catalyst path's In handling (one unliftable member keeps the
+          // file — POr(PUnknown, _) compiles to keep)
+          case "in" if args.size >= 2 && args.size <= 65 =>
+            (attr(args.head), args.tail.map(litVal)) match {
+              case (Some(c0), vs) if vs.forall(_.isDefined) =>
+                vs.flatten.map(v => cmp("=", c0, v)).reduce(POr(_, _))
+              case _ => PUnknown
+            }
           case _ => PUnknown
         }
       case _ => PUnknown

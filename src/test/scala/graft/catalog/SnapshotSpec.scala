@@ -455,6 +455,13 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows(lake.readWhere("skip", col("id") === 2050), "id").map(_.head)
       === Set(2050))
     assert(lake.readWhere("skip", col("id") > 90000).count() === 0L)
+    // a bounded isin prunes as an OR of equalities
+    val inPred = col("id").isin(2050, 2060)
+    val inRead = lake.readWhere("skip", inPred)
+    assert(inRead.inputFiles.length < all.inputFiles.length,
+      "isin must prune to the files whose bounds cover its members")
+    assert(rows(inRead, "id").map(_.head) === Set(2050, 2060))
+    assert(lake.readWhere("skip", col("id").isin(90001, 90002)).count() === 0L)
     // unsupported shapes fall back to keep-everything, still correct
     assert(lake.readWhere("skip", col("v") / 2.0 === col("id").cast("double"))
       .count() === all.count())

@@ -590,6 +590,23 @@ class IngestPipelineSpec extends AnyFunSuite {
       graft.metrics.GraftMetrics.AutoCompact).count.sum() >= 1)
   }
 
+  test("snapshot retention: streaming commits stay bounded and contents survive") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-ret").toString,
+      retention = Map("d" -> RetentionConfig(keepLast = 2, slack = 3))))
+    // 6 single-record flushes = 6 commits; the 5th crosses keepLast+slack
+    (1 to 6).foreach(i =>
+      p.processBatch(batchOf("d" -> s"""{"id":$i}"""), i - 1L))
+    val vs = p.lake.versions("d")
+    assert(vs.size < 6, s"retention must expire old snapshots, have ${vs.size}")
+    assert(vs.size <= 2 + 3, "version count stays bounded by keepLast + slack")
+    // current contents untouched; the oldest KEPT snapshot still resolves
+    assert(p.lake.read("d").select("id").collect().map(_.getInt(0)).toSet ===
+      (1 to 6).toSet)
+    assert(p.lake.readVersion("d", vs.head).count() >= 1)
+  }
+
   // ---- ingestion-time quality gate ----
 
   private def qualityPipeline(qc: QualityConfig,
