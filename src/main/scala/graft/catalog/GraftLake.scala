@@ -298,7 +298,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val pred = filters
         .map(org.apache.spark.sql.graft.PlanBridge.catalystPredicate)
         .reduce(org.apache.spark.sql.graft.PlanBridge.PAnd(_, _))
-      val (_, files, _) = resolveManifest(name, v)
+      // reuse the commit path's live-set cache — repeated SQL queries must
+      // not pay a manifest-chain read each
+      val cached = liveSetCache.get(key)
+      val files =
+        if (cached != null && cached._1 == v) cached._2
+        else resolveManifest(name, v)._2
       val stats = statsFor(name, v)
       val keep = GraftLake.filePruner(pred)
       val kept = files.filter(ref =>
@@ -948,9 +953,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val addedKeys = addedV.map(GraftLake.fileKey).toSet
       val fromWrite = writeStats.view.filterKeys(addedKeys).toMap
       val missing = addedV.filterNot(r => fromWrite.contains(GraftLake.fileKey(r)))
-      // footer fallback ONLY for files the write job didn't report — the
-      // hot path leaves the CollectStats sensor untouched, which is the
-      // observable contract SnapshotSpec pins
+      // footer fallback ONLY for files the write job didn't report (a
+      // reported-empty entry means "seen, nothing prunable" — re-reading
+      // its footer would learn nothing) — the hot path leaves the
+      // CollectStats sensor untouched, which is the observable contract
+      // SnapshotSpec pins. Empty maps drop out at manifest rendering.
       if (missing.isEmpty) fromWrite else fromWrite ++ boundsOf(name, missing)
     }
     val newStats =

@@ -121,7 +121,12 @@ final case class QualityConfig(
   * optionally Z-orders while it is rewriting anyway, so the same pass
   * that fixes file sizes also buys data skipping. At-least-once safe:
   * compaction commits a snapshot like any write, and a crash mid-compact
-  * leaves the staged dir orphaned, never the table corrupted. */
+  * leaves the staged dir orphaned, never the table corrupted.
+  *
+  * Do NOT enable on a table tailed by [[graft.catalog.GraftLake
+  * .readStream]]: the file-stream source's append-only contract means a
+  * compaction's rewritten survivors re-emit (same caveat as any manual
+  * rewrite there — stream from ingest logs, or diff snapshots). */
 final case class CompactionConfig(
     minFiles: Int = 64,
     targetRecordsPerFile: Long = graft.catalog.GraftLake.maxRecordsPerFile,

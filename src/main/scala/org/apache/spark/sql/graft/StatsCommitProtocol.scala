@@ -52,14 +52,16 @@ class StatsCommitProtocol(jobId: String, path: String,
 
   override def commitTask(taskContext: TaskAttemptContext): TaskCommitMessage = {
     // read footers BEFORE the parent moves the files out of the task
-    // attempt dir; the bytes are identical either way (commit is a rename)
+    // attempt dir; the bytes are identical either way (commit is a rename).
+    // Statless files are reported WITH an empty map — "seen, nothing
+    // prunable" — so the committer never pays a footer re-read just to
+    // learn the same thing (manifest rendering drops empty entries).
     val conf = taskContext.getConfiguration
     val stats: Map[String, Map[String, graft.catalog.GraftLake.Bounds]] =
       if (taskFiles == null) Map.empty
-      else taskFiles.iterator.filter(_._1.endsWith(".parquet")).flatMap {
+      else taskFiles.iterator.filter(_._1.endsWith(".parquet")).map {
         case (key, tmp) =>
-          val s = graft.catalog.GraftLake.footerStats(new Path(tmp), conf)
-          if (s.isEmpty) None else Some(key -> s)
+          key -> graft.catalog.GraftLake.footerStats(new Path(tmp), conf)
       }.toMap
     val base = super.commitTask(taskContext)
     new TaskCommitMessage(StatsCommitProtocol.Wrapped(base.obj, stats))
