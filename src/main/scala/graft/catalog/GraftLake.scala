@@ -75,12 +75,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
       (if (statsInWriteJob) Seq("spark.sql.sources.commitProtocolClass" ->
         org.apache.spark.sql.graft.StatsCommitProtocol.className) else Nil)
-    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-    keys.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    val scope = GraftLake.confScope(spark)
+    scope.enter(spark, keys)
+    try f finally scope.exit(spark)
   }
 
   private def tableDir(name: String) = s"$warehouse/$name"
@@ -1262,6 +1259,52 @@ object GraftLake {
   private val verifiedTables = new ConcurrentHashMap[String, java.lang.Boolean]()
   private val metaCache = new ConcurrentHashMap[String, TableMeta]()
   private val tableLocks = new ConcurrentHashMap[String, Object]()
+
+  /** Process-wide REFERENCE-COUNTED scoping of the lake's write-side
+    * session confs. Session confs are global to a SparkSession, and lake
+    * writes legitimately run concurrently (multi-table writers, the
+    * parallel LSH-index admission) — a plain per-call save/restore lets
+    * one writer's restore fire while another's write is mid-flight, and
+    * worse, a later entrant "saves" the FIRST writer's override as the
+    * previous value and re-installs it forever (observed: a leaked
+    * TIMESTAMP_MICROS silently changed the application's own parquet
+    * output format). The first entrant captures the application's real
+    * values; only the last exit restores them. Concurrent entrants share
+    * the first entrant's values — every lake write wants the same ones
+    * (the bench's protocol-disable toggle is sequential by design). */
+  private final class ConfScope {
+    private var depth = 0
+    private var saved: Seq[(String, Option[String])] = Nil
+    def enter(spark: SparkSession, keys: Seq[(String, String)]): Unit =
+      synchronized {
+        if (depth == 0) {
+          saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+          keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        }
+        depth += 1
+      }
+    def exit(spark: SparkSession): Unit = synchronized {
+      depth -= 1
+      if (depth == 0) {
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        saved = Nil
+      }
+    }
+  }
+
+  /** One scope per session, weakly held (tests spin up fresh sessions). */
+  private val confScopes =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, ConfScope]())
+  private def confScope(spark: SparkSession): ConfScope =
+    confScopes.synchronized {
+      val existing = confScopes.get(spark)
+      if (existing != null) existing
+      else { val s = new ConfScope; confScopes.put(spark, s); s }
+    }
 
   /** Snapshot-side caches: last committed version and its resolved live
     * file set + delta-chain depth, so the hot commit path reads nothing.

@@ -576,17 +576,46 @@ object SimilarityOps {
     val books = fitPq(corpus, idCol, vecCol, m, ksub, dim, iters)
     saveCentroids(lake, s"${prefix}_coarse", coarse)
     savePqCodebooks(lake, s"${prefix}_books", books)
-    val normed = corpus
+    val codes = encodeCodes(coarse, books, corpus, idCol, vecCol)
+    if (lake.tableExists(s"${prefix}_codes")) lake.dropTable(s"${prefix}_codes")
+    lake.write(s"${prefix}_codes", codes, pks = Seq(idCol))
+  }
+
+  /** (id, cid, packed-code) rows of `df` under GIVEN quantizers — the one
+    * encode scan [[buildPqIndex]] and [[appendToPqIndex]] share. */
+  private def encodeCodes(coarse: Array[Seq[Double]],
+      books: Array[Array[Seq[Double]]], df: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val m = books.length
+    val d = books(0)(0).size
+    val normed = df
       .select(col(idCol), col(vecCol), VectorFunctions.l2Norm(col(vecCol)).as("__nrm"))
       .select(col(idCol), col(vecCol),
         transform(col(vecCol), x => x.cast("double") / col("__nrm")).as("__vn"))
     val packed = (0 until m).map(j =>
       shiftleft(nearestSubCid(slice(col("__vn"), j * d + 1, d),
         books(j).toSeq).cast("long"), 8 * j)).reduce(_ + _)
-    val codes = normed.select(col(idCol),
+    normed.select(col(idCol),
       nearestCid(col(vecCol), coarse.toSeq).as("cid"), packed.as("code"))
-    if (lake.tableExists(s"${prefix}_codes")) lake.dropTable(s"${prefix}_codes")
-    lake.write(s"${prefix}_codes", codes, pks = Seq(idCol))
+  }
+
+  /** Incremental index maintenance — the ANN twin of
+    * [[DedupOps.incrementalNearDups]]'s admission: encode `batch` with
+    * the PERSISTED quantizers (loaded, never refit — no corpus re-scan)
+    * and upsert its (cid, packed-code) rows into the codes table by id,
+    * PK last-wins absorbing at-least-once redelivery. The
+    * streaming-embeddings path at 100 TB: index growth costs O(batch)
+    * encode + one commit; quantizer drift is handled by periodic
+    * [[buildPqIndex]] refreshes — the standard IVF serving split
+    * (assignments stay valid under fixed quantizers; only their
+    * optimality decays, which the exact rerank absorbs). */
+  def appendToPqIndex(lake: graft.catalog.GraftLake, prefix: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    SparkSession.getActiveSession.foreach(VectorFunctions.register)
+    val coarse = loadCentroids(lake, s"${prefix}_coarse")
+    val books = loadPqCodebooks(lake, s"${prefix}_books")
+    lake.write(s"${prefix}_codes",
+      encodeCodes(coarse, books, batch, idCol, vecCol), pks = Seq(idCol))
   }
 
   /** Serve top-k ANN queries from a [[buildPqIndex]]-persisted index.
@@ -874,6 +903,45 @@ object SimilarityOps {
     annContract(emb, queries, ann, "vec_id", "embedding", 10, recallFloor = 0.4)
   }
 
+  /** q109: INCREMENTAL ANN index maintenance — [[appendToPqIndex]]
+    * end-to-end. The index is built on the corpus MINUS a held-out slice
+    * (vec_id 5–24), the slice is then admitted through the incremental
+    * path (persisted quantizers loaded, no refit, one upsert commit), and
+    * queries are served from the resulting index over the FULL corpus.
+    * The contract is [[annContract]]'s (k results / independently
+    * recomputed cosines / recall-vs-brute floor, brute computed over the
+    * full corpus — so held-out vectors in a query's true top-k are found
+    * only if the incremental admission actually serves them) plus an
+    * index-completeness witness: the codes table must hold exactly one
+    * row per corpus vector, which the oracle recomputes as count(*). All
+    * deterministic (seeded fits, exact arithmetic), so hash-gated. */
+  val q109AnnIncremental = QueryDef(
+    "q109_ann_incremental",
+    """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+      |  CAST(10 AS BIGINT) AS n_exact_cos, CAST(1 AS BIGINT) AS recall_ok,
+      |  (SELECT count(*) FROM embeddings) AS n_indexed
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val lake = memo(s"$dir#pqindex-incr") {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-ann-incr").toString)
+      val held = col("vec_id") >= 5 && col("vec_id") < 25
+      buildPqIndex(l, "emb", emb.filter(!held), "vec_id", "embedding",
+        nCentroids = 16, m = 8, ksub = 16, dim = 64)
+      appendToPqIndex(l, "emb", emb.filter(held), "vec_id", "embedding")
+      l
+    }
+    val ann = knnIvfPqIndexed(lake, "emb", emb, queries, "vec_id", "embedding",
+      10, nprobe = 8, refine = 10)
+    val nIndexed = lake.read("emb_codes")
+      .agg(count(lit(1)).as("n_indexed"))
+    annContract(emb, queries, ann, "vec_id", "embedding", 10, recallFloor = 0.4)
+      .crossJoin(nIndexed)
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
-    q77SemanticDedup, q80AnnIvfPq)
+    q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental)
 }

@@ -454,6 +454,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(served.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("incremental ANN admission: appended vectors encode identically and are served") {
+    VectorFunctions.register(spark)
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-incr-spec").toString)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val held = col("vec_id") >= 5 && col("vec_id") < 25
+    // reference: one-shot build over the FULL corpus with quantizers fit
+    // on the base only — incremental admission must land byte-identical
+    // (cid, code) rows, because encoding is a pure function of (vector,
+    // persisted quantizers)
+    SimilarityOps.buildPqIndex(lake, "base", emb.filter(!held),
+      "vec_id", "embedding", nCentroids = 16, m = 8, ksub = 16, dim = 64)
+    SimilarityOps.appendToPqIndex(lake, "base", emb.filter(held),
+      "vec_id", "embedding")
+    val coarse = SimilarityOps.loadCentroids(lake, "base_coarse")
+    val books = SimilarityOps.loadPqCodebooks(lake, "base_books")
+    val ref = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-incr-ref").toString)
+    SimilarityOps.saveCentroids(ref, "ref_coarse", coarse)
+    SimilarityOps.savePqCodebooks(ref, "ref_books", books)
+    SimilarityOps.appendToPqIndex(ref, "ref", emb, "vec_id", "embedding")
+    def codes(l: graft.catalog.GraftLake, t: String) =
+      l.read(t).select("vec_id", "cid", "code").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val incr = codes(lake, "base_codes")
+    val oneShot = codes(ref, "ref_codes")
+    assert(incr.size === emb.count())
+    assert(incr === oneShot,
+      "incremental admission must produce the same codes as a full encode " +
+        "under the same quantizers")
+    // re-admission (at-least-once redelivery) upserts, never duplicates
+    SimilarityOps.appendToPqIndex(lake, "base", emb.filter(held),
+      "vec_id", "embedding")
+    assert(codes(lake, "base_codes") === oneShot)
+    // the served top-k actually reaches appended vectors: query WITH a
+    // held-out vector's exact values finds that vector at cosine 1, rank 1
+    val probe = emb.filter(col("vec_id") === 10)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val got = SimilarityOps.knnIvfPqIndexed(lake, "base",
+      emb.unionByName(probe), probe, "vec_id", "embedding",
+      k = 3, nprobe = 8, refine = 10)
+      .filter(col("rank") === 1).select("neighbor_id", "cos").collect()
+    assert(got.length === 1 && got(0).getLong(0) === 10L &&
+      math.abs(got(0).getDouble(1) - 1.0) < 1e-9,
+      "an identical appended vector must serve as the rank-1 neighbor")
+  }
+
   test("IVF-PQ: recall vs brute, ADC prunes, reported cosines are exact") {
     VectorFunctions.register(spark)
     // same separated-clusters construction as the quantizer test: 8 cluster
