@@ -253,9 +253,13 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val cached = batch.cache()
     try {
-      val topics = cached.select("topic").distinct().as[String].collect()
-      GraftMetrics.recordBatch(cached.count())
-      topics.foreach { topic =>
+      // one job yields both the topic fan-out AND the batch-size metric
+      // (the per-trigger fixed job count is streaming flush latency);
+      // topics sort so multi-topic batches process in a stable order
+      val topicCounts = cached.groupBy("topic").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      GraftMetrics.recordBatch(topicCounts.map(_._2).sum)
+      topicCounts.foreach { case (topic, _) =>
         val table = config.tableFor(topic)
         val records = cached.filter(col("topic") === topic)
           .select(col("value"), col("partition"), col("offset"))
