@@ -466,6 +466,56 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Directed n-gram containment C(A→B) = |g(A) ∩ g(B)| / |g(A)| — the
+    * asymmetric companion to Jaccard. Jaccard misses sub-document
+    * duplication (a short doc fully embedded in a long one scores low
+    * because the union is large); containment of the SHORTER side stays
+    * ≈1, which is how quote/boilerplate/excerpt reuse is caught in
+    * training-data curation. */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    when(size(a) === 0, lit(0.0)).otherwise(inter / size(a).cast("double"))
+  }
+
+  /** q112: pairwise 3-gram containment on a bounded slice, both
+    * directions, kept when either direction exceeds 0.04 — the exact
+    * verifier a banded candidate generator (q27's) would run per pair.
+    * The brute pair enumeration is the bounded oracle twin (doc_id < 60),
+    * same harness pattern as q28. */
+  val q112Containment = QueryDef(
+    "q112_containment",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      |           FROM documents WHERE doc_id < 60),
+      |g AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                       for i in range(1, len(w) - 1)]) AS gs
+      |      FROM t),
+      |u AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+      |inter AS (SELECT ua.doc_id AS a, ub.doc_id AS b, count(*) AS c
+      |          FROM u ua JOIN u ub ON ua.gr = ub.gr AND ua.doc_id < ub.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(gs) AS n FROM g)
+      |SELECT a, b, round(c * 1.0 / sa.n, 4) AS cont_ab,
+      |  round(c * 1.0 / sb.n, 4) AS cont_ba
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |WHERE c * 1.0 / sa.n > 0.04 OR c * 1.0 / sb.n > 0.04
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleExpression.register(s)
+    val sliced = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("gs"))
+    val a = sliced.select(col("doc_id").as("a"), col("gs").as("__sa"))
+    val b = sliced.select(col("doc_id").as("b"), col("gs").as("__sb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        containment(col("__sa"), col("__sb")).as("__cab"),
+        containment(col("__sb"), col("__sa")).as("__cba"))
+      .filter(col("__cab") > 0.04 || col("__cba") > 0.04)
+      .select(col("a"), col("b"), round(col("__cab"), 4).as("cont_ab"),
+        round(col("__cba"), 4).as("cont_ba"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** q29: SimHash near-dup EXACTNESS contract. For maxHamming = 3 the
     * 4×16-bit banding is COMPLETE by pigeonhole — a pair differing in at
     * most 3 bits cannot differ in all 4 chunks, so the banded pair set
@@ -559,5 +609,5 @@ object DedupOps {
 
   val all: Seq[QueryDef] = Seq(
     q27MinHashNearDup, q28NgramJaccard, q29SimHash, q46DedupClusters,
-    q101IncrementalDedup)
+    q101IncrementalDedup, q112Containment)
 }

@@ -190,15 +190,21 @@ object RelationalOps3 {
     * this query pins that the cheap path stays near the truth. */
   val q103ApproxQuantile = QueryDef(
     "q103_approx_quantile",
+    // cents-rounding via floor(x*100+0.5)/100, NOT round(x,2): both engines
+    // compute the identical interpolated double, but DuckDB's double round
+    // re-rounds the SCALED value (x*100 can land exactly on a .5 the true
+    // value sits under) while Spark rounds the true value HALF_UP — at
+    // sf0.001 that split a p50 across a cent. floor/scale is the same IEEE
+    // op sequence on the same input in both engines, so it can never split.
     """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50,
+      |  floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) / 100 AS p95,
       |  CAST(1 AS BIGINT) AS sketch_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95D)"), 2).as("p95"),
+        expr("floor(percentile(l_extendedprice, 0.5D) * 100 + 0.5) / 100").as("p50"),
+        expr("floor(percentile(l_extendedprice, 0.95D) * 100 + 0.5) / 100").as("p95"),
         expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("__a50"),
         expr("percentile_approx(l_extendedprice, 0.95D, 10000)").as("__a95"),
         expr("percentile(l_extendedprice, 0.5D)").as("__e50"),

@@ -740,7 +740,97 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  // ---- hybrid retrieval (lexical + dense fusion) ----
+
+  /** Reciprocal-rank fusion of independently ranked retrieval lists.
+    *
+    * Each input frame carries `(idCol, rank)` (rank 1 = best); the fused
+    * score of a document is Σ 1/(k + rank) over every list it appears in
+    * (absent → contributes 0). RRF is the standard score-free fusion for
+    * hybrid lexical+dense retrieval — it needs no score calibration
+    * between BM25 and cosine, only ranks.
+    *
+    * Scale shape: the inputs are top-N lists (already reduced from corpus
+    * scale by their own retrievers), so the fusion is a join over N-row
+    * frames — driver-negligible regardless of corpus size. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val scored = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), (lit(1.0) / (lit(k) + col("rank"))).as(s"__s$i"))
+    }
+    val joined = scored.reduce((a, b) =>
+      a.join(b, Seq(idCol), "full_outer"))
+    val total = scored.indices.map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), total.as("rrf"))
+  }
+
+  /** Global top-k of a scored frame as `(cols…, rank)` — a distributed
+    * sort-limit (TakeOrderedAndProject) followed by a window over only the
+    * k surviving rows, so no single-partition corpus-wide sort. */
+  private def topKRanked(scored: DataFrame, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.orderBy(col(scoreCol).desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
   // ---- driver-facing queries ----
+
+  /** q110: hybrid retrieval — BM25 top-50 (lexical) fused with embedding
+    * cosine top-50 (dense, query = vector 0) by reciprocal-rank fusion,
+    * final top-20 by fused score. The whole pipeline — both retrievers'
+    * ranks and the 1/(60+r) fusion — re-derived in the DuckDB oracle.
+    * Rank determinism rides on q100 (BM25 order) and q31 (cosine order),
+    * both hash-stable at sf0.01 and sf0.1. */
+  val q110HybridRrf = QueryDef(
+    "q110_hybrid_rrf",
+    """WITH lens AS (SELECT doc_id,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+      |tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      |        FROM documents),
+      |hits AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+      |         WHERE term IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY 1),
+      |bm AS (SELECT h.doc_id,
+      |    sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * h.tf * 2.2
+      |        / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+      |  FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      |  CROSS JOIN stats s GROUP BY h.doc_id),
+      |trank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |          FROM bm),
+      |tl AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + r) AS ts FROM trank WHERE r <= 50),
+      |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+      |cs AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], q.v) AS cos
+      |       FROM embeddings, qv q),
+      |vrank AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+      |          FROM cs),
+      |vl AS (SELECT vec_id AS doc_id, CAST(1 AS DOUBLE) / (60 + r) AS vs
+      |       FROM vrank WHERE r <= 50),
+      |fused AS (SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(t.ts, 0) + coalesce(v.vs, 0) AS score
+      |  FROM tl t FULL OUTER JOIN vl v ON t.doc_id = v.doc_id)
+      |SELECT doc_id, round(score, 6) AS rrf
+      |FROM fused ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val lexical = topKRanked(
+      TextOps.bm25(docs, "doc_id", "text", Seq("spark", "join", "merge")),
+      "bm25", "doc_id", 50)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+    val dense = topKRanked(
+      emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosineSim(col("embedding"), col("__qv")).as("cos")),
+      "cos", "doc_id", 50)
+    rrfFuse(Seq(lexical, dense), "doc_id")
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+  }
 
   /** Brute-force KNN, DuckDB-checkable via list_cosine_similarity. */
   val q31KnnBrute = QueryDef(
@@ -943,5 +1033,5 @@ object SimilarityOps {
   }
 
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
-    q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental)
+    q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf)
 }

@@ -317,6 +317,65 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Temperature-flattened source-mixture sampling: keep
+    * `floor(scale · n_s^α)` documents from each source `s` (α = 0.5 here —
+    * the classic sqrt-temperature used to rebalance web-dominated training
+    * mixes), chosen deterministically per source by md5 order. Large
+    * sources are downsampled ∝ n^(α−1) while small sources keep most rows,
+    * flattening the mixture without dropping rare sources.
+    *
+    * Determinism across engines: the per-source cap depends only on that
+    * source's own count (`floor(scale · sqrt(n))` — one IEEE sqrt + mul,
+    * bit-identical in Spark and DuckDB); there is no cross-source
+    * normalization sum whose addition order could differ.
+    *
+    * Scale shape: one count agg (broadcast back), one window ranked by
+    * md5 within source — a single shuffle on the source key; skewed
+    * sources are bounded by the rank filter's early cutoff under AQE. */
+  def temperatureSample(corpus: DataFrame, srcCol: String, idCol: String,
+      scale: Double = 10.0): DataFrame = {
+    val counts = corpus.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__n_src"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    corpus.withColumn("__rk", row_number().over(w))
+      .join(broadcast(counts), Seq(srcCol))
+      .filter(col("__rk") <= floor(lit(scale) * sqrt(col("__n_src"))))
+      .drop("__rk", "__n_src")
+  }
+
+  /** q111: sqrt-temperature mixture rebalancing over `documents.source`,
+    * hash-gated — per-source kept counts, an id-sum witness over exactly
+    * which documents survived, and the realized kept fraction. */
+  val q111TemperatureMix = QueryDef(
+    "q111_temperature_mix",
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents),
+      |kept AS (SELECT r.source, r.doc_id FROM r JOIN c USING (source)
+      |         WHERE rk <= floor(10 * sqrt(n_docs)))
+      |SELECT c.source, c.n_docs, count(k.doc_id) AS n_kept,
+      |  CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS id_witness,
+      |  round(count(k.doc_id) * 1.0 / c.n_docs, 4) AS kept_frac
+      |FROM c LEFT JOIN kept k ON k.source = c.source
+      |GROUP BY c.source, c.n_docs ORDER BY c.source""".stripMargin) { (s, dir) =>
+    val corpus = docs(s, dir)
+    val counts = corpus.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    temperatureSample(corpus, "source", "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_witness"))
+      .join(counts, Seq("source"), "right_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("id_witness"), lit(0L)).as("id_witness"),
+        round(coalesce(col("n_kept"), lit(0L)) * lit(1.0) / col("n_docs"), 4)
+          .as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
   /** BM25 relevance of every document against a query term set — the
     * classical retrieval scorer; in a curation pipeline it selects
     * documents matching a topic profile (seed-query mining) without
@@ -382,5 +441,5 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
     q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit,
-    q48GroupSample, q76BpeTokens, q100Bm25)
+    q48GroupSample, q76BpeTokens, q100Bm25, q111TemperatureMix)
 }

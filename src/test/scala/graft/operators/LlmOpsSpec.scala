@@ -537,4 +537,86 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     docs.unpersist()
   }
+
+  // ---- hybrid retrieval fusion ----
+
+  test("rrfFuse: doc in both lists outranks docs in one; absent lists contribute 0") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val den = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val fused = SimilarityOps.rrfFuse(Seq(lex, den), "doc_id", k = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused.keySet === Set(10L, 20L, 30L, 40L))
+    assert(math.abs(fused(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(fused(10L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(fused(40L) - 1.0 / 62) < 1e-12)
+    // both-list doc 20 beats every single-list doc, including both rank-1s
+    assert(fused(20L) > fused(10L) && fused(20L) > fused(40L) &&
+      fused(20L) > fused(30L))
+  }
+
+  test("rrfFuse over three lists sums every present contribution") {
+    val l1 = Seq((1L, 1)).toDF("doc_id", "rank")
+    val l2 = Seq((1L, 2)).toDF("doc_id", "rank")
+    val l3 = Seq((1L, 3), (2L, 1)).toDF("doc_id", "rank")
+    val fused = SimilarityOps.rrfFuse(Seq(l1, l2, l3), "doc_id", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(fused(1L) - (1.0 / 11 + 1.0 / 12 + 1.0 / 13)) < 1e-12)
+    assert(math.abs(fused(2L) - 1.0 / 11) < 1e-12)
+  }
+
+  // ---- temperature mixture sampling ----
+
+  test("temperatureSample caps each source at floor(scale*sqrt(n)) deterministically") {
+    val rows = (0 until 400).map(i => (i.toLong, if (i < 360) "web" else "book"))
+    val corpus = rows.toDF("doc_id", "source")
+    val kept = TextOps.temperatureSample(corpus, "source", "doc_id", scale = 3.0)
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // floor(3*sqrt(360)) = 56, floor(3*sqrt(40)) = 18
+    assert(bySrc("web") === math.floor(3.0 * math.sqrt(360)).toLong)
+    assert(bySrc("book") === math.floor(3.0 * math.sqrt(40)).toLong)
+    // flattening: big source's kept FRACTION is strictly below small source's
+    assert(bySrc("web").toDouble / 360 < bySrc("book").toDouble / 40)
+    // deterministic: same ids on a re-run
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextOps.temperatureSample(corpus, "source", "doc_id", scale = 3.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
+  test("temperatureSample keeps every row of a source under its cap") {
+    val corpus = (0 until 9).map(i => (i.toLong, "tiny")).toDF("doc_id", "source")
+    // floor(4*sqrt(9)) = 12 >= 9 -> nothing dropped
+    val kept = TextOps.temperatureSample(corpus, "source", "doc_id", scale = 4.0)
+    assert(kept.count() === 9)
+  }
+
+  // ---- n-gram containment ----
+
+  test("containment is asymmetric: an embedded excerpt scores 1.0 from the short side") {
+    ShingleExpression.register(spark)
+    val short = "alpha beta gamma delta epsilon"
+    val long = s"intro words here $short trailing content words beyond"
+    val df = Seq((short, long)).toDF("s", "l")
+      .select(DedupOps.wordShingles(col("s"), 3).as("gs"),
+        DedupOps.wordShingles(col("l"), 3).as("gl"))
+    val got = df.select(
+      DedupOps.containment(col("gs"), col("gl")).as("short_in_long"),
+      DedupOps.containment(col("gl"), col("gs")).as("long_in_short"),
+      DedupOps.jaccard(col("gs"), col("gl")).as("j")).head()
+    assert(got.getDouble(0) === 1.0, "every 3-gram of the excerpt appears in the long doc")
+    assert(got.getDouble(1) < 0.5, "the long doc is NOT contained in the excerpt")
+    // the case Jaccard misses: union is large, so Jaccard stays low while
+    // short-side containment is exact
+    assert(got.getDouble(2) < 0.5)
+  }
+
+  test("containment of an empty shingle set is 0, not NaN") {
+    ShingleExpression.register(spark)
+    val df = Seq(("ab", "alpha beta gamma delta")).toDF("s", "l")
+      .select(DedupOps.wordShingles(col("s"), 3).as("gs"),
+        DedupOps.wordShingles(col("l"), 3).as("gl"))
+    val got = df.select(DedupOps.containment(col("gs"), col("gl"))).head().getDouble(0)
+    assert(got === 0.0)
+  }
 }
