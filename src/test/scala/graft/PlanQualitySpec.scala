@@ -187,6 +187,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
   }
 
+  test("q110: both retrieval legs top-k without a global sort; dense leg broadcasts the query") {
+    val p = plan("q110_hybrid_rrf")
+    // the 1-row query vector joins the corpus by broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"dense leg must broadcast the query vector:\n${p.take(1200)}")
+    // every top-k (two legs + final fusion cut) plans as TakeOrderedAndProject
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "top-k cuts must not global-sort the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q111: temperature sampling broadcasts the per-source counts") {
+    val p = plan("q111_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized count frame must broadcast back onto the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which
