@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -8,14 +10,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads the parquet tables from `sfDir` through these helpers. Reads are
   * plain `spark.read.parquet` so Catalyst keeps full pushdown / pruning
   * freedom (PushedFilters + ReadSchema reach the scan).
+  *
+  * The loaders also absorb PHYSICAL-TYPE drift in the testdata: the
+  * generator has already flipped `events.ts` between TIMESTAMP(NANOS) and
+  * timestamp[us]-no-tz across regenerations (breaking one query for a
+  * round), and the TPC-H date columns could drift the same way. Every
+  * column listed in [[tsColumns]] is normalized per its READ type:
+  *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright — read
+  *    nanos as long (`nanosAsLong`) and truncate to µs TimestampType, the
+  *    same ns→µs truncation DuckDB applies, so oracle values align.
+  *    Integer `div` (not `/`) — epoch-nanos exceed 2^53 and would lose
+  *    precision through a double.
+  *  - timestamp[us] without timezone (read as TIMESTAMP_NTZ): harmless for
+  *    comparisons/grouping — those columns pass through as NTZ (their
+  *    current, oracle-green read type) — EXCEPT `events.ts`, which feeds
+  *    `unix_micros` (rejects NTZ) and is cast to session-tz TimestampType
+  *    (session tz is UTC, so values match the oracle's naive timestamps).
+  * When the read type is already the expected one, the columns pass through
+  * untouched and scans keep full filter pushdown.
   */
 object Tables {
   final val All: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Timestamp-semantics columns per table (castNtz = normalize NTZ to
+    * session-tz TimestampType too, for downstream epoch functions). */
+  private val tsColumns: Map[String, Seq[(String, Boolean)]] = Map(
+    "orders" -> Seq(("o_orderdate", false)),
+    "lineitem" -> Seq(("l_shipdate", false)),
+    "events" -> Seq(("ts", true)))
+
+  private def normalizeTs(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    cols.foldLeft(df) { case (d, (c, castNtz)) =>
+      d.schema(c).dataType match {
+        case LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType if castNtz =>
+          d.withColumn(c, col(c).cast("timestamp"))
+        case _ => d
+      }
+    }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // harmless when no nanos column exists; REQUIRED before a scan that has
+    // one (the reader refuses TIMESTAMP(NANOS) otherwise)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"),
+      tsColumns.getOrElse(name, Nil))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -24,29 +67,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** Normalizes `events.ts` to session-tz TimestampType regardless of the
-    * physical parquet type the data generator picked:
-    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read nanos
-    *    as long and truncate to µs TimestampType, the same ns→µs truncation
-    *    DuckDB applies, so oracle values align. Integer `div` (not `/`) —
-    *    epoch-nanos exceed 2^53 and would lose precision through a double.
-    *  - timestamp[us] without timezone: Spark 4 infers TIMESTAMP_NTZ, which
-    *    `unix_micros` and friends reject — cast to TimestampType (session tz
-    *    is UTC, so values match the oracle's naive timestamps). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => df
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
