@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.ShingleExpression
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-quality operators for training-data curation, beyond the basic
@@ -232,6 +232,71 @@ object QualityOps {
       .orderBy(col("lang"))
   }
 
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023, simplified to unigrams): score every
+    * candidate document by the mean log-likelihood RATIO of its tokens
+    * under a target-domain unigram LM vs the raw-corpus LM (both add-1
+    * smoothed over the shared vocabulary). Documents that "read like" the
+    * target domain score high even when their metadata says otherwise —
+    * the standard trick for mining target-like data out of a web crawl.
+    *
+    * Scale shape: identical to [[unigramCrossEntropy]] — two token-count
+    * shuffles (target is a filtered second pass of the same scan), a
+    * vocab-sized model frame that broadcasts back, one per-doc aggregate;
+    * the corpus text never shuffles. */
+  def dsirScores(corpus: DataFrame, textCol: String, idCols: Seq[String],
+      targetFilter: Column): DataFrame = {
+    val tok = corpus.select(idCols.map(col) :+ targetFilter.as("__tgt") :+
+      explode(TextOps.tokens(col(textCol))).as("token"): _*)
+    val cntAll = tok.groupBy(col("token")).agg(count(lit(1)).as("__c_all"))
+    val cntTgt = tok.filter(col("__tgt")).groupBy(col("token"))
+      .agg(count(lit(1)).as("__c_tgt"))
+    val stats = cntAll.agg(sum(col("__c_all")).as("__t_all"),
+      count(lit(1)).as("__v"))
+      .crossJoin(tok.filter(col("__tgt")).agg(count(lit(1)).as("__t_tgt")))
+    val model = cntAll.join(cntTgt, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        (log((coalesce(col("__c_tgt"), lit(0L)) + 1).cast("double") /
+            (col("__t_tgt") + col("__v"))) -
+          log((col("__c_all") + 1).cast("double") /
+            (col("__t_all") + col("__v")))).as("__llr"))
+    tok.filter(!col("__tgt"))
+      .join(broadcast(model), Seq("token"))
+      .groupBy(idCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__llr")).as("dsir"))
+  }
+
+  /** q113: DSIR selection — mine the 15 non-German documents whose text
+    * best matches the German-subset unigram LM. Ordered by the ROUNDED
+    * score then doc_id: per-doc mean-of-llr accumulates in engine-specific
+    * order, so the unrounded doubles can differ in the last bits between
+    * engines; 4-decimal rounding collapses that before the sort key. */
+  val q113DsirSelect = QueryDef(
+    "q113_dsir_select",
+    """WITH tok AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS token
+      |             FROM documents),
+      |ca AS (SELECT token, count(*) AS c_all FROM tok GROUP BY 1),
+      |ct AS (SELECT token, count(*) AS c_tgt FROM tok WHERE lang = 'de' GROUP BY 1),
+      |st AS (SELECT (SELECT sum(c_all) FROM ca) AS t_all,
+      |              (SELECT count(*) FROM ca) AS v,
+      |              (SELECT count(*) FROM tok WHERE lang = 'de') AS t_tgt),
+      |m AS (SELECT ca.token,
+      |    ln(CAST(coalesce(ct.c_tgt, 0) + 1 AS DOUBLE) / (st.t_tgt + st.v)) -
+      |    ln(CAST(ca.c_all + 1 AS DOUBLE) / (st.t_all + st.v)) AS llr
+      |  FROM ca LEFT JOIN ct ON ca.token = ct.token CROSS JOIN st),
+      |d AS (SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+      |        round(avg(m.llr), 4) AS dsir_score
+      |      FROM tok t JOIN m USING (token) WHERE t.lang != 'de'
+      |      GROUP BY t.doc_id, t.lang)
+      |SELECT doc_id, lang, n_tokens, dsir_score
+      |FROM d ORDER BY dsir_score DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+    dsirScores(docs(s, dir), "text", Seq("doc_id", "lang"), col("lang") === "de")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("dsir"), 4).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id")).limit(15)
+  }
+
   /** Cross-document duplicate k-gram rate — Gopher's "duplicate n-grams
     * across the corpus" signal: per doc, the fraction of its DISTINCT
     * k-grams that also appear in at least one other document. High values
@@ -437,5 +502,5 @@ object QualityOps {
 
   val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination,
     q68SequencePacking, q74UnigramXent, q75CrossdocDupGrams, q78QualityFunnel,
-    q89BigramXent)
+    q89BigramXent, q113DsirSelect)
 }

@@ -900,6 +900,28 @@ object SimilarityOps {
     annContract(emb, queries, ann, "vec_id", "embedding", 10, recallFloor = 0.4)
   }
 
+  /** q114: random-hyperplane LSH ANN emitted through the same hash-gated
+    * verification contract as q32/q80 — per query: k results, every
+    * reported cosine independently recomputed (the candidate path must
+    * rerank with TRUE cosine), and recall-vs-brute ≥ 0.4·k. 16 tables ×
+    * 4 bits measures recall 0.7–1.0 at sf0.001/0.01/0.1 with the seeded
+    * planes, so the 0.4 floor has deterministic margin. At production
+    * scale the knob moves the other way (more bits per table → smaller
+    * buckets → sub-linear probes, more tables to recover recall); the
+    * contract pins the algorithm, LlmOpsSpec pins the recall trend. */
+  val q114AnnLsh = QueryDef(
+    "q114_ann_lsh",
+    """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+      |  CAST(10 AS BIGINT) AS n_exact_cos, CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ann = knnLsh(emb, queries, "vec_id", "embedding", 10,
+      tables = 16, bitsPerTable = 4)
+    annContract(emb, queries, ann, "vec_id", "embedding", 10, recallFloor = 0.4)
+  }
+
   /** q77: SemDeDup verification CONTRACT, hash-gated per label (the
     * q32/q80 pattern applied to cluster-bucketed dedup). Three
     * deterministic guarantees the DuckDB oracle can state from the data:
@@ -1033,5 +1055,6 @@ object SimilarityOps {
   }
 
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
-    q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf)
+    q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
+    q114AnnLsh)
 }

@@ -591,6 +591,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.count() === 9)
   }
 
+  // ---- DSIR importance scoring ----
+
+  test("dsirScores ranks target-like candidates above generic ones") {
+    // target domain speaks "kernel gpu tensor"; the raw pool speaks "the a of"
+    val corpus = Seq(
+      (1L, true, "kernel gpu tensor kernel gpu"),
+      (2L, true, "tensor kernel gpu tensor"),
+      (10L, false, "kernel gpu tensor gpu"),     // candidate that reads like target
+      (11L, false, "the a of the a of"),          // generic candidate
+      (12L, false, "the of kernel a the of"))     // mixed
+      .toDF("doc_id", "is_tgt", "text")
+    val scored = QualityOps.dsirScores(corpus, "text", Seq("doc_id"), col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.keySet === Set(10L, 11L, 12L), "only non-target docs are scored")
+    assert(scored(10L) > scored(12L) && scored(12L) > scored(11L),
+      s"target-like > mixed > generic, got $scored")
+    // the target-like doc's tokens are MORE likely under the target LM
+    assert(scored(10L) > 0, "mean llr of target-typical tokens must be positive")
+    assert(scored(11L) < 0, "mean llr of target-absent tokens must be negative")
+  }
+
   // ---- n-gram containment ----
 
   test("containment is asymmetric: an embedded excerpt scores 1.0 from the short side") {
