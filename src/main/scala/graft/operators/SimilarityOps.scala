@@ -40,12 +40,15 @@ object SimilarityOps {
   }
 
   /** Bit-signature for one LSH table: sign of the dot product against each
-    * hyperplane, packed into a long. */
+    * hyperplane, packed into a long. Dots go through the codegen'd
+    * [[VectorFunctions.DotProduct]] kernel — the builtin
+    * `aggregate(zip_with(...))` formulation is a CodegenFallback that drops
+    * the whole projection out of whole-stage codegen (same accumulation
+    * order, so the signature bits are identical). */
   private def signature(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, lit(p), (x, w) => x * w), lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorFunctions.dotProduct(vec, lit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed ANN: `tables` independent signature tables of
@@ -56,23 +59,29 @@ object SimilarityOps {
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(bitsPerTable, dim, seed + t))
-    def signed(df: DataFrame, id: String): DataFrame =
-      df.select((col(idCol).as(id) +: col(vecCol).as(s"__v_$id") +:
-        allPlanes.zipWithIndex.map { case (p, t) =>
-          signature(col(vecCol), p).as(s"__sig$t")
-        }): _*)
-    val c = signed(corpus, "neighbor_id")
-    val q = signed(queries, "query_id")
-    val candidates = (0 until tables).map { t =>
-      c.select(col("neighbor_id"), col("__v_neighbor_id"), col(s"__sig$t").as("__s"))
-        .join(broadcast(q.select(col("query_id"), col("__v_query_id"),
-          col(s"__sig$t").as("__s"))), Seq("__s"))
-        .select(col("query_id"), col("neighbor_id"),
-          col("__v_query_id"), col("__v_neighbor_id"))
-    }.reduce(_ unionByName _).distinct()
+    // ONE pass per frame: all `tables` signatures computed in a single
+    // projection and exploded to (id, table, sig) band rows, so candidate
+    // generation is a single bucket join keyed on (table, sig) — never a
+    // union of per-table scans (which would re-read and re-hash the corpus
+    // `tables` times)
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(array(allPlanes.map(p => signature(col(vecCol), p)): _*))
+          .as(Seq("__t", "__s")))
+    val pairs = banded(corpus, "neighbor_id")
+      .join(broadcast(banded(queries, "query_id")), Seq("__t", "__s"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      VectorFunctions.cosineSim(col("__v_query_id"), col("__v_neighbor_id")).as("cos"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // exact rerank: vectors rejoin the candidate-only pair set (query side
+    // broadcast; corpus side a hash join keyed on id over candidates, not
+    // the corpus)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = pairs
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("__qv"), col("__cv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
