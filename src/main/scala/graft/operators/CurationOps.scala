@@ -126,6 +126,95 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** Segment-level exact dedup with document reconstruction — the
+    * sub-document dedup pass of web-curation pipelines (repeated
+    * boilerplate/quote segments are removed corpus-wide while the
+    * documents themselves survive): split every doc into fixed
+    * `segTokens`-token segments, keep only the FIRST occurrence of each
+    * distinct segment text (ordered by (doc_id, chunk_id)), and rebuild
+    * each document from its surviving segments in order.
+    *
+    * Scale shape: segmentation rides [[chunkDocuments]] (map-side
+    * explode), first-occurrence selection is ONE shuffle keyed on the
+    * segment text (a window rank, same key a groupBy dedup would use),
+    * and reconstruction is one per-doc aggregate. Nothing is quadratic;
+    * the segment-text shuffle is the same cardinality the exact-dedup
+    * hash-groupBy would carry. */
+  def segmentDedup(corpus: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    val segs = chunkDocuments(corpus, textCol, chunkSize = segTokens,
+      overlap = 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_text")).orderBy(col(idCol), col("chunk_id"))
+    segs.withColumn("__rn", row_number().over(w))
+      .withColumn("is_first", (col("__rn") === 1).cast("long"))
+      .drop("__rn")
+  }
+
+  /** q115: [[segmentDedup]] at 8-token segments, reported per source —
+    * documents rebuilt from surviving segments with an order-independent
+    * md5 witness over every rebuilt text, so a wrong segment order, a
+    * wrongly-kept duplicate, or a wrongly-dropped first occurrence all
+    * hash-mismatch. */
+  val q115SegmentDedup = QueryDef(
+    "q115_segment_dedup",
+    """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |c AS (SELECT doc_id, source, toks, len(toks) AS n,
+      |             unnest(range(1, len(toks) + 1, 8)) AS s
+      |      FROM t WHERE len(toks) >= 1),
+      |seg AS (SELECT doc_id, source, CAST((s - 1) / 8 AS BIGINT) AS chunk_id,
+      |          least(8, n - s + 1) AS seg_tokens,
+      |          array_to_string(list_slice(toks, s, s + 7), ' ') AS seg_text
+      |        FROM c),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY seg_text
+      |             ORDER BY doc_id, chunk_id) AS rn FROM seg),
+      |rebuilt AS (SELECT doc_id, any_value(source) AS source,
+      |    string_agg(seg_text, ' ' ORDER BY chunk_id) AS new_text,
+      |    sum(seg_tokens) AS kept_tokens
+      |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+      |orig AS (SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |    count(*) AS n_segments, CAST(sum(seg_tokens) AS BIGINT) AS n_tokens
+      |  FROM seg GROUP BY source),
+      |ded AS (SELECT source, count(*) AS n_docs_kept,
+      |    CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens,
+      |    CAST(sum(CAST(('0x' || substr(md5(new_text), 1, 8)) AS BIGINT)) AS BIGINT)
+      |      AS text_witness
+      |  FROM rebuilt GROUP BY source)
+      |SELECT o.source, o.n_docs, o.n_segments, o.n_tokens,
+      |  coalesce(d.n_docs_kept, 0) AS n_docs_kept,
+      |  coalesce(d.kept_tokens, 0) AS kept_tokens,
+      |  round(coalesce(d.kept_tokens, 0) * 1.0 / o.n_tokens, 4) AS token_retention,
+      |  coalesce(d.text_witness, 0) AS text_witness
+      |FROM orig o LEFT JOIN ded d ON d.source = o.source
+      |ORDER BY o.source""".stripMargin) { (s, dir) =>
+    val segs = segmentDedup(docs(s, dir), "doc_id", "text", segTokens = 8)
+    val orig = segs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+    val rebuilt = segs.filter(col("is_first") === 1)
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("new_text"),
+        sum(col("chunk_tokens")).as("kept_tokens"))
+    val ded = rebuilt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("kept_tokens")).as("kept_tokens"),
+        sum(conv(substring(md5(col("new_text")), 1, 8), 16, 10).cast("long"))
+          .as("text_witness"))
+    orig.join(ded, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_segments"), col("n_tokens"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        round(coalesce(col("kept_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"), 4)
+          .as("token_retention"),
+        coalesce(col("text_witness"), lit(0L)).as("text_witness"))
+      .orderBy(col("source"))
+  }
+
   // ---- tokenizer-prep vocabulary ----
 
   /** Top-`vocabSize` tokens by global count (count desc, token asc on
@@ -595,5 +684,5 @@ object CurationOps {
 
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
     q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage,
-    q96ContentChunks)
+    q96ContentChunks, q115SegmentDedup)
 }

@@ -235,4 +235,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.mkString(" ") === text,
       "chunks concatenated in order must reconstruct the document")
   }
+
+  test("segmentDedup keeps only the first occurrence of a repeated segment") {
+    // doc 1 and doc 2 share an identical 4-token segment; doc 2's copy and
+    // doc 2's OWN later repeat must both lose to the earliest occurrence
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, "src", s"$shared one two three four"),
+      (2L, "src", s"$shared five six seven eight"),
+      (3L, "src", s"nine ten eleven twelve $shared"))
+      .toDF("doc_id", "source", "text")
+    val segs = CurationOps.segmentDedup(df, "doc_id", "text", segTokens = 4)
+      .select("doc_id", "chunk_id", "chunk_text", "is_first")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(segs((1L, 0L)) === (shared, 1L), "earliest occurrence survives")
+    assert(segs((2L, 0L)) === (shared, 0L), "cross-doc duplicate dropped")
+    assert(segs((3L, 1L)) === (shared, 0L), "later-position duplicate dropped")
+    assert(segs((1L, 1L))._2 === 1L && segs((2L, 1L))._2 === 1L,
+      "unique segments all survive")
+  }
 }
