@@ -149,6 +149,57 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization parity: streaming sessions equal the batch window formulation") {
+    // the same real events (sf0.001, user_id < 4) through BOTH surfaces:
+    // the q49-style batch window sessionizer and the stateful streaming
+    // sessionizer must close identical (user, n_events, total) sessions
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    val raw = graft.Tables.events(spark, SparkTestSession.sf)
+      .filter(col("user_id") < 4)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    // batch: lag-gap-running-sum formulation (SessionOps/q49)
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = raw
+      .withColumn("__prev", lag(col("ts"), 1).over(byTime))
+      .withColumn("__brk", when(col("__prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("__prev")) > gapMs * 1000L, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("__brk")).over(running))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select("user_id", "n", "total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // streaming: same events through flatMapGroupsWithState, flushed by a
+    // far-future sentinel advancing the event-time watermark
+    val events = raw.as[StreamOps.Event].collect().sortBy(e => e.ts.getTime)
+    val maxTs = events.map(_.ts.getTime).max
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = gapMs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_parity").start()
+    try {
+      mem.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(9999L, new Timestamp(maxTs + 86400000L), "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(9999L, new Timestamp(maxTs + 86400000L + 1000L), "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity").as[StreamOps.Session].collect()
+        .filter(_.user_id != 9999L)
+        .map(s => (s.user_id, s.n_events.toLong,
+          math.round(s.total_value * 100.0) / 100.0))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(streamed === batch,
+        s"streaming sessions ${streamed.toSeq.sorted} != batch ${batch.toSeq.sorted}")
+    } finally q.stop()
+  }
+
   test("streaming curation: lake tail -> map-only funnel -> curated lake table") {
     // the composition a continuous curation pipeline runs: tail an ingest
     // table as a stream, apply the (pure-map, streaming-safe) quality
