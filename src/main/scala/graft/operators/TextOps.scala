@@ -345,6 +345,46 @@ object TextOps {
       .drop("__rk", "__n_src")
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1) from the
+    * md5-fraction of its id — the engine-stable stand-in for a uniform
+    * random draw — and the k rows with the largest key u^(1/w) win. In the
+    * log domain (`ln(u)/w`, same ordering, avoids cross-engine `pow`
+    * rounding skew) heavier rows shrink |ln(u)|/w toward 0 and float to
+    * the top, so inclusion probability scales with the weight while every
+    * run and every engine draws the identical sample.
+    *
+    * Scale shape: the key is one map-side expression over the corpus and
+    * the top-k is a distributed sort-limit (TakeOrderedAndProject) —
+    * no global sort, no shuffle beyond the k winners. */
+  def weightedSample(corpus: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    // u ∈ [0, 1): guard the log's zero edge with the smallest step
+    val key = log(greatest(u, lit(1.0 / 4294967296.0))) /
+      col(weightCol).cast("double")
+    corpus.withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol)).limit(k)
+  }
+
+  /** q116: A-ES weighted sample of 25 documents, weight = n_chars —
+    * longer docs proportionally likelier, the draw reproducible in any
+    * engine. Hash-gated on the exact sampled id set (and each row's key). */
+  val q116WeightedSample = QueryDef(
+    "q116_weighted_sample",
+    """WITH t AS (SELECT doc_id, lang, n_chars,
+      |    ln(greatest(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |         / CAST(4294967296 AS DOUBLE),
+      |       CAST(1 AS DOUBLE) / 4294967296)) / n_chars AS wkey
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, round(wkey, 8) AS sample_key
+      |FROM t ORDER BY wkey DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+    weightedSample(docs(s, dir), "doc_id", "n_chars", 25)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("__wkey"), 8).as("sample_key"))
+  }
+
   /** q111: sqrt-temperature mixture rebalancing over `documents.source`,
     * hash-gated — per-source kept counts, an id-sum witness over exactly
     * which documents survived, and the realized kept fraction. */
@@ -441,5 +481,6 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
     q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit,
-    q48GroupSample, q76BpeTokens, q100Bm25, q111TemperatureMix)
+    q48GroupSample, q76BpeTokens, q100Bm25, q111TemperatureMix,
+    q116WeightedSample)
 }

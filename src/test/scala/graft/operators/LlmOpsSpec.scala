@@ -591,6 +591,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.count() === 9)
   }
 
+  // ---- weighted sampling ----
+
+  test("weightedSample favors heavy rows, always includes a dominant weight, reproducibly") {
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (i < 200) 1L else 50L)) :+ (9999L, 1000000000L)
+    val df = rows.toDF("doc_id", "w")
+    val pick = TextOps.weightedSample(df, "doc_id", "w", 41)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pick.contains(9999L), "a dominant weight must always be drawn")
+    val heavy = pick.count(id => id >= 200 && id < 400)
+    val light = pick.count(_ < 200)
+    assert(heavy > light * 2,
+      s"50x-weighted rows must dominate the sample: heavy=$heavy light=$light")
+    // identical draw on a re-run (the randomness is the md5 of the id)
+    val again = TextOps.weightedSample(df, "doc_id", "w", 41)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === pick)
+  }
+
   // ---- DSIR importance scoring ----
 
   test("dsirScores ranks target-like candidates above generic ones") {
