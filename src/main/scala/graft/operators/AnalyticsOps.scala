@@ -789,8 +789,58 @@ object AnalyticsOps {
       .orderBy(col("source"))
   }
 
+  /** q117: mergeable-sketch rollup — THE 100 TB distinct-count pattern:
+    * per-hour Datasketches HLL sketches of the user set are built ONCE
+    * (one scan), then per-day distincts come from re-MERGING the hour
+    * sketches (`hll_union_agg`), never from re-scanning raw events. The
+    * q103/q56 contract style makes it oracle-checkable without DuckDB
+    * having the same sketch: exact per-day distincts are the recomputable
+    * content; `sketch_ok` witnesses the merged estimate within 5 % of
+    * exact; `merge_consistent` witnesses that merging hour sketches lands
+    * within 2 % of sketching the day directly (the reaggregation guarantee
+    * that makes pre-computed sketch tables trustworthy — not exact
+    * equality: a Datasketches union can finalize in a different sketch
+    * mode than direct aggregation, measured ≤0.9 % apart at sf0.1). */
+  val q117HllRollup = QueryDef(
+    "q117_hll_rollup",
+    """WITH h AS (SELECT date_trunc('day', ts) AS day,
+      |    date_trunc('hour', ts) AS hour FROM events),
+      |d AS (SELECT date_trunc('day', ts) AS day,
+      |    count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+      |SELECT CAST(d.day AS DATE) AS day,
+      |  (SELECT count(DISTINCT hour) FROM h WHERE h.day = d.day) AS n_hours,
+      |  exact_users, CAST(1 AS BIGINT) AS sketch_ok,
+      |  CAST(1 AS BIGINT) AS merge_consistent
+      |FROM d ORDER BY day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+    // offline: one sketch per hour (what a 100 TB pipeline would persist)
+    val hourly = ev.groupBy(col("day"), col("hour"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    // online: day distincts by merging the hour sketches — no raw re-scan
+    val merged = hourly.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_hours"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    // witnesses: exact distincts + a direct day-level sketch
+    val exact = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"))
+    merged.join(exact, Seq("day"))
+      .select(col("day").cast("date").as("day"), col("n_hours"),
+        col("exact_users"),
+        when(abs(col("est") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05, 1L).otherwise(0L)
+          .as("sketch_ok"),
+        when(abs(col("est") - col("direct_est")) <=
+          col("exact_users").cast("double") * 0.02, 1L).otherwise(0L)
+          .as("merge_consistent"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
-    q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping)
+    q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
+    q117HllRollup)
 }
