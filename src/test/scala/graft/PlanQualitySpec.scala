@@ -205,6 +205,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q116: weighted sampling top-k never global-sorts") {
+    val p = plan("q116_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES selection must plan as a distributed sort-limit")
+    assert(!p.contains("\n(1) Sort"), "no corpus-wide sort for a k-row sample")
+  }
+
+  test("q115: segment dedup is one window over the segment key, no cartesian") {
+    val p = plan("q115_segment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "first-occurrence selection must stay keyed on the segment text")
+    assert(p.contains("Window"), "dedup rank must be a window, not a self-join")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which
