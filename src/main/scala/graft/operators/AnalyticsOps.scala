@@ -838,9 +838,102 @@ object AnalyticsOps {
       .orderBy(col("day"))
   }
 
+  /** q118: distribution-drift monitoring via the Population Stability
+    * Index — the standard "did my feature distribution move" check a
+    * training-data pipeline runs between dataset versions: per event
+    * type, `value` is bucketed into 10 fixed-width bins over the type's
+    * global [min, max], proportions compared between the first and second
+    * half of the time range, PSI = Σ (p_a − p_b)·ln(p_a/p_b) with
+    * proportions clamped at 1e-6 so empty bins stay finite. The time
+    * split avoids division entirely (`2·µs < min+max`) so both engines
+    * assign every row identically; bin edges derive from min/max doubles
+    * that are exact parquet values, so bucketing is bit-identical too.
+    *
+    * Scale shape: two scans (range + bucket counts), aggregates only —
+    * the PSI itself is arithmetic over a types×10 frame. */
+  val q118DriftPsi = QueryDef(
+    "q118_drift_psi",
+    """WITH b AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      |r AS (SELECT min(us) AS mn, max(us) AS mx FROM b),
+      |s AS (SELECT event_type, value,
+      |        CASE WHEN us * 2 < r.mn + r.mx THEN 0 ELSE 1 END AS side
+      |      FROM b, r),
+      |vr AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      |       FROM s GROUP BY 1),
+      |bk AS (SELECT s.event_type, side,
+      |    CASE WHEN vmax = vmin THEN 0
+      |         ELSE CAST(least(9, greatest(0,
+      |           floor((value - vmin) / ((vmax - vmin) / 10)))) AS BIGINT)
+      |    END AS bucket
+      |  FROM s JOIN vr USING (event_type)),
+      |c AS (SELECT event_type, side, bucket, count(*) AS n FROM bk GROUP BY 1,2,3),
+      |tot AS (SELECT event_type, side, sum(n) AS t FROM c GROUP BY 1,2),
+      |grid AS (SELECT g.event_type, bb.bucket
+      |         FROM (SELECT DISTINCT event_type FROM b) g
+      |         CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) bb),
+      |p AS (SELECT f.event_type, f.bucket, ta.t AS na, tb.t AS nb,
+      |    greatest(CAST(coalesce(ca.n, 0) AS DOUBLE) / ta.t, 1e-6) AS pa,
+      |    greatest(CAST(coalesce(cb.n, 0) AS DOUBLE) / tb.t, 1e-6) AS pb
+      |  FROM grid f
+      |  JOIN tot ta ON ta.event_type = f.event_type AND ta.side = 0
+      |  JOIN tot tb ON tb.event_type = f.event_type AND tb.side = 1
+      |  LEFT JOIN c ca ON ca.event_type = f.event_type AND ca.side = 0
+      |    AND ca.bucket = f.bucket
+      |  LEFT JOIN c cb ON cb.event_type = f.event_type AND cb.side = 1
+      |    AND cb.bucket = f.bucket)
+      |SELECT event_type, CAST(any_value(na) AS BIGINT) AS n_first,
+      |  CAST(any_value(nb) AS BIGINT) AS n_second,
+      |  round(sum((pa - pb) * ln(pa / pb)), 4) AS psi
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val b = Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("__us"))
+    val r = b.agg(min(col("__us")).as("__mn"), max(col("__us")).as("__mx"))
+    val sd = b.crossJoin(broadcast(r))
+      .select(col("event_type"), col("value"),
+        when(col("__us") * 2 < col("__mn") + col("__mx"), 0).otherwise(1)
+          .as("side"))
+    val vr = sd.groupBy(col("event_type"))
+      .agg(min(col("value")).as("__vmin"), max(col("value")).as("__vmax"))
+    val bk = sd.join(broadcast(vr), Seq("event_type"))
+      .select(col("event_type"), col("side"),
+        when(col("__vmax") === col("__vmin"), 0L)
+          .otherwise(least(lit(9), greatest(lit(0),
+            floor((col("value") - col("__vmin")) /
+              ((col("__vmax") - col("__vmin")) / 10)))).cast("long"))
+          .as("bucket"))
+    val c = bk.groupBy(col("event_type"), col("side"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("event_type"), col("side"))
+      .agg(sum(col("n")).as("t"))
+    val grid = sd.select(col("event_type")).distinct()
+      .crossJoin(s.range(0, 10).select(col("id").as("bucket")))
+    val p = grid
+      .join(broadcast(tot.filter(col("side") === 0)
+        .select(col("event_type"), col("t").as("__ta"))), Seq("event_type"))
+      .join(broadcast(tot.filter(col("side") === 1)
+        .select(col("event_type"), col("t").as("__tb"))), Seq("event_type"))
+      .join(broadcast(c.filter(col("side") === 0)
+        .select(col("event_type"), col("bucket"), col("n").as("__na"))),
+        Seq("event_type", "bucket"), "left")
+      .join(broadcast(c.filter(col("side") === 1)
+        .select(col("event_type"), col("bucket"), col("n").as("__nb"))),
+        Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("__ta"), col("__tb"),
+        greatest(coalesce(col("__na"), lit(0L)).cast("double") / col("__ta"),
+          lit(1e-6)).as("__pa"),
+        greatest(coalesce(col("__nb"), lit(0L)).cast("double") / col("__tb"),
+          lit(1e-6)).as("__pb"))
+    p.groupBy(col("event_type"))
+      .agg(first(col("__ta")).as("n_first"), first(col("__tb")).as("n_second"),
+        round(sum((col("__pa") - col("__pb")) *
+          log(col("__pa") / col("__pb"))), 4).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
-    q117HllRollup)
+    q117HllRollup, q118DriftPsi)
 }
