@@ -287,10 +287,15 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
           substring(col("value"), 1, 4) === lit(Array[Byte](-1, -1, -1, -1)),
         lit(false))).cache()
     try {
-      val ipc = tagged.filter(col("__ipc"))
-      val json = tagged.filter(!col("__ipc"))
-      if (!ipc.isEmpty) processArrowIpc(topic, table, ipc)
-      if (!json.isEmpty) processJson(topic, table, json)
+      // ONE job decides which formats are present (two isEmpty probes would
+      // each schedule their own job — per-trigger fixed cost on every
+      // single-format topic, the overwhelmingly common case)
+      val fmtCounts = tagged.groupBy(col("__ipc")).count().collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      if (fmtCounts.getOrElse(true, 0L) > 0)
+        processArrowIpc(topic, table, tagged.filter(col("__ipc")))
+      if (fmtCounts.getOrElse(false, 0L) > 0)
+        processJson(topic, table, tagged.filter(!col("__ipc")))
     } finally tagged.unpersist()
   }
 
