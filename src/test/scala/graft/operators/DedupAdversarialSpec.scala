@@ -84,4 +84,42 @@ class DedupAdversarialSpec extends AnyFunSuite {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("property: jaccard/containment lattice over random set pairs") {
+    // 200 deterministic random distinct-token set pairs, checked in ONE job:
+    //   0 <= J <= min(C(a->b), C(b->a)) <= 1, and J = 1 iff both C = 1
+    // (J <= C since the union can only be at least as large as either side)
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"t$i")
+    def randSet() = rnd.shuffle(vocab).take(1 + rnd.nextInt(12)).toArray
+    val pairs = (0 until 200).map(_ => (randSet(), randSet()))
+      .toDF("sa", "sb")
+    val rows = pairs.select(
+      DedupOps.jaccard(col("sa"), col("sb")).as("j"),
+      DedupOps.containment(col("sa"), col("sb")).as("cab"),
+      DedupOps.containment(col("sb"), col("sa")).as("cba")).collect()
+    rows.foreach { r =>
+      val (j, cab, cba) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(j >= 0.0 && j <= 1.0 && cab >= 0.0 && cab <= 1.0)
+      assert(j <= math.min(cab, cba) + 1e-12,
+        s"jaccard $j must not exceed either containment ($cab, $cba)")
+      assert((j == 1.0) === (cab == 1.0 && cba == 1.0),
+        s"J=1 must coincide with mutual full containment: $j $cab $cba")
+    }
+  }
+
+  test("property: rrfFuse is invariant to the order its lists are given in") {
+    val l1 = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val l2 = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val l3 = Seq((3L, 1), (1L, 3)).toDF("doc_id", "rank")
+    def fused(ls: Seq[org.apache.spark.sql.DataFrame]) =
+      SimilarityOps.rrfFuse(ls, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = fused(Seq(l1, l2, l3))
+    val b = fused(Seq(l3, l1, l2))
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12,
+      s"score for $k differs across list orderings") }
+  }
 }
