@@ -1063,7 +1063,65 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  /** q119: label-separability report — pairwise cosine similarity of the
+    * per-label centroid vectors. The embedding-space audit run before
+    * training a classifier on the labels (or trusting them for stratified
+    * sampling): centroids near cosine 1 mean the labels are not separable
+    * in this embedding space.
+    *
+    * Scale shape: ONE posexplode pass reduces the corpus to a
+    * labels×dims frame of means (map-side partial aggs carry sums, not
+    * vectors); every downstream join (pairwise dots, norms) runs on that
+    * tiny frame. Dimension-agnostic — no hardcoded dim literal. */
+  val q119LabelSeparability = QueryDef(
+    "q119_label_separability",
+    """WITH d AS (SELECT label, i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i)),
+      |m AS (SELECT label, i, avg(x) AS mu, count(*) AS n FROM d GROUP BY 1, 2),
+      |sz AS (SELECT label, max(n) AS n_vecs FROM m GROUP BY 1),
+      |nrm AS (SELECT label, sqrt(sum(mu * mu)) AS nm FROM m GROUP BY 1),
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |        sum(a.mu * b.mu) AS dot
+      |      FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+      |      GROUP BY 1, 2)
+      |SELECT p.label_a, p.label_b,
+      |  CAST(sa.n_vecs AS BIGINT) AS n_a, CAST(sb.n_vecs AS BIGINT) AS n_b,
+      |  round(p.dot / (na.nm * nb.nm), 4) AS centroid_cos
+      |FROM p
+      |JOIN nrm na ON na.label = p.label_a JOIN nrm nb ON nb.label = p.label_b
+      |JOIN sz sa ON sa.label = p.label_a JOIN sz sb ON sb.label = p.label_b
+      |ORDER BY label_a, label_b""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val d = emb.select(col("label"),
+      posexplode(col("embedding")).as(Seq("__p", "__x")))
+      .select(col("label"), (col("__p") + 1).as("i"),
+        col("__x").cast("double").as("x"))
+    val m = d.groupBy(col("label"), col("i"))
+      .agg(avg(col("x")).as("mu"), count(lit(1)).as("n"))
+    val sz = m.groupBy(col("label")).agg(max(col("n")).as("n_vecs"))
+    val nrm = m.groupBy(col("label"))
+      .agg(sqrt(sum(col("mu") * col("mu"))).as("nm"))
+    val a = m.select(col("label").as("label_a"), col("i"), col("mu").as("__ma"))
+    val b = m.select(col("label").as("label_b"), col("i"), col("mu").as("__mb"))
+    val p = a.join(b, Seq("i")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("__ma") * col("__mb")).as("dot"))
+    p.join(broadcast(nrm.select(col("label").as("label_a"), col("nm").as("__na"))),
+        Seq("label_a"))
+      .join(broadcast(nrm.select(col("label").as("label_b"), col("nm").as("__nb"))),
+        Seq("label_b"))
+      .join(broadcast(sz.select(col("label").as("label_a"), col("n_vecs").as("n_a"))),
+        Seq("label_a"))
+      .join(broadcast(sz.select(col("label").as("label_b"), col("n_vecs").as("n_b"))),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("dot") / (col("__na") * col("__nb")), 4).as("centroid_cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
     q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
-    q114AnnLsh)
+    q114AnnLsh, q119LabelSeparability)
 }
