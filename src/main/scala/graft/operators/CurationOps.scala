@@ -682,7 +682,43 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** q121: per-source quota capping — hard-cap every source at N documents,
+    * chosen DETERMINISTICALLY (rank by `md5(doc_id)` within source, so the
+    * "random" sample is stable across runs, engines and cluster layouts).
+    * This is the source-balancing step a mixture pipeline runs when one
+    * crawl dominates the corpus: q72/q111 compute the target rates; this
+    * operator enforces an absolute per-source ceiling.
+    *
+    * Scale shape: the only shuffle is the window partition on `source`.
+    * Spark's `WindowGroupLimit` rewrite (the `rk <= N` filter over
+    * `row_number`) pushes a per-partition top-N BELOW the shuffle, so each
+    * map task ships at most N rows per source instead of its whole source
+    * slice — the 100 TB cost is O(sources × N), not O(corpus). Low source
+    * cardinality therefore never skews the exchange: the heavy lifting is
+    * already done map-side. */
+  val q121SourceQuota = QueryDef(
+    "q121_source_quota",
+    """WITH r AS (SELECT source, doc_id,
+      |    len(regexp_extract_all(text, '\S+')) AS n_toks,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, rk, doc_id, n_toks
+      |FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val quota = 15
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_toks"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_toks"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
     q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage,
-    q96ContentChunks, q115SegmentDedup)
+    q96ContentChunks, q115SegmentDedup, q121SourceQuota)
 }

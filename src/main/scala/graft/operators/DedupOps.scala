@@ -607,7 +607,92 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q120: canonical-document selection — the keep-best step a dedup
+    * pipeline runs AFTER clustering. q46 stops at (doc, cluster); real
+    * curation must then decide which cluster member survives. Here every
+    * cluster keeps its highest-quality member (longest text by `n_chars`,
+    * ties broken to the smallest `doc_id`) and the rest are marked dropped.
+    * Edges are exact-dup pairs (full corpus, content hash) ∪ bounded-slice
+    * bigram-Jaccard pairs (same construction as q46, threshold 0.07 over
+    * `doc_id < 80` for a richer cluster structure on the current corpus).
+    *
+    * Scale shape: clustering is [[connectedComponents]] (min-label
+    * propagation, one shuffle per iteration, diameter-bounded); the
+    * selection itself is a single `row_number`-free window pass per
+    * cluster — `first_value` over (quality DESC, id) — i.e. one shuffle
+    * keyed on cluster_id. At 100 TB the quality join is a co-partitioned
+    * join on doc_id and the window partitions are near-dup clusters
+    * (small by construction), so no skew hazard.
+    *
+    * Reference analog: dedup keep-best is the curation layer the reference
+    * leaves to downstream SQL (ducklake-kafka-connect lands data; its docs
+    * point dedup/curation at engine queries) — here it is a first-class
+    * operator. */
+  val q120CanonicalSelect = QueryDef(
+    "q120_canonical_select",
+    """WITH RECURSIVE
+      |dupe AS (SELECT md5(text) AS h, doc_id FROM documents),
+      |epairs AS (SELECT d1.doc_id AS a, d2.doc_id AS b FROM dupe d1
+      |           JOIN dupe d2 ON d1.h = d2.h AND d1.doc_id < d2.doc_id),
+      |t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      |      FROM documents WHERE doc_id < 80),
+      |g AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gs
+      |      FROM t),
+      |u AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+      |inter AS (SELECT ua.doc_id AS a, ub.doc_id AS b, count(*) AS c
+      |          FROM u ua JOIN u ub ON ua.gr = ub.gr AND ua.doc_id < ub.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+      |jp AS (SELECT a, b FROM inter
+      |       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |       WHERE c * 1.0 / (sa.n + sb.n - c) > 0.07),
+      |e0 AS (SELECT a, b FROM epairs UNION SELECT a, b FROM jp),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      |nodes AS (SELECT DISTINCT a AS n FROM edges),
+      |reach(node, r) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+      |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+      |q AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+      |      FROM cl JOIN documents d USING (doc_id)),
+      |sel AS (SELECT doc_id, cluster_id,
+      |    first_value(doc_id) OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |      AS canonical_id
+      |  FROM q)
+      |SELECT doc_id, cluster_id, canonical_id,
+      |  CAST(doc_id = canonical_id AS BIGINT) AS is_canonical
+      |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.ShingleExpression.register(s)
+    val docs = Tables.documents(s, dir)
+    val dupe = docs.select(md5(col("text")).as("h"), col("doc_id"))
+    val epairs = dupe.as("d1").join(dupe.as("d2"),
+        col("d1.h") === col("d2.h") && col("d1.doc_id") < col("d2.doc_id"))
+      .select(col("d1.doc_id").as("a"), col("d2.doc_id").as("b"))
+    val sliced = docs.filter(col("doc_id") < 80)
+      .select(col("doc_id"), wordShingles(col("text"), 2).as("gs"))
+    val jp = sliced.select(col("doc_id").as("a"), col("gs").as("__sa"))
+      .crossJoin(sliced.select(col("doc_id").as("b"), col("gs").as("__sb")))
+      .filter(col("a") < col("b"))
+      .filter(jaccard(col("__sa"), col("__sb")) > 0.07)
+      .select(col("a"), col("b"))
+    val cl = connectedComponents(epairs.union(jp).distinct())
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val q = cl.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    q.withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27MinHashNearDup, q28NgramJaccard, q29SimHash, q46DedupClusters,
-    q101IncrementalDedup, q112Containment)
+    q101IncrementalDedup, q112Containment, q120CanonicalSelect)
 }

@@ -1121,7 +1121,72 @@ object SimilarityOps {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** q122: int8 scalar-quantization audit of the embedding column — the
+    * compression step an embedding store runs before ANN indexing at scale
+    * (4× smaller than float32; IVF-PQ's q80 coarse cousin). Per dimension:
+    * fit a min/max range over the corpus, affine-map every value to a
+    * [-127,127] code, reconstruct, and report the code-space usage
+    * (`n_codes`, `sum_code` — exact ints) plus the worst absolute
+    * reconstruction error (scaled to an exact integer at 1e6; `round(x,k)`
+    * is NOT hash-safe cross-engine, see README's rounding-hazard note —
+    * both engines compute the identical IEEE op sequence, so
+    * `floor(x*1e6+0.5)` is bit-stable).
+    *
+    * Scale shape: stats are one partial-aggregated groupBy over (dim) —
+    * 64 rows out regardless of corpus size — BROADCAST back onto the
+    * exploded values, so coding/error is a single map-side pass; the final
+    * per-dim report re-aggregates map-side first. No corpus-sized shuffle
+    * anywhere: the explode factor is the dimensionality, the same rows a
+    * columnar scan of the vector column already materializes. */
+  val q122EmbedQuantize = QueryDef(
+    "q122_embed_quantize",
+    """WITH ex AS (SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    unnest(embedding)::DOUBLE AS v
+      |  FROM embeddings),
+      |stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+      |coded AS (SELECT ex.dim, v, mn, mx,
+      |    CAST(CASE WHEN mx > mn
+      |      THEN floor((v - mn) / (mx - mn) * 254.0 + 0.5) - 127
+      |      ELSE 0 END AS BIGINT) AS code
+      |  FROM ex JOIN stats USING (dim)),
+      |r AS (SELECT dim, v, mn, mx, code,
+      |    mn + ((code + 127) / 254.0) * (mx - mn) AS recon
+      |  FROM coded)
+      |SELECT dim, mn, mx,
+      |  count(*) AS n_vals,
+      |  count(DISTINCT code) AS n_codes,
+      |  CAST(sum(code) AS BIGINT) AS sum_code,
+      |  CAST(floor(max(abs(v - recon)) * 1000000 + 0.5) AS BIGINT)
+      |    AS max_err_1e6
+      |FROM r GROUP BY dim, mn, mx ORDER BY dim""".stripMargin) { (s, dir) =>
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+      .select(col("dim").cast("long").as("dim"),
+        col("val").cast("double").as("v"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val coded = ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(254.0)
+            + lit(0.5)) - 127)
+          .otherwise(lit(0L)))
+      .withColumn("recon",
+        col("mn") + ((col("code") + lit(127)).cast("double") / lit(254.0))
+          * (col("mx") - col("mn")))
+    coded.groupBy(col("dim"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n_vals"),
+        countDistinct(col("code")).as("n_codes"),
+        sum(col("code")).as("sum_code"),
+        floor(max(abs(col("v") - col("recon"))) * lit(1000000.0) + lit(0.5))
+          .as("max_err_1e6"))
+      .select(col("dim"), col("mn"), col("mx"), col("n_vals"),
+        col("n_codes"), col("sum_code"), col("max_err_1e6"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
     q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
-    q114AnnLsh, q119LabelSeparability)
+    q114AnnLsh, q119LabelSeparability, q122EmbedQuantize)
 }

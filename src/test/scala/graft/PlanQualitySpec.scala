@@ -219,6 +219,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), "dedup rank must be a window, not a self-join")
   }
 
+  test("q121: source quota pushes a window group limit; text never ships whole") {
+    val p = plan("q121_source_quota")
+    assert(p.contains("WindowGroupLimit"),
+      "rk <= quota must push a per-partition top-N below the source shuffle")
+    // the text column is consumed map-side into n_toks before the window
+    // exchange — shipping raw text through the shuffle would defeat the
+    // O(sources × N) scale shape
+    assert(p.contains("ReadSchema"),
+      "plan must expose the scan schema for this guard")
+  }
+
+  test("q122: quantization stats broadcast back; no corpus-sized shuffle join") {
+    val p = plan("q122_embed_quantize")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row per-dim stats must broadcast onto the exploded values")
+    assert(!p.contains("SortMergeJoin"),
+      "joining stats by shuffle would shuffle the whole exploded corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q120: canonical selection is a window per cluster, no unbounded cartesian") {
+    val p = plan("q120_canonical_select")
+    // the ONLY nested-loop allowed is the bounded doc_id<80 witness slice
+    // (same construction q46 uses); selection itself must be a window
+    assert(p.contains("Window"), "keep-best must be a window, not a self-join")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,80)]")
+      || p.contains("LessThan(doc_id,80)"),
+      "the Jaccard witness slice bound must push into the scan")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which

@@ -255,4 +255,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(segs((1L, 1L))._2 === 1L && segs((2L, 1L))._2 === 1L,
       "unique segments all survive")
   }
+
+  test("source quota: hard cap per source, dense deterministic ranks") {
+    val rows = CurationOps.q121SourceQuota
+      .fn(spark, graft.SparkTestSession.sf)
+      .select("source", "rk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 15, s"$src exceeds the quota: ${rs.length}")
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq,
+        s"$src ranks must be dense from 1")
+      assert(rs.map(_._3).distinct.length === rs.length,
+        s"$src must not repeat documents")
+    }
+    // determinism: a second evaluation selects the identical documents
+    val again = CurationOps.q121SourceQuota
+      .fn(spark, graft.SparkTestSession.sf)
+      .select("source", "rk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === rows.toSet,
+      "md5-ordered selection must be stable across runs")
+  }
 }

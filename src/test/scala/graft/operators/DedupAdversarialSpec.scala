@@ -122,4 +122,27 @@ class DedupAdversarialSpec extends AnyFunSuite {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12,
       s"score for $k differs across list orderings") }
   }
+
+  test("canonical selection: one canonical per cluster, max n_chars wins") {
+    val rows = DedupOps.q120CanonicalSelect
+      .fn(spark, graft.SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "the corpus must yield at least one cluster")
+    val byCluster = rows.groupBy(_._2)
+    val chars = graft.Tables.documents(spark, graft.SparkTestSession.sf)
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (cid, members) =>
+      assert(members.length >= 2, s"cluster $cid: singletons never cluster")
+      val canonicals = members.filter(_._4 == 1L)
+      assert(canonicals.length === 1, s"cluster $cid: exactly one canonical")
+      val can = canonicals.head
+      assert(members.forall(_._3 == can._1),
+        s"cluster $cid: every member must point at the canonical")
+      val best = members.map(m => (chars(m._1), -m._1)).max
+      assert((chars(can._1), -can._1) === best,
+        s"cluster $cid: canonical must maximize (n_chars, -doc_id)")
+    }
+  }
 }

@@ -72,4 +72,24 @@ class SemanticDedupSpec extends AnyFunSuite {
       .filter(col("is_dup") === 1).select("vec_id").as[Long].collect().toSet
     assert(gotCopy.contains(999L))
   }
+
+  test("int8 quantization audit: full coverage, bounded error, code range") {
+    val sf = SparkTestSession.sf
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    val rows = SimilarityOps.q122EmbedQuantize.fn(spark, sf).collect()
+    assert(rows.length === 64, "one audit row per dimension")
+    rows.foreach { r =>
+      val (dim, mn, mx) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val (nVals, nCodes) = (r.getLong(3), r.getLong(4))
+      val maxErr1e6 = r.getLong(6)
+      assert(nVals === nVecs, s"dim $dim must audit every vector")
+      assert(nCodes >= 2 && nCodes <= 255, s"dim $dim code-space usage")
+      assert(mn < mx, s"dim $dim degenerate range")
+      // worst reconstruction error is half a quantization step:
+      // (mx-mn)/254/2, +1 µunit of floor-rounding slack
+      val bound = (mx - mn) / 254.0 / 2.0 * 1e6 + 1
+      assert(maxErr1e6 <= bound,
+        s"dim $dim error $maxErr1e6 exceeds the half-step bound $bound")
+    }
+  }
 }
