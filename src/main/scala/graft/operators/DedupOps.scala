@@ -86,7 +86,13 @@ object DedupOps {
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, shingleK)
-    val cands = lshCandidatePairs(sigs, idCol)
+    // The candidate pair set feeds the plan TWICE (the broadcast id-prune
+    // below and the verify join), and the prune's broadcast subquery is a
+    // separate evaluation — without a barrier the whole sketch+band join
+    // pipeline runs twice. The pair set is the SMALL output of LSH (that
+    // is the point of banding), so materialize it once eagerly; at any
+    // scale this is candidate-sized, never corpus-sized.
+    val cands = lshCandidatePairs(sigs, idCol).localCheckpoint(true)
     // verify-side shingles only for docs that appear in a candidate pair —
     // the expensive text pass runs on the (small) candidate set, not the
     // whole corpus
