@@ -718,7 +718,62 @@ object CurationOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** q123: token-budget epoch planner — the mixture step that turns
+    * per-source corpus statistics into a training-run data plan: given a
+    * total token budget (2× the corpus here) split across sources by a
+    * quality proxy (each source's share of total characters — denser
+    * sources earn larger budgets), emit per source the planned token
+    * budget, the implied epoch count (how many passes over that source),
+    * and the budget that spills past a 2-epoch repetition cap (chosen so
+    * the cap BINDS for above-average-density sources on this corpus —
+    * both plan branches are oracle-exercised).
+    *
+    * Everything is INTEGER arithmetic end-to-end: weights are rational
+    * (`chars_s / Σchars` via `div`), so the plan is bit-identical across
+    * engines with no float normalization sum (the q111 lesson — cross-
+    * source double sums are order-sensitive and not hash-safe). At real
+    * corpus scale (10^14 tokens) the `T × chars_s` product needs
+    * decimal(38,0); at test scale int64 has 5 orders of margin.
+    *
+    * Scale shape: one partial-aggregated groupBy(source) — rows out =
+    * #sources — then per-row arithmetic on that tiny frame; the corpus is
+    * scanned once, map-side. */
+  val q123EpochPlan = QueryDef(
+    "q123_epoch_plan",
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_toks,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS toks_total,
+      |               CAST(sum(n_chars) AS BIGINT) AS chars_total FROM s),
+      |p AS (SELECT source, n_docs, n_toks, n_chars,
+      |    (2 * toks_total * n_chars) // chars_total AS planned_toks
+      |  FROM s, tot)
+      |SELECT source, n_docs, n_toks,
+      |  planned_toks,
+      |  least(planned_toks, 2 * n_toks) AS granted_toks,
+      |  planned_toks - least(planned_toks, 2 * n_toks) AS spilled_toks,
+      |  (least(planned_toks, 2 * n_toks) * 1000) // n_toks AS epochs_1e3
+      |FROM p ORDER BY source""".stripMargin) { (s, dir) =>
+    val stats = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_toks"),
+        sum(col("n_chars")).as("n_chars"))
+    val tot = stats.agg(sum(col("n_toks")).as("toks_total"),
+      sum(col("n_chars")).as("chars_total"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("planned_toks",
+        expr("(2 * toks_total * n_chars) div chars_total"))
+      .withColumn("granted_toks", least(col("planned_toks"), col("n_toks") * 2))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("planned_toks"),
+        col("granted_toks"),
+        (col("planned_toks") - col("granted_toks")).as("spilled_toks"),
+        expr("(granted_toks * 1000) div n_toks").as("epochs_1e3"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
     q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage,
-    q96ContentChunks, q115SegmentDedup, q121SourceQuota)
+    q96ContentChunks, q115SegmentDedup, q121SourceQuota, q123EpochPlan)
 }

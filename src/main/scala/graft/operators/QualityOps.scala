@@ -500,7 +500,131 @@ object QualityOps {
       .orderBy(col("source"))
   }
 
+  /** Span-level benchmark excision: remove every token position of
+    * `corpus` covered by a `k`-gram that appears anywhere in `bench`, and
+    * rebuild each document from the surviving tokens in order. Overlapping
+    * matches excise the UNION of their positions. Returns one row per
+    * corpus doc: (doc_id, source, n_toks, toks_kept, clean_text) —
+    * `clean_text` is null when every token was excised.
+    *
+    * Scale shape: positional grams are a map-side explode; the benchmark
+    * gram set broadcasts; the rebuild is one groupBy(doc_id) — the single
+    * unavoidable per-doc shuffle. */
+  def spanExcise(corpus: DataFrame, bench: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    def withToks(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      TextOps.tokens(col("text")).as("toks"))
+    def positionalGrams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("toks"), col("i"), lit(k)), " ").as("g"))
+    val d = withToks(corpus)
+    val bgrams = positionalGrams(
+        withToks(bench.withColumn("source", lit(""))))
+      .select(col("g")).distinct()
+    val hits = positionalGrams(d).join(broadcast(bgrams), Seq("g"))
+      .select(col("doc_id"), col("i"))
+    val covered = hits
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+    val tokPos = d.select(col("doc_id"), col("source"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("source"), col("tok"),
+        (col("p0") + 1).as("p"))
+    val kept = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("toks_kept"))
+    d.select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"),
+        col("clean_text"))
+  }
+
+  /** q124: span-level decontamination EXCISION — q67 flags contaminated
+    * documents; this operator repairs them instead of dropping them: every
+    * token position covered by a benchmark 3-gram is removed, the document
+    * is rebuilt from the surviving tokens in order, and the per-source
+    * report carries kept/removed token counts plus an md5 witness of the
+    * rebuilt texts (a doc cleaned to the wrong tokens hash-mismatches).
+    * Overlapping matches excise their union of positions, not double.
+    * The benchmark set is the q67 convention (`doc_id % 97 = 0` docs
+    * standing in for the eval corpus); bench docs are excluded from the
+    * report. 3-grams (vs q67's 5-grams) keep the excision path densely
+    * exercised on the synthetic corpus; a production run would raise the
+    * window (8-13 tokens is typical) — the shape is gram-size-agnostic.
+    *
+    * Scale shape: gram construction is a map-side positional explode;
+    * the benchmark gram set is BROADCAST (benchmarks are small by
+    * definition) so matching never shuffles the corpus; covered positions
+    * fan out at most 5× the match count; reconstruction is the one
+    * unavoidable shuffle — a groupBy(doc_id) carrying surviving tokens,
+    * the same cardinality any per-doc rebuild must pay. */
+  val q124Decontaminate = QueryDef(
+    "q124_decontaminate",
+    """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      |           FROM documents),
+      |bgrams AS (SELECT DISTINCT
+      |    array_to_string(toks[i:i+2], ' ') AS g
+      |  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+      |        FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 3)),
+      |d AS (SELECT doc_id, source, toks FROM t WHERE doc_id % 97 != 0),
+      |grams AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |        FROM d WHERE len(toks) >= 3)),
+      |hits AS (SELECT doc_id, i FROM grams JOIN bgrams USING (g)),
+      |covered AS (SELECT DISTINCT doc_id, i + u.d AS p
+      |  FROM hits CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) u),
+      |tok_pos AS (SELECT doc_id, source, unnest(toks) AS tok,
+      |    generate_subscripts(toks, 1) AS p FROM d),
+      |kept AS (SELECT tp.doc_id, tp.source, tp.tok, tp.p
+      |  FROM tok_pos tp LEFT JOIN covered c
+      |    ON tp.doc_id = c.doc_id AND tp.p = c.p
+      |  WHERE c.doc_id IS NULL),
+      |rebuilt AS (SELECT doc_id, source,
+      |    string_agg(tok, ' ' ORDER BY p) AS clean_text,
+      |    count(*) AS toks_kept
+      |  FROM kept GROUP BY doc_id, source),
+      |full_docs AS (SELECT doc_id, source, len(toks) AS n_toks FROM d)
+      |SELECT f.source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(f.n_toks) AS BIGINT) AS toks_total,
+      |  CAST(sum(coalesce(r.toks_kept, 0)) AS BIGINT) AS toks_kept,
+      |  CAST(sum(f.n_toks - coalesce(r.toks_kept, 0)) AS BIGINT) AS toks_removed,
+      |  CAST(sum(CASE WHEN coalesce(r.toks_kept, 0) < f.n_toks
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_excised,
+      |  CAST(sum(CASE WHEN r.clean_text IS NOT NULL
+      |    THEN CAST(('0x' || substr(md5(r.clean_text), 1, 8)) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS text_witness
+      |FROM full_docs f LEFT JOIN rebuilt r
+      |  ON f.doc_id = r.doc_id
+      |GROUP BY f.source ORDER BY f.source""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+    spanExcise(base.filter(col("doc_id") % 97 =!= 0),
+        base.filter(col("doc_id") % 97 === 0), k = 3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("toks_total"),
+        sum(coalesce(col("toks_kept"), lit(0L))).as("toks_kept"),
+        sum(col("n_toks") - coalesce(col("toks_kept"), lit(0L)))
+          .as("toks_removed"),
+        sum(when(coalesce(col("toks_kept"), lit(0L)) < col("n_toks"), 1L)
+          .otherwise(0L)).as("n_docs_excised"),
+        sum(when(col("clean_text").isNotNull,
+          conv(substring(md5(col("clean_text")), 1, 8), 16, 10).cast("long"))
+          .otherwise(0L)).as("text_witness"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q66Repetition, q67Contamination,
     q68SequencePacking, q74UnigramXent, q75CrossdocDupGrams, q78QualityFunnel,
-    q89BigramXent, q113DsirSelect)
+    q89BigramXent, q113DsirSelect, q124Decontaminate)
 }

@@ -249,6 +249,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "the Jaccard witness slice bound must push into the scan")
   }
 
+  test("q124: benchmark grams broadcast; the corpus is never gram-shuffled") {
+    val p = plan("q124_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bench gram set must broadcast onto the corpus grams")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q123: epoch plan aggregates once; totals broadcast back") {
+    val p = plan("q123_epoch_plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the 1-row totals frame must not shuffle-join the source stats")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which

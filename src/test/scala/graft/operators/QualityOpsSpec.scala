@@ -164,4 +164,55 @@ class QualityOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0))
     assert(got.toSeq === Seq(2L))
   }
+
+  private def sdf(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, "s", t) }.toDF("doc_id", "source", "text")
+
+  test("spanExcise removes exactly the covered positions, in order") {
+    // doc 10 contains the bench 3-gram "a b c" at positions 2-4
+    val got = QualityOps.spanExcise(
+        sdf(10L -> "x a b c y z", 11L -> "p q r s"),
+        sdf(99L -> "a b c"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(10L) === ((6L, 3L, "x y z")), "positions 2-4 excised, order kept")
+    assert(got(11L) === ((4L, 4L, "p q r s")), "untouched doc passes through")
+  }
+
+  test("spanExcise overlapping matches excise the union, not double") {
+    // bench grams "a b c" and "b c d" overlap at positions 2-4/3-5:
+    // union covers 2..5, leaving "x y"
+    val got = QualityOps.spanExcise(
+        sdf(1L -> "x a b c d y"),
+        sdf(98L -> "a b c", 99L -> "b c d"), k = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq((6L, 2L, "x y")))
+  }
+
+  test("spanExcise fully-covered doc yields zero kept and null text") {
+    val got = QualityOps.spanExcise(
+        sdf(1L -> "a b c"), sdf(99L -> "a b c"), k = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.isNullAt(4)))
+    assert(got.toSeq === Seq((3L, 0L, true)))
+  }
+
+  test("epoch plan: integer-exact invariants hold on the real corpus") {
+    val rows = graft.operators.CurationOps.q123EpochPlan
+      .fn(spark, graft.SparkTestSession.sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val totToks = rows.map(_._1).sum
+    rows.foreach { case (nToks, planned, granted, spilled, epochs1e3) =>
+      assert(granted === math.min(planned, 2 * nToks), "cap law")
+      assert(spilled === planned - granted, "spill accounting")
+      assert(epochs1e3 === granted * 1000 / nToks, "epoch arithmetic")
+      assert(epochs1e3 <= 2000, "cap bounds epochs at 2.0")
+    }
+    // Σ floor(T·w_s) loses at most 1 token per source vs the exact budget
+    val plannedSum = rows.map(_._2).sum
+    assert(plannedSum <= 2 * totToks && plannedSum > 2 * totToks - rows.length,
+      s"budget conservation: $plannedSum vs ${2 * totToks}")
+    assert(rows.exists(_._4 > 0), "the 2-epoch cap must bind somewhere")
+    assert(rows.exists(_._4 == 0), "and not everywhere")
+  }
 }
