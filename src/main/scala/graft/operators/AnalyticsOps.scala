@@ -931,9 +931,64 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** q126: hourly volume-anomaly detection per event type — the alerting
+    * pass a streaming-ingest monitor runs over landed event counts: bucket
+    * events into hours, fit each type's count distribution, flag hours
+    * whose z-score exceeds 2, report the anomaly count and the worst
+    * excursion.
+    *
+    * Cross-engine determinism: mean/variance come from EXACT integer sums
+    * (n, Σc, Σc²) with the two-pass formula written out in the query —
+    * NOT the engines' built-in `stddev` (different accumulation orders and
+    * Welford variants make those hash-unsafe) — so z-scores are the same
+    * IEEE op sequence bit-for-bit in both engines and the |z|>2 threshold
+    * can gate an exact integer count.
+    *
+    * Scale shape: one partial-aggregated groupBy to hourly counts (rows =
+    * types × hours), then all statistics run on that tiny frame; the raw
+    * event scan is a single map-side pass. */
+  val q126HourlyAnomaly = QueryDef(
+    "q126_hourly_anomaly",
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s1,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM h GROUP BY 1),
+      |z AS (SELECT h.event_type, h.hr, h.c,
+      |    (h.c - CAST(s.s1 AS DOUBLE) / s.n)
+      |      / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+      |             / (s.n - 1)) AS zs
+      |  FROM h JOIN s ON h.event_type = s.event_type WHERE s.n > 1)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_hours,
+      |  CAST(sum(CASE WHEN abs(zs) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anomalies,
+      |  round(max(abs(zs)), 4) AS max_abs_z
+      |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val st = h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val z = h.join(broadcast(st.filter(col("n") > 1)), Seq("event_type"))
+      .select(col("event_type"),
+        ((col("c") - col("s1").cast("double") / col("n"))
+          / sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("n"))
+            / (col("n") - 1))).as("zs"))
+    z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(abs(col("zs")) > 2, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("zs"))), 4).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
-    q117HllRollup, q118DriftPsi)
+    q117HllRollup, q118DriftPsi, q126HourlyAnomaly)
 }

@@ -1186,7 +1186,73 @@ object SimilarityOps {
       .orderBy(col("dim"))
   }
 
+  /** q125: embedding outlier / mislabel audit — for every vector, the
+    * cosine to its OWN label's centroid; per label: the mean and worst
+    * cohesion plus the id of the most-outlying member (the vector a
+    * labeling-QA pass would re-examine first). The q119 cousin: q119
+    * measures BETWEEN-label separation, this measures WITHIN-label
+    * cohesion — together they are the Fisher-style audit of an embedding
+    * labeling.
+    *
+    * Scale shape: centroids are one (label, dim) partial agg — labels ×
+    * dims rows — BROADCAST back onto the exploded vectors; per-vector
+    * dots reduce in one groupBy(vec_id) (the unavoidable per-row reduce),
+    * then per-label stats are label-cardinality-sized. The argmin ships
+    * as a (cos, vec_id) struct min — ordered tie-break, no second pass.
+    *
+    * Oracle hazard pinned here: a DuckDB CTE re-evaluates per reference,
+    * and a parallel float aggregate is not bit-stable ACROSS evaluations —
+    * so `JOIN ... ON c.cos = (SELECT min(cos) ...)` silently drops groups
+    * (observed: 3 of 10 labels lost). The argmin must be a single-pass
+    * window rank, never a float-equality self-join. */
+  val q125EmbedOutliers = QueryDef(
+    "q125_embed_outliers",
+    """WITH d AS (SELECT vec_id, label,
+      |    generate_subscripts(embedding, 1) AS i,
+      |    unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |m AS (SELECT label, i, avg(x) AS mu FROM d GROUP BY 1, 2),
+      |nrm AS (SELECT label, sqrt(sum(mu * mu)) AS cn FROM m GROUP BY 1),
+      |v AS (SELECT d.vec_id, d.label,
+      |    sum(d.x * m.mu) AS dot, sqrt(sum(d.x * d.x)) AS vn
+      |  FROM d JOIN m ON d.label = m.label AND d.i = m.i
+      |  GROUP BY 1, 2),
+      |c AS (SELECT v.vec_id, v.label, v.dot / (v.vn * nrm.cn) AS cos
+      |  FROM v JOIN nrm ON v.label = nrm.label),
+      |sel AS (SELECT label, vec_id, cos,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY cos, vec_id) AS rn
+      |  FROM c)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(cos), 4) AS avg_cos,
+      |  round(min(cos), 4) AS min_cos,
+      |  CAST(min(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT)
+      |    AS worst_vec_id
+      |FROM sel GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    val d = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("__p", "__x")))
+      .select(col("vec_id"), col("label"), (col("__p") + 1).as("i"),
+        col("__x").cast("double").as("x"))
+    val m = d.groupBy(col("label"), col("i")).agg(avg(col("x")).as("mu"))
+    val nrm = m.groupBy(col("label")).agg(sqrt(sum(col("mu") * col("mu"))).as("cn"))
+    val v = d.join(broadcast(m), Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("mu")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("vn"))
+    val c = v.join(broadcast(nrm), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        (col("dot") / (col("vn") * col("cn"))).as("cos"))
+    c.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(min(col("cos")), 4).as("min_cos"),
+        min(struct(col("cos"), col("vec_id"))).getField("vec_id")
+          .as("worst_vec_id"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
     q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
-    q114AnnLsh, q119LabelSeparability, q122EmbedQuantize)
+    q114AnnLsh, q119LabelSeparability, q122EmbedQuantize, q125EmbedOutliers)
 }

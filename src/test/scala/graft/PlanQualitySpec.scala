@@ -262,6 +262,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "the 1-row totals frame must not shuffle-join the source stats")
   }
 
+  test("q125: centroid stats broadcast onto the exploded vectors") {
+    val p = plan("q125_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the labels x dims centroid frame must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "joining centroids by shuffle would shuffle the exploded corpus")
+  }
+
+  test("q126: anomaly stats never shuffle-join the hourly counts") {
+    val p = plan("q126_hourly_anomaly")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "per-type stats must broadcast back onto the hourly frame")
+  }
+
   test("sketch kernels run inside whole-stage codegen spans") {
     // regression guard: the tokens()/shingles/sketch chain must not
     // contain CodegenFallback expressions (higher-order functions), which

@@ -117,4 +117,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(segCFiles() === untouched,
       "untouched partitions must keep their files")
   }
+
+  test("hourly anomaly: z-score laws hold on the real event stream") {
+    val rows = AnalyticsOps.q126HourlyAnomaly
+      .fn(spark, graft.SparkTestSession.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty, "event stream must yield per-type rows")
+    rows.foreach { case (tpe, nHours, nAnom, maxZ) =>
+      assert(nHours > 1, s"$tpe: degenerate hour count")
+      assert(nAnom <= nHours, s"$tpe: anomalies bounded by hours")
+      assert(maxZ >= 0.0, s"$tpe: |z| is non-negative")
+      // |z| <= sqrt(n-1) is a hard algebraic bound for any sample
+      assert(maxZ <= math.sqrt((nHours - 1).toDouble) + 1e-9,
+        s"$tpe: max |z| $maxZ exceeds the sqrt(n-1) bound")
+      if (nAnom > 0) assert(maxZ > 2.0,
+        s"$tpe: anomalies reported but the worst excursion is under the gate")
+    }
+  }
 }

@@ -92,4 +92,23 @@ class SemanticDedupSpec extends AnyFunSuite {
         s"dim $dim error $maxErr1e6 exceeds the half-step bound $bound")
     }
   }
+
+  test("embedding outlier audit: total coverage, argmin is the reported min") {
+    val sf = SparkTestSession.sf
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rows = SimilarityOps.q125EmbedOutliers.fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).distinct.length === rows.length,
+      "one audit row per label")
+    assert(rows.map(_.getLong(1)).sum === emb.count(),
+      "every vector audited exactly once")
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2),
+        s"label ${r.getInt(0)}: min cohesion cannot exceed the mean")
+      val worst = r.getLong(4)
+      val worstLabel = emb.filter(col("vec_id") === worst)
+        .select("label").head().getInt(0)
+      assert(worstLabel === r.getInt(0),
+        "the reported outlier must belong to the audited label")
+    }
+  }
 }
