@@ -106,5 +106,49 @@ object PrivacyOps {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q73PiiRedact)
+  /** q127: k-anonymity audit — the release-governance check a training-data
+    * pipeline runs before publishing corpus metadata: treat
+    * (source, lang, length-bucket) as the quasi-identifier, group the
+    * corpus by it, and report per source how many quasi-identifier groups
+    * fall below k=3 members ("violating") and how many documents sit in
+    * them ("risky" — re-identifiable by the combination alone). The
+    * len-bucket generalization (`n_chars div 100`) is the standard
+    * k-anonymity coarsening step; the audit tells the publisher whether
+    * it was coarse enough.
+    *
+    * Everything is integer arithmetic — counts of counts — so the audit is
+    * bit-identical across engines.
+    *
+    * Scale shape: one partial-aggregated groupBy to quasi-identifier
+    * groups (rows = distinct combos, corpus-independent), then per-source
+    * rollup of that tiny frame; the corpus is scanned once, map-side. */
+  val q127KAnonymity = QueryDef(
+    "q127_k_anonymity",
+    """WITH b AS (SELECT doc_id, source, lang, n_chars // 100 AS len_bucket
+      |  FROM documents),
+      |g AS (SELECT source, lang, len_bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2, 3)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_docs,
+      |  count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN c < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(sum(CASE WHEN c < 3 THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_risky_docs,
+      |  CAST(min(c) AS BIGINT) AS min_group_size
+      |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("c"))
+    g.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("c") < 3, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("c") < 3, col("c")).otherwise(0L)).as("n_risky_docs"),
+        min(col("c")).as("min_group_size"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q73PiiRedact, q127KAnonymity)
 }
