@@ -196,6 +196,59 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((3L, 0L, true)))
   }
 
+  test("spanExcise properties: equals the brute-force model (random cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet forces k-gram collisions so excision actually fires;
+    // deterministic sample-based driver, same idiom as the chunking
+    // property test above
+    val alphabet = Vector("a", "b", "c", "d")
+    val caseGen = for {
+      k <- Gen.choose(1, 4)
+      corpusLens <- Gen.listOfN(6, Gen.choose(0, 15))
+      benchLens <- Gen.listOfN(2, Gen.choose(1, 8))
+      seedToks <- Gen.listOfN(60, Gen.choose(0, alphabet.size - 1))
+    } yield (k, corpusLens, benchLens, seedToks.map(alphabet))
+    (1 to 8).foreach { i =>
+      caseGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (k, corpusLens, benchLens, pool) =>
+          def mkDocs(lens: List[Int], off: Int) = lens.zipWithIndex.map {
+            case (n, d) => ((d + off).toLong,
+              (0 until n).map(t => pool((d * 7 + t * 3) % pool.size)).mkString(" "))
+          }
+          val corpus = mkDocs(corpusLens, 0)
+          val bench = mkDocs(benchLens, 100)
+          // brute-force model
+          val benchGrams = bench.flatMap(_._2.split(" ").filter(_.nonEmpty)
+            .sliding(k).filter(_.size == k).map(_.mkString(" "))).toSet
+          val expect = corpus.map { case (id, text) =>
+            val toks = text.split(" ").filter(_.nonEmpty).toVector
+            val covered = (0 to toks.size - k).flatMap { i0 =>
+              if (benchGrams.contains(toks.slice(i0, i0 + k).mkString(" ")))
+                i0 until i0 + k else Nil
+            }.toSet
+            val kept = toks.zipWithIndex.collect {
+              case (t, p) if !covered(p) => t }
+            id -> ((toks.size.toLong, kept.size.toLong,
+              if (kept.isEmpty) null else kept.mkString(" ")))
+          }.toMap
+          val got = QualityOps.spanExcise(
+              corpus.map { case (id, t) => (id, "s", t) }
+                .toDF("doc_id", "source", "text"),
+              bench.map { case (id, t) => (id, t) }.toDF("doc_id", "text"),
+              k)
+            .collect().map(r => r.getLong(0) ->
+              ((r.getLong(2), r.getLong(3),
+                if (r.isNullAt(4)) null else r.getString(4)))).toMap
+          val clue = s"case $i k=$k"
+          assert(got.keySet === expect.keySet, clue)
+          expect.foreach { case (id, (n, kept, text)) =>
+            assert(got(id) === ((n, kept, text)), s"$clue doc $id")
+          }
+      }
+    }
+  }
+
   test("epoch plan: integer-exact invariants hold on the real corpus") {
     val rows = graft.operators.CurationOps.q123EpochPlan
       .fn(spark, graft.SparkTestSession.sf)
