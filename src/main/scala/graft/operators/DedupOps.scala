@@ -291,13 +291,63 @@ object DedupOps {
     * min-label propagation: every node converges to the smallest id
     * reachable from it. O(graph diameter) joined iterations — near-dup
     * graphs are unions of small cliques, so convergence is fast; each
-    * iteration is one shuffle on node id. Returns (node, cluster_id). */
+    * iteration is one shuffle on node id. Returns (node, cluster_id).
+    *
+    * Small-graph fast path: a near-dup edge set is usually TINY relative
+    * to the corpus (that is the point of banding), and the iterative path
+    * pays a dozen fixed-cost Spark jobs regardless of size. When the edge
+    * count is at most `driverFastPathMaxEdges` (checked with a bounded
+    * `limit(n+1).count`, never an unbounded action), components are
+    * union-found on the driver and returned as a literal frame — the
+    * GraphFrames-style hybrid. Graphs over the gate (or gate <= 0) run
+    * the distributed loop unchanged; semantics are identical (spec'd
+    * equal on random graphs). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      checkEvery: Int = 3): DataFrame = {
+      checkEvery: Int = 3, driverFastPathMaxEdges: Int = 100000): DataFrame = {
     require(edges.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       "connectedComponents requires numeric node ids (the label-sum " +
         "convergence witness needs an ordered additive domain); hash string " +
         "ids to longs first, e.g. xxhash64(id)")
+    // fast path only for integral ids — a long round-trip would silently
+    // truncate fractional/overflowing numerics the iterative path handles
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(edges.schema("a").dataType) &&
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(edges.schema("b").dataType)
+    }
+    if (driverFastPathMaxEdges > 0 && integralIds) {
+      val spark = edges.sparkSession
+      val idType = edges.schema("a").dataType
+      val sample = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .limit(driverFastPathMaxEdges + 1).collect()
+      if (sample.length <= driverFastPathMaxEdges) {
+        // union-find with min-root representatives
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        sample.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val nodes = sample.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        import spark.implicits._
+        return nodes.toSeq.map(n => (n, find(n))).toDF("node", "cluster_id")
+          .select(col("node").cast(idType).as("node"),
+            col("cluster_id").cast(idType).as("cluster_id"))
+      }
+      // fell through: over the gate — run the distributed loop below
+    }
     // Both directions PLUS self-loops: with (x,x) edges present, one
     // neighbor-min join propagates labels AND retains each node's own —
     // the iteration references the previous layer exactly once, keeping

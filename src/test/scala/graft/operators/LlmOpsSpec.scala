@@ -215,11 +215,37 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("connected components: long chain converges with sparse convergence checks") {
     // a 9-node path has diameter 8 — far past the first checkEvery window;
-    // sparse checking must not declare early convergence
+    // sparse checking must not declare early convergence. Fast path
+    // DISABLED so this keeps exercising the distributed loop.
     val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = DedupOps.connectedComponents(chain).collect()
+    val got = DedupOps.connectedComponents(chain, driverFastPathMaxEdges = 0)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("connected components: driver fast path equals the distributed loop") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      pairs <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong),
+        Gen.choose(0L, n.toLong)))
+    } yield pairs.filter(p => p._1 != p._2)
+    (1 to 6).foreach { i =>
+      caseGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { pairs =>
+        if (pairs.nonEmpty) {
+          val edges = pairs.toDF("a", "b")
+          val fast = DedupOps.connectedComponents(edges).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val dist = DedupOps.connectedComponents(edges,
+              driverFastPathMaxEdges = 0).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(fast === dist, s"case $i: $pairs")
+        }
+      }
+    }
   }
 
   test("dropNearDups keeps one representative per cluster") {
