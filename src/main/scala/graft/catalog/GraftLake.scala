@@ -387,7 +387,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         withLakeTimestampFormat { parted.parquet(stage.toString) }
         val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
         val added = mergeStageInto(stage, new Path(dataDir(name)))
-        commitVersion(name, added, Nil, writeStats)
+        commitVersion(name, added, Nil, writeStats, op = "append")
       } finally fs(stage).delete(stage, true)
     }
   }
@@ -494,7 +494,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
-    commitVersion(name, added, removed, writeStats)
+    commitVersion(name, added, removed, writeStats, op = "upsert")
   }
 
   /** Replace the entire table contents with `df` (must carry exactly the
@@ -529,7 +529,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // a whole-table replace's "delta" IS the new contents — list just the
       // freshly renamed directory (O(new files), not O(history))
       val added = listDataFiles(name)
-      commitVersion(name, added, removed, writeStats)
+      commitVersion(name, added, removed, writeStats, op = "overwrite")
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -552,7 +552,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       }
       val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
       val added = mergeStageInto(stage, new Path(dataDir(name)))
-      commitVersion(name, added, Nil, writeStats)
+      commitVersion(name, added, Nil, writeStats, op = "append")
     } finally fs(stage).delete(stage, true)
   }
 
@@ -578,7 +578,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) = swapInto(name, stage, new Path(dataDir(name)),
       partCols.size, affectedDirs.map(new Path(_)))
-    commitVersion(name, added, removed, writeStats)
+    commitVersion(name, added, removed, writeStats, op = "replace-scoped")
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -683,7 +683,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size)
-    commitVersion(name, added, removed, writeStats)
+    commitVersion(name, added, removed, writeStats,
+      op = if (clusterBy.nonEmpty) "zorder" else "compact")
   }
 
   /** Data files currently backing a table (observability / compaction
@@ -926,7 +927,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * (rename-only paths, repair). */
   private def commitVersion(name: String, added: Seq[(String, String)],
       removed: Seq[(String, String)],
-      writeStats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): Unit =
+      writeStats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
+      op: String = "write"): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
@@ -963,9 +965,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val asFull = last.isEmpty || prevDepth + 1 >= checkpointInterval ||
       added.size + removed.size >= newList.size
     val body =
-      if (asFull) GraftLake.renderManifest(next, meta, newList, newStats)
+      if (asFull) GraftLake.renderManifest(next, meta, newList, newStats, op)
       else GraftLake.renderDelta(next, meta, next - 1, prevDepth + 1,
-        addedV, removed.sorted, addedStats)
+        addedV, removed.sorted, addedStats, op)
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -1004,6 +1006,37 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       set = set.filterNot(rm.contains) ++ d.add
     }
     (top.schema, set.sorted, deltas.size)
+  }
+
+  /** Commit log of a table, oldest first — the DESCRIBE-HISTORY
+    * observability surface every lake exposes: one row per snapshot with
+    * the operation that produced it, the commit wall-clock (manifest file
+    * mtime — the filesystem's write is the commit point), the add/remove
+    * delta and the resulting live-file count and column count.
+    *
+    * Deltas are DERIVED by diffing consecutive resolved file sets, not
+    * read from the manifests — checkpoint rewrites and re-anchored
+    * snapshots then report the same numbers as the deltas they replaced.
+    * Admin-query cost model: O(versions × files) resolution — fine for an
+    * audit pane, not a hot path. */
+  def history(name: String): DataFrame = {
+    val vs = versions(name)
+    val f = fs(versionsDir(name))
+    var prev = Set.empty[(String, String)]
+    val rows = vs.map { v =>
+      val m = readManifestFile(name, v)
+      val live = resolveManifest(name, v)._2.toSet
+      val ts = f.getFileStatus(new Path(versionsDir(name), s"v$v.json"))
+        .getModificationTime
+      val row = (v, new java.sql.Timestamp(ts), m.op,
+        (live -- prev).size.toLong, (prev -- live).size.toLong,
+        live.size.toLong, m.schema.fields.length.toLong)
+      prev = live
+      row
+    }
+    import spark.implicits._
+    rows.toDF("version", "ts", "operation", "n_added", "n_removed",
+      "n_live_files", "n_columns")
   }
 
   /** Committed snapshot ids of a table, oldest first. */
@@ -1114,7 +1147,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val vd = versionsDir(name)
     val f = fs(vd)
     f.mkdirs(vd)
-    val body = GraftLake.renderManifest(next, readMeta(name), list, stats)
+    val body = GraftLake.renderManifest(next, readMeta(name), list, stats,
+      op = "repair")
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -1160,7 +1194,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val tmp = new Path(versionsDir(name), s".v$oldest-${UUID.randomUUID()}.tmp")
       val out = f.create(tmp, true)
       try out.write(GraftLake.renderManifestWithSchema(oldest,
-        oldestManifest.schema, files, oldStats).getBytes("UTF-8")) finally out.close()
+        oldestManifest.schema, files, oldStats,
+        oldestManifest.op).getBytes("UTF-8")) finally out.close()
       // atomic: a crash leaves either the delta (still resolvable — its
       // chain predecessors are deleted only below) or the checkpoint
       replaceAtomic(f, tmp, p)
@@ -1549,7 +1584,8 @@ object GraftLake {
       depth: Int,
       add: Vector[(String, String)],
       remove: Vector[(String, String)],
-      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty)
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
+      op: String = "write")
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -1636,13 +1672,15 @@ object GraftLake {
     * (+ per-file numeric bounds for data skipping). */
   private[catalog] def renderManifest(version: Long, meta: TableMeta,
       files: Seq[(String, String)],
-      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): String =
-    renderManifestWithSchema(version, meta.schema, files, stats)
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
+      op: String = "write"): String =
+    renderManifestWithSchema(version, meta.schema, files, stats, op)
 
   private[catalog] def renderManifestWithSchema(version: Long,
       schema: StructType, files: Seq[(String, String)],
-      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): String =
-    s"""{"version":$version,"schema":${schema.json},"files":${fileArr(files)}""" +
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
+      op: String = "write"): String =
+    s"""{"version":$version,"op":${q(op)},"schema":${schema.json},"files":${fileArr(files)}""" +
       s""","stats":${statsObj(stats, files.map(fileKey))}}"""
 
   /** Delta snapshot manifest: O(commit delta), applied on top of `base`
@@ -1651,8 +1689,9 @@ object GraftLake {
   private[catalog] def renderDelta(version: Long, meta: TableMeta,
       base: Long, depth: Int, add: Seq[(String, String)],
       remove: Seq[(String, String)],
-      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty): String =
-    s"""{"version":$version,"schema":${meta.schema.json},"base":$base,""" +
+      stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
+      op: String = "write"): String =
+    s"""{"version":$version,"op":${q(op)},"schema":${meta.schema.json},"base":$base,""" +
       s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}""" +
       s""","stats":${statsObj(stats, add.map(fileKey))}}"""
 
@@ -1688,13 +1727,16 @@ object GraftLake {
       }
     }
     val version = node.get("version").asLong()
+    // "op" is absent in pre-round-8 manifests — default matches the old
+    // writers' only operation class
+    val op = if (node.has("op")) node.get("op").asText() else "write"
     if (node.has("files"))
       Manifest(version, schema, Some(refs("files")), -1L, 0,
-        Vector.empty, Vector.empty, stats)
+        Vector.empty, Vector.empty, stats, op)
     else
       Manifest(version, schema, None, node.get("base").asLong(),
         if (node.has("depth")) node.get("depth").asInt() else 1,
-        refs("add"), refs("remove"), stats)
+        refs("add"), refs("remove"), stats, op)
   }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {

@@ -674,4 +674,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(PlanBridge.simplePredicate(col("k") >= lit(5),
       StructType(Seq(StructField("k", StringType)))) === PlanBridge.PUnknown)
   }
+
+  test("history: one labeled row per commit, derived deltas, survives expiry") {
+    val lake = newLake()
+    lake.write("h", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.append("h", Seq((3, "c")).toDF("id", "v"))
+    lake.write("h", Seq((2, "B2")).toDF("id", "v"), pks = Seq("id"))
+    lake.compact("h")
+    val h = lake.history("h").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(h.map(_._1).toSeq === h.map(_._1).sorted.toSeq, "oldest first")
+    assert(h.map(_._2).toSeq === Seq("append", "append", "upsert", "compact"),
+      s"operation labels: ${h.map(_._2).toSeq}")
+    // derived deltas: first commit adds everything from nothing
+    assert(h.head._3 > 0 && h.head._4 === 0)
+    // the upsert rewrote id=2's file: both adds and removes
+    assert(h(2)._3 > 0 && h(2)._4 > 0, s"upsert delta: ${h(2)}")
+    // ts non-decreasing
+    val ts = lake.history("h").collect().map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // expiry re-anchors the oldest kept version; its label must survive
+    lake.expireSnapshots("h", keepLast = 2)
+    val afterOps = lake.history("h").collect().map(_.getString(2)).toSeq
+    assert(afterOps === Seq("upsert", "compact"),
+      s"re-anchored history keeps original labels: $afterOps")
+  }
 }
