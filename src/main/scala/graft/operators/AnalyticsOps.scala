@@ -986,9 +986,66 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** q128: per-type event freshness / completeness audit — the data-ops
+    * pane for a landed event stream: hour coverage between first and last
+    * event, total missing hours, the longest consecutive outage run, and
+    * coverage in basis points. Everything derives from hour-truncated
+    * timestamps and integer arithmetic (`timestampdiff` / `date_diff`
+    * count identical boundary crossings on truncated inputs), so the
+    * audit hashes identically across engines.
+    *
+    * Scale shape: one partial-aggregated groupBy to (type, hour) — rows
+    * bounded by types × hours, corpus-independent — then a per-type lag
+    * window and rollup over that tiny frame. */
+  val q128FreshnessAudit = QueryDef(
+    "q128_freshness_audit",
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, hr,
+      |    lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+      |  FROM h),
+      |g AS (SELECT event_type, hr,
+      |    CASE WHEN prev IS NULL THEN 0
+      |      ELSE date_diff('hour', prev, hr) - 1 END AS gap_run
+      |  FROM r)
+      |SELECT event_type,
+      |  min(hr) AS first_hr, max(hr) AS last_hr,
+      |  count(*) AS present_hours,
+      |  CAST(date_diff('hour', min(hr), max(hr)) + 1 AS BIGINT) AS span_hours,
+      |  CAST(date_diff('hour', min(hr), max(hr)) + 1 AS BIGINT) - count(*)
+      |    AS gap_hours,
+      |  CAST(max(gap_run) AS BIGINT) AS max_gap_run,
+      |  (count(*) * 10000)
+      |    // (CAST(date_diff('hour', min(hr), max(hr)) + 1 AS BIGINT))
+      |    AS coverage_bp
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("__c")).drop("__c")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val g = h.withColumn("prev", lag(col("hr"), 1).over(w))
+      .withColumn("gap_run",
+        when(col("prev").isNull, lit(0L))
+          .otherwise(expr("timestampdiff(HOUR, prev, hr) - 1")))
+    g.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("first_hr"), max(col("hr")).as("last_hr"),
+        count(lit(1)).as("present_hours"),
+        max(col("gap_run")).as("max_gap_run"))
+      .withColumn("span_hours",
+        expr("timestampdiff(HOUR, first_hr, last_hr) + 1"))
+      .withColumn("gap_hours", col("span_hours") - col("present_hours"))
+      .withColumn("coverage_bp",
+        expr("(present_hours * 10000) div span_hours"))
+      .select(col("event_type"), col("first_hr"), col("last_hr"),
+        col("present_hours"), col("span_hours"), col("gap_hours"),
+        col("max_gap_run"), col("coverage_bp"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
-    q117HllRollup, q118DriftPsi, q126HourlyAnomaly)
+    q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit)
 }
