@@ -98,13 +98,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       files,
       Some(schema),
       classOf[ParquetFileFormat])
-    new SnapshotTable(parquet, schema)
+    new SnapshotTable(ident.name, v, warehouse, parquet, schema)
   }
 
   /** Read-only snapshot facade: BATCH_READ only — writing to history is
     * not a thing. */
-  private final class SnapshotTable(underlying: ParquetTable,
-      snapSchema: StructType) extends Table with SupportsRead {
+  private final class SnapshotTable(tableName: String, version: Long,
+      wh: String, underlying: ParquetTable,
+      snapSchema: StructType) extends Table with SupportsRead
+      with GraftTableIdentity {
+    override def graftWarehouse: String = wh
+    override def graftTableName: String = tableName
+    override def graftVersion: Option[Long] = Some(version)
     override def name(): String = underlying.name
     override def schema(): StructType = snapSchema
     override def capabilities(): util.Set[TableCapability] =
@@ -126,7 +131,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * generated `__p_*` and `_inserted_at` columns are system-managed:
     * values supplied for them by SQL writers are discarded. */
   private final class GraftTable(tableName: String, underlying: ParquetTable,
-      wh: String) extends Table with SupportsRead with SupportsWrite {
+      wh: String) extends Table with SupportsRead with SupportsWrite
+      with GraftTableIdentity {
+    override def graftWarehouse: String = wh
+    override def graftTableName: String = tableName
+    override def graftVersion: Option[Long] = None
     override def name(): String = underlying.name
     override def schema(): StructType = underlying.schema
     // AUTOMATIC_SCHEMA_EVOLUTION lets Spark's own analysis rule
@@ -273,4 +282,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("flat namespace")
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("flat namespace")
+}
+
+/** Identity surface of a graft-catalog DSv2 table, consumed by the
+  * deletion-vector read rule ([[graft.plans.ApplyGraftDeletionVectors]]):
+  * which lake table (and, for `VERSION AS OF` snapshots, which version)
+  * a relation scans, so the rule can decide whether live deletion
+  * vectors require the merge-on-read plan. */
+trait GraftTableIdentity {
+  def graftWarehouse: String
+  def graftTableName: String
+  /** Some(v) for a `VERSION AS OF` snapshot relation, None for current. */
+  def graftVersion: Option[Long]
 }

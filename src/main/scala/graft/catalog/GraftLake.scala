@@ -54,6 +54,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   val InsertedAtCol = "_inserted_at"
 
+  /** Warehouse root this lake is bound to. */
+  def warehouseDir: String = warehouse
+
   /** Run `f` with the lake's write-side session confs applied, restoring
     * the caller's settings after. Scoped per write (neither is a
     * DataFrameWriter option) so the lake never changes how the
@@ -141,6 +144,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     lastVersionCache.remove(s"$warehouse/$name")
     liveSetCache.remove(s"$warehouse/$name")
     statsMapCache.remove(s"$warehouse/$name")
+    dvSetCache.remove(s"$warehouse/$name")
   }
 
   // ---- DDL ----
@@ -223,10 +227,233 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     }
   }
 
-  /** User-facing table view (generated partition columns hidden). */
+  // ---- deletion vectors (merge-on-read DELETE) ----
+
+  private def dvDir(name: String) = new Path(s"${tableDir(name)}/_dv")
+
+  /** Deletion-vector files live at snapshot `version`, resolved along the
+    * same delta chain as [[resolveManifest]] (full manifests anchor the
+    * set; deltas apply dvAdd/dvRemove forward). */
+  private def resolveDvs(name: String, version: Long): Vector[String] = {
+    var deltas = List.empty[GraftLake.Manifest]
+    var m = readManifestFile(name, version)
+    while (m.dvs.isEmpty) {
+      deltas = m :: deltas // oldest-first
+      m = readManifestFile(name, m.base)
+    }
+    var set = m.dvs.get
+    deltas.foreach { d =>
+      val rm = d.dvRemove.toSet
+      set = set.filterNot(rm.contains) ++ d.dvAdd
+    }
+    set.distinct.sorted
+  }
+
+  /** Deletion-vector files live at snapshot `version` (observability +
+    * the SQL `VERSION AS OF` read rule). */
+  def dvsAtVersion(name: String, version: Long): Vector[String] =
+    resolveDvs(name, version)
+
+  /** Live deletion-vector files of the LATEST snapshot — O(1) from the
+    * commit cache on the hot path (every read goes through this). */
+  def liveDvs(name: String): Vector[String] = {
+    val key = s"$warehouse/$name"
+    val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+    last match {
+      case None => Vector.empty
+      case Some(v) =>
+        val cached = dvSetCache.get(key)
+        if (cached != null && cached._1 == v) cached._2
+        else {
+          val dvs = resolveDvs(name, v)
+          dvSetCache.put(key, (v, dvs))
+          dvs
+        }
+    }
+  }
+
+  /** Filter out rows masked by deletion vectors: left-anti join on
+    * (manifest file key, file-local row position) against the union of
+    * the live DV files. The DV side is explicitly broadcast — DV size is
+    * bounded by the auto-materialize threshold ([[deleteWhere]]), so the
+    * probe is a map-side hash lookup with no shuffle of the (100 TB) data
+    * side, and expressions downstream that depend on scan-task locality
+    * (`input_file_name`) keep working. No-op when `dvs` is empty or the
+    * frame is a memory-backed empty relation (no `_metadata` to key on). */
+  private def applyDvs(name: String, df: DataFrame, dvs: Seq[String],
+      partDepth: Int): DataFrame = {
+    if (dvs.isEmpty) return df
+    val isFileBacked = df.queryExecution.logical.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+    }.isEmpty
+    if (!isFileBacked) return df
+    val keyC = "__graft_dv_key"
+    val posC = "__graft_dv_pos"
+    // both metadata derivations in ONE projection directly over the scan:
+    // hidden `_metadata` does not resolve through arbitrary stacked plans
+    val keyed = df.withColumns(Map(
+      keyC -> GraftLake.dvKeyColumn(partDepth),
+      posC -> col("_metadata.row_index")))
+    val dv = dvFrame(name, dvs)
+    keyed.join(broadcast(dv),
+        keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
+        "left_anti")
+      .drop(keyC, posC)
+  }
+
+  /** The union of DV files as a (file_key, pos) frame. */
+  private def dvFrame(name: String, dvs: Seq[String]): DataFrame =
+    spark.read.schema(GraftLake.dvSchema)
+      .parquet(dvs.map(d => s"${dvDir(name)}/$d"): _*)
+
+  /** Total deleted-position count across the live DVs — parquet metadata
+    * only (footer row counts), no data scan. */
+  private def dvEntryCount(name: String, dvs: Seq[String]): Long =
+    if (dvs.isEmpty) 0L else dvFrame(name, dvs).count()
+
+  /** Merge-on-read DELETE: rows matching `predicate` (NULL keeps the row,
+    * SQL DELETE semantics) are masked by a deletion vector — (file key,
+    * row position) pairs written as a parquet sidecar under `_dv/` and
+    * committed to the manifest — WITHOUT rewriting a single data file.
+    * The 100 TB contract: a DELETE touching 0.001 % of rows costs one
+    * column-pruned scan + a tiny sidecar write, not a copy-on-write of
+    * every affected 1 GB file (that is [[GraftDeleteCommand]]'s
+    * partition-scoped COW path, still available; reference analog:
+    * DuckLake DELETE, which DuckDB executes as its own positional delete
+    * files). Reads apply DVs as a broadcast anti-join; [[compact]],
+    * [[materializeDeletes]] or any full rewrite folds them back in.
+    * When the live DV entry count exceeds
+    * `spark.graft.dv.maxEntries` (default 1M — the broadcast-safety
+    * bound), the affected files are rewritten eagerly instead
+    * ([[materializeDeletes]]), so DV probes stay map-side forever.
+    * Returns the number of rows deleted (already-deleted rows never
+    * re-enter a DV: the hit scan itself reads through the live DVs). */
+  def deleteWhere(name: String, predicate: Column): Long = writeLock(name) {
+    val meta = readMeta(name)
+    val partDepth = meta.partitionExprs.size
+    val base = readInternal(name, meta)
+    val fileBacked = base.queryExecution.logical.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+    }.isEmpty
+    if (!fileBacked) return 0L
+    val dvs0 = liveDvs(name)
+    val keyC = "__graft_dv_key"
+    val posC = "__graft_dv_pos"
+    val keyed = base.withColumns(Map(
+      keyC -> GraftLake.dvKeyColumn(partDepth),
+      posC -> col("_metadata.row_index")))
+    val live =
+      if (dvs0.isEmpty) keyed
+      else {
+        val dv = dvFrame(name, dvs0)
+        keyed.join(broadcast(dv),
+          keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
+          "left_anti")
+      }
+    val hits = live.filter(coalesce(predicate, lit(false)))
+      .select(col(keyC).as("file_key"), col(posC).as("pos"))
+    val stage = new Path(s"${tableDir(name)}/.dvstage-${UUID.randomUUID()}")
+    val f = fs(stage)
+    try {
+      // one sidecar per DELETE: the hit set is bounded by the
+      // auto-materialize threshold, so a single shuffle of (key, pos)
+      // pairs is tiny — and the scan above keeps its full parallelism
+      // (coalesce(1) would collapse it into one task)
+      hits.repartition(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      // discard any stats the session-wide commit protocol collected for
+      // the sidecar (DV files carry no prunable table columns)
+      org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+      val deleted = spark.read.schema(GraftLake.dvSchema)
+        .parquet(stage.toString).count() // footer row counts only
+      if (deleted == 0L) return 0L
+      val dd = dvDir(name)
+      f.mkdirs(dd)
+      val names = f.listStatus(stage).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          val n = s"dv-${UUID.randomUUID()}.parquet"
+          renameOrFail(f, s.getPath, new Path(dd, n))
+          n
+        }
+      commitVersion(name, Nil, Nil, op = "delete", dvAdded = names)
+      if (dvEntryCount(name, liveDvs(name)) > dvMaxEntries)
+        materializeDeletesLocked(name)
+      deleted
+    } finally f.delete(stage, true)
+  }
+
+  private def dvMaxEntries: Long = spark.conf
+    .getOption("spark.graft.dv.maxEntries").map(_.toLong).getOrElse(1000000L)
+
+  /** Rewrite ONLY the partitions whose files carry deletion-vector
+    * entries, folding the deletes into the data and clearing every DV —
+    * the bounded-rewrite pressure valve that keeps DV probes broadcast-
+    * sized. Partitions without deleted rows are untouched. */
+  def materializeDeletes(name: String): Unit = writeLock(name) {
+    materializeDeletesLocked(name)
+  }
+
+  private def materializeDeletesLocked(name: String): Unit = {
+    val dvs = liveDvs(name)
+    if (dvs.isEmpty) return
+    val meta = readMeta(name)
+    val partDepth = meta.partitionExprs.size
+    val liveKeys = resolveManifest(name, versions(name).last)._2
+      .map(GraftLake.fileKey).toSet
+    if (partDepth == 0) {
+      val survivors = applyDvs(name, readInternal(name, meta), dvs, 0)
+        .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+      replaceScoped(name, survivors, Nil, clearDvs = true)
+    } else {
+      // partition rels that still hold live DV'd files (stale entries for
+      // already-retired files are dropped with the DV clear)
+      val rels = dvFrame(name, dvs).select("file_key").distinct()
+        .collect().map(_.getString(0)).toSeq
+        .filter(liveKeys.contains)
+        .map(k => k.substring(0, k.lastIndexOf('/')))
+        .distinct
+      if (rels.isEmpty) {
+        commitVersion(name, Nil, Nil, op = "dv-clear", dvRemoved = dvs)
+        return
+      }
+      val dirs = rels.map(r => s"${dataDir(name)}/$r")
+      val keyC = "__graft_dv_key"
+      val posC = "__graft_dv_pos"
+      // one projection over the scan for BOTH metadata derivations, then
+      // scope + anti-join on those materialized columns
+      val keyed = readInternal(name, meta).withColumns(Map(
+        keyC -> GraftLake.dvKeyColumn(partDepth),
+        posC -> col("_metadata.row_index")))
+      val scoped = keyed.filter(
+        substring_index(col(keyC), "/", partDepth).isin(rels: _*))
+      val dv = dvFrame(name, dvs)
+      val survivors = scoped.join(broadcast(dv),
+          scoped(keyC) === dv("file_key") && scoped(posC) === dv("pos"),
+          "left_anti")
+        .drop(keyC, posC)
+      replaceScoped(name, survivors, dirs, clearDvs = true)
+    }
+  }
+
+  /** User-facing table view (generated partition columns hidden).
+    * Deletion-vector-masked rows are filtered out. */
   def read(name: String): DataFrame = {
     val meta = readMeta(name)
-    readInternal(name, meta).select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+    val live = applyDvs(name, readInternal(name, meta), liveDvs(name),
+      meta.partitionExprs.size)
+    live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+  }
+
+  /** Full on-disk view incl. generated partition columns, with deletion
+    * vectors applied — the DSv2 read-rule's replacement plan (SQL SELECTs
+    * over a DV-carrying table route through this). */
+  def readLiveFull(name: String): DataFrame = {
+    val meta = readMeta(name)
+    applyDvs(name, readInternal(name, meta), liveDvs(name),
+      meta.partitionExprs.size)
   }
 
   /** Data-skipping read: like `read(...).filter(predicate)` (identical
@@ -267,7 +494,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             if (rel.isEmpty) s"${dataDir(name)}/$fn"
             else s"${dataDir(name)}/$rel/$fn"
           }
-          spark.read.schema(meta.schema).parquet(paths: _*)
+          val scan = spark.read.schema(meta.schema).parquet(paths: _*)
+          applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
             .filter(predicate)
             .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
         }
@@ -424,7 +652,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         .filter(col("__rn") === 1).drop("__rn"),
       meta)
 
-    val existing = readInternal(name, meta)
+    // read through the live deletion vectors: DV-masked rows must neither
+    // match batch PKs nor survive into the rewritten partitions
+    val existing = applyDvs(name, readInternal(name, meta), liveDvs(name),
+      partCols.size)
 
     // Affected partitions: where batch rows land + where matching PKs live.
     // The PK-location probe reads only (pk, partition) columns — parquet
@@ -529,7 +760,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // a whole-table replace's "delta" IS the new contents — list just the
       // freshly renamed directory (O(new files), not O(history))
       val added = listDataFiles(name)
-      commitVersion(name, added, removed, writeStats, op = "overwrite")
+      // every previous file is retired: all DV entries are inert — drop
+      commitVersion(name, added, removed, writeStats, op = "overwrite",
+        dvRemoved = liveDvs(name))
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -563,7 +796,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * set, so `survivors` must then be the full remaining table.
     * Engine-internal support for the SQL DELETE/UPDATE rewrites. */
   private[graft] def replaceScoped(name: String, survivors: DataFrame,
-      affectedDirs: Seq[String]): Unit = writeLock(name) {
+      affectedDirs: Seq[String], clearDvs: Boolean = false): Unit = writeLock(name) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
     val out = withPartitionCols(
@@ -578,7 +811,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) = swapInto(name, stage, new Path(dataDir(name)),
       partCols.size, affectedDirs.map(new Path(_)))
-    commitVersion(name, added, removed, writeStats, op = "replace-scoped")
+    commitVersion(name, added, removed, writeStats, op = "replace-scoped",
+      dvRemoved = if (clearDvs) liveDvs(name) else Nil)
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -600,7 +834,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       clusterBy: Seq[String] = Nil): Unit = writeLock(name) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
-    val all = readInternal(name, meta)
+    val dvsLive = liveDvs(name)
+    // compaction MATERIALIZES deletion vectors for whatever it rewrites:
+    // rows masked by a DV must not be copied into the compacted files
+    val all = applyDvs(name, readInternal(name, meta), dvsLive, partCols.size)
     val scoped = (predicate, partCols) match {
       case (None, _) => all
       case (Some(p), Nil) =>
@@ -683,14 +920,22 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size)
+    // a whole-table rewrite (no predicate, or unpartitioned) leaves every
+    // DV entry pointing at a retired file — drop them all; a
+    // partition-scoped rewrite keeps the DVs (entries for the rewritten
+    // partitions are inert, other partitions still need theirs)
+    val fullRewrite = predicate.isEmpty || partCols.isEmpty
     commitVersion(name, added, removed, writeStats,
-      op = if (clusterBy.nonEmpty) "zorder" else "compact")
+      op = if (clusterBy.nonEmpty) "zorder" else "compact",
+      dvRemoved = if (fullRewrite) dvsLive else Nil)
   }
 
   /** Data files currently backing a table (observability / compaction
-    * policy input). */
+    * policy input). Deliberately the RAW directory scan: deletion-vector
+    * sidecars are not data files and DV-masked rows don't change which
+    * files exist. */
   def dataFiles(name: String): Seq[String] =
-    read(name).inputFiles.toSeq
+    readInternal(name, readMeta(name)).inputFiles.toSeq
 
   /** Live file count of the latest snapshot — O(1) from the commit cache
     * on the hot path (one manifest-chain read on a cold start; a
@@ -928,7 +1173,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def commitVersion(name: String, added: Seq[(String, String)],
       removed: Seq[(String, String)],
       writeStats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
-      op: String = "write"): Unit =
+      op: String = "write",
+      dvAdded: Seq[String] = Nil,
+      dvRemoved: Seq[String] = Nil): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
@@ -962,18 +1209,29 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val newStats =
       (prevStats -- removed.map(GraftLake.fileKey)) ++ addedStats
     val meta = readMeta(name)
+    val prevDvs: Vector[String] = last match {
+      case None => Vector.empty
+      case Some(v) =>
+        val cached = dvSetCache.get(key)
+        if (cached != null && cached._1 == v) cached._2 else resolveDvs(name, v)
+    }
+    val dvRemovedSet = dvRemoved.toSet
+    val newDvs = (prevDvs.filterNot(dvRemovedSet) ++ dvAdded).distinct.sorted
     val asFull = last.isEmpty || prevDepth + 1 >= checkpointInterval ||
       added.size + removed.size >= newList.size
     val body =
-      if (asFull) GraftLake.renderManifest(next, meta, newList, newStats, op)
+      if (asFull) GraftLake.renderManifest(next, meta, newList, newStats, op,
+        dvs = newDvs)
       else GraftLake.renderDelta(next, meta, next - 1, prevDepth + 1,
-        addedV, removed.sorted, addedStats, op)
+        addedV, removed.sorted, addedStats, op,
+        dvAdd = dvAdded, dvRemove = dvRemoved)
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, newList, if (asFull) 0 else prevDepth + 1))
     statsMapCache.put(key, (next, newStats))
+    dvSetCache.put(key, (next, newDvs))
   }
 
   /** Read one manifest file verbatim. */
@@ -1092,7 +1350,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    spark.read.schema(schema).parquet(paths: _*)
+    val scan = spark.read.schema(schema).parquet(paths: _*)
+    // apply the DELETION VECTORS OF THAT SNAPSHOT: the key derivation is
+    // segment-based, so it matches retired files under _history/ too
+    applyDvs(name, scan, resolveDvs(name, version),
+      readMeta(name).partitionExprs.size)
       .select(schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
@@ -1147,14 +1409,22 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val vd = versionsDir(name)
     val f = fs(vd)
     f.mkdirs(vd)
+    // deletion vectors are MANIFEST state, not directory state: adopting
+    // the directory without them would resurrect deleted rows — carry the
+    // previous snapshot's set forward (restricted to sidecars still on
+    // disk, in case the crash lost one)
+    val dvs = versions(name).lastOption.map(v => resolveDvs(name, v))
+      .getOrElse(Vector.empty)
+      .filter(d => f.exists(new Path(dvDir(name), d)))
     val body = GraftLake.renderManifest(next, readMeta(name), list, stats,
-      op = "repair")
+      op = "repair", dvs = dvs)
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, list, 0))
     statsMapCache.put(key, (next, stats))
+    dvSetCache.put(key, (next, dvs))
     next
   }
 
@@ -1190,12 +1460,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     if (oldestManifest.files.isEmpty) {
       val (_, files, _) = resolveManifest(name, oldest)
       val oldStats = resolveStats(name, oldest)
+      val oldDvs = resolveDvs(name, oldest)
       val p = new Path(versionsDir(name), s"v$oldest.json")
       val tmp = new Path(versionsDir(name), s".v$oldest-${UUID.randomUUID()}.tmp")
       val out = f.create(tmp, true)
       try out.write(GraftLake.renderManifestWithSchema(oldest,
         oldestManifest.schema, files, oldStats,
-        oldestManifest.op).getBytes("UTF-8")) finally out.close()
+        oldestManifest.op, dvs = oldDvs).getBytes("UTF-8")) finally out.close()
       // atomic: a crash leaves either the delta (still resolvable — its
       // chain predecessors are deleted only below) or the checkpoint
       replaceAtomic(f, tmp, p)
@@ -1203,7 +1474,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val referenced: Set[(String, String)] = keep.flatMap { v =>
       resolveManifest(name, v)._2
     }.toSet
+    val referencedDvs: Set[String] = keep.flatMap { v =>
+      resolveDvs(name, v)
+    }.toSet
     drop.foreach(v => f.delete(new Path(versionsDir(name), s"v$v.json"), false))
+    // vacuum deletion-vector sidecars no kept snapshot references
+    val dd = dvDir(name)
+    if (f.exists(dd)) f.listStatus(dd).foreach { s =>
+      if (!referencedDvs.contains(s.getPath.getName))
+        f.delete(s.getPath, false)
+    }
     val hd = historyDir(name)
     val hdUri = f.makeQualified(hd).toUri
     def vacuum(p: Path): Unit =
@@ -1351,6 +1631,29 @@ object GraftLake {
     * col → (min, max)), maintained with the same delta discipline. */
   private val statsMapCache = new ConcurrentHashMap[
     String, (Long, Map[String, Map[String, GraftLake.Bounds]])]()
+  /** Live deletion-vector file names (under `_dv/`) of the latest
+    * version — consulted on EVERY read, so it must be an O(1) lookup on
+    * the hot path (one manifest-chain read on a cold start). */
+  private val dvSetCache = new ConcurrentHashMap[String, (Long, Vector[String])]()
+
+  /** On-disk schema of a deletion-vector file: the (manifest file key,
+    * file-local row position) pairs deleted from the referenced data
+    * file. Parquet rather than a bitmap format so the DV itself is
+    * written/read by ordinary distributed jobs. */
+  private[catalog] val dvSchema = StructType(Seq(
+    StructField("file_key", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Manifest file key of the file backing each row, derived from
+    * `_metadata.file_path` by taking the last `partDepth + 1` path
+    * segments (partition dirs + file name). Segment-count-based rather
+    * than marker-string-based so it is exact for every warehouse path and
+    * works identically for live (`data/<rel>/f`) and retired
+    * (`_history/<rel>/f`) locations — both preserve the relative layout. */
+  private[catalog] def dvKeyColumn(partDepth: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    substring_index(col("_metadata.file_path"), "/", -(partDepth + 1))
+  }
 
   /** Manifest key of a (rel, name) file identity. */
   private[catalog] def fileKey(ref: (String, String)): String =
@@ -1585,7 +1888,10 @@ object GraftLake {
       add: Vector[(String, String)],
       remove: Vector[(String, String)],
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
-      op: String = "write")
+      op: String = "write",
+      dvs: Option[Vector[String]] = None,
+      dvAdd: Vector[String] = Vector.empty,
+      dvRemove: Vector[String] = Vector.empty)
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -1629,6 +1935,7 @@ object GraftLake {
   def invalidateCaches(): Unit = {
     verifiedTables.clear(); metaCache.clear()
     lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
+    dvSetCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --
@@ -1673,27 +1980,39 @@ object GraftLake {
   private[catalog] def renderManifest(version: Long, meta: TableMeta,
       files: Seq[(String, String)],
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
-      op: String = "write"): String =
-    renderManifestWithSchema(version, meta.schema, files, stats, op)
+      op: String = "write",
+      dvs: Seq[String] = Nil): String =
+    renderManifestWithSchema(version, meta.schema, files, stats, op, dvs)
+
+  private def strArr(xs: Seq[String]): String =
+    xs.map(q).mkString("[", ",", "]")
 
   private[catalog] def renderManifestWithSchema(version: Long,
       schema: StructType, files: Seq[(String, String)],
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
-      op: String = "write"): String =
+      op: String = "write",
+      dvs: Seq[String] = Nil): String =
     s"""{"version":$version,"op":${q(op)},"schema":${schema.json},"files":${fileArr(files)}""" +
-      s""","stats":${statsObj(stats, files.map(fileKey))}}"""
+      s""","stats":${statsObj(stats, files.map(fileKey))}""" +
+      (if (dvs.isEmpty) "}" else s""","dvs":${strArr(dvs.sorted)}}""")
 
   /** Delta snapshot manifest: O(commit delta), applied on top of `base`
     * (always version−1) at resolution time; `stats` covers the added
-    * files only. */
+    * files only. `dvAdd`/`dvRemove` carry the commit's deletion-vector
+    * delta (file names under `_dv/`). */
   private[catalog] def renderDelta(version: Long, meta: TableMeta,
       base: Long, depth: Int, add: Seq[(String, String)],
       remove: Seq[(String, String)],
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
-      op: String = "write"): String =
+      op: String = "write",
+      dvAdd: Seq[String] = Nil,
+      dvRemove: Seq[String] = Nil): String =
     s"""{"version":$version,"op":${q(op)},"schema":${meta.schema.json},"base":$base,""" +
       s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}""" +
-      s""","stats":${statsObj(stats, add.map(fileKey))}}"""
+      s""","stats":${statsObj(stats, add.map(fileKey))}""" +
+      (if (dvAdd.isEmpty) "" else s""","dvAdd":${strArr(dvAdd.sorted)}""") +
+      (if (dvRemove.isEmpty) "" else s""","dvRemove":${strArr(dvRemove.sorted)}""") +
+      "}"
 
   private[catalog] def parseManifest(raw: String): Manifest = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1730,13 +2049,21 @@ object GraftLake {
     // "op" is absent in pre-round-8 manifests — default matches the old
     // writers' only operation class
     val op = if (node.has("op")) node.get("op").asText() else "write"
+    def strs(field: String): Vector[String] = {
+      val fn = node.get(field)
+      if (fn == null) Vector.empty
+      else (0 until fn.size()).map(fn.get(_).asText()).toVector
+    }
     if (node.has("files"))
+      // a full manifest is the dv-resolution anchor: an absent "dvs"
+      // field (pre-dv writers) means "no deletion vectors", i.e. Some(∅)
       Manifest(version, schema, Some(refs("files")), -1L, 0,
-        Vector.empty, Vector.empty, stats, op)
+        Vector.empty, Vector.empty, stats, op, dvs = Some(strs("dvs")))
     else
       Manifest(version, schema, None, node.get("base").asLong(),
         if (node.has("depth")) node.get("depth").asInt() else 1,
-        refs("add"), refs("remove"), stats, op)
+        refs("add"), refs("remove"), stats, op,
+        dvs = None, dvAdd = strs("dvAdd"), dvRemove = strs("dvRemove"))
   }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {

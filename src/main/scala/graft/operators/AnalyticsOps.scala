@@ -1043,9 +1043,43 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** q129: merge-on-read DELETE via deletion vectors. lineitem lands in
+    * a lake table, a predicate DELETE writes a (file key, row position)
+    * sidecar — NOT ONE data file is rewritten (DeletionVectorSpec pins
+    * that) — and the query reads the table through the DV broadcast
+    * anti-join. The oracle computes the same aggregate over the raw
+    * table with the delete predicate negated, so a hash match proves the
+    * masked rows are exactly the predicate's rows. The 100 TB shape:
+    * DELETE cost is one column-pruned scan + a tiny sidecar, reads pay a
+    * map-side hash probe; a full rewrite would copy every affected file
+    * (reference analog: DuckLake positional delete files). */
+  val q129MorDelete = QueryDef(
+    "q129_mor_delete",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem
+      |WHERE NOT (l_discount < 0.02 OR l_quantity > 45)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"dv:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-dvq").toString)
+      l.write("li", Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount")))
+      l.deleteWhere("li",
+        col("l_discount") < 0.02 || col("l_quantity") > 45)
+      l
+    })
+    lake.read("li")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
-    q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit)
+    q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
+    q129MorDelete)
 }

@@ -27,6 +27,14 @@ final case class GraftDeleteCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val lake = new GraftLake(spark, warehouse)
+    // merge-on-read mode: write a deletion vector instead of rewriting
+    // files — `SET spark.graft.delete.mode=merge-on-read` (Delta's
+    // deletion-vector switch, same trade: no COW, reads anti-join)
+    if (spark.conf.getOption("spark.graft.delete.mode")
+        .contains("merge-on-read")) {
+      lake.deleteWhere(table, PlanBridge.byNameColumn(cond))
+      return Seq.empty
+    }
     val meta = lake.readMeta(table)
     val tdf = PlanBridge.ofRows(spark, target)
     // DELETE removes rows where the condition IS TRUE; null-valued

@@ -27,6 +27,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // columns before Spark's own expansion trips on system columns
     ext.injectHintResolutionRule(ExpandGraftMergeStars)
     ext.injectPostHocResolutionRule(_ => RewriteGraftMerge)
+    // AFTER the DML rewrite: relations inside MERGE/UPDATE/DELETE
+    // statements become engine-command fields first, so the DV rule only
+    // rewrites pure read relations (and the commands' own re-analysis)
+    ext.injectPostHocResolutionRule(ApplyGraftDeletionVectors)
     // the engine's native codegen'd expressions, available to every
     // session built with the extensions (no per-session register() call)
     GraftExtensions.functions.foreach(ext.injectFunction)

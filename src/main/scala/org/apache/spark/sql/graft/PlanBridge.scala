@@ -39,6 +39,16 @@ object PlanBridge {
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
 
+  /** Re-target a RESOLVED predicate at a different DataFrame by column
+    * NAME: every bound AttributeReference becomes an UnresolvedAttribute,
+    * so the returned Column re-resolves against whatever frame it is
+    * applied to (the SQL merge-on-read DELETE hands its condition to the
+    * engine's own scan this way). */
+  def byNameColumn(e: Expression): Column = column(e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+  })
+
   /** Nullability-insensitive type equality (DataType.sameType). */
   def sameType(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)

@@ -1,0 +1,185 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read DELETE contract: `deleteWhere` masks rows via deletion
+  * vectors WITHOUT rewriting data files; every read path (current,
+  * pruned, time travel, SQL) applies them; rewrites materialize them;
+  * expiry vacuums unreferenced sidecars. */
+class DeletionVectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake = {
+    GraftLake.invalidateCaches()
+    new GraftLake(spark, Files.createTempDirectory("graft-dv").toString)
+  }
+
+  private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+  test("deleteWhere masks rows without touching a single data file") {
+    val lake = newLake()
+    lake.write("t", (1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    val filesBefore = lake.dataFiles("t").sorted
+    val n = lake.deleteWhere("t", col("id") % 10 === 0)
+    assert(n === 10)
+    assert(lake.dataFiles("t").sorted === filesBefore,
+      "merge-on-read: the data file set must be unchanged")
+    assert(lake.liveDvs("t").nonEmpty)
+    assert(lake.read("t").count() === 90)
+    assert(rows(lake.read("t"), "id").forall(s => s.head.asInstanceOf[Int] % 10 != 0))
+  }
+
+  test("delete is idempotent and cumulative; NULL condition keeps rows") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, null), (3, "c")).toDF("id", "v"))
+    assert(lake.deleteWhere("t", col("v") === "zzz") === 0, "no match, no commit")
+    assert(lake.liveDvs("t").isEmpty)
+    assert(lake.deleteWhere("t", col("v") === "a") === 1)
+    // NULL-valued condition keeps the row (SQL DELETE semantics)
+    assert(lake.deleteWhere("t", col("v") =!= "c") === 0)
+    assert(lake.deleteWhere("t", col("v") === "a") === 0,
+      "already-deleted rows never re-enter a DV")
+    assert(rows(lake.read("t"), "id") === Set(Seq(2), Seq(3)))
+  }
+
+  test("partitioned table: DV keys carry the partition rel and prune correctly") {
+    val lake = newLake()
+    lake.write("p", Seq((1, "x", 10), (2, "x", 20), (3, "y", 30), (4, "y", 40))
+      .toDF("id", "seg", "n"), partitions = Seq("seg"))
+    assert(lake.deleteWhere("p", col("n") >= 30 && col("seg") === "y") === 2)
+    assert(rows(lake.read("p"), "id") === Set(Seq(1), Seq(2)))
+    // readWhere (manifest-pruned path) also applies DVs
+    assert(rows(lake.readWhere("p", col("n") > 0), "id") === Set(Seq(1), Seq(2)))
+  }
+
+  test("time travel: snapshots before the delete still see the rows; after, not") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    lake.deleteWhere("t", col("id") === 2)
+    val vs = lake.versions("t")
+    assert(vs.size === 2)
+    assert(rows(lake.readVersion("t", vs(0)), "id") === Set(Seq(1), Seq(2), Seq(3)))
+    assert(rows(lake.readVersion("t", vs(1)), "id") === Set(Seq(1), Seq(3)))
+  }
+
+  test("upsert on a DV-carrying table: deleted PKs re-insert cleanly, survivors keep deletes") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), pks = Seq("id"))
+    lake.deleteWhere("t", col("id") === 2)
+    lake.write("t", Seq((2, "B!"), (4, "d")).toDF("id", "v"), pks = Seq("id"))
+    assert(rows(lake.read("t"), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "B!"), Seq(3, "c"), Seq(4, "d")),
+      "a deleted row must not resurrect beside its re-inserted PK")
+  }
+
+  test("compact materializes deletes and clears the DV set") {
+    val lake = newLake()
+    lake.write("t", (1 to 50).map(i => (i, i * 2)).toDF("id", "n"))
+    lake.deleteWhere("t", col("id") <= 5)
+    assert(lake.liveDvs("t").nonEmpty)
+    lake.compact("t")
+    assert(lake.liveDvs("t").isEmpty, "full rewrite folds DVs into the data")
+    assert(lake.read("t").count() === 45)
+    // deleted rows stay deleted through the rewrite
+    assert(!rows(lake.read("t"), "id").contains(Seq(1)))
+  }
+
+  test("materializeDeletes rewrites only DV-carrying partitions") {
+    val lake = newLake()
+    lake.write("p", Seq((1, "x", 10), (2, "x", 20), (3, "y", 30), (4, "y", 40))
+      .toDF("id", "seg", "n"), partitions = Seq("seg"))
+    val yFilesBefore = lake.dataFiles("p").filter(_.contains("seg=y")).sorted
+    val xFilesBefore = lake.dataFiles("p").filter(_.contains("seg=x")).sorted
+    lake.deleteWhere("p", col("id") === 1)
+    lake.materializeDeletes("p")
+    assert(lake.liveDvs("p").isEmpty)
+    assert(rows(lake.read("p"), "id") === Set(Seq(2), Seq(3), Seq(4)))
+    assert(lake.dataFiles("p").filter(_.contains("seg=y")).sorted === yFilesBefore,
+      "partition without deletes must be untouched")
+    assert(lake.dataFiles("p").filter(_.contains("seg=x")).sorted !== xFilesBefore,
+      "partition with deletes must be rewritten")
+  }
+
+  test("oversized DV set auto-materializes on delete") {
+    val lake = newLake()
+    lake.write("t", (1 to 200).map(i => (i, i)).toDF("id", "n"))
+    spark.conf.set("spark.graft.dv.maxEntries", "10")
+    try {
+      lake.deleteWhere("t", col("id") <= 50)
+      assert(lake.liveDvs("t").isEmpty,
+        "entry count over the threshold must trigger materialization")
+      assert(lake.read("t").count() === 150)
+    } finally spark.conf.unset("spark.graft.dv.maxEntries")
+  }
+
+  test("expireSnapshots vacuums DV sidecars no kept snapshot references") {
+    val lake = newLake()
+    lake.write("t", (1 to 20).map(i => (i, i)).toDF("id", "n"))
+    lake.deleteWhere("t", col("id") === 1)
+    lake.compact("t") // clears DVs from the latest snapshot
+    assert(lake.liveDvs("t").isEmpty)
+    lake.expireSnapshots("t", keepLast = 1)
+    val dvDir = new java.io.File(s"${lake.warehouseDir}/t/_dv")
+    val left = Option(dvDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    assert(left.isEmpty, s"unreferenced DV sidecars must be vacuumed, found $left")
+  }
+
+  test("expiry re-anchor keeps DVs resolvable when the chain base is dropped") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    lake.deleteWhere("t", col("id") === 2) // delta manifest carrying dvAdd
+    lake.append("t", Seq((4, "d")).toDF("id", "v"))
+    lake.expireSnapshots("t", keepLast = 2)
+    GraftLake.invalidateCaches() // force a cold re-resolution from disk
+    assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(3), Seq(4)))
+  }
+
+  test("SQL: SELECT, VERSION AS OF and merge-on-read DELETE FROM see through DVs") {
+    val lake = newLake()
+    val wh = lake.warehouseDir
+    spark.conf.set("spark.sql.catalog.dvcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvcat.warehouse", wh)
+    try {
+      lake.write("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+      lake.deleteWhere("t", col("id") === 2)
+      assert(spark.sql("SELECT id FROM dvcat.t ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+      val v0 = lake.versions("t").head
+      assert(spark.sql(s"SELECT count(*) AS n FROM dvcat.t VERSION AS OF $v0")
+        .head().getLong(0) === 3)
+      // aggregate through the DV plan
+      assert(spark.sql("SELECT count(*) FROM dvcat.t").head().getLong(0) === 2)
+      // SQL merge-on-read DELETE
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      try {
+        val files = lake.dataFiles("t").sorted
+        spark.sql("DELETE FROM dvcat.t WHERE id = 3")
+        assert(lake.dataFiles("t").sorted === files, "MOR SQL delete: no rewrite")
+        assert(spark.sql("SELECT id FROM dvcat.t").collect()
+          .map(_.getInt(0)).toSeq === Seq(1))
+      } finally spark.conf.unset("spark.graft.delete.mode")
+      // copy-on-write SQL DELETE on a DV-carrying table must not resurrect
+      spark.sql("DELETE FROM dvcat.t WHERE id = 1")
+      assert(spark.sql("SELECT count(*) FROM dvcat.t").head().getLong(0) === 0)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dvcat")
+      spark.conf.unset("spark.sql.catalog.dvcat.warehouse")
+    }
+  }
+
+  test("repairTable preserves deletion vectors") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.deleteWhere("t", col("id") === 1)
+    lake.repairTable("t")
+    assert(rows(lake.read("t"), "id") === Set(Seq(2)),
+      "repair adopts the directory but must carry the DV set forward")
+  }
+}
