@@ -57,11 +57,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     lake.listTables().map(t => Identifier.of(Array.empty, t)).toArray
   }
 
+  /** DV correctness for SQL reads lives in the analyzer rule
+    * [[graft.plans.ApplyGraftDeletionVectors]] — the catalog's plain DSv2
+    * parquet scan does not apply deletion vectors. A session that
+    * configured only `spark.sql.catalog.*` (no GraftExtensions) would
+    * silently resurrect deleted rows, the worst failure class there is —
+    * so a DV-carrying table REFUSES to load in such a session. O(1) on
+    * the common path: `liveDvs` is served from the commit cache, and the
+    * rule lookup is a list scan of the session's post-hoc rules. */
+  private def requireDvCapable(name: String, dvs: Seq[String]): Unit = {
+    if (dvs.isEmpty) return
+    val installed = spark.sessionState.analyzer.postHocResolutionRules
+      .exists(_.isInstanceOf[graft.plans.ApplyGraftDeletionVectors])
+    if (!installed) throw new IllegalStateException(
+      s"graft table '$name' carries live deletion vectors (${dvs.size} " +
+        "file(s)); reading it requires the session to be built with " +
+        "graft.plans.GraftExtensions (spark.sql.extensions), or run " +
+        "GraftLake.materializeDeletes to fold the deletes into the data")
+  }
+
   override def loadTable(ident: Identifier): Table = {
     requireRootNamespace(ident.namespace())
     if (!lake.tableExists(ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name))
+    requireDvCapable(ident.name, lake.liveDvs(ident.name))
     val meta = lake.readMeta(ident.name)
     val full = StructType(
       meta.schema.fields.toSeq ++ GraftLake.partitionFields(meta))
@@ -91,6 +111,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"(have: ${lake.versions(ident.name).mkString(", ")}), got '$version'")
     }
     val (schema, files) = lake.snapshotFiles(ident.name, v)
+    requireDvCapable(ident.name, lake.dvsAtVersion(ident.name, v))
     val parquet = ParquetTable(
       s"${ident.name}@v$v",
       spark,

@@ -145,6 +145,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     liveSetCache.remove(s"$warehouse/$name")
     statsMapCache.remove(s"$warehouse/$name")
     dvSetCache.remove(s"$warehouse/$name")
+    dvCountCache.remove(s"$warehouse/$name")
   }
 
   // ---- DDL ----
@@ -275,12 +276,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   /** Filter out rows masked by deletion vectors: left-anti join on
     * (manifest file key, file-local row position) against the union of
-    * the live DV files. The DV side is explicitly broadcast — DV size is
-    * bounded by the auto-materialize threshold ([[deleteWhere]]), so the
-    * probe is a map-side hash lookup with no shuffle of the (100 TB) data
-    * side, and expressions downstream that depend on scan-task locality
-    * (`input_file_name`) keep working. No-op when `dvs` is empty or the
-    * frame is a memory-backed empty relation (no `_metadata` to key on). */
+    * the live DV files. The DV side is explicitly broadcast while its
+    * entry count stays within `spark.graft.dv.maxEntries` — the invariant
+    * [[deleteWhere]] maintains (oversized DELETEs fold copy-on-write
+    * instead of committing a DV) — so the probe is a map-side hash lookup
+    * with no shuffle of the (100 TB) data side, and expressions
+    * downstream that depend on scan-task locality (`input_file_name`)
+    * keep working. If the entry count nonetheless exceeds the bound (a
+    * config lowered after commits), the hint is dropped and AQE picks the
+    * join — a forced broadcast of an unbounded set can OOM the driver.
+    * No-op when `dvs` is empty or the frame is a memory-backed empty
+    * relation (no `_metadata` to key on). */
   private def applyDvs(name: String, df: DataFrame, dvs: Seq[String],
       partDepth: Int): DataFrame = {
     if (dvs.isEmpty) return df
@@ -297,7 +303,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       keyC -> GraftLake.dvKeyColumn(partDepth),
       posC -> col("_metadata.row_index")))
     val dv = dvFrame(name, dvs)
-    keyed.join(broadcast(dv),
+    val dvSide =
+      if (dvEntryCountCached(name, dvs) <= dvMaxEntries) broadcast(dv) else dv
+    keyed.join(dvSide,
         keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
         "left_anti")
       .drop(keyC, posC)
@@ -312,6 +320,21 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * only (footer row counts), no data scan. */
   private def dvEntryCount(name: String, dvs: Seq[String]): Long =
     if (dvs.isEmpty) 0L else dvFrame(name, dvs).count()
+
+  /** [[dvEntryCount]] memoized per table on the exact DV file set, so the
+    * broadcast-safety check in [[applyDvs]] costs a footer-count job only
+    * once per committed DV state, not once per read. */
+  private def dvEntryCountCached(name: String, dvs: Seq[String]): Long = {
+    if (dvs.isEmpty) return 0L
+    val key = s"$warehouse/$name"
+    val c = dvCountCache.get(key)
+    if (c != null && c._1 == dvs) c._2
+    else {
+      val n = dvEntryCount(name, dvs)
+      dvCountCache.put(key, (dvs.toVector, n))
+      n
+    }
+  }
 
   /** Merge-on-read DELETE: rows matching `predicate` (NULL keeps the row,
     * SQL DELETE semantics) are masked by a deletion vector — (file key,
@@ -333,7 +356,27 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def deleteWhere(name: String, predicate: Column): Long = writeLock(name) {
     val meta = readMeta(name)
     val partDepth = meta.partitionExprs.size
-    val base = readInternal(name, meta)
+    // manifest-driven pruning scan when the table has commits: a
+    // selective MoR DELETE on a 100 TB table plans only the files whose
+    // bounds can match the predicate, not the table
+    val key = s"$warehouse/$name"
+    val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+    val base = last match {
+      case None => readInternal(name, meta)
+      case Some(v) =>
+        val cached = liveSetCache.get(key)
+        val files =
+          if (cached != null && cached._1 == v) cached._2
+          else resolveManifest(name, v)._2
+        val paths = files.map { case (rel, fn) =>
+          if (rel.isEmpty) s"${dataDir(name)}/$fn"
+          else s"${dataDir(name)}/$rel/$fn"
+        }
+        val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
+        manifestScan(paths, statsFor(name, v), full, partDepth,
+          Some(dataDir(name)))
+    }
     val fileBacked = base.queryExecution.logical.collectFirst {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
       case _: org.apache.spark.sql.execution.LogicalRDD => ()
@@ -358,17 +401,27 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val stage = new Path(s"${tableDir(name)}/.dvstage-${UUID.randomUUID()}")
     val f = fs(stage)
     try {
-      // one sidecar per DELETE: the hit set is bounded by the
-      // auto-materialize threshold, so a single shuffle of (key, pos)
-      // pairs is tiny — and the scan above keeps its full parallelism
-      // (coalesce(1) would collapse it into one task)
-      hits.repartition(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      // REBALANCE (not repartition(1)): AQE coalesces the staged sidecar
+      // to one file for the typical tiny hit set, while an unexpectedly
+      // huge hit set keeps write parallelism instead of funneling through
+      // a single task — and the scan keeps its full parallelism either
+      // way (coalesce(1) would collapse it into one task)
+      hits.hint("rebalance").write.mode(SaveMode.Overwrite)
+        .parquet(stage.toString)
       // discard any stats the session-wide commit protocol collected for
       // the sidecar (DV files carry no prunable table columns)
       org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
       val deleted = spark.read.schema(GraftLake.dvSchema)
         .parquet(stage.toString).count() // footer row counts only
       if (deleted == 0L) return 0L
+      if (dvEntryCountCached(name, dvs0) + deleted > dvMaxEntries) {
+        // OVERSIZED hit set: an above-bound DV set must never be
+        // committed — every read until materialization would anti-join
+        // (and force-broadcast) it. Fold the delete copy-on-write
+        // instead, scoped to the partitions that actually hold hits.
+        cowDeleteLocked(name, meta, predicate, stage)
+        return deleted
+      }
       val dd = dvDir(name)
       f.mkdirs(dd)
       val names = f.listStatus(stage).toSeq
@@ -379,10 +432,51 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           n
         }
       commitVersion(name, Nil, Nil, op = "delete", dvAdded = names)
-      if (dvEntryCount(name, liveDvs(name)) > dvMaxEntries)
-        materializeDeletesLocked(name)
       deleted
     } finally f.delete(stage, true)
+  }
+
+  /** Copy-on-write fallback for a DELETE whose hit set exceeds the DV
+    * entry budget: rewrites ONLY the partitions holding hits (discovered
+    * from the staged hit keys — bounded by the partition count, not the
+    * hit count), folding both the predicate and any pre-existing DVs into
+    * the surviving data. Pre-existing DV entries for untouched partitions
+    * stay live; a full (unpartitioned) rewrite clears every DV. */
+  private def cowDeleteLocked(name: String, meta: TableMeta,
+      predicate: Column, stage: Path): Unit = {
+    val partDepth = meta.partitionExprs.size
+    val dvs0 = liveDvs(name)
+    val keepRow = !coalesce(predicate, lit(false))
+    if (partDepth == 0) {
+      val survivors =
+        applyDvs(name, readInternal(name, meta), dvs0, 0).filter(keepRow)
+      replaceScoped(name, survivors, Nil, clearDvs = true)
+    } else {
+      val rels = spark.read.schema(GraftLake.dvSchema).parquet(stage.toString)
+        .select(substring_index(col("file_key"), "/", partDepth).as("rel"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val dirs = rels.map(r => s"${dataDir(name)}/$r")
+      val keyC = "__graft_dv_key"
+      val posC = "__graft_dv_pos"
+      // one projection over the scan for both metadata derivations, then
+      // scope + DV anti-join on those materialized columns (the same
+      // shape as materializeDeletesLocked)
+      val keyed = readInternal(name, meta).withColumns(Map(
+        keyC -> GraftLake.dvKeyColumn(partDepth),
+        posC -> col("_metadata.row_index")))
+      val scoped = keyed.filter(
+        substring_index(col(keyC), "/", partDepth).isin(rels: _*))
+      val masked =
+        if (dvs0.isEmpty) scoped
+        else {
+          val dv = dvFrame(name, dvs0)
+          scoped.join(broadcast(dv),
+            scoped(keyC) === dv("file_key") && scoped(posC) === dv("pos"),
+            "left_anti")
+        }
+      val survivors = masked.filter(keepRow).drop(keyC, posC)
+      replaceScoped(name, survivors, dirs)
+    }
   }
 
   private def dvMaxEntries: Long = spark.conf
@@ -447,13 +541,77 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
+  /** V1 scan of an EXPLICIT manifest file set that keeps manifest-bounds
+    * file skipping at PLANNING time: the relation's
+    * [[org.apache.spark.sql.graft.GraftPruningFileIndex]] lowers whatever
+    * data filters the optimizer pushes into the scan against `stats` and
+    * drops provably-disjoint files. The v1 stack (not DSv2) because the
+    * hidden `_metadata` columns the deletion-vector anti-join keys on
+    * only resolve there — this is what lets a selective predicate over a
+    * DV-carrying table still plan a task set proportional to the matching
+    * key range (What DuckLake gets from merging positional-delete files
+    * at scan without disabling pruning). */
+  private def manifestScan(paths: Seq[String],
+      stats: Map[String, Map[String, GraftLake.Bounds]],
+      fullSchema: StructType, partDepth: Int,
+      basePath: Option[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata,
+      HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.graft.{GraftPruningFileIndex, PlanBridge}
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+    val keepFor =
+      (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        if (filters.isEmpty) None
+        else {
+          val pred = filters.map(PlanBridge.catalystPredicate)
+            .reduce(PlanBridge.PAnd(_, _))
+          val keep = GraftLake.filePruner(pred)
+          Some((f: FileStatusWithMetadata) => keep(stats.getOrElse(
+            GraftLake.keyOfPath(f.getPath.toString, partDepth), Map.empty)))
+        }
+    val index = new GraftPruningFileIndex(spark, paths.map(new Path(_)),
+      basePath.map("basePath" -> _).toMap, Some(fullSchema), keepFor)
+    val partSchema = index.partitionSpec().partitionColumns
+    val dataSchema = StructType(
+      fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    PlanBridge.ofRows(spark, LogicalRelation(rel))
+  }
+
   /** Full on-disk view incl. generated partition columns, with deletion
     * vectors applied — the DSv2 read-rule's replacement plan (SQL SELECTs
-    * over a DV-carrying table route through this). */
+    * over a DV-carrying table route through this). Planned against the
+    * LATEST manifest's file set via [[manifestScan]], so file skipping
+    * SURVIVES live deletion vectors: pushed predicates still prune, and
+    * the DV anti-join applies per surviving file ((file, position) keys
+    * of pruned files never match anything). */
   def readLiveFull(name: String): DataFrame = {
     val meta = readMeta(name)
-    applyDvs(name, readInternal(name, meta), liveDvs(name),
-      meta.partitionExprs.size)
+    val key = s"$warehouse/$name"
+    val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+    last match {
+      case None =>
+        applyDvs(name, readInternal(name, meta), liveDvs(name),
+          meta.partitionExprs.size)
+      case Some(v) =>
+        val cached = liveSetCache.get(key)
+        val files =
+          if (cached != null && cached._1 == v) cached._2
+          else resolveManifest(name, v)._2
+        val paths = files.map { case (rel, fn) =>
+          if (rel.isEmpty) s"${dataDir(name)}/$fn"
+          else s"${dataDir(name)}/$rel/$fn"
+        }
+        val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
+        val scan = manifestScan(paths, statsFor(name, v), full,
+          meta.partitionExprs.size, Some(dataDir(name)))
+        applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
+    }
   }
 
   /** Data-skipping read: like `read(...).filter(predicate)` (identical
@@ -1350,11 +1508,15 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val scan = spark.read.schema(schema).parquet(paths: _*)
+    val partDepth = readMeta(name).partitionExprs.size
+    // pruning-capable scan against THAT snapshot's per-file bounds
+    // (resolveStats directly, not statsFor — the single-entry cache must
+    // keep serving the latest version on the hot path)
+    val scan = manifestScan(paths, resolveStats(name, version), schema,
+      partDepth, basePath = None)
     // apply the DELETION VECTORS OF THAT SNAPSHOT: the key derivation is
     // segment-based, so it matches retired files under _history/ too
-    applyDvs(name, scan, resolveDvs(name, version),
-      readMeta(name).partitionExprs.size)
+    applyDvs(name, scan, resolveDvs(name, version), partDepth)
       .select(schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
@@ -1635,6 +1797,8 @@ object GraftLake {
     * version — consulted on EVERY read, so it must be an O(1) lookup on
     * the hot path (one manifest-chain read on a cold start). */
   private val dvSetCache = new ConcurrentHashMap[String, (Long, Vector[String])]()
+  private val dvCountCache =
+    new ConcurrentHashMap[String, (Vector[String], Long)]()
 
   /** On-disk schema of a deletion-vector file: the (manifest file key,
     * file-local row position) pairs deleted from the referenced data
@@ -1658,6 +1822,17 @@ object GraftLake {
   /** Manifest key of a (rel, name) file identity. */
   private[catalog] def fileKey(ref: (String, String)): String =
     if (ref._1.isEmpty) ref._2 else s"${ref._1}/${ref._2}"
+
+  /** Manifest file key of an absolute path: its last `partDepth + 1`
+    * '/'-segments (partition dirs + file name) — the same segment-based
+    * derivation as [[dvKeyColumn]], exact for live (`data/<rel>/f`) and
+    * retired (`_history/<rel>/f`) locations alike. */
+  private[catalog] def keyOfPath(path: String, partDepth: Int): String = {
+    var idx = path.length
+    var n = partDepth + 1
+    while (n > 0 && idx > 0) { idx = path.lastIndexOf('/', idx - 1); n -= 1 }
+    if (idx < 0) path else path.substring(idx + 1)
+  }
 
   /** Compile a lowered predicate ([[org.apache.spark.sql.graft.PlanBridge
     * .simplePredicate]]) into a per-file keep/skip decision over the

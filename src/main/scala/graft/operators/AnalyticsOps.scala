@@ -367,7 +367,8 @@ object AnalyticsOps {
       val replica = lake.read(table)
       val partCols = lake.readMeta(table).partitionExprs.map(_.outputName)
       if (partCols.isEmpty)
-        lake.replaceScoped(table, replica.join(dels, pks, "left_anti"), Nil)
+        lake.replaceScoped(table, replica.join(dels, pks, "left_anti"), Nil,
+          clearDvs = true) // full file-set replace: every DV entry is inert
       else {
         // scope the rewrite to partitions that actually hold deleted keys
         // (same shape as the SQL DELETE rewrite): survivors of those
@@ -1076,10 +1077,47 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q130: the commit-log history surface, oracle-pinned. A
+    * deterministic append → append → merge-on-read DELETE → compact
+    * sequence produces a fully predictable `history()`: version numbers,
+    * operation labels, derived add/remove deltas and live-file counts
+    * (inputs are `repartition(1)` so every write lands exactly one file;
+    * the compaction reads two tiny files that Spark's file-packing
+    * merges into one task → one output file). The wall-clock `ts` column
+    * is excluded — manifests are deliberately wall-clock-free, the
+    * commit time is filesystem mtime (observability only). Reference
+    * analog: DuckLake's snapshot/commit metadata tables. */
+  val q130History = QueryDef(
+    "q130_history",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+      |   CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      |  (1, 'append',  1, 0, 2, 3),
+      |  (2, 'delete',  0, 0, 2, 3),
+      |  (3, 'compact', 1, 2, 1, 3)
+      |) AS t(version, operation, n_added, n_removed, n_live_files, n_columns)
+      |ORDER BY version""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"hist:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-histq").toString)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      l.write("h", li.filter(col("l_orderkey") % 2 === 0).repartition(1))
+      l.append("h", li.filter(col("l_orderkey") % 2 === 1).repartition(1))
+      l.deleteWhere("h", col("l_quantity") >= 30)
+      l.compact("h")
+      l
+    })
+    lake.history("h")
+      .select(col("version"), col("operation"), col("n_added"),
+        col("n_removed"), col("n_live_files"), col("n_columns"))
+      .orderBy(col("version"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
-    q129MorDelete)
+    q129MorDelete, q130History)
 }

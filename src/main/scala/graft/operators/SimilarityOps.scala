@@ -88,6 +88,45 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Cross-corpus ANN JOIN: every vector of `right` → its k nearest (by
+    * true cosine, among LSH candidates) in `left`, with BOTH corpora
+    * large. Unlike [[knnLsh]] (which broadcasts its small probe side),
+    * the two banded signature frames meet in a plain SHUFFLE join keyed
+    * on (table, bucket) — NEITHER corpus is broadcast, and there is no
+    * cartesian anywhere: candidate volume is Σ over buckets of
+    * |A∩bucket|×|B∩bucket|, which more bits per table keeps
+    * sub-quadratic at scale (the same knob as the probe path). The exact
+    * rerank joins vectors back by id over the candidate pair set — hash
+    * joins shuffled on id, candidate-sized, never |A|×|B|. This is the
+    * corpus×corpus shape of an LLM-pipeline dedup/link step: "for every
+    * doc in the new crawl, its nearest neighbors in the reference
+    * corpus". The two corpora must carry disjoint id spaces (no
+    * self-pair filter is applied). */
+  def knnJoinLsh(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, k: Int, tables: Int = 8, bitsPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(bitsPerTable, dim, seed + t))
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(array(allPlanes.map(p => signature(col(vecCol), p)): _*))
+          .as(Seq("__t", "__s")))
+    val pairs = banded(left, "neighbor_id")
+      .join(banded(right, "query_id"), Seq("__t", "__s"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qv = right.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = left.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = pairs
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("__qv"), col("__cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic sample init for the IVF quantizer: every 20th of the
     * first `n`×20 vectors by id. Cheap but skewed toward the id prefix —
     * use [[fitCentroids]] for the refined quantizer. */
@@ -728,10 +767,14 @@ object SimilarityOps {
     def builtinCos(a: Column, b: Column): Column =
       dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
     val vecs = corpus.select(col(idCol), col(vecCol))
-    // two corpus scans, each joined against a BROADCAST pair list (the
+    // two scans, each joined against a BROADCAST pair list (the
     // ann result and then its query-vector-carrying refinement — both
-    // queries×k rows); the corpus itself is never shuffled or broadcast
-    val withQv = vecs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // queries×k rows); the corpus itself is never shuffled or broadcast.
+    // Query vectors come from the QUERIES frame — for the probe-path
+    // contracts that is a corpus subset, for the cross-corpus join
+    // (q131) the query ids do not exist in the corpus at all
+    val withQv = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .join(broadcast(ann), Seq("query_id"))
     val withVecs = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
       .join(broadcast(withQv), Seq("neighbor_id"))
@@ -929,6 +972,35 @@ object SimilarityOps {
     val ann = knnLsh(emb, queries, "vec_id", "embedding", 10,
       tables = 16, bitsPerTable = 4)
     annContract(emb, queries, ann, "vec_id", "embedding", 10, recallFloor = 0.4)
+  }
+
+  /** q131: CROSS-CORPUS ANN join through the q32/q114 hash-gated
+    * verification contract. The corpus splits into two large halves by
+    * id parity (A = even = reference corpus, B = odd = incoming corpus)
+    * and [[knnJoinLsh]] computes k nearest in A for EVERY vector of B —
+    * the full corpus×corpus workload, with neither side broadcast
+    * (PlanQualitySpec pins the plan shape). The contract then verifies a
+    * bounded query slice (odd ids < 20) the DuckDB oracle can state
+    * constants for: k results each, every reported cosine independently
+    * recomputed from the raw vectors, recall ≥ 0.4·k vs exact brute
+    * force over A. 16 tables × 4 bits measures slice recall 0.8–1.0
+    * across SFs with the seeded planes, so the floor has deterministic
+    * margin. */
+  val q131AnnJoin = QueryDef(
+    "q131_ann_join",
+    """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+      |  CAST(5 AS BIGINT) AS n_exact_cos, CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id < 20 AND vec_id % 2 = 1
+      |ORDER BY query_id""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val corpusA = emb.filter(col("vec_id") % 2 === 0)
+    val corpusB = emb.filter(col("vec_id") % 2 === 1)
+    val ann = knnJoinLsh(corpusA, corpusB, "vec_id", "embedding", 5,
+      tables = 16, bitsPerTable = 4)
+    val slice = corpusB.filter(col("vec_id") < 20)
+    annContract(corpusA, slice, ann.filter(col("query_id") < 20),
+      "vec_id", "embedding", 5, recallFloor = 0.4)
   }
 
   /** q77: SemDeDup verification CONTRACT, hash-gated per label (the
@@ -1254,5 +1326,6 @@ object SimilarityOps {
 
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
     q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
-    q114AnnLsh, q119LabelSeparability, q122EmbedQuantize, q125EmbedOutliers)
+    q114AnnLsh, q119LabelSeparability, q122EmbedQuantize, q125EmbedOutliers,
+    q131AnnJoin)
 }

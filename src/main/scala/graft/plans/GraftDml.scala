@@ -21,16 +21,24 @@ final case class GraftDeleteCommand(
     warehouse: String,
     table: String,
     target: LogicalPlan,
-    cond: Expression) extends LeafRunnableCommand {
+    shielded: GraftDml.Shielded) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(target)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val cond = shielded.expr
     val lake = new GraftLake(spark, warehouse)
     // merge-on-read mode: write a deletion vector instead of rewriting
     // files — `SET spark.graft.delete.mode=merge-on-read` (Delta's
-    // deletion-vector switch, same trade: no COW, reads anti-join)
-    if (spark.conf.getOption("spark.graft.delete.mode")
+    // deletion-vector switch, same trade: no COW, reads anti-join).
+    // Subquery conditions (IN/EXISTS/scalar) fall back to copy-on-write:
+    // byNameColumn only retargets top-level attribute references, so a
+    // resolved subquery plan would carry stale attribute ids into
+    // deleteWhere's re-resolution — the COW path below re-analyzes the
+    // whole target plan and handles them correctly.
+    val hasSubquery = cond.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+    if (!hasSubquery && spark.conf.getOption("spark.graft.delete.mode")
         .contains("merge-on-read")) {
       lake.deleteWhere(table, PlanBridge.byNameColumn(cond))
       return Seq.empty
@@ -44,8 +52,11 @@ final case class GraftDeleteCommand(
     if (partCols.isEmpty) {
       // no-op guard: a condition matching nothing must not trigger a
       // full-table rewrite (the partitioned branch early-exits via scope)
+      // clearDvs: the whole file set is replaced (tdf reads THROUGH any
+      // live DVs), so every DV entry is inert — dropping them restores
+      // the plain pruned DSv2 scan instead of pinning the DV plan forever
       if (!tdf.filter(hit).isEmpty)
-        lake.replaceScoped(table, tdf.filter(!hit), Nil)
+        lake.replaceScoped(table, tdf.filter(!hit), Nil, clearDvs = true)
     } else {
       GraftDml.scope(tdf, tdf.filter(hit), partCols) match {
         case None => () // nothing matches — no partition touched
@@ -67,12 +78,14 @@ final case class GraftUpdateCommand(
     warehouse: String,
     table: String,
     target: LogicalPlan,
-    assignments: Seq[Assignment],
-    cond: Option[Expression]) extends LeafRunnableCommand {
+    shieldedAssigns: GraftDml.ShieldedAssignments,
+    shieldedCond: Option[GraftDml.Shielded]) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(target)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val assignments = shieldedAssigns.assigns
+    val cond = shieldedCond.map(_.expr)
     val lake = new GraftLake(spark, warehouse)
     val meta = lake.readMeta(table)
     val tdf = PlanBridge.ofRows(spark, target)
@@ -99,8 +112,9 @@ final case class GraftUpdateCommand(
       }: _*)
     val partCols = meta.partitionExprs.map(_.outputName)
     if (partCols.isEmpty) {
+      // clearDvs: full file-set replace, same reasoning as DELETE above
       if (!tdf.filter(hit).isEmpty)
-        lake.replaceScoped(table, updatedCols(tdf), Nil)
+        lake.replaceScoped(table, updatedCols(tdf), Nil, clearDvs = true)
     } else {
       val matching = tdf.filter(hit)
       val srcParts = matching
@@ -120,6 +134,18 @@ final case class GraftUpdateCommand(
 }
 
 private[plans] object GraftDml {
+
+  /** Opaque holder that keeps an already-resolved DML condition or
+    * assignment list out of `TreeNode.expressions`: checkAnalysis
+    * validates subquery placement by NODE CLASS (IN/EXISTS are legal in
+    * `DeleteFromTable`/`UpdateTable`, unknown in the engine's own
+    * commands), so exposing the expressions on the command would reject
+    * `DELETE … WHERE id IN (SELECT …)` that Spark itself accepts. The
+    * expressions were resolved as part of the original statement, and the
+    * commands re-analyze them inside plain Filter/Project plans at run
+    * time — where subqueries are legal and get planned normally. */
+  final case class Shielded(expr: Expression)
+  final case class ShieldedAssignments(assigns: Seq[Assignment])
 
   /** Partition directories currently backing `df` (via the pruned scan's
     * `input_file_name`, never `DataFrame.inputFiles` — that ignores

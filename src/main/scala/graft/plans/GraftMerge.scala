@@ -52,14 +52,16 @@ object RewriteGraftMerge extends Rule[LogicalPlan] {
     case d: DeleteFromTable if d.resolved =>
       graftTarget(d.table) match {
         case Some((cat, name)) =>
-          GraftDeleteCommand(cat.warehouseDir, name, d.table, d.condition)
+          GraftDeleteCommand(cat.warehouseDir, name, d.table,
+            GraftDml.Shielded(d.condition))
         case None => d
       }
     case u: UpdateTable if u.resolved =>
       graftTarget(u.table) match {
         case Some((cat, name)) =>
-          GraftUpdateCommand(cat.warehouseDir, name, u.table, u.assignments,
-            u.condition)
+          GraftUpdateCommand(cat.warehouseDir, name, u.table,
+            GraftDml.ShieldedAssignments(u.assignments),
+            u.condition.map(GraftDml.Shielded))
         case None => u
       }
   }

@@ -307,6 +307,12 @@ object PlanBridge {
       case In(a, vs) if vs.nonEmpty && vs.size <= 64 &&
           vs.forall(_.isInstanceOf[CLit]) =>
         vs.map(v => leaf("=", a, v.asInstanceOf[CLit])).reduce(POr)
+      // `coalesce(p, false)` is TRUE iff p is TRUE (SQL DML null-keeps
+      // semantics wrap conditions this way) — files where p can never be
+      // true can't produce a row, so lowering to p is prune-safe
+      case org.apache.spark.sql.catalyst.expressions.Coalesce(
+          scala.collection.Seq(p, CLit(false, BooleanType))) =>
+        catalystPredicate(p)
       case _ => PUnknown
     }
   }

@@ -198,6 +198,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q131: cross-corpus ANN join broadcasts NEITHER corpus; no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    // pin the SHAPE independent of size estimates: with auto-broadcast
+    // off, the cross-corpus join must plan entirely shuffle-side (it
+    // never hints broadcast — both sides are corpus-scale), while the
+    // probe-path knnLsh DOES keep its deliberate broadcast hint
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pj = operators.SimilarityOps
+        .knnJoinLsh(a, b, "vec_id", "embedding", 5, tables = 16, bitsPerTable = 4)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!pj.contains("CartesianProduct") &&
+        !pj.contains("BroadcastNestedLoopJoin"), "no cartesian anywhere")
+      assert(!pj.contains("BroadcastExchange"),
+        s"neither corpus may broadcast in the corpus×corpus join:\n${pj.take(1500)}")
+      val pp = operators.SimilarityOps
+        .knnLsh(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(pp.contains("BroadcastExchange"),
+        "contrast: the probe path deliberately broadcasts its small query side")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q111: temperature sampling broadcasts the per-source counts") {
     val p = plan("q111_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),

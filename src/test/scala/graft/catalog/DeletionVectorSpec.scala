@@ -174,6 +174,164 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
   }
 
+  // files actually read by the (v1) DV-applied scan, from execution
+  // metrics — the plan may sit under AQE, so unwrap the final plan
+  private def v1ScannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    finalPlan(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+  }
+
+  test("manifest file skipping SURVIVES live deletion vectors") {
+    val lake = newLake()
+    val wh = lake.warehouseDir
+    spark.conf.set("spark.sql.catalog.dvp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvp.warehouse", wh)
+    try {
+      // three appends with disjoint id ranges — three files with disjoint
+      // manifest bounds
+      def batch(base: Int) = (1 to 80).map(i => (base + i, s"v${base + i}"))
+        .toDF("id", "v")
+      lake.append("t", batch(0))
+      lake.append("t", batch(1000))
+      lake.append("t", batch(2000))
+      lake.deleteWhere("t", col("id") === 1005)
+      assert(lake.liveDvs("t").nonEmpty)
+      val total = lake.dataFiles("t").length
+      assert(total >= 3)
+      // selective predicate over the DV-carrying table: strictly fewer
+      // files planned than the table holds, results still DV-masked
+      val mid = spark.sql(
+        s"SELECT id FROM dvp.t WHERE id BETWEEN 1001 AND 1080 ORDER BY id")
+      assert(v1ScannedFiles(mid) < total,
+        "a live DV must not disable manifest file skipping")
+      assert(mid.collect().map(_.getInt(0)).toSeq ===
+        ((1001 to 1080).toSeq.filterNot(_ == 1005)))
+      // provably-disjoint range plans ZERO files (v1 can express an
+      // empty scan, unlike the v2 pruned path)
+      assert(v1ScannedFiles(
+        spark.sql(s"SELECT id FROM dvp.t WHERE id > 900000")) === 0L)
+      // unselective scan still sees every surviving row
+      assert(spark.sql(s"SELECT count(*) FROM dvp.t").head().getLong(0) === 239L)
+      // VERSION AS OF: the snapshot read prunes against ITS bounds too
+      val v1 = lake.versions("t").last
+      val tt = spark.sql(s"SELECT id FROM dvp.t VERSION AS OF $v1 " +
+        "WHERE id BETWEEN 2001 AND 2080")
+      assert(v1ScannedFiles(tt) < total)
+      assert(tt.collect().length === 80)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dvp")
+      spark.conf.unset("spark.sql.catalog.dvp.warehouse")
+    }
+  }
+
+  test("SQL writes and subqueries compose with live DVs") {
+    val lake = newLake()
+    val wh = lake.warehouseDir
+    spark.conf.set("spark.sql.catalog.dvw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvw.warehouse", wh)
+    try {
+      lake.write("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+      lake.write("u", Seq((2, "x"), (3, "y"), (4, "z")).toDF("id", "w"))
+      lake.deleteWhere("t", col("id") === 2)
+      // INSERT INTO a DV-carrying table: append must work and must not
+      // disturb the masks
+      spark.sql("INSERT INTO dvw.t (id, v) VALUES (9, 'i')")
+      assert(spark.sql("SELECT id FROM dvw.t ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq === Seq(1, 3, 9))
+      // the DV table INSIDE a subquery expression: the masked id (2)
+      // must not leak through IN (...)
+      assert(spark.sql(
+        "SELECT id FROM dvw.u WHERE id IN (SELECT id FROM dvw.t) ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq === Seq(3))
+      // merge-on-read DELETE whose condition carries a subquery: falls
+      // back to copy-on-write (byName retargeting can't carry a resolved
+      // subquery), same results
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      try {
+        spark.sql("DELETE FROM dvw.u WHERE id IN (SELECT id FROM dvw.t)")
+        assert(spark.sql("SELECT id FROM dvw.u ORDER BY id").collect()
+          .map(_.getInt(0)).toSeq === Seq(2, 4))
+      } finally spark.conf.unset("spark.graft.delete.mode")
+      // copy-on-write SQL DELETE is a full file-set replace on an
+      // unpartitioned table: it must CLEAR the now-inert DV entries,
+      // restoring the plain pruned DSv2 scan
+      spark.sql("DELETE FROM dvw.t WHERE id = 9")
+      assert(lake.liveDvs("t").isEmpty,
+        "full-table COW rewrite must clear inert DV entries")
+      assert(spark.sql("SELECT id FROM dvw.t ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq === Seq(1, 3))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dvw")
+      spark.conf.unset("spark.sql.catalog.dvw.warehouse")
+    }
+  }
+
+  test("oversized DELETE folds copy-on-write, scoped to hit partitions") {
+    val lake = newLake()
+    lake.write("p", (1 to 100).map(i => (i, if (i <= 50) "x" else "y", i))
+      .toDF("id", "seg", "n"), partitions = Seq("seg"))
+    val yBefore = lake.dataFiles("p").filter(_.contains("seg=y")).sorted
+    spark.conf.set("spark.graft.dv.maxEntries", "5")
+    try {
+      val n = lake.deleteWhere("p", col("seg") === "x" && col("n") <= 20)
+      assert(n === 20)
+      assert(lake.liveDvs("p").isEmpty,
+        "an above-budget DV set must never be committed")
+      assert(lake.read("p").count() === 80)
+      assert(lake.dataFiles("p").filter(_.contains("seg=y")).sorted === yBefore,
+        "partitions without hits must be untouched by the COW fallback")
+      // under-budget delete still takes the DV path afterwards
+      spark.conf.set("spark.graft.dv.maxEntries", "1000")
+      val files = lake.dataFiles("p").sorted
+      assert(lake.deleteWhere("p", col("n") === 30) === 1)
+      assert(lake.dataFiles("p").sorted === files)
+      assert(lake.liveDvs("p").nonEmpty)
+      assert(lake.read("p").count() === 79)
+    } finally spark.conf.unset("spark.graft.dv.maxEntries")
+  }
+
+  test("catalog without GraftExtensions refuses DV-carrying tables") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.write("clean", Seq((7, "ok")).toDF("id", "v"))
+    lake.deleteWhere("t", col("id") === 1)
+    // a bare session on the same context, WITHOUT the extensions: its
+    // analyzer lacks the DV rule, so a plain DSv2 scan would silently
+    // resurrect deleted rows — loadTable must refuse instead
+    val SS = org.apache.spark.sql.SparkSession
+    SS.clearActiveSession(); SS.clearDefaultSession()
+    val bare = try SS.builder().master("local[2]").getOrCreate()
+    finally { SS.setDefaultSession(spark); SS.setActiveSession(spark) }
+    try {
+      assert(bare ne spark)
+      bare.conf.set("spark.sql.catalog.dvb", classOf[GraftCatalog].getName)
+      bare.conf.set("spark.sql.catalog.dvb.warehouse", lake.warehouseDir)
+      // non-DV table reads fine
+      assert(bare.sql("SELECT count(*) FROM dvb.clean").head().getLong(0) === 1L)
+      val e = intercept[Exception] {
+        bare.sql("SELECT * FROM dvb.t").collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("deletion vectors")),
+        s"expected the DV fail-fast, got: $e")
+      // the session WITH extensions still reads it correctly
+      assert(rows(lake.read("t"), "id") === Set(Seq(2)))
+    } finally {
+      SS.setDefaultSession(spark); SS.setActiveSession(spark)
+    }
+  }
+
   test("repairTable preserves deletion vectors") {
     val lake = newLake()
     lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
