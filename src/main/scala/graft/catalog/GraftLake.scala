@@ -405,9 +405,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // to one file for the typical tiny hit set, while an unexpectedly
       // huge hit set keeps write parallelism instead of funneling through
       // a single task — and the scan keeps its full parallelism either
-      // way (coalesce(1) would collapse it into one task)
-      hits.hint("rebalance").write.mode(SaveMode.Overwrite)
-        .parquet(stage.toString)
+      // way (coalesce(1) would collapse it into one task). AQE-off
+      // sessions skip the (then-unresolvable) hint and keep the scan's
+      // own partitioning: a few more tiny sidecar files, same contents.
+      val staged =
+        if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+          hits.hint("rebalance")
+        else hits
+      staged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
       // discard any stats the session-wide commit protocol collected for
       // the sidecar (DV files carry no prunable table columns)
       org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
@@ -1036,6 +1041,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       }
       c -> numeric
     }.toMap
+    // the REBALANCE hint only resolves under adaptive execution; when the
+    // session runs AQE-off (e.g. inside the ingest trigger scope, which
+    // trades AQE replanning latency away for bounded micro-batches) the
+    // hint would be silently DROPPED and compaction would re-emit one
+    // file per input task — so compute an explicit output partition count
+    // from the scoped row count instead (one extra tiny agg against a
+    // scan the rewrite pays for anyway)
+    val adaptiveOn = spark.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    def rebalanced(df: DataFrame): DataFrame =
+      if (adaptiveOn) {
+        if (partCols.nonEmpty) df.hint("rebalance", partCols.map(col(_)): _*)
+        else df.hint("rebalance")
+      } else {
+        val n = math.max(1L, math.min(Int.MaxValue.toLong,
+          (df.count() + targetRecordsPerFile - 1) / targetRecordsPerFile)).toInt
+        if (partCols.nonEmpty) df.repartition(n, partCols.map(c => col(quoted(c))): _*)
+        else df.repartition(n)
+      }
     val arranged =
       if (clusterBy.nonEmpty) {
         // Z-ORDER clustering: range-partition + sort by the interleaved
@@ -1050,8 +1074,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           // empty scope or all-null cluster column: no z-domain to spread
           // over — fall back to the plain rebalance arrangement instead of
           // NPE-ing mid-compaction
-          if (partCols.nonEmpty) projected.hint("rebalance", partCols.map(col(_)): _*)
-          else projected.hint("rebalance")
+          rebalanced(projected)
         } else {
           val bounds = clusterBy.indices.map(i =>
             (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1)))
@@ -1064,9 +1087,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         // AQE rebalance: merges small shuffle partitions / splits skewed
         // ones to the advisory size, so output files coalesce without
         // hand-picking a partition count (partitioned tables rebalance per
-        // partition key)
-        if (partCols.nonEmpty) projected.hint("rebalance", partCols.map(col(_)): _*)
-        else projected.hint("rebalance")
+        // partition key); AQE-off sessions get the counted repartition
+        rebalanced(projected)
       }
     val writer = arranged
       .write.mode(SaveMode.Overwrite)

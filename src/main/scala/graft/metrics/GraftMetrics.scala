@@ -52,6 +52,11 @@ object GraftMetrics {
     * identity applied to dedup). Separately timed so flush-latency
     * regressions attribute to the probe, not the landing write. */
   val IngestDedup = "ingestDedup"
+  /** Sub-phase of [[IngestDedup]]: materializing the dup-id set (probe
+    * pipeline evaluation) before admission mutates the index. */
+  val DedupProbe = "dedupProbe"
+  /** Sub-phase of [[IngestDedup]]: the two concurrent index appends. */
+  val DedupAdmit = "dedupAdmit"
 
   /** Engine extension: ingestion-time quality gate (length / composite
     * score / language allowlist, all map-side) — separately timed so

@@ -191,16 +191,20 @@ object DedupOps {
         Seq("band", "band_hash"))
       .select(col("__bid"), col(idCol).as("__partner"))
       .distinct()
-    // batch-internal candidates, keep-min-id (lower id wins admission)
+    // batch-internal candidates, keep-min-id (lower id wins admission).
+    // One broadcast side: both legs are the trigger-bounded batch (the
+    // same bound that lets bKeys broadcast above), so the self-join needs
+    // no shuffle at all
     val l = bKeys.select(col(idCol).as("__bid"), col("band"), col("band_hash"))
     val r = bKeys.select(col(idCol).as("__partner"), col("band"), col("band_hash"))
-    val vsBatch = l.join(r, Seq("band", "band_hash"))
+    val vsBatch = l.join(broadcast(r), Seq("band", "band_hash"))
       .filter(col("__partner") < col("__bid"))
       .select(col("__bid"), col("__partner")).distinct()
     // exact-Jaccard verify on candidate texts only: batch shingles are
     // batch-bounded; indexed shingles are computed for just the candidate
-    // partner ids (broadcast semi-join keeps the scan pruned)
-    val partnerIds = vsCorpus.select(col("__partner")).distinct()
+    // partner ids (broadcast semi-join keeps the scan pruned — dup keys
+    // in the probe list are harmless to a semi-join, so no distinct pass)
+    val partnerIds = vsCorpus.select(col("__partner"))
     val indexedDocs =
       if (lake.tableExists(s"${prefix}_docs")) lake.read(s"${prefix}_docs")
       else batch.select(col(idCol), col(textCol)).limit(0)
@@ -209,17 +213,23 @@ object DedupOps {
         indexedDocs(idCol) === col("__partner"), "left_semi"),
       idCol, textCol, shingleK)
       .select(col(idCol).as("__partner"), col("__shingles").as("__sc"))
+    // per-leg dedup is subsumed by the union's distinct below — the two
+    // legs are candidate-bounded, so one shuffle dedups both (two inner
+    // distincts would add two more tiny-stage round-trips per trigger).
+    // The verify joins BROADCAST the trigger-bounded batch shingle frame
+    // and the candidate-bounded indexed shingle frame: the candidate pair
+    // list is the only shuffled data in the probe
     val dupVsCorpus = vsCorpus
-      .join(bSh, Seq("__bid"))
-      .join(cSh, Seq("__partner"))
+      .join(broadcast(bSh), Seq("__bid"))
+      .join(broadcast(cSh), Seq("__partner"))
       .filter(jaccard(col("__sb"), col("__sc")) >= threshold)
-      .select(col("__bid")).distinct()
+      .select(col("__bid"))
     val dupVsBatch = vsBatch
-      .join(bSh, Seq("__bid"))
-      .join(bSh.select(col("__bid").as("__partner"), col("__sb").as("__sp")),
-        Seq("__partner"))
+      .join(broadcast(bSh), Seq("__bid"))
+      .join(broadcast(bSh.select(col("__bid").as("__partner"),
+        col("__sb").as("__sp"))), Seq("__partner"))
       .filter(jaccard(col("__sb"), col("__sp")) >= threshold)
-      .select(col("__bid")).distinct()
+      .select(col("__bid"))
     val dupsRaw = dupVsCorpus.unionByName(dupVsBatch).distinct()
       .withColumn("__dup", lit(1L))
     // Admission mutates the very index tables the probe lineage reads, so
@@ -227,11 +237,15 @@ object DedupOps {
     // FIRST: re-evaluating the returned frame after the appends must not
     // find the batch in its own index and flag everything. Probe-only
     // calls are pure — the lazy plan is the caller's to evaluate.
-    val dups = if (admit) dupsRaw.localCheckpoint(true) else dupsRaw
+    val dups = if (admit) graft.metrics.GraftMetrics.time(
+      graft.metrics.GraftMetrics.DedupProbe) {
+        dupsRaw.localCheckpoint(true)
+      } else dupsRaw
     val flagged = batch.select(col(idCol))
       .join(dups.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
-    if (admit) {
+    if (admit) graft.metrics.GraftMetrics.time(
+        graft.metrics.GraftMetrics.DedupAdmit) {
       val admittedIds = flagged.filter(col("is_dup") === 0L).select(col(idCol))
       // the two index tables are independent (separate write locks,
       // separate manifests) — submit their append jobs concurrently so a
