@@ -133,9 +133,17 @@ object Bench {
       jstr(q) + ":" + m.toSeq.sorted.map { case (k, v) => jstr(k) + ":" + num(v) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    // >0 means some commit paid the footer-read fallback because >64
+    // writes were in flight — correct but worth surfacing (VERDICT r8 #7)
+    val evictions =
+      org.apache.spark.sql.graft.StatsCommitProtocol.evictionCount
+    if (evictions > 0)
+      System.err.println(s"WARN: $evictions stats-mailbox evictions " +
+        "during bench — commits fell back to footer reads")
     val full = fullLine.dropRight(1) +
       s""","commit_100file_writejob_ms":${num(commitWjMs)}""" +
       s""","commit_100file_footer_ms":${num(commitFooterMs)}""" +
+      s""","stats_mailbox_evictions":$evictions""" +
       s""","op_metrics":$ops,"query_op_ms":$queryOps,"perf_iterations":$perfIters}"""
     Files.write(Paths.get("bench.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
 

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence bench (SCALE.md, VERDICT r8 ask #6): run the
+  * heaviest query families at two scale factors in one JVM and emit the
+  * per-query wall-time ratio, converting the "survives a scale-up"
+  * design arguments into one measured decade.
+  *
+  * `runMain graft.ScaleBench /root/testdata/sf0.1 /tmp/graft-sf1`
+  *
+  * Methodology (same as the driver bench): one measured single-shot run
+  * per (query, scale) after a shared warm-up, forced through a full
+  * `collect()` (every registered query returns a bounded result — the
+  * contract/audit shape, never the corpus). The small scale runs FIRST,
+  * so JVM warm-up, if anything, favours the small side and the reported
+  * ratios are upper bounds. Expectation at 10× data: scan-bound queries
+  * ≲ ~12×, pruned/indexed point reads near-flat.
+  */
+object ScaleBench {
+
+  /** Heaviest families per VERDICT r8: merge, dedup, skipping, ANN,
+    * plus two scan-bound relational anchors. */
+  val queries: Seq[String] = Seq(
+    "q01_pricing_summary", // scan-bound agg anchor
+    "q05_local_supplier_volume", // multi-join anchor
+    "q22_dedup_exact",
+    "q27_minhash_neardup",
+    "q46_dedup_clusters",
+    "q59_merge_sql",
+    "q65_merge_star_sql",
+    "q102_file_skipping", // pruned point read: expected near-flat
+    "q104_temporal_skipping", // pruned range read: expected near-flat
+    "q132_bloom_skipping", // bloom point read: expected near-flat
+    "q114_ann_lsh",
+    "q131_ann_join")
+
+  private def num(v: Double): String =
+    String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val bigDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warm-up: JVM + codegen + parquet footers on both scales
+    Tables.lineitem(spark, smallDir).count()
+    Tables.lineitem(spark, bigDir).count()
+    SparkEntry.queries("q06_forecast_revenue")(spark, smallDir).collect()
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = queries.map { q =>
+      val small = time(q, smallDir)
+      val big = time(q, bigDir)
+      println(s"$q: small=${num(small)}s big=${num(big)}s " +
+        s"ratio=${num(big / small)}x")
+      (q, small, big)
+    }
+    val json = rows.map { case (q, s, b) =>
+      s""""$q":{"small_s":${num(s)},"big_s":${num(b)},"ratio":${num(b / s)}}"""
+    }.mkString("{\"small\":\"" + smallDir + "\",\"big\":\"" + bigDir +
+      "\",\"queries\":{", ",", "}}")
+    Files.write(Paths.get("scale_bench.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

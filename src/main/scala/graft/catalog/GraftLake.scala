@@ -146,6 +146,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     statsMapCache.remove(s"$warehouse/$name")
     dvSetCache.remove(s"$warehouse/$name")
     dvCountCache.remove(s"$warehouse/$name")
+    bloomCache.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
   }
 
   // ---- DDL ----
@@ -375,7 +376,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         }
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         manifestScan(paths, statsFor(name, v), full, partDepth,
-          Some(dataDir(name)))
+          Some(dataDir(name)), bloomPruner(name, _))
     }
     val fileBacked = base.queryExecution.logical.collectFirst {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
@@ -487,6 +488,156 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def dvMaxEntries: Long = spark.conf
     .getOption("spark.graft.dv.maxEntries").map(_.toLong).getOrElse(1000000L)
 
+  // ---- per-file bloom skipping index ----
+
+  private def bloomDir(name: String) = new Path(s"${tableDir(name)}/_bloom")
+
+  /** Build (or rebuild) the per-file BLOOM skipping index for `column`:
+    * one Bloom filter of the column's values per live data file, written
+    * as a parquet sidecar under `_bloom/<column>/`. Equality predicates
+    * on the column then skip files whose filter proves the value absent —
+    * the point-lookup complement of the min/max bounds index, which is
+    * useless for a high-cardinality column scattered across every file
+    * (`WHERE user_id = X` over a time-partitioned 100 TB table matches
+    * every file's [min,max] but only a handful of blooms).
+    *
+    * Build cost is ONE pass over the table: [[graft.functions.BloomAgg]]
+    * builds map-side and merges fixed-size bitsets by OR, so the shuffle
+    * carries bitsets, never values. Probe cost: the sidecar loads once
+    * per build onto the driver (cached by mtime) — size it with
+    * `expectedItemsPerFile`×`fpp` (defaults ≈ 120 KB/file at 1 % fpp;
+    * at a million files budget driver memory accordingly, or index only
+    * hot partitions' tables). Always CONSERVATIVE: files added after the
+    * build have no filter and are kept; a false positive only costs I/O;
+    * retired files' entries are simply never looked up. Reference analog:
+    * DuckLake/parquet bloom filters consulted at scan planning. */
+  def buildBloomIndex(name: String, column: String,
+      expectedItemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit =
+      writeLock(name) {
+    val meta = readMeta(name)
+    val field = meta.schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$name' has no column '$column'"))
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           DateType | TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"bloom index on '$column': unsupported type ${other.sql} " +
+          "(integral, temporal and string columns only)")
+    }
+    val partDepth = meta.partitionExprs.size
+    val blooms = readInternal(name, meta)
+      .select(GraftLake.dvKeyColumn(partDepth).as("file_key"),
+        col(quoted(field.name)).as("__v"))
+      .groupBy(col("file_key"))
+      .agg(graft.functions.BloomAggregate.bloomAgg(
+        col("__v"), expectedItemsPerFile, fpp).as("bloom"))
+    val stage = new Path(s"${tableDir(name)}/.bloomstage-${UUID.randomUUID()}")
+    val dest = new Path(bloomDir(name), field.name)
+    val f = fs(stage)
+    try {
+      blooms.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+      f.mkdirs(bloomDir(name))
+      val old = new Path(s"${tableDir(name)}/.bloomold-${UUID.randomUUID()}")
+      if (f.exists(dest)) renameOrFail(f, dest, old)
+      renameOrFail(f, stage, dest)
+      f.delete(old, true)
+      bloomCache.remove(s"$warehouse/$name#${field.name}")
+    } finally f.delete(stage, true)
+  }
+
+  /** Columns with an on-disk bloom sidecar. */
+  def bloomIndexedColumns(name: String): Seq[String] = {
+    val bd = bloomDir(name)
+    val f = fs(bd)
+    if (!f.exists(bd)) Nil
+    else f.listStatus(bd).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  /** Per-file keep/skip decision from the bloom sidecars for the
+    * predicate's REQUIRED equality conjuncts (`col = literal` reachable
+    * through AND only — a disjunct branch can't require anything). None
+    * when no indexed column is usefully constrained. Domain guards keep
+    * it exact: numeric probes only for integral/temporal columns with an
+    * exactly-representable long literal (the [[graft.functions.BloomAgg]]
+    * `putLong` domain — epoch days/micros for temporals), string probes
+    * only for string columns via UTF-8 bytes. A file without an entry is
+    * kept. */
+  private[catalog] def bloomPruner(name: String,
+      pred: org.apache.spark.sql.graft.PlanBridge.SimplePred)
+      : Option[String => Boolean] = {
+    import org.apache.spark.sql.graft.PlanBridge._
+    val cols = bloomIndexedColumns(name)
+    if (cols.isEmpty) return None
+    val meta = readMeta(name)
+    def requiredEqs(p: SimplePred): Seq[(String, Either[Double, String])] =
+      p match {
+        case PAnd(l, r) => requiredEqs(l) ++ requiredEqs(r)
+        case PCmp("=", c, v) => Seq((c, Left(v)))
+        case PStr("=", c, v) => Seq((c, Right(v)))
+        case _ => Nil
+      }
+    val eqs = requiredEqs(pred).flatMap { case (c, v) =>
+      cols.find(_.equalsIgnoreCase(c)).flatMap { indexed =>
+        val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType)
+        (v, dt) match {
+          case (Left(d), Some(ByteType | ShortType | IntegerType | LongType |
+              DateType | TimestampType | TimestampNTZType))
+              if d.isWhole && math.abs(d) <= 9.007199254740992e15 =>
+            Some((indexed, Left(d.toLong)))
+          case (Right(s), Some(StringType)) =>
+            Some((indexed, Right(s)))
+          case _ => None
+        }
+      }
+    }
+    if (eqs.isEmpty) return None
+    val maps = eqs.map { case (c, v) => (bloomMap(name, c), v) }
+    Some(fileKey => maps.forall { case (m, v) =>
+      m.get(fileKey).forall { bf =>
+        v match {
+          case Left(l) => bf.mightContainLong(l)
+          case Right(s) =>
+            bf.mightContainBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    })
+  }
+
+  /** Driver-cached deserialized bloom sidecar of one column, reloaded
+    * when the sidecar directory's mtime changes (rebuilds rename a fresh
+    * directory in). A sidecar that can't be read — e.g. the instant a
+    * concurrent rebuild has the old directory renamed away — degrades to
+    * the empty map, which KEEPS every file (conservative: the index only
+    * ever skips, never gates correctness). */
+  private def bloomMap(name: String, column: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val key = s"$warehouse/$name#$column"
+      val dest = new Path(bloomDir(name), column)
+      val f = fs(dest)
+      val mtime = f.getFileStatus(dest).getModificationTime
+      val cached = bloomCache.get(key)
+      if (cached != null && cached._1 == mtime) cached._2
+      else {
+        val m = spark.read.parquet(dest.toString)
+          .select(col("file_key"), col("bloom"))
+          .collect()
+          .map(r => r.getString(0) ->
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+          .toMap
+        bloomCache.put(key, (mtime, m))
+        m
+      }
+    } catch {
+      case _: java.io.FileNotFoundException |
+           _: org.apache.spark.sql.AnalysisException =>
+        Map.empty
+    }
+
   /** Rewrite ONLY the partitions whose files carry deletion-vector
     * entries, folding the deletes into the data and clearing every DV —
     * the bounded-rewrite pressure valve that keeps DV probes broadcast-
@@ -559,7 +710,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def manifestScan(paths: Seq[String],
       stats: Map[String, Map[String, GraftLake.Bounds]],
       fullSchema: StructType, partDepth: Int,
-      basePath: Option[String]): DataFrame = {
+      basePath: Option[String],
+      bloomFor: org.apache.spark.sql.graft.PlanBridge.SimplePred =>
+        Option[String => Boolean] = _ => None): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata,
       HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -574,8 +727,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           val pred = filters.map(PlanBridge.catalystPredicate)
             .reduce(PlanBridge.PAnd(_, _))
           val keep = GraftLake.filePruner(pred)
-          Some((f: FileStatusWithMetadata) => keep(stats.getOrElse(
-            GraftLake.keyOfPath(f.getPath.toString, partDepth), Map.empty)))
+          val bloomK = bloomFor(pred)
+          Some((f: FileStatusWithMetadata) => {
+            val k = GraftLake.keyOfPath(f.getPath.toString, partDepth)
+            keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k))
+          })
         }
     val index = new GraftPruningFileIndex(spark, paths.map(new Path(_)),
       basePath.map("basePath" -> _).toMap, Some(fullSchema), keepFor)
@@ -614,7 +770,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         }
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         val scan = manifestScan(paths, statsFor(name, v), full,
-          meta.partitionExprs.size, Some(dataDir(name)))
+          meta.partitionExprs.size, Some(dataDir(name)),
+          bloomPruner(name, _))
         applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
     }
   }
@@ -644,11 +801,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         val stats = statsFor(name, v)
         val zone = spark.conf.get("spark.sql.session.timeZone",
           java.time.ZoneId.systemDefault().getId)
-        val keep = GraftLake.filePruner(
-          org.apache.spark.sql.graft.PlanBridge.simplePredicate(
-            predicate, meta.schema, zone))
-        val kept = files.filter(ref =>
-          keep(stats.getOrElse(GraftLake.fileKey(ref), Map.empty)))
+        val pred = org.apache.spark.sql.graft.PlanBridge.simplePredicate(
+          predicate, meta.schema, zone)
+        val keep = GraftLake.filePruner(pred)
+        val bloomK = bloomPruner(name, pred)
+        val kept = files.filter { ref =>
+          val k = GraftLake.fileKey(ref)
+          keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k))
+        }
         if (kept.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
@@ -694,8 +854,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         else resolveManifest(name, v)._2
       val stats = statsFor(name, v)
       val keep = GraftLake.filePruner(pred)
-      val kept = files.filter(ref =>
-        keep(stats.getOrElse(GraftLake.fileKey(ref), Map.empty)))
+      val bloomK = bloomPruner(name, pred)
+      val kept = files.filter { ref =>
+        val k = GraftLake.fileKey(ref)
+        keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k))
+      }
       if (kept.size >= files.size) None
       else {
         val effective = if (kept.nonEmpty) kept else files.take(1)
@@ -1535,7 +1698,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // (resolveStats directly, not statsFor — the single-entry cache must
     // keep serving the latest version on the hot path)
     val scan = manifestScan(paths, resolveStats(name, version), schema,
-      partDepth, basePath = None)
+      partDepth, basePath = None, bloomPruner(name, _))
     // apply the DELETION VECTORS OF THAT SNAPSHOT: the key derivation is
     // segment-based, so it matches retired files under _history/ too
     applyDvs(name, scan, resolveDvs(name, version), partDepth)
@@ -1821,6 +1984,10 @@ object GraftLake {
   private val dvSetCache = new ConcurrentHashMap[String, (Long, Vector[String])]()
   private val dvCountCache =
     new ConcurrentHashMap[String, (Vector[String], Long)]()
+  /** Deserialized bloom sidecars, keyed `warehouse/table#column` with the
+    * sidecar directory mtime as the freshness token. */
+  private val bloomCache = new ConcurrentHashMap[
+    String, (Long, Map[String, org.apache.spark.util.sketch.BloomFilter])]()
 
   /** On-disk schema of a deletion-vector file: the (manifest file key,
     * file-local row position) pairs deleted from the referenced data
@@ -2132,7 +2299,7 @@ object GraftLake {
   def invalidateCaches(): Unit = {
     verifiedTables.clear(); metaCache.clear()
     lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
-    dvSetCache.clear()
+    dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --

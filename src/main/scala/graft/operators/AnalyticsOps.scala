@@ -1114,10 +1114,46 @@ object AnalyticsOps {
       .orderBy(col("version"))
   }
 
+  /** q132: per-file BLOOM skipping — the point-lookup complement of
+    * q102's min/max bounds skipping. lineitem lands in three round-robin
+    * appends so every file's `l_orderkey` range spans the whole table
+    * (min/max bounds CANNOT prune an equality — exactly the
+    * high-cardinality-scattered-column shape of `WHERE user_id = X` over
+    * a time-partitioned 100 TB corpus), then
+    * [[graft.catalog.GraftLake.buildBloomIndex]] builds one Bloom filter
+    * per file and the equality probe plans only the files whose filter
+    * admits the key — the in-query `require` proves files were actually
+    * skipped, the oracle proves the skipping is invisible in results.
+    * BloomIndexSpec pins conservatism (fresh appends kept, OR branches
+    * kept, cross-domain probes refused). */
+  val q132BloomSkipping = QueryDef(
+    "q132_bloom_skipping",
+    """WITH k AS (SELECT min(l_orderkey) AS k FROM lineitem)
+      |SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+      |FROM lineitem, k WHERE l_orderkey = k.k
+      |ORDER BY l_linenumber""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"bloom:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-bloomq").toString)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      for (i <- 0 until 3)
+        l.append("li", li.filter(col("l_orderkey") % 3 === i).repartition(4))
+      l.buildBloomIndex("li", "l_orderkey")
+      l
+    })
+    val k = Tables.lineitem(s, dir).agg(min(col("l_orderkey"))).head().getLong(0)
+    val hit = lake.readWhere("li", col("l_orderkey") === k)
+    require(hit.inputFiles.length < lake.read("li").inputFiles.length,
+      s"bloom index must prune files (planned ${hit.inputFiles.length})")
+    hit.select(col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+      .orderBy(col("l_linenumber"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
-    q129MorDelete, q130History)
+    q129MorDelete, q130History, q132BloomSkipping)
 }

@@ -201,7 +201,7 @@ object MultimodalOps {
     * and character slicing coincide, so DuckDB can verify the exact frame
     * hashes). */
   val q34FrameSample = QueryDef(
-    "q34_frame_sample",
+    "q133_frame_sample",
     """WITH f AS (
       |  SELECT source, doc_id,
       |    md5(substring(text, (i - 1) * 256 + 1, 256)) AS fh
@@ -228,7 +228,7 @@ object MultimodalOps {
     * arithmetically, so a mis-parsed width/rate/channel count
     * hash-mismatches. */
   val q35MultimodalHeaders = QueryDef(
-    "q35_multimodal_headers",
+    "q134_multimodal_headers",
     """WITH m AS (
       |  SELECT source,
       |    CASE WHEN doc_id % 2 = 1 THEN doc_id % 640 + 1

@@ -102,8 +102,20 @@ object StatsCommitProtocol {
       String, Map[String, Map[String, graft.catalog.GraftLake.Bounds]]](16, 0.75f, false) {
     override def removeEldestEntry(
         e: java.util.Map.Entry[String, Map[String, Map[String, graft.catalog.GraftLake.Bounds]]])
-        : Boolean = size() > 64
+        : Boolean = {
+      val evict = size() > 64
+      // an eviction is CORRECT (the drain falls back to footer reads) but
+      // should never be routine — meter it so the bench can alert
+      if (evict) graft.metrics.GraftMetrics.op("statsMailboxEvict")
+        .record(0L)
+      evict
+    }
   }
+
+  /** Evictions since the last metrics reset — >0 means some commit paid
+    * the footer-read fallback because >64 writes were in flight. */
+  def evictionCount: Long =
+    graft.metrics.GraftMetrics.op("statsMailboxEvict").count.sum()
 
   private def publish(dirName: String,
       stats: Map[String, Map[String, graft.catalog.GraftLake.Bounds]]): Unit =
