@@ -67,15 +67,23 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // cold = first run at a dir (includes any per-dir lake/index build the
+    // query memoizes); warm = second run (probe/read-only for the skipping
+    // and index-backed queries — the steady-state cost at scale)
     val rows = queries.map { q =>
       val small = time(q, smallDir)
       val big = time(q, bigDir)
-      println(s"$q: small=${num(small)}s big=${num(big)}s " +
-        s"ratio=${num(big / small)}x")
-      (q, small, big)
+      val smallW = time(q, smallDir)
+      val bigW = time(q, bigDir)
+      println(s"$q: cold small=${num(small)}s big=${num(big)}s " +
+        s"ratio=${num(big / small)}x | warm small=${num(smallW)}s " +
+        s"big=${num(bigW)}s ratio=${num(bigW / smallW)}x")
+      (q, small, big, smallW, bigW)
     }
-    val json = rows.map { case (q, s, b) =>
-      s""""$q":{"small_s":${num(s)},"big_s":${num(b)},"ratio":${num(b / s)}}"""
+    val json = rows.map { case (q, s, b, sw, bw) =>
+      s""""$q":{"small_s":${num(s)},"big_s":${num(b)},"ratio":${num(b / s)}""" +
+        s""","warm_small_s":${num(sw)},"warm_big_s":${num(bw)}""" +
+        s""","warm_ratio":${num(bw / sw)}}"""
     }.mkString("{\"small\":\"" + smallDir + "\",\"big\":\"" + bigDir +
       "\",\"queries\":{", ",", "}}")
     Files.write(Paths.get("scale_bench.json"),
