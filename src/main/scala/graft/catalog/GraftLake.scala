@@ -354,11 +354,19 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * ([[materializeDeletes]]), so DV probes stay map-side forever.
     * Returns the number of rows deleted (already-deleted rows never
     * re-enter a DV: the hit scan itself reads through the live DVs). */
-  def deleteWhere(name: String, predicate: Column): Long = writeLock(name) {
-    val meta = readMeta(name)
+  private val keyC = "__graft_dv_key"
+  private val posC = "__graft_dv_pos"
+
+  /** The live rows of `name` through a manifest-pruned scan, with the DV
+    * key/position metadata columns ([[keyC]]/[[posC]]) attached and any
+    * live deletion vectors already anti-joined away — the shared front
+    * half of every merge-on-read DML. None when the table is not
+    * file-backed (nothing to mask positionally). */
+  private def liveKeyedScanLocked(name: String, meta: TableMeta)
+      : Option[DataFrame] = {
     val partDepth = meta.partitionExprs.size
     // manifest-driven pruning scan when the table has commits: a
-    // selective MoR DELETE on a 100 TB table plans only the files whose
+    // selective MoR DML on a 100 TB table plans only the files whose
     // bounds can match the predicate, not the table
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
@@ -382,21 +390,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
       case _: org.apache.spark.sql.execution.LogicalRDD => ()
     }.isEmpty
-    if (!fileBacked) return 0L
+    if (!fileBacked) return None
     val dvs0 = liveDvs(name)
-    val keyC = "__graft_dv_key"
-    val posC = "__graft_dv_pos"
     val keyed = base.withColumns(Map(
       keyC -> GraftLake.dvKeyColumn(partDepth),
       posC -> col("_metadata.row_index")))
-    val live =
+    Some(
       if (dvs0.isEmpty) keyed
       else {
         val dv = dvFrame(name, dvs0)
         keyed.join(broadcast(dv),
           keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
           "left_anti")
-      }
+      })
+  }
+
+  def deleteWhere(name: String, predicate: Column): Long = writeLock(name) {
+    val meta = readMeta(name)
+    val live = liveKeyedScanLocked(name, meta).getOrElse(return 0L)
+    val dvs0 = liveDvs(name)
     val hits = live.filter(coalesce(predicate, lit(false)))
       .select(col(keyC).as("file_key"), col(posC).as("pos"))
     val stage = new Path(s"${tableDir(name)}/.dvstage-${UUID.randomUUID()}")
@@ -487,6 +499,143 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   private def dvMaxEntries: Long = spark.conf
     .getOption("spark.graft.dv.maxEntries").map(_.toLong).getOrElse(1000000L)
+
+  /** Merge-on-read UPDATE: rows matching `predicate` are masked by a
+    * deletion vector (their old file positions) and re-inserted with
+    * `assignments` applied — WITHOUT rewriting any existing data file,
+    * in ONE manifest commit (new data files + DV sidecar land in the
+    * same version, so no read can observe the delete without the
+    * re-insert). The 100 TB contract mirrors [[deleteWhere]]: a
+    * selective UPDATE costs one manifest-pruned scan + hit-sized writes,
+    * not a partition rewrite (that is the SQL COW path, still default).
+    * All assignment right-hand sides evaluate against the OLD row
+    * (simultaneous-assignment semantics) and cast to the column's landed
+    * type; `_inserted_at` is preserved (W5). An update that moves rows
+    * across partitions just lands the new rows in their new partitions —
+    * the DV masks the old copies in place. Hit sets above
+    * `spark.graft.dv.maxEntries` fold copy-on-write, scoped to the
+    * source ∪ destination partitions. Returns the rows updated. */
+  def updateWhere(name: String, predicate: Column,
+      assignments: Map[String, Column]): Long = writeLock(name) {
+    val meta = readMeta(name)
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val byLower = assignments.map { case (k, v) =>
+      val field = meta.schema.fields.find(_.name.equalsIgnoreCase(k))
+        .getOrElse(throw new IllegalArgumentException(
+          s"table '$name' has no column '$k'"))
+      require(!field.name.equalsIgnoreCase(InsertedAtCol),
+        s"'$InsertedAtCol' is engine-managed and cannot be assigned")
+      field.name.toLowerCase -> v.cast(field.dataType)
+    }
+    def applyAssigns(df: DataFrame): DataFrame =
+      df.select(meta.schema.fieldNames.toSeq.map { n =>
+        byLower.get(n.toLowerCase) match {
+          case Some(v) => v.as(n)
+          case None => col(quoted(n)).as(n)
+        }
+      }: _*)
+    val live = liveKeyedScanLocked(name, meta).getOrElse(return 0L)
+    val hits = live.filter(coalesce(predicate, lit(false)))
+    val stage = new Path(s"${tableDir(name)}/.updstage-${UUID.randomUUID()}")
+    val f = fs(stage)
+    try {
+      // stage the FULL hit rows once: the pruned scan runs a single time,
+      // and both the DV sidecar and the re-insert derive from this
+      // hit-sized copy (same rebalance reasoning as deleteWhere)
+      val staged =
+        if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+          hits.hint("rebalance")
+        else hits
+      staged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+      val hitDf = spark.read.parquet(stage.toString)
+      val updated = hitDf.count() // footer row counts only
+      if (updated == 0L) return 0L
+      if (dvEntryCountCached(name, liveDvs(name)) + updated > dvMaxEntries) {
+        cowUpdateLocked(name, meta, predicate, byLower)
+        return updated
+      }
+      // 1) re-insert the updated rows through the normal append machinery
+      //    (stats collected by the commit protocol, partition dirs
+      //    re-derived from the NEW values)
+      val out = withPartitionCols(applyAssigns(hitDf), meta)
+      val dataStage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+      val added = try {
+        val writer = out.write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+        val parted =
+          if (meta.partitions.nonEmpty)
+            writer.partitionBy(meta.partitionExprs.map(_.outputName): _*)
+          else writer
+        withLakeTimestampFormat { parted.parquet(dataStage.toString) }
+        val writeStats =
+          org.apache.spark.sql.graft.StatsCommitProtocol.drain(dataStage)
+        (mergeStageInto(dataStage, new Path(dataDir(name))), writeStats)
+      } finally fs(dataStage).delete(dataStage, true)
+      // 2) DV sidecar masking the old positions, from the same staged hits
+      val dd = dvDir(name)
+      f.mkdirs(dd)
+      val dvStage = new Path(s"${tableDir(name)}/.dvstage-${UUID.randomUUID()}")
+      val dvNames = try {
+        hitDf.select(col(keyC).as("file_key"), col(posC).as("pos"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvStage.toString)
+        org.apache.spark.sql.graft.StatsCommitProtocol.drain(dvStage)
+        fs(dvStage).listStatus(dvStage).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { s =>
+            val n = s"dv-${UUID.randomUUID()}.parquet"
+            renameOrFail(f, s.getPath, new Path(dd, n))
+            n
+          }
+      } finally fs(dvStage).delete(dvStage, true)
+      // 3) ONE commit: adds + DV in the same version
+      commitVersion(name, added._1, Nil, added._2, op = "update",
+        dvAdded = dvNames)
+      updated
+    } finally f.delete(stage, true)
+  }
+
+  /** Copy-on-write fallback for an UPDATE whose hit set exceeds the DV
+    * entry budget: rewrites the source ∪ destination partitions (an
+    * update of a partition-source column relocates rows) with the
+    * conditional assignment applied, folding pre-existing DVs in. */
+  private def cowUpdateLocked(name: String, meta: TableMeta,
+      predicate: Column, byLower: Map[String, Column]): Unit = {
+    val partCols = meta.partitionExprs.map(_.outputName)
+    val hit = coalesce(predicate, lit(false))
+    val masked = applyDvs(name, readInternal(name, meta), liveDvs(name),
+      partCols.size)
+    def applyAssigns(df: DataFrame): DataFrame =
+      df.select(meta.schema.fieldNames.toSeq.map { n =>
+        byLower.get(n.toLowerCase) match {
+          case Some(v) => v.as(n)
+          case None => col(quoted(n)).as(n)
+        }
+      }: _*)
+    def updCols(df: DataFrame): DataFrame =
+      df.select(meta.schema.fieldNames.toSeq.map { n =>
+        byLower.get(n.toLowerCase) match {
+          case Some(v) => when(hit, v).otherwise(col(quoted(n))).as(n)
+          case None => col(quoted(n)).as(n)
+        }
+      }: _*)
+    if (partCols.isEmpty) {
+      replaceScoped(name, updCols(masked), Nil, clearDvs = true)
+    } else {
+      val matching = masked.filter(hit)
+      val srcParts = matching
+        .select(partCols.map(c => col(quoted(c))): _*).distinct()
+      val destParts = withPartitionCols(applyAssigns(matching), meta)
+        .select(partCols.map(c => col(quoted(c))): _*).distinct()
+      val parts = srcParts.union(destParts).distinct().collect()
+      if (parts.isEmpty) return
+      val scoped = masked.filter(GraftLake.partitionScope(partCols, parts))
+      val dirs = scoped.select(input_file_name().as("f")).distinct()
+        .collect().map(r => new Path(r.getString(0)).getParent.toString)
+        .toSeq.distinct
+      replaceScoped(name, updCols(scoped), dirs)
+    }
+  }
 
   // ---- per-file bloom skipping index ----
 
@@ -1703,6 +1852,59 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // segment-based, so it matches retired files under _history/ too
     applyDvs(name, scan, resolveDvs(name, version), partDepth)
       .select(schema.fieldNames.map(n => col(quoted(n))): _*)
+  }
+
+  /** RESTORE the table to snapshot `version` as a NEW commit (Delta-style
+    * RESTORE; reference analog: rolling a DuckLake catalog back to an
+    * earlier snapshot id). O(changed files) and ZERO bytes copied: the
+    * target snapshot's file set is re-referenced — files it needs that
+    * were since retired rename back from `_history/<rel>/` into
+    * `data/<rel>/`, files live now but absent from the target retire into
+    * `_history/` — and the commit's deletion-vector set becomes the
+    * target's. File identity is the (rel, name) pair and every manifest
+    * resolves it in EITHER location ([[snapshotResolved]]), so all other
+    * snapshots stay readable: time travel both below and above the
+    * restore point keeps working, and a later restore can roll forward
+    * again. The CURRENT schema is kept (Delta semantics — restore moves
+    * data, not schema evolution; files from a narrower schema read with
+    * nulls as usual). The target snapshot must not have been vacuumed by
+    * `expireSnapshots`. */
+  def restore(name: String, version: Long): Unit = writeLock(name) {
+    val cur = versions(name).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"table '$name' has no snapshots"))
+    if (cur == version) return
+    // resolves every target file to its live/retired location and FAILS
+    // FAST if any was vacuumed — nothing is moved before this validates
+    val (_, targetResolved) = snapshotResolved(name, version)
+    val curRefs = resolveManifest(name, cur)._2.toSet
+    val targetRefs = targetResolved.map(_._1).toSet
+    val addedRefs = targetResolved.filterNot(r => curRefs.contains(r._1))
+    val removedRefs = curRefs.diff(targetRefs).toSeq.sorted
+    val dd = new Path(dataDir(name))
+    val f = fs(dd)
+    addedRefs.foreach { case ((rel, fn), at) =>
+      val destDir = if (rel.isEmpty) dd else new Path(dd, rel)
+      f.mkdirs(destDir)
+      renameOrFail(f, at, new Path(destDir, fn))
+    }
+    val hd = historyDir(name)
+    removedRefs.foreach { case (rel, fn) =>
+      val src = if (rel.isEmpty) new Path(dd, fn)
+        else new Path(new Path(dd, rel), fn)
+      val destDir = if (rel.isEmpty) hd else new Path(hd, rel)
+      f.mkdirs(destDir)
+      renameOrFail(f, src, new Path(destDir, fn))
+    }
+    // per-file bounds for the re-added files come from the TARGET
+    // snapshot's own manifest — the restore commit re-reads no footers
+    val tStats = resolveStats(name, version)
+    val addStats = addedRefs.flatMap { case (ref, _) =>
+      tStats.get(GraftLake.fileKey(ref)).map(GraftLake.fileKey(ref) -> _)
+    }.toMap
+    val curDvs = liveDvs(name)
+    val tDvs = resolveDvs(name, version)
+    commitVersion(name, addedRefs.map(_._1), removedRefs, addStats,
+      op = "restore", dvAdded = tDvs.diff(curDvs), dvRemoved = curDvs.diff(tDvs))
   }
 
   /** Audit view of a table's shape over time: (version, live file count,

@@ -1150,10 +1150,90 @@ object AnalyticsOps {
       .orderBy(col("l_linenumber"))
   }
 
+  /** q135: merge-on-read UPDATE — q129's counterpart for updates. The
+    * matching rows are masked by a deletion vector and re-inserted with
+    * the assignment applied, in ONE commit; the in-query `require`
+    * proves not one pre-existing data file was rewritten (the old file
+    * set is a strict subset of the new). The oracle recomputes the same
+    * aggregate over the raw table with the assignment as a CASE
+    * expression, so a hash match proves exactly the predicate's rows
+    * changed and `_inserted_at`-invisible re-inserts kept every other
+    * value. The 100 TB shape: a selective UPDATE costs one
+    * manifest-pruned scan + hit-sized writes, never a partition
+    * rewrite (reference analog: DuckLake UPDATE = positional delete +
+    * insert). */
+  val q135MorUpdate = QueryDef(
+    "q135_mor_update",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN l_discount >= 0.08 THEN l_quantity + 100
+      |                     ELSE l_quantity END AS BIGINT)) AS BIGINT)
+      |    AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"upd:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-updq").toString)
+      l.write("li", Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount")))
+      val before = l.read("li").inputFiles.toSet
+      val n = l.updateWhere("li", col("l_discount") >= 0.08,
+        Map("l_quantity" -> (col("l_quantity") + 100)))
+      require(n > 0, "update must match rows")
+      val after = l.read("li").inputFiles.toSet
+      require(before.subsetOf(after) && after.size > before.size,
+        "merge-on-read UPDATE must only ADD files, never rewrite")
+      l
+    })
+    lake.read("li")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q136: RESTORE to an earlier snapshot as a NEW commit — Delta-style
+    * rollback, O(changed files) and zero bytes copied (files re-reference
+    * by their (rel, name) identity between `data/` and `_history/`; the
+    * in-query `require`s prove the restored live set IS the target
+    * snapshot's file set and that history above the restore point still
+    * reads). The sequence append → merge-on-read DELETE → append →
+    * restore-to-the-DV-snapshot pins that the restored state carries the
+    * TARGET's deletion-vector set (id=2 stays masked, id=4 is gone).
+    * Reference analog: rolling a DuckLake catalog back to an earlier
+    * snapshot id. */
+  val q136Restore = QueryDef(
+    "q136_restore",
+    """SELECT * FROM (VALUES (CAST(1 AS INTEGER), 'a'),
+      |                      (CAST(3 AS INTEGER), 'c')) AS t(id, v)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"restore:$dir", _ => {
+      import s.implicits._
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-restq").toString)
+      l.append("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+        .repartition(1))
+      l.deleteWhere("t", col("id") === 2)
+      val target = l.versions("t").last // the DV-carrying snapshot
+      l.append("t", Seq((4, "d")).toDF("id", "v").repartition(1))
+      val above = l.versions("t").last
+      l.restore("t", target)
+      require(l.history("t").collect().last.getString(2) == "restore")
+      require(l.liveDvs("t").nonEmpty, "restore must carry the target's DVs")
+      require(l.dataFiles("t").map(_.split('/').last).sorted.sameElements(
+        l.readVersion("t", target).inputFiles
+          .filterNot(_.contains("/_dv/")).map(_.split('/').last).sorted),
+        "restored live set must BE the target's file set (zero-copy)")
+      require(l.readVersion("t", above).count() == 3,
+        "snapshots above the restore point must stay readable")
+      l
+    })
+    lake.read("t").select(col("id"), col("v")).orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
-    q129MorDelete, q130History, q132BloomSkipping)
+    q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore)
 }

@@ -108,6 +108,57 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Candidate (b = incoming id, a = reference id) pairs of the
+    * cross-corpus join: both corpora band independently and meet in ONE
+    * bucket join keyed on (band, band_hash) — NEITHER side broadcasts
+    * and nothing is quadratic (PlanQualitySpec pins the shape). Exposed
+    * lazily (no checkpoint) so plan tests can inspect it. */
+  def crossCorpusCandidates(reference: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3): DataFrame = {
+    val bandsA = bandKeys(
+      minHashSignatures(reference, idCol, textCol, shingleK), idCol)
+      .select(col(idCol).as("a"), col("band"), col("band_hash"))
+    val bandsB = bandKeys(
+      minHashSignatures(incoming, idCol, textCol, shingleK), idCol)
+      .select(col(idCol).as("b"), col("band"), col("band_hash"))
+    bandsB.join(bandsA, Seq("band", "band_hash"))
+      .select(col("b"), col("a")).distinct()
+  }
+
+  /** Cross-corpus near-dup join: every verified near-dup in `reference`
+    * for every doc of `incoming` — the "dedupe a new crawl against the
+    * existing corpus" shape where BOTH sides are large. Candidates come
+    * from the banded bucket join ([[crossCorpusCandidates]]); the exact
+    * shingle-Jaccard verify then reads text for CANDIDATE docs only.
+    * Unlike [[incrementalNearDups]] (probe of a persisted index — the
+    * streaming-admission path), this is the one-shot batch corpus×corpus
+    * join: no index build, both sketch passes inline. Returns
+    * (b = incoming id, a = reference id, jaccard), jaccard ≥ threshold.
+    * An exact copy is caught deterministically: identical text ⇒
+    * identical signature ⇒ every band collides ⇒ candidate, and the
+    * verify scores 1.0. */
+  def crossCorpusNearDups(reference: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    // same barrier justification as minHashNearDups: the candidate set
+    // feeds two verify joins + two broadcast id-prunes — candidate-sized,
+    // never corpus-sized
+    val cands = crossCorpusCandidates(reference, incoming, idCol, textCol,
+      shingleK).localCheckpoint(true)
+    val shA = shingled(
+      reference.join(broadcast(cands.select(col("a").as(idCol)).distinct()),
+        idCol), idCol, textCol, shingleK)
+      .select(col(idCol).as("a"), col("__shingles").as("__sa"))
+    val shB = shingled(
+      incoming.join(broadcast(cands.select(col("b").as(idCol)).distinct()),
+        idCol), idCol, textCol, shingleK)
+      .select(col(idCol).as("b"), col("__shingles").as("__sb"))
+    cands.join(shA, "a").join(shB, "b")
+      .select(col("b"), col("a"),
+        jaccard(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---- persisted LSH index + incremental admission ----
 
   /** Persist an incrementally maintainable LSH dedup index: the corpus
@@ -762,7 +813,46 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q137: cross-corpus dedup — q131's shape for TEXT: dedupe an incoming
+    * crawl against the reference corpus where BOTH sides are large, via
+    * [[crossCorpusNearDups]] (banded bucket join, neither side broadcast —
+    * PlanQualitySpec pins it). Hash-gated by the q101 admission contract
+    * re-stated for the batch join: the incoming batch mixes exact COPIES
+    * of reference docs (identical signature ⇒ every band collides ⇒
+    * caught, guaranteed) with UNIQUE docs whose every token embeds their
+    * own id (disjoint shingles ⇒ any accidental band collision dies at
+    * the exact-Jaccard verify). The oracle states the per-class outcome
+    * from the raw table. */
+  val q137CrossCorpusDedup = QueryDef(
+    "q137_cross_corpus_dedup",
+    """WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 5)
+      |SELECT 'copy' AS class, count(*) AS n_docs, count(*) AS n_flagged FROM s
+      |UNION ALL
+      |SELECT 'unique' AS class, count(*) AS n_docs,
+      |  CAST(0 AS BIGINT) AS n_flagged FROM s
+      |ORDER BY class""".stripMargin) { (s, dir) =>
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sample = corpus.filter(col("doc_id") % 31 === 5)
+    val copies = sample.select((col("doc_id") + 10000000L).as("doc_id"),
+      col("text"))
+    val uniques = sample.select((col("doc_id") + 20000000L).as("doc_id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        concat(lit(s"u${i}x"), col("doc_id") + 20000000L)): _*).as("text"))
+    val incoming = copies.unionByName(uniques)
+    val pairs = crossCorpusNearDups(corpus, incoming, "doc_id", "text",
+      threshold = 0.8)
+    val flagged = pairs.select(col("b").as("doc_id")).distinct()
+      .withColumn("__f", lit(1L))
+    incoming.join(flagged, Seq("doc_id"), "left")
+      .groupBy(when(col("doc_id") < 20000000L, "copy").otherwise("unique")
+        .as("class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_flagged"))
+      .orderBy(col("class"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q27MinHashNearDup, q28NgramJaccard, q29SimHash, q46DedupClusters,
-    q101IncrementalDedup, q112Containment, q120CanonicalSelect)
+    q101IncrementalDedup, q112Containment, q120CanonicalSelect,
+    q137CrossCorpusDedup)
 }

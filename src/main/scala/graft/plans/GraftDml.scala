@@ -87,6 +87,28 @@ final case class GraftUpdateCommand(
     val assignments = shieldedAssigns.assigns
     val cond = shieldedCond.map(_.expr)
     val lake = new GraftLake(spark, warehouse)
+    // merge-on-read mode: mask the old rows with a deletion vector and
+    // re-insert the updated rows in one commit instead of rewriting
+    // partitions — `SET spark.graft.update.mode=merge-on-read`. Subquery
+    // conditions/assignments fall back to copy-on-write (byNameColumn
+    // only retargets top-level attribute references; same reasoning as
+    // the DELETE command above).
+    val hasSubquery = (cond.toSeq ++ assignments.map(_.value)).exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+    if (!hasSubquery && spark.conf.getOption("spark.graft.update.mode")
+        .contains("merge-on-read")) {
+      val assignByName = assignments.map {
+        case Assignment(k: Attribute, v) =>
+          if (k.name.startsWith("__p_")) throw new UnsupportedOperationException(
+            s"UPDATE of generated partition column '${k.name}' — update the source column instead")
+          k.name -> PlanBridge.byNameColumn(v)
+        case Assignment(k, _) => throw new UnsupportedOperationException(
+          s"UPDATE with nested-field assignment '${k.sql}' is not supported")
+      }.toMap
+      lake.updateWhere(table,
+        cond.map(PlanBridge.byNameColumn).getOrElse(lit(true)), assignByName)
+      return Seq.empty
+    }
     val meta = lake.readMeta(table)
     val tdf = PlanBridge.ofRows(spark, target)
     val hit = cond.map(c => coalesce(PlanBridge.column(c), lit(false)))

@@ -225,6 +225,27 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q137: cross-corpus text dedup broadcasts NEITHER corpus; no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 31 === 5)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the candidate stage (pre-checkpoint, so the band join is
+      // inspectable): one bucket join on (band, band_hash), both sides
+      // shuffle — a corpus-sized broadcast would OOM at 100 TB
+      val pc = operators.DedupOps
+        .crossCorpusCandidates(docs, incoming, "doc_id", "text")
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!pc.contains("CartesianProduct") &&
+        !pc.contains("BroadcastNestedLoopJoin"), "no cartesian anywhere")
+      assert(!pc.contains("BroadcastExchange"),
+        s"neither corpus may broadcast in the band bucket join:\n${pc.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q111: temperature sampling broadcasts the per-source counts") {
     val p = plan("q111_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),

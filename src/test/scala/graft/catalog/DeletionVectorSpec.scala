@@ -335,4 +335,109 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(rows(lake.read("t"), "id") === Set(Seq(2)),
       "repair adopts the directory but must carry the DV set forward")
   }
+
+  test("updateWhere masks old rows and re-inserts updated rows in ONE commit") {
+    val lake = newLake()
+    lake.write("t", (1 to 100).map(i => (i, i * 10)).toDF("id", "n"))
+    val filesBefore = lake.dataFiles("t").toSet
+    val versionsBefore = lake.versions("t").size
+    val n = lake.updateWhere("t", col("id") <= 20,
+      Map("n" -> (col("n") + 1)))
+    assert(n === 20)
+    val filesAfter = lake.dataFiles("t").toSet
+    assert(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size,
+      "merge-on-read UPDATE must only add files, never rewrite")
+    assert(lake.versions("t").size === versionsBefore + 1,
+      "data files + DV must land in ONE commit")
+    assert(lake.liveDvs("t").nonEmpty)
+    assert(lake.read("t").count() === 100, "update must not change row count")
+    assert(rows(lake.read("t").filter(col("id") <= 20), "n") ===
+      (1 to 20).map(i => Seq(i * 10 + 1)).toSet)
+    assert(rows(lake.read("t").filter(col("id") > 20), "n") ===
+      (21 to 100).map(i => Seq(i * 10)).toSet)
+    // no match → no commit; NULL condition keeps rows
+    assert(lake.updateWhere("t", col("id") > 1000, Map("n" -> lit(0))) === 0)
+    assert(lake.versions("t").size === versionsBefore + 1)
+  }
+
+  test("updateWhere: simultaneous assignment evaluates against the OLD row") {
+    val lake = newLake()
+    lake.write("t", Seq((1, 10, 20), (2, 30, 40)).toDF("id", "a", "b"))
+    assert(lake.updateWhere("t", col("id") === 1,
+      Map("a" -> col("b"), "b" -> col("a"))) === 1)
+    assert(rows(lake.read("t"), "id", "a", "b") ===
+      Set(Seq(1, 20, 10), Seq(2, 30, 40)), "a/b must swap, not cascade")
+    // assignment value casts to the column's landed type
+    assert(lake.updateWhere("t", col("id") === 2, Map("a" -> lit("7"))) === 1)
+    assert(rows(lake.read("t").filter(col("id") === 2), "a") === Set(Seq(7)))
+  }
+
+  test("updateWhere chains: a second update sees the first's re-inserts") {
+    val lake = newLake()
+    lake.write("t", Seq((1, 100), (2, 200)).toDF("id", "n"))
+    assert(lake.updateWhere("t", col("id") === 1, Map("n" -> (col("n") + 1))) === 1)
+    assert(lake.updateWhere("t", col("id") === 1, Map("n" -> (col("n") + 1))) === 1)
+    assert(rows(lake.read("t"), "id", "n") === Set(Seq(1, 102), Seq(2, 200)))
+    assert(lake.read("t").count() === 2)
+  }
+
+  test("updateWhere across partitions: rows relocate, old partitions untouched") {
+    val lake = newLake()
+    lake.write("p", Seq((1, "x", 10), (2, "x", 20), (3, "y", 30))
+      .toDF("id", "seg", "n"), partitions = Seq("seg"))
+    val xBefore = lake.dataFiles("p").filter(_.contains("seg=x")).sorted
+    assert(lake.updateWhere("p", col("id") === 2, Map("seg" -> lit("y"))) === 1)
+    assert(lake.dataFiles("p").filter(_.contains("seg=x")).sorted === xBefore,
+      "source partition files must not be rewritten")
+    assert(rows(lake.read("p"), "id", "seg") ===
+      Set(Seq(1, "x"), Seq(2, "y"), Seq(3, "y")))
+    assert(rows(lake.readWhere("p", col("seg") === "y"), "id") ===
+      Set(Seq(2), Seq(3)), "pruned read sees the moved row in its new partition")
+    assert(rows(lake.readWhere("p", col("seg") === "x"), "id") === Set(Seq(1)),
+      "pruned read of the old partition must not resurrect the moved row")
+  }
+
+  test("oversized UPDATE folds copy-on-write; engine rejects bad assignments") {
+    val lake = newLake()
+    lake.write("t", (1 to 50).map(i => (i, i)).toDF("id", "n"))
+    spark.conf.set("spark.graft.dv.maxEntries", "5")
+    try {
+      assert(lake.updateWhere("t", col("id") <= 30, Map("n" -> lit(-1))) === 30)
+      assert(lake.liveDvs("t").isEmpty,
+        "an above-budget DV set must never be committed")
+      assert(lake.read("t").filter(col("n") === -1).count() === 30)
+      assert(lake.read("t").count() === 50)
+    } finally spark.conf.unset("spark.graft.dv.maxEntries")
+    intercept[IllegalArgumentException] {
+      lake.updateWhere("t", lit(true), Map("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      lake.updateWhere("t", lit(true), Map.empty)
+    }
+  }
+
+  test("SQL merge-on-read UPDATE: no rewrite; subqueries fall back to COW") {
+    val lake = newLake()
+    val wh = lake.warehouseDir
+    spark.conf.set("spark.sql.catalog.dvu", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvu.warehouse", wh)
+    spark.conf.set("spark.graft.update.mode", "merge-on-read")
+    try {
+      lake.write("t", Seq((1, 10), (2, 20), (3, 30)).toDF("id", "n"))
+      val files = lake.dataFiles("t").toSet
+      spark.sql("UPDATE dvu.t SET n = n * 2 WHERE id >= 2")
+      assert(files.subsetOf(lake.dataFiles("t").toSet), "MoR SQL update: no rewrite")
+      assert(lake.liveDvs("t").nonEmpty)
+      assert(rows(lake.read("t"), "id", "n") ===
+        Set(Seq(1, 10), Seq(2, 40), Seq(3, 60)))
+      // subquery condition → COW fallback, still correct
+      spark.sql("UPDATE dvu.t SET n = 0 WHERE id IN (SELECT 1)")
+      assert(rows(lake.read("t"), "id", "n") ===
+        Set(Seq(1, 0), Seq(2, 40), Seq(3, 60)))
+    } finally {
+      spark.conf.unset("spark.graft.update.mode")
+      spark.conf.unset("spark.sql.catalog.dvu")
+      spark.conf.unset("spark.sql.catalog.dvu.warehouse")
+    }
+  }
 }

@@ -700,4 +700,71 @@ class SnapshotSpec extends AnyFunSuite {
     assert(afterOps === Seq("upsert", "compact"),
       s"re-anchored history keeps original labels: $afterOps")
   }
+
+  test("restore re-references an old snapshot without copying data") {
+    val lake = newLake()
+    lake.write("r", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    val v0 = lake.versions("r").head
+    lake.append("r", Seq((3, "c")).toDF("id", "v"))
+    lake.upsert("r", Seq((2, "B2")).toDF("id", "v"))
+    assert(rows(lake.read("r"), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "B2"), Seq(3, "c")))
+    val nVersions = lake.versions("r").size
+    lake.restore("r", v0)
+    // one NEW commit, labelled; live rows exactly the target snapshot's
+    assert(lake.versions("r").size === nVersions + 1)
+    assert(lake.history("r").collect().last.getString(2) === "restore")
+    assert(rows(lake.read("r"), "id", "v") === Set(Seq(1, "a"), Seq(2, "b")))
+    // the restored live set is the target's FILE SET (re-referenced, not
+    // rewritten): identical (rel, name) identities
+    assert(lake.dataFiles("r").map(_.split('/').last).sorted ===
+      lake.snapshotFiles("r", v0)._2.map(_.split('/').last).sorted)
+    // every other snapshot still reads exactly — above AND below
+    assert(rows(lake.readVersion("r", nVersions - 1), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "B2"), Seq(3, "c")),
+      "snapshots above the restore point must stay readable")
+    // roll FORWARD again to the pre-restore state
+    lake.restore("r", nVersions - 1)
+    assert(rows(lake.read("r"), "id", "v") ===
+      Set(Seq(1, "a"), Seq(2, "B2"), Seq(3, "c")))
+    // restoring the current version is a no-op (no empty commit)
+    val n2 = lake.versions("r").size
+    lake.restore("r", lake.versions("r").last)
+    assert(lake.versions("r").size === n2)
+  }
+
+  test("restore with deletion vectors: the DV set follows the target") {
+    val lake = newLake()
+    lake.write("d", (1 to 10).map(i => (i, i)).toDF("id", "n"))
+    val v0 = lake.versions("d").head
+    lake.deleteWhere("d", col("id") <= 3)
+    val vDel = lake.versions("d").last
+    assert(lake.read("d").count() === 7)
+    lake.restore("d", v0)
+    assert(lake.liveDvs("d").isEmpty, "pre-delete snapshot has no DVs")
+    assert(lake.read("d").count() === 10, "restore must resurrect masked rows")
+    lake.restore("d", vDel)
+    assert(lake.liveDvs("d").nonEmpty)
+    assert(lake.read("d").count() === 7, "restore forward re-applies the DV set")
+  }
+
+  test("restore keeps the CURRENT schema; vacuumed targets fail fast") {
+    val lake = newLake()
+    lake.write("s", Seq((1, "a")).toDF("id", "v"))
+    val v0 = lake.versions("s").head
+    lake.append("s", Seq((2, "b", 9)).toDF("id", "v", "extra"))
+    lake.restore("s", v0)
+    val df = lake.read("s")
+    assert(df.columns.contains("extra"),
+      "restore moves data, not schema evolution")
+    assert(rows(df, "id", "extra") === Set(Seq(1, null)))
+    // expire past the target → restore must fail fast, table intact
+    val lake2 = newLake()
+    lake2.write("x", Seq((1, 1)).toDF("id", "n"), pks = Seq("id"))
+    val xv0 = lake2.versions("x").head
+    for (i <- 2 to 6) lake2.upsert("x", Seq((1, i)).toDF("id", "n"))
+    lake2.expireSnapshots("x", keepLast = 2)
+    intercept[Exception] { lake2.restore("x", xv0) }
+    assert(rows(lake2.read("x"), "n") === Set(Seq(6)), "failed restore is a no-op")
+  }
 }
