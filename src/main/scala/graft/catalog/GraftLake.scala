@@ -692,8 +692,91 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       if (f.exists(dest)) renameOrFail(f, dest, old)
       renameOrFail(f, stage, dest)
       f.delete(old, true)
+      // sizing params persist beside the filters (the `_` prefix keeps the
+      // parquet reader from touching it) so incremental refreshes build
+      // compatible filters for new files
+      val pout = f.create(new Path(dest, "_params.json"), true)
+      try pout.write(
+        s"""{"expectedItemsPerFile":$expectedItemsPerFile,"fpp":$fpp}"""
+          .getBytes("UTF-8"))
+      finally pout.close()
       bloomCache.remove(s"$warehouse/$name#${field.name}")
     } finally f.delete(stage, true)
+  }
+
+  /** Incrementally extend every bloom sidecar to the live files it does
+    * not yet cover — the 100 TB maintenance path: after appends, ONLY the
+    * new files are scanned and bloomed (each file's filter is
+    * independent, so fresh entries just land as new sidecar parts); a
+    * full [[buildBloomIndex]] rebuild is never needed for growth, only
+    * for re-sizing or after heavy rewrites. Filters for new files use the
+    * sizing params persisted at build time. Returns column → number of
+    * files newly indexed. Typical cadence: after each ingest batch or
+    * from the auto-compaction hook. */
+  def refreshBloomIndexes(name: String): Map[String, Long] = writeLock(name) {
+    val cols = bloomIndexedColumns(name)
+    if (cols.isEmpty) return Map.empty
+    val meta = readMeta(name)
+    val partDepth = meta.partitionExprs.size
+    val last = versions(name).lastOption
+    val liveRefs = last match {
+      case Some(v) => resolveManifest(name, v)._2
+      case None => listDataFiles(name)
+    }
+    val liveKeys = liveRefs.map(GraftLake.fileKey)
+    cols.map { c =>
+      val dest = new Path(bloomDir(name), c)
+      val f = fs(dest)
+      val have = bloomMap(name, c).keySet
+      val missing = liveKeys.filterNot(have)
+      if (missing.isEmpty) c -> 0L
+      else {
+        val (expected, fpp) = readBloomParams(dest)
+        val missingSet = missing.toSet
+        val paths = liveRefs.collect {
+          case ref @ (rel, fn) if missingSet.contains(GraftLake.fileKey(ref)) =>
+            if (rel.isEmpty) s"${dataDir(name)}/$fn"
+            else s"${dataDir(name)}/$rel/$fn"
+        }
+        // partition-source columns live in the data files themselves, so a
+        // plain read of ONLY the missing files carries everything needed
+        val blooms = spark.read.parquet(paths: _*)
+          .select(GraftLake.dvKeyColumn(partDepth).as("file_key"),
+            col(quoted(c)).as("__v"))
+          .groupBy(col("file_key"))
+          .agg(graft.functions.BloomAggregate.bloomAgg(
+            col("__v"), expected, fpp).as("bloom"))
+        val stage = new Path(s"${tableDir(name)}/.bloomstage-${UUID.randomUUID()}")
+        try {
+          blooms.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+          f.listStatus(stage).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { s =>
+              renameOrFail(f, s.getPath,
+                new Path(dest, s"refresh-${UUID.randomUUID()}.parquet"))
+            }
+          bloomCache.remove(s"$warehouse/$name#$c")
+        } finally f.delete(stage, true)
+        c -> missing.size.toLong
+      }
+    }.toMap
+  }
+
+  private def readBloomParams(dest: Path): (Long, Double) = {
+    val p = new Path(dest, "_params.json")
+    val f = fs(p)
+    if (!f.exists(p)) (1000000L, 0.01)
+    else {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val exp = "\"expectedItemsPerFile\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(1000000L)
+      val fpp = "\"fpp\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findFirstMatchIn(raw).map(_.group(1).toDouble).getOrElse(0.01)
+      (exp, fpp)
+    }
   }
 
   /** Columns with an on-disk bloom sidecar. */

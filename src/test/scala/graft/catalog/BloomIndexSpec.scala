@@ -83,6 +83,36 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(lake.readWhere("s", col("tag") === "fresh").inputFiles.length === 1)
   }
 
+  test("refreshBloomIndexes blooms ONLY the new files; pruning tight again") {
+    val lake = newLake()
+    build(lake, "r")
+    lake.buildBloomIndex("r", "uid", expectedItemsPerFile = 2000)
+    val indexedFiles = lake.read("r").inputFiles.length
+    val prunedBefore = lake.readWhere("r", col("uid") === 1234L)
+      .inputFiles.length
+    // post-build appends whose uid bounds SPAN the whole range (so min/max
+    // cannot prune them) are kept by the bloom layer — conservative
+    lake.append("r", Seq((5L, "f1lo", 0), (599999L, "f1hi", 0))
+      .toDF("uid", "tag", "n").coalesce(1))
+    lake.append("r", Seq((6L, "f2lo", 0), (599998L, "f2hi", 0))
+      .toDF("uid", "tag", "n").coalesce(1))
+    assert(lake.readWhere("r", col("uid") === 1234L).inputFiles.length ===
+      prunedBefore + 2, "unindexed fresh files must all be kept")
+    // refresh covers exactly the two new files — no rebuild of the rest
+    val n = lake.refreshBloomIndexes("r")
+    assert(n === Map("uid" -> 2L), s"got $n")
+    assert(lake.refreshBloomIndexes("r") === Map("uid" -> 0L),
+      "second refresh finds nothing missing")
+    val pruned = lake.readWhere("r", col("uid") === 1234L)
+    assert(pruned.inputFiles.length < indexedFiles + 2,
+      "after refresh the equality probe prunes the fresh files too")
+    assert(rows(pruned, "uid", "tag") === Set(Seq(1234L, "u1234")))
+    assert(rows(lake.readWhere("r", col("uid") === 599999L), "tag") ===
+      Set(Seq("f1hi")), "refreshed entries must admit their own values")
+    assert(lake.readWhere("r", col("uid") === 599999L).inputFiles.length === 1,
+      "refreshed entries prune down to the single holding file")
+  }
+
   test("SQL DSv2 scans and the DV read path probe the index too") {
     val lake = newLake()
     val wh = lake.warehouseDir
