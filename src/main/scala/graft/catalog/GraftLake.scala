@@ -1872,6 +1872,15 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       "n_live_files", "n_columns")
   }
 
+  /** Operation labels of the commits in (fromExclusive, toInclusive] —
+    * an O(interval) manifest-header read with NO file resolution (unlike
+    * [[history]]), so incremental consumers can cheaply decide whether an
+    * interval was append-only. */
+  def operationsBetween(name: String, fromExclusive: Long,
+      toInclusive: Long): Seq[(Long, String)] =
+    versions(name).filter(v => v > fromExclusive && v <= toInclusive)
+      .map(v => v -> readManifestFile(name, v).op)
+
   /** Committed snapshot ids of a table, oldest first. */
   def versions(name: String): Seq[Long] = {
     val vd = versionsDir(name)

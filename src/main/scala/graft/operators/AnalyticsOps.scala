@@ -1150,6 +1150,68 @@ object AnalyticsOps {
       .orderBy(col("l_linenumber"))
   }
 
+  /** Incrementally maintained additive aggregate — materialized-view
+    * maintenance over lake snapshots. Keeps `dest` equal to
+    * `SELECT keys, count(*) AS n_rows, sum(c) AS sum_c… FROM src`
+    * refreshed from snapshot DELTAS: each refresh reads ONLY the files
+    * appended since the last refresh ([[graft.catalog.GraftLake
+    * .readAppendsBetween]]), aggregates that delta, and merge-ADDS it
+    * into `dest` by key (touched keys only — the upsert is
+    * delta-key-sized). The 100 TB shape: a dashboard aggregate over an
+    * ever-growing event table costs O(new data) per refresh instead of a
+    * full re-scan — the exact-additive companion of the q117 mergeable-
+    * sketch rollup. Correctness guard: additivity needs an APPEND-ONLY
+    * interval, so any non-append commit between refreshes (upsert,
+    * delete, compact, restore — from the O(interval) manifest-op labels,
+    * [[graft.catalog.GraftLake.operationsBetween]]) triggers a full
+    * rebuild instead of a wrong incremental answer. The refresh
+    * watermark persists in a 1-row `{dest}_state` lake table, so
+    * maintenance survives restarts. Returns the rows read this refresh
+    * (0 = already current). */
+  def refreshAdditiveAgg(lake: graft.catalog.GraftLake, src: String,
+      dest: String, keys: Seq[String], sumCols: Seq[String]): Long = {
+    val stateT = s"${dest}_state"
+    val cur = lake.versions(src).lastOption.getOrElse(return 0L)
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+    val lastV: Option[Long] =
+      if (!lake.tableExists(stateT)) None
+      else lake.read(stateT).collect().headOption
+        .map(_.getAs[Long]("src_version"))
+    def saveState(s: SparkSession): Unit = {
+      import s.implicits._
+      lake.write(stateT, Seq((0, cur)).toDF("state_id", "src_version"),
+        pks = Seq("state_id"))
+    }
+    val rebuild = lastV.isEmpty ||
+      lake.operationsBetween(src, lastV.get, cur).exists(_._2 != "append")
+    if (rebuild) {
+      val srcDf = lake.read(src)
+      if (lake.tableExists(dest)) lake.dropTable(dest)
+      lake.write(dest, aggOf(srcDf), pks = keys)
+      saveState(srcDf.sparkSession)
+      lake.read(dest).agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+    } else if (lastV.get == cur) 0L
+    else {
+      val delta = lake.readAppendsBetween(src, lastV.get, cur)
+      // the delta aggregate is key-sized and feeds the merge join AND the
+      // processed-row count — materialize once, never re-scan the delta
+      val d = aggOf(delta).localCheckpoint(true)
+      val existing = lake.read(dest).select(
+        keys.map(col) ++ (col("n_rows").as("__en") +:
+          sumCols.map(c => col(s"sum_$c").as(s"__es_$c"))): _*)
+      val merged = d.join(existing, keys, "left")
+        .select(keys.map(col) ++
+          ((col("n_rows") + coalesce(col("__en"), lit(0L))).as("n_rows") +:
+            sumCols.map(c => (col(s"sum_$c") + coalesce(col(s"__es_$c"),
+              lit(0L))).as(s"sum_$c"))): _*)
+      lake.write(dest, merged, pks = keys)
+      saveState(d.sparkSession)
+      d.agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+    }
+  }
+
   /** q135: merge-on-read UPDATE — q129's counterpart for updates. The
     * matching rows are masked by a deletion vector and re-inserted with
     * the assignment applied, in ONE commit; the in-query `require`
@@ -1230,10 +1292,56 @@ object AnalyticsOps {
     lake.read("t").select(col("id"), col("v")).orderBy(col("id"))
   }
 
+  /** q138: incrementally maintained additive aggregate
+    * ([[refreshAdditiveAgg]]), proven incremental IN-QUERY: the source
+    * lands in three appends with a refresh after each, and the
+    * `require`s pin that refresh #2 and #3 process EXACTLY their
+    * append's row count (delta reads, never a re-scan) and that a
+    * refresh with nothing new reads zero rows. The oracle recomputes the
+    * aggregate from the raw table in one shot, so a hash match proves
+    * delta-maintenance ≡ full recompute. Integer sums only
+    * (`floor(value*100)` as BIGINT — float sums are not hash-stable
+    * across engines and not safely additive). */
+  val q138IncrementalAgg = QueryDef(
+    "q138_incremental_agg",
+    """SELECT event_type, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_v100
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"inc:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-incq").toString)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("v100"))
+      def batch(i: Int) = ev.filter(col("event_id") % 3 === i)
+      val counts = (0 until 3).map(i => batch(i).count())
+      l.append("ev", batch(0))
+      val r0 = refreshAdditiveAgg(l, "ev", "ev_agg",
+        Seq("event_type"), Seq("v100"))
+      require(r0 == counts(0), s"initial build: $r0 != ${counts(0)}")
+      l.append("ev", batch(1))
+      val r1 = refreshAdditiveAgg(l, "ev", "ev_agg",
+        Seq("event_type"), Seq("v100"))
+      require(r1 == counts(1),
+        s"refresh must read EXACTLY the delta: $r1 != ${counts(1)}")
+      l.append("ev", batch(2))
+      val r2 = refreshAdditiveAgg(l, "ev", "ev_agg",
+        Seq("event_type"), Seq("v100"))
+      require(r2 == counts(2), s"refresh 3: $r2 != ${counts(2)}")
+      require(refreshAdditiveAgg(l, "ev", "ev_agg",
+        Seq("event_type"), Seq("v100")) == 0L, "current state reads nothing")
+      l
+    })
+    lake.read("ev_agg")
+      .select(col("event_type"), col("n_rows"), col("sum_v100"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
-    q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore)
+    q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
+    q138IncrementalAgg)
 }

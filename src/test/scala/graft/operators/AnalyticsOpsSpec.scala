@@ -135,4 +135,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"$tpe: anomalies reported but the worst excursion is under the gate")
     }
   }
+
+  test("refreshAdditiveAgg: delta maintenance == full recompute; mutations force rebuild") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val wh = java.nio.file.Files.createTempDirectory("graft-incagg").toString
+    val lake = new graft.catalog.GraftLake(spark, wh)
+    def full() = lake.read("src").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum(col("a")).as("sum_a"),
+        sum(col("b")).as("sum_b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def dest() = lake.read("agg")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("sum_a"), r.getAs[Long]("sum_b"))).toSet
+    def refresh() = AnalyticsOps.refreshAdditiveAgg(lake, "src", "agg",
+      Seq("k"), Seq("a", "b"))
+    lake.append("src", Seq(("x", 1L, 10L), ("y", 2L, 20L)).toDF("k", "a", "b"))
+    assert(refresh() === 2L)
+    assert(dest() === full())
+    // incremental: new keys insert, existing keys ADD
+    lake.append("src", Seq(("x", 3L, 30L), ("z", 4L, 40L)).toDF("k", "a", "b"))
+    assert(refresh() === 2L, "must read only the appended delta")
+    assert(dest() === full())
+    assert(dest().contains(("x", 2L, 4L, 40L)))
+    assert(refresh() === 0L, "nothing new → nothing read")
+    // a NON-append commit invalidates additivity → full rebuild, still exact
+    lake.deleteWhere("src", col("k") === "y")
+    val n = refresh()
+    assert(n === 3L, s"delete in the interval must force a rebuild, read $n")
+    assert(dest() === full())
+    assert(!dest().exists(_._1 == "y"))
+    // the watermark persists: a FRESH lake instance (restart) stays incremental
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake2 = new graft.catalog.GraftLake(spark, wh)
+    lake2.append("src", Seq(("z", 5L, 50L)).toDF("k", "a", "b"))
+    assert(AnalyticsOps.refreshAdditiveAgg(lake2, "src", "agg",
+      Seq("k"), Seq("a", "b")) === 1L, "state survives restart")
+    assert(lake2.read("agg").filter(col("k") === "z")
+      .select("n_rows", "sum_a").head() ===
+      org.apache.spark.sql.Row(2L, 9L))
+  }
 }
