@@ -1337,11 +1337,50 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** q139: the ADMIN SQL surface end-to-end — `OPTIMIZE`, `RESTORE TABLE
+    * … VERSION AS OF`, and `VACUUM … KEEP n SNAPSHOTS` are parser-injected
+    * statements (GraftSqlParser, the Delta mechanism) routing to the
+    * engine's compaction / zero-copy restore / retention-bounded expiry.
+    * The deterministic sequence append ×2 → OPTIMIZE → append → RESTORE
+    * to the optimized snapshot → VACUUM pins every interaction: the
+    * restore's target file survives the vacuum because its snapshot is
+    * kept, the post-restore read is the VALUES oracle, and the in-query
+    * `require`s pin file counts, retained versions and op labels. */
+  val q139AdminSql = QueryDef(
+    "q139_admin_sql",
+    """SELECT * FROM (VALUES (CAST(1 AS INTEGER), 'a'),
+      |                      (CAST(2 AS INTEGER), 'b'),
+      |                      (CAST(3 AS INTEGER), 'c')) AS t(id, v)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"adminsql:$dir", _ => {
+      import s.implicits._
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-admq").toString)
+      val cat = s"admq${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", l.warehouseDir)
+      l.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(1))
+      l.append("t", Seq((3, "c")).toDF("id", "v").repartition(1))
+      s.sql(s"OPTIMIZE $cat.t")
+      require(l.dataFiles("t").size == 1, "OPTIMIZE must compact to one file")
+      val optimized = l.versions("t").last
+      l.append("t", Seq((4, "d")).toDF("id", "v").repartition(1))
+      s.sql(s"RESTORE TABLE $cat.t TO VERSION AS OF $optimized")
+      s.sql(s"VACUUM $cat.t KEEP 3 SNAPSHOTS")
+      require(l.versions("t").size == 3, "retention must keep exactly 3")
+      require(l.history("t").collect().last.getString(2) == "restore")
+      require(l.read("t").count() == 3,
+        "the restore target file must survive the vacuum")
+      l
+    })
+    lake.read("t").select(col("id"), col("v")).orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
-    q138IncrementalAgg)
+    q138IncrementalAgg, q139AdminSql)
 }

@@ -23,6 +23,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // admin statements Spark's grammar lacks (RESTORE TABLE / VACUUM /
+    // OPTIMIZE [ZORDER BY]) — a thin delegate wrapper, Delta's mechanism
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // Hints batch (pre-Resolution): expand MERGE star actions over user
     // columns before Spark's own expansion trips on system columns
     ext.injectHintResolutionRule(ExpandGraftMergeStars)

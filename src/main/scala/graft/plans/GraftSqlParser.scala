@@ -1,0 +1,119 @@
+package graft.plans
+
+import graft.catalog.{GraftCatalog, GraftLake}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+/** Delta-parity ADMIN SQL for graft tables, injected as a thin parser
+  * delegate wrapper (the same mechanism Delta Lake uses for its extra
+  * statements). Three statements Spark's grammar lacks are matched by
+  * anchored regexes; everything else passes through to Spark's parser
+  * verbatim:
+  *
+  *   RESTORE TABLE <cat>.<t> [TO] VERSION AS OF <n>   — [[GraftLake.restore]]
+  *   VACUUM <cat>.<t> KEEP <n> SNAPSHOTS              — [[GraftLake.expireSnapshots]]
+  *   OPTIMIZE <cat>.<t> [ZORDER BY (c1, ...)]         — [[GraftLake.compact]]
+  *
+  * The table must be qualified with a catalog registered as a
+  * [[GraftCatalog]]; resolution happens at run time through the session's
+  * CatalogManager, so the statements follow catalog config like every
+  * other graft command. */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseAdmin(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  private val Restore =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+([\w.`]+)\s+KEEP\s+(\d+)\s+SNAPSHOTS\s*;?\s*$""".r
+  private val Optimize =
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+
+  def parseAdmin(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Restore(ident, v) =>
+      Some(GraftRestoreCommand(parts(ident), v.toLong))
+    case Vacuum(ident, n) =>
+      Some(GraftVacuumCommand(parts(ident), n.toInt))
+    case Optimize(ident, cols) =>
+      val zorder = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
+        .filter(_.nonEmpty).map(_.stripPrefix("`").stripSuffix("`"))
+      Some(GraftOptimizeCommand(parts(ident), zorder))
+    case _ => None
+  }
+
+  /** (warehouse, table) of a catalog-qualified graft identifier —
+    * resolved through the session's CatalogManager at RUN time. */
+  private[plans] def resolve(spark: SparkSession,
+      ident: Seq[String]): (String, String) = {
+    require(ident.size == 2,
+      s"graft admin SQL needs a catalog-qualified table " +
+        s"(<catalog>.<table>), got '${ident.mkString(".")}'")
+    spark.sessionState.catalogManager.catalog(ident.head) match {
+      case g: GraftCatalog => (g.warehouseDir, ident(1))
+      case other => throw new IllegalArgumentException(
+        s"catalog '${ident.head}' is not a graft catalog " +
+          s"(${other.getClass.getName})")
+    }
+  }
+}
+
+/** `RESTORE TABLE t [TO] VERSION AS OF n` — roll the table back (or
+  * forward) to snapshot `n` as a new commit, zero bytes copied. */
+final case class GraftRestoreCommand(ident: Seq[String], version: Long)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).restore(t, version)
+    Seq.empty
+  }
+}
+
+/** `VACUUM t KEEP n SNAPSHOTS` — retention-bounded snapshot expiry +
+  * unreferenced-file vacuum (keepLast semantics rather than Delta's
+  * RETAIN-hours: manifests are wall-clock-free by design). */
+final case class GraftVacuumCommand(ident: Seq[String], keepLast: Int)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).expireSnapshots(t, keepLast)
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (c1, ...)]` — compaction, optionally Z-order
+  * clustered for multi-column data skipping. */
+final case class GraftOptimizeCommand(ident: Seq[String],
+    zorderCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).compact(t, clusterBy = zorderCols)
+    Seq.empty
+  }
+}

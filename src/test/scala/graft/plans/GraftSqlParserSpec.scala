@@ -1,0 +1,90 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.catalog.{GraftCatalog, GraftLake}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Admin-SQL surface (parser-injected): RESTORE TABLE / VACUUM / OPTIMIZE
+  * route to the engine ops; everything else parses through Spark
+  * unchanged. */
+class GraftSqlParserSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // one catalog name per test: the session's CatalogManager caches
+  // catalog INSTANCES by name, so a reused name would keep pointing at
+  // the first test's warehouse
+  private def withCat[T](cat: String)(f: (GraftLake, String) => T): T = {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-adminsql").toString
+    val lake = new GraftLake(spark, wh)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try f(lake, cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("RESTORE TABLE ... VERSION AS OF rolls back through SQL") {
+    withCat("admr") { (lake, cat) =>
+      lake.write("t", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+      lake.write("t", Seq((1, "CHANGED")).toDF("id", "v"), pks = Seq("id"))
+      assert(spark.sql(s"SELECT v FROM $cat.t").head().getString(0) ===
+        "CHANGED")
+      spark.sql(s"RESTORE TABLE $cat.t TO VERSION AS OF 0")
+      assert(spark.sql(s"SELECT v FROM $cat.t").head().getString(0) === "a")
+      assert(lake.history("t").collect().last.getString(2) === "restore")
+      // the TO keyword is optional
+      spark.sql(s"RESTORE TABLE $cat.t VERSION AS OF 1")
+      assert(spark.sql(s"SELECT v FROM $cat.t").head().getString(0) ===
+        "CHANGED")
+    }
+  }
+
+  test("VACUUM ... KEEP n SNAPSHOTS expires old versions") {
+    withCat("admv") { (lake, cat) =>
+      for (i <- 1 to 5)
+        lake.write("t", Seq((1, s"v$i")).toDF("id", "v"), pks = Seq("id"))
+      assert(lake.versions("t").size === 5)
+      spark.sql(s"VACUUM $cat.t KEEP 2 SNAPSHOTS")
+      assert(lake.versions("t").size === 2)
+      assert(spark.sql(s"SELECT v FROM $cat.t").head().getString(0) === "v5")
+    }
+  }
+
+  test("OPTIMIZE compacts; OPTIMIZE ZORDER BY clusters") {
+    withCat("admo") { (lake, cat) =>
+      for (i <- 0 until 4)
+        lake.append("t", Seq((i, i * 10)).toDF("id", "n").repartition(1))
+      assert(lake.dataFiles("t").size === 4)
+      spark.sql(s"OPTIMIZE $cat.t")
+      assert(lake.dataFiles("t").size < 4, "compaction must merge files")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 4)
+      spark.sql(s"OPTIMIZE $cat.t ZORDER BY (id, n)")
+      assert(lake.history("t").collect().last.getString(2) === "zorder")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 4)
+    }
+  }
+
+  test("unqualified / non-graft targets fail clearly; plain SQL passes through") {
+    withCat("admf") { (lake, cat) =>
+      lake.write("t", Seq((1, "a")).toDF("id", "v"))
+      val e = intercept[Exception] {
+        spark.sql("RESTORE TABLE t VERSION AS OF 0")
+      }
+      assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("VACUUM spark_catalog.t KEEP 1 SNAPSHOTS")
+      }
+      assert(e2.getMessage.contains("not a graft catalog"), e2.getMessage)
+      // the delegate still parses everything else
+      assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
+      assert(spark.sql(s"SELECT id FROM $cat.t").head().getInt(0) === 1)
+    }
+  }
+}
