@@ -37,7 +37,10 @@ object ScaleBench {
     "q104_temporal_skipping", // pruned range read: expected near-flat
     "q132_bloom_skipping", // bloom point read: expected near-flat
     "q114_ann_lsh",
-    "q131_ann_join")
+    "q131_ann_join",
+    "q135_mor_update", // DV update: hit-sized writes, pruned scan
+    "q137_cross_corpus_dedup", // banded corpus×corpus join
+    "q138_incremental_agg") // delta-maintained aggregate
 
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
