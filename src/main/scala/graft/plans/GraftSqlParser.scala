@@ -52,6 +52,8 @@ object GraftSqlParser {
     """(?is)^\s*VACUUM\s+([\w.`]+)\s+KEEP\s+(\d+)\s+SNAPSHOTS\s*;?\s*$""".r
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val DescribeHistory =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -65,6 +67,8 @@ object GraftSqlParser {
       val zorder = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
         .filter(_.nonEmpty).map(_.stripPrefix("`").stripSuffix("`"))
       Some(GraftOptimizeCommand(parts(ident), zorder))
+    case DescribeHistory(ident) =>
+      Some(GraftDescribeHistoryCommand(parts(ident)))
     case _ => None
   }
 
@@ -104,6 +108,27 @@ final case class GraftVacuumCommand(ident: Seq[String], keepLast: Int)
     val (wh, t) = GraftSqlParser.resolve(spark, ident)
     new GraftLake(spark, wh).expireSnapshots(t, keepLast)
     Seq.empty
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the commit log as a result set: one row per
+  * snapshot with operation label, commit time, add/remove deltas, live
+  * file and column counts (bounded by the retained version count). */
+final case class GraftDescribeHistoryCommand(ident: Seq[String])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("ts", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_added", LongType, nullable = false)(),
+    AttributeReference("n_removed", LongType, nullable = false)(),
+    AttributeReference("n_live_files", LongType, nullable = false)(),
+    AttributeReference("n_columns", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).history(t).collect().toSeq
   }
 }
 

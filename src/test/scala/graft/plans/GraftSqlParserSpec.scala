@@ -71,6 +71,20 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE HISTORY returns the commit log as a result set") {
+    withCat("admh") { (lake, cat) =>
+      lake.append("t", Seq((1, "a")).toDF("id", "v"))
+      lake.append("t", Seq((2, "b")).toDF("id", "v"))
+      lake.deleteWhere("t", col("id") === 1)
+      val h = spark.sql(s"DESCRIBE HISTORY $cat.t").collect()
+      assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+      assert(h.map(_.getString(2)).toSeq === Seq("append", "append", "delete"))
+      assert(h.last.getLong(5) === 2L, "live files unchanged by a MoR delete")
+      // the short form parses too, and projection works over the result
+      assert(spark.sql(s"DESC HISTORY $cat.t").count() === 3L)
+    }
+  }
+
   test("unqualified / non-graft targets fail clearly; plain SQL passes through") {
     withCat("admf") { (lake, cat) =>
       lake.write("t", Seq((1, "a")).toDF("id", "v"))
