@@ -39,6 +39,13 @@ import org.apache.spark.sql.types._
   *                        see [[QualityConfig]]. Runs BEFORE the dedup
   *                        gate so junk never costs LSH sketching or index
   *                        admission.
+  * @param bloomRefresh    tables whose per-file bloom skipping sidecars
+  *                        ([[graft.catalog.GraftLake.buildBloomIndex]])
+  *                        stay current with ingest: after each flush ONLY
+  *                        the newly landed files are scanned and bloomed
+  *                        ([[graft.catalog.GraftLake.refreshBloomIndexes]]),
+  *                        so equality-probe pruning never decays as the
+  *                        stream grows. No-op until an index is built.
   */
 final case class IngestConfig(
     warehouse: String,
@@ -52,7 +59,8 @@ final case class IngestConfig(
     dedup: Map[String, DedupConfig] = Map.empty,
     quality: Map[String, QualityConfig] = Map.empty,
     autoCompact: Map[String, CompactionConfig] = Map.empty,
-    retention: Map[String, RetentionConfig] = Map.empty) {
+    retention: Map[String, RetentionConfig] = Map.empty,
+    bloomRefresh: Set[String] = Set.empty) {
 
   /** Explicit mappings are validated strictly (reference
     * TopicToTableValidator.java:99-154 validates only configured mappings);
@@ -471,6 +479,10 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       if (lake.versions(table).size >= rc.keepLast + rc.slack)
         lake.expireSnapshots(table, rc.keepLast)
     }
+    // post-flush bloom maintenance: blooms ONLY the files this (and any
+    // missed) flush added — O(new files), so the probe index never decays
+    if (config.bloomRefresh.contains(table))
+      GraftMetrics.time("bloomRefresh") { lake.refreshBloomIndexes(table) }
   }
 
   private def processJson(topic: String, table: String, records: DataFrame): Unit = {

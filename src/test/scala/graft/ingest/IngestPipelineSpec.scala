@@ -590,6 +590,27 @@ class IngestPipelineSpec extends AnyFunSuite {
       graft.metrics.GraftMetrics.AutoCompact).count.sum() >= 1)
   }
 
+  test("bloom maintenance: the sidecar stays current with every flush") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-br").toString,
+      bloomRefresh = Set("d")))
+    // no index yet: the hook is a no-op
+    p.processBatch(batchOf("d" -> """{"id":1,"v":"a"}"""), 0)
+    assert(p.lake.bloomIndexedColumns("d").isEmpty)
+    p.lake.buildBloomIndex("d", "id", expectedItemsPerFile = 1000)
+    // every further flush blooms its own new files
+    (2 to 4).foreach(i =>
+      p.processBatch(batchOf("d" -> s"""{"id":$i,"v":"x$i"}"""), i - 1L))
+    assert(p.lake.refreshBloomIndexes("d") === Map("id" -> 0L),
+      "the pipeline must leave no live file unbloomed")
+    assert(p.lake.read("d").count() === 4)
+    // the maintained index prunes: a present key plans only its file
+    import org.apache.spark.sql.functions.col
+    assert(p.lake.readWhere("d", col("id") === 3L).inputFiles.length === 1)
+    assert(graft.metrics.GraftMetrics.op("bloomRefresh").count.sum() >= 3)
+  }
+
   test("snapshot retention: streaming commits stay bounded and contents survive") {
     graft.catalog.GraftLake.invalidateCaches()
     val p = new IngestPipeline(spark, IngestConfig(
