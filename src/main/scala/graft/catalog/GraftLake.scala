@@ -141,6 +141,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     fs(dir).delete(dir, true)
     metaCache.remove(s"$warehouse/$name")
     verifiedTables.remove(s"$warehouse/$name")
+    invalidateTable(name)
+  }
+
+  /** Drop this table's snapshot-state caches so the next read/commit
+    * re-resolves from the filesystem — the recovery step after losing a
+    * cross-process commit race. */
+  private def invalidateTable(name: String): Unit = {
     lastVersionCache.remove(s"$warehouse/$name")
     liveSetCache.remove(s"$warehouse/$name")
     statsMapCache.remove(s"$warehouse/$name")
@@ -1744,13 +1751,58 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * per-file bounds come from `writeStats` — collected INSIDE the write
     * job by [[org.apache.spark.sql.graft.StatsCommitProtocol]] — with a
     * footer read only for added files the write job didn't report
-    * (rename-only paths, repair). */
+    * (rename-only paths, repair).
+    *
+    * CROSS-PROCESS concurrency (the per-JVM write lock cannot see other
+    * drivers): the manifest create is no-overwrite, so the version
+    * number itself is the optimistic lock — losing a race throws
+    * [[java.nio.file.FileAlreadyExistsException]] from the filesystem.
+    * A PURE APPEND (no removes, no DV change) commutes with any
+    * concurrent commit, so it retries against the freshly re-read state
+    * (its files are already uniquely named in `data/`). Anything else
+    * (rewrites, deletes, restores) computed its delta against a state
+    * that no longer exists — retrying could resurrect or lose rows — so
+    * it fails fast with a ConcurrentModificationException; the caller
+    * re-runs against the new state. */
   private def commitVersion(name: String, added: Seq[(String, String)],
       removed: Seq[(String, String)],
       writeStats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
       op: String = "write",
       dvAdded: Seq[String] = Nil,
-      dvRemoved: Seq[String] = Nil): Unit =
+      dvRemoved: Seq[String] = Nil): Unit = {
+    val appendOnly = removed.isEmpty && dvAdded.isEmpty && dvRemoved.isEmpty
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { commitVersionOnce(name, added, removed, writeStats, op,
+        dvAdded, dvRemoved); done = true }
+      catch {
+        case e: java.io.IOException
+            if isManifestCollision(e) && attempt < 5 =>
+          graft.metrics.GraftMetrics.op("commitRetry").record(0L)
+          // drop this table's caches either way: the retry (or the
+          // caller's re-run) must see the winner's state
+          invalidateTable(name)
+          if (!appendOnly) throw new java.util.ConcurrentModificationException(
+            s"concurrent commit to '$name': a newer snapshot appeared while " +
+              s"this ${op} was computing its delta — re-run against the new " +
+              s"state (only pure appends retry automatically): $e")
+          attempt += 1
+      }
+    }
+  }
+
+  private def isManifestCollision(e: java.io.IOException): Boolean =
+    e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+      e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
+
+  private def commitVersionOnce(name: String, added: Seq[(String, String)],
+      removed: Seq[(String, String)],
+      writeStats: Map[String, Map[String, GraftLake.Bounds]],
+      op: String,
+      dvAdded: Seq[String],
+      dvRemoved: Seq[String]): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)

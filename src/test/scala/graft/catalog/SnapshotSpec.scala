@@ -701,6 +701,42 @@ class SnapshotSpec extends AnyFunSuite {
       s"re-anchored history keeps original labels: $afterOps")
   }
 
+  test("cross-process commit race: pure appends retry, rewrites fail fast") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-occ").toString
+    val lake = new GraftLake(spark, wh)
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // simulate another DRIVER winning the next version number: a valid
+    // manifest appears at v1 that this JVM's caches have never seen (v0
+    // is a self-contained full checkpoint, so its bytes are a valid
+    // external commit of the same state)
+    def externalCommit(v: Long): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(s"$wh/t/_versions/v0.json")
+      val dst = new org.apache.hadoop.fs.Path(s"$wh/t/_versions/v$v.json")
+      val f = src.getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, conf)
+    }
+    externalCommit(1)
+    val retriesBefore = graft.metrics.GraftMetrics.op("commitRetry").count.sum()
+    // the append loses the race for v1, retries against the winner's
+    // state, and lands as v2 — no error, no lost rows
+    lake.append("t", Seq((3, "c")).toDF("id", "v"))
+    assert(lake.versions("t") === Seq(0L, 1L, 2L))
+    assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(2), Seq(3)))
+    assert(graft.metrics.GraftMetrics.op("commitRetry").count.sum() >
+      retriesBefore, "the retry must be metered")
+    // a NON-append (DV delete) losing the race must fail fast — its hit
+    // positions were computed against a state that no longer exists
+    externalCommit(3)
+    intercept[java.util.ConcurrentModificationException] {
+      lake.deleteWhere("t", col("id") === 1)
+    }
+    // the failure invalidated the caches: an immediate re-run succeeds
+    assert(lake.deleteWhere("t", col("id") === 1) === 1L)
+    assert(rows(lake.read("t"), "id") === Set(Seq(2), Seq(3)))
+  }
+
   test("restore re-references an old snapshot without copying data") {
     val lake = newLake()
     lake.write("r", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
