@@ -88,6 +88,42 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for every
+    * query vector, its k most similar corpus vectors with a DIFFERENT
+    * label — the near-boundary negatives that make a contrastive batch
+    * hard (random negatives are trivially far; same-label hits are
+    * positives, not negatives). [[knnLsh]]'s banded probe with the label
+    * exclusion applied to the CANDIDATE set, before the exact-cosine
+    * top-k, so excluded same-label candidates never occupy result
+    * slots. Scale shape identical to knnLsh: one banding pass per frame,
+    * one bucket join (query side broadcast), candidate-sized rerank. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, tables: Int = 16,
+      bitsPerTable: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(bitsPerTable, dim, seed + t))
+    def banded(df: DataFrame, id: String, lab: String): DataFrame =
+      df.select(col(idCol).as(id), col(labelCol).as(lab),
+        posexplode(array(allPlanes.map(p => signature(col(vecCol), p)): _*))
+          .as(Seq("__t", "__s")))
+    val pairs = banded(corpus, "neighbor_id", "__nl")
+      .join(broadcast(banded(queries, "query_id", "__ql")), Seq("__t", "__s"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("__nl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = pairs
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("__qv"), col("__cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Cross-corpus ANN JOIN: every vector of `right` → its k nearest (by
     * true cosine, among LSH candidates) in `left`, with BOTH corpora
     * large. Unlike [[knnLsh]] (which broadcasts its small probe side),
@@ -1324,8 +1360,69 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  /** q140: hard-negative mining through the q114 hash-gated contract
+    * shape, extended with the exclusion guarantee. Per query (vec_id <
+    * 10), [[hardNegatives]] returns k=5 negatives; the contract pins:
+    * exactly k results; `n_diff_label` = k (NO same-label vector ever
+    * occupies a slot — the exclusion is structural, not best-effort);
+    * every reported cosine independently recomputed from the raw
+    * vectors; recall ≥ 0.4·k vs exact brute-force different-label
+    * top-k. 16×4 planes measure slice recall 0.8–1.0 across SFs, same
+    * deterministic margin as q114. */
+  val q140HardNegatives = QueryDef(
+    "q140_hard_negatives",
+    """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+      |  CAST(5 AS BIGINT) AS n_diff_label, CAST(5 AS BIGINT) AS n_exact_cos,
+      |  CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+  ) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 5
+    val hn = hardNegatives(emb, queries, "vec_id", "embedding", "label", k)
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def builtinCos(a: Column, b: Column): Column =
+      dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("__qv"), col("label").as("__ql"))
+    // labels + independent cosine recompute over the k-sized result
+    val checked = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__nv"),
+        col("label").as("__nl"))
+      .join(broadcast(hn.join(q, Seq("query_id"))), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        (col("__nl") =!= col("__ql")).as("__diff"),
+        builtinCos(col("__qv"), col("__nv")).as("__check"))
+    // exact brute-force different-label top-k over the bounded slice
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__bc").desc, col("neighbor_id"))
+    val brute = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__nv"),
+        col("label").as("__nl"))
+      .crossJoin(broadcast(q))
+      .filter(col("__nl") =!= col("__ql") &&
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("__qv"), col("__nv")).as("__bc"))
+      .withColumn("__r", row_number().over(bw))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    checked.join(brute, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_results"),
+        sum(when(col("__diff"), 1L).otherwise(0L)).as("n_diff_label"),
+        sum(when(abs(col("cos") - col("__check")) < 1e-9, 1L).otherwise(0L))
+          .as("n_exact_cos"),
+        when(sum(coalesce(col("__hit"), lit(0L))) >=
+          lit(math.ceil(0.4 * k).toLong), 1L).otherwise(0L).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
     q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
     q114AnnLsh, q119LabelSeparability, q122EmbedQuantize, q125EmbedOutliers,
-    q131AnnJoin)
+    q131AnnJoin, q140HardNegatives)
 }

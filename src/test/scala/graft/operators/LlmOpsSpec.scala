@@ -685,4 +685,24 @@ class LlmOpsSpec extends AnyFunSuite {
     val got = df.select(DedupOps.containment(col("gs"), col("gl"))).head().getDouble(0)
     assert(got === 0.0)
   }
+
+  test("hardNegatives: exclusion is structural even when true NNs share the label") {
+    graft.functions.VectorFunctions.register(spark)
+    // query 0 (label 0) sits in a tight same-label cluster (ids 1-4,
+    // cosine ~1); the only different-label vectors (ids 10-13, label 1)
+    // are far away. A top-k WITHOUT exclusion would return only label-0
+    // hits; hardNegatives must return ONLY the far label-1 vectors.
+    def v(base: Double, j: Int) =
+      Array.tabulate(64)(d => (base + (if (d == j % 64) 0.01 else 0.0)).toFloat)
+    val rows = Seq((0L, v(1.0, 0), 0)) ++
+      (1 to 4).map(i => (i.toLong, v(1.0, i), 0)) ++
+      (10 to 13).map(i => ((i.toLong, Array.tabulate(64)(d =>
+        (if (d < 32) -1.0 else 1.0).toFloat), 1)))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val hn = SimilarityOps.hardNegatives(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 3, tables = 16, bitsPerTable = 2)
+    val got = hn.collect().map(r => r.getLong(1))
+    assert(got.nonEmpty && got.forall(id => id >= 10L && id <= 13L),
+      s"same-label vectors must never occupy negative slots, got ${got.toSeq}")
+  }
 }
