@@ -88,4 +88,33 @@ object JoinOps {
     pruned.join(keys.select(col(keysKey).as(largeKey)).distinct(),
       Seq(largeKey), "left_semi")
   }
+
+  /** BINNED range join: `points` ⋈ `intervals` ON point ∈ [lo, hi],
+    * where no equi-key exists to hash on. Spark plans a raw inequality
+    * join as BroadcastNestedLoopJoin (O(|points|·|intervals|) compares,
+    * and an OOM once the interval side outgrows the driver) — the binned
+    * rewrite makes it an EQUI join: every interval explodes to the
+    * fixed-width bins it covers, every point maps to its one bin, and
+    * the exact predicate re-filters the bin-collision candidates. Each
+    * point lands in exactly one bin, so a (point, interval) pair can
+    * match at most once — no dedup pass. Candidate volume is
+    * |points| + Σ interval_width/binSize collisions; pick `binSize`
+    * near the typical interval width (the Databricks range-join-hint
+    * contract, built here from plain operators). Both columns must be
+    * in the same numeric domain (e.g. `unix_micros`). Result: all
+    * `points` columns + all `intervals` columns, inner semantics, hi
+    * exclusive. */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"need binSize > 0, got $binSize")
+    val binned = points.withColumn("__bin",
+      floor(col(pointCol) / binSize).cast("long"))
+    val expanded = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binSize).cast("long"),
+        floor((col(hiCol) - 1) / binSize).cast("long"))))
+    binned.join(expanded, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -216,8 +216,49 @@ object RelationalOps3 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q141: BINNED RANGE JOIN — events against time windows with NO
+    * equi-key ([[JoinOps.binnedRangeJoin]]). Spark plans the raw
+    * inequality join as BroadcastNestedLoopJoin (quadratic compares, a
+    * driver OOM when the interval side grows); the binned rewrite joins
+    * on a computed bin key and re-filters exactly, so the oracle's naive
+    * inequality join must match row-for-row. Windows derive from the
+    * corpus itself (ten half-open half-deciles of the event-time span,
+    * all integer-µs arithmetic, so the construction hashes identically
+    * across engines). PlanQualitySpec pins that no nested-loop join
+    * appears in the plan. */
+  val q141RangeJoin = QueryDef(
+    "q141_range_join",
+    """WITH b AS (SELECT min(epoch_us(ts)) AS tmin,
+      |                  max(epoch_us(ts)) + 1 AS tmax FROM events),
+      |w AS (SELECT CAST(r.k AS BIGINT) AS window_id,
+      |        tmin + r.k * ((tmax - tmin) // 10) AS lo,
+      |        tmin + r.k * ((tmax - tmin) // 10)
+      |          + (((tmax - tmin) // 10) // 2) AS hi
+      |      FROM b, range(10) r(k))
+      |SELECT window_id, count(*) AS n_events,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM events e JOIN w ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+      |GROUP BY window_id ORDER BY window_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("p"), col("event_type"))
+    val bounds = ev.agg(min(col("p")), max(col("p"))).head()
+    val tmin = bounds.getLong(0)
+    val tmax = bounds.getLong(1) + 1
+    val d = (tmax - tmin) / 10
+    val half = d / 2
+    val intervals = s.range(10).select(col("id").as("window_id"),
+      (lit(tmin) + col("id") * d).as("lo"),
+      (lit(tmin) + col("id") * d + half).as("hi"))
+    JoinOps.binnedRangeJoin(ev, intervals, "p", "lo", "hi",
+      binSize = math.max(half / 4, 1L))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("window_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q51RecursiveChain, q52Unpivot, q53GroupingSets, q54ExceptAll,
     q55Listagg, q56ApproxDistinct, q57SaltedJoin, q99BloomPrune,
-    q103ApproxQuantile)
+    q103ApproxQuantile, q141RangeJoin)
 }

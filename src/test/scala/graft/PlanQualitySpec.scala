@@ -246,6 +246,13 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q141: binned range join plans equi, never nested-loop") {
+    val p = plan("q141_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the bin rewrite must replace the inequality join's nested loop")
+  }
+
   test("q111: temperature sampling broadcasts the per-source counts") {
     val p = plan("q111_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),

@@ -314,6 +314,26 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("binned range join equals the naive inequality join at every bin size") {
+    // deterministic but irregular intervals: widths 1..40, some empty,
+    // some overlapping, some bin-aligned, some not
+    val points = (0 until 400).map(i => (i.toLong * 7 % 1000, s"p$i"))
+      .toDF("p", "tag")
+    val intervals = (0 until 30).map { i =>
+      val lo = (i * 53 % 900).toLong
+      (i.toLong, lo, lo + 1 + (i * 11 % 40))
+    }.toDF("iv", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "tag", "iv").collect().map(_.toSeq).toSet
+    for (bin <- Seq(1L, 3L, 16L, 1000L)) {
+      val binned = graft.operators.JoinOps
+        .binnedRangeJoin(points, intervals, "p", "lo", "hi", bin)
+        .select("p", "tag", "iv").collect().map(_.toSeq).toSet
+      assert(binned === naive, s"binSize=$bin must not change the result")
+    }
+  }
+
   test("bloom semi-join equals plain semi-join; the bloom never drops a match") {
     val large = (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("k", "payload")
     val keys = (1 to 2000).filter(_ % 7 == 0).map(i => (i.toLong, "x"))
