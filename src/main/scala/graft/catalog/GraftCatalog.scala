@@ -259,7 +259,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft table '${ident.name}': column '$n' is engine-managed and cannot be altered")
       n
     }
-    val incoming = changes.map {
+    val (drops, others) = changes.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    drops.foreach { case d: TableChange.DeleteColumn =>
+      lake.dropColumn(ident.name, topLevel(d.fieldNames, "DROP COLUMN"))
+    }
+    val incoming = others.map {
       case a: TableChange.AddColumn =>
         org.apache.spark.sql.types.StructField(
           topLevel(a.fieldNames, "ADD COLUMN"), a.dataType, nullable = true)
@@ -268,9 +272,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           topLevel(u.fieldNames, "type change"), u.newDataType, nullable = true)
       case c => throw new UnsupportedOperationException(
         s"graft table '${ident.name}': unsupported table change $c " +
-          "(only ADD COLUMN and type widening evolve through the engine)")
+          "(only ADD COLUMN, DROP COLUMN and type widening evolve through the engine)")
     }
-    lake.ensureTable(ident.name, StructType(incoming))
+    if (incoming.nonEmpty) lake.ensureTable(ident.name, StructType(incoming))
     loadTable(ident)
   }
 

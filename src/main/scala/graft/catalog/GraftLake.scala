@@ -210,6 +210,36 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** DROP COLUMN evolution — ZERO data rewritten: the column leaves the
+    * table's schema sidecar, so live reads simply never request it from
+    * parquet (column pruning does the physical work), writes stop
+    * landing it, and time travel keeps reading pre-drop snapshots under
+    * their own wider manifest schema. A zero-delta commit pins the
+    * schema boundary in the manifest chain. Guards: engine-managed
+    * columns, primary-key members, partition-expression sources and the
+    * last data column are not droppable. File-native caveat (no column
+    * mapping, same as Hive/pre-mapping Delta): RE-ADDING a column with a
+    * dropped name makes pre-drop files' old values visible again under
+    * the new column — use a fresh name instead. */
+  def dropColumn(name: String, column: String): Unit = writeLock(name) {
+    val meta = readMeta(name)
+    val field = meta.schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$name' has no column '$column'"))
+    val n = field.name
+    require(n != InsertedAtCol && !n.startsWith("__p_"),
+      s"'$n' is engine-managed and cannot be dropped")
+    require(!meta.pks.exists(_.equalsIgnoreCase(n)),
+      s"'$n' is a primary-key column and cannot be dropped")
+    require(!meta.partitionExprs.exists(_.column.equalsIgnoreCase(n)),
+      s"'$n' is a partition source column and cannot be dropped")
+    val remaining = meta.schema.fields.filterNot(_.name == n)
+    require(remaining.exists(_.name != InsertedAtCol),
+      s"cannot drop '$n': it is the table's last data column")
+    writeMeta(name, meta.copy(schema = StructType(remaining.toSeq)))
+    commitVersion(name, Nil, Nil, op = "drop-column")
+  }
+
   // ---- read ----
 
   private def partitionFields(meta: TableMeta): Seq[StructField] =

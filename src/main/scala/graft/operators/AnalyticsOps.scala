@@ -1379,11 +1379,43 @@ object AnalyticsOps {
     lake.read("t").select(col("id"), col("v")).orderBy(col("id"))
   }
 
+  /** q142: DROP COLUMN evolution — the column leaves the schema sidecar
+    * with ZERO data rewritten (the in-query `require` pins the file set
+    * unchanged); live reads never request it from parquet, a later
+    * append lands without it, and the pre-drop snapshot still reads the
+    * column under its own manifest schema (time-travel `require`). The
+    * oracle pins the post-drop contents and column set. */
+  val q142DropColumn = QueryDef(
+    "q142_drop_column",
+    """SELECT * FROM (VALUES (CAST(1 AS INTEGER), 'a'),
+      |                      (CAST(2 AS INTEGER), 'b'),
+      |                      (CAST(3 AS INTEGER), 'c')) AS t(id, v)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"dropcol:$dir", _ => {
+      import s.implicits._
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-dropq").toString)
+      l.append("t", Seq((1, "a", 9.5), (2, "b", 8.0)).toDF("id", "v", "dead")
+        .repartition(1))
+      val files = l.dataFiles("t").sorted
+      val v0 = l.versions("t").head
+      l.dropColumn("t", "dead")
+      require(l.dataFiles("t").sorted.sameElements(files),
+        "DROP COLUMN must rewrite nothing")
+      require(!l.read("t").columns.contains("dead"))
+      require(l.readVersion("t", v0).columns.contains("dead"),
+        "the pre-drop snapshot keeps its own wider schema")
+      l.append("t", Seq((3, "c")).toDF("id", "v").repartition(1))
+      l
+    })
+    lake.read("t").select(col("id"), col("v")).orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
-    q138IncrementalAgg, q139AdminSql)
+    q138IncrementalAgg, q139AdminSql, q142DropColumn)
 }

@@ -54,6 +54,10 @@ object GraftSqlParser {
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val CreateBloom =
+    """(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+([\w.`]+)\s*\(\s*([\w`]+)\s*\)(?:\s+OPTIONS\s*\(\s*items\s*=\s*(\d+)\s*,\s*fpp\s*=\s*([0-9.eE+-]+)\s*\))?\s*;?\s*$""".r
+  private val RefreshBloom =
+    """(?is)^\s*REFRESH\s+BLOOM\s+INDEX(?:ES)?\s+ON\s+([\w.`]+)\s*;?\s*$""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -69,6 +73,13 @@ object GraftSqlParser {
       Some(GraftOptimizeCommand(parts(ident), zorder))
     case DescribeHistory(ident) =>
       Some(GraftDescribeHistoryCommand(parts(ident)))
+    case CreateBloom(ident, column, items, fpp) =>
+      Some(GraftCreateBloomIndexCommand(parts(ident),
+        column.stripPrefix("`").stripSuffix("`"),
+        Option(items).map(_.toLong).getOrElse(1000000L),
+        Option(fpp).map(_.toDouble).getOrElse(0.01)))
+    case RefreshBloom(ident) =>
+      Some(GraftRefreshBloomCommand(parts(ident)))
     case _ => None
   }
 
@@ -108,6 +119,34 @@ final case class GraftVacuumCommand(ident: Seq[String], keepLast: Int)
     val (wh, t) = GraftSqlParser.resolve(spark, ident)
     new GraftLake(spark, wh).expireSnapshots(t, keepLast)
     Seq.empty
+  }
+}
+
+/** `CREATE BLOOM INDEX ON t (col) [OPTIONS (items=N, fpp=F)]` — one-pass
+  * per-file bloom skipping index build ([[GraftLake.buildBloomIndex]]). */
+final case class GraftCreateBloomIndexCommand(ident: Seq[String],
+    column: String, items: Long, fpp: Double) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).buildBloomIndex(t, column, items, fpp)
+    Seq.empty
+  }
+}
+
+/** `REFRESH BLOOM INDEX ON t` — incremental extension covering only the
+  * files no sidecar has yet ([[GraftLake.refreshBloomIndexes]]); returns
+  * (column, files_indexed) rows. */
+final case class GraftRefreshBloomCommand(ident: Seq[String])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("files_indexed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).refreshBloomIndexes(t)
+      .toSeq.sortBy(_._1).map { case (c, n) => Row(c, n) }
   }
 }
 

@@ -314,6 +314,51 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("dropColumn: zero rewrite; time travel keeps the wide schema; guards hold") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-drop").toString
+    val lake = new GraftLake(spark, wh)
+    spark.conf.set("spark.sql.catalog.dropc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dropc.warehouse", wh)
+    try {
+      lake.write("t", Seq((1, "a", 9.5), (2, "b", 8.0)).toDF("id", "v", "dead"),
+        partitions = Seq("v"), pks = Seq("id"))
+      val files = lake.dataFiles("t").sorted
+      val v0 = lake.versions("t").head
+      lake.dropColumn("t", "dead")
+      assert(lake.dataFiles("t").sorted === files, "drop must rewrite nothing")
+      val cur = lake.read("t")
+      assert(!cur.columns.contains("dead"))
+      assert(rows(cur, "id", "v") === Set(Seq(1, "a"), Seq(2, "b")))
+      // SQL reads narrow too; pre-drop snapshots keep the column
+      assert(!spark.sql("SELECT * FROM dropc.t").columns.contains("dead"))
+      assert(spark.sql(s"SELECT dead FROM dropc.t VERSION AS OF $v0")
+        .collect().map(_.getDouble(0)).toSet === Set(9.5, 8.0))
+      assert(lake.history("t").collect().last.getString(2) === "drop-column")
+      // writes after the drop land without the column
+      lake.append("t", Seq((3, "c")).toDF("id", "v"))
+      assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(2), Seq(3)))
+      // SQL ALTER TABLE DROP COLUMN routes through the engine
+      lake.ensureTable("t", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.IntegerType))))
+      spark.sql("ALTER TABLE dropc.t DROP COLUMN extra")
+      assert(!lake.read("t").columns.contains("extra"))
+      // guards: pk / partition source / engine column / last data column
+      intercept[IllegalArgumentException] { lake.dropColumn("t", "id") }
+      intercept[IllegalArgumentException] { lake.dropColumn("t", "v") }
+      intercept[IllegalArgumentException] { lake.dropColumn("t", "_inserted_at") }
+      intercept[IllegalArgumentException] { lake.dropColumn("t", "nope") }
+      val lake2 = new GraftLake(spark, Files.createTempDirectory("graft-drop2").toString)
+      lake2.write("solo", Seq((1, 2)).toDF("a", "b"))
+      lake2.dropColumn("solo", "b")
+      intercept[IllegalArgumentException] { lake2.dropColumn("solo", "a") }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dropc")
+      spark.conf.unset("spark.sql.catalog.dropc.warehouse")
+    }
+  }
+
   test("binned range join equals the naive inequality join at every bin size") {
     // deterministic but irregular intervals: widths 1..40, some empty,
     // some overlapping, some bin-aligned, some not

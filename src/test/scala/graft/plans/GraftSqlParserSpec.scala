@@ -85,6 +85,27 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE/REFRESH BLOOM INDEX build and extend the skipping sidecar") {
+    withCat("admb") { (lake, cat) =>
+      def batch(r: Range) = r.map(i => (i.toLong, s"u$i"))
+        .toDF("uid", "v").repartition(3)
+      lake.append("t", batch(0 until 3000 by 3))
+      lake.append("t", batch(1 until 3000 by 3))
+      spark.sql(s"CREATE BLOOM INDEX ON $cat.t (uid) " +
+        "OPTIONS (items=2000, fpp=0.01)")
+      assert(lake.bloomIndexedColumns("t") === Seq("uid"))
+      val all = lake.read("t").inputFiles.length
+      assert(lake.readWhere("t", col("uid") === 100L).inputFiles.length < all)
+      // appends after the build are covered by the SQL refresh
+      lake.append("t", batch(2 until 3000 by 3))
+      val r = spark.sql(s"REFRESH BLOOM INDEX ON $cat.t").collect()
+      assert(r.map(_.getString(0)).toSeq === Seq("uid"))
+      assert(r.head.getLong(1) === 3L, s"three new files, got ${r.toSeq}")
+      assert(spark.sql(s"REFRESH BLOOM INDEX ON $cat.t")
+        .head().getLong(1) === 0L)
+    }
+  }
+
   test("unqualified / non-graft targets fail clearly; plain SQL passes through") {
     withCat("admf") { (lake, cat) =>
       lake.write("t", Seq((1, "a")).toDF("id", "v"))
