@@ -293,6 +293,27 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def dvsAtVersion(name: String, version: Long): Vector[String] =
     resolveDvs(name, version)
 
+  /** (appId → highest committed txnVersion) watermarks at `version`,
+    * folded along the manifest chain like [[resolveDvs]]. */
+  private def resolveTxns(name: String, version: Long): Map[String, Long] = {
+    var deltas = List.empty[GraftLake.Manifest]
+    var m = readManifestFile(name, version)
+    while (m.txns.isEmpty) {
+      deltas = m :: deltas // oldest-first
+      m = readManifestFile(name, m.base)
+    }
+    var map = m.txns.get
+    deltas.foreach(_.txn.foreach { case (a, v) =>
+      map = map + (a -> math.max(v, map.getOrElse(a, Long.MinValue)))
+    })
+    map
+  }
+
+  /** Highest transaction version committed for `appId` on this table —
+    * the reader half of [[appendIdempotent]]'s exactly-once contract. */
+  def lastTxnVersion(name: String, appId: String): Option[Long] =
+    versions(name).lastOption.flatMap(v => resolveTxns(name, v).get(appId))
+
   /** Live deletion-vector files of the LATEST snapshot — O(1) from the
     * commit cache on the hot path (every read goes through this). */
   def liveDvs(name: String): Vector[String] = {
@@ -1192,8 +1213,34 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * The batch lands in a stage dir and its part files are renamed into
     * `data/` — the renames are how the commit knows EXACTLY which files it
     * added (the O(delta) manifest input) without ever listing the table. */
-  def append(name: String, batch: DataFrame): Unit = {
-    val (meta, _) = ensureTable(name, batch.schema)
+  def append(name: String, batch: DataFrame): Unit =
+    appendTxn(name, batch, txn = None)
+
+  /** IDEMPOTENT append — the exactly-once upgrade for at-least-once
+    * delivery (Delta's txnAppId/txnVersion pattern): the commit records
+    * `(appId, txnVersion)` IN THE MANIFEST, atomically with the data, so
+    * a redelivered batch (same app, same-or-lower version) is detected
+    * and skipped — across restarts, checkpoint re-anchoring (expiry) and
+    * repair, because the watermark is snapshot state, not a sidecar a
+    * crash can decouple from the commit. Versions must be monotonic per
+    * appId (Structured Streaming's batchId is). Returns true when the
+    * batch applied, false when it was a duplicate. Keyed tables get the
+    * same effect from PK upsert; this is the append-table half. */
+  def appendIdempotent(name: String, batch: DataFrame, appId: String,
+      txnVersion: Long, partitions: Seq[String] = Nil,
+      pks: Seq[String] = Nil): Boolean = writeLock(name) {
+    if (tableExists(name) &&
+        lastTxnVersion(name, appId).exists(_ >= txnVersion)) false
+    else {
+      appendTxn(name, batch, Some((appId, txnVersion)), partitions, pks)
+      true
+    }
+  }
+
+  private def appendTxn(name: String, batch: DataFrame,
+      txn: Option[(String, Long)], partitions: Seq[String] = Nil,
+      pks: Seq[String] = Nil): Unit = {
+    val (meta, _) = ensureTable(name, batch.schema, partitions, pks)
     val conformed = conformBatch(batch, meta)
       .withColumn(InsertedAtCol, current_timestamp())
     val out = withPartitionCols(conformed, meta)
@@ -1210,7 +1257,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         withLakeTimestampFormat { parted.parquet(stage.toString) }
         val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
         val added = mergeStageInto(stage, new Path(dataDir(name)))
-        commitVersion(name, added, Nil, writeStats, op = "append")
+        commitVersion(name, added, Nil, writeStats, op = "append", txn = txn)
       } finally fs(stage).delete(stage, true)
     }
   }
@@ -1799,13 +1846,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       writeStats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
       op: String = "write",
       dvAdded: Seq[String] = Nil,
-      dvRemoved: Seq[String] = Nil): Unit = {
+      dvRemoved: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Unit = {
     val appendOnly = removed.isEmpty && dvAdded.isEmpty && dvRemoved.isEmpty
     var attempt = 0
     var done = false
     while (!done) {
       try { commitVersionOnce(name, added, removed, writeStats, op,
-        dvAdded, dvRemoved); done = true }
+        dvAdded, dvRemoved, txn); done = true }
       catch {
         case e: java.io.IOException
             if isManifestCollision(e) && attempt < 5 =>
@@ -1832,7 +1880,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       writeStats: Map[String, Map[String, GraftLake.Bounds]],
       op: String,
       dvAdded: Seq[String],
-      dvRemoved: Seq[String]): Unit =
+      dvRemoved: Seq[String],
+      txn: Option[(String, Long)]): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
@@ -1878,10 +1927,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       added.size + removed.size >= newList.size
     val body =
       if (asFull) GraftLake.renderManifest(next, meta, newList, newStats, op,
-        dvs = newDvs)
+        dvs = newDvs,
+        txns = {
+          val prevTxns = last.map(v => resolveTxns(name, v)).getOrElse(Map.empty)
+          txn.fold(prevTxns) { case (a, v) =>
+            prevTxns + (a -> math.max(v, prevTxns.getOrElse(a, Long.MinValue)))
+          }
+        })
       else GraftLake.renderDelta(next, meta, next - 1, prevDepth + 1,
         addedV, removed.sorted, addedStats, op,
-        dvAdd = dvAdded, dvRemove = dvRemoved)
+        dvAdd = dvAdded, dvRemove = dvRemoved, txn = txn)
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -2139,8 +2194,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val dvs = versions(name).lastOption.map(v => resolveDvs(name, v))
       .getOrElse(Vector.empty)
       .filter(d => f.exists(new Path(dvDir(name), d)))
+    // txn watermarks are manifest state too: losing them on repair would
+    // re-apply already-committed idempotent batches
     val body = GraftLake.renderManifest(next, readMeta(name), list, stats,
-      op = "repair", dvs = dvs)
+      op = "repair", dvs = dvs,
+      txns = versions(name).lastOption.map(v => resolveTxns(name, v))
+        .getOrElse(Map.empty))
     val p = new Path(vd, s"v$next.json")
     val out = f.create(p, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -2189,7 +2248,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val out = f.create(tmp, true)
       try out.write(GraftLake.renderManifestWithSchema(oldest,
         oldestManifest.schema, files, oldStats,
-        oldestManifest.op, dvs = oldDvs).getBytes("UTF-8")) finally out.close()
+        oldestManifest.op, dvs = oldDvs,
+        txns = resolveTxns(name, oldest)).getBytes("UTF-8")) finally out.close()
       // atomic: a crash leaves either the delta (still resolvable — its
       // chain predecessors are deleted only below) or the checkpoint
       replaceAtomic(f, tmp, p)
@@ -2631,7 +2691,9 @@ object GraftLake {
       op: String = "write",
       dvs: Option[Vector[String]] = None,
       dvAdd: Vector[String] = Vector.empty,
-      dvRemove: Vector[String] = Vector.empty)
+      dvRemove: Vector[String] = Vector.empty,
+      txns: Option[Map[String, Long]] = None,
+      txn: Option[(String, Long)] = None)
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -2721,8 +2783,9 @@ object GraftLake {
       files: Seq[(String, String)],
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
       op: String = "write",
-      dvs: Seq[String] = Nil): String =
-    renderManifestWithSchema(version, meta.schema, files, stats, op, dvs)
+      dvs: Seq[String] = Nil,
+      txns: Map[String, Long] = Map.empty): String =
+    renderManifestWithSchema(version, meta.schema, files, stats, op, dvs, txns)
 
   private def strArr(xs: Seq[String]): String =
     xs.map(q).mkString("[", ",", "]")
@@ -2731,10 +2794,14 @@ object GraftLake {
       schema: StructType, files: Seq[(String, String)],
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
       op: String = "write",
-      dvs: Seq[String] = Nil): String =
+      dvs: Seq[String] = Nil,
+      txns: Map[String, Long] = Map.empty): String =
     s"""{"version":$version,"op":${q(op)},"schema":${schema.json},"files":${fileArr(files)}""" +
       s""","stats":${statsObj(stats, files.map(fileKey))}""" +
-      (if (dvs.isEmpty) "}" else s""","dvs":${strArr(dvs.sorted)}}""")
+      (if (dvs.isEmpty) "" else s""","dvs":${strArr(dvs.sorted)}""") +
+      (if (txns.isEmpty) "}"
+       else txns.toSeq.sorted.map { case (a, v) => s"${q(a)}:$v" }
+         .mkString(""","txns":{""", ",", "}}"))
 
   /** Delta snapshot manifest: O(commit delta), applied on top of `base`
     * (always version−1) at resolution time; `stats` covers the added
@@ -2746,12 +2813,14 @@ object GraftLake {
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
       op: String = "write",
       dvAdd: Seq[String] = Nil,
-      dvRemove: Seq[String] = Nil): String =
+      dvRemove: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): String =
     s"""{"version":$version,"op":${q(op)},"schema":${meta.schema.json},"base":$base,""" +
       s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}""" +
       s""","stats":${statsObj(stats, add.map(fileKey))}""" +
       (if (dvAdd.isEmpty) "" else s""","dvAdd":${strArr(dvAdd.sorted)}""") +
       (if (dvRemove.isEmpty) "" else s""","dvRemove":${strArr(dvRemove.sorted)}""") +
+      txn.map { case (a, v) => s""","txnApp":${q(a)},"txnV":$v""" }.getOrElse("") +
       "}"
 
   private[catalog] def parseManifest(raw: String): Manifest = {
@@ -2794,16 +2863,29 @@ object GraftLake {
       if (fn == null) Vector.empty
       else (0 until fn.size()).map(fn.get(_).asText()).toVector
     }
+    val txns: Map[String, Long] = {
+      val tn = node.get("txns")
+      if (tn == null) Map.empty
+      else {
+        val b = Map.newBuilder[String, Long]
+        tn.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
+        b.result()
+      }
+    }
     if (node.has("files"))
-      // a full manifest is the dv-resolution anchor: an absent "dvs"
-      // field (pre-dv writers) means "no deletion vectors", i.e. Some(∅)
+      // a full manifest is the dv/txn-resolution anchor: an absent field
+      // (older writers) means "none", i.e. Some(∅)
       Manifest(version, schema, Some(refs("files")), -1L, 0,
-        Vector.empty, Vector.empty, stats, op, dvs = Some(strs("dvs")))
+        Vector.empty, Vector.empty, stats, op, dvs = Some(strs("dvs")),
+        txns = Some(txns))
     else
       Manifest(version, schema, None, node.get("base").asLong(),
         if (node.has("depth")) node.get("depth").asInt() else 1,
         refs("add"), refs("remove"), stats, op,
-        dvs = None, dvAdd = strs("dvAdd"), dvRemove = strs("dvRemove"))
+        dvs = None, dvAdd = strs("dvAdd"), dvRemove = strs("dvRemove"),
+        txn = if (node.has("txnApp"))
+          Some((node.get("txnApp").asText(), node.get("txnV").asLong()))
+        else None)
   }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {

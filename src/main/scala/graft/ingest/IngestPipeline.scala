@@ -39,6 +39,19 @@ import org.apache.spark.sql.types._
   *                        see [[QualityConfig]]. Runs BEFORE the dedup
   *                        gate so junk never costs LSH sketching or index
   *                        admission.
+  * @param txnAppId        EXACTLY-ONCE upgrade for the append path: when
+  *                        set, no-PK tables land through
+  *                        [[graft.catalog.GraftLake.appendIdempotent]]
+  *                        keyed `"<txnAppId>:<table>" -> batchId`, so a
+  *                        redelivered micro-batch (restart replay between
+  *                        the lake commit and the checkpoint write) is
+  *                        detected from the manifest and skipped instead
+  *                        of duplicated. Scope the id to ONE streaming
+  *                        query + checkpoint location (batchIds must be
+  *                        monotonic per id — a NEW checkpoint dir needs a
+  *                        new txnAppId). PK tables are already idempotent
+  *                        through upsert. Off by default (at-least-once,
+  *                        the reference's delivery contract).
   * @param bloomRefresh    tables whose per-file bloom skipping sidecars
   *                        ([[graft.catalog.GraftLake.buildBloomIndex]])
   *                        stay current with ingest: after each flush ONLY
@@ -60,7 +73,8 @@ final case class IngestConfig(
     quality: Map[String, QualityConfig] = Map.empty,
     autoCompact: Map[String, CompactionConfig] = Map.empty,
     retention: Map[String, RetentionConfig] = Map.empty,
-    bloomRefresh: Set[String] = Set.empty) {
+    bloomRefresh: Set[String] = Set.empty,
+    txnAppId: Option[String] = None) {
 
   /** Explicit mappings are validated strictly (reference
     * TopicToTableValidator.java:99-154 validates only configured mappings);
@@ -299,6 +313,10 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
   val lake = new GraftLake(spark, config.warehouse)
   val schemaCache = new SchemaCache
 
+  /** Batch id of the micro-batch currently landing (foreachBatch
+    * serializes per query) — the idempotent-append watermark. */
+  private var currentBatchId: Long = -1L
+
   import spark.implicits._
 
   /** Kafka-shaped input: (topic, partition, offset, value-bytes). */
@@ -317,6 +335,9 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * that count into the fan-out job itself). */
   def processBatch(batch: DataFrame, batchId: Long): Unit =
       IngestPipeline.withTriggerConfs(spark) {
+    // foreachBatch serializes batches per query; the landing code reads
+    // this for the idempotent-append watermark
+    currentBatchId = batchId
     // tagged once for the whole batch — Avro-configured topics just
     // ignore the column
     val cached = batch.withColumn("__ipc", ipcSniff).cache()
@@ -454,15 +475,27 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     }
     val pks = config.pks.getOrElse(table, Nil)
     val preExisted = lake.tableExists(table)
-    val op = if (preExisted && pks.nonEmpty) GraftMetrics.UpsertWithMergeInto
+    val upsertPath = preExisted && pks.nonEmpty
+    val op = if (upsertPath) GraftMetrics.UpsertWithMergeInto
       else GraftMetrics.SimpleInsert
     val hasOffset = df.columns.contains("__offset")
     GraftMetrics.time(op) {
-      lake.write(table, df,
-        partitions = config.partitions.getOrElse(table, Nil),
-        pks = pks,
-        ordering = if (hasOffset) Seq(col("__offset")) else Nil,
-        exclude = if (hasOffset) Seq("__offset") else Nil)
+      config.txnAppId match {
+        case Some(app) if !upsertPath && currentBatchId >= 0 =>
+          // exactly-once append: the batchId watermark commits WITH the
+          // data, so a redelivered batch no-ops (see IngestConfig.txnAppId)
+          val applied = lake.appendIdempotent(table,
+            df.drop((if (hasOffset) Seq("__offset") else Nil): _*),
+            s"$app:$table", currentBatchId,
+            partitions = config.partitions.getOrElse(table, Nil), pks = pks)
+          if (!applied) GraftMetrics.op("txnSkippedBatches").record(0L)
+        case _ =>
+          lake.write(table, df,
+            partitions = config.partitions.getOrElse(table, Nil),
+            pks = pks,
+            ordering = if (hasOffset) Seq(col("__offset")) else Nil,
+            exclude = if (hasOffset) Seq("__offset") else Nil)
+      }
     }
     // post-flush auto-compaction: the trigger check is O(1) against the
     // commit cache, so polling it every micro-batch costs nothing

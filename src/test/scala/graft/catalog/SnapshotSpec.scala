@@ -701,6 +701,41 @@ class SnapshotSpec extends AnyFunSuite {
       s"re-anchored history keeps original labels: $afterOps")
   }
 
+  test("appendIdempotent: duplicate batches skip; watermarks survive everything") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-txn").toString
+    val lake = new GraftLake(spark, wh)
+    def add(app: String, v: Long, row: Int): Boolean =
+      lake.appendIdempotent("t", Seq((row, s"b$v")).toDF("id", "v"), app, v)
+    assert(add("appA", 0L, 1))
+    assert(add("appA", 1L, 2))
+    // redelivery of a committed version (and anything below) no-ops
+    assert(!add("appA", 1L, 99))
+    assert(!add("appA", 0L, 99))
+    assert(lake.read("t").count() === 2)
+    // apps are independent watermarks
+    assert(add("appB", 0L, 3))
+    assert(lake.lastTxnVersion("t", "appA") === Some(1L))
+    assert(lake.lastTxnVersion("t", "appB") === Some(0L))
+    assert(lake.lastTxnVersion("t", "nope") === None)
+    // the watermark is snapshot state: it survives a full checkpoint
+    // cadence, expiry re-anchoring, repair, AND a cold restart
+    for (i <- 2L to 24L) assert(add("appA", i, 100 + i.toInt))
+    assert(!add("appA", 24L, 999))
+    lake.expireSnapshots("t", keepLast = 3)
+    assert(!add("appA", 24L, 999), "watermark must survive expiry re-anchor")
+    assert(lake.lastTxnVersion("t", "appB") === Some(0L))
+    lake.repairTable("t")
+    assert(!add("appA", 24L, 999), "watermark must survive repair")
+    GraftLake.invalidateCaches()
+    val lake2 = new GraftLake(spark, wh)
+    assert(!lake2.appendIdempotent("t", Seq((999, "dup")).toDF("id", "v"),
+      "appA", 24L), "watermark must survive a restart")
+    assert(lake2.appendIdempotent("t", Seq((25, "b25")).toDF("id", "v"),
+      "appA", 25L))
+    assert(lake2.read("t").filter(col("id") === 999).count() === 0)
+  }
+
   test("cross-process commit race: pure appends retry, rewrites fail fast") {
     GraftLake.invalidateCaches()
     val wh = Files.createTempDirectory("graft-occ").toString

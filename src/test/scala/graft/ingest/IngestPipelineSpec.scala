@@ -590,6 +590,30 @@ class IngestPipelineSpec extends AnyFunSuite {
       graft.metrics.GraftMetrics.AutoCompact).count.sum() >= 1)
   }
 
+  test("txnAppId: a redelivered micro-batch lands exactly once") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-txn").toString,
+      txnAppId = Some("q1")))
+    p.processBatch(batchOf("d" -> """{"id":1,"v":"a"}"""), 0)
+    p.processBatch(batchOf("d" -> """{"id":2,"v":"b"}"""), 1)
+    assert(p.lake.read("d").count() === 2)
+    // the restart-replay case: same batchId delivered again
+    p.processBatch(batchOf("d" -> """{"id":2,"v":"b"}"""), 1)
+    assert(p.lake.read("d").count() === 2,
+      "a redelivered batchId must not duplicate rows")
+    assert(graft.metrics.GraftMetrics.op("txnSkippedBatches").count.sum() >= 1)
+    // progress continues after the replay
+    p.processBatch(batchOf("d" -> """{"id":3,"v":"c"}"""), 2)
+    assert(p.lake.read("d").count() === 3)
+    // a RESTARTED pipeline over the same warehouse keeps the watermark
+    graft.catalog.GraftLake.invalidateCaches()
+    val p2 = new IngestPipeline(spark, IngestConfig(
+      warehouse = p.lake.warehouseDir, txnAppId = Some("q1")))
+    p2.processBatch(batchOf("d" -> """{"id":3,"v":"c"}"""), 2)
+    assert(p2.lake.read("d").count() === 3)
+  }
+
   test("bloom maintenance: the sidecar stays current with every flush") {
     graft.catalog.GraftLake.invalidateCaches()
     val p = new IngestPipeline(spark, IngestConfig(
