@@ -2171,6 +2171,140 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .select(schema.fieldNames.map(n => col(quoted(n))): _*)
   }
 
+  /** Row-level change feed between two snapshots, derived from commit
+    * METADATA (per-commit file/DV deltas), never by diffing table
+    * contents: each append-class commit's new files are its `insert`
+    * rows, each merge-on-read commit's new deletion-vector entries are
+    * its `delete` rows (a MoR UPDATE yields its preimages as deletes and
+    * its postimages as inserts), and physically-churning but logically
+    * no-op commits (`compact`, `zorder`, `dv-clear`) contribute nothing.
+    * Output: the table's columns at `toVersion` plus `_change_type`
+    * ('insert' | 'delete') and `_commit_version`.
+    *
+    * Scale contract: cost is O(changed files + DV entries in the window)
+    * — added files are scanned directly, deleted rows are recovered by
+    * scanning ONLY the files the window's DVs reference (semi-join on
+    * (file key, row position), DV side broadcast under the same
+    * `spark.graft.dv.maxEntries` gate as live reads) — the table itself
+    * is never scanned or value-diffed, which is what lets an incremental
+    * consumer follow a 100 TB table whose per-commit delta is megabytes.
+    * Windows containing a rewrite-class commit (overwrite, upsert, COW
+    * update/delete, restore, repair) fail fast: row-level attribution
+    * through a rewrite is not metadata-derivable — diff those windows by
+    * key instead ([[graft.operators.AnalyticsOps]] snapshotDiff, q86/q98).
+    * Reference: DuckLake's `ducklake_table_changes` function, which reads
+    * the same per-snapshot file/delete metadata. */
+  def tableChanges(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"need fromVersion <= toVersion, got $fromVersion > $toVersion")
+    val vs = versions(name)
+    require(vs.contains(fromVersion) && vs.contains(toVersion),
+      s"table '$name' has no snapshot pair ($fromVersion, $toVersion)")
+    val meta = readMeta(name)
+    val partDepth = meta.partitionExprs.size
+    val toSchema = resolveManifest(name, toVersion)._1
+    val outSchema = StructType(toSchema.fields.toSeq ++ Seq(
+      StructField(GraftLake.ChangeTypeCol, StringType, nullable = false),
+      StructField(GraftLake.CommitVersionCol, LongType, nullable = false)))
+    val logicalNoOps = Set("compact", "zorder", "dv-clear")
+    var prevRefs = resolveManifest(name, fromVersion)._2.toSet
+    var prevDvs = resolveDvs(name, fromVersion).toSet
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    vs.filter(v => v > fromVersion && v <= toVersion).foreach { v =>
+      val op = readManifestFile(name, v).op
+      val refs = resolveManifest(name, v)._2.toSet
+      val dvs = resolveDvs(name, v).toSet
+      if (!logicalNoOps(op)) {
+        require((prevRefs -- refs).isEmpty && (prevDvs -- dvs).isEmpty,
+          s"tableChanges on '$name': commit v$v ('$op') rewrites files or " +
+            "clears deletion vectors — row-level attribution through a " +
+            "rewrite is not metadata-derivable; diff the snapshots by key " +
+            "instead (snapshotDiff)")
+        val added = (refs -- prevRefs).toSeq.sorted
+        val dvAdded = (dvs -- prevDvs).toSeq.sorted
+        if (added.nonEmpty)
+          pieces += spark.read.schema(toSchema)
+            .parquet(resolveRefPaths(name, added): _*)
+            .withColumn(GraftLake.ChangeTypeCol, lit("insert"))
+            .withColumn(GraftLake.CommitVersionCol, lit(v))
+        if (dvAdded.nonEmpty)
+          pieces += dvMaskedRows(name, toSchema, dvAdded, partDepth)
+            .withColumn(GraftLake.ChangeTypeCol, lit("delete"))
+            .withColumn(GraftLake.CommitVersionCol, lit(v))
+      }
+      prevRefs = refs
+      prevDvs = dvs
+    }
+    val out =
+      if (pieces.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      else pieces.reduce(_ unionByName _)
+    out.select(outSchema.fieldNames.map(n => col(quoted(n))): _*)
+  }
+
+  /** Resolve (rel, name) file identities to readable absolute paths —
+    * still-live files under `data/`, files retired by a later rewrite
+    * under `_history/` (same fallback as snapshot reads; a vacuumed file
+    * fails fast with the expireSnapshots message). */
+  private def resolveRefPaths(name: String,
+      refs: Seq[(String, String)]): Seq[String] = {
+    val hd = historyDir(name)
+    val f = fs(hd)
+    refs.map { case (rel, fn) =>
+      val live = if (rel.isEmpty) new Path(dataDir(name), fn)
+        else new Path(s"${dataDir(name)}/$rel", fn)
+      if (f.exists(live)) live.toString
+      else {
+        val retired = if (rel.isEmpty) new Path(hd, fn)
+          else new Path(new Path(hd, rel), fn)
+        require(f.exists(retired),
+          s"table '$name' change window references " +
+            s"'${GraftLake.fileKey((rel, fn))}', which was vacuumed by " +
+            "expireSnapshots")
+        retired.toString
+      }
+    }
+  }
+
+  /** The rows a set of deletion-vector files masks: scan ONLY the data
+    * files the DVs reference (live or retired), semi-join on (file key,
+    * row position). The DV side broadcasts under the same entry-count
+    * gate as live reads, so the probe is a map-side hash lookup. */
+  private def dvMaskedRows(name: String, schema: StructType,
+      dvs: Seq[String], partDepth: Int): DataFrame = {
+    val dv = dvFrame(name, dvs)
+    // bounded driver collect: one row per DATA FILE the window's DVs
+    // touch (metadata-scale), never per deleted row
+    val keys = dv.select(col("file_key")).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    val hd = historyDir(name)
+    val f = fs(hd)
+    val paths = keys.map { k =>
+      val live = new Path(s"${dataDir(name)}/$k")
+      if (f.exists(live)) live.toString
+      else {
+        val retired = new Path(s"$hd/$k")
+        require(f.exists(retired),
+          s"table '$name' change window references '$k', which was " +
+            "vacuumed by expireSnapshots")
+        retired.toString
+      }
+    }
+    val keyC = "__graft_cf_key"
+    val posC = "__graft_cf_pos"
+    val keyed = spark.read.schema(schema).parquet(paths: _*)
+      .withColumns(Map(
+        keyC -> GraftLake.dvKeyColumn(partDepth),
+        posC -> col("_metadata.row_index")))
+    val dvSide =
+      if (dvEntryCountCached(name, dvs) <= dvMaxEntries) broadcast(dv) else dv
+    keyed.join(dvSide,
+        keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
+        "left_semi")
+      .drop(keyC, posC)
+  }
+
   /** Reconcile the directory and manifest views after a crash: a writer
     * that died between landing part files and committing its manifest
     * leaves rows visible to directory-based CURRENT reads but missing
@@ -2343,6 +2477,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 }
 
 object GraftLake {
+  /** Change-feed metadata columns ([[GraftLake.tableChanges]]). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
   /** Generated partition columns of a table (shared by the lake reader and
     * the DSv2 catalog so the naming/typing rules cannot drift). */
   private[catalog] def partitionFields(meta: TableMeta): Seq[StructField] =

@@ -1411,11 +1411,65 @@ object AnalyticsOps {
     lake.read("t").select(col("id"), col("v")).orderBy(col("id"))
   }
 
+  /** q143: metadata-derived change feed ([[graft.catalog.GraftLake
+    * .tableChanges]]) — append two batches, merge-on-read DELETE ~1 % of
+    * keys, merge-on-read UPDATE another ~1 %, then read the changes AFTER
+    * the first batch's snapshot: commit 1 yields the second batch as
+    * inserts, commit 2 the deleted rows as deletes, commit 3 the update's
+    * preimages as deletes and postimages as inserts — all recovered from
+    * per-commit file/DV deltas alone (the feed never scans or value-diffs
+    * the table; q86/q98 cover rewrite windows by key diff). The oracle
+    * derives every (commit, change_type) class arithmetically. */
+  val q143ChangeFeed = QueryDef(
+    "q143_change_feed",
+    """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      |           FROM orders),
+      |feed AS (
+      |  SELECT 1 AS commit_seq, 'insert' AS change_type, price
+      |  FROM o WHERE k % 4 >= 2
+      |  UNION ALL
+      |  SELECT 2, 'delete', price FROM o WHERE k % 100 = 7
+      |  UNION ALL
+      |  SELECT 3, 'delete', price FROM o WHERE k % 100 = 3
+      |  UNION ALL
+      |  SELECT 3, 'insert', round(price + 1, 2) FROM o WHERE k % 100 = 3)
+      |SELECT commit_seq, change_type, count(*) AS n,
+      |  round(sum(price), 2) AS price_sum
+      |FROM feed GROUP BY commit_seq, change_type
+      |ORDER BY commit_seq, change_type""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"cf:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-cfq").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      l.append("cf_orders", o.filter(col("k") % 4 < 2))
+      l.append("cf_orders", o.filter(col("k") % 4 >= 2))
+      // ~1 % slices: scale-proportional, under the DV entry budget at
+      // every SF the harness runs (q135's sizing rationale)
+      require(l.deleteWhere("cf_orders", col("k") % 100 === 7) > 0,
+        "delete must match rows")
+      require(l.updateWhere("cf_orders", col("k") % 100 === 3,
+        Map("price" -> (col("price") + 1))) > 0, "update must match rows")
+      l
+    })
+    val vs = lake.versions("cf_orders")
+    val feed = lake.tableChanges("cf_orders", vs.head, vs.last)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(graft.catalog.GraftLake.CommitVersionCol))
+    feed.groupBy(col(graft.catalog.GraftLake.CommitVersionCol),
+        col(graft.catalog.GraftLake.ChangeTypeCol).as("change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("price_sum"))
+      .withColumn("commit_seq", dense_rank().over(w))
+      .select(col("commit_seq"), col("change_type"), col("n"),
+        col("price_sum"))
+      .orderBy(col("commit_seq"), col("change_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
-    q138IncrementalAgg, q139AdminSql, q142DropColumn)
+    q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed)
 }
