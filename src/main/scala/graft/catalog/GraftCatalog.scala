@@ -65,15 +65,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * so a DV-carrying table REFUSES to load in such a session. O(1) on
     * the common path: `liveDvs` is served from the commit cache, and the
     * rule lookup is a list scan of the session's post-hoc rules. */
-  private def requireDvCapable(name: String, dvs: Seq[String]): Unit = {
-    if (dvs.isEmpty) return
+  private def requireDvCapable(name: String, dvs: Seq[String],
+      schema: StructType): Unit = {
+    val renamed = GraftLake.logicalNamesOf(schema)
+    if (dvs.isEmpty && renamed.isEmpty) return
     val installed = spark.sessionState.analyzer.postHocResolutionRules
       .exists(_.isInstanceOf[graft.plans.ApplyGraftDeletionVectors])
     if (!installed) throw new IllegalStateException(
-      s"graft table '$name' carries live deletion vectors (${dvs.size} " +
-        "file(s)); reading it requires the session to be built with " +
-        "graft.plans.GraftExtensions (spark.sql.extensions), or run " +
-        "GraftLake.materializeDeletes to fold the deletes into the data")
+      s"graft table '$name' " +
+        (if (dvs.nonEmpty)
+          s"carries live deletion vectors (${dvs.size} file(s))"
+        else
+          s"has renamed columns (${renamed.values.mkString(", ")})") +
+        "; reading it requires the session to be built with " +
+        "graft.plans.GraftExtensions (spark.sql.extensions)" +
+        (if (dvs.nonEmpty)
+          ", or run GraftLake.materializeDeletes to fold the deletes " +
+            "into the data"
+        else ""))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -81,10 +90,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!lake.tableExists(ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name))
-    requireDvCapable(ident.name, lake.liveDvs(ident.name))
     val meta = lake.readMeta(ident.name)
+    requireDvCapable(ident.name, lake.liveDvs(ident.name), meta.schema)
+    // the relation's columns are the LOGICAL names; with renames live the
+    // analyzer rule substitutes the engine read before any scan plans
     val full = StructType(
-      meta.schema.fields.toSeq ++ GraftLake.partitionFields(meta))
+      GraftLake.logicalSchema(meta.schema).fields.toSeq ++
+        GraftLake.partitionFields(meta))
     val parquet = ParquetTable(
       ident.name,
       spark,
@@ -111,15 +123,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"(have: ${lake.versions(ident.name).mkString(", ")}), got '$version'")
     }
     val (schema, files) = lake.snapshotFiles(ident.name, v)
-    requireDvCapable(ident.name, lake.dvsAtVersion(ident.name, v))
+    requireDvCapable(ident.name, lake.dvsAtVersion(ident.name, v), schema)
+    // logical names AS OF that snapshot (the manifest schema carries its
+    // own rename metadata)
+    val logical = GraftLake.logicalSchema(schema)
     val parquet = ParquetTable(
       s"${ident.name}@v$v",
       spark,
       new CaseInsensitiveStringMap(Map("path" -> dataDir(ident)).asJava),
       files,
-      Some(schema),
+      Some(logical),
       classOf[ParquetFileFormat])
-    new SnapshotTable(ident.name, v, warehouse, parquet, schema)
+    new SnapshotTable(ident.name, v, warehouse, parquet, logical)
   }
 
   /** Read-only snapshot facade: BATCH_READ only — writing to history is
@@ -259,9 +274,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft table '${ident.name}': column '$n' is engine-managed and cannot be altered")
       n
     }
-    val (drops, others) = changes.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    val (drops, rest) = changes.partition(_.isInstanceOf[TableChange.DeleteColumn])
     drops.foreach { case d: TableChange.DeleteColumn =>
       lake.dropColumn(ident.name, topLevel(d.fieldNames, "DROP COLUMN"))
+    }
+    val (renames, others) = rest.partition(_.isInstanceOf[TableChange.RenameColumn])
+    renames.foreach { case r: TableChange.RenameColumn =>
+      lake.renameColumn(ident.name,
+        topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
     }
     val incoming = others.map {
       case a: TableChange.AddColumn =>

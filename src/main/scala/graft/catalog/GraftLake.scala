@@ -223,7 +223,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * the new column — use a fresh name instead. */
   def dropColumn(name: String, column: String): Unit = writeLock(name) {
     val meta = readMeta(name)
-    val field = meta.schema.fields.find(_.name.equalsIgnoreCase(column))
+    val logical = GraftLake.logicalNamesOf(meta.schema)
+    val field = meta.schema.fields
+      .find(f => logical.getOrElse(f.name, f.name).equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
         s"table '$name' has no column '$column'"))
     val n = field.name
@@ -238,6 +240,105 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       s"cannot drop '$n': it is the table's last data column")
     writeMeta(name, meta.copy(schema = StructType(remaining.toSeq)))
     commitVersion(name, Nil, Nil, op = "drop-column")
+  }
+
+  /** RENAME COLUMN evolution — metadata-only, ZERO data rewritten: the
+    * PHYSICAL parquet column name is frozen at creation and the new name
+    * is recorded as schema metadata ([[GraftLake.LogicalNameKey]]), so
+    * every file ever written — before or after the rename — stays
+    * uniformly readable, writes keep landing the physical name, stats /
+    * bloom indexes / deletion vectors are untouched, and manifest-bounds
+    * file skipping on the renamed column keeps working (pushed predicates
+    * rewrite through the rename projection onto the physical attribute).
+    * Time travel reads each snapshot under ITS manifest's mapping.
+    * Guards mirror [[dropColumn]]: engine-managed, primary-key and
+    * partition-source columns are not renameable, and the new name must
+    * not collide with any current logical OR physical name (a physical
+    * collision would alias two columns in the same parquet files).
+    * Reference analog: DuckLake renames are catalog-metadata updates
+    * against stable column ids — the data files never change. */
+  def renameColumn(name: String, column: String, to: String): Unit =
+    writeLock(name) {
+      val meta = readMeta(name)
+      require(to.nonEmpty && to.trim == to, s"invalid column name '$to'")
+      val logical = GraftLake.logicalNamesOf(meta.schema)
+      def logicalOf(f: StructField) = logical.getOrElse(f.name, f.name)
+      val field = meta.schema.fields
+        .find(f => logicalOf(f).equalsIgnoreCase(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"table '$name' has no column '$column'"))
+      val cur = logicalOf(field)
+      require(field.name != InsertedAtCol && !field.name.startsWith("__p_") &&
+        !to.equalsIgnoreCase(InsertedAtCol) && !to.startsWith("__p_"),
+        s"'$cur' is engine-managed or '$to' is a reserved name")
+      require(!meta.pks.exists(_.equalsIgnoreCase(field.name)),
+        s"'$cur' is a primary-key column and cannot be renamed")
+      require(!meta.partitionExprs.exists(_.column.equalsIgnoreCase(field.name)),
+        s"'$cur' is a partition source column and cannot be renamed")
+      val taken = meta.schema.fields.filterNot(_ eq field)
+        .flatMap(f => Seq(f.name, logicalOf(f)))
+      require(!taken.exists(_.equalsIgnoreCase(to)),
+        s"table '$name' already has a column named '$to'")
+      val mb = new MetadataBuilder().withMetadata(field.metadata)
+      val renamed =
+        if (to == field.name) // renamed back to the physical original
+          field.copy(metadata = mb.remove(GraftLake.LogicalNameKey).build())
+        else
+          field.copy(metadata =
+            mb.putString(GraftLake.LogicalNameKey, to).build())
+      val newSchema = StructType(meta.schema.fields.map(f =>
+        if (f eq field) renamed else f).toSeq)
+      writeMeta(name, meta.copy(schema = newSchema))
+      commitVersion(name, Nil, Nil, op = "rename-column")
+    }
+
+  /** Rename a frame's physical columns to their logical names (no-op on
+    * un-renamed tables). Applied at every user-facing read boundary;
+    * engine internals stay purely physical. */
+  private def toLogical(schema: StructType, df: DataFrame): DataFrame = {
+    val m = GraftLake.logicalNamesOf(schema)
+    if (m.isEmpty) df else df.withColumnsRenamed(m)
+  }
+
+  /** Rename a frame's logical columns to their physical names, for the
+    * write paths. Idempotent: an already-physical frame passes through
+    * (engine internals and double-wrapped paths stay correct). A frame
+    * addressing one column by BOTH names is ambiguous and rejected; a
+    * batch using only the pre-rename name lands into the column
+    * by-physical-name (documented on [[renameColumn]], mirroring the
+    * re-add caveat on [[dropColumn]]). */
+  private def toPhysical(schema: StructType, df: DataFrame): DataFrame = {
+    val m = GraftLake.logicalNamesOf(schema)
+    if (m.isEmpty) df
+    else {
+      val cols = df.columns
+      m.foreach { case (p, l) =>
+        require(!(cols.exists(_.equalsIgnoreCase(p)) &&
+            cols.exists(_.equalsIgnoreCase(l))),
+          s"frame addresses column '$l' by both its name and its " +
+            s"pre-rename name '$p'")
+      }
+      df.withColumnsRenamed(m.map(_.swap))
+    }
+  }
+
+  /** Conform a frame to the table's PHYSICAL schema, resolving each field
+    * from whichever of its physical or logical name the frame carries —
+    * the write-path entry for frames that may come from either a user
+    * (logical) or an engine-internal physical scan. Missing columns fail
+    * loudly at resolution. */
+  private def physicalSelect(meta: TableMeta, df: DataFrame): DataFrame = {
+    val m = GraftLake.logicalNamesOf(meta.schema)
+    if (m.isEmpty)
+      df.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+    else {
+      val cols = df.columns.toSet
+      df.select(meta.schema.fields.toSeq.map { f =>
+        val logical = m.getOrElse(f.name, f.name)
+        val src = if (cols.contains(f.name)) f.name else logical
+        col(quoted(src)).as(f.name)
+      }: _*)
+    }
   }
 
   // ---- read ----
@@ -453,14 +554,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val keyed = base.withColumns(Map(
       keyC -> GraftLake.dvKeyColumn(partDepth),
       posC -> col("_metadata.row_index")))
-    Some(
+    val masked =
       if (dvs0.isEmpty) keyed
       else {
         val dv = dvFrame(name, dvs0)
         keyed.join(broadcast(dv),
           keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
           "left_anti")
-      })
+      }
+    // LOGICAL view out: the callers filter user predicates and evaluate
+    // user assignments against this frame ([[keyC]]/[[posC]] untouched)
+    Some(toLogical(meta.schema, masked))
   }
 
   def deleteWhere(name: String, predicate: Column): Long = writeLock(name) {
@@ -524,8 +628,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val dvs0 = liveDvs(name)
     val keepRow = !coalesce(predicate, lit(false))
     if (partDepth == 0) {
-      val survivors =
-        applyDvs(name, readInternal(name, meta), dvs0, 0).filter(keepRow)
+      val survivors = toLogical(meta.schema,
+        applyDvs(name, readInternal(name, meta), dvs0, 0)).filter(keepRow)
       replaceScoped(name, survivors, Nil, clearDvs = true)
     } else {
       val rels = spark.read.schema(GraftLake.dvSchema).parquet(stage.toString)
@@ -550,7 +654,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             scoped(keyC) === dv("file_key") && scoped(posC) === dv("pos"),
             "left_anti")
         }
-      val survivors = masked.filter(keepRow).drop(keyC, posC)
+      val survivors = toLogical(meta.schema, masked).filter(keepRow)
+        .drop(keyC, posC)
       replaceScoped(name, survivors, dirs)
     }
   }
@@ -577,8 +682,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       assignments: Map[String, Column]): Long = writeLock(name) {
     val meta = readMeta(name)
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    // assignments address LOGICAL names and evaluate against the logical
+    // live view; the staged postimages convert back to physical at write
+    val logicalFields = GraftLake.logicalSchema(meta.schema)
     val byLower = assignments.map { case (k, v) =>
-      val field = meta.schema.fields.find(_.name.equalsIgnoreCase(k))
+      val field = logicalFields.fields.find(_.name.equalsIgnoreCase(k))
         .getOrElse(throw new IllegalArgumentException(
           s"table '$name' has no column '$k'"))
       require(!field.name.equalsIgnoreCase(InsertedAtCol),
@@ -586,7 +694,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       field.name.toLowerCase -> v.cast(field.dataType)
     }
     def applyAssigns(df: DataFrame): DataFrame =
-      df.select(meta.schema.fieldNames.toSeq.map { n =>
+      df.select(logicalFields.fieldNames.toSeq.map { n =>
         byLower.get(n.toLowerCase) match {
           case Some(v) => v.as(n)
           case None => col(quoted(n)).as(n)
@@ -616,7 +724,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // 1) re-insert the updated rows through the normal append machinery
       //    (stats collected by the commit protocol, partition dirs
       //    re-derived from the NEW values)
-      val out = withPartitionCols(applyAssigns(hitDf), meta)
+      val out = withPartitionCols(
+        toPhysical(meta.schema, applyAssigns(hitDf)), meta)
       val dataStage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
       val added = try {
         val writer = out.write.mode(SaveMode.Overwrite)
@@ -661,17 +770,21 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       predicate: Column, byLower: Map[String, Column]): Unit = {
     val partCols = meta.partitionExprs.map(_.outputName)
     val hit = coalesce(predicate, lit(false))
-    val masked = applyDvs(name, readInternal(name, meta), liveDvs(name),
-      partCols.size)
+    // LOGICAL view: `predicate`, `byLower` and the assignment right-hand
+    // sides all address logical names (replaceScoped converts back)
+    val masked = toLogical(meta.schema,
+      applyDvs(name, readInternal(name, meta), liveDvs(name),
+        partCols.size))
+    val logicalFields = GraftLake.logicalSchema(meta.schema)
     def applyAssigns(df: DataFrame): DataFrame =
-      df.select(meta.schema.fieldNames.toSeq.map { n =>
+      df.select(logicalFields.fieldNames.toSeq.map { n =>
         byLower.get(n.toLowerCase) match {
           case Some(v) => v.as(n)
           case None => col(quoted(n)).as(n)
         }
       }: _*)
     def updCols(df: DataFrame): DataFrame =
-      df.select(meta.schema.fieldNames.toSeq.map { n =>
+      df.select(logicalFields.fieldNames.toSeq.map { n =>
         byLower.get(n.toLowerCase) match {
           case Some(v) => when(hit, v).otherwise(col(quoted(n))).as(n)
           case None => col(quoted(n)).as(n)
@@ -722,7 +835,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       expectedItemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit =
       writeLock(name) {
     val meta = readMeta(name)
-    val field = meta.schema.fields.find(_.name.equalsIgnoreCase(column))
+    // resolve the user's LOGICAL name to the frozen physical field: the
+    // sidecar is keyed physical, matching the scan-side probe rewrite
+    val logical = GraftLake.logicalNamesOf(meta.schema)
+    val field = meta.schema.fields
+      .find(f => logical.getOrElse(f.name, f.name).equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
         s"table '$name' has no column '$column'"))
     field.dataType match {
@@ -984,7 +1101,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val meta = readMeta(name)
     val live = applyDvs(name, readInternal(name, meta), liveDvs(name),
       meta.partitionExprs.size)
-    live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+    toLogical(meta.schema,
+      live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
   /** V1 scan of an EXPLICIT manifest file set that keeps manifest-bounds
@@ -1045,7 +1163,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
       .orElse(versions(name).lastOption)
-    last match {
+    val masked = last match {
       case None =>
         applyDvs(name, readInternal(name, meta), liveDvs(name),
           meta.partitionExprs.size)
@@ -1064,6 +1182,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           bloomPruner(name, _))
         applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
     }
+    toLogical(meta.schema, masked)
   }
 
   /** Data-skipping read: like `read(...).filter(predicate)` (identical
@@ -1091,8 +1210,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         val stats = statsFor(name, v)
         val zone = spark.conf.get("spark.sql.session.timeZone",
           java.time.ZoneId.systemDefault().getId)
-        val pred = org.apache.spark.sql.graft.PlanBridge.simplePredicate(
-          predicate, meta.schema, zone)
+        // the predicate addresses LOGICAL names; lower it against the
+        // logical schema, then rewrite the lowered conjuncts onto the
+        // physical names so the (physical-keyed) stats and bloom sidecars
+        // keep pruning across renames
+        val renames = GraftLake.logicalNamesOf(meta.schema).map(_.swap)
+        def phys(c: String): String =
+          renames.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
+        val pred = org.apache.spark.sql.graft.PlanBridge.mapPredCols(
+          org.apache.spark.sql.graft.PlanBridge.simplePredicate(
+            predicate, GraftLake.logicalSchema(meta.schema), zone), phys)
         val keep = GraftLake.filePruner(pred)
         val bloomK = bloomPruner(name, pred)
         val kept = files.filter { ref =>
@@ -1101,16 +1228,19 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         }
         if (kept.isEmpty)
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            GraftLake.logicalSchema(meta.schema))
         else {
           val paths = kept.map { case (rel, fn) =>
             if (rel.isEmpty) s"${dataDir(name)}/$fn"
             else s"${dataDir(name)}/$rel/$fn"
           }
           val scan = spark.read.schema(meta.schema).parquet(paths: _*)
-          applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
+          toLogical(meta.schema,
+            applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size))
             .filter(predicate)
-            .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+            .select(GraftLake.logicalSchema(meta.schema).fieldNames
+              .map(n => col(quoted(n))): _*)
         }
     }
   }
@@ -1170,12 +1300,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def readStream(name: String): DataFrame = {
     val meta = readMeta(name)
     val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
-    spark.readStream
+    toLogical(meta.schema, spark.readStream
       .schema(full)
       .option("basePath", dataDir(name))
       .parquet(if (meta.partitions.isEmpty) dataDir(name)
         else s"${dataDir(name)}/*")
-      .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+      .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
   // ---- write ----
@@ -1195,11 +1325,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       pks: Seq[String] = Nil,
       ordering: Seq[Column] = Nil,
       exclude: Seq[String] = Nil): Unit = {
-    val dataSchema = StructType(batch.schema.filterNot(f => exclude.contains(f.name)))
+    // logical→physical before the evolution check (same reasoning as the
+    // append path); toPhysical is idempotent, so the delegates' own
+    // conversion is a no-op
+    val batchP =
+      if (tableExists(name)) toPhysical(readMeta(name).schema, batch)
+      else batch
+    val dataSchema = StructType(batchP.schema.filterNot(f => exclude.contains(f.name)))
     val (meta, preExisted) = ensureTable(name, dataSchema, partitions, pks)
     val effectivePks = if (meta.pks.nonEmpty) meta.pks else pks
-    if (preExisted && effectivePks.nonEmpty) upsert(name, batch, ordering)
-    else append(name, batch.drop(exclude: _*))
+    if (preExisted && effectivePks.nonEmpty) upsert(name, batchP, ordering)
+    else append(name, batchP.drop(exclude: _*))
   }
 
   /** One write job per table at a time (the reference's flush lock,
@@ -1240,8 +1376,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def appendTxn(name: String, batch: DataFrame,
       txn: Option[(String, Long)], partitions: Seq[String] = Nil,
       pks: Seq[String] = Nil): Unit = {
-    val (meta, _) = ensureTable(name, batch.schema, partitions, pks)
-    val conformed = conformBatch(batch, meta)
+    // logical→physical BEFORE the evolution check: a renamed column's new
+    // name must resolve to its frozen physical field, not add a column
+    val batchP =
+      if (tableExists(name)) toPhysical(readMeta(name).schema, batch)
+      else batch
+    val (meta, _) = ensureTable(name, batchP.schema, partitions, pks)
+    val conformed = conformBatch(batchP, meta)
       .withColumn(InsertedAtCol, current_timestamp())
     val out = withPartitionCols(conformed, meta)
     writeLock(name) {
@@ -1281,6 +1422,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     require(meta.pks.nonEmpty, s"upsert on '$name' requires configured PKs")
     val pks = meta.pks
     val partCols = meta.partitionExprs.map(_.outputName)
+    val batchP = toPhysical(meta.schema, batch)
 
     // W4: dedup duplicate PKs within the batch — last wins. Runs on the raw
     // batch so ordering-only columns (e.g. Kafka offset) are usable even
@@ -1290,7 +1432,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pks.map(c => col(quoted(c))): _*).orderBy(order: _*)
     val deduped = conformBatch(
-      batch.withColumn("__rn", row_number().over(w))
+      batchP.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn"),
       meta)
 
@@ -1378,7 +1520,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * through [[upsert]]'s affected-partition path instead). */
   def overwriteContents(name: String, df: DataFrame): Unit = writeLock(name) {
     val meta = readMeta(name)
-    val projected = df.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+    val projected = physicalSelect(meta, df)
     val out = withPartitionCols(projected, meta)
     val partCols = meta.partitionExprs.map(_.outputName)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
@@ -1414,8 +1556,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * caller has already cast every column to the table schema. */
   private[graft] def appendPrepared(name: String, batch: DataFrame): Unit = writeLock(name) {
     val meta = readMeta(name)
-    val out = withPartitionCols(
-      batch.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*), meta)
+    val out = withPartitionCols(physicalSelect(meta, batch), meta)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     try {
       val writer = out.write.mode(SaveMode.Overwrite)
@@ -1441,8 +1582,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       affectedDirs: Seq[String], clearDvs: Boolean = false): Unit = writeLock(name) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
-    val out = withPartitionCols(
-      survivors.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*), meta)
+    val out = withPartitionCols(physicalSelect(meta, survivors), meta)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val writer = out.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -1477,6 +1617,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
     val dvsLive = liveDvs(name)
+    // user-facing names are LOGICAL: the scope predicate filters the
+    // logical view and clusterBy columns translate to their physical
+    // names (the rewrite itself stays purely physical)
+    val toPhys = GraftLake.logicalNamesOf(meta.schema).map(_.swap)
+    def physName(c: String): String =
+      toPhys.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
+    val clusterCols = clusterBy.map(physName)
     // compaction MATERIALIZES deletion vectors for whatever it rewrites:
     // rows masked by a DV must not be copied into the compacted files
     val all = applyDvs(name, readInternal(name, meta), dvsLive, partCols.size)
@@ -1485,10 +1632,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       case (Some(p), Nil) =>
         // whole-table rewrite unit: an empty match is a no-op, anything
         // else must carry ALL rows or the swap would drop the rest
-        if (all.filter(p).isEmpty) return
+        if (toLogical(meta.schema, all).filter(p).isEmpty) return
         all
       case (Some(p), pcs) =>
-        val parts = all.filter(p)
+        val parts = toLogical(meta.schema, all).filter(p)
           .select(pcs.map(c => col(quoted(c))): _*).distinct().collect()
         if (parts.isEmpty) return // nothing matches: no rewrite, no commit
         all.filter(GraftLake.partitionScope(pcs, parts))
@@ -1502,7 +1649,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // failure mode. Temporal columns cluster on their epoch value (days /
     // micros) — the same domain the manifest bounds and the pruner use,
     // so time-range predicates skip files over a time-clustered layout.
-    val zNumeric: Map[String, Column] = clusterBy.map { c =>
+    val zNumeric: Map[String, Column] = clusterCols.map { c =>
       val field = projected.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"compact clusterBy column '$c' does not exist in table '$name'"))
@@ -1540,25 +1687,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         else df.repartition(n)
       }
     val arranged =
-      if (clusterBy.nonEmpty) {
+      if (clusterCols.nonEmpty) {
         // Z-ORDER clustering: range-partition + sort by the interleaved
         // z-value so every output file covers a tight box over ALL cluster
         // columns — min/max footer pruning then skips files for predicates
         // on any of them. Bounds come from one tiny min/max agg.
-        val boundExprs = clusterBy.flatMap(c =>
+        val boundExprs = clusterCols.flatMap(c =>
           Seq(min(zNumeric(c)), max(zNumeric(c))))
         val boundsRow = projected.agg(boundExprs.head, boundExprs.tail: _*).head()
-        val boundsValid = (0 until 2 * clusterBy.size).forall(!boundsRow.isNullAt(_))
+        val boundsValid = (0 until 2 * clusterCols.size).forall(!boundsRow.isNullAt(_))
         if (!boundsValid) {
           // empty scope or all-null cluster column: no z-domain to spread
           // over — fall back to the plain rebalance arrangement instead of
           // NPE-ing mid-compaction
           rebalanced(projected)
         } else {
-          val bounds = clusterBy.indices.map(i =>
+          val bounds = clusterCols.indices.map(i =>
             (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1)))
           val zv = graft.functions.ZOrder.zValue(
-            clusterBy.map(zNumeric), bounds)
+            clusterCols.map(zNumeric), bounds)
           projected.repartitionByRange((partCols.map(c => col(quoted(c))) :+ zv): _*)
             .sortWithinPartitions((partCols.map(c => col(quoted(c))) :+ zv): _*)
         }
@@ -1585,7 +1732,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // partitions are inert, other partitions still need theirs)
     val fullRewrite = predicate.isEmpty || partCols.isEmpty
     commitVersion(name, added, removed, writeStats,
-      op = if (clusterBy.nonEmpty) "zorder" else "compact",
+      op = if (clusterCols.nonEmpty) "zorder" else "compact",
       dvRemoved = if (fullRewrite) dvsLive else Nil)
   }
 
@@ -2068,9 +2215,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * copies), so the user view needs no partition reconstruction. */
   def readVersion(name: String, version: Long): DataFrame = {
     val (schema, paths) = snapshotFiles(name, version)
+    // the manifest's schema carries the rename metadata AS OF that
+    // commit, so time travel presents each snapshot's own logical names
     if (paths.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        GraftLake.logicalSchema(schema))
     val partDepth = readMeta(name).partitionExprs.size
     // pruning-capable scan against THAT snapshot's per-file bounds
     // (resolveStats directly, not statsFor — the single-entry cache must
@@ -2079,8 +2229,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       partDepth, basePath = None, bloomPruner(name, _))
     // apply the DELETION VECTORS OF THAT SNAPSHOT: the key derivation is
     // segment-based, so it matches retired files under _history/ too
-    applyDvs(name, scan, resolveDvs(name, version), partDepth)
-      .select(schema.fieldNames.map(n => col(quoted(n))): _*)
+    toLogical(schema, applyDvs(name, scan, resolveDvs(name, version), partDepth)
+      .select(schema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
   /** RESTORE the table to snapshot `version` as a NEW commit (Delta-style
@@ -2166,9 +2316,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     }
     if (fresh.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(fresh: _*)
-      .select(schema.fieldNames.map(n => col(quoted(n))): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        GraftLake.logicalSchema(schema))
+    else toLogical(schema, spark.read.schema(schema).parquet(fresh: _*)
+      .select(schema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
   /** Row-level change feed between two snapshots, derived from commit
@@ -2240,7 +2391,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       if (pieces.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
       else pieces.reduce(_ unionByName _)
-    out.select(outSchema.fieldNames.map(n => col(quoted(n))): _*)
+    toLogical(toSchema,
+      out.select(outSchema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
   /** Resolve (rel, name) file identities to readable absolute paths —
@@ -2480,6 +2632,32 @@ object GraftLake {
   /** Change-feed metadata columns ([[GraftLake.tableChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  /** Schema-metadata key carrying a column's LOGICAL name when it
+    * differs from the frozen physical name. RENAME COLUMN is
+    * metadata-only (Delta's name-mapping, DuckLake's column ids): the
+    * parquet column name never changes, so every file ever written stays
+    * uniformly readable, and the mapping travels inside the schema JSON —
+    * through the meta sidecar AND every manifest — so time travel
+    * reconstructs the logical names of any snapshot with no extra
+    * bookkeeping. */
+  val LogicalNameKey = "graft.logical_name"
+
+  /** physical → logical column names of a schema (identity entries are
+    * never stored). */
+  private[graft] def logicalNamesOf(schema: StructType): Map[String, String] =
+    schema.fields.iterator.collect {
+      case f if f.metadata.contains(LogicalNameKey) =>
+        f.name -> f.metadata.getString(LogicalNameKey)
+    }.toMap
+
+  /** The user-visible schema: physical fields under their logical names. */
+  private[graft] def logicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(LogicalNameKey))
+        f.copy(name = f.metadata.getString(LogicalNameKey))
+      else f
+    })
 
   /** Generated partition columns of a table (shared by the lake reader and
     * the DSv2 catalog so the naming/typing rules cannot drift). */

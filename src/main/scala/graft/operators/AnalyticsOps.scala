@@ -1465,11 +1465,50 @@ object AnalyticsOps {
       .orderBy(col("commit_seq"), col("change_type"))
   }
 
+  /** q144: RENAME COLUMN evolution — metadata-only (the physical parquet
+    * name freezes at creation; the new name rides as schema metadata), so
+    * the in-query `require` pins ZERO files rewritten, a pre-rename file
+    * and a post-rename append read back under ONE logical column, the
+    * pre-rename snapshot still presents the ORIGINAL name, and
+    * merge-on-read UPDATE addresses the new name. The oracle pins the
+    * final contents and column set. Reference analog: DuckLake renames
+    * are catalog-metadata updates over stable column ids. */
+  val q144RenameColumn = QueryDef(
+    "q144_rename_column",
+    """SELECT * FROM (VALUES (CAST(1 AS INTEGER), CAST(10.0 AS DOUBLE)),
+      |                      (CAST(2 AS INTEGER), CAST(200.0 AS DOUBLE)),
+      |                      (CAST(3 AS INTEGER), CAST(30.0 AS DOUBLE)))
+      |  AS t(id, price)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"rencol:$dir", _ => {
+      import s.implicits._
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-renq").toString)
+      l.append("t", Seq((1, 10.0), (2, 20.0)).toDF("id", "amount")
+        .repartition(1))
+      val files = l.dataFiles("t").sorted
+      val v0 = l.versions("t").head
+      l.renameColumn("t", "amount", "price")
+      require(l.dataFiles("t").sorted.sameElements(files),
+        "RENAME COLUMN must rewrite nothing")
+      require(l.read("t").columns.contains("price") &&
+        !l.read("t").columns.contains("amount"))
+      require(l.readVersion("t", v0).columns.contains("amount"),
+        "the pre-rename snapshot keeps its own logical names")
+      l.append("t", Seq((3, 30.0)).toDF("id", "price").repartition(1))
+      require(l.updateWhere("t", col("id") === 2,
+        Map("price" -> lit(200.0))) == 1L)
+      l
+    })
+    lake.read("t").select(col("id"), col("price")).orderBy(col("id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
-    q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed)
+    q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
+    q144RenameColumn)
 }

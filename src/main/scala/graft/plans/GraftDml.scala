@@ -117,7 +117,7 @@ final case class GraftUpdateCommand(
       case Assignment(k: Attribute, v) =>
         if (k.name.startsWith("__p_")) throw new UnsupportedOperationException(
           s"UPDATE of generated partition column '${k.name}' — update the source column instead")
-        val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(k.name))
+        val dt = GraftLake.logicalSchema(meta.schema).fields.find(_.name.equalsIgnoreCase(k.name))
           .map(_.dataType).getOrElse(k.dataType)
         val castV = if (PlanBridge.sameType(v.dataType, dt)) v
           else Cast(v, dt, Option(SQLConf.get.sessionLocalTimeZone))
@@ -126,7 +126,7 @@ final case class GraftUpdateCommand(
         s"UPDATE with nested-field assignment '${k.sql}' is not supported")
     }.toMap
     def updatedCols(df: DataFrame): DataFrame =
-      df.select(meta.schema.fieldNames.toSeq.map { n =>
+      df.select(GraftLake.logicalSchema(meta.schema).fieldNames.toSeq.map { n =>
         assignByName.get(n.toLowerCase) match {
           case Some(v) => when(hit, v).otherwise(col(GraftLake.quoted(n))).as(n)
           case None => col(GraftLake.quoted(n))

@@ -48,7 +48,13 @@ final case class ApplyGraftDeletionVectors(spark: SparkSession)
               case None => lake.liveDvs(t.graftTableName)
               case Some(v) => lake.dvsAtVersion(t.graftTableName, v)
             }
-            if (dvs.isEmpty) r
+            // renamed columns route through the engine read too: the
+            // plain DSv2 scan addresses parquet by the LOGICAL name and
+            // would read nulls for every file (RENAME COLUMN freezes the
+            // physical name; GraftLake.read aliases it back)
+            val renamed = GraftLake.logicalNamesOf(
+              lake.readMeta(t.graftTableName).schema)
+            if (dvs.isEmpty && renamed.isEmpty) r
             else {
               val df = t.graftVersion match {
                 case None => lake.readLiveFull(t.graftTableName)

@@ -329,7 +329,7 @@ final case class GraftMergeCommand(
     for (pk <- lowerPks)
       if (!insM.get(pk).exists(_.semanticEquals(pkMap(pk)))) return None
 
-    val dataFields = meta.schema.fields.toSeq
+    val dataFields = GraftLake.logicalSchema(meta.schema).fields.toSeq
       .filterNot(f => lowerPks(f.name.toLowerCase) || f.name == InsertedAt)
     // every data column must get the same source value on both paths
     for (f <- dataFields) {
@@ -342,7 +342,7 @@ final case class GraftMergeCommand(
 
     val aliases =
       meta.pks.map(pk =>
-        Alias(castTo(pkMap(pk.toLowerCase), meta.schema(pk).dataType), pk)()) ++
+        Alias(castTo(pkMap(pk.toLowerCase), GraftLake.logicalSchema(meta.schema)(pk).dataType), pk)()) ++
         dataFields.map(f =>
           Alias(castTo(upData(f.name.toLowerCase), f.dataType), f.name)())
     Some(Project(aliases, source))
@@ -387,7 +387,7 @@ final case class GraftMergeCommand(
         val keptInserts = sdf.join(tdf, condCol, "left_anti")
           .filter(PlanBridge.column(
             EqualNullSafe(keepOf(notMatched, default = false), Literal(true))))
-          .select(meta.schema.fields.toSeq.map(f => PlanBridge.column(
+          .select(GraftLake.logicalSchema(meta.schema).fields.toSeq.map(f => PlanBridge.column(
             valueOf(notMatched, f.name, f.dataType, Literal(null, f.dataType),
               insertPath = true)).as(f.name)): _*)
         val insertParts = lake.withPartitionCols(keptInserts, meta)
@@ -425,7 +425,7 @@ final case class GraftMergeCommand(
     val sourceOnly = IsNull(tp)
 
     val tAttrByName = scopedTarget.output.map(a => a.name.toLowerCase -> a).toMap
-    val outCols = meta.schema.fields.toSeq.map { f =>
+    val outCols = GraftLake.logicalSchema(meta.schema).fields.toSeq.map { f =>
       val tAttr = tAttrByName.getOrElse(f.name.toLowerCase,
         throw new IllegalStateException(s"target output missing column ${f.name}"))
       val expr = CaseWhen(Seq(
@@ -463,7 +463,7 @@ final case class GraftMergeCommand(
       meta: TableMeta): Unit = {
     val sourceOnlyS = Join(source, target, LeftAnti, Some(cond), JoinHint.NONE)
     val inserts = Project(
-      meta.schema.fields.toSeq.map(f => Alias(valueOf(notMatched, f.name,
+      GraftLake.logicalSchema(meta.schema).fields.toSeq.map(f => Alias(valueOf(notMatched, f.name,
         f.dataType, Literal(null, f.dataType), insertPath = true), f.name)()),
       Filter(EqualNullSafe(keepOf(notMatched, default = false),
         Literal(true)), sourceOnlyS))
@@ -487,9 +487,9 @@ final case class GraftMergeCommand(
         throw new IllegalStateException(s"target output missing column ${f.name}"))
 
     val passThrough = Project(
-      meta.schema.fields.toSeq.map(f => Alias(tAttr(f), f.name)()), matchedT)
+      GraftLake.logicalSchema(meta.schema).fields.toSeq.map(f => Alias(tAttr(f), f.name)()), matchedT)
     val nmbsApplied = Project(
-      meta.schema.fields.toSeq.map(f => Alias(valueOf(notMatchedBySource,
+      GraftLake.logicalSchema(meta.schema).fields.toSeq.map(f => Alias(valueOf(notMatchedBySource,
         f.name, f.dataType, tAttr(f), insertPath = false), f.name)()),
       Filter(EqualNullSafe(keepOf(notMatchedBySource, default = true),
         Literal(true)), unmatchedT))

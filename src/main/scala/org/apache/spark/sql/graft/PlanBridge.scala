@@ -78,6 +78,17 @@ object PlanBridge {
   final case class PStr(op: String, col: String, value: String) extends SimplePred
   case object PUnknown extends SimplePred
 
+  /** Rewrite every column name in a lowered predicate (the RENAME COLUMN
+    * logical→physical bridge: stats and bloom sidecars are keyed by the
+    * frozen physical names). */
+  def mapPredCols(p: SimplePred, f: String => String): SimplePred = p match {
+    case PAnd(l, r) => PAnd(mapPredCols(l, f), mapPredCols(r, f))
+    case POr(l, r) => POr(mapPredCols(l, f), mapPredCols(r, f))
+    case PCmp(op, c, v) => PCmp(op, f(c), v)
+    case PStr(op, c, v) => PStr(op, f(c), v)
+    case PUnknown => PUnknown
+  }
+
   /** Epoch micros of an instant (the timestamp pruning domain). Direct
     * arithmetic, not ChronoUnit.MICROS.between — the latter goes through
     * nanos and overflows past ±292 years. Throws ArithmeticException only

@@ -1,0 +1,149 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RENAME COLUMN contract: metadata-only (the physical parquet name is
+  * frozen; the logical name rides as schema metadata), zero files
+  * rewritten, every read/write/DML surface addresses the new name,
+  * time travel presents each snapshot's own names, and data skipping
+  * keeps pruning on the renamed column. */
+class RenameColumnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake = {
+    GraftLake.invalidateCaches()
+    new GraftLake(spark, Files.createTempDirectory("graft-ren").toString)
+  }
+
+  test("rename is metadata-only: no rewrite, old and new files both read") {
+    val lake = newLake()
+    lake.append("t", Seq((1, 10.0), (2, 20.0)).toDF("id", "amount")
+      .repartition(1))
+    val files0 = lake.dataFiles("t").sorted
+    lake.renameColumn("t", "amount", "price")
+    assert(lake.dataFiles("t").sorted.sameElements(files0),
+      "RENAME COLUMN must rewrite nothing")
+    assert(lake.read("t").columns.toSeq === Seq("id", "price", "_inserted_at"))
+    // a post-rename append addresses the NEW name and lands into the
+    // same (frozen physical) column
+    lake.append("t", Seq((3, 30.0)).toDF("id", "price").repartition(1))
+    assert(lake.read("t").select("id", "price").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet ===
+      Set((1, 10.0), (2, 20.0), (3, 30.0)))
+  }
+
+  test("time travel presents each snapshot's own logical names") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))
+    val v0 = lake.versions("t").head
+    lake.renameColumn("t", "v", "label")
+    val v1 = lake.versions("t").last
+    assert(lake.readVersion("t", v0).columns.contains("v"))
+    assert(lake.readVersion("t", v1).columns.contains("label"))
+    assert(!lake.readVersion("t", v1).columns.contains("v"))
+  }
+
+  test("MoR delete/update and upsert address the new name") {
+    val lake = newLake()
+    lake.write("t", (1 to 20).map(i => (i, i * 1.0)).toDF("id", "amount"),
+      pks = Seq("id"))
+    lake.renameColumn("t", "amount", "price")
+    assert(lake.deleteWhere("t", col("price") === 5.0) === 1L)
+    assert(lake.updateWhere("t", col("price") === 7.0,
+      Map("price" -> lit(700.0))) === 1L)
+    // upsert through the PK path updates the renamed column by new name
+    lake.write("t", Seq((1, 111.0)).toDF("id", "price"), pks = Seq("id"))
+    val got = lake.read("t").select("id", "price").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(!got.contains(5) && got(7) === 700.0 && got(1) === 111.0)
+    assert(got.size === 19)
+  }
+
+  test("data skipping keeps pruning on the renamed column") {
+    val lake = newLake()
+    // two well-separated files so bounds pruning can drop one
+    lake.append("s", (1 to 100).map(i => (i, i.toLong)).toDF("id", "metric")
+      .repartition(1))
+    lake.append("s", (1001 to 1100).map(i => (i, i.toLong))
+      .toDF("id", "metric").repartition(1))
+    lake.renameColumn("s", "metric", "score")
+    val pruned = lake.readWhere("s", col("score") > 1000L)
+    assert(pruned.inputFiles.length === 1,
+      s"bounds pruning must survive the rename, scanned ${pruned.inputFiles.length}")
+    assert(pruned.count() === 100L)
+    // row-level results identical to the unpruned read
+    assert(lake.read("s").filter(col("score") > 1000L).count() === 100L)
+  }
+
+  test("SQL surface: ALTER TABLE RENAME COLUMN, SELECT, DML, time travel") {
+    GraftLake.invalidateCaches()
+    val cat = "rencat1"
+    val wh = Files.createTempDirectory("graft-rencat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val lake = new GraftLake(spark, wh)
+    lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val v0 = lake.versions("t").head
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO label")
+    assert(spark.sql(s"SELECT label FROM $cat.t WHERE id = 2").collect()
+      .map(_.getString(0)).toSeq === Seq("b"))
+    spark.sql(s"INSERT INTO $cat.t (id, label) VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT label FROM $cat.t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    spark.sql(s"UPDATE $cat.t SET label = 'B' WHERE id = 2")
+    spark.sql(s"DELETE FROM $cat.t WHERE label = 'a'")
+    assert(spark.sql(s"SELECT id, label FROM $cat.t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((2, "B"), (3, "c")))
+    // the pre-rename snapshot still reads under its own name
+    assert(spark.sql(s"SELECT v FROM $cat.t VERSION AS OF $v0 ORDER BY v")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+  }
+
+  test("guards: pk/partition/engine columns, collisions, rename-back") {
+    val lake = newLake()
+    lake.write("t",
+      Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x", 1.0))
+        .toDF("id", "ts", "seg", "val"),
+      partitions = Seq("year(ts)"), pks = Seq("id"))
+    intercept[IllegalArgumentException](lake.renameColumn("t", "id", "id2"))
+    intercept[IllegalArgumentException](lake.renameColumn("t", "ts", "ts2"))
+    intercept[IllegalArgumentException](
+      lake.renameColumn("t", "_inserted_at", "x2"))
+    intercept[IllegalArgumentException](lake.renameColumn("t", "seg", "val"))
+    intercept[IllegalArgumentException](lake.renameColumn("t", "nope", "y"))
+    // rename, rename again, then back to the original physical name:
+    // the mapping collapses to identity
+    lake.renameColumn("t", "seg", "segment")
+    lake.renameColumn("t", "segment", "bucket")
+    intercept[IllegalArgumentException](
+      lake.renameColumn("t", "bucket", "val")) // still collision-checked
+    lake.renameColumn("t", "bucket", "seg")
+    assert(GraftLake.logicalNamesOf(lake.readMeta("t").schema).isEmpty,
+      "rename back to the physical original must clear the mapping")
+    assert(lake.read("t").columns.contains("seg"))
+    // dropColumn resolves the logical name after a fresh rename
+    lake.renameColumn("t", "val", "score")
+    lake.dropColumn("t", "score")
+    assert(!lake.read("t").columns.exists(c => c == "val" || c == "score"))
+  }
+
+  test("compact with clusterBy on the renamed name; change feed follows") {
+    val lake = newLake()
+    lake.append("t", (1 to 50).map(i => (i, i.toLong)).toDF("id", "metric"))
+    lake.renameColumn("t", "metric", "score")
+    val v0 = lake.versions("t").last
+    lake.compact("t", clusterBy = Seq("score"))
+    lake.append("t", Seq((51, 51L)).toDF("id", "score"))
+    assert(lake.read("t").count() === 51L)
+    // the feed presents the logical name and skips the compaction churn
+    val feed = lake.tableChanges("t", v0, lake.versions("t").last)
+    assert(feed.columns.contains("score"))
+    assert(feed.select("id").collect().map(_.getInt(0)).toSeq === Seq(51))
+  }
+}
