@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
 final case class TableMeta(
     schema: StructType,
     partitions: Seq[String],
-    pks: Seq[String]) {
+    pks: Seq[String],
+    constraints: Seq[(String, String)] = Nil) {
   def partitionExprs: Seq[PartitionExpr] = PartitionExpr.parseList(partitions)
 }
 
@@ -238,6 +239,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val remaining = meta.schema.fields.filterNot(_.name == n)
     require(remaining.exists(_.name != InsertedAtCol),
       s"cannot drop '$n': it is the table's last data column")
+    val logicalN = logical.getOrElse(n, n).toLowerCase
+    meta.constraints.foreach { case (cn, text) =>
+      require(!constraintRefs(text).contains(logicalN),
+        s"cannot drop '$column': constraint '$cn' references it — " +
+          "drop the constraint first")
+    }
     writeMeta(name, meta.copy(schema = StructType(remaining.toSeq)))
     commitVersion(name, Nil, Nil, op = "drop-column")
   }
@@ -279,6 +286,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         .flatMap(f => Seq(f.name, logicalOf(f)))
       require(!taken.exists(_.equalsIgnoreCase(to)),
         s"table '$name' already has a column named '$to'")
+      meta.constraints.foreach { case (cn, text) =>
+        require(!constraintRefs(text).contains(cur.toLowerCase),
+          s"cannot rename '$cur': constraint '$cn' references it — " +
+            "drop the constraint first")
+      }
       val mb = new MetadataBuilder().withMetadata(field.metadata)
       val renamed =
         if (to == field.name) // renamed back to the physical original
@@ -291,6 +303,87 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       writeMeta(name, meta.copy(schema = newSchema))
       commitVersion(name, Nil, Nil, op = "rename-column")
     }
+
+  // ---- CHECK constraints ----
+
+  /** Column names (lower-cased) a constraint expression references —
+    * parsed with the session's SQL parser (the `expr()` Column wraps an
+    * opaque node the tree walk cannot enter). */
+  private def constraintRefs(text: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(text).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }.toSet
+
+  /** ADD CONSTRAINT … CHECK: `checkExpr` (SQL text over the table's
+    * LOGICAL column names) must analyze, be deterministic, and hold on
+    * every EXISTING row — the same contract as Delta's ADD CONSTRAINT —
+    * then every subsequent write enforces it INSIDE the write job (a
+    * conditional raise_error fused into the output projection: zero
+    * extra passes, and a violating batch aborts before any commit, so
+    * enforcement is atomic). SQL semantics: a NULL-valued check passes;
+    * NOT NULL is `CHECK (c IS NOT NULL)`. Reference analog: DuckLake
+    * inherits DuckDB's CHECK/NOT NULL enforcement at insert time. */
+  def addConstraint(name: String, constraintName: String,
+      checkExpr: String): Unit = writeLock(name) {
+    val meta = readMeta(name)
+    require(constraintName.nonEmpty && constraintName.trim == constraintName,
+      s"invalid constraint name '$constraintName'")
+    require(!meta.constraints.exists(_._1.equalsIgnoreCase(constraintName)),
+      s"table '$name' already has a constraint '$constraintName'")
+    // must analyze against the logical schema and be deterministic
+    val probe = read(name).filter(expr(checkExpr))
+    require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"constraint '$constraintName' must be deterministic: $checkExpr")
+    val violating = read(name)
+      .filter(!coalesce(expr(checkExpr), lit(true))).limit(1).count()
+    require(violating == 0L,
+      s"cannot add constraint '$constraintName': existing rows violate " +
+        s"CHECK ($checkExpr)")
+    writeMeta(name, meta.copy(
+      constraints = meta.constraints :+ (constraintName -> checkExpr)))
+    commitVersion(name, Nil, Nil, op = "add-constraint")
+  }
+
+  /** DROP CONSTRAINT (metadata-only). */
+  def dropConstraint(name: String, constraintName: String): Unit =
+    writeLock(name) {
+      val meta = readMeta(name)
+      require(meta.constraints.exists(_._1.equalsIgnoreCase(constraintName)),
+        s"table '$name' has no constraint '$constraintName'")
+      writeMeta(name, meta.copy(constraints =
+        meta.constraints.filterNot(_._1.equalsIgnoreCase(constraintName))))
+      commitVersion(name, Nil, Nil, op = "drop-constraint")
+    }
+
+  /** Live CHECK constraints of a table (name → expression). */
+  def constraints(name: String): Seq[(String, String)] =
+    readMeta(name).constraints
+
+  /** Fuse CHECK enforcement into a write plan: rows where any constraint
+    * evaluates to FALSE abort the job via raise_error (NULL passes, SQL
+    * semantics). Runs inside the write's own projection — no extra scan,
+    * and a violation kills the staged write before any commit. The
+    * invariant that makes enforcing REWRITES safe too: addConstraint
+    * validated all existing rows, and every new/changed row passes
+    * through here, so survivors of a rewrite always satisfy the live
+    * constraint set. Constraints address LOGICAL names. */
+  private def enforceConstraints(meta: TableMeta, df: DataFrame): DataFrame = {
+    if (meta.constraints.isEmpty) return df
+    val present = df.columns.map(_.toLowerCase).toSet
+    val rowCols = GraftLake.logicalSchema(meta.schema).fieldNames.toSeq
+      .filter(c => c != InsertedAtCol && present.contains(c.toLowerCase))
+    val logicalDf = toLogical(meta.schema, df)
+    val checked = meta.constraints.foldLeft(logicalDf) { case (d, (n, text)) =>
+      d.filter(
+        when(coalesce(expr(text), lit(true)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint '$n' ($text) violated by row "),
+            to_json(struct(rowCols.map(c => col(quoted(c))): _*))))
+            .cast("boolean")))
+    }
+    toPhysical(meta.schema, checked)
+  }
 
   /** Rename a frame's physical columns to their logical names (no-op on
     * un-renamed tables). Applied at every user-facing read boundary;
@@ -724,8 +817,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // 1) re-insert the updated rows through the normal append machinery
       //    (stats collected by the commit protocol, partition dirs
       //    re-derived from the NEW values)
-      val out = withPartitionCols(
-        toPhysical(meta.schema, applyAssigns(hitDf)), meta)
+      val out = withPartitionCols(enforceConstraints(meta,
+        toPhysical(meta.schema, applyAssigns(hitDf))), meta)
       val dataStage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
       val added = try {
         val writer = out.write.mode(SaveMode.Overwrite)
@@ -1384,7 +1477,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val (meta, _) = ensureTable(name, batchP.schema, partitions, pks)
     val conformed = conformBatch(batchP, meta)
       .withColumn(InsertedAtCol, current_timestamp())
-    val out = withPartitionCols(conformed, meta)
+    val out = withPartitionCols(enforceConstraints(meta, conformed), meta)
     writeLock(name) {
       val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
       try {
@@ -1431,10 +1524,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       else Seq(monotonically_increasing_id().desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pks.map(c => col(quoted(c))): _*).orderBy(order: _*)
-    val deduped = conformBatch(
+    val deduped = enforceConstraints(meta, conformBatch(
       batchP.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn"),
-      meta)
+      meta))
 
     // read through the live deletion vectors: DV-masked rows must neither
     // match batch PKs nor survive into the rewritten partitions
@@ -1520,7 +1613,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * through [[upsert]]'s affected-partition path instead). */
   def overwriteContents(name: String, df: DataFrame): Unit = writeLock(name) {
     val meta = readMeta(name)
-    val projected = physicalSelect(meta, df)
+    val projected = enforceConstraints(meta, physicalSelect(meta, df))
     val out = withPartitionCols(projected, meta)
     val partCols = meta.partitionExprs.map(_.outputName)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
@@ -1556,7 +1649,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * caller has already cast every column to the table schema. */
   private[graft] def appendPrepared(name: String, batch: DataFrame): Unit = writeLock(name) {
     val meta = readMeta(name)
-    val out = withPartitionCols(physicalSelect(meta, batch), meta)
+    val out = withPartitionCols(
+      enforceConstraints(meta, physicalSelect(meta, batch)), meta)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     try {
       val writer = out.write.mode(SaveMode.Overwrite)
@@ -1582,7 +1676,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       affectedDirs: Seq[String], clearDvs: Boolean = false): Unit = writeLock(name) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
-    val out = withPartitionCols(physicalSelect(meta, survivors), meta)
+    val out = withPartitionCols(
+      enforceConstraints(meta, physicalSelect(meta, survivors)), meta)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val writer = out.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -3060,7 +3155,12 @@ object GraftLake {
 
   private[catalog] def renderMeta(meta: TableMeta): String = {
     def arr(xs: Seq[String]) = xs.map(q).mkString("[", ",", "]")
-    s"""{"schema":${meta.schema.json},"partitions":${arr(meta.partitions)},"pks":${arr(meta.pks)}}"""
+    val cs =
+      if (meta.constraints.isEmpty) ""
+      else meta.constraints
+        .map { case (n, e) => s"{${q("name")}:${q(n)},${q("expr")}:${q(e)}}" }
+        .mkString(s""","constraints":[""", ",", "]")
+    s"""{"schema":${meta.schema.json},"partitions":${arr(meta.partitions)},"pks":${arr(meta.pks)}$cs}"""
   }
 
   private def q(s: String): String =
@@ -3214,6 +3314,12 @@ object GraftLake {
       val n = node.get(field)
       (0 until n.size()).map(i => n.get(i).asText())
     }
-    TableMeta(schema, strs("partitions"), strs("pks"))
+    val constraints = {
+      val cn = node.get("constraints")
+      if (cn == null) Nil
+      else (0 until cn.size()).map(i =>
+        (cn.get(i).get("name").asText(), cn.get(i).get("expr").asText()))
+    }
+    TableMeta(schema, strs("partitions"), strs("pks"), constraints)
   }
 }

@@ -1503,6 +1503,56 @@ object AnalyticsOps {
     lake.read("t").select(col("id"), col("price")).orderBy(col("id"))
   }
 
+  /** q145: CHECK-constraint enforcement — land the orders slice, add
+    * `CHECK (price >= 0)` (validated against every existing row), then
+    * prove a violating batch aborts ATOMICALLY inside its own write job:
+    * the in-query `require`s pin that the rejected batch left no rows, no
+    * commit, and no files, while a subsequent valid batch lands. The
+    * oracle pins the final contents arithmetically. Reference analog:
+    * DuckLake inherits DuckDB's CHECK/NOT NULL enforcement at insert. */
+  val q145CheckConstraints = QueryDef(
+    "q145_check_constraints",
+    """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      |           FROM orders)
+      |SELECT count(*) AS n, round(sum(price), 2) AS price_sum,
+      |  CAST(min(price) >= 0 AS INTEGER) AS all_valid
+      |FROM (SELECT k, price FROM o
+      |      UNION ALL
+      |      SELECT k + 10000000, price + 1 FROM o WHERE k % 100 = 1)""".stripMargin
+  ) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"chk:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-chkq").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      l.append("t", o)
+      l.addConstraint("t", "pos_price", "price >= 0")
+      val versions0 = l.versions("t").size
+      val files0 = l.dataFiles("t").size
+      val rows0 = l.read("t").count()
+      // a batch where SOME rows violate must land NOTHING
+      val bad = o.filter(col("k") % 100 === 1)
+        .select((col("k") + 10000000L).as("k"),
+          when(col("k") % 200 === 1, -col("price") - 1)
+            .otherwise(col("price") + 1).as("price"))
+      val failed = try { l.append("t", bad); false } catch {
+        case _: Exception => true
+      }
+      require(failed, "the violating batch must abort")
+      require(l.versions("t").size == versions0 &&
+        l.dataFiles("t").size == files0 && l.read("t").count() == rows0,
+        "a violating batch must leave no commit, no files, no rows")
+      // the corrected batch (all non-negative) lands
+      l.append("t", o.filter(col("k") % 100 === 1)
+        .select((col("k") + 10000000L).as("k"),
+          round(col("price") + 1, 2).as("price")))
+      l
+    })
+    lake.read("t").agg(count(lit(1)).as("n"),
+      round(sum(col("price")), 2).as("price_sum"),
+      (min(col("price")) >= 0).cast("int").as("all_valid"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1510,5 +1560,5 @@ object AnalyticsOps {
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
-    q144RenameColumn)
+    q144RenameColumn, q145CheckConstraints)
 }

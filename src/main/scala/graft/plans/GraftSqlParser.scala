@@ -58,6 +58,10 @@ object GraftSqlParser {
     """(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+([\w.`]+)\s*\(\s*([\w`]+)\s*\)(?:\s+OPTIONS\s*\(\s*items\s*=\s*(\d+)\s*,\s*fpp\s*=\s*([0-9.eE+-]+)\s*\))?\s*;?\s*$""".r
   private val RefreshBloom =
     """(?is)^\s*REFRESH\s+BLOOM\s+INDEX(?:ES)?\s+ON\s+([\w.`]+)\s*;?\s*$""".r
+  private val AddConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+([\w`]+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
+  private val DropConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+([\w`]+)\s*;?\s*$""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -80,6 +84,12 @@ object GraftSqlParser {
         Option(fpp).map(_.toDouble).getOrElse(0.01)))
     case RefreshBloom(ident) =>
       Some(GraftRefreshBloomCommand(parts(ident)))
+    case AddConstraint(ident, cname, check) =>
+      Some(GraftAddConstraintCommand(parts(ident),
+        cname.stripPrefix("`").stripSuffix("`"), check.trim))
+    case DropConstraint(ident, cname) =>
+      Some(GraftDropConstraintCommand(parts(ident),
+        cname.stripPrefix("`").stripSuffix("`")))
     case _ => None
   }
 
@@ -178,6 +188,28 @@ final case class GraftOptimizeCommand(ident: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val (wh, t) = GraftSqlParser.resolve(spark, ident)
     new GraftLake(spark, wh).compact(t, clusterBy = zorderCols)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — validates existing
+  * rows, then every write enforces the check inside its own job
+  * ([[GraftLake.addConstraint]]). */
+final case class GraftAddConstraintCommand(ident: Seq[String],
+    constraintName: String, check: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).addConstraint(t, constraintName, check)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — metadata-only. */
+final case class GraftDropConstraintCommand(ident: Seq[String],
+    constraintName: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).dropConstraint(t, constraintName)
     Seq.empty
   }
 }
