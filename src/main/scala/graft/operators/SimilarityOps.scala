@@ -1421,8 +1421,80 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  /** Semantic decontamination: flag every corpus vector whose embedding
+    * is near-identical (cosine ≥ threshold) to ANY benchmark item — the
+    * embedding-level complement of the n-gram decontamination passes
+    * (q67/q124), catching paraphrases that share no grams. Same banded
+    * random-hyperplane bucket join as [[knnJoinLsh]]: the corpus never
+    * broadcasts and never pairs beyond bucket collisions; candidates
+    * verify by exact cosine. At the defaults a pair at cosine ≥ 0.99
+    * misses every table with probability < 1e-10 (per-plane flip chance
+    * acos(cos)/π ≈ 0.004), and the planes are seed-deterministic, so the
+    * contract is reproducible. Returns (id, max_benchmark_sim) for
+    * flagged corpus vectors. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      tables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64,
+      seed: Long = 4242L): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(bitsPerTable, dim, seed + t))
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(array(allPlanes.map(p => signature(col(vecCol), p)): _*))
+          .as(Seq("__t", "__s")))
+    val pairs = banded(corpus, "__c_id")
+      .join(banded(benchmark, "__b_id"), Seq("__t", "__s"))
+      .select(col("__c_id"), col("__b_id")).distinct()
+    val cv = corpus.select(col(idCol).as("__c_id"), col(vecCol).as("__cv"))
+    val bv = benchmark.select(col(idCol).as("__b_id"), col(vecCol).as("__bv"))
+    pairs.join(bv, Seq("__b_id")).join(cv, Seq("__c_id"))
+      .select(col("__c_id"),
+        VectorFunctions.cosineSim(col("__cv"), col("__bv")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("__c_id").as(idCol))
+      .agg(max(col("cos")).as("max_benchmark_sim"))
+  }
+
+  /** q146: semantic decontamination contract — a benchmark slice, planted
+    * PARAPHRASES (per-dimension rescaled copies: cosine ≈ 1 but not
+    * byte-identical, the case n-gram decontamination misses), and
+    * synthetic Rademacher distractors (cosine to any real embedding
+    * concentrates at ~1/√dim). Every paraphrase must flag at τ = 0.99;
+    * no distractor may. */
+  val q146SemanticDecontamination = QueryDef(
+    "q146_semantic_decontamination",
+    """WITH b AS (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 3)
+      |SELECT 'clean' AS class, count(*) AS n_docs,
+      |  CAST(0 AS BIGINT) AS n_flagged FROM b
+      |UNION ALL
+      |SELECT 'contaminated', count(*), count(*) FROM b
+      |ORDER BY class""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val benchmark = emb.filter(col("vec_id") % 97 === 3)
+    val paraphrases = benchmark.select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0f) + ((i % 5) - 2).cast("float") * lit(0.003f)))
+        .as("embedding"))
+    val distractors = benchmark.select(
+      (col("vec_id") + 20000000L).as("vec_id"),
+      transform(col("embedding"), (_, i) =>
+        when(pmod(hash(col("vec_id"), i), lit(2)) === 0, lit(1.0f))
+          .otherwise(lit(-1.0f))).as("embedding"))
+    val incoming = paraphrases.unionByName(distractors)
+    val flagged = semanticContamination(incoming, benchmark,
+      "vec_id", "embedding", threshold = 0.99)
+      .select(col("vec_id"), lit(1L).as("__f"))
+    incoming.join(flagged, Seq("vec_id"), "left")
+      .groupBy(when(col("vec_id") < 20000000L, "contaminated")
+        .otherwise("clean").as("class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_flagged"))
+      .orderBy(col("class"))
+  }
+
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
     q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
     q114AnnLsh, q119LabelSeparability, q122EmbedQuantize, q125EmbedOutliers,
-    q131AnnJoin, q140HardNegatives)
+    q131AnnJoin, q140HardNegatives, q146SemanticDecontamination)
 }

@@ -246,6 +246,25 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q146: semantic decontamination is a band bucket join, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val benchmark = emb.filter(col("vec_id") % 97 === 3)
+    val corpus = emb.filter(col("vec_id") % 97 =!= 3)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = operators.SimilarityOps
+        .semanticContamination(corpus, benchmark, "vec_id", "embedding", 0.99)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "the corpus must only meet the benchmark in band buckets")
+      assert(!p.contains("BroadcastExchange"),
+        s"the corpus side must never broadcast:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q141: binned range join plans equi, never nested-loop") {
     val p = plan("q141_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
