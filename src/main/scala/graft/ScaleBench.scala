@@ -40,7 +40,8 @@ object ScaleBench {
     "q131_ann_join",
     "q135_mor_update", // DV update: hit-sized writes, pruned scan
     "q137_cross_corpus_dedup", // banded corpus×corpus join
-    "q138_incremental_agg") // delta-maintained aggregate
+    "q138_incremental_agg", // delta-maintained aggregate
+    "q143_change_feed") // metadata-derived CDF: O(window delta)
 
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -360,6 +360,38 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def constraints(name: String): Seq[(String, String)] =
     readMeta(name).constraints
 
+  /** One-row admin summary of a table (the DESCRIBE DETAIL pane):
+    * snapshot span, live file count and bytes, column/partition/PK/
+    * constraint surfaces, bloom-indexed columns, live DV entries, and
+    * renamed columns. O(live files) metadata only — no data scan. */
+  def detail(name: String): DataFrame = {
+    val meta = readMeta(name)
+    val vs = versions(name)
+    val (files, bytes) = vs.lastOption match {
+      case None => (0L, 0L)
+      case Some(v) =>
+        val (_, resolved) = snapshotResolved(name, v)
+        val f = fs(new Path(dataDir(name)))
+        (resolved.size.toLong,
+          resolved.map(r => f.getFileStatus(r._2).getLen).sum)
+    }
+    val dvs = liveDvs(name)
+    val renamed = GraftLake.logicalNamesOf(meta.schema)
+    import spark.implicits._
+    Seq((name, vs.size.toLong, vs.lastOption.getOrElse(-1L), files, bytes,
+      meta.schema.fields.length.toLong,
+      meta.partitions.mkString(", "), meta.pks.mkString(", "),
+      meta.constraints.map { case (n, e) => s"$n: CHECK ($e)" }
+        .mkString("; "),
+      bloomIndexedColumns(name).sorted.mkString(", "),
+      dvEntryCountCached(name, dvs),
+      renamed.toSeq.sorted.map { case (p, l) => s"$p -> $l" }
+        .mkString(", ")))
+      .toDF("table", "n_versions", "latest_version", "n_live_files",
+        "total_bytes", "n_columns", "partition_exprs", "primary_keys",
+        "constraints", "bloom_indexed", "n_dv_entries", "renamed_columns")
+  }
+
   /** Fuse CHECK enforcement into a write plan: rows where any constraint
     * evaluates to FALSE abort the job via raise_error (NULL passes, SQL
     * semantics). Runs inside the write's own projection — no extra scan,

@@ -1553,6 +1553,49 @@ object AnalyticsOps {
       (min(col("price")) >= 0).cast("int").as("all_valid"))
   }
 
+  /** q147: `DESCRIBE DETAIL` — the one-row admin summary every lakehouse
+    * exposes (snapshot span, live files, column/PK/constraint surfaces,
+    * bloom indexes, DV entries, renamed columns), driven end-to-end
+    * through SQL over a table exercising EVERY surface it reports: two
+    * appends, a rename, a CHECK constraint, a bloom index, and a
+    * merge-on-read delete. The oracle pins all deterministic fields
+    * (bytes and wall-clock excluded by construction). */
+  val q147DescribeDetail = QueryDef(
+    "q147_describe_detail",
+    """SELECT * FROM (VALUES
+      |  ('t', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+      |   'id', 'pos_price: CHECK (price >= 0)', 'id',
+      |   CAST(1 AS BIGINT), 'amount -> price'))
+      |  AS d(table_name, n_versions, n_live_files, n_columns,
+      |       primary_keys, constraints, bloom_indexed, n_dv_entries,
+      |       renamed_columns)""".stripMargin) { (s, dir) =>
+    val pair = detailMemo.computeIfAbsent(s"detail:$dir", _ => {
+      import s.implicits._
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-detq").toString)
+      val cat = s"detq${math.abs(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", l.warehouseDir)
+      l.write("t", Seq((1, 10.0), (2, 20.0)).toDF("id", "amount")
+        .repartition(1), pks = Seq("id"))
+      l.append("t", Seq((3, 30.0)).toDF("id", "amount").repartition(1))
+      l.renameColumn("t", "amount", "price")
+      l.addConstraint("t", "pos_price", "price >= 0")
+      l.buildBloomIndex("t", "id", expectedItemsPerFile = 100L)
+      require(l.deleteWhere("t", col("id") === 3) == 1L)
+      cat
+    })
+    s.sql(s"DESCRIBE DETAIL $pair.t")
+      .select(col("table").as("table_name"), col("n_versions"),
+        col("n_live_files"), col("n_columns"), col("primary_keys"),
+        col("constraints"), col("bloom_indexed"), col("n_dv_entries"),
+        col("renamed_columns"))
+  }
+
+  private val detailMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1560,5 +1603,5 @@ object AnalyticsOps {
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
-    q144RenameColumn, q145CheckConstraints)
+    q144RenameColumn, q145CheckConstraints, q147DescribeDetail)
 }

@@ -54,6 +54,8 @@ object GraftSqlParser {
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val DescribeDetail =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
   private val CreateBloom =
     """(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+([\w.`]+)\s*\(\s*([\w`]+)\s*\)(?:\s+OPTIONS\s*\(\s*items\s*=\s*(\d+)\s*,\s*fpp\s*=\s*([0-9.eE+-]+)\s*\))?\s*;?\s*$""".r
   private val RefreshBloom =
@@ -77,6 +79,8 @@ object GraftSqlParser {
       Some(GraftOptimizeCommand(parts(ident), zorder))
     case DescribeHistory(ident) =>
       Some(GraftDescribeHistoryCommand(parts(ident)))
+    case DescribeDetail(ident) =>
+      Some(GraftDescribeDetailCommand(parts(ident)))
     case CreateBloom(ident, column, items, fpp) =>
       Some(GraftCreateBloomIndexCommand(parts(ident),
         column.stripPrefix("`").stripSuffix("`"),
@@ -211,5 +215,32 @@ final case class GraftDropConstraintCommand(ident: Seq[String],
     val (wh, t) = GraftSqlParser.resolve(spark, ident)
     new GraftLake(spark, wh).dropConstraint(t, constraintName)
     Seq.empty
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one-row admin summary: snapshot span, live
+  * files/bytes, column/partition/PK/constraint surfaces, bloom indexes,
+  * live DV entries, renamed columns ([[GraftLake.detail]], metadata
+  * only). */
+final case class GraftDescribeDetailCommand(ident: Seq[String])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("n_versions", LongType, nullable = false)(),
+    AttributeReference("latest_version", LongType, nullable = false)(),
+    AttributeReference("n_live_files", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("n_columns", LongType, nullable = false)(),
+    AttributeReference("partition_exprs", StringType, nullable = false)(),
+    AttributeReference("primary_keys", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("bloom_indexed", StringType, nullable = false)(),
+    AttributeReference("n_dv_entries", LongType, nullable = false)(),
+    AttributeReference("renamed_columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).detail(t).collect().toSeq
   }
 }

@@ -85,6 +85,28 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE DETAIL summarizes every admin surface in one row") {
+    withCat("admd") { (lake, cat) =>
+      lake.write("t", Seq((1, 10.0), (2, 20.0)).toDF("id", "amount")
+        .repartition(1), pks = Seq("id"))
+      lake.renameColumn("t", "amount", "price")
+      lake.addConstraint("t", "pos", "price >= 0")
+      lake.buildBloomIndex("t", "id", expectedItemsPerFile = 100L)
+      assert(lake.deleteWhere("t", col("id") === 2) === 1L)
+      val d = spark.sql(s"DESC DETAIL $cat.t").head()
+      assert(d.getString(0) === "t")
+      assert(d.getLong(1) === 4L, "write + rename + constraint + delete")
+      assert(d.getLong(3) === 1L, "one live file")
+      assert(d.getLong(4) > 0L, "bytes counted")
+      assert(d.getLong(5) === 3L, "id, price, _inserted_at")
+      assert(d.getString(7) === "id")
+      assert(d.getString(8) === "pos: CHECK (price >= 0)")
+      assert(d.getString(9) === "id")
+      assert(d.getLong(10) === 1L, "one live DV entry")
+      assert(d.getString(11) === "amount -> price")
+    }
+  }
+
   test("CREATE/REFRESH BLOOM INDEX build and extend the skipping sidecar") {
     withCat("admb") { (lake, cat) =>
       def batch(r: Range) = r.map(i => (i.toLong, s"u$i"))
