@@ -2522,6 +2522,47 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       out.select(outSchema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
+  /** Per-row provenance: the table's LIVE rows (deletion vectors
+    * applied) with `_commit_version` — the snapshot that ADDED the row's
+    * file — and `_source_file` attached. The training-data lineage
+    * surface: which ingest batch/commit contributed each surviving row,
+    * recoverable with no extra bookkeeping because commits are already
+    * per-file deltas. Attribution is file-granular, so a rewrite
+    * (compact/upsert) re-attributes its output rows to the rewrite
+    * commit — `_inserted_at` stays the row-level ingest time across
+    * rewrites. Cost: one manifest walk (history-shaped, driver-side) +
+    * a broadcast of the (file, commit) map onto the normal pruned scan —
+    * no shuffle of the data side. */
+  def readWithProvenance(name: String): DataFrame = {
+    val meta = readMeta(name)
+    val vs = versions(name)
+    var prev = Set.empty[(String, String)]
+    val attribution = vs.flatMap { v =>
+      val refs = resolveManifest(name, v)._2.toSet
+      val added = (refs -- prev).toSeq.sorted
+      prev = refs
+      added.map(r => (GraftLake.fileKey(r), v))
+    }
+    val logicalCols = GraftLake.logicalSchema(meta.schema).fieldNames.toSeq
+    liveKeyedScanLocked(name, meta) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(GraftLake.logicalSchema(meta.schema).fields.toSeq ++ Seq(
+            StructField(GraftLake.CommitVersionCol, LongType),
+            StructField(GraftLake.SourceFileCol, StringType))))
+      case Some(live) =>
+        import spark.implicits._
+        val attr = broadcast(
+          attribution.toDF("__prov_key", GraftLake.CommitVersionCol))
+        live
+          .join(attr, live(keyC) === attr("__prov_key"), "left")
+          .withColumn(GraftLake.SourceFileCol, col(keyC))
+          .select((logicalCols :+ GraftLake.CommitVersionCol :+
+            GraftLake.SourceFileCol).map(n => col(quoted(n))): _*)
+    }
+  }
+
   /** Resolve (rel, name) file identities to readable absolute paths —
     * still-live files under `data/`, files retired by a later rewrite
     * under `_history/` (same fallback as snapshot reads; a vacuumed file
@@ -2759,6 +2800,9 @@ object GraftLake {
   /** Change-feed metadata columns ([[GraftLake.tableChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  /** Provenance column ([[GraftLake.readWithProvenance]]). */
+  val SourceFileCol = "_source_file"
 
   /** Schema-metadata key carrying a column's LOGICAL name when it
     * differs from the frozen physical name. RENAME COLUMN is

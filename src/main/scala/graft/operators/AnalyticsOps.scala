@@ -1596,6 +1596,46 @@ object AnalyticsOps {
   private val detailMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q148: row-level provenance ([[graft.catalog.GraftLake
+    * .readWithProvenance]]) — three ingest batches land as three commits,
+    * a merge-on-read DELETE masks ~1 % of rows, and every SURVIVING row
+    * reports the commit that landed it: per-commit counts and sums come
+    * back exactly as the batch arithmetic predicts, with the deleted
+    * rows excluded from their original batches. Attribution costs one
+    * manifest walk + a broadcast (file → commit) map over the normal
+    * pruned scan — the lineage surface a training-data pipeline needs
+    * ("which crawl batch contributed this document") with zero extra
+    * bookkeeping at write time. */
+  val q148Provenance = QueryDef(
+    "q148_provenance",
+    """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      |           FROM orders WHERE o_orderkey % 100 <> 7)
+      |SELECT 1 AS commit_seq, count(*) AS n, round(sum(price), 2) AS price_sum
+      |FROM o WHERE k % 3 = 0
+      |UNION ALL
+      |SELECT 2, count(*), round(sum(price), 2) FROM o WHERE k % 3 = 1
+      |UNION ALL
+      |SELECT 3, count(*), round(sum(price), 2) FROM o WHERE k % 3 = 2
+      |ORDER BY commit_seq""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"prov:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-provq").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      (0 to 2).foreach(m => l.append("prov", o.filter(col("k") % 3 === m)))
+      require(l.deleteWhere("prov", col("k") % 100 === 7) > 0)
+      l
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(graft.catalog.GraftLake.CommitVersionCol))
+    lake.readWithProvenance("prov")
+      .groupBy(col(graft.catalog.GraftLake.CommitVersionCol))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("price_sum"))
+      .withColumn("commit_seq", dense_rank().over(w))
+      .select(col("commit_seq"), col("n"), col("price_sum"))
+      .orderBy(col("commit_seq"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1603,5 +1643,6 @@ object AnalyticsOps {
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
-    q144RenameColumn, q145CheckConstraints, q147DescribeDetail)
+    q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
+    q148Provenance)
 }

@@ -95,6 +95,29 @@ class ChangeFeedSpec extends AnyFunSuite {
       feed.columns.contains(GraftLake.CommitVersionCol))
   }
 
+  test("provenance: rows attribute to their landing commit; DVs excluded; rewrites re-attribute") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v").repartition(1))
+    val v0 = lake.versions("t").head
+    lake.append("t", Seq((2, "b"), (3, "c")).toDF("id", "v").repartition(1))
+    val v1 = lake.versions("t").last
+    val p = lake.readWithProvenance("t")
+    val vIdx = p.columns.indexOf(GraftLake.CommitVersionCol)
+    assert(p.collect().map(r => (r.getInt(0), r.getLong(vIdx))).toSet ===
+      Set((1, v0), (2, v1), (3, v1)))
+    assert(p.columns.contains(GraftLake.SourceFileCol))
+    lake.deleteWhere("t", col("id") === 2)
+    assert(lake.readWithProvenance("t").select("id").collect()
+      .map(_.getInt(0)).toSet === Set(1, 3))
+    // a rewrite re-attributes file-granular provenance to the rewrite
+    // commit (documented; _inserted_at keeps the row-level ingest time)
+    lake.compact("t")
+    val vC = lake.versions("t").last
+    assert(lake.readWithProvenance("t")
+      .select(GraftLake.CommitVersionCol).collect()
+      .map(_.getLong(0)).toSet === Set(vC))
+  }
+
   test("reconciliation: state(from) + inserts - deletes = state(to)") {
     val lake = newLake()
     val base = (1 to 200).map(i => (i, s"v$i"))
