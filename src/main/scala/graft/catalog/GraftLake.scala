@@ -2522,6 +2522,45 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       out.select(outSchema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
+  /** Exact `count(*)` from METADATA when every live file carries the
+    * [[GraftLake.RowCountKey]] footer-count stat: Σ per-file row counts
+    * minus live DV entries that reference live files (inert entries for
+    * retired files don't subtract) — O(manifest + DV sidecars), zero
+    * data files opened. `None` when any live file predates the row-count
+    * stat (it gains one on its next rewrite); [[rowCountFast]] then
+    * falls back to a scan count. DuckLake answers the same query from
+    * its catalog's per-file row counts. */
+  def rowCountFromStats(name: String): Option[Long] = {
+    val vs = versions(name)
+    if (vs.isEmpty) return Some(0L)
+    val v = vs.last
+    val (_, files, _) = resolveManifest(name, v)
+    val stats = statsFor(name, v)
+    val counts = files.map(r =>
+      stats.getOrElse(GraftLake.fileKey(r), Map.empty)
+        .get(GraftLake.RowCountKey))
+    if (counts.exists(_.isEmpty)) return None
+    val total = counts.flatten.map {
+      case GraftLake.NumBounds(lo, _) => lo.toLong
+      case _ => 0L
+    }.sum
+    val dvs = liveDvs(name)
+    if (dvs.isEmpty) Some(total)
+    else {
+      val liveKeys = files.map(GraftLake.fileKey).toSet
+      // bounded driver collect: one row per data file the DVs touch
+      val masked = dvFrame(name, dvs).groupBy(col("file_key")).count()
+        .collect()
+        .filter(r => liveKeys.contains(r.getString(0)))
+        .map(_.getLong(1)).sum
+      Some(total - masked)
+    }
+  }
+
+  /** Metadata-only exact row count with a scan fallback. */
+  def rowCountFast(name: String): Long =
+    rowCountFromStats(name).getOrElse(read(name).count())
+
   /** Per-row provenance: the table's LIVE rows (deletion vectors
     * applied) with `_commit_version` — the snapshot that ADDED the row's
     * file — and `_source_file` attached. The training-data lineage
@@ -3030,6 +3069,13 @@ object GraftLake {
     * of instance state). Public for the commit protocol (which lives under
     * `org.apache.spark.sql`); engine-internal otherwise. See the instance
     * method's doc for the domain rules. */
+  /** Reserved per-file stats key carrying the file's footer ROW COUNT as
+    * a degenerate `NumBounds(n, n)` — metadata-only `count(*)`
+    * ([[GraftLake.rowCountFast]]) sums these across the live manifest.
+    * Never emitted when a physical column shadows the name, and never
+    * consulted by the pruner (predicates reference real columns). */
+  val RowCountKey = "__graft_rows"
+
   def footerStats(p: Path,
       conf: org.apache.hadoop.conf.Configuration): Map[String, Bounds] = try {
     import scala.jdk.CollectionConverters._
@@ -3151,6 +3197,12 @@ object GraftLake {
             }
           }
         }
+      }
+      val shadowed = reader.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.exists(_.getName == RowCountKey)
+      if (!shadowed) {
+        val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        acc(RowCountKey) = NumBounds(rows.toDouble, rows.toDouble)
       }
       acc.toMap
     } finally reader.close()

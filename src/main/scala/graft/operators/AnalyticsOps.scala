@@ -1636,6 +1636,38 @@ object AnalyticsOps {
       .orderBy(col("commit_seq"))
   }
 
+  /** q149: metadata-only `count(*)` — every commit already records each
+    * file's footer row count in the manifest stats
+    * ([[graft.catalog.GraftLake.RowCountKey]]), so an exact live count is
+    * Σ per-file counts minus the live DV entries: O(manifest + DV
+    * sidecars), ZERO data files opened — at 100 TB the difference
+    * between instant and a full scan. The scenario covers both halves
+    * (two appends + a merge-on-read DELETE), the in-query `require`s pin
+    * that the metadata path was used AND equals the scan count, and the
+    * oracle pins the value arithmetically. Reference analog: DuckLake
+    * answers count(*) from its catalog's per-file row counts. */
+  val q149FastCount = QueryDef(
+    "q149_fast_count",
+    """SELECT CAST(count(*) AS BIGINT) AS n_live
+      |FROM orders WHERE o_orderkey % 100 <> 7""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val lake = skipLakeMemo.computeIfAbsent(s"fastcount:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-fcq").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      l.append("fc", o.filter(col("k") % 2 === 0))
+      l.append("fc", o.filter(col("k") % 2 === 1))
+      require(l.deleteWhere("fc", col("k") % 100 === 7) > 0)
+      l
+    })
+    val fast = lake.rowCountFromStats("fc")
+    require(fast.isDefined,
+      "every live file must carry the footer row-count stat")
+    require(fast.get == lake.read("fc").count(),
+      "the metadata count must equal the scan count")
+    Seq(fast.get).toDF("n_live")
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1644,5 +1676,5 @@ object AnalyticsOps {
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
-    q148Provenance)
+    q148Provenance, q149FastCount)
 }

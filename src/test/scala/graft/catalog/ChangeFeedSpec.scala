@@ -118,6 +118,27 @@ class ChangeFeedSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet === Set(vC))
   }
 
+  test("metadata row count: footer stats minus live DVs; inert entries don't subtract") {
+    val lake = newLake()
+    lake.write("p", (1 to 60).map(i => (i, i % 2, s"v$i")).toDF("id", "seg", "v"),
+      partitions = Seq("seg"))
+    def check(): Unit = {
+      val fast = lake.rowCountFromStats("p")
+      assert(fast.isDefined, "live files must carry the row-count stat")
+      assert(fast.get === lake.read("p").count())
+    }
+    check()
+    assert(lake.deleteWhere("p", col("id") <= 6) === 6L)
+    check()
+    // rewrite ONLY seg 0: its files retire but the partition-scoped
+    // rewrite keeps the DV set — entries for retired files are inert and
+    // must not subtract from the metadata count
+    lake.compact("p", predicate = Some(col("seg") === 0))
+    check()
+    lake.append("p", Seq((100, 0, "x")).toDF("id", "seg", "v"))
+    check()
+  }
+
   test("reconciliation: state(from) + inserts - deletes = state(to)") {
     val lake = newLake()
     val base = (1 to 200).map(i => (i, s"v$i"))
