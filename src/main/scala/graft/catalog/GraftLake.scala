@@ -191,7 +191,18 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         }, false)
       else {
         val meta = readMeta(name)
-        val incoming = LandedTypes.landedSchema(batchSchema)
+        // evolution operates in LOGICAL space: an incoming column named
+        // like a RENAMED column's logical name resolves to its frozen
+        // physical field (widen/keep), never to a duplicate physical
+        // column beside it
+        val toPhys = GraftLake.logicalNamesOf(meta.schema).map(_.swap)
+        val incoming0 = LandedTypes.landedSchema(batchSchema)
+        val incoming =
+          if (toPhys.isEmpty) incoming0
+          else StructType(incoming0.fields.map { f =>
+            toPhys.find(_._1.equalsIgnoreCase(f.name))
+              .map(p => f.copy(name = p._2)).getOrElse(f)
+          }.toSeq)
         val evolved = LandedTypes.evolve(
           StructType(meta.schema.filterNot(_.name == InsertedAtCol)), incoming)
         val withSys = StructType(
@@ -367,15 +378,23 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def detail(name: String): DataFrame = {
     val meta = readMeta(name)
     val vs = versions(name)
-    val (files, bytes) = vs.lastOption match {
-      case None => (0L, 0L)
+    val (files, bytes, liveKeys) = vs.lastOption match {
+      case None => (0L, 0L, Set.empty[String])
       case Some(v) =>
         val (_, resolved) = snapshotResolved(name, v)
         val f = fs(new Path(dataDir(name)))
         (resolved.size.toLong,
-          resolved.map(r => f.getFileStatus(r._2).getLen).sum)
+          resolved.map(r => f.getFileStatus(r._2).getLen).sum,
+          resolved.map(r => GraftLake.fileKey(r._1)).toSet)
     }
     val dvs = liveDvs(name)
+    // entries for files a partition-scoped rewrite retired are INERT —
+    // count only entries masking live rows (the rowCountFromStats rule)
+    val dvLiveEntries =
+      if (dvs.isEmpty) 0L
+      else dvFrame(name, dvs).groupBy(col("file_key")).count().collect()
+        .filter(r => liveKeys.contains(r.getString(0)))
+        .map(_.getLong(1)).sum
     val renamed = GraftLake.logicalNamesOf(meta.schema)
     import spark.implicits._
     Seq((name, vs.size.toLong, vs.lastOption.getOrElse(-1L), files, bytes,
@@ -384,7 +403,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       meta.constraints.map { case (n, e) => s"$n: CHECK ($e)" }
         .mkString("; "),
       bloomIndexedColumns(name).sorted.mkString(", "),
-      dvEntryCountCached(name, dvs),
+      dvLiveEntries,
       renamed.toSeq.sorted.map { case (p, l) => s"$p -> $l" }
         .mkString(", ")))
       .toDF("table", "n_versions", "latest_version", "n_live_files",
@@ -402,10 +421,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * constraint set. Constraints address LOGICAL names. */
   private def enforceConstraints(meta: TableMeta, df: DataFrame): DataFrame = {
     if (meta.constraints.isEmpty) return df
-    val present = df.columns.map(_.toLowerCase).toSet
+    val logicalDf = toLogical(meta.schema, df)
+    // diagnostic struct: membership checked on the LOGICAL view, so a
+    // renamed column's value still appears in the violation message
+    val present = logicalDf.columns.map(_.toLowerCase).toSet
     val rowCols = GraftLake.logicalSchema(meta.schema).fieldNames.toSeq
       .filter(c => c != InsertedAtCol && present.contains(c.toLowerCase))
-    val logicalDf = toLogical(meta.schema, df)
     val checked = meta.constraints.foldLeft(logicalDf) { case (d, (n, text)) =>
       d.filter(
         when(coalesce(expr(text), lit(true)), lit(true))
@@ -518,6 +539,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * the SQL `VERSION AS OF` read rule). */
   def dvsAtVersion(name: String, version: Long): Vector[String] =
     resolveDvs(name, version)
+
+  /** Schema recorded at snapshot `version` — manifests carry the schema
+    * (and its RENAME metadata) at commit, so this is one manifest-header
+    * read, no file resolution. */
+  def schemaAtVersion(name: String, version: Long): StructType =
+    readManifestFile(name, version).schema
 
   /** (appId → highest committed txnVersion) watermarks at `version`,
     * folded along the manifest chain like [[resolveDvs]]. */
@@ -2486,21 +2513,39 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       StructField(GraftLake.ChangeTypeCol, StringType, nullable = false),
       StructField(GraftLake.CommitVersionCol, LongType, nullable = false)))
     val logicalNoOps = Set("compact", "zorder", "dv-clear")
+    // O(delta) per commit: delta manifests carry their own add/remove and
+    // dvAdd/dvRemove, so the walk never re-materializes the live set
+    // except at full-checkpoint manifests (every checkpointInterval
+    // commits) — the megabyte-delta 100 TB table stays megabyte-cheap
     var prevRefs = resolveManifest(name, fromVersion)._2.toSet
     var prevDvs = resolveDvs(name, fromVersion).toSet
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     vs.filter(v => v > fromVersion && v <= toVersion).foreach { v =>
-      val op = readManifestFile(name, v).op
-      val refs = resolveManifest(name, v)._2.toSet
-      val dvs = resolveDvs(name, v).toSet
-      if (!logicalNoOps(op)) {
-        require((prevRefs -- refs).isEmpty && (prevDvs -- dvs).isEmpty,
-          s"tableChanges on '$name': commit v$v ('$op') rewrites files or " +
-            "clears deletion vectors — row-level attribution through a " +
+      val m = readManifestFile(name, v)
+      val (refs, added, removedAny) = m.files match {
+        case Some(full) =>
+          val refSet = full.toSet
+          (refSet, (refSet -- prevRefs).toSeq.sorted,
+            (prevRefs -- refSet).nonEmpty)
+        case None =>
+          (prevRefs -- m.remove ++ m.add, m.add.sorted.toSeq,
+            m.remove.nonEmpty)
+      }
+      val (dvs, dvAdded, dvRemovedAny) = m.dvs match {
+        case Some(full) =>
+          val dvSet = full.toSet
+          (dvSet, (dvSet -- prevDvs).toSeq.sorted,
+            (prevDvs -- dvSet).nonEmpty)
+        case None =>
+          (prevDvs -- m.dvRemove ++ m.dvAdd, m.dvAdd.sorted.toSeq,
+            m.dvRemove.nonEmpty)
+      }
+      if (!logicalNoOps(m.op)) {
+        require(!removedAny && !dvRemovedAny,
+          s"tableChanges on '$name': commit v$v ('${m.op}') rewrites files " +
+            "or clears deletion vectors — row-level attribution through a " +
             "rewrite is not metadata-derivable; diff the snapshots by key " +
             "instead (snapshotDiff)")
-        val added = (refs -- prevRefs).toSeq.sorted
-        val dvAdded = (dvs -- prevDvs).toSeq.sorted
         if (added.nonEmpty)
           pieces += spark.read.schema(toSchema)
             .parquet(resolveRefPaths(name, added): _*)
@@ -2575,12 +2620,23 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def readWithProvenance(name: String): DataFrame = {
     val meta = readMeta(name)
     val vs = versions(name)
+    // O(delta) per commit (full sets only at checkpoint manifests), and
+    // LAST-WINS per file key: a file re-added by a later commit (RESTORE
+    // re-references retired files under the same identity) must carry
+    // one attribution, not fan the join out
     var prev = Set.empty[(String, String)]
-    val attribution = vs.flatMap { v =>
-      val refs = resolveManifest(name, v)._2.toSet
-      val added = (refs -- prev).toSeq.sorted
+    val attribution =
+      scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    vs.foreach { v =>
+      val m = readManifestFile(name, v)
+      val (refs, added) = m.files match {
+        case Some(full) =>
+          val refSet = full.toSet
+          (refSet, (refSet -- prev).toSeq.sorted)
+        case None => (prev -- m.remove ++ m.add, m.add.sorted.toSeq)
+      }
+      added.foreach(r => attribution(GraftLake.fileKey(r)) = v)
       prev = refs
-      added.map(r => (GraftLake.fileKey(r), v))
     }
     val logicalCols = GraftLake.logicalSchema(meta.schema).fieldNames.toSeq
     liveKeyedScanLocked(name, meta) match {
@@ -2592,8 +2648,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             StructField(GraftLake.SourceFileCol, StringType))))
       case Some(live) =>
         import spark.implicits._
-        val attr = broadcast(
-          attribution.toDF("__prov_key", GraftLake.CommitVersionCol))
+        val attr = broadcast(attribution.toSeq
+          .toDF("__prov_key", GraftLake.CommitVersionCol))
         live
           .join(attr, live(keyC) === attr("__prov_key"), "left")
           .withColumn(GraftLake.SourceFileCol, col(keyC))
@@ -2637,19 +2693,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // touch (metadata-scale), never per deleted row
     val keys = dv.select(col("file_key")).distinct().collect()
       .map(_.getString(0)).toSeq.sorted
-    val hd = historyDir(name)
-    val f = fs(hd)
-    val paths = keys.map { k =>
-      val live = new Path(s"${dataDir(name)}/$k")
-      if (f.exists(live)) live.toString
-      else {
-        val retired = new Path(s"$hd/$k")
-        require(f.exists(retired),
-          s"table '$name' change window references '$k', which was " +
-            "vacuumed by expireSnapshots")
-        retired.toString
-      }
-    }
+    val paths = resolveRefPaths(name, keys.map { k =>
+      val idx = k.lastIndexOf('/')
+      if (idx < 0) ("", k) else (k.substring(0, idx), k.substring(idx + 1))
+    })
     val keyC = "__graft_cf_key"
     val posC = "__graft_cf_pos"
     val keyed = spark.read.schema(schema).parquet(paths: _*)

@@ -1471,13 +1471,17 @@ object SimilarityOps {
       |ORDER BY class""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val benchmark = emb.filter(col("vec_id") % 97 === 3)
+    // scale-proportional id offsets (a fixed constant would misclassify
+    // once real ids cross it): paraphrases land in [off, 2·off),
+    // distractors in [2·off, 3·off)
+    val off = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val paraphrases = benchmark.select(
-      (col("vec_id") + 10000000L).as("vec_id"),
+      (col("vec_id") + off).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         x * (lit(1.0f) + ((i % 5) - 2).cast("float") * lit(0.003f)))
         .as("embedding"))
     val distractors = benchmark.select(
-      (col("vec_id") + 20000000L).as("vec_id"),
+      (col("vec_id") + 2L * off).as("vec_id"),
       transform(col("embedding"), (_, i) =>
         when(pmod(hash(col("vec_id"), i), lit(2)) === 0, lit(1.0f))
           .otherwise(lit(-1.0f))).as("embedding"))
@@ -1486,7 +1490,7 @@ object SimilarityOps {
       "vec_id", "embedding", threshold = 0.99)
       .select(col("vec_id"), lit(1L).as("__f"))
     incoming.join(flagged, Seq("vec_id"), "left")
-      .groupBy(when(col("vec_id") < 20000000L, "contaminated")
+      .groupBy(when(col("vec_id") < 2L * off, "contaminated")
         .otherwise("clean").as("class"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("__f"), lit(0L))).as("n_flagged"))

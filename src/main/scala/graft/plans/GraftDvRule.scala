@@ -51,9 +51,14 @@ final case class ApplyGraftDeletionVectors(spark: SparkSession)
             // renamed columns route through the engine read too: the
             // plain DSv2 scan addresses parquet by the LOGICAL name and
             // would read nulls for every file (RENAME COLUMN freezes the
-            // physical name; GraftLake.read aliases it back)
-            val renamed = GraftLake.logicalNamesOf(
-              lake.readMeta(t.graftTableName).schema)
+            // physical name; GraftLake.read aliases it back). A versioned
+            // read checks the SNAPSHOT's OWN schema — the current meta
+            // may have renamed back (identity mapping) while the
+            // snapshot-era schema still needs the alias
+            val renamed = GraftLake.logicalNamesOf(t.graftVersion match {
+              case None => lake.readMeta(t.graftTableName).schema
+              case Some(v) => lake.schemaAtVersion(t.graftTableName, v)
+            })
             if (dvs.isEmpty && renamed.isEmpty) r
             else {
               val df = t.graftVersion match {

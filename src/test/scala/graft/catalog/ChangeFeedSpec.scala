@@ -118,6 +118,23 @@ class ChangeFeedSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet === Set(vC))
   }
 
+  test("provenance after RESTORE: a re-added file attributes once, no row fan-out") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(1))
+    val v0 = lake.versions("t").head
+    lake.overwriteContents("t",
+      Seq((9, "z")).toDF("id", "v")
+        .withColumn("_inserted_at", current_timestamp()))
+    lake.restore("t", v0) // the original file re-references by identity
+    val vR = lake.versions("t").last
+    val p = lake.readWithProvenance("t")
+    // LAST-WINS attribution: one row per table row, attributed to the
+    // restore commit (the commit that made the file live again)
+    assert(p.count() === 2L, "a duplicate attribution key must not fan out")
+    assert(p.select(GraftLake.CommitVersionCol).collect()
+      .map(_.getLong(0)).toSet === Set(vR))
+  }
+
   test("metadata row count: footer stats minus live DVs; inert entries don't subtract") {
     val lake = newLake()
     lake.write("p", (1 to 60).map(i => (i, i % 2, s"v$i")).toDF("id", "seg", "v"),

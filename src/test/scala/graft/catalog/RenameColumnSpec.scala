@@ -133,6 +133,44 @@ class RenameColumnSpec extends AnyFunSuite {
     assert(!lake.read("t").columns.exists(c => c == "val" || c == "score"))
   }
 
+  test("SQL time travel to a renamed-era snapshot survives a rename-back") {
+    GraftLake.invalidateCaches()
+    val cat = "rencat2"
+    val wh = Files.createTempDirectory("graft-renback").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val lake = new GraftLake(spark, wh)
+    lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "amount"))
+    lake.renameColumn("t", "amount", "price")
+    val vRenamed = lake.versions("t").last
+    lake.renameColumn("t", "price", "amount") // back: mapping collapses
+    assert(GraftLake.logicalNamesOf(lake.readMeta("t").schema).isEmpty)
+    // the renamed-era snapshot must still alias the physical column —
+    // a current-meta check would keep the plain scan and read NULLs
+    val rows = spark.sql(
+        s"SELECT id, price FROM $cat.t VERSION AS OF $vRenamed ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1, "a"), (2, "b")))
+  }
+
+  test("evolution by a logical name widens the renamed column, never duplicates") {
+    val lake = newLake()
+    lake.append("t", Seq((1, 10)).toDF("id", "score"))
+    lake.renameColumn("t", "score", "rating")
+    // an incoming batch/DDL addressing 'rating' (with a wider type) must
+    // resolve to the frozen physical 'score' field and widen it
+    lake.ensureTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rating",
+        org.apache.spark.sql.types.LongType))))
+    val meta = lake.readMeta("t")
+    assert(meta.schema.fieldNames.count(_.equalsIgnoreCase("rating")) === 0,
+      "no duplicate physical column may appear")
+    assert(meta.schema("score").dataType ===
+      org.apache.spark.sql.types.LongType, "the physical field widens")
+    assert(lake.read("t").columns.count(_ == "rating") === 1)
+    assert(lake.read("t").select("rating").head().getLong(0) === 10L)
+  }
+
   test("compact with clusterBy on the renamed name; change feed follows") {
     val lake = newLake()
     lake.append("t", (1 to 50).map(i => (i, i.toLong)).toDF("id", "metric"))
