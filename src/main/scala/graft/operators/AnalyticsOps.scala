@@ -325,6 +325,34 @@ object AnalyticsOps {
     *
     * Scale shape: both snapshot scans shuffle once on the key; the
     * classification is the join's projection — no second pass. */
+  /** Incremental replication driven by the METADATA change feed: fold a
+    * (from, to] window of [[graft.catalog.GraftLake.tableChanges]] into a
+    * PK-keyed replica. The per-key NET event wins (latest commit; an
+    * update's postimage insert beats its preimage delete within the same
+    * commit), then the net set folds through [[applyChanges]] — deletes
+    * anti-join the replica's affected partitions, inserts/updates land
+    * through one PK upsert. The O(window delta) sibling of the
+    * [[snapshotDiff]] loop: on an append/MoR-maintained source the
+    * consumer reads ONLY the window's files and DV entries, never either
+    * table in full — the shape a 100 TB replica fed by megabyte commits
+    * needs. */
+  def replicateFromFeed(src: graft.catalog.GraftLake, srcTable: String,
+      dst: graft.catalog.GraftLake, dstTable: String, pks: Seq[String],
+      compareCols: Seq[String], fromVersion: Long, toVersion: Long): Unit = {
+    val feed = src.tableChanges(srcTable, fromVersion, toVersion)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pks.map(col): _*)
+      .orderBy(col(graft.catalog.GraftLake.CommitVersionCol).desc,
+        col(graft.catalog.GraftLake.ChangeTypeCol).desc) // insert > delete
+    val net = feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    applyChanges(dst, dstTable,
+      net.select(pks.map(col) ++
+        compareCols.map(c => col(c).as(s"__n_$c")) :+
+        col(graft.catalog.GraftLake.ChangeTypeCol).as("change_type"): _*),
+      pks, compareCols)
+  }
+
   def snapshotDiff(lake: graft.catalog.GraftLake, table: String,
       fromVersion: Long, toVersion: Long, pks: Seq[String],
       compareCols: Seq[String]): DataFrame = {
@@ -1668,6 +1696,49 @@ object AnalyticsOps {
     Seq(fast.get).toDF("n_live")
   }
 
+  /** q150: change-feed replication ([[replicateFromFeed]]) — seed a
+    * replica from a snapshot, then keep it converged by consuming the
+    * METADATA change feed for the window after it (batch-2 inserts, a
+    * MoR DELETE, a MoR UPDATE whose per-key net event must be the
+    * postimage). The in-query witness proves zero rows out of sync in
+    * either direction; the oracle derives the converged state
+    * arithmetically. Completes the q143 story: q98 replicates by
+    * value-diffing snapshots (any ops); this consumes O(window delta)
+    * metadata on append/MoR sources. */
+  val q150FeedReplicate = QueryDef(
+    "q150_feed_replicate",
+    """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      |           FROM orders),
+      |live AS (SELECT k, CASE WHEN k % 100 = 3 THEN round(price + 1, 2)
+      |                        ELSE price END AS price
+      |         FROM o WHERE k % 100 <> 7)
+      |SELECT count(*) AS n, round(sum(price), 2) AS price_sum FROM live""".stripMargin
+  ) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"feedrep:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-feedrep").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      l.append("src", o.filter(col("k") % 4 < 2))
+      val v0 = l.versions("src").last
+      l.write("rep", l.readVersion("src", v0).select("k", "price"),
+        pks = Seq("k"))
+      l.append("src", o.filter(col("k") % 4 >= 2))
+      require(l.deleteWhere("src", col("k") % 100 === 7) > 0)
+      require(l.updateWhere("src", col("k") % 100 === 3,
+        Map("price" -> (col("price") + 1))) > 0)
+      replicateFromFeed(l, "src", l, "rep", Seq("k"), Seq("price"),
+        v0, l.versions("src").last)
+      val a = l.read("src").select("k", "price")
+      val b = l.read("rep").select("k", "price")
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "the feed-fed replica must converge to the source")
+      l
+    })
+    lake.read("rep").agg(count(lit(1)).as("n"),
+      round(sum(col("price")), 2).as("price_sum"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1676,5 +1747,5 @@ object AnalyticsOps {
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
-    q148Provenance, q149FastCount)
+    q148Provenance, q149FastCount, q150FeedReplicate)
 }
