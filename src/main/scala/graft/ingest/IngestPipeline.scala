@@ -469,10 +469,11 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       case Some(qc) => applyQuality(table, qc, rawDf)
       case None => rawDf
     }
-    val df = config.dedup.get(table) match {
+    val deduped = config.dedup.get(table) match {
       case Some(dc) => applyDedup(table, dc, gated)
       case None => gated
     }
+    val df = applyConstraintGate(table, deduped)
     val pks = config.pks.getOrElse(table, Nil)
     val preExisted = lake.tableExists(table)
     val upsertPath = preExisted && pks.nonEmpty
@@ -746,6 +747,47 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
             topic + "'")
       }
     } finally tagged.unpersist()
+  }
+
+  /** CHECK-constraint gate (the reference's per-record triage shape, E2):
+    * with a DLQ configured, rows violating any live table constraint
+    * route there INDIVIDUALLY — payload re-serialized as JSON, error
+    * naming the violated constraint(s) — and the clean remainder lands.
+    * The engine's own enforcement (atomic batch abort, correct for batch
+    * writers) would turn one bad record into a poison pill under
+    * at-least-once redelivery: the stream re-reads the batch and aborts
+    * forever. With no DLQ configured, or a constraint referencing a
+    * column this batch doesn't carry, the gate steps aside and the write
+    * path's enforcement aborts loudly. */
+  private def applyConstraintGate(table: String, df: DataFrame): DataFrame = {
+    if (config.dlqTable.isEmpty || !lake.tableExists(table)) return df
+    val cs = lake.constraints(table)
+    if (cs.isEmpty) return df
+    val checks = cs.map { case (n, text) =>
+      n -> coalesce(expr(text), lit(true))
+    }
+    val resolvable =
+      try { df.select(checks.map(_._2): _*).queryExecution.analyzed; true }
+      catch { case _: Exception => false }
+    if (!resolvable) return df
+    // concat_ws skips nulls: the column lists exactly the violated names
+    val violName = concat_ws(", ", checks.map { case (n, c) =>
+      when(!c, lit(n))
+    }: _*)
+    val tagged = df.withColumn("__viol", violName)
+    val bad = tagged.filter(col("__viol") =!= "")
+    if (!bad.isEmpty) {
+      val hasOffset = df.columns.contains("__offset")
+      val payloadCols = df.columns.filterNot(_ == "__offset").toSeq
+      sendToDlq(config.dlqTable.get, table,
+        bad.select(
+          to_json(struct(payloadCols.map(col): _*)).as("v"),
+          lit(-1).as("partition"),
+          (if (hasOffset) col("__offset") else lit(-1L)).as("offset"),
+          concat(lit("CHECK constraint violation: "), col("__viol"))
+            .as("error")))
+    }
+    tagged.filter(col("__viol") === "").drop("__viol")
   }
 
   /** Land bad records in the DLQ table. `records` carries the raw payload

@@ -652,6 +652,31 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(p.lake.readVersion("d", vs.head).count() >= 1)
   }
 
+  test("ingest constraint gate: violating records triage to the DLQ, clean rows land") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-chk").toString))
+    // first batch creates the table; the constraint arrives before batch 2
+    p.processBatch(batchOf("m" -> """{"id":1,"price":10.0}"""), 0)
+    p.lake.addConstraint("m", "pos_price", "price >= 0")
+    // one bad record must NOT poison-pill the batch: the clean row lands,
+    // the violator goes to the DLQ with the constraint named
+    p.processBatch(batchOf(
+      "m" -> """{"id":2,"price":5.0}""",
+      "m" -> """{"id":3,"price":-1.0}"""), 1)
+    assert(p.lake.read("m").select("id").collect().map(_.getInt(0)).toSet ===
+      Set(1, 2))
+    val dlq = p.lake.read("_dlq")
+      .select("target_table", "error", "value").collect()
+    assert(dlq.length === 1)
+    assert(dlq.head.getString(0) === "m")
+    assert(dlq.head.getString(1).contains("pos_price"))
+    assert(dlq.head.getString(2).contains("\"id\":3"))
+    // a later clean batch flows normally
+    p.processBatch(batchOf("m" -> """{"id":4,"price":4.0}"""), 2)
+    assert(p.lake.read("m").count() === 3L)
+  }
+
   // ---- ingestion-time quality gate ----
 
   private def qualityPipeline(qc: QualityConfig,
