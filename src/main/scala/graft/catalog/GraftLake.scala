@@ -2162,13 +2162,50 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           // drop this table's caches either way: the retry (or the
           // caller's re-run) must see the winner's state
           invalidateTable(name)
-          if (!appendOnly) throw new java.util.ConcurrentModificationException(
-            s"concurrent commit to '$name': a newer snapshot appeared while " +
-              s"this ${op} was computing its delta — re-run against the new " +
-              s"state (only pure appends retry automatically): $e")
+          if (!appendOnly) {
+            // PHYSICAL rollback before failing: the swap has already
+            // retired files the WINNER's manifest references as live —
+            // without this, every read after the exception would
+            // FileNotFound until a manual repair. Files move back
+            // (retired → data/, this commit's output → _history/, where
+            // the vacuum reaps it as unreferenced); nothing is deleted,
+            // so concurrent snapshot readers stay safe either way.
+            unswapOnCollision(name, added, removed)
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit to '$name': a newer snapshot appeared " +
+                s"while this ${op} was computing its delta — re-run " +
+                s"against the new state (only pure appends retry " +
+                s"automatically): $e")
+          }
           attempt += 1
       }
     }
+  }
+
+  /** Best-effort physical rollback after a rewrite loses the commit
+    * race: every `removed` file returns from `_history/` to `data/` (the
+    * winner's manifest references it as live) and every `added` file
+    * parks under `_history/` (unreferenced — the retention vacuum reaps
+    * it). Rename-only and skip-if-present, so a partially applied
+    * rollback can never destroy data; whatever could not move is exactly
+    * what [[repairTable]] reconciles. */
+  private def unswapOnCollision(name: String, added: Seq[(String, String)],
+      removed: Seq[(String, String)]): Unit = {
+    val dd = new Path(dataDir(name))
+    val hd = historyDir(name)
+    val f = fs(dd)
+    def in(root: Path, ref: (String, String)): Path =
+      if (ref._1.isEmpty) new Path(root, ref._2)
+      else new Path(new Path(root, ref._1), ref._2)
+    def move(src: Path, dst: Path): Unit =
+      try {
+        if (f.exists(src) && !f.exists(dst)) {
+          f.mkdirs(dst.getParent)
+          f.rename(src, dst)
+        }
+      } catch { case _: Exception => () } // best-effort: never worse
+    removed.foreach(ref => move(in(hd, ref), in(dd, ref)))
+    added.foreach(ref => move(in(dd, ref), in(hd, ref)))
   }
 
   private def isManifestCollision(e: java.io.IOException): Boolean =
@@ -2576,6 +2613,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * falls back to a scan count. DuckLake answers the same query from
     * its catalog's per-file row counts. */
   def rowCountFromStats(name: String): Option[Long] = {
+    // a user column shadowing the reserved key stores ITS bounds there
+    // (footerStats only suppresses the synthetic entry) — reading them as
+    // row counts would be silently wrong, so such tables always scan
+    if (readMeta(name).schema.fieldNames
+        .exists(_.equalsIgnoreCase(GraftLake.RowCountKey))) return None
     val vs = versions(name)
     if (vs.isEmpty) return Some(0L)
     val v = vs.last
@@ -2703,8 +2745,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       .withColumns(Map(
         keyC -> GraftLake.dvKeyColumn(partDepth),
         posC -> col("_metadata.row_index")))
+    // the UNCACHED count: the per-table cache slot holds the LIVE DV
+    // set's count, and a feed window's subset must not evict it (an
+    // incremental consumer would force a recount on every live read)
     val dvSide =
-      if (dvEntryCountCached(name, dvs) <= dvMaxEntries) broadcast(dv) else dv
+      if (dvEntryCount(name, dvs) <= dvMaxEntries) broadcast(dv) else dv
     keyed.join(dvSide,
         keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
         "left_semi")

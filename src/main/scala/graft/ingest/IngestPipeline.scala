@@ -253,7 +253,14 @@ object IngestPipeline {
     * latency cut at identical results). Both are knobs, not constants:
     * `spark.graft.ingest.adaptive` / `spark.graft.ingest.shufflePartitions`
     * — crank them up for deployments with multi-GB triggers, where
-    * per-trigger data volume stops being overhead-dominated. */
+    * per-trigger data volume stops being overhead-dominated.
+    *
+    * SHARED-SESSION caveat: session confs are session-global, so an
+    * ad-hoc query submitted WHILE a trigger is in flight also plans with
+    * AQE off and the small fan-out. In deployments that mix interactive
+    * work and ingest on one application, give the pipeline its own
+    * `spark.newSession()` (separate conf, shared catalog + context) —
+    * the overlay then never touches the interactive session. */
   private final class TriggerScope {
     private var depth = 0
     private var saved: Seq[(String, Option[String])] = Nil
@@ -473,7 +480,7 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       case Some(dc) => applyDedup(table, dc, gated)
       case None => gated
     }
-    val df = applyConstraintGate(table, deduped)
+    val (df, gateDone) = applyConstraintGate(table, deduped)
     val pks = config.pks.getOrElse(table, Nil)
     val preExisted = lake.tableExists(table)
     val upsertPath = preExisted && pks.nonEmpty
@@ -498,6 +505,7 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
             exclude = if (hasOffset) Seq("__offset") else Nil)
       }
     }
+    gateDone() // the landing write has consumed the cached gate frame
     // post-flush auto-compaction: the trigger check is O(1) against the
     // commit cache, so polling it every micro-batch costs nothing
     config.autoCompact.get(table).foreach { cc =>
@@ -759,35 +767,40 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * forever. With no DLQ configured, or a constraint referencing a
     * column this batch doesn't carry, the gate steps aside and the write
     * path's enforcement aborts loudly. */
-  private def applyConstraintGate(table: String, df: DataFrame): DataFrame = {
-    if (config.dlqTable.isEmpty || !lake.tableExists(table)) return df
+  private def applyConstraintGate(table: String,
+      df: DataFrame): (DataFrame, () => Unit) = {
+    val pass = (df, () => ())
+    if (config.dlqTable.isEmpty || !lake.tableExists(table)) return pass
     val cs = lake.constraints(table)
-    if (cs.isEmpty) return df
+    if (cs.isEmpty) return pass
     val checks = cs.map { case (n, text) =>
       n -> coalesce(expr(text), lit(true))
     }
     val resolvable =
       try { df.select(checks.map(_._2): _*).queryExecution.analyzed; true }
       catch { case _: Exception => false }
-    if (!resolvable) return df
-    // concat_ws skips nulls: the column lists exactly the violated names
+    if (!resolvable) return pass
+    // concat_ws skips nulls: the column lists exactly the violated names.
+    // The tagged frame is CACHED and released by the caller after the
+    // landing write — the DLQ split and the write must not re-run the
+    // quality/dedup lineage, and the job count per trigger stays fixed
+    // (sendToDlq's own count doubles as the emptiness check)
     val violName = concat_ws(", ", checks.map { case (n, c) =>
       when(!c, lit(n))
     }: _*)
-    val tagged = df.withColumn("__viol", violName)
+    val tagged = df.withColumn("__viol", violName).cache()
     val bad = tagged.filter(col("__viol") =!= "")
-    if (!bad.isEmpty) {
-      val hasOffset = df.columns.contains("__offset")
-      val payloadCols = df.columns.filterNot(_ == "__offset").toSeq
-      sendToDlq(config.dlqTable.get, table,
-        bad.select(
-          to_json(struct(payloadCols.map(col): _*)).as("v"),
-          lit(-1).as("partition"),
-          (if (hasOffset) col("__offset") else lit(-1L)).as("offset"),
-          concat(lit("CHECK constraint violation: "), col("__viol"))
-            .as("error")))
-    }
-    tagged.filter(col("__viol") === "").drop("__viol")
+    val hasOffset = df.columns.contains("__offset")
+    val payloadCols = df.columns.filterNot(_ == "__offset").toSeq
+    sendToDlq(config.dlqTable.get, table,
+      bad.select(
+        to_json(struct(payloadCols.map(col): _*)).as("v"),
+        lit(-1).as("partition"),
+        (if (hasOffset) col("__offset") else lit(-1L)).as("offset"),
+        concat(lit("CHECK constraint violation: "), col("__viol"))
+          .as("error")))
+    (tagged.filter(col("__viol") === "").drop("__viol"),
+      () => { tagged.unpersist(); () })
   }
 
   /** Land bad records in the DLQ table. `records` carries the raw payload
@@ -1000,7 +1013,13 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         col("partition"), col("offset")).withColumn("__ipc", ipcSniff)
       val fmtCounts = tagged.groupBy(col("__ipc")).count().collect()
         .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-      processTopic(topic, config.tableFor(topic), tagged, fmtCounts)
+      // replays bypass the idempotent-append watermark: the rows never
+      // landed, but the batch id that parked them DID commit (its clean
+      // rows), so appendIdempotent would silently no-op the whole replay
+      val savedBatch = currentBatchId
+      currentBatchId = -1L
+      try processTopic(topic, config.tableFor(topic), tagged, fmtCounts)
+      finally currentBatchId = savedBatch
       val post = lake.versions(dlq).last
       val fresh = lake.readAppendsBetween(dlq, pre, post)
       val still = fresh.count()

@@ -110,9 +110,13 @@ object JoinOps {
     require(binSize > 0, s"need binSize > 0, got $binSize")
     val binned = points.withColumn("__bin",
       floor(col(pointCol) / binSize).cast("long"))
-    val expanded = intervals.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binSize).cast("long"),
-        floor((col(hiCol) - 1) / binSize).cast("long"))))
+    // degenerate intervals (hi <= lo) match nothing under hi-exclusive
+    // semantics — and must be dropped BEFORE the explode: a reversed
+    // sequence would otherwise generate (lo-hi)/binSize bins per row
+    val expanded = intervals.filter(col(hiCol) > col(loCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binSize).cast("long"),
+          floor((col(hiCol) - 1) / binSize).cast("long"))))
     binned.join(expanded, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

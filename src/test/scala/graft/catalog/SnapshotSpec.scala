@@ -770,6 +770,21 @@ class SnapshotSpec extends AnyFunSuite {
     // the failure invalidated the caches: an immediate re-run succeeds
     assert(lake.deleteWhere("t", col("id") === 1) === 1L)
     assert(rows(lake.read("t"), "id") === Set(Seq(2), Seq(3)))
+    // a FILE-MOVING rewrite losing the race must roll its swap back:
+    // the winner's manifest references the pre-rewrite files as live,
+    // so without the unswap every later read would FileNotFound. The
+    // winner here is (again) a copy of v0 — no DVs — so its state is
+    // all three rows with the delete undone: exactly what an external
+    // writer's commit meant
+    externalCommit(lake.versions("t").last + 1)
+    intercept[java.util.ConcurrentModificationException] {
+      lake.compact("t")
+    }
+    assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(2), Seq(3)),
+      "after a lost rewrite race the table must read the winner's state")
+    // and the re-run against the winner's state succeeds
+    lake.compact("t")
+    assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(2), Seq(3)))
   }
 
   test("restore re-references an old snapshot without copying data") {

@@ -590,6 +590,31 @@ class IngestPipelineSpec extends AnyFunSuite {
       graft.metrics.GraftMetrics.AutoCompact).count.sum() >= 1)
   }
 
+  test("DLQ replay lands under txnAppId: the parking batch's watermark must not no-op it") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-rtxn").toString,
+      txnAppId = Some("q2")))
+    p.processBatch(batchOf("rt" -> """{"id":1,"price":10.0}"""), 0)
+    p.lake.addConstraint("rt", "pos", "price >= 0")
+    // batch 1: the clean row COMMITS (watermark q2:rt -> 1) while the
+    // constraint violator parks in the DLQ
+    p.processBatch(batchOf(
+      "rt" -> """{"id":2,"price":5.0}""",
+      "rt" -> """{"id":3,"price":-1.0}"""), 1)
+    assert(p.lake.read("rt").count() === 2)
+    assert(p.lake.read("_dlq").count() === 1)
+    // lift the constraint so the replay can land — then replay: an
+    // appendIdempotent at the stale in-flight batch id would silently
+    // no-op (the watermark already covers it) and report success
+    p.lake.dropConstraint("rt", "pos")
+    val (replayed, still) = p.replayDlq("rt")
+    assert((replayed, still) === ((1L, 0L)))
+    assert(p.lake.read("rt").count() === 3,
+      "the replayed row must LAND, not vanish into the txn watermark")
+    assert(p.lake.read("_dlq").count() === 0)
+  }
+
   test("txnAppId: a redelivered micro-batch lands exactly once") {
     graft.catalog.GraftLake.invalidateCaches()
     val p = new IngestPipeline(spark, IngestConfig(
