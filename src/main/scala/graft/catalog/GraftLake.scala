@@ -2648,6 +2648,51 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def rowCountFast(name: String): Long =
     rowCountFromStats(name).getOrElse(read(name).count())
 
+  /** Per-partition statistics from METADATA: one row per partition
+    * directory with its live file count, exact row count (footer counts
+    * minus that partition's live DV entries) and total bytes — the SHOW
+    * PARTITIONS + sizes pane, O(manifest + DV sidecars + file statuses),
+    * zero data files opened. Unpartitioned tables report one
+    * `(partition = "")` row. Row counts are `-1` when any of the
+    * partition's files predates the footer-count stat. */
+  def partitionStats(name: String): DataFrame = {
+    val vs = versions(name)
+    val rows: Seq[(String, Long, Long, Long)] = vs.lastOption match {
+      case None => Nil
+      case Some(v) =>
+        val (_, resolved) = snapshotResolved(name, v)
+        val stats = statsFor(name, v)
+        val f = fs(new Path(dataDir(name)))
+        val liveKeys = resolved.map(r => GraftLake.fileKey(r._1)).toSet
+        val dvs = liveDvs(name)
+        val maskedByKey: Map[String, Long] =
+          if (dvs.isEmpty) Map.empty
+          else dvFrame(name, dvs).groupBy(col("file_key")).count().collect()
+            .filter(r => liveKeys.contains(r.getString(0)))
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // same shadow rule as rowCountFromStats: a user column named like
+        // the reserved key occupies its stats slot
+        val shadowed = readMeta(name).schema.fieldNames
+          .exists(_.equalsIgnoreCase(GraftLake.RowCountKey))
+        resolved.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (rel, fs0) =>
+          val counts = fs0.map { case (ref, _) =>
+            if (shadowed) -1L
+            else stats.getOrElse(GraftLake.fileKey(ref), Map.empty)
+              .get(GraftLake.RowCountKey) match {
+              case Some(GraftLake.NumBounds(lo, _)) =>
+                lo.toLong - maskedByKey.getOrElse(GraftLake.fileKey(ref), 0L)
+              case _ => -1L
+            }
+          }
+          (rel, fs0.size.toLong,
+            if (counts.contains(-1L)) -1L else counts.sum,
+            fs0.map(r => f.getFileStatus(r._2).getLen).sum)
+        }
+    }
+    import spark.implicits._
+    rows.toDF("partition", "n_files", "n_rows", "total_bytes")
+  }
+
   /** Per-row provenance: the table's LIVE rows (deletion vectors
     * applied) with `_commit_version` — the snapshot that ADDED the row's
     * file — and `_source_file` attached. The training-data lineage

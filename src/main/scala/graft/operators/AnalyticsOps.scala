@@ -1739,6 +1739,37 @@ object AnalyticsOps {
       round(sum(col("price")), 2).as("price_sum"))
   }
 
+  /** q151: per-partition statistics from metadata
+    * ([[graft.catalog.GraftLake.partitionStats]]) — the SHOW PARTITIONS +
+    * sizes pane: live file count and EXACT row count per partition
+    * directory, computed from manifest footer counts minus each
+    * partition's live DV entries, zero data files opened. The scenario
+    * partitions orders three ways (one file each, pinned), masks ~1 % via
+    * a merge-on-read DELETE, and the oracle derives every partition's
+    * surviving count arithmetically. */
+  val q151PartitionStats = QueryDef(
+    "q151_partition_stats",
+    """WITH o AS (SELECT o_orderkey AS k FROM orders),
+      |g AS (SELECT k % 3 AS seg,
+      |        count(CASE WHEN k % 100 <> 7 THEN 1 END) AS n_live
+      |      FROM o GROUP BY 1)
+      |SELECT '__p_seg=' || CAST(seg AS VARCHAR) AS part_dir,
+      |  CAST(1 AS BIGINT) AS n_files, CAST(n_live AS BIGINT) AS n_rows
+      |FROM g ORDER BY part_dir""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"pstats:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-pstats").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        (col("o_orderkey") % 3).as("seg")).repartition(1)
+      l.write("po", o, partitions = Seq("seg"))
+      require(l.deleteWhere("po", col("k") % 100 === 7) > 0)
+      l
+    })
+    lake.partitionStats("po")
+      .select(col("partition").as("part_dir"), col("n_files"), col("n_rows"))
+      .orderBy(col("part_dir"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1747,5 +1778,5 @@ object AnalyticsOps {
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
-    q148Provenance, q149FastCount, q150FeedReplicate)
+    q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats)
 }

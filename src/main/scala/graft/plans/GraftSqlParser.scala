@@ -56,6 +56,8 @@ object GraftSqlParser {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val DescribeDetail =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
+  private val DescribePartitions =
+    """(?is)^\s*DESC(?:RIBE)?\s+PARTITIONS\s+([\w.`]+)\s*;?\s*$""".r
   private val CreateBloom =
     """(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+([\w.`]+)\s*\(\s*([\w`]+)\s*\)(?:\s+OPTIONS\s*\(\s*items\s*=\s*(\d+)\s*,\s*fpp\s*=\s*([0-9.eE+-]+)\s*\))?\s*;?\s*$""".r
   private val RefreshBloom =
@@ -81,6 +83,8 @@ object GraftSqlParser {
       Some(GraftDescribeHistoryCommand(parts(ident)))
     case DescribeDetail(ident) =>
       Some(GraftDescribeDetailCommand(parts(ident)))
+    case DescribePartitions(ident) =>
+      Some(GraftDescribePartitionsCommand(parts(ident)))
     case CreateBloom(ident, column, items, fpp) =>
       Some(GraftCreateBloomIndexCommand(parts(ident),
         column.stripPrefix("`").stripSuffix("`"),
@@ -242,5 +246,23 @@ final case class GraftDescribeDetailCommand(ident: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val (wh, t) = GraftSqlParser.resolve(spark, ident)
     new GraftLake(spark, wh).detail(t).collect().toSeq
+  }
+}
+
+/** `DESCRIBE PARTITIONS t` — per-partition live file count, exact row
+  * count and bytes, from manifest metadata ([[GraftLake.partitionStats]]).
+  */
+final case class GraftDescribePartitionsCommand(ident: Seq[String])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (wh, t) = GraftSqlParser.resolve(spark, ident)
+    new GraftLake(spark, wh).partitionStats(t).collect().toSeq
   }
 }

@@ -107,6 +107,19 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE PARTITIONS reports per-partition files and exact rows from metadata") {
+    withCat("admp") { (lake, cat) =>
+      lake.write("p", (1 to 30).map(i => (i, i % 2)).toDF("id", "seg")
+        .repartition(1), partitions = Seq("seg"))
+      assert(lake.deleteWhere("p", col("id") <= 4) === 4L) // 2 per seg
+      val rows = spark.sql(s"DESC PARTITIONS $cat.p").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.map(t => (t._1, t._2, t._3)).toSeq.sortBy(_._1) ===
+        Seq(("__p_seg=0", 1L, 13L), ("__p_seg=1", 1L, 13L)))
+      assert(rows.forall(_._4 > 0L), "bytes counted")
+    }
+  }
+
   test("CREATE/REFRESH BLOOM INDEX build and extend the skipping sidecar") {
     withCat("admb") { (lake, cat) =>
       def batch(r: Range) = r.map(i => (i.toLong, s"u$i"))
