@@ -171,6 +171,62 @@ class RenameColumnSpec extends AnyFunSuite {
     assert(lake.read("t").select("rating").head().getLong(0) === 10L)
   }
 
+  test("randomized model check: renames interleaved with append/delete/update/compact") {
+    // deterministic seeds; each run replays a random op sequence against
+    // an in-memory model and asserts full-content equality after every op
+    for (seed <- Seq(7L, 23L, 91L)) {
+      val rng = new scala.util.Random(seed)
+      val lake = newLake()
+      val original = Seq("c1", "c2") // frozen physical names
+      var names = original // current logical names
+      var model = Vector.empty[(Int, Int, Int)]
+      var nextId = 0
+      var renameCount = 0
+      def check(): Unit = {
+        val got = lake.read("t")
+          .select(col("id"), col(names(0)), col(names(1))).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+        assert(got === model.toSet, s"seed=$seed names=$names")
+      }
+      lake.append("t", Seq((nextId, 0, 0)).toDF("id", names(0), names(1)))
+      model :+= ((nextId, 0, 0)); nextId += 1
+      for (step <- 1 to 20) {
+        rng.nextInt(5) match {
+          case 0 => // append a few rows under the CURRENT logical names
+            val rows = (0 until 1 + rng.nextInt(3)).map { _ =>
+              val r = (nextId, rng.nextInt(100), rng.nextInt(100))
+              nextId += 1; r
+            }
+            lake.append("t", rows.toDF("id", names(0), names(1)))
+            model ++= rows
+          case 1 => // rename one data column (sometimes back to original)
+            val i = rng.nextInt(2)
+            val to = if (rng.nextBoolean() && names(i) != original(i))
+              original(i) else { renameCount += 1; s"r${seed}_$renameCount" }
+            lake.renameColumn("t", names(i), to)
+            names = names.updated(i, to)
+          case 2 => // MoR delete by id slice
+            val m = 2 + rng.nextInt(4); val r = rng.nextInt(m)
+            lake.deleteWhere("t", col("id") % m === r)
+            model = model.filterNot(t => t._1 % m == r)
+          case 3 => // MoR update addressing the current logical name
+            val m = 2 + rng.nextInt(4); val r = rng.nextInt(m)
+            val i = rng.nextInt(2)
+            lake.updateWhere("t", col("id") % m === r,
+              Map(names(i) -> (col(names(i)) + 1000)))
+            model = model.map { t =>
+              if (t._1 % m != r) t
+              else if (i == 0) (t._1, t._2 + 1000, t._3)
+              else (t._1, t._2, t._3 + 1000)
+            }
+          case 4 =>
+            lake.compact("t")
+        }
+        check()
+      }
+    }
+  }
+
   test("compact with clusterBy on the renamed name; change feed follows") {
     val lake = newLake()
     lake.append("t", (1 to 50).map(i => (i, i.toLong)).toDF("id", "metric"))
