@@ -387,14 +387,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           resolved.map(r => f.getFileStatus(r._2).getLen).sum,
           resolved.map(r => GraftLake.fileKey(r._1)).toSet)
     }
-    val dvs = liveDvs(name)
-    // entries for files a partition-scoped rewrite retired are INERT —
-    // count only entries masking live rows (the rowCountFromStats rule)
     val dvLiveEntries =
-      if (dvs.isEmpty) 0L
-      else dvFrame(name, dvs).groupBy(col("file_key")).count().collect()
-        .filter(r => liveKeys.contains(r.getString(0)))
-        .map(_.getLong(1)).sum
+      liveDvEntriesByFile(name, liveDvs(name), liveKeys).values.sum
     val renamed = GraftLake.logicalNamesOf(meta.schema)
     import spark.implicits._
     Seq((name, vs.size.toLong, vs.lastOption.getOrElse(-1L), files, bytes,
@@ -2612,12 +2606,24 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * stat (it gains one on its next rewrite); [[rowCountFast]] then
     * falls back to a scan count. DuckLake answers the same query from
     * its catalog's per-file row counts. */
+  /** A user column shadowing [[GraftLake.RowCountKey]] occupies its
+    * stats slot (footerStats only suppresses the synthetic entry), so
+    * every metadata-count consumer must refuse the table. */
+  private def rowCountShadowed(meta: TableMeta): Boolean =
+    meta.schema.fieldNames.exists(_.equalsIgnoreCase(GraftLake.RowCountKey))
+
+  /** Live DV entry count per data-file key, restricted to `liveKeys` —
+    * inert entries for retired files never subtract. Bounded driver
+    * collect: one row per data file the DVs touch. */
+  private def liveDvEntriesByFile(name: String, dvs: Seq[String],
+      liveKeys: Set[String]): Map[String, Long] =
+    if (dvs.isEmpty) Map.empty
+    else dvFrame(name, dvs).groupBy(col("file_key")).count().collect()
+      .filter(r => liveKeys.contains(r.getString(0)))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   def rowCountFromStats(name: String): Option[Long] = {
-    // a user column shadowing the reserved key stores ITS bounds there
-    // (footerStats only suppresses the synthetic entry) — reading them as
-    // row counts would be silently wrong, so such tables always scan
-    if (readMeta(name).schema.fieldNames
-        .exists(_.equalsIgnoreCase(GraftLake.RowCountKey))) return None
+    if (rowCountShadowed(readMeta(name))) return None
     val vs = versions(name)
     if (vs.isEmpty) return Some(0L)
     val v = vs.last
@@ -2631,17 +2637,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       case GraftLake.NumBounds(lo, _) => lo.toLong
       case _ => 0L
     }.sum
-    val dvs = liveDvs(name)
-    if (dvs.isEmpty) Some(total)
-    else {
-      val liveKeys = files.map(GraftLake.fileKey).toSet
-      // bounded driver collect: one row per data file the DVs touch
-      val masked = dvFrame(name, dvs).groupBy(col("file_key")).count()
-        .collect()
-        .filter(r => liveKeys.contains(r.getString(0)))
-        .map(_.getLong(1)).sum
-      Some(total - masked)
-    }
+    val masked = liveDvEntriesByFile(name, liveDvs(name),
+      files.map(GraftLake.fileKey).toSet).values.sum
+    Some(total - masked)
   }
 
   /** Metadata-only exact row count with a scan fallback. */
@@ -2664,16 +2662,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         val stats = statsFor(name, v)
         val f = fs(new Path(dataDir(name)))
         val liveKeys = resolved.map(r => GraftLake.fileKey(r._1)).toSet
-        val dvs = liveDvs(name)
-        val maskedByKey: Map[String, Long] =
-          if (dvs.isEmpty) Map.empty
-          else dvFrame(name, dvs).groupBy(col("file_key")).count().collect()
-            .filter(r => liveKeys.contains(r.getString(0)))
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-        // same shadow rule as rowCountFromStats: a user column named like
-        // the reserved key occupies its stats slot
-        val shadowed = readMeta(name).schema.fieldNames
-          .exists(_.equalsIgnoreCase(GraftLake.RowCountKey))
+        val maskedByKey = liveDvEntriesByFile(name, liveDvs(name), liveKeys)
+        val shadowed = rowCountShadowed(readMeta(name))
         resolved.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (rel, fs0) =>
           val counts = fs0.map { case (ref, _) =>
             if (shadowed) -1L
@@ -3336,7 +3326,7 @@ object GraftLake {
         }
       }
       val shadowed = reader.getFooter.getFileMetaData.getSchema.getFields
-        .asScala.exists(_.getName == RowCountKey)
+        .asScala.exists(_.getName.equalsIgnoreCase(RowCountKey))
       if (!shadowed) {
         val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         acc(RowCountKey) = NumBounds(rows.toDouble, rows.toDouble)

@@ -231,6 +231,14 @@ final class SchemaCache {
 }
 
 object IngestPipeline {
+  /** THREAD-LOCAL replay context: non-null while [[IngestPipeline
+    * .replayDlq]] is landing parked rows on this thread, carrying the
+    * DLQ snapshot id the replay read from. The write path uses it as an
+    * idempotency watermark under a replay-specific app id — never the
+    * shared trigger batch id, so a concurrent streaming trigger keeps
+    * its own exactly-once path untouched. */
+  private val replayTxn = new ThreadLocal[java.lang.Long]()
+
   /** Ships the seed schema to executors as JSON, deserializing once per
     * executor (`@transient lazy`) instead of once per record inside the
     * triage UDFs. */
@@ -487,14 +495,26 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     val op = if (upsertPath) GraftMetrics.UpsertWithMergeInto
       else GraftMetrics.SimpleInsert
     val hasOffset = df.columns.contains("__offset")
-    GraftMetrics.time(op) {
-      config.txnAppId match {
-        case Some(app) if !upsertPath && currentBatchId >= 0 =>
-          // exactly-once append: the batchId watermark commits WITH the
-          // data, so a redelivered batch no-ops (see IngestConfig.txnAppId)
+    // the watermark: the trigger's batch id normally; during a DLQ
+    // replay the thread-local replay context supplies the DLQ snapshot
+    // id instead (monotonic per target table), so a crashed-and-re-run
+    // replay no-ops rather than duplicating, without touching the
+    // trigger thread's batch id
+    val txnVersion: Option[Long] = IngestPipeline.replayTxn.get() match {
+      case v if v != null => Some(v)
+      case _ if currentBatchId >= 0 => Some(currentBatchId)
+      case _ => None
+    }
+    try GraftMetrics.time(op) {
+      (config.txnAppId, txnVersion) match {
+        case (Some(app), Some(ver)) if !upsertPath =>
+          // exactly-once append: the watermark commits WITH the data, so
+          // a redelivered batch (or replay) no-ops (IngestConfig.txnAppId)
+          val appId = if (IngestPipeline.replayTxn.get() != null)
+            s"$app:replay:$table" else s"$app:$table"
           val applied = lake.appendIdempotent(table,
             df.drop((if (hasOffset) Seq("__offset") else Nil): _*),
-            s"$app:$table", currentBatchId,
+            appId, ver,
             partitions = config.partitions.getOrElse(table, Nil), pks = pks)
           if (!applied) GraftMetrics.op("txnSkippedBatches").record(0L)
         case _ =>
@@ -504,8 +524,7 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
             ordering = if (hasOffset) Seq(col("__offset")) else Nil,
             exclude = if (hasOffset) Seq("__offset") else Nil)
       }
-    }
-    gateDone() // the landing write has consumed the cached gate frame
+    } finally gateDone() // release the cached gate frame even on failure
     // post-flush auto-compaction: the trigger check is O(1) against the
     // commit cache, so polling it every micro-batch costs nothing
     config.autoCompact.get(table).foreach { cc =>
@@ -1013,13 +1032,17 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         col("partition"), col("offset")).withColumn("__ipc", ipcSniff)
       val fmtCounts = tagged.groupBy(col("__ipc")).count().collect()
         .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-      // replays bypass the idempotent-append watermark: the rows never
-      // landed, but the batch id that parked them DID commit (its clean
-      // rows), so appendIdempotent would silently no-op the whole replay
-      val savedBatch = currentBatchId
-      currentBatchId = -1L
+      // replays must not land under the TRIGGER watermark: the batch id
+      // that parked these rows DID commit its clean rows, so
+      // appendIdempotent at that id silently no-ops the whole replay.
+      // The THREAD-LOCAL replay context (never the shared batch id — a
+      // concurrent trigger keeps its own exactly-once path) swaps in the
+      // DLQ snapshot id as the watermark instead: monotonic per target,
+      // so a replay that crashed between landing and the DLQ rewrite
+      // no-ops on re-run rather than duplicating.
+      IngestPipeline.replayTxn.set(java.lang.Long.valueOf(pre))
       try processTopic(topic, config.tableFor(topic), tagged, fmtCounts)
-      finally currentBatchId = savedBatch
+      finally IngestPipeline.replayTxn.remove()
       val post = lake.versions(dlq).last
       val fresh = lake.readAppendsBetween(dlq, pre, post)
       val still = fresh.count()

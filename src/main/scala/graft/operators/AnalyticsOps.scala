@@ -344,13 +344,17 @@ object AnalyticsOps {
       .partitionBy(pks.map(col): _*)
       .orderBy(col(graft.catalog.GraftLake.CommitVersionCol).desc,
         col(graft.catalog.GraftLake.ChangeTypeCol).desc) // insert > delete
+    // CACHED: applyChanges drives several actions over the net set, and
+    // each would otherwise re-read the window's files and DV sidecars
+    // and re-run the per-key shuffle
     val net = feed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    applyChanges(dst, dstTable,
+      .filter(col("__rn") === 1).cache()
+    try applyChanges(dst, dstTable,
       net.select(pks.map(col) ++
         compareCols.map(c => col(c).as(s"__n_$c")) :+
         col(graft.catalog.GraftLake.ChangeTypeCol).as("change_type"): _*),
       pks, compareCols)
+    finally net.unpersist()
   }
 
   def snapshotDiff(lake: graft.catalog.GraftLake, table: String,
