@@ -390,9 +390,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val dvLiveEntries =
       liveDvEntriesByFile(name, liveDvs(name), liveKeys).values.sum
     val renamed = GraftLake.logicalNamesOf(meta.schema)
+    val nRows = rowCountFromStats(name).getOrElse(-1L)
     import spark.implicits._
-    Seq((name, vs.size.toLong, vs.lastOption.getOrElse(-1L), files, bytes,
-      meta.schema.fields.length.toLong,
+    Seq((name, vs.size.toLong, vs.lastOption.getOrElse(-1L), files, nRows,
+      bytes, meta.schema.fields.length.toLong,
       meta.partitions.mkString(", "), meta.pks.mkString(", "),
       meta.constraints.map { case (n, e) => s"$n: CHECK ($e)" }
         .mkString("; "),
@@ -401,8 +402,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       renamed.toSeq.sorted.map { case (p, l) => s"$p -> $l" }
         .mkString(", ")))
       .toDF("table", "n_versions", "latest_version", "n_live_files",
-        "total_bytes", "n_columns", "partition_exprs", "primary_keys",
-        "constraints", "bloom_indexed", "n_dv_entries", "renamed_columns")
+        "n_rows", "total_bytes", "n_columns", "partition_exprs",
+        "primary_keys", "constraints", "bloom_indexed", "n_dv_entries",
+        "renamed_columns")
   }
 
   /** Fuse CHECK enforcement into a write plan: rows where any constraint

@@ -1595,10 +1595,11 @@ object AnalyticsOps {
   val q147DescribeDetail = QueryDef(
     "q147_describe_detail",
     """SELECT * FROM (VALUES
-      |  ('t', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+      |  ('t', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |   CAST(3 AS BIGINT),
       |   'id', 'pos_price: CHECK (price >= 0)', 'id',
       |   CAST(1 AS BIGINT), 'amount -> price'))
-      |  AS d(table_name, n_versions, n_live_files, n_columns,
+      |  AS d(table_name, n_versions, n_live_files, n_rows, n_columns,
       |       primary_keys, constraints, bloom_indexed, n_dv_entries,
       |       renamed_columns)""".stripMargin) { (s, dir) =>
     val pair = detailMemo.computeIfAbsent(s"detail:$dir", _ => {
@@ -1620,9 +1621,9 @@ object AnalyticsOps {
     })
     s.sql(s"DESCRIBE DETAIL $pair.t")
       .select(col("table").as("table_name"), col("n_versions"),
-        col("n_live_files"), col("n_columns"), col("primary_keys"),
-        col("constraints"), col("bloom_indexed"), col("n_dv_entries"),
-        col("renamed_columns"))
+        col("n_live_files"), col("n_rows"), col("n_columns"),
+        col("primary_keys"), col("constraints"), col("bloom_indexed"),
+        col("n_dv_entries"), col("renamed_columns"))
   }
 
   private val detailMemo =

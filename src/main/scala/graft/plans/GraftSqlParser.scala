@@ -235,6 +235,7 @@ final case class GraftDescribeDetailCommand(ident: Seq[String])
     AttributeReference("n_versions", LongType, nullable = false)(),
     AttributeReference("latest_version", LongType, nullable = false)(),
     AttributeReference("n_live_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
     AttributeReference("total_bytes", LongType, nullable = false)(),
     AttributeReference("n_columns", LongType, nullable = false)(),
     AttributeReference("partition_exprs", StringType, nullable = false)(),

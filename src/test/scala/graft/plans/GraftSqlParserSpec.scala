@@ -97,13 +97,14 @@ class GraftSqlParserSpec extends AnyFunSuite {
       assert(d.getString(0) === "t")
       assert(d.getLong(1) === 4L, "write + rename + constraint + delete")
       assert(d.getLong(3) === 1L, "one live file")
-      assert(d.getLong(4) > 0L, "bytes counted")
-      assert(d.getLong(5) === 3L, "id, price, _inserted_at")
-      assert(d.getString(7) === "id")
-      assert(d.getString(8) === "pos: CHECK (price >= 0)")
-      assert(d.getString(9) === "id")
-      assert(d.getLong(10) === 1L, "one live DV entry")
-      assert(d.getString(11) === "amount -> price")
+      assert(d.getLong(4) === 1L, "metadata row count minus the DV mask")
+      assert(d.getLong(5) > 0L, "bytes counted")
+      assert(d.getLong(6) === 3L, "id, price, _inserted_at")
+      assert(d.getString(8) === "id")
+      assert(d.getString(9) === "pos: CHECK (price >= 0)")
+      assert(d.getString(10) === "id")
+      assert(d.getLong(11) === 1L, "one live DV entry")
+      assert(d.getString(12) === "amount -> price")
     }
   }
 
