@@ -265,6 +265,30 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q148/q143: lineage surfaces broadcast metadata sides, never shuffle the data side") {
+    import org.apache.spark.sql.functions.col
+    catalog.GraftLake.invalidateCaches()
+    val lake = new catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-pq-lin").toString)
+    import spark.implicits._
+    lake.append("t", (1 to 500).map(i => (i, s"v$i")).toDF("id", "v"))
+    lake.append("t", (501 to 600).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(lake.deleteWhere("t", col("id") % 50 === 1) > 0)
+    // provenance: scan + broadcast (file->commit) map + broadcast DV
+    // anti-join — a sort-merge join here would shuffle the 100 TB side
+    val pp = lake.readWithProvenance("t").queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(pp.contains("BroadcastHashJoin"))
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"),
+      s"the data side must never shuffle for lineage:\n${pp.take(1200)}")
+    // change feed with DVs in-window: same contract for the delete leg
+    val vs = lake.versions("t")
+    val pf = lake.tableChanges("t", vs.head, vs.last).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!pf.contains("SortMergeJoin") && !pf.contains("CartesianProduct"),
+      s"feed reads scan only window files + broadcast DV keys:\n${pf.take(1200)}")
+  }
+
   test("q141: binned range join plans equi, never nested-loop") {
     val p = plan("q141_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
