@@ -407,6 +407,33 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         "renamed_columns")
   }
 
+  /** Non-blocking expectation audit — the report half of the constraint
+    * story (enforcement blocks writes; this MEASURES data): one row per
+    * check with the rows examined and the violation count, over the
+    * table's live rows, computed in ONE aggregate job (a single pass
+    * regardless of how many checks run — the 100 TB shape). `checks`
+    * defaults to the table's registered constraints; pass candidates to
+    * measure a constraint BEFORE adding it (the addConstraint
+    * pre-validation workflow, with counts instead of a pass/fail).
+    * Checks address LOGICAL column names; NULL evaluations pass, SQL
+    * semantics. */
+  def constraintReport(name: String,
+      checks: Seq[(String, String)] = Nil): DataFrame = {
+    val cs = if (checks.nonEmpty) checks else readMeta(name).constraints
+    require(cs.nonEmpty,
+      s"table '$name' has no constraints and no candidate checks were given")
+    val df = read(name)
+    val aggs = count(lit(1)).as("__rows") +: cs.map { case (n, text) =>
+      sum(when(!coalesce(expr(text), lit(true)), 1L).otherwise(0L))
+        .as(s"__v_$n")
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    import spark.implicits._
+    cs.zipWithIndex.map { case ((n, text), i) =>
+      (n, text, r.getLong(0), r.getLong(i + 1))
+    }.toDF("constraint_name", "check_expr", "n_rows", "n_violations")
+  }
+
   /** Fuse CHECK enforcement into a write plan: rows where any constraint
     * evaluates to FALSE abort the job via raise_error (NULL passes, SQL
     * semantics). Runs inside the write's own projection — no extra scan,

@@ -1775,6 +1775,45 @@ object AnalyticsOps {
       .orderBy(col("part_dir"))
   }
 
+  /** q152: expectation audit ([[graft.catalog.GraftLake
+    * .constraintReport]]) — measure CANDIDATE constraints against live
+    * data before enforcing them (the Great-Expectations-shaped report
+    * the blocking CHECK path deliberately isn't): per-check rows-examined
+    * and violation counts, all checks in ONE aggregate pass. The
+    * scenario plants known violations (~1 % negative prices) and the
+    * oracle derives both checks' counts arithmetically. */
+  val q152ExpectationAudit = QueryDef(
+    "q152_expectation_audit",
+    """WITH o AS (SELECT o_orderkey AS k,
+      |  round(o_totalprice, 2)
+      |    - CASE WHEN o_orderkey % 100 = 7 THEN 1000000 ELSE 0 END AS price
+      |  FROM orders)
+      |SELECT 'nonneg_price' AS constraint_name, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN price < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations
+      |FROM o
+      |UNION ALL
+      |SELECT 'price_cap', count(*),
+      |  CAST(sum(CASE WHEN price > 400000 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM o
+      |ORDER BY constraint_name""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"expect:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-expect").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        (round(col("o_totalprice"), 2) -
+          when(col("o_orderkey") % 100 === 7, 1000000.0).otherwise(0.0))
+          .as("price"))
+      l.append("audit", o)
+      l
+    })
+    lake.constraintReport("audit", Seq(
+        "nonneg_price" -> "price >= 0",
+        "price_cap" -> "price <= 400000"))
+      .select(col("constraint_name"), col("n_rows"), col("n_violations"))
+      .orderBy(col("constraint_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1783,5 +1822,6 @@ object AnalyticsOps {
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
-    q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats)
+    q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
+    q152ExpectationAudit)
 }

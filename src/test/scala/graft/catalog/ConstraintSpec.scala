@@ -96,6 +96,26 @@ class ConstraintSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 2L)
   }
 
+  test("constraintReport measures candidates without blocking; defaults to registered") {
+    val lake = newLake()
+    lake.append("t", Seq((1, 10.0), (2, -5.0), (3, 7.0)).toDF("id", "price"))
+    // candidate checks: NULL-passing SQL semantics, counts not rejection
+    val rep = lake.constraintReport("t", Seq(
+        "pos" -> "price >= 0", "small_id" -> "id < 3"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rep.toSeq === Seq(("pos", 3L, 1L), ("small_id", 3L, 1L)))
+    // the default set is the table's registered constraints
+    lake.deleteWhere("t", col("price") < 0)
+    lake.addConstraint("t", "pos", "price >= 0")
+    val reg = lake.constraintReport("t").head()
+    assert(reg.getString(0) === "pos" && reg.getLong(2) === 2L &&
+      reg.getLong(3) === 0L)
+    val bare = newLake()
+    bare.append("x", Seq((1, 1)).toDF("id", "v"))
+    intercept[IllegalArgumentException](bare.constraintReport("x"))
+  }
+
   test("constraints guard rename and drop of referenced columns") {
     val lake = newLake()
     lake.append("t", Seq((1, 10.0, "x")).toDF("id", "price", "tag"))
