@@ -73,6 +73,27 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(gotCopy.contains(999L))
   }
 
+  test("semantic contamination: paraphrases flag, below-threshold neighbors never") {
+    // 4-d micro-contract for the q146 operator: recall on near-identical
+    // vectors AND precision on in-between ones (the banded join may
+    // produce them as candidates, but the exact-cosine verify must drop
+    // them below tau)
+    val bench = Seq((100L, vec(1, 0, 0, 0)), (200L, vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, vec(0.999, 0.01, 0, 0)), // cos ~0.99995 to b100 -> flag
+      (2L, vec(0, 2.0, 0.001, 0)),  // scaled near-copy of b200 -> flag
+      (3L, vec(0.7, 0.7, 0, 0)),    // cos ~0.707 to both -> never
+      (4L, vec(0, 0, 1, 0))         // orthogonal -> never
+    ).toDF("vec_id", "embedding")
+    val flagged = SimilarityOps.semanticContamination(corpus, bench,
+      "vec_id", "embedding", threshold = 0.99, dim = 4)
+    assert(flagged.select("vec_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    assert(flagged.filter(col("max_benchmark_sim") > 0.99).count() === 2L,
+      "reported sims are the true cosines, above the threshold")
+  }
+
   test("int8 quantization audit: full coverage, bounded error, code range") {
     val sf = SparkTestSession.sf
     val nVecs = graft.Tables.embeddings(spark, sf).count()
