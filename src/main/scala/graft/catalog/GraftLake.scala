@@ -378,19 +378,33 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   def detail(name: String): DataFrame = {
     val meta = readMeta(name)
     val vs = versions(name)
-    val (files, bytes, liveKeys) = vs.lastOption match {
-      case None => (0L, 0L, Set.empty[String])
+    val (files, bytes, liveKeys, footerRows) = vs.lastOption match {
+      case None => (0L, 0L, Set.empty[String], Some(0L))
       case Some(v) =>
         val (_, resolved) = snapshotResolved(name, v)
         val f = fs(new Path(dataDir(name)))
+        val stats = statsFor(name, v)
+        // Σ footer row counts, reusing the files already resolved —
+        // None when a live file predates the stat or a column shadows it
+        val counts = resolved.map(r =>
+          stats.getOrElse(GraftLake.fileKey(r._1), Map.empty)
+            .get(GraftLake.RowCountKey))
+        val total =
+          if (rowCountShadowed(meta) || counts.exists(_.isEmpty)) None
+          else Some(counts.flatten.map {
+            case GraftLake.NumBounds(lo, _) => lo.toLong
+            case _ => 0L
+          }.sum)
         (resolved.size.toLong,
           resolved.map(r => f.getFileStatus(r._2).getLen).sum,
-          resolved.map(r => GraftLake.fileKey(r._1)).toSet)
+          resolved.map(r => GraftLake.fileKey(r._1)).toSet,
+          total)
     }
+    // ONE DV-sidecar job serves both the entry count and the row count
     val dvLiveEntries =
       liveDvEntriesByFile(name, liveDvs(name), liveKeys).values.sum
     val renamed = GraftLake.logicalNamesOf(meta.schema)
-    val nRows = rowCountFromStats(name).getOrElse(-1L)
+    val nRows = footerRows.map(_ - dvLiveEntries).getOrElse(-1L)
     import spark.implicits._
     Seq((name, vs.size.toLong, vs.lastOption.getOrElse(-1L), files, nRows,
       bytes, meta.schema.fields.length.toLong,
@@ -423,9 +437,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     require(cs.nonEmpty,
       s"table '$name' has no constraints and no candidate checks were given")
     val df = read(name)
+    // coalesce: sum over ZERO rows is NULL, and an empty table (the
+    // brand-new-staging-table audit) must report 0, not NPE
     val aggs = count(lit(1)).as("__rows") +: cs.map { case (n, text) =>
-      sum(when(!coalesce(expr(text), lit(true)), 1L).otherwise(0L))
-        .as(s"__v_$n")
+      coalesce(sum(when(!coalesce(expr(text), lit(true)), 1L)
+        .otherwise(0L)), lit(0L)).as(s"__v_$n")
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     import spark.implicits._

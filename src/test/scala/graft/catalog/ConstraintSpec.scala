@@ -114,6 +114,12 @@ class ConstraintSpec extends AnyFunSuite {
     val bare = newLake()
     bare.append("x", Seq((1, 1)).toDF("id", "v"))
     intercept[IllegalArgumentException](bare.constraintReport("x"))
+    // zero live rows (sum over an empty frame is NULL in SQL): the
+    // report must come back (0, 0), not NPE — the "measure a candidate
+    // on a just-created staging table" workflow
+    lake.deleteWhere("t", lit(true))
+    val empty = lake.constraintReport("t", Seq("pos" -> "price >= 0")).head()
+    assert(empty.getLong(2) === 0L && empty.getLong(3) === 0L)
   }
 
   test("constraints guard rename and drop of referenced columns") {
