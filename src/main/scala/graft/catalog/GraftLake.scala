@@ -758,8 +758,133 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     Some(toLogical(meta.schema, masked))
   }
 
+  /** METADATA-ONLY DELETE fast path: when the manifest bounds PROVE the
+    * predicate holds for every row of a file ([[GraftLake.fileAllMatcher]]
+    * — zero-null witness included), the file is dropped wholesale — a
+    * rename into `_history/` plus one remove-only commit. NO data file is
+    * opened, NO Spark job runs over table rows; the returned count comes
+    * from the manifest's footer row counts minus the files' already-live
+    * DV entries. The 100 TB shape this exists for: `DELETE WHERE
+    * event_date < X` on a date-clustered table retires whole partitions in
+    * O(metadata), where the DV path would write a hit-set the size of the
+    * partitions and the COW path would rewrite them. Fires only when the
+    * files OUTSIDE the proof also provably contain no matching row (the
+    * same [[GraftLake.filePruner]] the read path trusts) — a mixed proof
+    * falls back to the scan path, keeping the DV machinery the single
+    * source of partial deletes. Returns None when the fast path does not
+    * apply. Reference analog: DuckLake drops whole `ducklake_data_file`
+    * rows from its catalog when a DELETE covers a file; the parquet stays
+    * for time travel. */
+  private def metadataDeleteLocked(name: String, meta: TableMeta,
+      predicate: Column): Option[Long] = {
+    val v = versions(name).lastOption.getOrElse(return None)
+    // shadow guards: a user column occupying a reserved stats slot makes
+    // both the row-count and the zero-null witness unreadable
+    if (rowCountShadowed(meta) || meta.schema.fieldNames.exists(
+        _.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(GraftLake.NoNullsPrefix))) return None
+    val zone = spark.conf.get("spark.sql.session.timeZone",
+      java.time.ZoneId.systemDefault().getId)
+    val renames = GraftLake.logicalNamesOf(meta.schema).map(_.swap)
+    def phys(c: String): String =
+      renames.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
+    val bridge = org.apache.spark.sql.graft.PlanBridge
+    val viaNode = bridge.simplePredicate(
+      predicate, GraftLake.logicalSchema(meta.schema), zone)
+    val lowered =
+      if (viaNode != bridge.PUnknown) viaNode
+      else scala.util.Try {
+        // Columns wrapping catalyst expressions (the SQL DML rewrites hand
+        // conditions over via byNameColumn) don't lower through the
+        // ColumnNode walk: resolve against the logical schema, fold the
+        // analyzer's literal casts, and lower the catalyst tree instead
+        val probe = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          GraftLake.logicalSchema(meta.schema)).filter(predicate)
+        probe.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            val folded = f.condition.transformUp {
+              case e: org.apache.spark.sql.catalyst.expressions.Expression
+                  if e.foldable && e.deterministic && !e.isInstanceOf[
+                    org.apache.spark.sql.catalyst.expressions.Literal] =>
+                org.apache.spark.sql.catalyst.expressions.Literal.create(
+                  e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+                  e.dataType)
+            }
+            bridge.catalystPredicate(folded)
+        }.getOrElse(bridge.PUnknown)
+      }.getOrElse(bridge.PUnknown)
+    val pred = bridge.mapPredCols(lowered, phys)
+    val types: Map[String, DataType] = meta.schema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    // NaN rows may sit outside a float/double column's min/max — never
+    // accept an all-match proof on one
+    def safeCol(c: String): Boolean =
+      types.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(FloatType) | Some(DoubleType) => false
+        case _ => true
+      }
+    val (_, files, _) = resolveManifest(name, v)
+    val stats = statsFor(name, v)
+    val allMatch = GraftLake.fileAllMatcher(pred, safeCol)
+    val mayMatch = GraftLake.filePruner(pred)
+    def statsOf(ref: (String, String)): Map[String, GraftLake.Bounds] =
+      stats.getOrElse(GraftLake.fileKey(ref), Map.empty)
+    val (drop, rest) = files.partition { ref =>
+      val s = statsOf(ref)
+      allMatch(s) && s.contains(GraftLake.RowCountKey)
+    }
+    if (rest.exists(ref => mayMatch(statsOf(ref)))) return None
+    // every un-dropped file provably matches nothing: a provable no-op
+    // delete costs zero jobs and zero commits
+    if (drop.isEmpty) return Some(0L)
+    val dd = new Path(dataDir(name))
+    val hd = historyDir(name)
+    val f = fs(dd)
+    def at(root: Path, ref: (String, String)): Path =
+      if (ref._1.isEmpty) new Path(root, ref._2)
+      else new Path(new Path(root, ref._1), ref._2)
+    // rename-only retirement (the same _history/ protocol as rewrites, so
+    // time travel / restore / vacuum see nothing new); any failure rolls
+    // the moved files back and the scan path serves the delete instead
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      drop.foreach { ref =>
+        val dst = at(hd, ref)
+        f.mkdirs(dst.getParent)
+        renameOrFail(f, at(dd, ref), dst)
+        moved += ref
+      }
+    } catch {
+      case _: Exception =>
+        moved.foreach(ref =>
+          try f.rename(at(hd, ref), at(dd, ref)) catch { case _: Exception => () })
+        return None
+    }
+    // exact count from metadata: footer rows minus rows an earlier MoR
+    // delete had already masked (those entries turn inert with the file)
+    val masked = liveDvEntriesByFile(name, liveDvs(name),
+      drop.map(GraftLake.fileKey).toSet)
+    val deleted = drop.map { ref =>
+      (statsOf(ref).get(GraftLake.RowCountKey) match {
+        case Some(GraftLake.NumBounds(lo, _)) => lo.toLong
+        case _ => 0L
+      }) - masked.getOrElse(GraftLake.fileKey(ref), 0L)
+    }.sum
+    // on a lost commit race, commitVersion's unswapOnCollision renames the
+    // removed files back out of _history/ before failing fast — the same
+    // contract every rewrite commit has
+    commitVersion(name, Nil, drop, op = "delete")
+    graft.metrics.GraftMetrics.op("metadataDelete").record(drop.size.toLong)
+    Some(deleted)
+  }
+
   def deleteWhere(name: String, predicate: Column): Long = writeLock(name) {
     val meta = readMeta(name)
+    metadataDeleteLocked(name, meta, predicate) match {
+      case Some(n) => return n
+      case None => ()
+    }
     val live = liveKeyedScanLocked(name, meta).getOrElse(return 0L)
     val dvs0 = liveDvs(name)
     val hits = live.filter(coalesce(predicate, lit(false)))
@@ -2598,15 +2723,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     vs.filter(v => v > fromVersion && v <= toVersion).foreach { v =>
       val m = readManifestFile(name, v)
-      val (refs, added, removedAny) = m.files match {
+      val (refs, added, removedRefs) = m.files match {
         case Some(full) =>
           val refSet = full.toSet
           (refSet, (refSet -- prevRefs).toSeq.sorted,
-            (prevRefs -- refSet).nonEmpty)
+            (prevRefs -- refSet).toSeq.sorted)
         case None =>
           (prevRefs -- m.remove ++ m.add, m.add.sorted.toSeq,
-            m.remove.nonEmpty)
+            m.remove.sorted.toSeq)
       }
+      val removedAny = removedRefs.nonEmpty
       val (dvs, dvAdded, dvRemovedAny) = m.dvs match {
         case Some(full) =>
           val dvSet = full.toSet
@@ -2616,8 +2742,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           (prevDvs -- m.dvRemove ++ m.dvAdd, m.dvAdd.sorted.toSeq,
             m.dvRemove.nonEmpty)
       }
+      // a METADATA-ONLY DELETE (remove-only commit, no adds, no new DVs)
+      // IS row-attributable: the retired files' still-unmasked rows are
+      // exactly the deleted rows, readable forever from _history/
+      val metadataDelete = m.op == "delete" && removedAny &&
+        added.isEmpty && dvAdded.isEmpty && !dvRemovedAny
       if (!logicalNoOps(m.op)) {
-        require(!removedAny && !dvRemovedAny,
+        require(metadataDelete || (!removedAny && !dvRemovedAny),
           s"tableChanges on '$name': commit v$v ('${m.op}') rewrites files " +
             "or clears deletion vectors — row-level attribution through a " +
             "rewrite is not metadata-derivable; diff the snapshots by key " +
@@ -2631,6 +2762,35 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           pieces += dvMaskedRows(name, toSchema, dvAdded, partDepth)
             .withColumn(GraftLake.ChangeTypeCol, lit("delete"))
             .withColumn(GraftLake.CommitVersionCol, lit(v))
+        if (metadataDelete) {
+          val scan = spark.read.schema(toSchema)
+            .parquet(resolveRefPaths(name, removedRefs): _*)
+          val rows =
+            if (prevDvs.isEmpty) scan
+            else {
+              // anti-join the PRE-commit DV state: rows an earlier MoR
+              // delete masked were already emitted in that commit's slice.
+              // Uncached entry count, as in dvMaskedRows — a window subset
+              // must not evict the live set's cache slot.
+              val keyC = "__graft_cf_key"
+              val posC = "__graft_cf_pos"
+              val dvList = prevDvs.toSeq.sorted
+              val dv = dvFrame(name, dvList)
+              val keyed = scan.withColumns(Map(
+                keyC -> GraftLake.dvKeyColumn(partDepth),
+                posC -> col("_metadata.row_index")))
+              val dvSide =
+                if (dvEntryCount(name, dvList) <= dvMaxEntries) broadcast(dv)
+                else dv
+              keyed.join(dvSide,
+                  keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
+                  "left_anti")
+                .drop(keyC, posC)
+            }
+          pieces += rows
+            .withColumn(GraftLake.ChangeTypeCol, lit("delete"))
+            .withColumn(GraftLake.CommitVersionCol, lit(v))
+        }
       }
       prevRefs = refs
       prevDvs = dvs
@@ -3204,6 +3364,58 @@ object GraftLake {
     }
   }
 
+  /** Dual of [[filePruner]]: compile a lowered predicate into a per-file
+    * ALL-ROWS-MATCH proof over the manifest bounds — the witness behind
+    * the metadata-only DELETE. Sound because stored bounds can only
+    * over-approximate the true value range (string truncation widens
+    * outward — a truncated min is a prefix, so ≤ the true min, and
+    * parquet's BinaryTruncator increments a truncated max; longs beyond
+    * ±2^53 widen via [[loD]]/[[hiD]]): stored-range ⊆ predicate-region
+    * implies true-range ⊆ predicate-region. Every comparison leaf
+    * additionally requires (a) the column's zero-null witness
+    * ([[NoNullsPrefix]] — a NULL never satisfies a predicate, yet parquet
+    * min/max ignore nulls) and (b) `safeCol` — callers must exclude
+    * float/double columns, whose NaN rows writers may leave outside
+    * min/max. Anything unprovable returns false (the caller falls back to
+    * scanning); unlike the pruner, FALSE is the conservative answer here. */
+  private[catalog] def fileAllMatcher(
+      p: org.apache.spark.sql.graft.PlanBridge.SimplePred,
+      safeCol: String => Boolean): Map[String, Bounds] => Boolean = {
+    import org.apache.spark.sql.graft.PlanBridge._
+    def num(c: String)(f: ((Double, Double)) => Boolean)
+        : Map[String, Bounds] => Boolean =
+      s => safeCol(c) && s.contains(NoNullsPrefix + c) && (s.get(c) match {
+        case Some(NumBounds(lo, hi)) => f((lo, hi))
+        case _ => false
+      })
+    def str(c: String)(f: ((String, String)) => Boolean)
+        : Map[String, Bounds] => Boolean =
+      s => safeCol(c) && s.contains(NoNullsPrefix + c) && (s.get(c) match {
+        case Some(StrBounds(lo, hi)) => f((lo, hi))
+        case _ => false
+      })
+    p match {
+      case PAnd(l, r) =>
+        val (al, ar) = (fileAllMatcher(l, safeCol), fileAllMatcher(r, safeCol))
+        s => al(s) && ar(s)
+      case POr(l, r) =>
+        val (al, ar) = (fileAllMatcher(l, safeCol), fileAllMatcher(r, safeCol))
+        s => al(s) || ar(s)
+      case PCmp(">", c, v) => num(c)(_._1 > v)
+      case PCmp(">=", c, v) => num(c)(_._1 >= v)
+      case PCmp("<", c, v) => num(c)(_._2 < v)
+      case PCmp("<=", c, v) => num(c)(_._2 <= v)
+      case PCmp("=", c, v) => num(c)(r => r._1 == v && r._2 == v)
+      case PStr(">", c, v) => str(c)(r => strCmp(r._1, v) > 0)
+      case PStr(">=", c, v) => str(c)(r => strCmp(r._1, v) >= 0)
+      case PStr("<", c, v) => str(c)(r => strCmp(r._2, v) < 0)
+      case PStr("<=", c, v) => str(c)(r => strCmp(r._2, v) <= 0)
+      case PStr("=", c, v) =>
+        str(c)(r => strCmp(r._1, v) == 0 && strCmp(r._2, v) == 0)
+      case _ => _ => false
+    }
+  }
+
   /** Typed per-column file bounds. Numeric/temporal columns live in a
     * shared double domain ([[NumBounds]] — see [[footerStats]] for the
     * per-type encoding); string columns keep their parquet footer min/max
@@ -3248,6 +3460,18 @@ object GraftLake {
     * consulted by the pruner (predicates reference real columns). */
   val RowCountKey = "__graft_rows"
 
+  /** Reserved per-file stats key PREFIX marking a column as having ZERO
+    * nulls in the file: `__graft_nn:<col>` → degenerate `NumBounds(0, 0)`.
+    * Parquet min/max bounds ignore nulls, so proving "every row of this
+    * file satisfies the predicate" ([[fileAllMatcher]], the metadata-only
+    * DELETE witness) additionally needs this marker — a row with a NULL in
+    * a referenced column never satisfies a SQL predicate. Emitted only
+    * when every row group reports an exact null count of zero, and never
+    * when a footer field name collides with the prefix (the same
+    * shadow-guard discipline as [[RowCountKey]]). Absence means "nulls
+    * possible" — old manifests simply never qualify for the proof. */
+  val NoNullsPrefix = "__graft_nn:"
+
   def footerStats(p: Path,
       conf: org.apache.hadoop.conf.Configuration): Map[String, Bounds] = try {
     import scala.jdk.CollectionConverters._
@@ -3261,6 +3485,8 @@ object GraftLake {
     try {
       val acc = scala.collection.mutable.Map[String, Bounds]()
       val dead = scala.collection.mutable.Set[String]()
+      // per-column null totals; None once any row group lacks the count
+      val nulls = scala.collection.mutable.Map[String, Option[Long]]()
       reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { c =>
           val path = c.getPath.toArray
@@ -3268,6 +3494,10 @@ object GraftLake {
             val col = path(0)
             val pt = c.getPrimitiveType
             val st = c.getStatistics
+            nulls(col) =
+              if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+                nulls.getOrElse(col, Some(0L)).map(_ + st.getNumNulls)
+              else None
             val phys = pt.getPrimitiveTypeName
             // (bounds converter) for supported physical/logical pairs;
             // None = never prunable on this column
@@ -3370,11 +3600,21 @@ object GraftLake {
           }
         }
       }
-      val shadowed = reader.getFooter.getFileMetaData.getSchema.getFields
-        .asScala.exists(_.getName.equalsIgnoreCase(RowCountKey))
-      if (!shadowed) {
+      val fieldNames = reader.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName)
+      if (!fieldNames.exists(_.equalsIgnoreCase(RowCountKey))) {
         val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         acc(RowCountKey) = NumBounds(rows.toDouble, rows.toDouble)
+      }
+      if (!fieldNames.exists(_.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(NoNullsPrefix))) {
+        // zero-null markers only for columns that also carry bounds — the
+        // all-match proof needs both, and bound-less columns can't prove
+        nulls.foreach {
+          case (c, Some(0L)) if acc.contains(c) =>
+            acc(NoNullsPrefix + c) = NumBounds(0, 0)
+          case _ => ()
+        }
       }
       acc.toMap
     } finally reader.close()

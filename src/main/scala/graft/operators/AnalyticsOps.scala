@@ -1595,7 +1595,7 @@ object AnalyticsOps {
   val q147DescribeDetail = QueryDef(
     "q147_describe_detail",
     """SELECT * FROM (VALUES
-      |  ('t', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |  ('t', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
       |   CAST(3 AS BIGINT),
       |   'id', 'pos_price: CHECK (price >= 0)', 'id',
       |   CAST(1 AS BIGINT), 'amount -> price'))
@@ -1612,7 +1612,11 @@ object AnalyticsOps {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", l.warehouseDir)
       l.write("t", Seq((1, 10.0), (2, 20.0)).toDF("id", "amount")
         .repartition(1), pks = Seq("id"))
-      l.append("t", Seq((3, 30.0)).toDF("id", "amount").repartition(1))
+      // the appended file spans two ids so the point delete below stays a
+      // DV delete (a single-row file would take the metadata-only drop
+      // and report zero DV entries — q153 covers that path)
+      l.append("t", Seq((3, 30.0), (4, 40.0)).toDF("id", "amount")
+        .repartition(1))
       l.renameColumn("t", "amount", "price")
       l.addConstraint("t", "pos_price", "price >= 0")
       l.buildBloomIndex("t", "id", expectedItemsPerFile = 100L)
@@ -1814,6 +1818,52 @@ object AnalyticsOps {
       .orderBy(col("constraint_name"))
   }
 
+  /** q153: METADATA-ONLY DELETE ([[graft.catalog.GraftLake.deleteWhere]]'s
+    * fast path) — the retention shape every 100 TB lake needs: `DELETE
+    * WHERE o_orderdate < X` on a year-partitioned table retires the
+    * covered partitions' files with ONE remove-only commit. No deletion
+    * vector, no rewrite, no data scan: the manifest bounds plus the
+    * zero-null witness ([[graft.catalog.GraftLake.NoNullsPrefix]]) prove
+    * every row of those files matches, and [[graft.catalog.GraftLake
+    * .fileAllMatcher]]'s dual pruner proves the remaining files match
+    * nothing. The in-query `require`s pin the contract (files dropped,
+    * zero DVs); the oracle pins the surviving rows. Reference analog:
+    * DuckLake drops whole `ducklake_data_file` catalog rows when a DELETE
+    * covers a file; the parquet stays behind for time travel. */
+  val q153MetadataDelete = QueryDef(
+    "q153_metadata_delete",
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY yr""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"mdel:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-mdelq").toString)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+        .repartition(2)
+      l.write("ret", o, partitions = Seq("yr"))
+      val before = l.dataFiles("ret")
+      // the synthetic orders span 1995..2001 at every SF
+      val covered = before.count(f =>
+        Seq("1995", "1996").exists(y => f.contains(s"yr=$y")))
+      require(covered > 0, "the covered years must hold files")
+      require(l.deleteWhere("ret", col("o_orderdate") < "1997-01-01") > 0L)
+      require(l.liveDvs("ret").isEmpty,
+        "metadata-only DELETE: no deletion vector may be written")
+      require(l.dataFiles("ret").size == before.size - covered,
+        "exactly the covered partitions' files must leave the live set")
+      l
+    })
+    lake.read("ret")
+      .groupBy(col("yr").cast("int").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("yr"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1823,5 +1873,5 @@ object AnalyticsOps {
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
-    q152ExpectationAudit)
+    q152ExpectationAudit, q153MetadataDelete)
 }

@@ -51,12 +51,17 @@ class DeletionVectorSpec extends AnyFunSuite {
 
   test("partitioned table: DV keys carry the partition rel and prune correctly") {
     val lake = newLake()
+    // y-partition deliberately spans the predicate boundary so the delete
+    // stays on the DV path (a fully-covered partition would take the
+    // metadata-only fast path instead — MetadataDeleteSpec covers that)
     lake.write("p", Seq((1, "x", 10), (2, "x", 20), (3, "y", 30), (4, "y", 40))
-      .toDF("id", "seg", "n"), partitions = Seq("seg"))
-    assert(lake.deleteWhere("p", col("n") >= 30 && col("seg") === "y") === 2)
-    assert(rows(lake.read("p"), "id") === Set(Seq(1), Seq(2)))
+      .toDF("id", "seg", "n").repartition(1), partitions = Seq("seg"))
+    assert(lake.deleteWhere("p", col("n") >= 40 && col("seg") === "y") === 1)
+    assert(lake.liveDvs("p").nonEmpty, "partial partition: merge-on-read")
+    assert(rows(lake.read("p"), "id") === Set(Seq(1), Seq(2), Seq(3)))
     // readWhere (manifest-pruned path) also applies DVs
-    assert(rows(lake.readWhere("p", col("n") > 0), "id") === Set(Seq(1), Seq(2)))
+    assert(rows(lake.readWhere("p", col("n") > 0), "id") ===
+      Set(Seq(1), Seq(2), Seq(3)))
   }
 
   test("time travel: snapshots before the delete still see the rows; after, not") {
@@ -112,7 +117,9 @@ class DeletionVectorSpec extends AnyFunSuite {
     lake.write("t", (1 to 200).map(i => (i, i)).toDF("id", "n"))
     spark.conf.set("spark.graft.dv.maxEntries", "10")
     try {
-      lake.deleteWhere("t", col("id") <= 50)
+      // % does not lower to bounds, so this can never take the
+      // metadata-only fast path — it must exercise auto-materialization
+      lake.deleteWhere("t", col("id") % 4 =!= 0 && col("id") <= 66)
       assert(lake.liveDvs("t").isEmpty,
         "entry count over the threshold must trigger materialization")
       assert(lake.read("t").count() === 150)
@@ -147,7 +154,9 @@ class DeletionVectorSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.dvcat", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.dvcat.warehouse", wh)
     try {
-      lake.write("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+      // one file spanning all ids: point deletes stay partial (DV path)
+      lake.write("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+        .repartition(1))
       lake.deleteWhere("t", col("id") === 2)
       assert(spark.sql("SELECT id FROM dvcat.t ORDER BY id")
         .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
@@ -296,7 +305,9 @@ class DeletionVectorSpec extends AnyFunSuite {
 
   test("catalog without GraftExtensions refuses DV-carrying tables") {
     val lake = newLake()
-    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // one file holding both rows: the delete is partial, so it must take
+    // the DV path (single-row files would metadata-drop and leave no DV)
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(1))
     lake.write("clean", Seq((7, "ok")).toDF("id", "v"))
     lake.deleteWhere("t", col("id") === 1)
     // a bare session on the same context, WITHOUT the extensions: its

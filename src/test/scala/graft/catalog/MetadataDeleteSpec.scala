@@ -1,0 +1,171 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only DELETE contract: when manifest bounds + the zero-null
+  * witness PROVE a file matches wholesale, `deleteWhere` retires the file
+  * with a remove-only commit — no deletion vector, no rewrite, no data
+  * scan — and everything downstream (time travel, restore, change feed,
+  * counts) stays exact. Mixed/unprovable shapes must keep falling back to
+  * the DV path; float/double and null-bearing columns must never prove. */
+class MetadataDeleteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake = {
+    GraftLake.invalidateCaches()
+    new GraftLake(spark, Files.createTempDirectory("graft-md").toString)
+  }
+
+  private def ids(df: DataFrame): Set[Int] =
+    df.select(col("id")).collect().map(_.getInt(0)).toSet
+
+  test("whole-partition DELETE drops files metadata-only: no DV, exact count") {
+    val lake = newLake()
+    lake.write("p", (1 to 30).map(i => (i, if (i <= 10) "old" else "new"))
+      .toDF("id", "seg").repartition(2), partitions = Seq("seg"))
+    val before = lake.dataFiles("p").size
+    val oldFiles = lake.dataFiles("p").count(_.contains("seg=old"))
+    assert(oldFiles > 0)
+    assert(lake.deleteWhere("p", col("seg") === "old") === 10L)
+    assert(lake.liveDvs("p").isEmpty,
+      "a provable whole-partition delete must not write a deletion vector")
+    assert(lake.dataFiles("p").size === before - oldFiles,
+      "the covered partition's files leave the live set")
+    assert(ids(lake.read("p")) === (11 to 30).toSet)
+    assert(lake.history("p").collect().last.getString(2) === "delete")
+    assert(lake.rowCountFast("p") === 20L, "metadata count stays exact")
+  }
+
+  test("range DELETE over range-clustered files; provable no-op costs no commit") {
+    val lake = newLake()
+    // three appends with disjoint id ranges = range-clustered files
+    lake.append("t", (1 to 100).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    lake.append("t", (101 to 200).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    lake.append("t", (201 to 300).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    val versions0 = lake.versions("t").size
+    // provably matches nothing: zero jobs, zero commits
+    assert(lake.deleteWhere("t", col("id") > 1000) === 0L)
+    assert(lake.versions("t").size === versions0, "no-op delete must not commit")
+    // fully covers the first two files, provably misses the third
+    assert(lake.deleteWhere("t", col("id") <= 200) === 200L)
+    assert(lake.liveDvs("t").isEmpty)
+    assert(lake.dataFiles("t").size === 1)
+    assert(ids(lake.read("t")) === (201 to 300).toSet)
+  }
+
+  test("mixed coverage falls back to the DV path; results identical") {
+    val lake = newLake()
+    lake.append("t", (1 to 100).map(i => (i, i)).toDF("id", "n").repartition(1))
+    lake.append("t", (101 to 200).map(i => (i, i)).toDF("id", "n").repartition(1))
+    // covers file 1 wholly but file 2 only partially -> single scan path
+    assert(lake.deleteWhere("t", col("id") <= 150) === 150L)
+    assert(lake.liveDvs("t").nonEmpty, "partial coverage stays merge-on-read")
+    assert(ids(lake.read("t")) === (151 to 200).toSet)
+  }
+
+  test("a NULL in the referenced column blocks the proof; null rows survive") {
+    val lake = newLake()
+    lake.append("t", Seq((1, Some(5)), (2, Some(7)), (3, Option.empty[Int]))
+      .toDF("id", "n").repartition(1))
+    // bounds are [5,7] (parquet min/max ignore nulls) and every stored
+    // value matches n < 10 — but row 3's NULL must keep it alive
+    assert(lake.deleteWhere("t", col("n") < 10) === 2L)
+    assert(lake.liveDvs("t").nonEmpty,
+      "no zero-null witness -> no metadata drop -> DV path")
+    assert(ids(lake.read("t")) === Set(3))
+  }
+
+  test("float/double columns never prove all-match (NaN hides outside bounds)") {
+    val lake = newLake()
+    lake.append("t", Seq((1, 1.5), (2, Double.NaN), (3, 2.5))
+      .toDF("id", "x").repartition(1))
+    // every non-NaN value is < 10, but NaN compares false to everything
+    assert(lake.deleteWhere("t", col("x") < 10.0) === 2L)
+    assert(ids(lake.read("t")) === Set(2), "the NaN row must survive")
+  }
+
+  test("rows a prior MoR delete masked are not double-counted") {
+    val lake = newLake()
+    lake.append("t", (1 to 100).map(i => (i, i)).toDF("id", "n").repartition(1))
+    lake.append("t", (101 to 200).map(i => (i, i)).toDF("id", "n").repartition(1))
+    assert(lake.deleteWhere("t", col("id") === 5) === 1L) // MoR: one DV entry
+    assert(lake.liveDvs("t").nonEmpty)
+    // now drop file 1 wholesale: 100 footer rows minus the masked one
+    assert(lake.deleteWhere("t", col("id") <= 100) === 99L)
+    assert(ids(lake.read("t")) === (101 to 200).toSet)
+  }
+
+  test("time travel, RESTORE and the change feed see through a metadata delete") {
+    val lake = newLake()
+    lake.append("t", (1 to 50).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    lake.append("t", (51 to 100).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    assert(lake.deleteWhere("t", col("id") === 7) === 1L) // MoR first
+    assert(lake.deleteWhere("t", col("id") <= 50) === 49L) // then metadata
+    val vs = lake.versions("t")
+    assert(ids(lake.readVersion("t", vs(1))) === (1 to 100).toSet,
+      "pre-delete snapshots read the retired file from _history/")
+    // change feed: the MoR commit emits id=7; the metadata-delete commit
+    // emits the file's remaining 49 rows, NOT the already-masked id=7
+    val feed = lake.tableChanges("t", vs(1), vs.last)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(feed.count(_._2 == "delete") === 50)
+    assert(feed.filter(_._3 == vs(2)).map(_._1).toSet === Set(7))
+    assert(feed.filter(_._3 == vs.last).map(_._1).toSet ===
+      ((1 to 50).toSet - 7))
+    lake.restore("t", vs(1))
+    assert(ids(lake.read("t")) === (1 to 100).toSet,
+      "restore renames the retired file back to the live set")
+  }
+
+  test("fileAllMatcher unit semantics: zero-null witness, bounds duals, OR/AND") {
+    import org.apache.spark.sql.graft.PlanBridge._
+    val nn = GraftLake.NoNullsPrefix
+    def m(p: SimplePred) = GraftLake.fileAllMatcher(p, _ => true)
+    val s = Map[String, GraftLake.Bounds](
+      "a" -> GraftLake.NumBounds(5, 10),
+      (nn + "a") -> GraftLake.NumBounds(0, 0),
+      "b" -> GraftLake.NumBounds(3, 3), // bounds but NO zero-null witness
+      "s" -> GraftLake.StrBounds("dd", "dz"),
+      (nn + "s") -> GraftLake.NumBounds(0, 0))
+    assert(m(PCmp(">=", "a", 5))(s) && m(PCmp("<=", "a", 10))(s))
+    assert(!m(PCmp(">", "a", 5))(s) && !m(PCmp("<", "a", 10))(s))
+    assert(!m(PCmp("=", "a", 5))(s), "= needs degenerate bounds")
+    assert(!m(PCmp("=", "b", 3))(s), "no zero-null witness -> no proof")
+    assert(m(PStr(">", "s", "d"))(s) && m(PStr("<", "s", "e"))(s))
+    assert(!m(PStr("=", "s", "dd"))(s))
+    assert(m(PAnd(PCmp(">=", "a", 5), PStr("<", "s", "e")))(s))
+    assert(!m(PAnd(PCmp(">=", "a", 5), PCmp("=", "b", 3)))(s))
+    assert(m(POr(PCmp(">", "a", 99), PCmp(">=", "a", 0)))(s))
+    assert(!m(POr(PCmp(">", "a", 7), PCmp("<", "a", 8)))(s),
+      "neither disjunct alone covers the range: unprovable (sound, not complete)")
+    assert(!m(PUnknown)(s))
+    assert(!m(PCmp(">=", "a", 5))(Map.empty), "no bounds -> no proof")
+    // float/double columns never prove, even with bounds + witness
+    assert(!GraftLake.fileAllMatcher(PCmp("<=", "a", 10), _ != "a")(s))
+  }
+
+  test("SQL DELETE through the catalog takes the same fast path") {
+    GraftLake.invalidateCaches()
+    val cat = "mdcat1"
+    val wh = Files.createTempDirectory("graft-mdcat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try {
+      val lake = new GraftLake(spark, wh)
+      lake.append("t", (1 to 60).map(i => (i, i)).toDF("id", "n").repartition(1))
+      lake.append("t", (61 to 120).map(i => (i, i)).toDF("id", "n").repartition(1))
+      spark.sql(s"DELETE FROM $cat.t WHERE id <= 60")
+      assert(lake.liveDvs("t").isEmpty, "provable SQL DELETE: no DV")
+      assert(lake.dataFiles("t").size === 1)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 60L)
+    } finally spark.conf.unset("spark.graft.delete.mode")
+  }
+}

@@ -740,7 +740,10 @@ class SnapshotSpec extends AnyFunSuite {
     GraftLake.invalidateCaches()
     val wh = Files.createTempDirectory("graft-occ").toString
     val lake = new GraftLake(spark, wh)
-    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // one file spanning both ids: the point delete below must stay a DV
+    // delete (a single-row file would take the metadata-only drop, which
+    // retires files and breaks this test's fabricated external manifests)
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(1))
     // simulate another DRIVER winning the next version number: a valid
     // manifest appears at v1 that this JVM's caches have never seen (v0
     // is a self-contained full checkpoint, so its bytes are a valid
@@ -821,7 +824,8 @@ class SnapshotSpec extends AnyFunSuite {
 
   test("restore with deletion vectors: the DV set follows the target") {
     val lake = newLake()
-    lake.write("d", (1 to 10).map(i => (i, i)).toDF("id", "n"))
+    // one file spanning all ids keeps the range delete partial (DV path)
+    lake.write("d", (1 to 10).map(i => (i, i)).toDF("id", "n").repartition(1))
     val v0 = lake.versions("d").head
     lake.deleteWhere("d", col("id") <= 3)
     val vDel = lake.versions("d").last
