@@ -41,7 +41,8 @@ object ScaleBench {
     "q135_mor_update", // DV update: hit-sized writes, pruned scan
     "q137_cross_corpus_dedup", // banded corpus×corpus join
     "q138_incremental_agg", // delta-maintained aggregate
-    "q143_change_feed") // metadata-derived CDF: O(window delta)
+    "q143_change_feed", // metadata-derived CDF: O(window delta)
+    "q153_metadata_delete") // file-drop DELETE: O(metadata) at any size
 
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
