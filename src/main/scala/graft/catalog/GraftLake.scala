@@ -3360,6 +3360,13 @@ object GraftLake {
       case PStr("<=", c, v) => str(c)(r => strCmp(r._1, v) <= 0)
       case PStr("=", c, v) =>
         str(c)(r => strCmp(r._1, v) <= 0 && strCmp(v, r._2) <= 0)
+      // IS NULL: a file carrying the zero-null witness provably holds no
+      // matching row — the common cleaning filter (`WHERE x IS NULL`)
+      // scans only the files that might actually have nulls. Absence of
+      // the witness (old manifests, all-null or bound-less columns,
+      // schema-evolution files missing the column) keeps the file.
+      case PNull(c) => s => !s.contains(NoNullsPrefix + c)
+      // IS NOT NULL can never skip: "every row is null" is not witnessed
       case _ => _ => true
     }
   }
@@ -3412,6 +3419,11 @@ object GraftLake {
       case PStr("<=", c, v) => str(c)(r => strCmp(r._2, v) <= 0)
       case PStr("=", c, v) =>
         str(c)(r => strCmp(r._1, v) == 0 && strCmp(r._2, v) == 0)
+      // IS NOT NULL all-matches exactly when the zero-null witness is
+      // present. Type-agnostic: null-ness is independent of the bounds
+      // domain, so neither `safeCol` (NaN) nor bounds are required.
+      case PNotNull(c) => s => s.contains(NoNullsPrefix + c)
+      // IS NULL all-matches only on an all-null file — not witnessed
       case _ => _ => false
     }
   }

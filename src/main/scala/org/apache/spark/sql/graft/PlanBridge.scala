@@ -76,6 +76,14 @@ object PlanBridge {
     * whose schema type is the default-collation StringType; any other
     * collation would sort differently and must not prune. */
   final case class PStr(op: String, col: String, value: String) extends SimplePred
+  /** `col IS NULL`. Evaluable against the per-file zero-null witness
+    * (`GraftLake.NoNullsPrefix`): a file carrying the witness provably
+    * holds no matching row. Type-agnostic — null-ness is independent of
+    * the bounds domain, so no collation/NaN caveats apply. */
+  final case class PNull(col: String) extends SimplePred
+  /** `col IS NOT NULL` — the witness dual: a file carrying the zero-null
+    * witness provably matches on EVERY row. */
+  final case class PNotNull(col: String) extends SimplePred
   case object PUnknown extends SimplePred
 
   /** Rewrite every column name in a lowered predicate (the RENAME COLUMN
@@ -86,6 +94,8 @@ object PlanBridge {
     case POr(l, r) => POr(mapPredCols(l, f), mapPredCols(r, f))
     case PCmp(op, c, v) => PCmp(op, f(c), v)
     case PStr(op, c, v) => PStr(op, f(c), v)
+    case PNull(c) => PNull(f(c))
+    case PNotNull(c) => PNotNull(f(c))
     case PUnknown => PUnknown
   }
 
@@ -226,7 +236,8 @@ object PlanBridge {
     def walk(n: ColumnNode): SimplePred = n match {
       case f: UnresolvedFunction =>
         val args = f.arguments
-        f.functionName match {
+        // the DSL emits camelCase ("isNull"), SQL registration lowercase
+        f.functionName.toLowerCase(java.util.Locale.ROOT) match {
           case "and" if args.size == 2 => PAnd(walk(args(0)), walk(args(1)))
           case "or" if args.size == 2 => POr(walk(args(0)), walk(args(1)))
           case op @ ("<" | "<=" | ">" | ">=" | "=" | "==") if args.size == 2 =>
@@ -245,6 +256,18 @@ object PlanBridge {
                 vs.flatten.map(v => cmp("=", c0, v)).reduce(POr(_, _))
               case _ => PUnknown
             }
+          case "isnull" if args.size == 1 =>
+            attr(args.head).map(PNull(_): SimplePred).getOrElse(PUnknown)
+          case "isnotnull" if args.size == 1 =>
+            attr(args.head).map(PNotNull(_): SimplePred).getOrElse(PUnknown)
+          // negation is lowered ONLY over the null tests (self-dual);
+          // negated comparisons would need three-valued care (NOT (a > 5)
+          // is not (a <= 5) when a is null) — keep-the-file instead
+          case "!" | "not" if args.size == 1 => walk(args.head) match {
+            case PNull(c) => PNotNull(c)
+            case PNotNull(c) => PNull(c)
+            case _ => PUnknown
+          }
           case _ => PUnknown
         }
       case _ => PUnknown
@@ -318,6 +341,18 @@ object PlanBridge {
       case In(a, vs) if vs.nonEmpty && vs.size <= 64 &&
           vs.forall(_.isInstanceOf[CLit]) =>
         vs.map(v => leaf("=", a, v.asInstanceOf[CLit])).reduce(POr)
+      // null tests lower type-agnostically (the witness is a null COUNT,
+      // independent of the bounds domain); negation only over them
+      case org.apache.spark.sql.catalyst.expressions.IsNull(
+          a: AttributeReference) => PNull(a.name)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) => PNotNull(a.name)
+      case org.apache.spark.sql.catalyst.expressions.Not(inner) =>
+        catalystPredicate(inner) match {
+          case PNull(c) => PNotNull(c)
+          case PNotNull(c) => PNull(c)
+          case _ => PUnknown
+        }
       // `coalesce(p, false)` is TRUE iff p is TRUE (SQL DML null-keeps
       // semantics wrap conditions this way) — files where p can never be
       // true can't produce a row, so lowering to p is prune-safe

@@ -124,6 +124,35 @@ class MetadataDeleteSpec extends AnyFunSuite {
       "restore renames the retired file back to the live set")
   }
 
+  test("IS NULL prunes witnessed files; IS NOT NULL proves metadata deletes") {
+    val lake = newLake()
+    // file A: zero nulls (carries the witness); file B: one null in v
+    lake.append("t", Seq((1, Some("a")), (2, Some("b")))
+      .toDF("id", "v").repartition(1))
+    lake.append("t", Seq((3, Option.empty[String]), (4, Some("d")))
+      .toDF("id", "v").repartition(1))
+    // read-side: the cleaning filter plans ONLY the null-bearing file
+    assert(lake.readWhere("t", col("v").isNull).inputFiles.length === 1,
+      "IS NULL must skip the zero-null-witnessed file")
+    assert(ids(lake.readWhere("t", col("v").isNull)) === Set(3))
+    assert(ids(lake.readWhere("t", !col("v").isNotNull)) === Set(3),
+      "negation lowers over the null tests")
+    // all files witnessed: IS NOT NULL wholesale-drops them, IS NULL is
+    // a provable no-op with no commit
+    val clean = newLake()
+    clean.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(1))
+    clean.append("t", Seq((3, "c")).toDF("id", "v"))
+    val versions0 = clean.versions("t").size
+    assert(clean.deleteWhere("t", col("v").isNull) === 0L)
+    assert(clean.versions("t").size === versions0, "provable no-op: no commit")
+    assert(clean.deleteWhere("t", col("v").isNotNull) === 3L)
+    assert(clean.liveDvs("t").isEmpty && clean.dataFiles("t").isEmpty,
+      "IS NOT NULL over witnessed files is a pure metadata delete")
+    // mixed: the null-bearing file blocks the proof, results stay exact
+    assert(lake.deleteWhere("t", col("v").isNotNull) === 3L)
+    assert(ids(lake.read("t")) === Set(3), "the null row survives")
+  }
+
   test("fileAllMatcher unit semantics: zero-null witness, bounds duals, OR/AND") {
     import org.apache.spark.sql.graft.PlanBridge._
     val nn = GraftLake.NoNullsPrefix
@@ -149,6 +178,14 @@ class MetadataDeleteSpec extends AnyFunSuite {
     assert(!m(PCmp(">=", "a", 5))(Map.empty), "no bounds -> no proof")
     // float/double columns never prove, even with bounds + witness
     assert(!GraftLake.fileAllMatcher(PCmp("<=", "a", 10), _ != "a")(s))
+    // null tests: witness presence decides both directions
+    assert(m(PNotNull("a"))(s) && !m(PNotNull("b"))(s))
+    assert(!m(PNull("a"))(s) && !m(PNull("b"))(s), "all-null is unwitnessed")
+    assert(m(PAnd(PCmp(">=", "a", 5), PNotNull("s")))(s))
+    val keep = GraftLake.filePruner(PNull("a"))
+    assert(!keep(s), "IS NULL skips a witnessed file")
+    assert(GraftLake.filePruner(PNull("b"))(s), "no witness keeps the file")
+    assert(GraftLake.filePruner(PNotNull("a"))(s), "IS NOT NULL never skips")
   }
 
   test("SQL DELETE through the catalog takes the same fast path") {
