@@ -646,16 +646,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       case _: org.apache.spark.sql.execution.LogicalRDD => ()
     }.isEmpty
     if (!isFileBacked) return df
+    dvAntiJoinFrames(df, dvFrame(name, dvs), partDepth,
+      broadcastDv = dvEntryCountCached(name, dvs) <= dvMaxEntries)
+  }
+
+  /** The shared (file key, row position) LEFT ANTI join every DV-masking
+    * consumer uses — one place owns the key derivation and join shape.
+    * Both metadata derivations land in ONE projection directly over the
+    * scan (hidden `_metadata` does not resolve through arbitrary stacked
+    * plans). `broadcastDv` gates the hint: callers differ on the
+    * entry-count source (the per-table cache for live reads, an uncached
+    * count for change-feed windows whose subset must not evict it). */
+  private def dvAntiJoinFrames(df: DataFrame, dv: DataFrame, partDepth: Int,
+      broadcastDv: Boolean): DataFrame = {
     val keyC = "__graft_dv_key"
     val posC = "__graft_dv_pos"
-    // both metadata derivations in ONE projection directly over the scan:
-    // hidden `_metadata` does not resolve through arbitrary stacked plans
     val keyed = df.withColumns(Map(
       keyC -> GraftLake.dvKeyColumn(partDepth),
       posC -> col("_metadata.row_index")))
-    val dv = dvFrame(name, dvs)
-    val dvSide =
-      if (dvEntryCountCached(name, dvs) <= dvMaxEntries) broadcast(dv) else dv
+    val dvSide = if (broadcastDv) broadcast(dv) else dv
     keyed.join(dvSide,
         keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
         "left_anti")
@@ -775,29 +784,30 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * apply. Reference analog: DuckLake drops whole `ducklake_data_file`
     * rows from its catalog when a DELETE covers a file; the parquet stays
     * for time travel. */
-  private def metadataDeleteLocked(name: String, meta: TableMeta,
-      predicate: Column): Option[Long] = {
-    val v = versions(name).lastOption.getOrElse(return None)
-    // shadow guards: a user column occupying a reserved stats slot makes
-    // both the row-count and the zero-null witness unreadable
-    if (rowCountShadowed(meta) || meta.schema.fieldNames.exists(
-        _.toLowerCase(java.util.Locale.ROOT)
-          .startsWith(GraftLake.NoNullsPrefix))) return None
+  /** Lower a user-facing predicate Column into the pruning tree, keyed by
+    * PHYSICAL column names — the ONE lowering every consumer (read-path
+    * pruner, bloom probe, metadata-delete proof) must share, so they can
+    * never disagree on which files a predicate covers. Logical names
+    * resolve against the logical schema (renames ride the
+    * logical→physical map); Columns wrapping catalyst expressions (the
+    * SQL DML rewrites hand conditions over via `byNameColumn`) don't
+    * lower through the ColumnNode walk, so they re-resolve against an
+    * empty frame, fold the analyzer's literal casts, and lower the
+    * catalyst tree instead. Null-test leaves are stripped for tables
+    * whose schema shadows the zero-null-witness namespace. */
+  private def loweredPhysicalPredicate(meta: TableMeta,
+      predicate: Column): org.apache.spark.sql.graft.PlanBridge.SimplePred = {
+    val bridge = org.apache.spark.sql.graft.PlanBridge
     val zone = spark.conf.get("spark.sql.session.timeZone",
       java.time.ZoneId.systemDefault().getId)
     val renames = GraftLake.logicalNamesOf(meta.schema).map(_.swap)
     def phys(c: String): String =
       renames.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
-    val bridge = org.apache.spark.sql.graft.PlanBridge
     val viaNode = bridge.simplePredicate(
       predicate, GraftLake.logicalSchema(meta.schema), zone)
     val lowered =
       if (viaNode != bridge.PUnknown) viaNode
       else scala.util.Try {
-        // Columns wrapping catalyst expressions (the SQL DML rewrites hand
-        // conditions over via byNameColumn) don't lower through the
-        // ColumnNode walk: resolve against the logical schema, fold the
-        // analyzer's literal casts, and lower the catalyst tree instead
         val probe = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           GraftLake.logicalSchema(meta.schema)).filter(predicate)
@@ -814,7 +824,22 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             bridge.catalystPredicate(folded)
         }.getOrElse(bridge.PUnknown)
       }.getOrElse(bridge.PUnknown)
-    val pred = bridge.mapPredCols(lowered, phys)
+    val mapped = bridge.mapPredCols(lowered, phys)
+    if (GraftLake.nullWitnessShadowed(meta.schema))
+      GraftLake.stripNullTests(mapped)
+    else mapped
+  }
+
+  private def metadataDeleteLocked(name: String, meta: TableMeta,
+      predicate: Column): Option[Long] = {
+    val v = versions(name).lastOption.getOrElse(return None)
+    // shadow guards: a user column occupying the row-count slot makes
+    // footer counts unreadable, and one in the witness namespace makes
+    // EVERY all-match proof untrustworthy (comparison leaves consult the
+    // witness too, beyond the PNull/PNotNull strip in the lowering)
+    if (rowCountShadowed(meta) ||
+        GraftLake.nullWitnessShadowed(meta.schema)) return None
+    val pred = loweredPhysicalPredicate(meta, predicate)
     val types: Map[String, DataType] = meta.schema.fields
       .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
     // NaN rows may sit outside a float/double column's min/max — never
@@ -877,6 +902,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     commitVersion(name, Nil, drop, op = "delete")
     graft.metrics.GraftMetrics.op("metadataDelete").record(drop.size.toLong)
     Some(deleted)
+  }
+
+  /** The metadata-only DELETE fast path ALONE (no scan fallback):
+    * `Some(deleted)` when the proof applied — including a provable
+    * no-match `Some(0)`, which commits nothing — `None` otherwise. For
+    * callers that own their own fallback (the SQL copy-on-write rewrite):
+    * a provable whole-file drop is strictly better than a partition
+    * rewrite regardless of the configured DML mode. */
+  private[graft] def deleteWhereMetadataOnly(name: String,
+      predicate: Column): Option[Long] = writeLock(name) {
+    metadataDeleteLocked(name, readMeta(name), predicate)
   }
 
   def deleteWhere(name: String, predicate: Column): Long = writeLock(name) {
@@ -1448,8 +1484,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         if (filters.isEmpty) None
         else {
-          val pred = filters.map(PlanBridge.catalystPredicate)
+          val pred0 = filters.map(PlanBridge.catalystPredicate)
             .reduce(PlanBridge.PAnd(_, _))
+          val pred =
+            if (GraftLake.nullWitnessShadowed(fullSchema))
+              GraftLake.stripNullTests(pred0)
+            else pred0
           val keep = GraftLake.filePruner(pred)
           val bloomK = bloomFor(pred)
           Some((f: FileStatusWithMetadata) => {
@@ -1524,18 +1564,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       case Some(v) =>
         val (_, files, _) = resolveManifest(name, v)
         val stats = statsFor(name, v)
-        val zone = spark.conf.get("spark.sql.session.timeZone",
-          java.time.ZoneId.systemDefault().getId)
-        // the predicate addresses LOGICAL names; lower it against the
-        // logical schema, then rewrite the lowered conjuncts onto the
-        // physical names so the (physical-keyed) stats and bloom sidecars
-        // keep pruning across renames
-        val renames = GraftLake.logicalNamesOf(meta.schema).map(_.swap)
-        def phys(c: String): String =
-          renames.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
-        val pred = org.apache.spark.sql.graft.PlanBridge.mapPredCols(
-          org.apache.spark.sql.graft.PlanBridge.simplePredicate(
-            predicate, GraftLake.logicalSchema(meta.schema), zone), phys)
+        // one shared lowering (logical names → physical-keyed pruning
+        // tree) with the read pruner, bloom probe and metadata-delete
+        // proof — they must never disagree on what a predicate covers
+        val pred = loweredPhysicalPredicate(meta, predicate)
         val keep = GraftLake.filePruner(pred)
         val bloomK = bloomPruner(name, pred)
         val kept = files.filter { ref =>
@@ -1579,9 +1611,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
       .orElse(versions(name).lastOption)
     last.flatMap { v =>
-      val pred = filters
+      val pred0 = filters
         .map(org.apache.spark.sql.graft.PlanBridge.catalystPredicate)
         .reduce(org.apache.spark.sql.graft.PlanBridge.PAnd(_, _))
+      val pred =
+        if (GraftLake.nullWitnessShadowed(readMeta(name).schema))
+          GraftLake.stripNullTests(pred0)
+        else pred0
       // reuse the commit path's live-set cache — repeated SQL queries must
       // not pay a manifest-chain read each
       val cached = liveSetCache.get(key)
@@ -2772,20 +2808,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
               // delete masked were already emitted in that commit's slice.
               // Uncached entry count, as in dvMaskedRows — a window subset
               // must not evict the live set's cache slot.
-              val keyC = "__graft_cf_key"
-              val posC = "__graft_cf_pos"
               val dvList = prevDvs.toSeq.sorted
-              val dv = dvFrame(name, dvList)
-              val keyed = scan.withColumns(Map(
-                keyC -> GraftLake.dvKeyColumn(partDepth),
-                posC -> col("_metadata.row_index")))
-              val dvSide =
-                if (dvEntryCount(name, dvList) <= dvMaxEntries) broadcast(dv)
-                else dv
-              keyed.join(dvSide,
-                  keyed(keyC) === dv("file_key") && keyed(posC) === dv("pos"),
-                  "left_anti")
-                .drop(keyC, posC)
+              dvAntiJoinFrames(scan, dvFrame(name, dvList), partDepth,
+                broadcastDv = dvEntryCount(name, dvList) <= dvMaxEntries)
             }
           pieces += rows
             .withColumn(GraftLake.ChangeTypeCol, lit("delete"))
@@ -3440,6 +3465,31 @@ object GraftLake {
   final case class NumBounds(lo: Double, hi: Double) extends Bounds
   final case class StrBounds(lo: String, hi: String) extends Bounds
 
+  /** True when a schema field occupies the reserved zero-null-witness
+    * namespace ([[NoNullsPrefix]]). New writes record NO stats for such a
+    * column (footerStats dead-lists the name at the source), but a LEGACY
+    * manifest may carry the column's own bounds under the reserved key —
+    * indistinguishable from a genuine witness — so every null-test
+    * lowering site must downgrade to keep-the-file for such a table. */
+  private[catalog] def nullWitnessShadowed(schema: StructType): Boolean =
+    schema.fieldNames.exists(
+      _.toLowerCase(java.util.Locale.ROOT).startsWith(NoNullsPrefix))
+
+  /** Downgrade null-test leaves to [[org.apache.spark.sql.graft
+    * .PlanBridge.PUnknown]] (keep-the-file / unprovable) — applied when
+    * [[nullWitnessShadowed]] holds for the table being pruned. */
+  private[catalog] def stripNullTests(
+      p: org.apache.spark.sql.graft.PlanBridge.SimplePred)
+      : org.apache.spark.sql.graft.PlanBridge.SimplePred = {
+    import org.apache.spark.sql.graft.PlanBridge._
+    p match {
+      case PAnd(l, r) => PAnd(stripNullTests(l), stripNullTests(r))
+      case POr(l, r) => POr(stripNullTests(l), stripNullTests(r))
+      case PNull(_) | PNotNull(_) => PUnknown
+      case other => other
+    }
+  }
+
   /** Unsigned UTF-8 byte-order comparison (the string pruning domain). */
   private[catalog] def strCmp(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
@@ -3502,7 +3552,14 @@ object GraftLake {
       reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { c =>
           val path = c.getPath.toArray
-          if (path.length == 1 && !dead(path(0))) {
+          // a user column occupying the reserved zero-null-witness
+          // namespace must never land a stats entry — every PNull /
+          // PNotNull consumer reads bare key presence as the witness, and
+          // a bounds entry under that key would spoof it (the same
+          // discipline RowCountKey applies, but enforced at the source)
+          if (path.length == 1 && !dead(path(0)) &&
+              !path(0).toLowerCase(java.util.Locale.ROOT)
+                .startsWith(NoNullsPrefix)) {
             val col = path(0)
             val pt = c.getPrimitiveType
             val st = c.getStatistics

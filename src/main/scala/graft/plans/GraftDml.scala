@@ -38,6 +38,13 @@ final case class GraftDeleteCommand(
     // whole target plan and handles them correctly.
     val hasSubquery = cond.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+    // a provable whole-file drop (metadata-only commit, no scan, no DV,
+    // no rewrite) is strictly better than EITHER mode — try it first; the
+    // retention shape (`DELETE WHERE date < X` on partitioned data) must
+    // not pay a copy-on-write rewrite just because no mode was configured
+    if (!hasSubquery && lake.deleteWhereMetadataOnly(
+        table, PlanBridge.byNameColumn(cond)).isDefined)
+      return Seq.empty
     if (!hasSubquery && spark.conf.getOption("spark.graft.delete.mode")
         .contains("merge-on-read")) {
       lake.deleteWhere(table, PlanBridge.byNameColumn(cond))

@@ -153,6 +153,24 @@ class MetadataDeleteSpec extends AnyFunSuite {
     assert(ids(lake.read("t")) === Set(3), "the null row survives")
   }
 
+  test("a user column in the witness namespace cannot spoof proofs or pruning") {
+    val lake = newLake()
+    // file A: v non-null; file B: v null. The third column squats on the
+    // reserved witness key for v — its own bounds entry must never be
+    // recorded (footerStats dead-lists the name) and the table must stop
+    // lowering null tests entirely (legacy manifests could carry one)
+    lake.append("t", Seq((1, Some("a"), 5))
+      .toDF("id", "v", "__graft_nn:v").repartition(1))
+    lake.append("t", Seq((2, Option.empty[String], 6))
+      .toDF("id", "v", "__graft_nn:v").repartition(1))
+    assert(ids(lake.readWhere("t", col("v").isNull)) === Set(2),
+      "the null row must never vanish behind a spoofed witness")
+    assert(lake.readWhere("t", col("v").isNull).inputFiles.length === 2,
+      "witness shadowed: null tests must not prune at all")
+    assert(lake.deleteWhere("t", col("v").isNotNull) === 1L)
+    assert(ids(lake.read("t")) === Set(2), "the null row survives the delete")
+  }
+
   test("fileAllMatcher unit semantics: zero-null witness, bounds duals, OR/AND") {
     import org.apache.spark.sql.graft.PlanBridge._
     val nn = GraftLake.NoNullsPrefix
@@ -188,21 +206,31 @@ class MetadataDeleteSpec extends AnyFunSuite {
     assert(GraftLake.filePruner(PNotNull("a"))(s), "IS NOT NULL never skips")
   }
 
-  test("SQL DELETE through the catalog takes the same fast path") {
+  test("SQL DELETE takes the fast path in the DEFAULT mode (no conf set)") {
     GraftLake.invalidateCaches()
     val cat = "mdcat1"
     val wh = Files.createTempDirectory("graft-mdcat").toString
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // deliberately NO spark.graft.delete.mode: the copy-on-write default
+    // must still probe the metadata-only drop before rewriting anything
+    val lake = new GraftLake(spark, wh)
+    lake.append("t", (1 to 60).map(i => (i, i)).toDF("id", "n").repartition(1))
+    lake.append("t", (61 to 120).map(i => (i, i)).toDF("id", "n").repartition(1))
+    val files0 = lake.dataFiles("t").toSet
+    spark.sql(s"DELETE FROM $cat.t WHERE id <= 60")
+    assert(lake.liveDvs("t").isEmpty, "provable SQL DELETE: no DV")
+    assert(lake.dataFiles("t").size === 1)
+    assert(lake.dataFiles("t").toSet.subsetOf(files0),
+      "the surviving file is the ORIGINAL file, not a rewrite")
+    assert(lake.history("t").collect().last.getString(2) === "delete",
+      "a remove-only delete commit, not a replace-scoped rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 60L)
+    // the merge-on-read route still fast-paths too
     spark.conf.set("spark.graft.delete.mode", "merge-on-read")
     try {
-      val lake = new GraftLake(spark, wh)
-      lake.append("t", (1 to 60).map(i => (i, i)).toDF("id", "n").repartition(1))
-      lake.append("t", (61 to 120).map(i => (i, i)).toDF("id", "n").repartition(1))
-      spark.sql(s"DELETE FROM $cat.t WHERE id <= 60")
-      assert(lake.liveDvs("t").isEmpty, "provable SQL DELETE: no DV")
-      assert(lake.dataFiles("t").size === 1)
-      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 60L)
+      spark.sql(s"DELETE FROM $cat.t WHERE id > 60")
+      assert(lake.liveDvs("t").isEmpty && lake.dataFiles("t").isEmpty)
     } finally spark.conf.unset("spark.graft.delete.mode")
   }
 }
