@@ -168,10 +168,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * values supplied for them by SQL writers are discarded. */
   private final class GraftTable(tableName: String, underlying: ParquetTable,
       wh: String) extends Table with SupportsRead with SupportsWrite
+      with org.apache.spark.sql.connector.catalog.TruncatableTable
       with GraftTableIdentity {
     override def graftWarehouse: String = wh
     override def graftTableName: String = tableName
     override def graftVersion: Option[Long] = None
+    /** `TRUNCATE TABLE` lands as ONE remove-only commit — O(metadata) at
+      * any size; old snapshots stay time-travelable. */
+    override def truncateTable(): Boolean = {
+      new GraftLake(SparkSession.active, wh).truncate(tableName)
+      true
+    }
     override def name(): String = underlying.name
     override def schema(): StructType = underlying.schema
     // AUTOMATIC_SCHEMA_EVOLUTION lets Spark's own analysis rule

@@ -863,29 +863,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // every un-dropped file provably matches nothing: a provable no-op
     // delete costs zero jobs and zero commits
     if (drop.isEmpty) return Some(0L)
-    val dd = new Path(dataDir(name))
-    val hd = historyDir(name)
-    val f = fs(dd)
-    def at(root: Path, ref: (String, String)): Path =
-      if (ref._1.isEmpty) new Path(root, ref._2)
-      else new Path(new Path(root, ref._1), ref._2)
     // rename-only retirement (the same _history/ protocol as rewrites, so
     // time travel / restore / vacuum see nothing new); any failure rolls
     // the moved files back and the scan path serves the delete instead
-    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    try {
-      drop.foreach { ref =>
-        val dst = at(hd, ref)
-        f.mkdirs(dst.getParent)
-        renameOrFail(f, at(dd, ref), dst)
-        moved += ref
-      }
-    } catch {
-      case _: Exception =>
-        moved.foreach(ref =>
-          try f.rename(at(hd, ref), at(dd, ref)) catch { case _: Exception => () })
-        return None
-    }
+    if (!retireRefs(name, drop)) return None
     // exact count from metadata: footer rows minus rows an earlier MoR
     // delete had already masked (those entries turn inert with the file)
     val masked = liveDvEntriesByFile(name, liveDvs(name),
@@ -902,6 +883,54 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     commitVersion(name, Nil, drop, op = "delete")
     graft.metrics.GraftMetrics.op("metadataDelete").record(drop.size.toLong)
     Some(deleted)
+  }
+
+  /** Rename-only retirement of live files into `_history/` (the rewrite
+    * protocol's layout, so time travel / restore / vacuum see nothing
+    * new). All-or-nothing: any failure renames the already-moved files
+    * back and returns false — the caller picks its own fallback. */
+  private def retireRefs(name: String, refs: Seq[(String, String)]): Boolean = {
+    val dd = new Path(dataDir(name))
+    val hd = historyDir(name)
+    val f = fs(dd)
+    def at(root: Path, ref: (String, String)): Path =
+      if (ref._1.isEmpty) new Path(root, ref._2)
+      else new Path(new Path(root, ref._1), ref._2)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      refs.foreach { ref =>
+        val dst = at(hd, ref)
+        f.mkdirs(dst.getParent)
+        renameOrFail(f, at(dd, ref), dst)
+        moved += ref
+      }
+      true
+    } catch {
+      case _: Exception =>
+        moved.foreach(ref =>
+          try f.rename(at(hd, ref), at(dd, ref)) catch { case _: Exception => () })
+        false
+    }
+  }
+
+  /** TRUNCATE: retire EVERY live file in one remove-only commit —
+    * O(metadata) at any table size, the unconditional twin of the
+    * metadata-only DELETE (no proofs needed: everything goes). Old
+    * snapshots stay time-travelable; the retention vacuum reaps them;
+    * live DV sidecars are dropped in the same commit (all entries turn
+    * inert with their files). The DSv2 `TRUNCATE TABLE` statement routes
+    * here via [[org.apache.spark.sql.connector.catalog.TruncatableTable]].
+    * Reference analog: DuckLake deletes the snapshot's data-file rows
+    * from its catalog; the parquet stays for time travel. */
+  def truncate(name: String): Unit = writeLock(name) {
+    val v = versions(name).lastOption.getOrElse(return)
+    val (_, files, _) = resolveManifest(name, v)
+    val dvs = liveDvs(name)
+    if (files.isEmpty && dvs.isEmpty) return
+    require(retireRefs(name, files),
+      s"TRUNCATE '$name': retiring live files into _history/ failed " +
+        "(partially-moved files were renamed back; the table is unchanged)")
+    commitVersion(name, Nil, files, op = "truncate", dvRemoved = dvs)
   }
 
   /** The metadata-only DELETE fast path ALONE (no scan fallback):
@@ -2778,11 +2807,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           (prevDvs -- m.dvRemove ++ m.dvAdd, m.dvAdd.sorted.toSeq,
             m.dvRemove.nonEmpty)
       }
-      // a METADATA-ONLY DELETE (remove-only commit, no adds, no new DVs)
-      // IS row-attributable: the retired files' still-unmasked rows are
-      // exactly the deleted rows, readable forever from _history/
-      val metadataDelete = m.op == "delete" && removedAny &&
-        added.isEmpty && dvAdded.isEmpty && !dvRemovedAny
+      // a METADATA-ONLY DELETE or TRUNCATE (remove-only commit, no adds,
+      // no new DVs) IS row-attributable: the retired files' still-unmasked
+      // rows are exactly the deleted rows, readable forever from
+      // _history/. TRUNCATE also drops its (now-inert) DV sidecars in the
+      // same commit — that removal clears nothing a reader could see.
+      val metadataDelete = removedAny && added.isEmpty && dvAdded.isEmpty &&
+        ((m.op == "delete" && !dvRemovedAny) || m.op == "truncate")
       if (!logicalNoOps(m.op)) {
         require(metadataDelete || (!removedAny && !dvRemovedAny),
           s"tableChanges on '$name': commit v$v ('${m.op}') rewrites files " +

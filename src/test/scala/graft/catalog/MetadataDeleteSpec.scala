@@ -153,6 +153,37 @@ class MetadataDeleteSpec extends AnyFunSuite {
     assert(ids(lake.read("t")) === Set(3), "the null row survives")
   }
 
+  test("TRUNCATE TABLE is one remove-only commit; time travel and feed survive") {
+    GraftLake.invalidateCaches()
+    val cat = "mdcat2"
+    val wh = Files.createTempDirectory("graft-mdtrunc").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val lake = new GraftLake(spark, wh)
+    lake.append("t", (1 to 10).map(i => (i, i)).toDF("id", "n").repartition(1))
+    lake.deleteWhere("t", col("id") === 3) // a live DV the truncate must drop
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 0L)
+    assert(lake.dataFiles("t").isEmpty && lake.liveDvs("t").isEmpty)
+    assert(lake.history("t").collect().last.getString(2) === "truncate")
+    val vs = lake.versions("t")
+    assert(ids(lake.readVersion("t", vs(0))) === (1 to 10).toSet,
+      "pre-truncate snapshots read the retired file from _history/")
+    // feed across the truncate: the 9 surviving rows emit as deletes
+    // (id=3 was already emitted by the DV commit's slice)
+    val feed = lake.tableChanges("t", vs(1), vs.last)
+      .select(col("id"), col("_change_type")).collect()
+    assert(feed.map(_.getInt(0)).toSet === ((1 to 10).toSet - 3))
+    assert(feed.forall(_.getString(1) == "delete"))
+    // idempotent: truncating an already-empty table commits nothing
+    val n = lake.versions("t").size
+    lake.truncate("t")
+    assert(lake.versions("t").size === n)
+    // writes after a truncate land normally
+    spark.sql(s"INSERT INTO $cat.t (id, n) VALUES (99, 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 1L)
+  }
+
   test("a user column in the witness namespace cannot spoof proofs or pruning") {
     val lake = newLake()
     // file A: v non-null; file B: v null. The third column squats on the
