@@ -243,6 +243,18 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val n = field.name
     require(n != InsertedAtCol && !n.startsWith("__p_"),
       s"'$n' is engine-managed and cannot be dropped")
+    // a column squatting on a reserved stats namespace suppresses the
+    // namespace's consumers for the whole table (shadow guards); DROPPING
+    // it would turn any legacy manifest entry under the reserved key into
+    // a trusted witness/row-count — refuse, the one evolution that can
+    // never be made safe retroactively
+    require(!n.toLowerCase(java.util.Locale.ROOT)
+        .startsWith(GraftLake.NoNullsPrefix) &&
+        !n.equalsIgnoreCase(GraftLake.RowCountKey),
+      s"'$n' occupies a reserved stats namespace and cannot be dropped: " +
+        "manifests written while it existed carry its bounds under a " +
+        "reserved key, which would become indistinguishable from engine " +
+        "metadata once the column is gone")
     require(!meta.pks.exists(_.equalsIgnoreCase(n)),
       s"'$n' is a primary-key column and cannot be dropped")
     require(!meta.partitionExprs.exists(_.column.equalsIgnoreCase(n)),
@@ -863,14 +875,33 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // every un-dropped file provably matches nothing: a provable no-op
     // delete costs zero jobs and zero commits
     if (drop.isEmpty) return Some(0L)
+    val dvs0 = liveDvs(name)
+    // DV sidecars whose EVERY entry references a no-longer-live file ride
+    // out in the same commit: leaving them would pin the anti-join read
+    // plan and erode the dvMaxEntries budget with inert entries forever
+    // (nothing else removes them short of an overwrite). One bounded job
+    // over the sidecars (≤ dvMaxEntries rows), only when DVs exist.
+    val dvRemoved: Seq[String] =
+      if (dvs0.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val entries = dvFrame(name, dvs0).select(col("file_key"),
+          element_at(split(input_file_name(), "/"), -1).as("__dv"))
+        val liveAfter = rest.map(GraftLake.fileKey).toDF("live_key")
+        val pinned = entries.join(liveAfter,
+            entries("file_key") === liveAfter("live_key"), "left_semi")
+          .select(col("__dv")).distinct().collect()
+          .map(_.getString(0)).toSet
+        dvs0.filterNot(pinned)
+      }
+    // exact count from metadata: footer rows minus rows an earlier MoR
+    // delete had already masked (those entries turn inert with the file)
+    val masked = liveDvEntriesByFile(name, dvs0,
+      drop.map(GraftLake.fileKey).toSet)
     // rename-only retirement (the same _history/ protocol as rewrites, so
     // time travel / restore / vacuum see nothing new); any failure rolls
     // the moved files back and the scan path serves the delete instead
     if (!retireRefs(name, drop)) return None
-    // exact count from metadata: footer rows minus rows an earlier MoR
-    // delete had already masked (those entries turn inert with the file)
-    val masked = liveDvEntriesByFile(name, liveDvs(name),
-      drop.map(GraftLake.fileKey).toSet)
     val deleted = drop.map { ref =>
       (statsOf(ref).get(GraftLake.RowCountKey) match {
         case Some(GraftLake.NumBounds(lo, _)) => lo.toLong
@@ -880,7 +911,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // on a lost commit race, commitVersion's unswapOnCollision renames the
     // removed files back out of _history/ before failing fast — the same
     // contract every rewrite commit has
-    commitVersion(name, Nil, drop, op = "delete")
+    commitVersion(name, Nil, drop, op = "delete", dvRemoved = dvRemoved)
     graft.metrics.GraftMetrics.op("metadataDelete").record(drop.size.toLong)
     Some(deleted)
   }
@@ -926,7 +957,10 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val v = versions(name).lastOption.getOrElse(return)
     val (_, files, _) = resolveManifest(name, v)
     val dvs = liveDvs(name)
-    if (files.isEmpty && dvs.isEmpty) return
+    // no live files = already empty: any remaining DV entries are inert
+    // (their files are gone) and a dvRemoved-only commit would be
+    // remove-nothing — unattributable noise in the change feed
+    if (files.isEmpty) return
     require(retireRefs(name, files),
       s"TRUNCATE '$name': retiring live files into _history/ failed " +
         "(partially-moved files were renamed back; the table is unchanged)")
@@ -2810,10 +2844,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       // a METADATA-ONLY DELETE or TRUNCATE (remove-only commit, no adds,
       // no new DVs) IS row-attributable: the retired files' still-unmasked
       // rows are exactly the deleted rows, readable forever from
-      // _history/. TRUNCATE also drops its (now-inert) DV sidecars in the
-      // same commit — that removal clears nothing a reader could see.
+      // _history/. Both may also drop now-inert DV sidecars in the same
+      // commit — that removal clears nothing a reader could see, and the
+      // emission below anti-joins the PRE-commit DV state regardless.
       val metadataDelete = removedAny && added.isEmpty && dvAdded.isEmpty &&
-        ((m.op == "delete" && !dvRemovedAny) || m.op == "truncate")
+        (m.op == "delete" || m.op == "truncate")
       if (!logicalNoOps(m.op)) {
         require(metadataDelete || (!removedAny && !dvRemovedAny),
           s"tableChanges on '$name': commit v$v ('${m.op}') rewrites files " +

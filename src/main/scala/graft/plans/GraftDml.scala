@@ -38,18 +38,20 @@ final case class GraftDeleteCommand(
     // whole target plan and handles them correctly.
     val hasSubquery = cond.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
-    // a provable whole-file drop (metadata-only commit, no scan, no DV,
-    // no rewrite) is strictly better than EITHER mode — try it first; the
-    // retention shape (`DELETE WHERE date < X` on partitioned data) must
-    // not pay a copy-on-write rewrite just because no mode was configured
-    if (!hasSubquery && lake.deleteWhereMetadataOnly(
-        table, PlanBridge.byNameColumn(cond)).isDefined)
-      return Seq.empty
     if (!hasSubquery && spark.conf.getOption("spark.graft.delete.mode")
         .contains("merge-on-read")) {
+      // deleteWhere runs the metadata-only proof internally before its
+      // DV path — no separate probe, the proof runs exactly once
       lake.deleteWhere(table, PlanBridge.byNameColumn(cond))
       return Seq.empty
     }
+    // default copy-on-write: a provable whole-file drop (metadata-only
+    // commit, no scan, no DV, no rewrite) is strictly better — probe it
+    // first; the retention shape (`DELETE WHERE date < X` on partitioned
+    // data) must not pay a rewrite just because no mode was configured
+    if (!hasSubquery && lake.deleteWhereMetadataOnly(
+        table, PlanBridge.byNameColumn(cond)).isDefined)
+      return Seq.empty
     val meta = lake.readMeta(table)
     val tdf = PlanBridge.ofRows(spark, target)
     // DELETE removes rows where the condition IS TRUE; null-valued

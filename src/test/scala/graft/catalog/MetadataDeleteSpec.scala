@@ -99,6 +99,9 @@ class MetadataDeleteSpec extends AnyFunSuite {
     // now drop file 1 wholesale: 100 footer rows minus the masked one
     assert(lake.deleteWhere("t", col("id") <= 100) === 99L)
     assert(ids(lake.read("t")) === (101 to 200).toSet)
+    assert(lake.liveDvs("t").isEmpty,
+      "every DV entry referenced the dropped file: the inert sidecar " +
+        "rides out in the same commit (nothing pins the anti-join plan)")
   }
 
   test("time travel, RESTORE and the change feed see through a metadata delete") {
