@@ -773,7 +773,69 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** q154: CURRICULUM ORDERING — assign every document a deterministic
+    * training position that interleaves difficulty bands (the curriculum-
+    * learning data-ordering step: each consecutive window of the epoch
+    * sees the full easy→hard spectrum instead of all-easy-then-all-hard).
+    * Difficulty proxy = scaled mean word length; band boundaries are the
+    * exact 25/50/75 % quantiles (both engines use the same R-7 linear
+    * interpolation; the scaled-integer domain makes the interpolated
+    * boundaries exact quarters, so `>` comparisons are float-safe); a
+    * document's position is `(rank-within-band − 1) × 4 + band`, unique
+    * by construction.
+    *
+    * Scale shape: the corpus is scanned once map-side for the difficulty
+    * projection; the quantile boundaries are ONE tiny aggregate broadcast
+    * back (never a corpus shuffle); banding is a map-side CASE. The
+    * within-band rank is the one inherently sequential piece (a training
+    * ORDER is a global prefix anyway) — expressed as a 4-way-parallel
+    * window here; at 100 TB the same positions come from per-partition
+    * counts + prefix-sum offsets (the zipWithIndex pattern), same
+    * semantics, no single-task window. */
+  val q154Curriculum = QueryDef(
+    "q154_curriculum",
+    """WITH d AS (SELECT doc_id,
+      |    CAST(floor(100.0 * n_chars /
+      |      (1 + length(text) - length(replace(text, ' ', '')))) AS BIGINT)
+      |      AS diff
+      |  FROM documents),
+      |q AS (SELECT quantile_cont(diff, 0.25) AS q1,
+      |             quantile_cont(diff, 0.50) AS q2,
+      |             quantile_cont(diff, 0.75) AS q3 FROM d),
+      |b AS (SELECT doc_id,
+      |    1 + CAST(diff > q1 AS INT) + CAST(diff > q2 AS INT)
+      |      + CAST(diff > q3 AS INT) AS band
+      |  FROM d, q),
+      |r AS (SELECT doc_id, band,
+      |    row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT CAST((rn - 1) * 4 + band AS BIGINT) AS epoch_pos,
+      |  CAST(band AS INT) AS band, doc_id
+      |FROM r ORDER BY epoch_pos LIMIT 40""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"),
+      floor(lit(100.0) * col("n_chars") /
+        (lit(1) + length(col("text")) -
+          length(expr("replace(text, ' ', '')")))).as("diff"))
+    val q = d.agg(
+      expr("percentile(diff, 0.25)").as("q1"),
+      expr("percentile(diff, 0.50)").as("q2"),
+      expr("percentile(diff, 0.75)").as("q3"))
+    val banded = d.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (lit(1) + (col("diff") > col("q1")).cast("int")
+          + (col("diff") > col("q2")).cast("int")
+          + (col("diff") > col("q3")).cast("int")).as("band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("doc_id"))
+    banded
+      .withColumn("rn", row_number().over(w))
+      .select(((col("rn") - 1) * 4 + col("band")).cast("long").as("epoch_pos"),
+        col("band").cast("int").as("band"), col("doc_id"))
+      .orderBy(col("epoch_pos")).limit(40)
+  }
+
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
     q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage,
-    q96ContentChunks, q115SegmentDedup, q121SourceQuota, q123EpochPlan)
+    q96ContentChunks, q115SegmentDedup, q121SourceQuota, q123EpochPlan,
+    q154Curriculum)
 }

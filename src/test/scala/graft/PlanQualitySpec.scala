@@ -303,6 +303,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q154: curriculum bands broadcast one-row boundaries; output is top-k") {
+    val p = plan("q154_curriculum")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row quantile-boundary frame must broadcast onto the corpus")
+    assert(!p.contains("CartesianProduct"),
+      "banding is a map-side CASE, never a shuffled cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-row witness must plan as a distributed sort-limit")
+  }
+
   test("q116: weighted sampling top-k never global-sorts") {
     val p = plan("q116_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
