@@ -876,28 +876,34 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // delete costs zero jobs and zero commits
     if (drop.isEmpty) return Some(0L)
     val dvs0 = liveDvs(name)
-    // DV sidecars whose EVERY entry references a no-longer-live file ride
-    // out in the same commit: leaving them would pin the anti-join read
-    // plan and erode the dvMaxEntries budget with inert entries forever
-    // (nothing else removes them short of an overwrite). One bounded job
-    // over the sidecars (≤ dvMaxEntries rows), only when DVs exist.
-    val dvRemoved: Seq[String] =
-      if (dvs0.isEmpty) Nil
+    // ONE bounded job over the DV sidecars (one row per data file the DVs
+    // touch — metadata scale) serves BOTH needs, with the drop/rest key
+    // classification done driver-side against in-memory sets rather than
+    // shipping the (possibly huge) surviving-file list into a join:
+    //  - `masked`: entries per dropped file, so the returned count equals
+    //    footer rows minus rows an earlier MoR delete already removed;
+    //  - `dvRemoved`: sidecars whose EVERY entry references a
+    //    no-longer-live file ride out in the same commit — leaving them
+    //    would pin the anti-join read plan and erode the dvMaxEntries
+    //    budget forever (nothing else removes them short of an overwrite).
+    val (masked: Map[String, Long], dvRemoved: Seq[String]) =
+      if (dvs0.isEmpty) (Map.empty[String, Long], Nil)
       else {
-        import spark.implicits._
-        val entries = dvFrame(name, dvs0).select(col("file_key"),
-          element_at(split(input_file_name(), "/"), -1).as("__dv"))
-        val liveAfter = rest.map(GraftLake.fileKey).toDF("live_key")
-        val pinned = entries.join(liveAfter,
-            entries("file_key") === liveAfter("live_key"), "left_semi")
-          .select(col("__dv")).distinct().collect()
-          .map(_.getString(0)).toSet
-        dvs0.filterNot(pinned)
+        val dropKeys = drop.map(GraftLake.fileKey).toSet
+        val liveKeys = rest.map(GraftLake.fileKey).toSet
+        val perFile = dvFrame(name, dvs0)
+          .withColumn("__dv", element_at(split(input_file_name(), "/"), -1))
+          .groupBy(col("file_key"))
+          .agg(count(lit(1)).as("n"), collect_set(col("__dv")).as("srcs"))
+          .collect()
+        val m = perFile.iterator
+          .filter(r => dropKeys.contains(r.getString(0)))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val pinned = perFile.iterator
+          .filter(r => liveKeys.contains(r.getString(0)))
+          .flatMap(_.getSeq[String](2)).toSet
+        (m, dvs0.filterNot(pinned))
       }
-    // exact count from metadata: footer rows minus rows an earlier MoR
-    // delete had already masked (those entries turn inert with the file)
-    val masked = liveDvEntriesByFile(name, dvs0,
-      drop.map(GraftLake.fileKey).toSet)
     // rename-only retirement (the same _history/ protocol as rewrites, so
     // time travel / restore / vacuum see nothing new); any failure rolls
     // the moved files back and the scan path serves the delete instead
@@ -957,10 +963,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val v = versions(name).lastOption.getOrElse(return)
     val (_, files, _) = resolveManifest(name, v)
     val dvs = liveDvs(name)
-    // no live files = already empty: any remaining DV entries are inert
-    // (their files are gone) and a dvRemoved-only commit would be
-    // remove-nothing — unattributable noise in the change feed
-    if (files.isEmpty) return
+    // no live files = already empty. Any remaining DV sidecars are inert
+    // (their files are gone) but still pin the anti-join read plan and
+    // count against the dvMaxEntries budget — clear them under the
+    // feed-transparent "dv-clear" op (logicalNoOps) rather than a
+    // remove-nothing "truncate" commit the feed could not attribute.
+    if (files.isEmpty) {
+      if (dvs.nonEmpty)
+        commitVersion(name, Nil, Nil, op = "dv-clear", dvRemoved = dvs)
+      return
+    }
     require(retireRefs(name, files),
       s"TRUNCATE '$name': retiring live files into _history/ failed " +
         "(partially-moved files were renamed back; the table is unchanged)")
@@ -1177,6 +1189,21 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     } finally f.delete(stage, true)
   }
 
+  /** Partition directories holding the given partition-value rows — via a
+    * DV-FREE internal scan's `input_file_name`. Every partition-scoped
+    * rewrite needs this instead of probing its own (possibly DV-masked)
+    * frame: the DV anti-join plan has TWO file sources, which
+    * `input_file_name` rejects outright — and the dirs must include files
+    * whose every row is DV-masked anyway, since the rewrite replaces
+    * those partitions wholesale. Bounded by affected partitions × files. */
+  private[graft] def partitionDirsFor(name: String, partCols: Seq[String],
+      parts: Array[org.apache.spark.sql.Row]): Seq[String] =
+    readInternal(name, readMeta(name))
+      .filter(GraftLake.partitionScope(partCols, parts))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getParent.toString)
+      .toSeq.distinct
+
   /** Copy-on-write fallback for an UPDATE whose hit set exceeds the DV
     * entry budget: rewrites the source ∪ destination partitions (an
     * update of a partition-source column relocates rows) with the
@@ -1216,9 +1243,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val parts = srcParts.union(destParts).distinct().collect()
       if (parts.isEmpty) return
       val scoped = masked.filter(GraftLake.partitionScope(partCols, parts))
-      val dirs = scoped.select(input_file_name().as("f")).distinct()
-        .collect().map(r => new Path(r.getString(0)).getParent.toString)
-        .toSeq.distinct
+      // dirs from the DV-free scan: input_file_name over `scoped` (which
+      // carries the DV anti-join when DVs are live) has two file sources
+      val dirs = partitionDirsFor(name, partCols, parts)
       replaceScoped(name, updCols(scoped), dirs)
     }
   }

@@ -415,11 +415,9 @@ object AnalyticsOps {
         if (parts.nonEmpty) {
           val scoped = replicaP.filter(
             graft.catalog.GraftLake.partitionScope(partCols, parts))
-          val dirs = scoped.select(input_file_name().as("f")).distinct()
-            .collect()
-            .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
-              .getParent.toString)
-            .toSeq.distinct
+          // dirs via the lake's DV-free scan: input_file_name over a
+          // DV-masked read plan has two file sources and is rejected
+          val dirs = lake.partitionDirsFor(table, partCols, parts)
           lake.replaceScoped(table, scoped.join(dels, pks, "left_anti"), dirs)
         }
       }

@@ -784,9 +784,10 @@ object CurationOps {
     * document's position is `(rank-within-band − 1) × 4 + band`, unique
     * by construction.
     *
-    * Scale shape: the corpus is scanned once map-side for the difficulty
-    * projection; the quantile boundaries are ONE tiny aggregate broadcast
-    * back (never a corpus shuffle); banding is a map-side CASE. The
+    * Scale shape: the classic stats-pass + apply-pass pair (as in
+    * q121/q122): one corpus scan feeds the exact-quantile aggregate, a
+    * second scans for banding with the ONE-ROW boundary frame broadcast
+    * back (never a corpus shuffle); banding itself is a map-side CASE. The
     * within-band rank is the one inherently sequential piece (a training
     * ORDER is a global prefix anyway) — expressed as a 4-way-parallel
     * window here; at 100 TB the same positions come from per-partition

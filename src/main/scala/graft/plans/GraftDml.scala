@@ -69,8 +69,9 @@ final case class GraftDeleteCommand(
     } else {
       GraftDml.scope(tdf, tdf.filter(hit), partCols) match {
         case None => () // nothing matches — no partition touched
-        case Some((scoped, dirs)) =>
-          lake.replaceScoped(table, scoped.filter(!hit), dirs)
+        case Some((scoped, parts)) =>
+          lake.replaceScoped(table, scoped.filter(!hit),
+            lake.partitionDirsFor(table, partCols, parts))
       }
     }
     Seq.empty
@@ -157,8 +158,8 @@ final case class GraftUpdateCommand(
       val parts = srcParts.union(destParts).distinct().collect()
       if (parts.isEmpty) return Seq.empty
       val scoped = tdf.filter(GraftLake.partitionScope(partCols, parts))
-      val dirs = GraftDml.partitionDirs(scoped)
-      lake.replaceScoped(table, updatedCols(scoped), dirs)
+      lake.replaceScoped(table, updatedCols(scoped),
+        lake.partitionDirsFor(table, partCols, parts))
     }
     Seq.empty
   }
@@ -178,25 +179,17 @@ private[plans] object GraftDml {
   final case class Shielded(expr: Expression)
   final case class ShieldedAssignments(assigns: Seq[Assignment])
 
-  /** Partition directories currently backing `df` (via the pruned scan's
-    * `input_file_name`, never `DataFrame.inputFiles` — that ignores
-    * pruning). Bounded by the number of affected partitions × files. */
-  def partitionDirs(df: DataFrame): Seq[String] =
-    df.select(input_file_name().as("f")).distinct()
-      .collect().map(r => new Path(r.getString(0)).getParent.toString)
-      .toSeq.distinct
-
   /** Scope a partitioned rewrite to the partitions containing `matching`
-    * rows: returns (scoped target rows, their backing partition dirs), or
-    * None when nothing matches. */
-  def scope(tdf: DataFrame, matching: DataFrame,
-      partCols: Seq[String]): Option[(DataFrame, Seq[String])] = {
+    * rows: returns (scoped target rows, the matching partition-value
+    * rows), or None when nothing matches. Callers resolve the value rows
+    * to directories via [[GraftLake.partitionDirsFor]] — a DV-free scan,
+    * because `input_file_name` over a DV-masked target plan (two file
+    * sources) is rejected by Spark. */
+  def scope(tdf: DataFrame, matching: DataFrame, partCols: Seq[String])
+      : Option[(DataFrame, Array[Row])] = {
     val parts = matching
       .select(partCols.map(c => col(GraftLake.quoted(c))): _*).distinct().collect()
     if (parts.isEmpty) None
-    else {
-      val scoped = tdf.filter(GraftLake.partitionScope(partCols, parts))
-      Some((scoped, partitionDirs(scoped)))
-    }
+    else Some((tdf.filter(GraftLake.partitionScope(partCols, parts)), parts))
   }
 }

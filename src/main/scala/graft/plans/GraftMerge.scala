@@ -396,7 +396,10 @@ final case class GraftMergeCommand(
         if (parts.isEmpty) return // nothing matched, nothing inserts: no-op
         val scope = GraftLake.partitionScope(partCols, parts)
         val scoped = tdf.filter(scope)
-        Some((PlanBridge.planOf(scoped), GraftDml.partitionDirs(scoped),
+        // dirs via the lake's DV-free scan (input_file_name over a
+        // DV-masked target plan has two file sources and is rejected)
+        Some((PlanBridge.planOf(scoped),
+          lake.partitionDirsFor(table, partCols, parts),
           tdf.filter(!scope)))
       }
     val scopedTarget = scoping.map(_._1).getOrElse(target)

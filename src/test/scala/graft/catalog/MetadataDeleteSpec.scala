@@ -187,6 +187,55 @@ class MetadataDeleteSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 1L)
   }
 
+  test("truncate clears stranded inert DV sidecars under a feed-transparent op") {
+    GraftLake.invalidateCaches()
+    val cat = "mdcat3"
+    val wh = Files.createTempDirectory("graft-mdstrand").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val lake = new GraftLake(spark, wh)
+    lake.write("p", (1 to 10).map(i => (i, i % 2)).toDF("id", "seg")
+      .repartition(1), partitions = Seq("seg"))
+    assert(lake.deleteWhere("p", col("id") === 3) === 1L) // a live DV
+    // partition-scoped COW DELETE of everything: % is unprovable (no
+    // metadata drop) and the partitioned COW path keeps clearDvs=false,
+    // leaving the table file-less with the sidecar STRANDED live
+    spark.sql(s"DELETE FROM $cat.p WHERE id % 1 = 0")
+    assert(lake.dataFiles("p").isEmpty)
+    assert(lake.liveDvs("p").nonEmpty,
+      "scenario setup: the partition-scoped rewrite strands the inert DV")
+    lake.truncate("p")
+    assert(lake.liveDvs("p").isEmpty, "truncate reaps the stranded sidecar")
+    assert(lake.history("p").collect().last.getString(2) === "dv-clear",
+      "remove-nothing cleanup rides the feed-transparent op")
+    val vs = lake.versions("p")
+    // the feed resolves across the dv-clear commit (a logical no-op)
+    assert(lake.tableChanges("p", vs(vs.size - 2), vs.last).count() === 0L)
+    // truncating the now genuinely-empty table commits nothing
+    lake.truncate("p")
+    assert(lake.versions("p").size === vs.size)
+  }
+
+  test("partition-scoped SQL COW DML works while DVs are live") {
+    GraftLake.invalidateCaches()
+    val cat = "mdcat4"
+    val wh = Files.createTempDirectory("graft-mdcow").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val lake = new GraftLake(spark, wh)
+    lake.write("p", (1 to 8).map(i => (i, i % 2, i * 10)).toDF("id", "seg", "n")
+      .repartition(1), partitions = Seq("seg"))
+    assert(lake.deleteWhere("p", col("id") === 2) === 1L) // live DV
+    // the partition-dir resolution must come from a DV-FREE scan:
+    // input_file_name over the DV-masked target plan (two file sources)
+    // used to throw MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION here
+    spark.sql(s"UPDATE $cat.p SET n = n + 1 WHERE id % 2 = 1")
+    val rows = spark.sql(s"SELECT id, n FROM $cat.p ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq === Seq((1, 11), (3, 31), (4, 40), (5, 51), (6, 60),
+      (7, 71), (8, 80)), "odd rows bumped, id=2 stays deleted")
+  }
+
   test("a user column in the witness namespace cannot spoof proofs or pruning") {
     val lake = newLake()
     // file A: v non-null; file B: v null. The third column squats on the
