@@ -1787,6 +1787,64 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     tableLocks.computeIfAbsent(s"$warehouse/$name/__write", _ => new Object)
       .synchronized(f)
 
+  /** Version-vector PIN for snapshot-consistent MULTI-TABLE reads: the
+    * current version of every named table, captured in one pass. Feed the
+    * entries to [[readVersion]] and cross-table joins see one point in
+    * time even while ingest keeps committing between the reads — the
+    * report-over-moving-ingest consistency DuckLake gets from its
+    * catalog-level snapshots, file-native here (a pin is just the version
+    * vector; pinned snapshots stay readable until [[expireSnapshots]]
+    * retention reaps them). */
+  def pin(names: Seq[String]): Map[String, Long] =
+    names.distinct.map { n =>
+      val vs = versions(n)
+      require(vs.nonEmpty, s"cannot pin '$n': the table has no snapshot yet")
+      n -> vs.last
+    }.toMap
+
+  /** COORDINATED multi-table write transaction: every named table's write
+    * lock is held (in sorted order — deadlock-free) for the duration of
+    * `body`, and if `body` throws, every member table that committed
+    * during it is rolled back — pre-existing tables via a compensating
+    * [[restore]] to their pre-transaction version, tables created inside
+    * the transaction via [[truncate]]. Honest contract, weaker than
+    * DuckLake's catalog-level ACID (file-native manifests have no
+    * cross-table commit record):
+    *  - coordination and rollback are SINGLE-PROCESS (this JVM's locks);
+    *    cross-process writers to member tables race normally;
+    *  - no read isolation: an unpinned reader between two member commits
+    *    observes table A's new snapshot before table B's — readers that
+    *    need one point in time use [[pin]] + [[readVersion]];
+    *  - rollback is COMPENSATION, not erasure: the aborted attempt stays
+    *    in the commit history (op "restore") until retention reaps it. */
+  def transact[T](names: Seq[String])(body: => T): T = {
+    val sorted = names.distinct.sorted
+    require(sorted.nonEmpty, "transact needs at least one member table")
+    def locked[R](rem: List[String])(f: => R): R = rem match {
+      case Nil => f
+      case h :: t => writeLock(h)(locked(t)(f))
+    }
+    locked(sorted.toList) {
+      val pre: Map[String, Option[Long]] =
+        sorted.map(n => n -> versions(n).lastOption).toMap
+      try body
+      catch {
+        case e: Throwable =>
+          sorted.foreach { n =>
+            try {
+              if (versions(n).lastOption != pre(n)) pre(n) match {
+                case Some(v) => restore(n, v)
+                case None => truncate(n)
+              }
+            } catch {
+              case r: Throwable => e.addSuppressed(r)
+            }
+          }
+          throw e
+      }
+    }
+  }
+
   /** Plain INSERT path (W3): conform + `_inserted_at = now()` + append.
     * The batch lands in a stage dir and its part files are renamed into
     * `data/` — the renames are how the commit knows EXACTLY which files it

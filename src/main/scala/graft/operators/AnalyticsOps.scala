@@ -1862,6 +1862,64 @@ object AnalyticsOps {
       .orderBy(col("yr"))
   }
 
+  /** q155: COORDINATED MULTI-TABLE TRANSACTION ([[graft.catalog.GraftLake
+    * .transact]]) — two tables ingest a batch each inside one transaction
+    * (commits), then a second transaction writes BOTH tables and aborts:
+    * every member rolls back via a compensating restore, so the final
+    * contents reflect exactly the committed transaction. The in-query
+    * `require`s pin the mechanics (the abort propagated, both commit logs
+    * end in "restore", a [[graft.catalog.GraftLake.pin]] taken before the
+    * abort still reads the same contents afterwards); the oracle pins the
+    * surviving rows arithmetically. Honest contract vs DuckLake's
+    * catalog-level ACID is documented on `transact` (single-process
+    * coordination, compensation not erasure, pin for read consistency). */
+  val q155Transaction = QueryDef(
+    "q155_transaction",
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice) AS BIGINT) AS p FROM orders)
+      |SELECT 'cold' AS tbl, count(*) AS n_rows,
+      |  CAST(sum(p) AS BIGINT) AS price_units
+      |FROM o WHERE k % 2 = 1
+      |UNION ALL
+      |SELECT 'hot', count(*), CAST(sum(p) AS BIGINT) FROM o WHERE k % 2 = 0
+      |ORDER BY tbl""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"txn:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-txnq").toString)
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice")).cast("long").as("p"))
+      l.append("hot", o.filter(col("k") % 4 === 0))
+      l.append("cold", o.filter(col("k") % 4 === 1))
+      // committed transaction: both members land their second batch
+      l.transact(Seq("hot", "cold")) {
+        l.append("hot", o.filter(col("k") % 4 === 2))
+        l.append("cold", o.filter(col("k") % 4 === 3))
+      }
+      val pins = l.pin(Seq("hot", "cold"))
+      // aborted transaction: both members wrote, both must roll back
+      val aborted = try {
+        l.transact(Seq("hot", "cold")) {
+          l.append("hot", o.filter(col("k") % 100 === 7))
+          l.append("cold", o.filter(col("k") % 100 === 7))
+          sys.error("abort after both members wrote")
+        }
+        false
+      } catch { case _: RuntimeException => true }
+      require(aborted, "the transaction body's failure must propagate")
+      Seq("hot", "cold").foreach { t =>
+        require(l.history(t).collect().last.getString(2) == "restore",
+          s"'$t' must end in a compensating restore")
+        require(l.readVersion(t, pins(t)).count() == l.read(t).count(),
+          s"the pre-abort pin of '$t' must read the same contents")
+      }
+      l
+    })
+    def agg(t: String) = lake.read(t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("price_units"))
+      .select(lit(t).as("tbl"), col("n_rows"), col("price_units"))
+    agg("cold").unionByName(agg("hot")).orderBy(col("tbl"))
+  }
+
   val all: Seq[QueryDef] = Seq(q81Profile, q82EventFunnel, q83RollingWindow,
     q84Scd2, q85TimeTravel, q86SnapshotDiff, q87IncrementalRead,
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
@@ -1871,5 +1929,5 @@ object AnalyticsOps {
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
-    q152ExpectationAudit, q153MetadataDelete)
+    q152ExpectationAudit, q153MetadataDelete, q155Transaction)
 }

@@ -1,0 +1,87 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coordinated multi-table transaction contract (`transact`): sorted-order
+  * write locks for the body's duration, compensating rollback of every
+  * member that committed when the body throws (restore for pre-existing
+  * tables, truncate for members created inside), suppressed-exception
+  * hygiene; and the `pin` version vector giving snapshot-consistent
+  * multi-table reads while ingest keeps committing. */
+class TransactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake = {
+    GraftLake.invalidateCaches()
+    new GraftLake(spark, Files.createTempDirectory("graft-txn").toString)
+  }
+
+  test("transact commits all members; failure rolls every member back") {
+    val lake = newLake()
+    lake.append("a", Seq((1, "a1")).toDF("k", "v").repartition(1))
+    lake.append("b", Seq((1, "b1")).toDF("k", "v").repartition(1))
+    lake.transact(Seq("a", "b")) {
+      lake.append("a", Seq((2, "a2")).toDF("k", "v"))
+      lake.append("b", Seq((2, "b2")).toDF("k", "v"))
+    }
+    assert(lake.read("a").count() === 2 && lake.read("b").count() === 2)
+    // failure AFTER both members wrote: both compensate back
+    val e = intercept[IllegalStateException](
+      lake.transact(Seq("a", "b")) {
+        lake.append("a", Seq((3, "a3")).toDF("k", "v"))
+        lake.append("b", Seq((3, "b3")).toDF("k", "v"))
+        throw new IllegalStateException("boom")
+      })
+    assert(e.getMessage === "boom", "the body's own failure propagates")
+    assert(lake.read("a").count() === 2 && lake.read("b").count() === 2)
+    assert(lake.history("a").collect().last.getString(2) === "restore",
+      "rollback is a compensating restore, visible in the commit log")
+    assert(lake.history("b").collect().last.getString(2) === "restore")
+    // failure BEFORE the second member wrote: only the first compensates
+    val vB = lake.versions("b").size
+    intercept[RuntimeException](
+      lake.transact(Seq("a", "b")) {
+        lake.append("a", Seq((4, "a4")).toDF("k", "v"))
+        throw new RuntimeException("later")
+      })
+    assert(lake.read("a").count() === 2 && lake.read("b").count() === 2)
+    assert(lake.versions("b").size === vB, "untouched members commit nothing")
+  }
+
+  test("members created inside a failed transaction are emptied") {
+    val lake = newLake()
+    lake.append("base", Seq((1, 1)).toDF("k", "n").repartition(1))
+    intercept[RuntimeException](
+      lake.transact(Seq("base", "fresh")) {
+        lake.append("fresh", Seq((1, 1)).toDF("k", "n"))
+        lake.append("base", Seq((2, 2)).toDF("k", "n"))
+        throw new RuntimeException("abort")
+      })
+    assert(lake.read("base").count() === 1)
+    assert(lake.read("fresh").count() === 0,
+      "a member created inside the transaction truncates on abort")
+  }
+
+  test("pin gives snapshot-consistent multi-table reads under ongoing writes") {
+    val lake = newLake()
+    lake.append("o", Seq((1, 10)).toDF("k", "n").repartition(1))
+    lake.append("l", Seq((1, 100)).toDF("k", "n").repartition(1))
+    val pins = lake.pin(Seq("o", "l"))
+    // ingest keeps moving after the pin
+    lake.append("o", Seq((2, 20)).toDF("k", "n"))
+    lake.deleteWhere("l", col("k") === 1)
+    val o = lake.readVersion("o", pins("o"))
+    val l = lake.readVersion("l", pins("l"))
+    assert(o.count() === 1 && l.count() === 1)
+    assert(o.join(l, "k").count() === 1,
+      "the pinned join sees one point in time")
+    assert(lake.read("o").count() === 2 && lake.read("l").count() === 0,
+      "live reads see the post-pin state")
+    intercept[IllegalArgumentException](lake.pin(Seq("nope")))
+  }
+}
