@@ -1787,61 +1787,106 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     tableLocks.computeIfAbsent(s"$warehouse/$name/__write", _ => new Object)
       .synchronized(f)
 
+  /** Nested sorted-order lock acquisition shared by [[pin]] and
+    * [[transact]] — both must see the same ordering discipline or the
+    * deadlock-freedom argument breaks. */
+  private def lockedAll[R](sortedNames: List[String])(f: => R): R =
+    sortedNames match {
+      case Nil => f
+      case h :: t => writeLock(h)(lockedAll(t)(f))
+    }
+
+  /** A thread inside [[transact]] — nested transact calls acquire locks
+    * out of global sorted order (classic ABBA) and are refused. */
+  private val inTransact = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
   /** Version-vector PIN for snapshot-consistent MULTI-TABLE reads: the
-    * current version of every named table, captured in one pass. Feed the
-    * entries to [[readVersion]] and cross-table joins see one point in
-    * time even while ingest keeps committing between the reads — the
+    * current version of every named table, captured under the SAME
+    * sorted-order write locks [[transact]] uses — so a pin can never
+    * observe a transaction's half-committed state (member A's new
+    * snapshot beside member B's old one). Feed the entries to
+    * [[readVersion]] and cross-table joins see one point in time even
+    * while ingest keeps committing between the reads — the
     * report-over-moving-ingest consistency DuckLake gets from its
     * catalog-level snapshots, file-native here (a pin is just the version
     * vector; pinned snapshots stay readable until [[expireSnapshots]]
     * retention reaps them). */
-  def pin(names: Seq[String]): Map[String, Long] =
-    names.distinct.map { n =>
-      val vs = versions(n)
-      require(vs.nonEmpty, s"cannot pin '$n': the table has no snapshot yet")
-      n -> vs.last
-    }.toMap
+  def pin(names: Seq[String]): Map[String, Long] = {
+    val sorted = names.distinct.sorted
+    lockedAll(sorted.toList) {
+      sorted.map { n =>
+        val vs = versions(n)
+        require(vs.nonEmpty, s"cannot pin '$n': the table has no snapshot yet")
+        n -> vs.last
+      }.toMap
+    }
+  }
 
   /** COORDINATED multi-table write transaction: every named table's write
-    * lock is held (in sorted order — deadlock-free) for the duration of
-    * `body`, and if `body` throws, every member table that committed
-    * during it is rolled back — pre-existing tables via a compensating
-    * [[restore]] to their pre-transaction version, tables created inside
-    * the transaction via [[truncate]]. Honest contract, weaker than
-    * DuckLake's catalog-level ACID (file-native manifests have no
-    * cross-table commit record):
+    * lock is held (in sorted order — deadlock-free so long as bodies only
+    * write MEMBER tables; nested transact is refused outright, and a body
+    * writing a non-member table re-introduces ABBA against another
+    * transaction holding it) for the duration of `body`. If `body` throws
+    * a non-fatal exception, every member that committed during it rolls
+    * back: pre-existing tables via a compensating [[restore]] to their
+    * pre-transaction version PLUS their pre-transaction schema/PK/
+    * constraint registry (an aborted append's auto-evolution must not
+    * survive), tables created inside via [[truncate]] (their created
+    * schema remains). Honest contract, weaker than DuckLake's
+    * catalog-level ACID (file-native manifests have no cross-table commit
+    * record):
     *  - coordination and rollback are SINGLE-PROCESS (this JVM's locks);
     *    cross-process writers to member tables race normally;
     *  - no read isolation: an unpinned reader between two member commits
     *    observes table A's new snapshot before table B's — readers that
     *    need one point in time use [[pin]] + [[readVersion]];
     *  - rollback is COMPENSATION, not erasure: the aborted attempt stays
-    *    in the commit history (op "restore") until retention reaps it. */
+    *    in the commit history (op "restore") until retention reaps it; a
+    *    rollback step that itself fails (e.g. the body vacuumed the
+    *    pre-transaction snapshot) is attached as a suppressed exception;
+    *  - fatal errors and control-flow throwables (non-local return)
+    *    propagate WITHOUT compensation — rolling back heavy Spark jobs on
+    *    an OOM/interrupt is unreliable, and a non-local return is not a
+    *    failure. */
   def transact[T](names: Seq[String])(body: => T): T = {
     val sorted = names.distinct.sorted
     require(sorted.nonEmpty, "transact needs at least one member table")
-    def locked[R](rem: List[String])(f: => R): R = rem match {
-      case Nil => f
-      case h :: t => writeLock(h)(locked(t)(f))
-    }
-    locked(sorted.toList) {
+    require(!inTransact.get,
+      "nested transact is not supported: inner members would be locked " +
+        "out of global sorted order (deadlock risk) — pass every member " +
+        "to ONE transact call")
+    lockedAll(sorted.toList) {
       val pre: Map[String, Option[Long]] =
         sorted.map(n => n -> versions(n).lastOption).toMap
+      val preMeta: Map[String, Option[TableMeta]] =
+        sorted.map(n =>
+          n -> (if (pre(n).isDefined) scala.util.Try(readMeta(n)).toOption
+                else None)).toMap
+      inTransact.set(true)
       try body
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           sorted.foreach { n =>
             try {
               if (versions(n).lastOption != pre(n)) pre(n) match {
                 case Some(v) => restore(n, v)
                 case None => truncate(n)
               }
+              // restore keeps the CURRENT schema by design (its own
+              // contract) — the transaction rollback must ALSO revert
+              // registry evolution the aborted body committed
+              preMeta(n).foreach { m =>
+                if (scala.util.Try(readMeta(n)).toOption.exists(_ != m))
+                  writeMeta(n, m)
+              }
             } catch {
               case r: Throwable => e.addSuppressed(r)
             }
           }
           throw e
-      }
+      } finally inTransact.set(false)
     }
   }
 

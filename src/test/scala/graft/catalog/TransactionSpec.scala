@@ -67,6 +67,58 @@ class TransactionSpec extends AnyFunSuite {
       "a member created inside the transaction truncates on abort")
   }
 
+  test("rollback reverts registry evolution the aborted body committed") {
+    val lake = newLake()
+    lake.append("a", Seq((1, "x")).toDF("k", "v").repartition(1))
+    intercept[RuntimeException](
+      lake.transact(Seq("a")) {
+        // auto-evolution inside the body: ADD COLUMN extra
+        lake.append("a", Seq((2, "y", 9)).toDF("k", "v", "extra"))
+        throw new RuntimeException("abort")
+      })
+    assert(lake.read("a").count() === 1)
+    assert(!lake.read("a").columns.contains("extra"),
+      "an aborted append's schema evolution must not survive the rollback")
+  }
+
+  test("a failed rollback step surfaces as a suppressed exception") {
+    val lake = newLake()
+    lake.append("a", Seq((1, 1)).toDF("k", "n").repartition(1))
+    val e = intercept[RuntimeException](
+      lake.transact(Seq("a")) {
+        lake.append("a", Seq((2, 2)).toDF("k", "n"))
+        // vacuum the pre-transaction snapshot so the compensating
+        // restore has nothing to return to
+        lake.expireSnapshots("a", keepLast = 1)
+        throw new RuntimeException("boom")
+      })
+    assert(e.getMessage === "boom")
+    assert(e.getSuppressed.nonEmpty,
+      "the failed restore must ride along as a suppressed exception")
+    // no data lost: the body's append simply stays (compensation failed)
+    assert(lake.read("a").count() === 2)
+  }
+
+  test("nested transact is refused; fatal control flow skips compensation") {
+    val lake = newLake()
+    lake.append("a", Seq((1, 1)).toDF("k", "n"))
+    lake.append("b", Seq((1, 1)).toDF("k", "n"))
+    val e = intercept[IllegalArgumentException](
+      lake.transact(Seq("a")) { lake.transact(Seq("b")) { () } })
+    assert(e.getMessage.contains("nested transact"))
+    // a non-local return is control flow, not failure: committed work stays
+    def f(): Int = {
+      lake.transact(Seq("a")) {
+        lake.append("a", Seq((2, 2)).toDF("k", "n"))
+        return 7
+      }
+      0
+    }
+    assert(f() === 7)
+    assert(lake.read("a").count() === 2,
+      "the body's append must survive a non-local return")
+  }
+
   test("pin gives snapshot-consistent multi-table reads under ongoing writes") {
     val lake = newLake()
     lake.append("o", Seq((1, 10)).toDF("k", "n").repartition(1))
