@@ -154,6 +154,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     statsMapCache.remove(s"$warehouse/$name")
     dvSetCache.remove(s"$warehouse/$name")
     dvCountCache.remove(s"$warehouse/$name")
+    dvRulePassCache.remove(s"$warehouse/$name")
+    dvRulePassAtVersion.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
     bloomCache.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
   }
 
@@ -633,6 +635,59 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           val dvs = resolveDvs(name, v)
           dvSetCache.put(key, (v, dvs))
           dvs
+        }
+    }
+  }
+
+  /** True when the analyzer DV/rename rule can keep the table's plain
+    * DSv2 scan: no live deletion vectors AND no renamed columns at the
+    * requested snapshot. Memoized per (table, version) so the steady
+    * state — the common one, re-established by any full rewrite — costs
+    * exactly two ConcurrentHashMap gets per relation per analyzer pass
+    * (version lookup + verdict lookup), with no metadata resolution of
+    * any kind. A commit of any flavor bumps the version and misses the
+    * memo, so DV/rename commits are picked up on the very next analysis.
+    * `VERSION AS OF` verdicts are immutable and cached unboundedly-sound
+    * (bounded defensively). */
+  private[graft] def dvRuleUnchanged(name: String,
+      version: Option[Long]): Boolean = {
+    val key = s"$warehouse/$name"
+    version match {
+      case Some(v) =>
+        val vk = s"$key#$v"
+        val cached = GraftLake.dvRulePassAtVersion.get(vk)
+        if (cached != null) cached.booleanValue()
+        else {
+          GraftLake.dvRuleSlowPathEvals.increment()
+          val ok = dvsAtVersion(name, v).isEmpty &&
+            GraftLake.logicalNamesOf(schemaAtVersion(name, v)).isEmpty
+          if (GraftLake.dvRulePassAtVersion.size() > 65536)
+            GraftLake.dvRulePassAtVersion.clear()
+          GraftLake.dvRulePassAtVersion.put(vk, java.lang.Boolean.valueOf(ok))
+          ok
+        }
+      case None =>
+        val last: Option[Long] =
+          Option(GraftLake.lastVersionCache.get(key)).map(_.longValue())
+            .orElse(versions(name).lastOption)
+        last match {
+          case None =>
+            // zero commits: no DVs possible, but play it safe on renames
+            // (they always commit, so this branch is cold anyway)
+            GraftLake.dvRuleSlowPathEvals.increment()
+            liveDvs(name).isEmpty &&
+              GraftLake.logicalNamesOf(readMeta(name).schema).isEmpty
+          case Some(v) =>
+            val memo = GraftLake.dvRulePassCache.get(key)
+            if (memo != null && memo.longValue() == v) true
+            else {
+              GraftLake.dvRuleSlowPathEvals.increment()
+              val ok = liveDvs(name).isEmpty &&
+                GraftLake.logicalNamesOf(readMeta(name).schema).isEmpty
+              if (ok)
+                GraftLake.dvRulePassCache.put(key, java.lang.Long.valueOf(v))
+              ok
+            }
         }
     }
   }
@@ -3499,6 +3554,25 @@ object GraftLake {
   private val dvSetCache = new ConcurrentHashMap[String, (Long, Vector[String])]()
   private val dvCountCache =
     new ConcurrentHashMap[String, (Vector[String], Long)]()
+  /** Memoized analyzer-rule fast-path verdicts: `warehouse/table` →
+    * latest version at which (no live DVs ∧ no renamed columns) held, so
+    * [[graft.plans.ApplyGraftDeletionVectors]] does ZERO metadata work —
+    * not even cache-hit lookups — per relation per analyzer pass in the
+    * steady state. Sound because every state change that could flip the
+    * verdict (MoR DELETE/UPDATE committing a DV, RENAME COLUMN,
+    * materializeDeletes, RESTORE, full rewrites) goes through
+    * [[commitVersion]] and bumps the version the memo is keyed on. Only
+    * POSITIVE verdicts are stored — a DV-carrying table must rebuild its
+    * substituted read every pass anyway. */
+  private val dvRulePassCache = new ConcurrentHashMap[String, java.lang.Long]()
+  /** Same verdict for `VERSION AS OF` snapshot relations — immutable per
+    * (table, version), size-bounded defensively. */
+  private val dvRulePassAtVersion =
+    new ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Times the rule's slow path (resolve DVs + read schema metadata) ran —
+    * spec observability for the memoization: analyzing the same clean
+    * table N times must evaluate the slow path once. */
+  private[graft] val dvRuleSlowPathEvals = new java.util.concurrent.atomic.LongAdder
   /** Deserialized bloom sidecars, keyed `warehouse/table#column` with the
     * sidecar directory mtime as the freshness token. */
   private val bloomCache = new ConcurrentHashMap[

@@ -44,22 +44,18 @@ final case class ApplyGraftDeletionVectors(spark: SparkSession)
         r.table match {
           case t: GraftTableIdentity =>
             val lake = new GraftLake(spark, t.graftWarehouse)
-            val dvs = t.graftVersion match {
-              case None => lake.liveDvs(t.graftTableName)
-              case Some(v) => lake.dvsAtVersion(t.graftTableName, v)
-            }
-            // renamed columns route through the engine read too: the
-            // plain DSv2 scan addresses parquet by the LOGICAL name and
-            // would read nulls for every file (RENAME COLUMN freezes the
-            // physical name; GraftLake.read aliases it back). A versioned
-            // read checks the SNAPSHOT's OWN schema — the current meta
-            // may have renamed back (identity mapping) while the
-            // snapshot-era schema still needs the alias
-            val renamed = GraftLake.logicalNamesOf(t.graftVersion match {
-              case None => lake.readMeta(t.graftTableName).schema
-              case Some(v) => lake.schemaAtVersion(t.graftTableName, v)
-            })
-            if (dvs.isEmpty && renamed.isEmpty) r
+            // fast path — memoized per (table, version): a table with no
+            // live DVs and no renamed columns (the steady state) keeps
+            // its plain DSv2 scan at the cost of two cache lookups, with
+            // ZERO metadata resolution per analyzer pass. Renamed columns
+            // must route through the engine read: the plain DSv2 scan
+            // addresses parquet by the LOGICAL name and would read nulls
+            // for every file (RENAME COLUMN freezes the physical name;
+            // GraftLake.read aliases it back). A versioned read checks
+            // the SNAPSHOT's OWN schema — the current meta may have
+            // renamed back (identity mapping) while the snapshot-era
+            // schema still needs the alias.
+            if (lake.dvRuleUnchanged(t.graftTableName, t.graftVersion)) r
             else {
               val df = t.graftVersion match {
                 case None => lake.readLiveFull(t.graftTableName)

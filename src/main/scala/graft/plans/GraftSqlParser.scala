@@ -72,89 +72,118 @@ object GraftSqlParser {
 
   def parseAdmin(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Restore(ident, v) =>
-      Some(GraftRestoreCommand(parts(ident), v.toLong))
+      Some(GraftRestoreCommand(parts(ident), v.toLong, sqlText))
     case Vacuum(ident, n) =>
-      Some(GraftVacuumCommand(parts(ident), n.toInt))
+      Some(GraftVacuumCommand(parts(ident), n.toInt, sqlText))
     case Optimize(ident, cols) =>
       val zorder = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
         .filter(_.nonEmpty).map(_.stripPrefix("`").stripSuffix("`"))
-      Some(GraftOptimizeCommand(parts(ident), zorder))
+      Some(GraftOptimizeCommand(parts(ident), zorder, sqlText))
     case DescribeHistory(ident) =>
-      Some(GraftDescribeHistoryCommand(parts(ident)))
+      Some(GraftDescribeHistoryCommand(parts(ident), sqlText))
     case DescribeDetail(ident) =>
-      Some(GraftDescribeDetailCommand(parts(ident)))
+      Some(GraftDescribeDetailCommand(parts(ident), sqlText))
     case DescribePartitions(ident) =>
-      Some(GraftDescribePartitionsCommand(parts(ident)))
+      Some(GraftDescribePartitionsCommand(parts(ident), sqlText))
     case CreateBloom(ident, column, items, fpp) =>
       Some(GraftCreateBloomIndexCommand(parts(ident),
         column.stripPrefix("`").stripSuffix("`"),
         Option(items).map(_.toLong).getOrElse(1000000L),
-        Option(fpp).map(_.toDouble).getOrElse(0.01)))
+        Option(fpp).map(_.toDouble).getOrElse(0.01), sqlText))
     case RefreshBloom(ident) =>
-      Some(GraftRefreshBloomCommand(parts(ident)))
+      Some(GraftRefreshBloomCommand(parts(ident), sqlText))
     case AddConstraint(ident, cname, check) =>
       Some(GraftAddConstraintCommand(parts(ident),
-        cname.stripPrefix("`").stripSuffix("`"), check.trim))
+        cname.stripPrefix("`").stripSuffix("`"), check.trim, sqlText))
     case DropConstraint(ident, cname) =>
       Some(GraftDropConstraintCommand(parts(ident),
-        cname.stripPrefix("`").stripSuffix("`")))
+        cname.stripPrefix("`").stripSuffix("`"), sqlText))
     case _ => None
   }
 
-  /** (warehouse, table) of a catalog-qualified graft identifier —
-    * resolved through the session's CatalogManager at RUN time. */
+  /** (warehouse, table) when `ident` is a catalog-qualified graft table —
+    * resolved through the session's CatalogManager at RUN time. None when
+    * the identifier is unqualified, names an unknown catalog, or resolves
+    * to a NON-graft catalog: the statement then belongs to whoever else
+    * handles it, and the command re-parses through Spark's NATIVE parser
+    * instead of failing (the anchored regexes intercept session-wide, and
+    * e.g. `ALTER TABLE … ADD CONSTRAINT` is also valid Spark grammar
+    * against other DSv2 catalogs — interception must not eat it). */
   private[plans] def resolve(spark: SparkSession,
-      ident: Seq[String]): (String, String) = {
-    require(ident.size == 2,
-      s"graft admin SQL needs a catalog-qualified table " +
-        s"(<catalog>.<table>), got '${ident.mkString(".")}'")
-    spark.sessionState.catalogManager.catalog(ident.head) match {
-      case g: GraftCatalog => (g.warehouseDir, ident(1))
-      case other => throw new IllegalArgumentException(
-        s"catalog '${ident.head}' is not a graft catalog " +
-          s"(${other.getClass.getName})")
-    }
+      ident: Seq[String]): Option[(String, String)] =
+    if (ident.size != 2) None
+    else try {
+      spark.sessionState.catalogManager.catalog(ident.head) match {
+        case g: GraftCatalog => Some((g.warehouseDir, ident(1)))
+        case _ => None
+      }
+    } catch { case _: org.apache.spark.sql.connector.catalog
+        .CatalogNotFoundException => None }
+
+  /** Fall-through half of [[resolve]]: run the intercepted statement
+    * under Spark's OWN grammar — a fresh [[org.apache.spark.sql.execution
+    * .SparkSqlParser]], NOT the session parser (which is this wrapper —
+    * re-entering it would intercept the same text forever). Statements
+    * Spark's grammar lacks (RESTORE/OPTIMIZE/VACUUM-KEEP/…) surface
+    * Spark's native ParseException, which is the correct non-graft
+    * behavior too. */
+  private[plans] def delegateRun(spark: SparkSession,
+      sqlText: String): Seq[Row] = {
+    val plan = new org.apache.spark.sql.execution.SparkSqlParser()
+      .parsePlan(sqlText)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark, plan)
+      .collect().toSeq
   }
 }
 
 /** `RESTORE TABLE t [TO] VERSION AS OF n` — roll the table back (or
   * forward) to snapshot `n` as a new commit, zero bytes copied. */
-final case class GraftRestoreCommand(ident: Seq[String], version: Long)
+final case class GraftRestoreCommand(ident: Seq[String], version: Long,
+    sql: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).restore(t, version)
-    Seq.empty
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).restore(t, version); Seq.empty
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
 /** `VACUUM t KEEP n SNAPSHOTS` — retention-bounded snapshot expiry +
   * unreferenced-file vacuum (keepLast semantics rather than Delta's
   * RETAIN-hours: manifests are wall-clock-free by design). */
-final case class GraftVacuumCommand(ident: Seq[String], keepLast: Int)
+final case class GraftVacuumCommand(ident: Seq[String], keepLast: Int,
+    sql: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).expireSnapshots(t, keepLast)
-    Seq.empty
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).expireSnapshots(t, keepLast); Seq.empty
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
 /** `CREATE BLOOM INDEX ON t (col) [OPTIONS (items=N, fpp=F)]` — one-pass
   * per-file bloom skipping index build ([[GraftLake.buildBloomIndex]]). */
 final case class GraftCreateBloomIndexCommand(ident: Seq[String],
-    column: String, items: Long, fpp: Double) extends LeafRunnableCommand {
+    column: String, items: Long, fpp: Double,
+    sql: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).buildBloomIndex(t, column, items, fpp)
-    Seq.empty
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).buildBloomIndex(t, column, items, fpp)
+        Seq.empty
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
 /** `REFRESH BLOOM INDEX ON t` — incremental extension covering only the
   * files no sidecar has yet ([[GraftLake.refreshBloomIndexes]]); returns
   * (column, files_indexed) rows. */
-final case class GraftRefreshBloomCommand(ident: Seq[String])
+final case class GraftRefreshBloomCommand(ident: Seq[String], sql: String)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{LongType, StringType}
@@ -162,16 +191,18 @@ final case class GraftRefreshBloomCommand(ident: Seq[String])
     AttributeReference("column", StringType, nullable = false)(),
     AttributeReference("files_indexed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).refreshBloomIndexes(t)
-      .toSeq.sortBy(_._1).map { case (c, n) => Row(c, n) }
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) => new GraftLake(spark, wh).refreshBloomIndexes(t)
+        .toSeq.sortBy(_._1).map { case (c, n) => Row(c, n) }
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
 /** `DESCRIBE HISTORY t` — the commit log as a result set: one row per
   * snapshot with operation label, commit time, add/remove deltas, live
   * file and column counts (bounded by the retained version count). */
-final case class GraftDescribeHistoryCommand(ident: Seq[String])
+final case class GraftDescribeHistoryCommand(ident: Seq[String], sql: String)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
@@ -184,19 +215,25 @@ final case class GraftDescribeHistoryCommand(ident: Seq[String])
     AttributeReference("n_live_files", LongType, nullable = false)(),
     AttributeReference("n_columns", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).history(t).collect().toSeq
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).history(t).collect().toSeq
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
 /** `OPTIMIZE t [ZORDER BY (c1, ...)]` — compaction, optionally Z-order
   * clustered for multi-column data skipping. */
 final case class GraftOptimizeCommand(ident: Seq[String],
-    zorderCols: Seq[String]) extends LeafRunnableCommand {
+    zorderCols: Seq[String], sql: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).compact(t, clusterBy = zorderCols)
-    Seq.empty
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).compact(t, clusterBy = zorderCols)
+        Seq.empty
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
@@ -204,21 +241,28 @@ final case class GraftOptimizeCommand(ident: Seq[String],
   * rows, then every write enforces the check inside its own job
   * ([[GraftLake.addConstraint]]). */
 final case class GraftAddConstraintCommand(ident: Seq[String],
-    constraintName: String, check: String) extends LeafRunnableCommand {
+    constraintName: String, check: String,
+    sql: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).addConstraint(t, constraintName, check)
-    Seq.empty
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).addConstraint(t, constraintName, check)
+        Seq.empty
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
 /** `ALTER TABLE t DROP CONSTRAINT name` — metadata-only. */
 final case class GraftDropConstraintCommand(ident: Seq[String],
-    constraintName: String) extends LeafRunnableCommand {
+    constraintName: String, sql: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).dropConstraint(t, constraintName)
-    Seq.empty
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).dropConstraint(t, constraintName)
+        Seq.empty
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
@@ -226,7 +270,7 @@ final case class GraftDropConstraintCommand(ident: Seq[String],
   * files/bytes, column/partition/PK/constraint surfaces, bloom indexes,
   * live DV entries, renamed columns ([[GraftLake.detail]], metadata
   * only). */
-final case class GraftDescribeDetailCommand(ident: Seq[String])
+final case class GraftDescribeDetailCommand(ident: Seq[String], sql: String)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{LongType, StringType}
@@ -245,15 +289,18 @@ final case class GraftDescribeDetailCommand(ident: Seq[String])
     AttributeReference("n_dv_entries", LongType, nullable = false)(),
     AttributeReference("renamed_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).detail(t).collect().toSeq
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).detail(t).collect().toSeq
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }
 
 /** `DESCRIBE PARTITIONS t` — per-partition live file count, exact row
   * count and bytes, from manifest metadata ([[GraftLake.partitionStats]]).
   */
-final case class GraftDescribePartitionsCommand(ident: Seq[String])
+final case class GraftDescribePartitionsCommand(ident: Seq[String], sql: String)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{LongType, StringType}
@@ -263,7 +310,10 @@ final case class GraftDescribePartitionsCommand(ident: Seq[String])
     AttributeReference("n_rows", LongType, nullable = false)(),
     AttributeReference("total_bytes", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (wh, t) = GraftSqlParser.resolve(spark, ident)
-    new GraftLake(spark, wh).partitionStats(t).collect().toSeq
+    GraftSqlParser.resolve(spark, ident) match {
+      case Some((wh, t)) =>
+        new GraftLake(spark, wh).partitionStats(t).collect().toSeq
+      case None => GraftSqlParser.delegateRun(spark, sql)
+    }
   }
 }

@@ -451,4 +451,47 @@ class DeletionVectorSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.dvu.warehouse")
     }
   }
+
+  test("DV/rename rule fast path is memoized: zero metadata work steady-state") {
+    val lake = newLake()
+    spark.conf.set("spark.sql.catalog.dvmemo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvmemo.warehouse", lake.warehouseDir)
+    try {
+      lake.write("t", (1 to 50).map(i => (i, s"v$i")).toDF("id", "v"))
+      // first analysis: the rule's slow path (resolve DVs + schema
+      // metadata) runs once and memoizes the per-(table, version) verdict
+      spark.sql("SELECT count(*) FROM dvmemo.t").collect()
+      val after1 = GraftLake.dvRuleSlowPathEvals.sum()
+      // steady state: repeated analyses — several rule invocations each —
+      // must do NO metadata resolution of any kind (the memoized verdict
+      // short-circuits before readMeta/liveDvs are even called)
+      (1 to 5).foreach { _ =>
+        spark.sql("SELECT id FROM dvmemo.t WHERE id < 10").collect()
+      }
+      assert(GraftLake.dvRuleSlowPathEvals.sum() === after1,
+        "memoized fast-path verdict must short-circuit the analyzer rule")
+      // a DV commit bumps the version, so the memo misses and the rule
+      // substitutes the DV-applied read on the very next analysis
+      lake.deleteWhere("t", col("id") === 1)
+      assert(spark.sql("SELECT count(*) FROM dvmemo.t").head().getLong(0) === 49)
+      // materializing the deletes restores the fast path at the NEW
+      // version: one more slow-path eval, then steady state again
+      lake.materializeDeletes("t")
+      spark.sql("SELECT count(*) FROM dvmemo.t").collect()
+      val after2 = GraftLake.dvRuleSlowPathEvals.sum()
+      (1 to 3).foreach { _ =>
+        spark.sql("SELECT id FROM dvmemo.t WHERE id > 40").collect()
+      }
+      assert(GraftLake.dvRuleSlowPathEvals.sum() === after2,
+        "fast path must re-memoize after DVs are materialized away")
+      // and the rename half: RENAME COLUMN flips the verdict off — the
+      // renamed logical name must resolve (engine read), memo re-keys
+      lake.renameColumn("t", "v", "val")
+      assert(spark.sql("SELECT val FROM dvmemo.t WHERE id = 2")
+        .head().getString(0) === "v2")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dvmemo")
+      spark.conf.unset("spark.sql.catalog.dvmemo.warehouse")
+    }
+  }
 }

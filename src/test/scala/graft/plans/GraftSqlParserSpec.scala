@@ -145,17 +145,40 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
-  test("unqualified / non-graft targets fail clearly; plain SQL passes through") {
+  test("unqualified / non-graft targets DELEGATE to Spark's native grammar") {
     withCat("admf") { (lake, cat) =>
       lake.write("t", Seq((1, "a")).toDF("id", "v"))
+      // graft-only statement shapes against non-graft targets surface
+      // Spark's NATIVE syntax error — never the old
+      // "catalog ... is not a graft catalog" interception failure
       val e = intercept[Exception] {
         spark.sql("RESTORE TABLE t VERSION AS OF 0")
       }
-      assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+      assert(!e.getMessage.contains("graft"), e.getMessage)
       val e2 = intercept[Exception] {
         spark.sql("VACUUM spark_catalog.t KEEP 1 SNAPSHOTS")
       }
-      assert(e2.getMessage.contains("not a graft catalog"), e2.getMessage)
+      assert(!e2.getMessage.contains("graft"), e2.getMessage)
+      // a statement shape Spark's grammar DOES own must reach Spark's
+      // analyzer when the catalog is not graft: the intercepted
+      // ALTER TABLE ... ADD CONSTRAINT on a V1 session-catalog table
+      // gets Spark's own behavior (its table-resolution/constraint
+      // handling), not an interception IllegalArgumentException
+      spark.sql("CREATE TABLE spark_catalog.default.sqlp_nongraft (id INT) USING parquet")
+      try {
+        // whether Spark accepts or rejects it for a V1 table, the outcome
+        // must be SPARK's, never the interception IllegalArgumentException
+        scala.util.Try(spark.sql(
+          "ALTER TABLE spark_catalog.default.sqlp_nongraft " +
+            "ADD CONSTRAINT c1 CHECK (id > 0)")) match {
+          case scala.util.Failure(e3) =>
+            assert(!e3.getMessage.contains("not a graft catalog"), e3.getMessage)
+            assert(!e3.isInstanceOf[IllegalArgumentException], e3.getClass.getName)
+          case scala.util.Success(_) => // Spark's native accept — fine
+        }
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS spark_catalog.default.sqlp_nongraft")
+      }
       // the delegate still parses everything else
       assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
       assert(spark.sql(s"SELECT id FROM $cat.t").head().getInt(0) === 1)
