@@ -51,6 +51,7 @@ object ProfileOne {
     spark.sparkContext.addSparkListener(listener)
     graft.metrics.GraftMetrics.reset()
     val t0 = System.nanoTime()
+    val t0ms = System.currentTimeMillis()
     val n = SparkEntry.queries(name)(spark, sfDir).collect().length
     val s = (System.nanoTime() - t0) / 1e9
     spark.sparkContext.removeSparkListener(listener)
@@ -61,7 +62,11 @@ object ProfileOne {
         case (Some(e), Some(s)) => (e - s).toString
         case _ => "?"
       }
-      println(f"[profile]   job=$id%-4d stages=$st%-3d ${ms}%-6s ms  $site")
+      // at= start offset from t0: the space BETWEEN a job's end and the
+      // next job's start is driver-side work (planning, commit I/O)
+      val at = Option(starts.get(id))
+        .map(s => (s - t0ms).toString).getOrElse("?")
+      println(f"[profile]   job=$id%-4d stages=$st%-3d ${ms}%-6s ms at=$at%-7s $site")
     }
     graft.metrics.GraftMetrics.totalsMs().toSeq.sortBy(-_._2._2).foreach {
       case (op, (c, ms)) => println(f"[profile]   op=$op%-28s n=$c%-4d ${ms}%.0f ms")

@@ -1912,7 +1912,29 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       "nested transact is not supported: inner members would be locked " +
         "out of global sorted order (deadlock risk) — pass every member " +
         "to ONE transact call")
-    lockedAll(sorted.toList) {
+    lockedAll(sorted.toList) { transactBody(sorted)(body) }
+  }
+
+  /** [[transact]] for bodies whose member tables have a SINGLE writer —
+    * this caller (the streaming-ingest shape: the pipeline owns both its
+    * landing table and its index sidecar tables; foreachBatch serializes
+    * its triggers). Commit-or-roll-back-together discipline is identical
+    * to [[transact]]; the member WRITE LOCKS are not held by the
+    * transaction, so the body may write members CONCURRENTLY (each write
+    * takes its own table lock as usual — a transact body's thread-held
+    * locks would deadlock its own worker threads). The caller asserts no
+    * OTHER writer touches the members for the duration; a concurrent
+    * [[pin]] may observe a partially-committed member set (use plain
+    * transact when readers need that guarantee). */
+  def transactOwned[T](names: Seq[String])(body: => T): T = {
+    val sorted = names.distinct.sorted
+    require(sorted.nonEmpty, "transact needs at least one member table")
+    require(!inTransact.get, "nested transact is not supported")
+    transactBody(sorted)(body)
+  }
+
+  private def transactBody[T](sorted: Seq[String])(body: => T): T = {
+    {
       val pre: Map[String, Option[Long]] =
         sorted.map(n => n -> versions(n).lastOption).toMap
       val preMeta: Map[String, Option[TableMeta]] =

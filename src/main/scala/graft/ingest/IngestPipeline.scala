@@ -231,6 +231,37 @@ final class SchemaCache {
 }
 
 object IngestPipeline {
+  /** Per-(topic, format) accumulation state for the batch-profile pass —
+    * mutable on purpose: one instance per key per PARTITION (the
+    * aggregate zero deserializes fresh per task), mutated row by row. */
+  private[ingest] final case class ProfState(var n: Long,
+    var schema: org.apache.spark.sql.types.StructType,
+    var conflict: String, var unparseable: Long) extends Serializable
+
+  /** Executor-side per-row step of the batch profile (a static helper so
+    * the treeAggregate closure never captures the pipeline instance). */
+  private[ingest] def profileRow(
+      acc: scala.collection.mutable.HashMap[(String, Boolean), ProfState],
+      topic: String, ipc: Boolean, v: String, avroTopics: Set[String]): Unit = {
+    val st = acc.getOrElseUpdate((topic, ipc),
+      ProfState(0L, org.apache.spark.sql.types.StructType(Nil), null, 0L))
+    st.n += 1
+    if (!ipc && !avroTopics.contains(topic)) {
+      graft.schema.SchemaInference.inferFromJson(v) match {
+        case None => st.unparseable += 1
+        case Some(_) if st.conflict != null => ()
+        case Some(s) if st.schema.isEmpty => st.schema = s
+        case Some(s) if s == st.schema => () // uniform stream fast path
+        case Some(s) =>
+          try st.schema = graft.schema.SchemaUnify.unify2(st.schema, s)
+          catch {
+            case e: graft.schema.SchemaUnify.GraftSchemaException =>
+              st.conflict = e.getMessage
+          }
+      }
+    }
+  }
+
   /** THREAD-LOCAL replay context: non-null while [[IngestPipeline
     * .replayDlq]] is landing parked rows on this thread, carrying the
     * DLQ snapshot id the replay read from. The write path uses it as an
@@ -332,6 +363,10 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * serializes per query) — the idempotent-append watermark. */
   private var currentBatchId: Long = -1L
 
+  /** First-trigger fan-out decision, remembered for the pipeline's
+    * lifetime (see processBatch). */
+  @volatile private var fanoutDecision: Option[Boolean] = None
+
   import spark.implicits._
 
   /** Kafka-shaped input: (topic, partition, offset, value-bytes). */
@@ -344,31 +379,120 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
   /** Process one micro-batch (also the `foreachBatch` body). The batch is
     * cached for its lifetime — the per-topic fan-out and counters would
     * otherwise re-read the source once per pass. ONE job yields the topic
-    * fan-out, the batch-size metric AND the per-topic wire-format
-    * dispatch (per-trigger fixed job count is streaming flush latency —
-    * r8 folded the two format isEmpty probes into one count, this folds
-    * that count into the fan-out job itself). */
+    * fan-out, the batch-size metric, the per-topic wire-format dispatch
+    * AND the per-topic JSON schema inference (per-trigger fixed job count
+    * is streaming flush latency — r8 folded the two format isEmpty probes
+    * into one count, r9 folded that count into the fan-out job, this
+    * folds the per-topic schema-inference pass in too via
+    * [[SchemaInference.SchemaInferAggregator]], leaving the steady-state
+    * JSON trigger at exactly TWO jobs: profile + landing write). */
   def processBatch(batch: DataFrame, batchId: Long): Unit =
       IngestPipeline.withTriggerConfs(spark) {
     // foreachBatch serializes batches per query; the landing code reads
     // this for the idempotent-append watermark
     currentBatchId = batchId
+    // a trigger that arrives on FEWER partitions than the fan-out floor
+    // (a single-partition topic, a filtered replay, a bench harness frame)
+    // would run its ENTIRE flush — format sniff, inference, JSON parse,
+    // landing projection — on that many cores. Spreading the raw bytes
+    // first is one trivial shuffle (a trigger is offset-bounded); batches
+    // that already carry enough source partitions (the 100 TB shape,
+    // where Kafka partition count IS the parallelism) are left untouched
+    val minFanout = spark.conf.getOption("spark.graft.ingest.minFanout")
+      .map(_.toInt)
+      .getOrElse(math.min(8, spark.sparkContext.defaultParallelism))
+    // the partition probe costs a physical planning of the batch frame —
+    // decided on the FIRST trigger and remembered (a stream's source
+    // partitioning is stable across triggers; the decision is a
+    // heuristic either way)
+    val needsSpread = fanoutDecision match {
+      case Some(d) => d
+      case None =>
+        val d = minFanout > 1 && batch.rdd.getNumPartitions < minFanout
+        fanoutDecision = Some(d)
+        d
+    }
+    val spread = if (needsSpread) batch.repartition(minFanout) else batch
     // tagged once for the whole batch — Avro-configured topics just
     // ignore the column
-    val cached = batch.withColumn("__ipc", ipcSniff).cache()
+    val cached = spread.withColumn("__ipc", ipcSniff).cache()
     try {
-      val counts = cached.groupBy(col("topic"), col("__ipc")).count().collect()
-        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
-      GraftMetrics.recordBatch(counts.map(_._3).sum)
+      val profiled = profileBatch(cached)
+      GraftMetrics.recordBatch(profiled.map(_._3).sum)
       // topics sort so multi-topic batches process in a stable order
-      counts.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (topic, rows) =>
+      profiled.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (topic, rows) =>
         val table = config.tableFor(topic)
         val records = cached.filter(col("topic") === topic)
           .select(col("value"), col("partition"), col("offset"), col("__ipc"))
         val fmtCounts = rows.map(r => r._2 -> r._3).toMap
-        processTopic(topic, table, records, fmtCounts)
+        val jsonProfile = rows.find(!_._2).map(_._4)
+        processTopic(topic, table, records, fmtCounts, jsonProfile)
       }
     } finally cached.unpersist()
+  }
+
+  /** What the fan-out job learned about a topic's JSON rows: the unified
+    * schema (None = no record parsed), the first unification conflict
+    * (Some = the batch needs per-record triage), and the unparseable-value
+    * count (0 = the landing write may skip its corrupt-record probe). */
+  private case class BatchProfile(schemaJson: Option[String],
+    conflict: Option[String], unparseable: Long)
+
+
+  /** ONE pass over the cached batch computing, per (topic, wire format):
+    * record count, unified JSON schema, first unification conflict and
+    * unparseable count. An RDD `treeAggregate` rather than a Catalyst
+    * aggregate on purpose: a typed-imperative aggregate would kick the
+    * whole stage — including the format sniff and the cache-populating
+    * scan — out of whole-stage codegen, and the per-trigger fixed cost is
+    * exactly what this fights. Schemas cross the wire once per partition
+    * tree level, never data; a conflict freezes the state and comes back
+    * as DATA (triage is per record anyway), never as a task failure. A
+    * null JSON VALUE (Kafka tombstone) counts unparseable, exactly as the
+    * per-record path treated it. Avro-configured topics skip inference —
+    * their reader schema is config, not inferred. */
+  private def profileBatch(
+      cached: DataFrame): Array[(String, Boolean, Long, BatchProfile)] = {
+    val rows = cached.select(col("topic"), col("__ipc"),
+      col("value").cast("string").as("__v"))
+    // plain aggregate, not treeAggregate: only schema-sized states reach
+    // the driver (one tiny map per partition), and treeAggregate would
+    // add a scale-down SHUFFLE STAGE even for single-digit partition
+    // counts — a fixed per-trigger stage for nothing
+    val zero = scala.collection.mutable.HashMap.empty[(String, Boolean), IngestPipeline.ProfState]
+    val avro = config.avroSchemas.keySet // serializable capture, not `config`
+    val agg = rows.rdd.aggregate(zero)(
+      (acc, r) => {
+        IngestPipeline.profileRow(acc, r.getString(0), r.getBoolean(1),
+          if (r.isNullAt(2)) null else r.getString(2), avro)
+        acc
+      },
+      (a, b) => {
+        b.foreach { case (k, s) =>
+          a.get(k) match {
+            case None => a.put(k, s)
+            case Some(t) =>
+              t.n += s.n; t.unparseable += s.unparseable
+              if (t.conflict == null) {
+                if (s.conflict != null) { t.conflict = s.conflict }
+                else if (t.schema.isEmpty) t.schema = s.schema
+                else if (s.schema.nonEmpty && s.schema != t.schema) {
+                  try t.schema = SchemaUnify.unify2(t.schema, s.schema)
+                  catch {
+                    case e: SchemaUnify.GraftSchemaException =>
+                      t.conflict = e.getMessage
+                  }
+                }
+              }
+          }
+        }
+        a
+      })
+    agg.toArray.map { case ((topic, ipc), st) =>
+      (topic, ipc, st.n, BatchProfile(
+        if (st.schema.isEmpty) None else Some(st.schema.json),
+        Option(st.conflict), st.unparseable))
+    }
   }
 
   /** Native codegen'd wire-format sniff (same contract as
@@ -387,7 +511,8 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * Arrow IPC vs JSON (mixed topics supported) — `fmtCounts` came out of
     * the fan-out job, so the dispatch costs no job here. */
   private def processTopic(topic: String, table: String, records: DataFrame,
-      fmtCounts: Map[Boolean, Long]): Unit = {
+      fmtCounts: Map[Boolean, Long],
+      jsonProfile: Option[BatchProfile]): Unit = {
     if (config.avroSchemas.contains(topic)) {
       processAvro(topic, table, records)
       return
@@ -395,7 +520,8 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     if (fmtCounts.getOrElse(true, 0L) > 0)
       processArrowIpc(topic, table, records.filter(col("__ipc")))
     if (fmtCounts.getOrElse(false, 0L) > 0)
-      processJson(topic, table, records.filter(!col("__ipc")))
+      processJson(topic, table, records.filter(!col("__ipc")),
+        fmtCounts(false), jsonProfile)
   }
 
   // ---- Avro path (S7) ----
@@ -434,24 +560,33 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * flags as a dup of itself in the index, matching the pipeline's
     * at-least-once contract (re-delivered records are expected; PK
     * last-wins landing absorbs them). */
-  private def applyDedup(table: String, dc: DedupConfig, df: DataFrame): DataFrame = {
+  private def applyDedup(table: String, dc: DedupConfig,
+      df: DataFrame): (DataFrame, Option[() => Unit]) = {
     if (!df.columns.contains(dc.idCol) || !df.columns.contains(dc.textCol)) {
       GraftMetrics.dedupSkippedBatches.increment()
-      return df
+      return (df, None)
     }
     val probe = df
       .select(col(dc.idCol), col(dc.textCol).cast("string").as(dc.textCol))
       .dropDuplicates(dc.idCol)
-    val flags = GraftMetrics.time(GraftMetrics.IngestDedup) {
-      graft.operators.DedupOps.incrementalNearDups(
+    // STAGED: the probe runs now (flags are stable — the dup set is
+    // checkpointed before any index mutation); admission is handed back
+    // so writeToLake commits it inside ONE transact with the landing
+    // write — index and table can never diverge on a failed flush
+    val (flags, admit) = GraftMetrics.time(GraftMetrics.IngestDedup) {
+      graft.operators.DedupOps.incrementalNearDupsStaged(
         lake, s"${table}_lshidx", probe, dc.idCol, dc.textCol,
-        dc.threshold, dc.shingleK, dc.bands, dc.rowsPerBand, admit = true)
+        dc.threshold, dc.shingleK, dc.bands, dc.rowsPerBand,
+        parallelAdmit = true)
     }
+    // the flag frame is batch-bounded (ids + a bit) — broadcast it back
+    // onto the batch rather than shuffling the landing projection
     val flagged = df
-      .join(flags.withColumnRenamed("is_dup", dc.flagCol), Seq(dc.idCol), "left")
+      .join(broadcast(flags.withColumnRenamed("is_dup", dc.flagCol)),
+        Seq(dc.idCol), "left")
       .withColumn(dc.flagCol, coalesce(col(dc.flagCol), lit(0L)))
-    if (dc.dropDups) flagged.filter(col(dc.flagCol) === 0L).drop(dc.flagCol)
-    else flagged
+    (if (dc.dropDups) flagged.filter(col(dc.flagCol) === 0L).drop(dc.flagCol)
+     else flagged, Some(admit))
   }
 
   /** Ingestion-time quality gate: score the batch map-side and flag (or
@@ -484,9 +619,9 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       case Some(qc) => applyQuality(table, qc, rawDf)
       case None => rawDf
     }
-    val deduped = config.dedup.get(table) match {
+    val (deduped, admitIndex) = config.dedup.get(table) match {
       case Some(dc) => applyDedup(table, dc, gated)
-      case None => gated
+      case None => (gated, None)
     }
     val (df, gateDone) = applyConstraintGate(table, deduped)
     val pks = config.pks.getOrElse(table, Nil)
@@ -505,7 +640,7 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       case _ if currentBatchId >= 0 => Some(currentBatchId)
       case _ => None
     }
-    try GraftMetrics.time(op) {
+    def land(): Unit = GraftMetrics.time(op) {
       (config.txnAppId, txnVersion) match {
         case (Some(app), Some(ver)) if !upsertPath =>
           // exactly-once append: the watermark commits WITH the data, so
@@ -524,6 +659,33 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
             ordering = if (hasOffset) Seq(col("__offset")) else Nil,
             exclude = if (hasOffset) Seq("__offset") else Nil)
       }
+    }
+    try admitIndex match {
+      case Some(admit) =>
+        // index admission and the landing commit are ONE transaction: a
+        // flush that fails after admitting rolls the index back too, so
+        // the persisted LSH index never runs ahead of the table it
+        // curates. transactOwned (this pipeline is the members' only
+        // writer — foreachBatch serializes triggers) so admission and
+        // landing run CONCURRENTLY: all three writes read only
+        // checkpointed probe state + the trigger cache, and a streaming
+        // flush pays ONE write's latency, not three in sequence. The
+        // admission future is quiesced before any rollback — compensating
+        // a member while its append is mid-flight would race
+        lake.transactOwned(Seq(table,
+            s"${table}_lshidx_docs", s"${table}_lshidx_bands")) {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fAdmit = Future(admit())
+          try { land(); Await.result(fAdmit, Duration.Inf) }
+          catch {
+            case e: Throwable =>
+              scala.util.Try(Await.ready(fAdmit, Duration.Inf))
+              throw e
+          }
+        }
+      case None => land()
     } finally gateDone() // release the cached gate frame even on failure
     // post-flush auto-compaction: the trigger check is O(1) against the
     // commit cache, so polling it every micro-batch costs nothing
@@ -546,52 +708,67 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       GraftMetrics.time("bloomRefresh") { lake.refreshBloomIndexes(table) }
   }
 
-  private def processJson(topic: String, table: String, records: DataFrame): Unit = {
+  private def processJson(topic: String, table: String, records: DataFrame,
+      nRecords: Long, profile: Option[BatchProfile]): Unit = {
+    // NO second cache: `records` projects the batch-level cache, so every
+    // triage re-read is an in-memory scan already — a per-batch cache here
+    // would just pay a second memory-store write per trigger
     val values = records
       .select(col("value").cast("string").as("v"), col("partition"), col("offset"))
-      .cache()
-    try {
-      val strings = values.select("v").as[String]
-      // both the in-batch unification AND the merge with the cached topic
-      // schema can conflict — either routes to per-record triage
-      val inferred =
-        try Right(SchemaInference.inferSchemaDistributed(strings)
+    // the batch's schema came out of the fan-out job ([[BatchProfile]]) —
+    // no per-topic inference job. Conflicts arrived as DATA (the
+    // aggregator never throws), so only the cached-topic-schema merge can
+    // still throw here; either way the batch routes to per-record triage
+    val inferred: Either[Throwable, Option[StructType]] = profile match {
+      case Some(p) if p.conflict.isDefined =>
+        Left(new SchemaUnify.GraftSchemaException(p.conflict.get))
+      case Some(p) =>
+        try Right(p.schemaJson
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType])
+          .map(s => schemaCache.unifiedFor(topic, Seq(s))))
+        catch { case e: SchemaUnify.GraftSchemaException => Left(e) }
+      case None =>
+        // defensive fallback (a caller outside processBatch): the classic
+        // separate inference pass
+        try Right(SchemaInference.inferSchemaDistributed(values.select("v").as[String])
           .map(s => schemaCache.unifiedFor(topic, Seq(s))))
         catch {
           case e: org.apache.spark.SparkException
               if causeChainHasSchemaConflict(e) => Left(e)
           case e: SchemaUnify.GraftSchemaException => Left(e)
         }
-      inferred match {
-        case Right(None) =>
-          // NO record in the batch yielded a schema — every one is
-          // unparseable. They must not vanish (reference: every record is
-          // either landed or reported): DLQ them all, or fail loudly.
-          if (!values.isEmpty) config.dlqTable match {
-            case Some(dlq) => sendToDlq(dlq, table,
-              values.select(col("v"), col("partition"), col("offset")),
-              "unparseable JSON")
-            case None =>
-              val samples = values.orderBy(col("partition"), col("offset"))
-                .select(col("partition"), col("offset")).limit(5).collect()
-                .map(r => s"${r.getInt(0)}@${r.getLong(1)}").mkString(", ")
-              throw new SchemaUnify.GraftSchemaException(
-                s"No record in topic '$topic' batch parses as JSON and no " +
-                  s"DLQ configured; sample records (partition@offset): $samples")
-          }
-        case Right(Some(unified)) =>
-          // the batch unified INTERNALLY and with the topic cache, but can
-          // still conflict with the TABLE schema (cross-topic routing, a
-          // fresh cache over an old table): that conflict surfaces as the
-          // evolution rejection — triage per record, never crash the stream
-          try landJson(table, values, unified)
-          catch {
-            case e: graft.catalog.LandedTypes.SchemaEvolutionException =>
-              triageEvolution(topic, table, values, e)
-          }
-        case Left(_) => triageJson(topic, table, values)
-      }
-    } finally values.unpersist()
+    }
+    inferred match {
+      case Right(None) =>
+        // NO record in the batch yielded a schema — every one is
+        // unparseable. They must not vanish (reference: every record is
+        // either landed or reported): DLQ them all, or fail loudly.
+        if (nRecords > 0) config.dlqTable match {
+          case Some(dlq) => sendToDlq(dlq, table,
+            values.select(col("v"), col("partition"), col("offset")),
+            "unparseable JSON")
+          case None =>
+            val samples = values.orderBy(col("partition"), col("offset"))
+              .select(col("partition"), col("offset")).limit(5).collect()
+              .map(r => s"${r.getInt(0)}@${r.getLong(1)}").mkString(", ")
+            throw new SchemaUnify.GraftSchemaException(
+              s"No record in topic '$topic' batch parses as JSON and no " +
+                s"DLQ configured; sample records (partition@offset): $samples")
+        }
+      case Right(Some(unified)) =>
+        // the batch unified INTERNALLY and with the topic cache, but can
+        // still conflict with the TABLE schema (cross-topic routing, a
+        // fresh cache over an old table): that conflict surfaces as the
+        // evolution rejection — triage per record, never crash the stream
+        try landJson(table, values, unified, nRecords,
+          mayHaveCorrupt = profile.forall(_.unparseable > 0))
+        catch {
+          case e: graft.catalog.LandedTypes.SchemaEvolutionException =>
+            triageEvolution(topic, table, values, e)
+        }
+      case Left(_) => triageJson(topic, table, values)
+    }
   }
 
   /** Per-record triage for batch-vs-TABLE evolution conflicts: each record
@@ -657,7 +834,20 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     false
   }
 
-  private def landJson(table: String, values: DataFrame, schema: StructType): Unit = {
+  /** Parse + land one topic's JSON rows under `schema`. `nRecords` (known
+    * from the fan-out job, never re-counted) sizes the landing write:
+    * the batch coalesces to ceil(n / maxRecordsPerFile) slices, so a
+    * trigger-sized batch lands as ONE file per flush instead of one tiny
+    * file per upstream partition — fewer write tasks, fewer footer-stats
+    * reads, fewer manifest entries, less auto-compaction pressure — while
+    * a genuinely large trigger keeps one task per target-sized file
+    * (parallelism stays proportional to data; `maxRecordsPerFile` still
+    * rolls oversized tasks). `mayHaveCorrupt=false` (the fan-out profile
+    * counted ZERO unparseable values) skips the corrupt-record probe job
+    * entirely — from_json's corrupt set is a subset of the values
+    * per-record inference could not parse. */
+  private def landJson(table: String, values: DataFrame, schema: StructType,
+      nRecords: Long = -1L, mayHaveCorrupt: Boolean = true): Unit = {
     // corrupt-record channel: from_json yields an all-null struct for
     // malformed input, so a dedicated corrupt column is the reliable signal
     val corrupt = "_graft_corrupt"
@@ -668,14 +858,23 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         Map("columnNameOfCorruptRecord" -> corrupt)))
       .withColumn("__corrupt", col(s"__parsed.`$corrupt`"))
       .withColumn("__offset", col("offset"))
-    val good = parsed.filter(col("__corrupt").isNull && col("__parsed").isNotNull)
+    val good0 = parsed.filter(col("__corrupt").isNull && col("__parsed").isNotNull)
       .select((schema.fieldNames.map(n => col(s"__parsed.`$n`").as(n)) :+
         col("__offset")).toSeq: _*)
+    // repartition, NOT coalesce: coalesce would collapse the parse itself
+    // onto `slices` cores; the shuffle moves only already-parsed rows of
+    // one trigger, and the parse keeps the batch's full parallelism
+    val good = if (nRecords < 0) good0 // triage subset: size unknown, land as-is
+      else good0.repartition(math.max(1L, math.min(Int.MaxValue.toLong,
+        (nRecords + GraftLake.maxRecordsPerFile - 1) /
+          GraftLake.maxRecordsPerFile)).toInt)
     writeToLake(table, good)
     config.dlqTable.foreach { dlq =>
-      val bad = parsed.filter(col("__corrupt").isNotNull || col("__parsed").isNull)
-      if (!bad.isEmpty) sendToDlq(dlq, table, bad
-        .select(col("v"), col("partition"), col("offset")), "unparseable JSON")
+      if (mayHaveCorrupt) {
+        val bad = parsed.filter(col("__corrupt").isNotNull || col("__parsed").isNull)
+        if (!bad.isEmpty) sendToDlq(dlq, table, bad
+          .select(col("v"), col("partition"), col("offset")), "unparseable JSON")
+      }
     }
   }
 
@@ -1041,7 +1240,9 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       // so a replay that crashed between landing and the DLQ rewrite
       // no-ops on re-run rather than duplicating.
       IngestPipeline.replayTxn.set(java.lang.Long.valueOf(pre))
-      try processTopic(topic, config.tableFor(topic), tagged, fmtCounts)
+      // jsonProfile = None: the replay path takes processJson's fallback
+      // inference — replay is not a hot path
+      try processTopic(topic, config.tableFor(topic), tagged, fmtCounts, None)
       finally IngestPipeline.replayTxn.remove()
       val post = lake.versions(dlq).last
       val fresh = lake.readAppendsBetween(dlq, pre, post)

@@ -199,36 +199,78 @@ object DedupOps {
   def incrementalNearDups(lake: graft.catalog.GraftLake, prefix: String,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3, bands: Int = 16,
-      rowsPerBand: Int = 4, admit: Boolean = true): DataFrame = {
-    val bKeys = bandKeys(
-      minHashSignatures(batch, idCol, textCol, shingleK, bands * rowsPerBand),
-      idCol, bands, rowsPerBand)
-    val bShOuter = shingled(batch, idCol, textCol, shingleK)
-      .select(col(idCol).as("__bid"), col("__shingles").as("__sb"))
+      rowsPerBand: Int = 4, admit: Boolean = true): DataFrame =
     if (admit) {
-      // admission evaluates bKeys in the dup-verify job AND the band-table
-      // append — cache for the call's duration only (in the long-lived
-      // ingestion loop leaked cached partitions would accumulate on
-      // executors until eviction pressure)
-      val bKeysC = bKeys.cache()
-      try incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
-        threshold, shingleK, admit = true, bKeysC, bShOuter)
-      finally bKeysC.unpersist()
+      val (flagged, doAdmit) = incrementalNearDupsStaged(lake, prefix,
+        batch, idCol, textCol, threshold, shingleK, bands, rowsPerBand,
+        parallelAdmit = true)
+      doAdmit()
+      flagged
     } else {
       // pure probe: ONE lazy plan the caller evaluates — no caches, no
       // materialization job inside the call. The multiply-referenced
       // sketch frames are map-side scans of the (small) batch; recomputing
       // them inside one job is cheaper than cache bookkeeping + an eager
       // checkpoint job per micro-batch.
+      val bKeys = bandKeys(
+        minHashSignatures(batch, idCol, textCol, shingleK, bands * rowsPerBand),
+        idCol, bands, rowsPerBand)
+      val bShOuter = shingled(batch, idCol, textCol, shingleK)
+        .select(col(idCol).as("__bid"), col("__shingles").as("__sb"))
       incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
-        threshold, shingleK, admit = false, bKeys, bShOuter)
+        threshold, shingleK, admit = false, parallelAdmit = false,
+        bKeys, bShOuter)._1
     }
+
+  /** [[incrementalNearDups]] with admission STAGED for a coordinating
+    * caller: probes the index eagerly and returns (flag frame, admission
+    * thunk). The ingest pipeline runs the thunk INSIDE a multi-table
+    * [[graft.catalog.GraftLake.transact]] alongside the landing write, so
+    * a failure between index admission and the landing commit rolls BOTH
+    * back — the persisted index can never run ahead of the table it
+    * curates (single-process contract, see transact). The thunk appends
+    * the two index tables SEQUENTIALLY: a transact body holds the member
+    * write locks on ITS thread, so a worker thread (the parallel path)
+    * would deadlock against its own transaction.
+    *
+    * Probe mechanics: the batch's (id, shingles, signature) sketch is
+    * computed ONCE and eagerly localCheckpoint'ed. Every downstream
+    * consumer — band keys, both candidate joins, the verify join, the
+    * admission appends — then plans against a shallow in-memory relation
+    * instead of re-deriving (and re-ANALYZING, a per-trigger driver cost
+    * that dwarfed the jobs) the 64-hash sketch tree per branch. */
+  def incrementalNearDupsStaged(lake: graft.catalog.GraftLake,
+      prefix: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4,
+      parallelAdmit: Boolean = false): (DataFrame, () => Unit) = {
+    graft.functions.SketchExpressions.register(batch.sparkSession)
+    graft.functions.ShingleExpression.register(batch.sparkSession)
+    // text rides along so the ADMISSION doc append also plans against the
+    // shallow checkpoint (the caller's batch lineage — typically a
+    // dropDuplicates shuffle off the trigger cache — never re-runs)
+    val sketch = batch
+      .select(col(idCol), col(textCol),
+        wordShingles(col(textCol), shingleK).as("__shingles"))
+      .withColumn("signature",
+        graft.functions.SketchExpressions.minHash(col("__shingles")))
+      .localCheckpoint(true)
+    val bKeys = bandKeys(
+      sketch.filter(col("signature").isNotNull)
+        .select(col(idCol), col("signature")), idCol, bands, rowsPerBand)
+    val bShOuter = sketch
+      .select(col(idCol).as("__bid"), col("__shingles").as("__sb"))
+    incrementalNearDupsBody(lake, prefix,
+      sketch.select(col(idCol), col(textCol)), idCol, textCol,
+      threshold, shingleK, admit = true, parallelAdmit = parallelAdmit,
+      bKeys, bShOuter)
   }
 
   private def incrementalNearDupsBody(lake: graft.catalog.GraftLake,
       prefix: String, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int, admit: Boolean,
-      bKeys: DataFrame, bSh: DataFrame): DataFrame = {
+      parallelAdmit: Boolean,
+      bKeys: DataFrame, bSh: DataFrame): (DataFrame, () => Unit) = {
     // self-bootstrapping: a missing index reads as empty, and the (admit)
     // appends below create the tables — so the FIRST micro-batch of an
     // ingestion loop needs no separate buildMinhashIndex call
@@ -295,25 +337,40 @@ object DedupOps {
     val flagged = batch.select(col(idCol))
       .join(dups.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
-    if (admit) graft.metrics.GraftMetrics.time(
-        graft.metrics.GraftMetrics.DedupAdmit) {
-      val admittedIds = flagged.filter(col("is_dup") === 0L).select(col(idCol))
-      // the two index tables are independent (separate write locks,
-      // separate manifests) — submit their append jobs concurrently so a
-      // streaming trigger pays ONE append's latency, not two in sequence.
-      // Both read only the checkpointed dup set + the caller's batch, so
-      // neither depends on the other's commit.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fDocs = Future(lake.append(s"${prefix}_docs",
-        batch.select(col(idCol), col(textCol))
-          .join(admittedIds, Seq(idCol), "left_semi")))
-      val fBands = Future(lake.append(s"${prefix}_bands",
-        bKeys.join(admittedIds, Seq(idCol), "left_semi")))
-      Await.result(fDocs, scala.concurrent.duration.Duration.Inf)
-      Await.result(fBands, scala.concurrent.duration.Duration.Inf)
-    }
-    flagged
+    val doAdmit: () => Unit = if (!admit) () => () else () =>
+      graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.DedupAdmit) {
+        // survivors broadcast into both append frames (batch-bounded ids —
+        // the same bound that lets the probe broadcast), and each append
+        // coalesces to ONE write task: the frames are trigger-sized, so a
+        // task per upstream shuffle partition would fragment the index
+        // into tiny files every trigger (maxRecordsPerFile still rolls a
+        // genuinely large admission into right-sized files)
+        val admittedIds = broadcast(
+          flagged.filter(col("is_dup") === 0L).select(col(idCol)))
+        def docsFrame = batch.select(col(idCol), col(textCol))
+          .join(admittedIds, Seq(idCol), "left_semi").coalesce(1)
+        def bandsFrame = bKeys.join(admittedIds, Seq(idCol), "left_semi")
+          .coalesce(1)
+        if (parallelAdmit) {
+          // the two index tables are independent (separate write locks,
+          // separate manifests) — submit their append jobs concurrently so
+          // a streaming trigger pays ONE append's latency, not two in
+          // sequence. Both read only the checkpointed dup set + the
+          // caller's batch, so neither depends on the other's commit.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val fDocs = Future(lake.append(s"${prefix}_docs", docsFrame))
+          val fBands = Future(lake.append(s"${prefix}_bands", bandsFrame))
+          Await.result(fDocs, scala.concurrent.duration.Duration.Inf)
+          Await.result(fBands, scala.concurrent.duration.Duration.Inf)
+        } else {
+          // sequential: the staged caller runs this inside a transact
+          // whose member locks are held by THIS thread
+          lake.append(s"${prefix}_docs", docsFrame)
+          lake.append(s"${prefix}_bands", bandsFrame)
+        }
+      }
+    (flagged, doAdmit)
   }
 
   // ---- SimHash ----

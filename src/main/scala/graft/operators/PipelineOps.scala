@@ -153,8 +153,11 @@ object PipelineOps {
       |UNION ALL
       |SELECT 'unique' AS class, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_dups FROM s
       |ORDER BY class""".stripMargin) { (s, dir) =>
+    // 8 slices: the Kafka-shaped input arrives like an 8-partition topic,
+    // so the flush (sniff, inference, parse, sketch) parallelizes the way
+    // a real trigger does instead of single-threading on one test slice
     val ids = Tables.documents(s, dir).filter(col("doc_id") % 31 === 5)
-      .select(col("doc_id"))
+      .select(col("doc_id")).repartition(8)
     def idText(prefix: String, id: org.apache.spark.sql.Column) =
       concat_ws(" ", (0 until 8).map(i => concat(lit(s"$prefix${i}x"), id)): _*)
     val base = ids.select(col("doc_id"), idText("b", col("doc_id")).as("text"))
@@ -203,7 +206,7 @@ object PipelineOps {
       |  CAST(0 AS BIGINT) AS n_pass FROM s
       |ORDER BY class""".stripMargin) { (s, dir) =>
     val ids = Tables.documents(s, dir).filter(col("doc_id") % 31 === 5)
-      .select(col("doc_id"))
+      .select(col("doc_id")).repartition(8)
     val good = ids.select(col("doc_id"),
       concat(lit("the and of to is in that it "),
         concat_ws(" ", (0 until 12).map(i =>
@@ -249,7 +252,8 @@ object PipelineOps {
       graft.ingest.IngestConfig(warehouse = wh, dlqTable = None,
         autoCompact = Map("oc" -> graft.ingest.CompactionConfig(
           minFiles = 4, targetRecordsPerFile = 1000000))))
-    def kafkaShaped(b: org.apache.spark.sql.DataFrame) = b.select(
+    // 8 slices: arrive like an 8-partition topic (see q105)
+    def kafkaShaped(b: org.apache.spark.sql.DataFrame) = b.repartition(8).select(
       lit("oc").as("topic"), lit(0).as("partition"),
       monotonically_increasing_id().as("offset"),
       to_json(struct(col("o_orderkey"), col("o_orderstatus"),

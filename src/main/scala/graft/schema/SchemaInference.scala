@@ -97,4 +97,5 @@ object SchemaInference {
       depth)
     if (merged.isEmpty) None else Some(merged)
   }
+
 }

@@ -541,6 +541,45 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(admitted === Set(1, 2, 4))
   }
 
+  test("ingest dedup: a failed flush rolls back index admission — index and table never diverge") {
+    // dlqTable = None: with a DLQ the constraint gate TRIAGES violations
+    // instead of failing the flush — this test needs the flush to DIE
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-dedup-txn").toString,
+      dlqTable = None,
+      dedup = Map("d" -> DedupConfig("doc_id", "text", threshold = 0.8))))
+    p.processBatch(batchOf("d" -> doc(1, tA), "d" -> doc(2, tB)), 0)
+    assert(p.lake.read("d_lshidx_docs").count() === 2)
+    val idxV = p.lake.versions("d_lshidx_docs").last
+    // crash injection: a CHECK constraint (no DLQ configured) makes the
+    // LANDING write of batch 2 abort inside its job, AFTER the dedup
+    // probe staged its admission. The (table, index) transaction must
+    // roll the admission back — a surviving admission would flag batch
+    // 2's docs as duplicates OF THEMSELVES on redelivery
+    p.lake.addConstraint("d", "small_ids", "doc_id < 100")
+    val e = intercept[Exception] {
+      p.processBatch(batchOf("d" -> doc(500, tC)), 1)
+    }
+    assert(e.getMessage != null)
+    assert(p.lake.read("d").select("doc_id").collect().map(_.getInt(0)).toSet
+      === Set(1, 2), "the violating batch must not land")
+    assert(p.lake.read("d_lshidx_docs").count() === 2,
+      "index admission of the failed flush must roll back")
+    assert(p.lake.read("d_lshidx_bands")
+      .filter(col("doc_id") === 500).count() === 0)
+    // REDELIVERY heals: drop the constraint, re-send the batch — the doc
+    // lands UN-flagged (a leaked admission would self-flag it as a dup)
+    p.lake.dropConstraint("d", "small_ids")
+    p.processBatch(batchOf("d" -> doc(500, tC)), 2)
+    val redelivered = p.lake.read("d").filter(col("doc_id") === 500)
+      .select("is_dup").head().getLong(0)
+    assert(redelivered === 0L,
+      s"rolled-back admission must not self-flag redelivery (is_dup=$redelivered)")
+    assert(p.lake.versions("d_lshidx_docs").last > idxV,
+      "rollback is compensation, not erasure: the history moved forward")
+  }
+
   test("ingest dedup: dropDups lands only non-duplicates, no flag column") {
     val p = dedupPipeline(dropDups = true)
     p.processBatch(batchOf("d" -> doc(1, tA)), 0)
