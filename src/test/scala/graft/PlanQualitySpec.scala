@@ -217,6 +217,34 @@ class PlanQualitySpec extends AnyFunSuite {
         !pj.contains("BroadcastNestedLoopJoin"), "no cartesian anywhere")
       assert(!pj.contains("BroadcastExchange"),
         s"neither corpus may broadcast in the corpus×corpus join:\n${pj.take(1500)}")
+      // the INLINE join bands BOTH corpora: two Generate (posexplode)
+      // nodes — the baseline the indexed path must beat (counted on the
+      // optimized plan; formatted mode mentions each node twice)
+      val pjOpt = operators.SimilarityOps
+        .knnJoinLsh(a, b, "vec_id", "embedding", 5, tables = 16, bitsPerTable = 4)
+        .queryExecution.optimizedPlan.toString
+      assert("Generate".r.findAllIn(pjOpt).size === 2, pjOpt.take(1500))
+      // persisted-index serving: corpus A's bands come from the index
+      // TABLE — exactly ONE banding pass (the incoming side), no fresh
+      // banding of the reference corpus, still no broadcast/cartesian
+      val wh = java.nio.file.Files.createTempDirectory("graft-plan-vlsh").toString
+      val lake = new graft.catalog.GraftLake(spark, wh)
+      operators.SimilarityOps.buildVectorLshIndex(lake, "pq131",
+        a.filter(col("vec_id") < 200), "vec_id", "embedding",
+        tables = 16, bitsPerTable = 4)
+      val pixQe = operators.SimilarityOps
+        .knnJoinLshIndexed(lake, "pq131", a, b, "vec_id", "embedding", 5,
+          tables = 16, bitsPerTable = 4)
+        .queryExecution
+      val pixOpt = pixQe.optimizedPlan.toString
+      assert("Generate".r.findAllIn(pixOpt).size === 1,
+        s"indexed join must band ONLY the incoming side:\n${pixOpt.take(1500)}")
+      assert(pixOpt.contains("band#") || pixOpt.contains("sig#"),
+        "the reference side must be a scan of the persisted band table")
+      val pix = pixQe.explainString(ExplainMode.fromString("formatted"))
+      assert(!pix.contains("CartesianProduct") &&
+        !pix.contains("BroadcastNestedLoopJoin") &&
+        !pix.contains("BroadcastExchange"), pix.take(1500))
       val pp = operators.SimilarityOps
         .knnLsh(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -705,4 +705,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(id => id >= 10L && id <= 13L),
       s"same-label vectors must never occupy negative slots, got ${got.toSeq}")
   }
+
+  test("persisted vector-LSH index: indexed join == inline join; admission; param guard") {
+    VectorFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 40)
+    val wh = java.nio.file.Files.createTempDirectory("graft-vlsh").toString
+    val lake = new graft.catalog.GraftLake(spark, wh)
+    // build on a PREFIX of the corpus, admit the rest incrementally — the
+    // served result must equal the inline join over the FULL corpus
+    // (same seeded planes => same buckets => same candidates => same rerank)
+    val aOld = a.filter(col("vec_id") % 4 === 0)
+    val aNew = a.filter(col("vec_id") % 4 === 2)
+    SimilarityOps.buildVectorLshIndex(lake, "v", aOld, "vec_id", "embedding",
+      tables = 16, bitsPerTable = 4)
+    SimilarityOps.appendToVectorLshIndex(lake, "v", aNew, "vec_id", "embedding")
+    val inline = SimilarityOps.knnJoinLsh(a, b, "vec_id", "embedding", 3,
+      tables = 16, bitsPerTable = 4)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val served = SimilarityOps.knnJoinLshIndexed(lake, "v", a, b,
+      "vec_id", "embedding", 3, tables = 16, bitsPerTable = 4)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(served === inline,
+      "index-served join must be byte-identical to the inline join")
+    // a redelivered admission batch upserts last-wins — no duplicate bands
+    SimilarityOps.appendToVectorLshIndex(lake, "v", aNew, "vec_id", "embedding")
+    val again = SimilarityOps.knnJoinLshIndexed(lake, "v", a, b,
+      "vec_id", "embedding", 3, tables = 16, bitsPerTable = 4)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(again === inline, "redelivered admission must be absorbed by PK upsert")
+    // probing with a different quantizer is refused, never silently wrong
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnJoinLshIndexed(lake, "v", a, b, "vec_id", "embedding",
+        3, tables = 16, bitsPerTable = 4, seed = 99L)
+    }
+    assert(e.getMessage.contains("quantizer"), e.getMessage)
+  }
 }
