@@ -42,6 +42,8 @@ object ScaleBench {
     "q137_cross_corpus_dedup", // banded corpus×corpus join
     "q138_incremental_agg", // delta-maintained aggregate
     "q143_change_feed", // metadata-derived CDF: O(window delta)
+    "q148_provenance", // commit-lineage join: O(pairs + manifest)
+    "q149_fast_count", // metadata-only count(*): zero data files opened
     "q153_metadata_delete") // file-drop DELETE: O(metadata) at any size
 
   private def num(v: Double): String =
@@ -85,15 +87,105 @@ object ScaleBench {
         s"big=${num(bigW)}s ratio=${num(bigW / smallW)}x")
       (q, small, big, smallW, bigW)
     }
+    val race = multiWriterRace(spark)
     val json = rows.map { case (q, s, b, sw, bw) =>
       s""""$q":{"small_s":${num(s)},"big_s":${num(b)},"ratio":${num(b / s)}""" +
         s""","warm_small_s":${num(sw)},"warm_big_s":${num(bw)}""" +
         s""","warm_ratio":${num(bw / sw)}}"""
     }.mkString("{\"small\":\"" + smallDir + "\",\"big\":\"" + bigDir +
-      "\",\"queries\":{", ",", "}}")
+      "\",\"queries\":{", ",", s"},\"race\":$race}")
     Files.write(Paths.get("scale_bench.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()
+  }
+
+  /** MULTI-WRITER commit race with two REAL driver processes: this JVM
+    * and a forked [[RaceAppender]] JVM append concurrently to ONE lake
+    * table (sf1-sized batches). The cross-process contract under test
+    * (SnapshotSpec "cross-process commit race"): pure appends that lose
+    * a version race RETRY against the winner's state — every batch from
+    * both writers lands, no rows lost, one linear version history, and
+    * the `commitRetry` sensor counts the collisions. Returns a JSON
+    * object for scale_bench.json. */
+  private def multiWriterRace(spark: SparkSession): String = {
+    val wh = Files.createTempDirectory("graft-race").toString
+    val lake = new graft.catalog.GraftLake(spark, wh)
+    val nBatches = 8
+    val rowsPerBatch = 200000L
+    // pre-create the table: concurrent CREATE is not the contract under
+    // test (the reference inherits create-once from its catalog DB)
+    lake.write("race_t", spark.range(1)
+      .select(org.apache.spark.sql.functions.col("id").as("seq"),
+        org.apache.spark.sql.functions.lit("seed").as("writer"),
+        org.apache.spark.sql.functions.lit(0).as("bucket")))
+    // fork the second driver with this JVM's classpath + module opens
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RaceAppender", wh, "race_t", "w2",
+      nBatches.toString, rowsPerBatch.toString)).toArray
+    val t0 = System.nanoTime()
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val childOut = new java.io.BufferedReader(
+      new java.io.InputStreamReader(child.getInputStream))
+    // wait for the child's FIRST commit so the two writers genuinely
+    // overlap (the child JVM pays Spark startup first; appending before
+    // it is alive would measure two sequential writers, not a race)
+    val v0 = lake.versions("race_t").size
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (lake.versions("race_t").size == v0 && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    require(lake.versions("race_t").size > v0,
+      "race child never committed within 120s")
+    // parent appends CONCURRENTLY while the child races it
+    for (b <- 0 until nBatches) {
+      val batch = spark.range(rowsPerBatch)
+        .select((org.apache.spark.sql.functions.col("id") + b * rowsPerBatch)
+          .as("seq"),
+          org.apache.spark.sql.functions.lit("w1").as("writer"),
+          (org.apache.spark.sql.functions.col("id") % 97).cast("int")
+            .as("bucket"))
+      lake.append("race_t", batch)
+    }
+    val parentRetries =
+      graft.metrics.GraftMetrics.op("commitRetry").count.sum()
+    var childLine = ""
+    var line = childOut.readLine()
+    while (line != null) {
+      if (line.startsWith("[race-child]")) childLine = line
+      line = childOut.readLine()
+    }
+    child.waitFor()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(child.exitValue() == 0,
+      s"race child failed (exit ${child.exitValue()}): $childLine")
+    val childRetries = "retries=(\\d+)".r.findFirstMatchIn(childLine)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    // the contract: EVERY batch from BOTH writers landed, both visible
+    graft.catalog.GraftLake.invalidateCaches() // see the child's commits
+    val lake2 = new graft.catalog.GraftLake(spark, wh)
+    val byWriter = lake2.read("race_t")
+      .groupBy(org.apache.spark.sql.functions.col("writer")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = nBatches * rowsPerBatch
+    require(byWriter.getOrElse("w1", 0L) == expect &&
+      byWriter.getOrElse("w2", 0L) == expect,
+      s"multi-writer race lost rows: $byWriter (expected $expect each)")
+    val nVersions = lake2.versions("race_t").size
+    println(s"[race] two-process append race: ${2 * nBatches} batches, " +
+      s"${2 * expect} rows, all landed; versions=$nVersions " +
+      s"parentRetries=$parentRetries childRetries=$childRetries " +
+      s"secs=${num(secs)}")
+    s"""{"writers":2,"batches_each":$nBatches,"rows_each":$expect,""" +
+      s""""all_landed":true,"versions":$nVersions,""" +
+      s""""parent_retries":$parentRetries,"child_retries":$childRetries,""" +
+      s""""seconds":${num(secs)}}"""
   }
 }

@@ -835,8 +835,112 @@ object CurationOps {
       .orderBy(col("epoch_pos")).limit(40)
   }
 
+  // ---- sequence packing (concat-and-chunk training batches) ----
+
+  /** Pack documents into fixed-token-budget training sequences, the
+    * concat-and-chunk scheme production packers use (documents
+    * concatenate in a deterministic order and the stream is cut every
+    * `budget` tokens; a document may straddle a cut): each doc is
+    * assigned the sequence its FIRST token falls in, with its offset.
+    * Packing is PARTITION-LOCAL by a hash bucket of the id — each bucket
+    * packs its own stream — so the operator needs no global sort and no
+    * single-task window at any corpus size: one shuffle on (bucket),
+    * windows within. Returns (id, bucket, seq_id, pos_in_seq,
+    * offset_in_seq, tokens). Token counts come from the caller (an
+    * upstream counting pass — q26's operators); any deterministic
+    * per-doc cost works. */
+  def packSequences(corpus: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    corpus
+      .select(col(idCol), col(tokensCol).cast("long").as("tokens"))
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
+      .withColumn("__cum", sum(col("tokens")).over(w))
+      .withColumn("seq_id", ((col("__cum") - col("tokens")) / budget)
+        .cast("long"))
+      .withColumn("offset_in_seq",
+        (col("__cum") - col("tokens")) % budget)
+      .withColumn("pos_in_seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"), col("seq_id")).orderBy(col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("bucket"), col("seq_id"), col("pos_in_seq"),
+        col("offset_in_seq"), col("tokens"))
+  }
+
+  /** q156: SEQUENCE PACKING audit over the documents corpus — token cost
+    * = ceil(n_chars/4) (the standard chars-per-token heuristic; a real
+    * deployment feeds tokenizer counts), budget 2048, 8 buckets. Output:
+    * per-bucket packing accounting (docs, tokens, sequences, straddlers)
+    * — every quantity the DuckDB oracle recomputes with the same
+    * window-function arithmetic, so packing semantics are hash-gated.
+    * Scale: ONE shuffle on bucket + windows within; the final 8-row
+    * rollup is the only global step. */
+  val q156SequencePacking = QueryDef(
+    "q156_sequence_packing",
+    """WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
+      |    CAST(doc_id % 8 AS INT) AS bucket FROM documents),
+      |c AS (SELECT doc_id, tokens, bucket,
+      |    sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t),
+      |p AS (SELECT doc_id, tokens, bucket,
+      |    CAST(floor((cum - tokens) / 2048.0) AS BIGINT) AS seq_id,
+      |    (cum - tokens) % 2048 AS off,
+      |    cum FROM c)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |  CAST(max(seq_id) + 1 AS BIGINT) AS n_sequences,
+      |  CAST(sum(CASE WHEN off + tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_straddlers,
+      |  max(tokens) AS max_doc_tokens
+      |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    // DuckDB's hash() differs from xxhash64 — the ORACLE's bucket
+    // function must be reproduced exactly, so the Spark side uses the
+    // same abs(hash)-free formulation: DuckDB hash(BIGINT) is not
+    // portable either, so both sides bucket by doc_id % 8 instead
+    val packed = packSequencesByModulo(docs(s, dir)
+      .select(col("doc_id"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("tokens")),
+      "doc_id", "tokens", budget = 2048L, buckets = 8)
+    packed
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        (max(col("seq_id")) + 1).cast("long").as("n_sequences"),
+        sum(when(col("offset_in_seq") + col("tokens") > 2048L, 1L)
+          .otherwise(0L)).as("n_straddlers"),
+        max(col("tokens")).as("max_doc_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  /** [[packSequences]] with a MODULO bucket (oracle-portable — hash
+    * functions differ across engines; semantics identical). */
+  def packSequencesByModulo(corpus: DataFrame, idCol: String,
+      tokensCol: String, budget: Long, buckets: Int): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    corpus
+      .select(col(idCol), col(tokensCol).cast("long").as("tokens"))
+      .withColumn("bucket", pmod(col(idCol), lit(buckets)).cast("int"))
+      .withColumn("__cum", sum(col("tokens")).over(w))
+      .withColumn("seq_id", floor((col("__cum") - col("tokens")) / lit(budget.toDouble))
+        .cast("long"))
+      .withColumn("offset_in_seq",
+        (col("__cum") - col("tokens")) % budget)
+      .withColumn("pos_in_seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"), col("seq_id")).orderBy(col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("bucket"), col("seq_id"), col("pos_in_seq"),
+        col("offset_in_seq"), col("tokens"))
+  }
+
   val all: Seq[QueryDef] = Seq(q70DocChunks, q71VocabOov, q72SourceMix,
     q79QualitySelect, q90CurationReport, q93BpeMerges, q94SplitLeakage,
     q96ContentChunks, q115SegmentDedup, q121SourceQuota, q123EpochPlan,
-    q154Curriculum)
+    q154Curriculum, q156SequencePacking)
 }

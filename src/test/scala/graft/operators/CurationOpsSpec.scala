@@ -277,4 +277,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(again.toSet === rows.toSet,
       "md5-ordered selection must be stable across runs")
   }
+
+  test("packSequences: concat-and-chunk assignment matches hand-computed packing") {
+    // budget 10, one bucket (all ids ≡ 0 mod 1): tokens 4,5,3,10,2 in id
+    // order → cumulative starts 0,4,9,12,22 → seq 0,0,0,1,2
+    val corpus = Seq((0L, 4L), (1L, 5L), (2L, 3L), (3L, 10L), (4L, 2L))
+      .toDF("doc_id", "tokens")
+    val got = CurationOps.packSequencesByModulo(corpus, "doc_id", "tokens",
+      budget = 10L, buckets = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id", "pos_in_seq", "offset_in_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 1L, 0L), (1L, 0L, 2L, 4L), (2L, 0L, 3L, 9L),
+      (3L, 1L, 1L, 2L), (4L, 2L, 1L, 2L)))
+    // the hash-bucketed production variant: same invariants (every doc
+    // exactly once; pos contiguous from 1 within each (bucket, seq))
+    val h = CurationOps.packSequences(corpus, "doc_id", "tokens",
+      budget = 10L, buckets = 4)
+    assert(h.count() === 5 && h.select("doc_id").distinct().count() === 5)
+    val badPos = h.groupBy("bucket", "seq_id")
+      .agg(min("pos_in_seq").as("mn"), max("pos_in_seq").as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("n"))
+    assert(badPos.isEmpty, "pos_in_seq must be contiguous from 1")
+  }
 }
