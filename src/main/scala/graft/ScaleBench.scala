@@ -133,8 +133,20 @@ object ScaleBench {
       nBatches.toString, rowsPerBatch.toString)).toArray
     val t0 = System.nanoTime()
     val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val childOut = new java.io.BufferedReader(
-      new java.io.InputStreamReader(child.getInputStream))
+    // drain the child's output CONCURRENTLY: a filled 64 KB pipe buffer
+    // would block the child mid-race while the parent is busy appending
+    @volatile var childLine = ""
+    val drainer = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      var line = r.readLine()
+      while (line != null) {
+        if (line.startsWith("[race-child]")) childLine = line
+        line = r.readLine()
+      }
+    }, "race-child-drain")
+    drainer.setDaemon(true)
+    drainer.start()
     // wait for the child's FIRST commit so the two writers genuinely
     // overlap (the child JVM pays Spark startup first; appending before
     // it is alive would measure two sequential writers, not a race)
@@ -156,13 +168,8 @@ object ScaleBench {
     }
     val parentRetries =
       graft.metrics.GraftMetrics.op("commitRetry").count.sum()
-    var childLine = ""
-    var line = childOut.readLine()
-    while (line != null) {
-      if (line.startsWith("[race-child]")) childLine = line
-      line = childOut.readLine()
-    }
     child.waitFor()
+    drainer.join(10000)
     val secs = (System.nanoTime() - t0) / 1e9
     require(child.exitValue() == 0,
       s"race child failed (exit ${child.exitValue()}): $childLine")

@@ -297,9 +297,16 @@ object IngestPipeline {
     * SHARED-SESSION caveat: session confs are session-global, so an
     * ad-hoc query submitted WHILE a trigger is in flight also plans with
     * AQE off and the small fan-out. In deployments that mix interactive
-    * work and ingest on one application, give the pipeline its own
-    * `spark.newSession()` (separate conf, shared catalog + context) —
-    * the overlay then never touches the interactive session. */
+    * work and ingest on one application, build the SOURCE STREAM on its
+    * own `spark.newSession()` (separate conf, shared catalog + context)
+    * and hand that session's pipeline to [[IngestPipeline.start]] — the
+    * overlay then never touches the interactive session. This cannot be
+    * the pipeline's silent default: a DataFrame plans under the session
+    * it was CREATED on, so the trigger frames arriving in foreachBatch
+    * carry the caller's session no matter which session the pipeline
+    * holds — an overlay applied to a private session would simply never
+    * reach the plans it exists to shape. The knob belongs where the
+    * stream is built. */
   private final class TriggerScope {
     private var depth = 0
     private var saved: Seq[(String, Option[String])] = Nil

@@ -870,14 +870,18 @@ object CurationOps {
         col("offset_in_seq"), col("tokens"))
   }
 
-  /** q156: SEQUENCE PACKING audit over the documents corpus — token cost
-    * = ceil(n_chars/4) (the standard chars-per-token heuristic; a real
-    * deployment feeds tokenizer counts), budget 2048, 8 buckets. Output:
-    * per-bucket packing accounting (docs, tokens, sequences, straddlers)
-    * — every quantity the DuckDB oracle recomputes with the same
-    * window-function arithmetic, so packing semantics are hash-gated.
-    * Scale: ONE shuffle on bucket + windows within; the final 8-row
-    * rollup is the only global step. */
+  /** q156: SEQUENCE PACKING assignment surface — the per-doc half that
+    * complements q68's per-language packing ACCOUNTING
+    * ([[QualityOps.q68SequencePacking]] rolls up seq counts; this
+    * operator materializes what a packing WRITER actually consumes:
+    * each doc's (sequence, position, token offset) plus
+    * boundary-straddler accounting, exposed as the reusable
+    * [[packSequences]]). Token cost = ceil(n_chars/4) (the standard
+    * chars-per-token heuristic; a real deployment feeds tokenizer
+    * counts), budget 2048, 8 buckets. Every quantity the DuckDB oracle
+    * recomputes with the same window-function arithmetic, so packing
+    * semantics are hash-gated. Scale: ONE shuffle on bucket + windows
+    * within; the final 8-row rollup is the only global step. */
   val q156SequencePacking = QueryDef(
     "q156_sequence_packing",
     """WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
