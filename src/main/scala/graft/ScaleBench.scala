@@ -132,6 +132,9 @@ object ScaleBench {
       "graft.RaceAppender", wh, "race_t", "w2",
       nBatches.toString, rowsPerBatch.toString)).toArray
     val t0 = System.nanoTime()
+    // retry evidence must be a DELTA from here — the sensor is global and
+    // earlier bench queries may have retried
+    val retries0 = graft.metrics.GraftMetrics.op("commitRetry").count.sum()
     val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     // drain the child's output CONCURRENTLY: a filled 64 KB pipe buffer
     // would block the child mid-race while the parent is busy appending
@@ -167,8 +170,13 @@ object ScaleBench {
       lake.append("race_t", batch)
     }
     val parentRetries =
-      graft.metrics.GraftMetrics.op("commitRetry").count.sum()
-    child.waitFor()
+      graft.metrics.GraftMetrics.op("commitRetry").count.sum() - retries0
+    if (!child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)) {
+      child.destroyForcibly()
+      throw new IllegalStateException(
+        "race child did not exit within 180s after the parent finished " +
+          s"its appends — last child line: '$childLine'")
+    }
     drainer.join(10000)
     val secs = (System.nanoTime() - t0) / 1e9
     require(child.exitValue() == 0,

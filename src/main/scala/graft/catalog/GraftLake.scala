@@ -1941,6 +1941,15 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         sorted.map(n =>
           n -> (if (pre(n).isDefined) scala.util.Try(readMeta(n)).toOption
                 else None)).toMap
+      // exactly-once watermarks as of the pre-transaction snapshot:
+      // restore/truncate deliberately CARRY txn watermarks forward (their
+      // own durability contract), but a transaction rollback must revert
+      // them too — an aborted idempotent append whose watermark survived
+      // would make the stream's REDELIVERY of that batch silently no-op:
+      // the rolled-back data would never land anywhere (permanent loss)
+      val preTxns: Map[String, Map[String, Long]] =
+        sorted.map(n => n ->
+          pre(n).map(v => resolveTxns(n, v)).getOrElse(Map.empty)).toMap
       inTransact.set(true)
       try body
       catch {
@@ -1957,6 +1966,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
               preMeta(n).foreach { m =>
                 if (scala.util.Try(readMeta(n)).toOption.exists(_ != m))
                   writeMeta(n, m)
+              }
+              // and the watermark reset (anchored by a full manifest —
+              // deltas can only fold watermarks UP)
+              val nowTxns = versions(n).lastOption
+                .map(v => resolveTxns(n, v)).getOrElse(Map.empty)
+              if (nowTxns != preTxns(n)) writeLock(n) {
+                commitVersion(n, Nil, Nil, op = "txn-rollback",
+                  txnsReset = Some(preTxns(n)))
               }
             } catch {
               case r: Throwable => e.addSuppressed(r)
@@ -2618,13 +2635,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       op: String = "write",
       dvAdded: Seq[String] = Nil,
       dvRemoved: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      txnsReset: Option[Map[String, Long]] = None): Unit = {
     val appendOnly = removed.isEmpty && dvAdded.isEmpty && dvRemoved.isEmpty
     var attempt = 0
     var done = false
     while (!done) {
       try { commitVersionOnce(name, added, removed, writeStats, op,
-        dvAdded, dvRemoved, txn); done = true }
+        dvAdded, dvRemoved, txn, txnsReset); done = true }
       catch {
         case e: java.io.IOException
             if isManifestCollision(e) && attempt < 5 =>
@@ -2689,7 +2707,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       op: String,
       dvAdded: Seq[String],
       dvRemoved: Seq[String],
-      txn: Option[(String, Long)]): Unit =
+      txn: Option[(String, Long)],
+      txnsReset: Option[Map[String, Long]] = None): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
@@ -2731,12 +2750,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     }
     val dvRemovedSet = dvRemoved.toSet
     val newDvs = (prevDvs.filterNot(dvRemovedSet) ++ dvAdded).distinct.sorted
-    val asFull = last.isEmpty || prevDepth + 1 >= checkpointInterval ||
+    // a txn-watermark RESET (transaction rollback) must anchor a FULL
+    // manifest: delta manifests fold watermarks forward with max(), so
+    // only a full checkpoint can make one go DOWN
+    val asFull = txnsReset.isDefined ||
+      last.isEmpty || prevDepth + 1 >= checkpointInterval ||
       added.size + removed.size >= newList.size
     val body =
       if (asFull) GraftLake.renderManifest(next, meta, newList, newStats, op,
         dvs = newDvs,
-        txns = {
+        txns = txnsReset.getOrElse {
           val prevTxns = last.map(v => resolveTxns(name, v)).getOrElse(Map.empty)
           txn.fold(prevTxns) { case (a, v) =>
             prevTxns + (a -> math.max(v, prevTxns.getOrElse(a, Long.MinValue)))
@@ -4050,6 +4073,7 @@ object GraftLake {
     verifiedTables.clear(); metaCache.clear()
     lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
     dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
+    dvRulePassCache.clear(); dvRulePassAtVersion.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --

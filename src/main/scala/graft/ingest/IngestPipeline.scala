@@ -408,15 +408,19 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     val minFanout = spark.conf.getOption("spark.graft.ingest.minFanout")
       .map(_.toInt)
       .getOrElse(math.min(8, spark.sparkContext.defaultParallelism))
-    // the partition probe costs a physical planning of the batch frame —
-    // decided on the FIRST trigger and remembered (a stream's source
-    // partitioning is stable across triggers; the decision is a
-    // heuristic either way)
+    // the partition probe costs a physical planning of the batch frame.
+    // A first trigger that already carries enough partitions decides NO
+    // for the pipeline's lifetime (a stream's source partitioning is
+    // stable; wide sources never pay the probe again). A skinny first
+    // trigger keeps probing per batch: the spread must never SHRINK a
+    // later wide batch down to the floor (a blind repartition would), and
+    // on the skinny pipelines that reach here the probe is planning a
+    // trivial frame anyway
     val needsSpread = fanoutDecision match {
-      case Some(d) => d
-      case None =>
+      case Some(false) => false
+      case _ =>
         val d = minFanout > 1 && batch.rdd.getNumPartitions < minFanout
-        fanoutDecision = Some(d)
+        if (fanoutDecision.isEmpty) fanoutDecision = Some(d)
         d
     }
     val spread = if (needsSpread) batch.repartition(minFanout) else batch
@@ -768,8 +772,7 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         // still conflict with the TABLE schema (cross-topic routing, a
         // fresh cache over an old table): that conflict surfaces as the
         // evolution rejection — triage per record, never crash the stream
-        try landJson(table, values, unified, nRecords,
-          mayHaveCorrupt = profile.forall(_.unparseable > 0))
+        try landJson(table, values, unified, nRecords)
         catch {
           case e: graft.catalog.LandedTypes.SchemaEvolutionException =>
             triageEvolution(topic, table, values, e)
@@ -849,12 +852,15 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * reads, fewer manifest entries, less auto-compaction pressure — while
     * a genuinely large trigger keeps one task per target-sized file
     * (parallelism stays proportional to data; `maxRecordsPerFile` still
-    * rolls oversized tasks). `mayHaveCorrupt=false` (the fan-out profile
-    * counted ZERO unparseable values) skips the corrupt-record probe job
-    * entirely — from_json's corrupt set is a subset of the values
-    * per-record inference could not parse. */
+    * rolls oversized tasks). The corrupt-record DLQ probe always runs
+    * when a DLQ is configured: from_json's corrupt set is NOT a subset of
+    * what per-record inference found unparseable (inference types an
+    * array by its FIRST element and sniffs timestamps with its own
+    * grammar, so a record can infer cleanly yet fail from_json
+    * conversion) — skipping the probe on a zero-unparseable profile
+    * would silently drop exactly those records. */
   private def landJson(table: String, values: DataFrame, schema: StructType,
-      nRecords: Long = -1L, mayHaveCorrupt: Boolean = true): Unit = {
+      nRecords: Long = -1L): Unit = {
     // corrupt-record channel: from_json yields an all-null struct for
     // malformed input, so a dedicated corrupt column is the reliable signal
     val corrupt = "_graft_corrupt"
@@ -877,11 +883,9 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
           GraftLake.maxRecordsPerFile)).toInt)
     writeToLake(table, good)
     config.dlqTable.foreach { dlq =>
-      if (mayHaveCorrupt) {
-        val bad = parsed.filter(col("__corrupt").isNotNull || col("__parsed").isNull)
-        if (!bad.isEmpty) sendToDlq(dlq, table, bad
-          .select(col("v"), col("partition"), col("offset")), "unparseable JSON")
-      }
+      val bad = parsed.filter(col("__corrupt").isNotNull || col("__parsed").isNull)
+      if (!bad.isEmpty) sendToDlq(dlq, table, bad
+        .select(col("v"), col("partition"), col("offset")), "unparseable JSON")
     }
   }
 

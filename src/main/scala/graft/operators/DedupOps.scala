@@ -260,17 +260,27 @@ object DedupOps {
         .select(col(idCol), col("signature")), idCol, bands, rowsPerBand)
     val bShOuter = sketch
       .select(col(idCol).as("__bid"), col("__shingles").as("__sb"))
-    incrementalNearDupsBody(lake, prefix,
-      sketch.select(col(idCol), col(textCol)), idCol, textCol,
+    // the RETURNED flag frame derives from the caller's batch, not the
+    // sketch: the flush may keep flags alive through the landing write,
+    // and tying them to the sketch would pin the checkpoint blocks
+    // (freed by the ContextCleaner once unreachable — the codebase's
+    // per-trigger checkpoint lifecycle) for the whole flush instead of
+    // just the probe+admission
+    incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
       threshold, shingleK, admit = true, parallelAdmit = parallelAdmit,
-      bKeys, bShOuter)
+      bKeys, bShOuter,
+      docsSource = sketch.select(col(idCol), col(textCol)))
   }
 
   private def incrementalNearDupsBody(lake: graft.catalog.GraftLake,
       prefix: String, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int, admit: Boolean,
       parallelAdmit: Boolean,
-      bKeys: DataFrame, bSh: DataFrame): (DataFrame, () => Unit) = {
+      bKeys: DataFrame, bSh: DataFrame,
+      docsSource: DataFrame = null): (DataFrame, () => Unit) = {
+    // admission's doc rows: the shallow checkpointed sketch when staged,
+    // else the caller's batch
+    val docsFrom = Option(docsSource).getOrElse(batch)
     // self-bootstrapping: a missing index reads as empty, and the (admit)
     // appends below create the tables — so the FIRST micro-batch of an
     // ingestion loop needs no separate buildMinhashIndex call
@@ -347,7 +357,7 @@ object DedupOps {
         // genuinely large admission into right-sized files)
         val admittedIds = broadcast(
           flagged.filter(col("is_dup") === 0L).select(col(idCol)))
-        def docsFrame = batch.select(col(idCol), col(textCol))
+        def docsFrame = docsFrom.select(col(idCol), col(textCol))
           .join(admittedIds, Seq(idCol), "left_semi").coalesce(1)
         def bandsFrame = bKeys.join(admittedIds, Seq(idCol), "left_semi")
           .coalesce(1)

@@ -134,6 +134,31 @@ object GraftSqlParser {
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark, plan)
       .collect().toSeq
   }
+
+  /** The shared run body of every ZERO-OUTPUT intercepted command: graft
+    * behavior when the target resolves to a graft catalog, otherwise the
+    * statement runs under Spark's native grammar (any delegated rows are
+    * discarded — these statement shapes return none natively, and the
+    * command's declared empty output could not convert them anyway). One
+    * seam for the delegation contract instead of ten copies. */
+  private[plans] def runOrDelegate(spark: SparkSession, ident: Seq[String],
+      sql: String)(graftRun: (String, String) => Unit): Seq[Row] =
+    resolve(spark, ident) match {
+      case Some((wh, t)) => graftRun(wh, t); Seq.empty
+      case None => delegateRun(spark, sql); Seq.empty
+    }
+
+  /** OUTPUT-CARRYING graft-only statements (DESCRIBE HISTORY/DETAIL/
+    * PARTITIONS, REFRESH BLOOM INDEX) never delegate: Spark's grammar
+    * would reinterpret the same text as `DESCRIBE <table> <column>` — a
+    * semantically different statement whose result shape the command's
+    * declared output schema cannot convert (a crash, or worse, a wrong
+    * answer). They keep an explicit resolution error instead. */
+  private[plans] def resolveRequired(spark: SparkSession,
+      ident: Seq[String]): (String, String) =
+    resolve(spark, ident).getOrElse(throw new IllegalArgumentException(
+      s"'${ident.mkString(".")}' is not a <graft-catalog>.<table>-qualified " +
+        "graft table — this statement exists only for graft tables"))
 }
 
 /** `RESTORE TABLE t [TO] VERSION AS OF n` — roll the table back (or
@@ -141,13 +166,10 @@ object GraftSqlParser {
 final case class GraftRestoreCommand(ident: Seq[String], version: Long,
     sql: String)
   extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).restore(t, version); Seq.empty
-      case None => GraftSqlParser.delegateRun(spark, sql)
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).restore(t, version)
     }
-  }
 }
 
 /** `VACUUM t KEEP n SNAPSHOTS` — retention-bounded snapshot expiry +
@@ -156,13 +178,10 @@ final case class GraftRestoreCommand(ident: Seq[String], version: Long,
 final case class GraftVacuumCommand(ident: Seq[String], keepLast: Int,
     sql: String)
   extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).expireSnapshots(t, keepLast); Seq.empty
-      case None => GraftSqlParser.delegateRun(spark, sql)
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).expireSnapshots(t, keepLast)
     }
-  }
 }
 
 /** `CREATE BLOOM INDEX ON t (col) [OPTIONS (items=N, fpp=F)]` — one-pass
@@ -170,14 +189,10 @@ final case class GraftVacuumCommand(ident: Seq[String], keepLast: Int,
 final case class GraftCreateBloomIndexCommand(ident: Seq[String],
     column: String, items: Long, fpp: Double,
     sql: String) extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).buildBloomIndex(t, column, items, fpp)
-        Seq.empty
-      case None => GraftSqlParser.delegateRun(spark, sql)
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).buildBloomIndex(t, column, items, fpp)
     }
-  }
 }
 
 /** `REFRESH BLOOM INDEX ON t` — incremental extension covering only the
@@ -191,11 +206,9 @@ final case class GraftRefreshBloomCommand(ident: Seq[String], sql: String)
     AttributeReference("column", StringType, nullable = false)(),
     AttributeReference("files_indexed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) => new GraftLake(spark, wh).refreshBloomIndexes(t)
-        .toSeq.sortBy(_._1).map { case (c, n) => Row(c, n) }
-      case None => GraftSqlParser.delegateRun(spark, sql)
-    }
+    val (wh, t) = GraftSqlParser.resolveRequired(spark, ident)
+    new GraftLake(spark, wh).refreshBloomIndexes(t)
+      .toSeq.sortBy(_._1).map { case (c, n) => Row(c, n) }
   }
 }
 
@@ -215,11 +228,8 @@ final case class GraftDescribeHistoryCommand(ident: Seq[String], sql: String)
     AttributeReference("n_live_files", LongType, nullable = false)(),
     AttributeReference("n_columns", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).history(t).collect().toSeq
-      case None => GraftSqlParser.delegateRun(spark, sql)
-    }
+    val (wh, t) = GraftSqlParser.resolveRequired(spark, ident)
+    new GraftLake(spark, wh).history(t).collect().toSeq
   }
 }
 
@@ -227,14 +237,10 @@ final case class GraftDescribeHistoryCommand(ident: Seq[String], sql: String)
   * clustered for multi-column data skipping. */
 final case class GraftOptimizeCommand(ident: Seq[String],
     zorderCols: Seq[String], sql: String) extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).compact(t, clusterBy = zorderCols)
-        Seq.empty
-      case None => GraftSqlParser.delegateRun(spark, sql)
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).compact(t, clusterBy = zorderCols)
     }
-  }
 }
 
 /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — validates existing
@@ -243,27 +249,19 @@ final case class GraftOptimizeCommand(ident: Seq[String],
 final case class GraftAddConstraintCommand(ident: Seq[String],
     constraintName: String, check: String,
     sql: String) extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).addConstraint(t, constraintName, check)
-        Seq.empty
-      case None => GraftSqlParser.delegateRun(spark, sql)
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).addConstraint(t, constraintName, check)
     }
-  }
 }
 
 /** `ALTER TABLE t DROP CONSTRAINT name` — metadata-only. */
 final case class GraftDropConstraintCommand(ident: Seq[String],
     constraintName: String, sql: String) extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).dropConstraint(t, constraintName)
-        Seq.empty
-      case None => GraftSqlParser.delegateRun(spark, sql)
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).dropConstraint(t, constraintName)
     }
-  }
 }
 
 /** `DESCRIBE DETAIL t` — one-row admin summary: snapshot span, live
@@ -289,11 +287,8 @@ final case class GraftDescribeDetailCommand(ident: Seq[String], sql: String)
     AttributeReference("n_dv_entries", LongType, nullable = false)(),
     AttributeReference("renamed_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).detail(t).collect().toSeq
-      case None => GraftSqlParser.delegateRun(spark, sql)
-    }
+    val (wh, t) = GraftSqlParser.resolveRequired(spark, ident)
+    new GraftLake(spark, wh).detail(t).collect().toSeq
   }
 }
 
@@ -310,10 +305,7 @@ final case class GraftDescribePartitionsCommand(ident: Seq[String], sql: String)
     AttributeReference("n_rows", LongType, nullable = false)(),
     AttributeReference("total_bytes", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlParser.resolve(spark, ident) match {
-      case Some((wh, t)) =>
-        new GraftLake(spark, wh).partitionStats(t).collect().toSeq
-      case None => GraftSqlParser.delegateRun(spark, sql)
-    }
+    val (wh, t) = GraftSqlParser.resolveRequired(spark, ident)
+    new GraftLake(spark, wh).partitionStats(t).collect().toSeq
   }
 }

@@ -136,4 +136,40 @@ class TransactionSpec extends AnyFunSuite {
       "live reads see the post-pin state")
     intercept[IllegalArgumentException](lake.pin(Seq("nope")))
   }
+
+  test("rollback reverts exactly-once txn watermarks - redelivery lands") {
+    val lake = newLake()
+    // committed watermark BEFORE the transaction must survive rollback
+    assert(lake.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "app", 0L))
+    val e = intercept[RuntimeException] {
+      lake.transact(Seq("t")) {
+        // the aborted body commits batch 1 WITH its watermark...
+        assert(lake.appendIdempotent("t", Seq((2, "b")).toDF("k", "v"), "app", 1L))
+        throw new RuntimeException("boom after the idempotent append")
+      }
+    }
+    assert(e.getMessage == "boom after the idempotent append")
+    // data rolled back AND the watermark with it: without the reset, the
+    // stream's redelivery of batch 1 would no-op and its rows would be
+    // lost forever
+    assert(lake.read("t").count() === 1)
+    assert(lake.lastTxnVersion("t", "app") === Some(0L),
+      "rollback must revert the aborted append's txn watermark")
+    assert(lake.appendIdempotent("t", Seq((2, "b")).toDF("k", "v"), "app", 1L),
+      "redelivery of the rolled-back batch must LAND, not skip")
+    assert(lake.read("t").count() === 2)
+    // the pre-transaction watermark still dedups below itself
+    assert(!lake.appendIdempotent("t", Seq((9, "z")).toDF("k", "v"), "app", 0L))
+    // transactOwned shares the rollback discipline
+    val e2 = intercept[RuntimeException] {
+      lake.transactOwned(Seq("t")) {
+        assert(lake.appendIdempotent("t", Seq((3, "c")).toDF("k", "v"), "app", 2L))
+        throw new RuntimeException("boom2")
+      }
+    }
+    assert(e2.getMessage == "boom2")
+    assert(lake.lastTxnVersion("t", "app") === Some(1L))
+    assert(lake.appendIdempotent("t", Seq((3, "c")).toDF("k", "v"), "app", 2L))
+    assert(lake.read("t").count() === 3)
+  }
 }
