@@ -1941,19 +1941,25 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         sorted.map(n =>
           n -> (if (pre(n).isDefined) scala.util.Try(readMeta(n)).toOption
                 else None)).toMap
-      // exactly-once watermarks as of the pre-transaction snapshot:
-      // restore/truncate deliberately CARRY txn watermarks forward (their
-      // own durability contract), but a transaction rollback must revert
-      // them too — an aborted idempotent append whose watermark survived
-      // would make the stream's REDELIVERY of that batch silently no-op:
-      // the rolled-back data would never land anywhere (permanent loss)
-      val preTxns: Map[String, Map[String, Long]] =
-        sorted.map(n => n ->
-          pre(n).map(v => resolveTxns(n, v)).getOrElse(Map.empty)).toMap
       inTransact.set(true)
       try body
       catch {
         case scala.util.control.NonFatal(e) =>
+          // exactly-once watermarks as of the pre-transaction snapshot:
+          // restore/truncate deliberately CARRY txn watermarks forward
+          // (their own durability contract), but a transaction rollback
+          // must revert them too — an aborted idempotent append whose
+          // watermark survived would make the stream's REDELIVERY of that
+          // batch silently no-op: the rolled-back data would never land
+          // anywhere (permanent loss). Resolved HERE, not eagerly:
+          // manifests are immutable, so the pre-version's watermarks read
+          // the same now as they would have before the body — and the
+          // happy path pays zero manifest walks
+          val preTxns: Map[String, Map[String, Long]] =
+            sorted.map(n => n ->
+              pre(n).map(v => scala.util.Try(resolveTxns(n, v))
+                .getOrElse(Map.empty[String, Long])).getOrElse(Map.empty))
+              .toMap
           sorted.foreach { n =>
             try {
               if (versions(n).lastOption != pre(n)) pre(n) match {

@@ -391,8 +391,11 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * is streaming flush latency — r8 folded the two format isEmpty probes
     * into one count, r9 folded that count into the fan-out job, this
     * folds the per-topic schema-inference pass in too via
-    * [[SchemaInference.SchemaInferAggregator]], leaving the steady-state
-    * JSON trigger at exactly TWO jobs: profile + landing write). */
+    * [[profileBatch]], leaving the steady-state JSON trigger at TWO jobs
+    * without a DLQ — profile + landing write — and three with one: the
+    * corrupt-record probe must re-check every landing batch, because
+    * from_json's corrupt set is not derivable from the inference
+    * profile). */
   def processBatch(batch: DataFrame, batchId: Long): Unit =
       IngestPipeline.withTriggerConfs(spark) {
     // foreachBatch serializes batches per query; the landing code reads

@@ -344,9 +344,15 @@ object DedupOps {
       graft.metrics.GraftMetrics.DedupProbe) {
         dupsRaw.localCheckpoint(true)
       } else dupsRaw
-    val flagged = batch.select(col(idCol))
+    def flagsOf(base: DataFrame) = base.select(col(idCol))
       .join(dups.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
+    // the RETURNED frame derives from the caller's batch (it may stay
+    // alive through the whole flush — see the staged wrapper); the
+    // ADMISSION-internal frames derive from the shallow sketch when one
+    // exists, so the two append actions never re-run the caller's
+    // (dropDuplicates-shuffle) lineage
+    val flagged = flagsOf(batch)
     val doAdmit: () => Unit = if (!admit) () => () else () =>
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.DedupAdmit) {
         // survivors broadcast into both append frames (batch-bounded ids —
@@ -356,7 +362,7 @@ object DedupOps {
         // into tiny files every trigger (maxRecordsPerFile still rolls a
         // genuinely large admission into right-sized files)
         val admittedIds = broadcast(
-          flagged.filter(col("is_dup") === 0L).select(col(idCol)))
+          flagsOf(docsFrom).filter(col("is_dup") === 0L).select(col(idCol)))
         def docsFrame = docsFrom.select(col(idCol), col(textCol))
           .join(admittedIds, Seq(idCol), "left_semi").coalesce(1)
         def bandsFrame = bKeys.join(admittedIds, Seq(idCol), "left_semi")
@@ -367,12 +373,18 @@ object DedupOps {
           // a streaming trigger pays ONE append's latency, not two in
           // sequence. Both read only the checkpointed dup set + the
           // caller's batch, so neither depends on the other's commit.
+          // BOTH futures are awaited before any rethrow — an orphaned
+          // in-flight append could otherwise commit AFTER the caller's
+          // transaction rollback, leaving aborted band keys live in the
+          // index (a redelivered doc would then self-flag as a dup)
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
           val fDocs = Future(lake.append(s"${prefix}_docs", docsFrame))
           val fBands = Future(lake.append(s"${prefix}_bands", bandsFrame))
-          Await.result(fDocs, scala.concurrent.duration.Duration.Inf)
-          Await.result(fBands, scala.concurrent.duration.Duration.Inf)
+          val rDocs = scala.util.Try(Await.result(fDocs, Duration.Inf))
+          val rBands = scala.util.Try(Await.result(fBands, Duration.Inf))
+          rDocs.get; rBands.get
         } else {
           // sequential: the staged caller runs this inside a transact
           // whose member locks are held by THIS thread
