@@ -35,6 +35,8 @@ object ScaleBench {
     "q65_merge_star_sql",
     "q102_file_skipping", // pruned point read: expected near-flat
     "q104_temporal_skipping", // pruned range read: expected near-flat
+    "q105_ingest_dedup", // full ingest flush + LSH gate: cost ~ batch size
+    "q108_auto_compact", // 5-trigger ingest + policy compaction
     "q132_bloom_skipping", // bloom point read: expected near-flat
     "q114_ann_lsh",
     "q131_ann_join",
