@@ -107,11 +107,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(ident.name, parquet, warehouse)
   }
 
+  /** `SELECT … FROM cat.t TIMESTAMP AS OF '…'` — resolves the latest
+    * snapshot committed at or before the instant
+    * ([[GraftLake.versionAt]]: manifest-file modification times, the
+    * same source DESCRIBE HISTORY reports and the same mechanism Delta
+    * documents) and serves it through the versioned path below. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    requireRootNamespace(ident.namespace())
+    if (!lake.tableExists(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    loadTable(ident,
+      lake.versionAt(ident.name, timestampMicros / 1000L).toString)
+  }
+
   /** `SELECT … FROM cat.t VERSION AS OF n` — a read-only table over the
     * snapshot's manifest file set under the manifest's schema (which may
-    * predate later column evolution). Timestamp-based travel is not
-    * offered: manifests are deliberately wall-clock-free so snapshot
-    * content is fully deterministic. */
+    * predate later column evolution). Snapshot CONTENT stays fully
+    * deterministic (manifests are wall-clock-free); timestamp travel
+    * resolves through commit-file mtimes above. */
   override def loadTable(ident: Identifier, version: String): Table = {
     requireRootNamespace(ident.namespace())
     if (!lake.tableExists(ident.name))

@@ -2826,6 +2826,31 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * snapshots then report the same numbers as the deltas they replaced.
     * Admin-query cost model: O(versions × files) resolution — fine for an
     * audit pane, not a hot path. */
+  /** Latest snapshot committed at or before `tsMillis` — timestamp time
+    * travel, resolved from manifest file MODIFICATION TIMES (manifests
+    * themselves are deliberately wall-clock-free so snapshot CONTENT is
+    * deterministic; the commit instant is an attribute of the commit
+    * FILE, the same source [[history]] reports and the same mechanism
+    * Delta documents for its timestamp travel — copying manifest files
+    * without preserving mtimes shifts the clock, not the data). One
+    * directory listing, no manifest reads. */
+  def versionAt(name: String, tsMillis: Long): Long = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"table '$name' has no snapshots")
+    val f = fs(versionsDir(name))
+    val at = vs.filter { v =>
+      f.getFileStatus(new Path(versionsDir(name), s"v$v.json"))
+        .getModificationTime <= tsMillis
+    }
+    require(at.nonEmpty,
+      s"table '$name' has no snapshot at or before " +
+        s"${new java.sql.Timestamp(tsMillis)} (first commit: " +
+        s"${new java.sql.Timestamp(f.getFileStatus(
+          new Path(versionsDir(name), s"v${vs.head}.json"))
+          .getModificationTime)})")
+    at.max
+  }
+
   def history(name: String): DataFrame = {
     val vs = versions(name)
     val f = fs(versionsDir(name))

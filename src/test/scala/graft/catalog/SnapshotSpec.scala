@@ -160,6 +160,42 @@ class SnapshotSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no snapshot"), err.getMessage)
   }
 
+  test("SQL TIMESTAMP AS OF resolves the snapshot live at that instant") {
+    val wh = Files.createTempDirectory("graft-snap-ts").toString
+    GraftLake.invalidateCaches()
+    spark.conf.set("spark.sql.catalog.gts", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gts.warehouse", wh)
+    try {
+      val lake = new GraftLake(spark, wh)
+      lake.write("t", Seq((1, "a")).toDF("id", "v"))
+      Thread.sleep(60) // commit-file mtimes must be distinguishable
+      lake.append("t", Seq((2, "b")).toDF("id", "v"))
+      // instants come from the engine's OWN history (the same mtime
+      // source versionAt resolves against), so the test is clock-robust
+      val ts = lake.history("t").orderBy(col("version"))
+        .collect().map(_.getTimestamp(1))
+      assert(ts.length === 2 && ts(0).getTime < ts(1).getTime,
+        s"need distinguishable commit instants, got ${ts.toSeq}")
+      def at(t: java.sql.Timestamp): Set[Int] =
+        spark.sql(s"SELECT id FROM gts.t TIMESTAMP AS OF '$t'")
+          .collect().map(_.getInt(0)).toSet
+      assert(at(ts(0)) === Set(1), "instant of commit 0 (inclusive)")
+      assert(at(ts(1)) === Set(1, 2), "instant of commit 1")
+      assert(at(new java.sql.Timestamp(ts(1).getTime + 60000)) === Set(1, 2),
+        "future instants read the latest snapshot")
+      assert(lake.versionAt("t", ts(1).getTime - 1) === 0L)
+      val err = intercept[Exception] {
+        spark.sql(s"SELECT * FROM gts.t TIMESTAMP AS OF " +
+          s"'${new java.sql.Timestamp(ts(0).getTime - 60000)}'").collect()
+      }
+      assert(err.getMessage.contains("no snapshot at or before"),
+        err.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gts")
+      spark.conf.unset("spark.sql.catalog.gts.warehouse")
+    }
+  }
+
   test("readAppendsBetween: exact new rows on an append-only table") {
     val lake = newLake()
     lake.write("log", Seq((1, "a"), (2, "b")).toDF("id", "v"))
