@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.StructType
   *
   *   RESTORE TABLE <cat>.<t> [TO] VERSION AS OF <n>   — [[GraftLake.restore]]
   *   VACUUM <cat>.<t> KEEP <n> SNAPSHOTS              — [[GraftLake.expireSnapshots]]
-  *   OPTIMIZE <cat>.<t> [ZORDER BY (c1, ...)]         — [[GraftLake.compact]]
+  *   OPTIMIZE <cat>.<t> [WHERE p] [ZORDER BY (c1, …)] — [[GraftLake.compact]]
   *
   * The table must be qualified with a catalog registered as a
   * [[GraftCatalog]]; resolution happens at run time through the session's
@@ -51,7 +51,7 @@ object GraftSqlParser {
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s+KEEP\s+(\d+)\s+SNAPSHOTS\s*;?\s*$""".r
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val DescribeDetail =
@@ -75,10 +75,11 @@ object GraftSqlParser {
       Some(GraftRestoreCommand(parts(ident), v.toLong, sqlText))
     case Vacuum(ident, n) =>
       Some(GraftVacuumCommand(parts(ident), n.toInt, sqlText))
-    case Optimize(ident, cols) =>
+    case Optimize(ident, where, cols) =>
       val zorder = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
         .filter(_.nonEmpty).map(_.stripPrefix("`").stripSuffix("`"))
-      Some(GraftOptimizeCommand(parts(ident), zorder, sqlText))
+      Some(GraftOptimizeCommand(parts(ident), zorder,
+        Option(where).map(_.trim).filter(_.nonEmpty), sqlText))
     case DescribeHistory(ident) =>
       Some(GraftDescribeHistoryCommand(parts(ident), sqlText))
     case DescribeDetail(ident) =>
@@ -236,10 +237,16 @@ final case class GraftDescribeHistoryCommand(ident: Seq[String], sql: String)
 /** `OPTIMIZE t [ZORDER BY (c1, ...)]` — compaction, optionally Z-order
   * clustered for multi-column data skipping. */
 final case class GraftOptimizeCommand(ident: Seq[String],
-    zorderCols: Seq[String], sql: String) extends LeafRunnableCommand {
+    zorderCols: Seq[String], where: Option[String],
+    sql: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
-      new GraftLake(spark, wh).compact(t, clusterBy = zorderCols)
+      // WHERE scopes the rewrite to the matched PARTITIONS (Delta's
+      // OPTIMIZE ... WHERE): at 100 TB one compacts yesterday's
+      // partition, never the table
+      new GraftLake(spark, wh).compact(t,
+        predicate = where.map(w => org.apache.spark.sql.functions.expr(w)),
+        clusterBy = zorderCols)
     }
 }
 

@@ -71,6 +71,28 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE ... WHERE compacts only the matched partitions") {
+    withCat("admow") { (lake, cat) =>
+      for (i <- 0 until 4)
+        lake.write("p", Seq((i, if (i % 2 == 0) "x" else "y"))
+          .toDF("id", "seg").repartition(1), partitions = Seq("seg"))
+      val before = lake.dataFiles("p")
+      assert(before.size === 4)
+      spark.sql(s"OPTIMIZE $cat.p WHERE seg = 'x' ZORDER BY (id)")
+      val after = lake.dataFiles("p")
+      // x-partition merged 2 -> 1; y-partition's two files UNTOUCHED
+      assert(after.size === 3, s"expected 3 files, got ${after.size}")
+      assert(before.filter(_.contains("seg=y")).toSet ===
+        after.filter(_.contains("seg=y")).toSet,
+        "unmatched partitions must keep their exact files")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.p").head().getLong(0) === 4)
+      // a non-matching scope is a no-op commit-wise
+      val v = lake.versions("p").last
+      spark.sql(s"OPTIMIZE $cat.p WHERE seg = 'zzz'")
+      assert(lake.versions("p").last === v, "empty scope must not commit")
+    }
+  }
+
   test("DESCRIBE HISTORY returns the commit log as a result set") {
     withCat("admh") { (lake, cat) =>
       // the first file spans two ids so the point delete stays a MoR
