@@ -2963,6 +2963,59 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * data, not schema evolution; files from a narrower schema read with
     * nulls as usual). The target snapshot must not have been vacuumed by
     * `expireSnapshots`. */
+  /** DEEP CLONE: materialize snapshot `version` (default: latest) of
+    * `src` as the INDEPENDENT table `dst` — its own data files (copied by
+    * a distributed job, one task per file group, never through the
+    * driver), its own meta/registry (copied verbatim: the current
+    * schema's widened reads cover snapshot-era physical types), its own
+    * manifest chain starting at a self-contained v0. Per-file bounds
+    * carry over from the source manifest — the clone re-reads ZERO
+    * footers — and the snapshot's live deletion vectors copy too (their
+    * (file key, pos) entries are layout-relative, so they stay valid
+    * under the preserved relative layout). Unlike a shallow clone, the
+    * result has no reference into `src`: vacuuming or dropping the source
+    * can never break it. Reference analog: DuckLake snapshots + DuckDB's
+    * COPY — the reference exports a snapshot by copying it. */
+  def cloneTable(src: String, dst: String,
+      version: Option[Long] = None): Unit = writeLock(dst) {
+    require(src != dst, "clone target must differ from the source")
+    require(!tableExists(dst), s"clone target '$dst' already exists")
+    val v = version.getOrElse(versions(src).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"table '$src' has no snapshots")))
+    val (_, resolved) = snapshotResolved(src, v)
+    val stats = statsFor(src, v)
+    val dvs = resolveDvs(src, v)
+    val srcMeta = readMeta(src)
+    writeMeta(dst, srcMeta)
+    // distributed copy of data files (+ DV sidecars), preserving the
+    // relative layout so manifest refs, stats keys and DV file keys all
+    // stay byte-identical
+    val dstData = dataDir(dst)
+    val srcDvDir = dvDir(src).toString
+    val dstDvDir = dvDir(dst).toString
+    val work: Seq[(String, String)] =
+      resolved.map { case ((rel, fn), at) =>
+        val destDir = if (rel.isEmpty) dstData else s"$dstData/$rel"
+        (at.toString, s"$destDir/$fn")
+      } ++ dvs.map(d => (s"$srcDvDir/$d", s"$dstDvDir/$d"))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    if (work.nonEmpty)
+      spark.sparkContext
+        .parallelize(work, math.min(work.size, 64))
+        .foreachPartition { it =>
+          it.foreach { case (from, to) =>
+            val srcP = new Path(from); val dstP = new Path(to)
+            val f = srcP.getFileSystem(hconf.value)
+            f.mkdirs(dstP.getParent)
+            org.apache.hadoop.fs.FileUtil.copy(f, srcP,
+              dstP.getFileSystem(hconf.value), dstP, false, hconf.value)
+          }
+        }
+    commitVersion(dst, resolved.map(_._1), Nil, stats, op = "clone",
+      dvAdded = dvs)
+  }
+
   def restore(name: String, version: Long): Unit = writeLock(name) {
     val cur = versions(name).lastOption.getOrElse(
       throw new IllegalArgumentException(s"table '$name' has no snapshots"))

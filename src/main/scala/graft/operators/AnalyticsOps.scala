@@ -1325,6 +1325,62 @@ object AnalyticsOps {
     lake.read("t").select(col("id"), col("v")).orderBy(col("id"))
   }
 
+  /** q157: DEEP CLONE through the hash-checked gate — the source lands,
+    * takes a MoR DELETE (live deletion vectors), and is cloned TWICE:
+    * at the pre-delete snapshot (`c_full`) and at latest (`c_del`, DVs
+    * carried). In-query contracts pin what the oracle cannot see: the
+    * DV clone holds live DVs of its OWN (the copy, not a reference), the
+    * pre-delete clone holds none, and a post-clone append to the source
+    * changes NEITHER clone (independence — the point of a deep clone).
+    * The oracle recomputes both clones' contents from the raw table. */
+  val q157Clone = QueryDef(
+    "q157_clone",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h))
+      |SELECT 'at_delete' AS clone, count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total100
+      |FROM seed WHERE o_orderkey % 10 <> 0
+      |UNION ALL
+      |SELECT 'full' AS clone, count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total100
+      |FROM seed
+      |ORDER BY clone""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"clone:$dir", _ => {
+      import s.implicits._
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-cloneq").toString)
+      val orders = Tables.orders(s, dir)
+      val hmax = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+      l.append("src", orders.filter(col("o_orderkey") < hmax)
+        .select(col("o_orderkey"), col("o_totalprice")).repartition(2))
+      l.deleteWhere("src", col("o_orderkey") % 10 === 0)
+      require(l.liveDvs("src").nonEmpty, "the delete must be merge-on-read")
+      l.cloneTable("src", "c_full", Some(0L))
+      l.cloneTable("src", "c_del")
+      require(l.liveDvs("c_del").nonEmpty,
+        "the latest-snapshot clone must carry the DVs")
+      require(l.liveDvs("c_full").isEmpty,
+        "the pre-delete clone must carry none")
+      val (nDel, nFull) = (l.read("c_del").count(), l.read("c_full").count())
+      // independence: the source moves on, the clones must not
+      l.append("src", Seq((999999999L, 1.0)).toDF("o_orderkey", "o_totalprice"))
+      require(l.read("c_del").count() == nDel &&
+        l.read("c_full").count() == nFull,
+        "deep clones must be independent of the source's later commits")
+      l
+    })
+    def agg(t: String, label: String) = lake.read(t)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("total100"))
+      .select(lit(label).as("clone"), col("n"), col("total100"))
+    agg("c_del", "at_delete").unionByName(agg("c_full", "full"))
+      .orderBy(col("clone"))
+  }
+
   /** q138: incrementally maintained additive aggregate
     * ([[refreshAdditiveAgg]]), proven incremental IN-QUERY: the source
     * lands in three appends with a refresh after each, and the
@@ -1925,7 +1981,7 @@ object AnalyticsOps {
     q88ZorderCompact, q91TopkAgg, q95CohortRetention, q97IntegrityAudit,
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
-    q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore,
+    q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore, q157Clone,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,

@@ -62,6 +62,8 @@ object GraftSqlParser {
     """(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+([\w.`]+)\s*\(\s*([\w`]+)\s*\)(?:\s+OPTIONS\s*\(\s*items\s*=\s*(\d+)\s*,\s*fpp\s*=\s*([0-9.eE+-]+)\s*\))?\s*;?\s*$""".r
   private val RefreshBloom =
     """(?is)^\s*REFRESH\s+BLOOM\s+INDEX(?:ES)?\s+ON\s+([\w.`]+)\s*;?\s*$""".r
+  private val CloneTable =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val AddConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+([\w`]+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
   private val DropConstraint =
@@ -93,6 +95,9 @@ object GraftSqlParser {
         Option(fpp).map(_.toDouble).getOrElse(0.01), sqlText))
     case RefreshBloom(ident) =>
       Some(GraftRefreshBloomCommand(parts(ident), sqlText))
+    case CloneTable(dst, src, v) =>
+      Some(GraftCloneCommand(parts(dst), parts(src),
+        Option(v).map(_.toLong), sqlText))
     case AddConstraint(ident, cname, check) =>
       Some(GraftAddConstraintCommand(parts(ident),
         cname.stripPrefix("`").stripSuffix("`"), check.trim, sqlText))
@@ -315,4 +320,22 @@ final case class GraftDescribePartitionsCommand(ident: Seq[String], sql: String)
     val (wh, t) = GraftSqlParser.resolveRequired(spark, ident)
     new GraftLake(spark, wh).partitionStats(t).collect().toSeq
   }
+}
+
+/** `CREATE TABLE <cat>.<dst> CLONE <cat>.<src> [VERSION AS OF n]` — deep
+  * clone of a snapshot as an independent table
+  * ([[GraftLake.cloneTable]]: distributed file copy, stats carried, DVs
+  * included, no reference back into the source). Both tables must live
+  * in the SAME graft catalog — a cross-warehouse clone would silently
+  * change storage placement. */
+final case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
+    version: Option[Long], sql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, dst, sql) { (wh, dstT) =>
+      val (srcWh, srcT) = GraftSqlParser.resolveRequired(spark, src)
+      require(srcWh == wh,
+        s"CLONE source '${src.mkString(".")}' and target " +
+          s"'${dst.mkString(".")}' must live in the same graft catalog")
+      new GraftLake(spark, wh).cloneTable(srcT, dstT, version)
+    }
 }

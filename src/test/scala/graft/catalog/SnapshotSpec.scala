@@ -196,6 +196,44 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("cloneTable: deep snapshot clone — stats carried, DVs copied, source-independent") {
+    val wh = Files.createTempDirectory("graft-clone").toString
+    GraftLake.invalidateCaches()
+    spark.conf.set("spark.sql.catalog.gcl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    try {
+      val lake = new GraftLake(spark, wh)
+      lake.write("t", (1 to 100).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(2, col("id")), pks = Seq("id"))
+      lake.deleteWhere("t", col("id") % 10 === 0)
+      assert(lake.liveDvs("t").nonEmpty)
+      lake.cloneTable("t", "c", None)
+      assert(lake.read("c").count() === 90, "clone sees DV-masked state")
+      assert(lake.liveDvs("c").nonEmpty, "DV sidecars copied")
+      assert(lake.readMeta("c").pks === Seq("id"), "registry copied")
+      // stats carried: the clone's pruned read plans fewer files without
+      // ever having read a footer of its own
+      val all = lake.read("c").inputFiles.length
+      assert(lake.readWhere("c", col("id") < 5).inputFiles.length < all,
+        "manifest bounds must have carried into the clone")
+      // SQL surface + versioned clone
+      spark.sql("CREATE TABLE gcl.c0 CLONE gcl.t VERSION AS OF 0")
+      assert(spark.sql("SELECT count(*) FROM gcl.c0").head().getLong(0) === 100)
+      // true independence: drop the SOURCE entirely — clones keep reading
+      lake.dropTable("t")
+      assert(lake.read("c").count() === 90)
+      assert(lake.read("c0").count() === 100)
+      // and clones evolve on their own
+      lake.append("c", Seq((999, "z")).toDF("id", "v"))
+      assert(lake.read("c").count() === 91)
+      intercept[IllegalArgumentException](lake.cloneTable("c", "c", None))
+      intercept[IllegalArgumentException](lake.cloneTable("c", "c0", None))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcl")
+      spark.conf.unset("spark.sql.catalog.gcl.warehouse")
+    }
+  }
+
   test("readAppendsBetween: exact new rows on an append-only table") {
     val lake = newLake()
     lake.write("log", Seq((1, "a"), (2, "b")).toDF("id", "v"))
