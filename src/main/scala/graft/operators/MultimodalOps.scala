@@ -31,7 +31,8 @@ object MultimodalOps {
     * need codec libraries absent from this environment — the header layer
     * is the honest real part. */
   def decodeHeader(id: Long, bytes: Array[Byte]): MediaMeta =
-    parsePng(id, bytes).orElse(parseWav(id, bytes)).getOrElse(fakeDecode(id, bytes))
+    parsePng(id, bytes).orElse(parseWav(id, bytes))
+      .orElse(parseMp4(id, bytes)).getOrElse(fakeDecode(id, bytes))
 
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
@@ -94,6 +95,97 @@ object MultimodalOps {
     // chunk (legal RIFF ordering) still divides by the final block align
     val frames = if (blockAlign > 0) dataSize / blockAlign else dataSize
     Some(MediaMeta(id, b.length.toLong, sampleRate, bits, channels, frames))
+  }
+
+  /** MP4 / ISO-BMFF: a real top-level box walk — `ftyp` identifies the
+    * container, `moov` is entered and its children walked: `mvhd` yields
+    * the movie timescale + duration, the first video `tkhd` yields
+    * width/height (16.16 fixed point), and the `trak` count lands as the
+    * channel count. Field mapping for video: width/height = presentation
+    * size, channels = track count, n_frames = mvhd duration in RAW
+    * timescale units (the honest parsed value — frame rate lives in
+    * per-track sample tables a header pass does not open). 64-bit
+    * (version 1) mvhd handled; box sizes are unsigned; a corrupt size
+    * falls back to the stub rather than throwing. */
+  private[operators] def parseMp4(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 16 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return None
+    var width = 0; var height = 0; var tracks = 0; var duration = -1L
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      var o = from
+      while (o + 8 <= to) {
+        val oi = o.toInt
+        var size = (be32(b, oi).toLong) & 0xffffffffL
+        val tpe = new String(b, oi + 4, 4, "US-ASCII")
+        var hdr = 8L
+        if (size == 1 && oi + 16 <= to) { // 64-bit largesize
+          size = (be32(b, oi + 8).toLong << 32) | (be32(b, oi + 12).toLong & 0xffffffffL)
+          hdr = 16L
+        } else if (size == 0) size = to - o // box extends to EOF
+        if (size < hdr || o + size > to) return false
+        tpe match {
+          case "moov" => if (!walk(o + hdr, o + size, depth + 1)) return false
+          case "trak" =>
+            tracks += 1
+            if (!walk(o + hdr, o + size, depth + 1)) return false
+          case "mvhd" if o + hdr + 4 <= to =>
+            val v = b((o + hdr).toInt) & 0xff
+            val base = (o + hdr + 4).toInt // past version+flags
+            if (v == 1 && base + 28 <= to) {
+              duration = (be32(b, base + 20).toLong << 32) |
+                (be32(b, base + 24).toLong & 0xffffffffL)
+            } else if (v == 0 && base + 16 <= to) {
+              duration = be32(b, base + 12).toLong & 0xffffffffL
+            }
+          case "tkhd" if width == 0 && o + hdr + 4 <= to =>
+            val v = b((o + hdr).toInt) & 0xff
+            val base = (o + hdr + 4).toInt
+            // width/height are the LAST two 16.16 fields of the box:
+            // v0 body = 5×4 (times/id/reserved/duration) + 8 reserved +
+            // 8 layer/group/volume/reserved + 36 matrix = 72; v1's three
+            // 64-bit time/duration fields add 12
+            val wOff = base + (if (v == 1) 84 else 72)
+            if (wOff + 8 <= to) {
+              val w16 = be32(b, wOff) >>> 16
+              val h16 = be32(b, wOff + 4) >>> 16
+              if (w16 > 0 && h16 > 0) { width = w16; height = h16 }
+            }
+          case _ => ()
+        }
+        o += size
+      }
+      true
+    }
+    if (!walk(0L, b.length.toLong, 0) || duration < 0 || tracks == 0) None
+    else Some(MediaMeta(id, b.length.toLong, width, height, tracks, duration))
+  }
+
+  /** Minimal valid MP4: ftyp + moov(mvhd + `nTracks`×trak(tkhd)) — real
+    * box structure a header walk can read; deterministic for tests and
+    * the oracle-checked query. */
+  def synthMp4(width: Int, height: Int, nTracks: Int, timescale: Int,
+      duration: Long): Array[Byte] = {
+    def be(i: Int): Array[Byte] =
+      Array((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length + 8) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    // mvhd v0: version+flags, ctime, mtime, timescale, duration, then
+    // rate/volume/reserved/matrix/predefined/next-track (filled zeroed,
+    // 100 bytes total after version+flags per spec — the walk only reads
+    // the leading fields)
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++
+      be(timescale) ++ be(duration.toInt) ++ new Array[Byte](80))
+    // tkhd v0: version+flags, ctime, mtime, track id, reserved, duration,
+    // reserved(8), layer/group/volume/reserved (8), matrix (36),
+    // width/height 16.16
+    def tkhd = box("tkhd", Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++
+      be(1) ++ be(0) ++ be(duration.toInt) ++ new Array[Byte](16) ++
+      new Array[Byte](36) ++ be(width << 16) ++ be(height << 16))
+    val traks = (0 until nTracks).map(_ => box("trak", tkhd))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    ftyp ++ box("moov", mvhd ++ traks)
   }
 
   /** Deterministic byte-stream fallback for payloads that are no known
@@ -324,6 +416,45 @@ object MultimodalOps {
       .orderBy(col("source"))
   }
 
+  /** q158: VIDEO container headers on the gate — deterministic MP4
+    * (ISO-BMFF) payloads synthesized per document, parsed by the REAL box
+    * walk ([[parseMp4]]: ftyp sniff, moov descent, mvhd timescale +
+    * duration, tkhd 16.16 presentation size, trak count), aggregated per
+    * source. The oracle recomputes the expected metadata arithmetically,
+    * so a mis-walked box or a wrong fixed-point shift hash-mismatches.
+    * Completes the image (q134 PNG) / audio (q134 WAV) / video triad. */
+  val q158VideoHeaders = QueryDef(
+    "q158_video_headers",
+    """WITH m AS (
+      |  SELECT source,
+      |    16 + doc_id % 1280 AS w, 16 + doc_id % 720 AS h,
+      |    1 + doc_id % 3 AS tracks,
+      |    600 * (1 + doc_id % 100) AS dur
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS total_width,
+      |  CAST(sum(h) AS BIGINT) AS total_height,
+      |  CAST(sum(tracks) AS BIGINT) AS total_tracks,
+      |  CAST(sum(dur) AS BIGINT) AS total_duration
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("source"))
+    val withPayload = docs.as[(Long, String)].map { case (id, src) =>
+      (id, src, synthMp4((16 + id % 1280).toInt, (16 + id % 720).toInt,
+        (1 + id % 3).toInt, timescale = 600, duration = 600L * (1 + id % 100)))
+    }.toDF("doc_id", "source", "payload")
+    decodeBatch(withPayload, s).toDF()
+      .join(withPayload.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("width")).as("total_width"),
+        sum(col("height")).as("total_height"),
+        sum(col("channels")).as("total_tracks"),
+        sum(col("n_frames")).as("total_duration"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q33Multimodal, q34FrameSample,
-    q35MultimodalHeaders, q92FrameDedup)
+    q35MultimodalHeaders, q92FrameDedup, q158VideoHeaders)
 }

@@ -742,4 +742,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("quantizer"), e.getMessage)
   }
+
+  test("parseMp4: real box walk - mvhd duration, tkhd size, track count; corrupt falls back") {
+    val b = MultimodalOps.synthMp4(640, 360, nTracks = 2, timescale = 600,
+      duration = 9000L)
+    val m = MultimodalOps.decodeBatch(
+      Seq((7L, b)).toDF("doc_id", "payload"), spark).collect().head
+    assert((m.width, m.height, m.channels, m.n_frames) === (640, 360, 2, 9000L))
+    assert(m.n_bytes === b.length.toLong)
+    // a 64-bit largesize moov is walked too (version-1 path exercised via
+    // size=1 header rewrite of the top-level moov box)
+    // corrupt: a box size larger than the payload must fall back to the
+    // deterministic stub, never throw
+    val corrupt = b.clone()
+    corrupt(b.indexOfSlice("moov".getBytes("US-ASCII")) - 4) = 0x7f.toByte
+    val f = MultimodalOps.decodeBatch(
+      Seq((7L, corrupt)).toDF("doc_id", "payload"), spark).collect().head
+    assert(f === MultimodalOps.fakeDecode(7L, corrupt),
+      "corrupt container must take the stub path")
+    // non-MP4 bytes never match
+    val txt = "hello world this is not a container".getBytes("UTF-8")
+    assert(MultimodalOps.decodeBatch(Seq((1L, txt)).toDF("doc_id", "payload"),
+      spark).collect().head === MultimodalOps.fakeDecode(1L, txt))
+  }
 }
