@@ -2832,23 +2832,39 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * deterministic; the commit instant is an attribute of the commit
     * FILE, the same source [[history]] reports and the same mechanism
     * Delta documents for its timestamp travel — copying manifest files
-    * without preserving mtimes shifts the clock, not the data). One
-    * directory listing, no manifest reads. */
+    * without preserving mtimes shifts the clock, not the data). ONE
+    * directory listing, no manifest reads, no per-version RPCs.
+    *
+    * Commit instants are MONOTONE-ADJUSTED in version order before the
+    * cut (Delta's timestamp-adjustment rule): [[expireSnapshots]]'s
+    * re-anchor rewrites the oldest kept manifest, stamping it "now" —
+    * without the adjustment a raw mtime cut could resolve PAST newer
+    * snapshots to an older, freshly-rewritten one. After adjustment a
+    * rewritten-era instant maps to the LATEST snapshot of that instant,
+    * never to a snapshot that was superseded before it. */
   def versionAt(name: String, tsMillis: Long): Long = {
-    val vs = versions(name)
-    require(vs.nonEmpty, s"table '$name' has no snapshots")
-    val f = fs(versionsDir(name))
-    val at = vs.filter { v =>
-      f.getFileStatus(new Path(versionsDir(name), s"v$v.json"))
-        .getModificationTime <= tsMillis
+    val vd = versionsDir(name)
+    val f = fs(vd)
+    require(f.exists(vd), s"table '$name' has no snapshots")
+    val stamped = f.listStatus(vd).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".json"))
+          Some(n.stripPrefix("v").stripSuffix(".json").toLong ->
+            st.getModificationTime)
+        else None
+      }.sortBy(_._1)
+    require(stamped.nonEmpty, s"table '$name' has no snapshots")
+    var adj = Long.MinValue
+    val adjusted = stamped.map { case (v, ts) =>
+      adj = math.max(adj, ts); (v, adj)
     }
+    val at = adjusted.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"table '$name' has no snapshot at or before " +
         s"${new java.sql.Timestamp(tsMillis)} (first commit: " +
-        s"${new java.sql.Timestamp(f.getFileStatus(
-          new Path(versionsDir(name), s"v${vs.head}.json"))
-          .getModificationTime)})")
-    at.max
+        s"${new java.sql.Timestamp(adjusted.head._2)})")
+    at.map(_._1).max
   }
 
   def history(name: String): DataFrame = {
@@ -2977,16 +2993,40 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * can never break it. Reference analog: DuckLake snapshots + DuckDB's
     * COPY — the reference exports a snapshot by copying it. */
   def cloneTable(src: String, dst: String,
-      version: Option[Long] = None): Unit = writeLock(dst) {
+      version: Option[Long] = None): Unit = {
     require(src != dst, "clone target must differ from the source")
+    // BOTH tables lock (sorted — the lockedAll deadlock discipline): the
+    // source's lock keeps a concurrent expireSnapshots/rewrite from
+    // vacuuming the very files the copy job is reading mid-flight
+    lockedAll(Seq(src, dst).sorted.toList) {
     require(!tableExists(dst), s"clone target '$dst' already exists")
     val v = version.getOrElse(versions(src).lastOption.getOrElse(
       throw new IllegalArgumentException(s"table '$src' has no snapshots")))
     val (_, resolved) = snapshotResolved(src, v)
     val stats = statsFor(src, v)
     val dvs = resolveDvs(src, v)
+    // the clone IS the snapshot materialized: its data columns come from
+    // the SNAPSHOT's manifest schema (current meta may have dropped or
+    // renamed columns since — `VERSION AS OF v` would still show them,
+    // and so must the clone); registry state (PKs, partitioning,
+    // constraints) carries from the current meta but must be CONSISTENT
+    // with that schema — refuse, never silently drop, when it references
+    // columns the snapshot does not have
+    val snapSchema = schemaAtVersion(src, v)
+    val snapCols = snapSchema.fieldNames.map(_.toLowerCase).toSet
     val srcMeta = readMeta(src)
-    writeMeta(dst, srcMeta)
+    val missingPk = srcMeta.pks.filterNot(c => snapCols.contains(c.toLowerCase))
+    val missingPart = srcMeta.partitionExprs.map(_.column)
+      .filterNot(c => snapCols.contains(c.toLowerCase))
+    val missingCons = srcMeta.constraints.filter { case (_, text) =>
+      !constraintRefs(text).subsetOf(snapCols)
+    }
+    require(missingPk.isEmpty && missingPart.isEmpty && missingCons.isEmpty,
+      s"cannot clone '$src' at version $v: the current registry references " +
+        s"columns the snapshot lacks (pks: ${missingPk.mkString(",")}; " +
+        s"partition sources: ${missingPart.mkString(",")}; constraints: " +
+        s"${missingCons.map(_._1).mkString(",")}) — clone the latest version " +
+        "or drop the offending registry entries first")
     // distributed copy of data files (+ DV sidecars), preserving the
     // relative layout so manifest refs, stats keys and DV file keys all
     // stay byte-identical
@@ -3012,8 +3052,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
               dstP.getFileSystem(hconf.value), dstP, false, hconf.value)
           }
         }
+    // meta lands AFTER the (long, failable) copy: a mid-copy failure
+    // leaves stray files under a table that does not exist — retryable —
+    // rather than a phantom zero-snapshot table that blocks the retry
+    writeMeta(dst, srcMeta.copy(schema = snapSchema))
     commitVersion(dst, resolved.map(_._1), Nil, stats, op = "clone",
       dvAdded = dvs)
+    }
   }
 
   def restore(name: String, version: Long): Unit = writeLock(name) {

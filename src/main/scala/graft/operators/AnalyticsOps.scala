@@ -1341,7 +1341,7 @@ object AnalyticsOps {
       |SELECT 'at_delete' AS clone, count(*) AS n,
       |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |    AS total100
-      |FROM seed WHERE o_orderkey % 10 <> 0
+      |FROM seed WHERE o_orderkey % 100 <> 0
       |UNION ALL
       |SELECT 'full' AS clone, count(*) AS n,
       |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -1356,7 +1356,11 @@ object AnalyticsOps {
       val hmax = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
       l.append("src", orders.filter(col("o_orderkey") < hmax)
         .select(col("o_orderkey"), col("o_totalprice")).repartition(2))
-      l.deleteWhere("src", col("o_orderkey") % 10 === 0)
+      // ~1% slice: scale-proportional, comfortably under the DV entry
+      // budget at every SF the harness runs (the q135 sizing rule — a
+      // fixed-selectivity 10% predicate would fold copy-on-write at
+      // sf10+ and break the liveDvs contract below)
+      l.deleteWhere("src", col("o_orderkey") % 100 === 0)
       require(l.liveDvs("src").nonEmpty, "the delete must be merge-on-read")
       l.cloneTable("src", "c_full", Some(0L))
       l.cloneTable("src", "c_del")

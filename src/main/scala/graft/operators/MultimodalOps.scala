@@ -123,21 +123,25 @@ object MultimodalOps {
           hdr = 16L
         } else if (size == 0) size = to - o // box extends to EOF
         if (size < hdr || o + size > to) return false
+        // field reads bound against the BOX's own end, never the
+        // parent's: a truncated mvhd/tkhd must fall back to the stub,
+        // not silently decode the next sibling's bytes as metadata
+        val boxEnd = o + size
         tpe match {
-          case "moov" => if (!walk(o + hdr, o + size, depth + 1)) return false
+          case "moov" => if (!walk(o + hdr, boxEnd, depth + 1)) return false
           case "trak" =>
             tracks += 1
-            if (!walk(o + hdr, o + size, depth + 1)) return false
-          case "mvhd" if o + hdr + 4 <= to =>
+            if (!walk(o + hdr, boxEnd, depth + 1)) return false
+          case "mvhd" if o + hdr + 4 <= boxEnd =>
             val v = b((o + hdr).toInt) & 0xff
             val base = (o + hdr + 4).toInt // past version+flags
-            if (v == 1 && base + 28 <= to) {
+            if (v == 1 && base + 28 <= boxEnd) {
               duration = (be32(b, base + 20).toLong << 32) |
                 (be32(b, base + 24).toLong & 0xffffffffL)
-            } else if (v == 0 && base + 16 <= to) {
+            } else if (v == 0 && base + 16 <= boxEnd) {
               duration = be32(b, base + 12).toLong & 0xffffffffL
             }
-          case "tkhd" if width == 0 && o + hdr + 4 <= to =>
+          case "tkhd" if width == 0 && o + hdr + 4 <= boxEnd =>
             val v = b((o + hdr).toInt) & 0xff
             val base = (o + hdr + 4).toInt
             // width/height are the LAST two 16.16 fields of the box:
@@ -145,7 +149,7 @@ object MultimodalOps {
             // 8 layer/group/volume/reserved + 36 matrix = 72; v1's three
             // 64-bit time/duration fields add 12
             val wOff = base + (if (v == 1) 84 else 72)
-            if (wOff + 8 <= to) {
+            if (wOff + 8 <= boxEnd) {
               val w16 = be32(b, wOff) >>> 16
               val h16 = be32(b, wOff + 4) >>> 16
               if (w16 > 0 && h16 > 0) { width = w16; height = h16 }

@@ -248,8 +248,17 @@ final case class GraftOptimizeCommand(ident: Seq[String],
     GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
       // WHERE scopes the rewrite to the matched PARTITIONS (Delta's
       // OPTIMIZE ... WHERE): at 100 TB one compacts yesterday's
-      // partition, never the table
-      new GraftLake(spark, wh).compact(t,
+      // partition, never the table. On an UNPARTITIONED table there is
+      // no scoping unit — any non-empty match would silently rewrite the
+      // whole table, the exact accident the clause exists to prevent —
+      // so it is refused (Delta errors on this shape too)
+      val lake = new GraftLake(spark, wh)
+      if (where.isDefined)
+        require(lake.readMeta(t).partitionExprs.nonEmpty,
+          s"OPTIMIZE ... WHERE needs a PARTITIONED table: '$t' has no " +
+            "partitions, so the predicate could not scope the rewrite — " +
+            "run OPTIMIZE without WHERE to compact the whole table")
+      lake.compact(t,
         predicate = where.map(w => org.apache.spark.sql.functions.expr(w)),
         clusterBy = zorderCols)
     }

@@ -228,6 +228,16 @@ class SnapshotSpec extends AnyFunSuite {
       assert(lake.read("c").count() === 91)
       intercept[IllegalArgumentException](lake.cloneTable("c", "c", None))
       intercept[IllegalArgumentException](lake.cloneTable("c", "c0", None))
+      // a VERSIONED clone materializes the SNAPSHOT's schema, matching
+      // VERSION AS OF semantics: rename the column after the clone point
+      // and the clone must still present the snapshot-era name
+      val vBefore = lake.versions("c").last
+      lake.renameColumn("c", "v", "val")
+      lake.cloneTable("c", "cr", Some(vBefore))
+      assert(lake.read("cr").columns.contains("v") &&
+        !lake.read("cr").columns.contains("val"),
+        "versioned clone must carry the snapshot-era logical schema")
+      assert(lake.read("cr").count() === 91)
     } finally {
       spark.conf.unset("spark.sql.catalog.gcl")
       spark.conf.unset("spark.sql.catalog.gcl.warehouse")
