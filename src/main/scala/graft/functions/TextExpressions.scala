@@ -99,15 +99,53 @@ object TextExpressions {
       copy(tokens = newLeft, words = newRight)
   }
 
+  /** Unicode NFC normalization as a native expression — the first step
+    * of every text-curation pipeline (decomposed sequences like
+    * `e + U+0301` fold to their canonical composites, so exact dedup,
+    * shingling and token counting stop treating byte-variant spellings
+    * of the SAME text as different). Spark ships no NFC builtin; a UDF
+    * would break whole-stage codegen — this expression's generated code
+    * calls one static JVM helper per row. The fast path costs one
+    * `Normalizer.isNormalized` check (true for pure-ASCII and
+    * already-composed text, i.e. almost every row) and returns the INPUT
+    * object untouched — no copy, no allocation. */
+  case class NormalizeNfc(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextExpressions.nfc(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.nfc($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
+  /** Static helper the generated code calls. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_count_in", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NormalizeNfc(exprs.head), "built-in")
   }
 
   /** Rolling-hash fingerprint as a Column; [[register]] the session first. */
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
+
+  /** Unicode NFC normalization as a Column. */
+  def normalizeNfc(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_nfc", c)
+  }
 
   /** Count of tokens present in the given constant word list. */
   def countIn(tokens: Column, wordList: Seq[String]): Column = {

@@ -478,9 +478,48 @@ object TextOps {
       .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
   }
 
+  /** q159: Unicode NFC normalization on the gate — the first step of
+    * every text pipeline, as a codegen'd native expression
+    * ([[graft.functions.TextExpressions.NormalizeNfc]]; Spark ships no
+    * NFC builtin and a UDF would break whole-stage codegen). The corpus
+    * text gets DECOMPOSED sequences appended deterministically
+    * (`e + U+0301`, `A + U+0300` — the byte-variant spellings exact
+    * dedup and shingling would otherwise treat as distinct text), and
+    * both engines normalize independently: DuckDB's `nfc_normalize`
+    * must agree with `java.text.Normalizer` on character counts and
+    * changed-doc counts per source, or the hash gate fails. Docs with
+    * zero appended units pin the identity fast path. Map-side only —
+    * one scan, no shuffle before the rollup. */
+  val q159NfcNormalize = QueryDef(
+    "q159_nfc_normalize",
+    """WITH d AS (SELECT source,
+      |    text || repeat(' e' || chr(769) || 'A' || chr(768),
+      |                   CAST(doc_id % 3 AS INT)) AS t
+      |  FROM documents WHERE doc_id < 500),
+      |n AS (SELECT source, t, nfc_normalize(t) AS tn FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(t)) AS BIGINT) AS chars_before,
+      |  CAST(sum(length(tn)) AS BIGINT) AS chars_after,
+      |  CAST(sum(CASE WHEN t <> tn THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed
+      |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.functions.TextExpressions.register(s)
+    val d = docs(s, dir).filter(col("doc_id") < 500)
+      .select(col("source"), concat(col("text"),
+        call_function("repeat", lit(" e\u0301A\u0300"),
+          (col("doc_id") % 3).cast("int"))).as("t"))
+      .withColumn("tn", graft.functions.TextExpressions.normalizeNfc(col("t")))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("t"))).as("chars_before"),
+        sum(length(col("tn"))).as("chars_after"),
+        sum(when(col("t") =!= col("tn"), 1L).otherwise(0L)).as("n_changed"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
     q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit,
     q48GroupSample, q76BpeTokens, q100Bm25, q111TemperatureMix,
-    q116WeightedSample)
+    q116WeightedSample, q159NfcNormalize)
 }

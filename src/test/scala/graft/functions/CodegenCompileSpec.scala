@@ -27,7 +27,8 @@ class CodegenCompileSpec extends AnyFunSuite {
       ShingleExpression.WordShingles(strArr, 3),
       ShingleExpression.TopShingleCount(strArr, 2),
       VectorFunctions.CosineSimilarity(dblArr, dblArr),
-      TextExpressions.RollingHash(str)))
+      TextExpressions.RollingHash(str),
+      TextExpressions.NormalizeNfc(str)))
   }
 
   test("all custom expressions compile under codegen with nullable inputs") {
@@ -42,6 +43,20 @@ class CodegenCompileSpec extends AnyFunSuite {
       ShingleExpression.WordShingles(strArr, 3),
       ShingleExpression.TopShingleCount(strArr, 2),
       VectorFunctions.CosineSimilarity(fltArr, fltArr),
-      TextExpressions.RollingHash(str)))
+      TextExpressions.RollingHash(str),
+      TextExpressions.NormalizeNfc(str)))
+  }
+
+  test("NormalizeNfc: decomposed folds to composed; normalized input returns unchanged") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = UTF8String.fromString("caf\u0065\u0301") // 'cafe' + combining acute
+    val composed = TextExpressions.nfc(decomposed)
+    assert(composed.toString === "caf\u00e9")
+    assert(composed.numChars() === 4 && decomposed.numChars() === 5)
+    // identity fast path: already-NFC (and pure ASCII) input comes back
+    // as the SAME object - zero copies on the overwhelming hot path
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(TextExpressions.nfc(ascii) eq ascii)
+    assert(TextExpressions.nfc(composed) eq composed)
   }
 }
