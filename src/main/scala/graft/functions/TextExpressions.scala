@@ -121,8 +121,13 @@ object TextExpressions {
       copy(c)
   }
 
-  /** Static helper the generated code calls. */
+  /** Static helper the generated code calls. Pure-ASCII rows (the
+    * overwhelming hot path) short-circuit on `numBytes == numChars` —
+    * ASCII is fully composed, so this is a scan with ZERO allocation;
+    * only rows that actually carry multi-byte characters pay the
+    * UTF-16 decode for the isNormalized check. */
   def nfc(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s // all-ASCII ⇒ already NFC
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -112,6 +112,10 @@ object MultimodalOps {
       return None
     var width = 0; var height = 0; var tracks = 0; var duration = -1L
     def walk(from: Long, to: Long, depth: Int): Boolean = {
+      // depth bound = totality: real files nest ~4 levels; an adversarial
+      // payload of thousands of nested containers would otherwise recurse
+      // one frame per level and kill the executor with StackOverflowError
+      if (depth > 32) return false
       var o = from
       while (o + 8 <= to) {
         val oi = o.toInt

@@ -41,6 +41,22 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeHeader is total on adversarially DEEP box nesting (no stack overflow)") {
+    // 50k nested 'trak' boxes after a valid ftyp: each 8-byte header's
+    // size spans the remainder, so an unbounded walk would recurse one
+    // frame per level — the depth bound must cut it off, not the stack
+    val n = 50000
+    val out = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    out.write(be(16)); out.write("ftyp".getBytes("US-ASCII"))
+    out.write("isom".getBytes("US-ASCII")); out.write(be(0))
+    (0 until n).foreach { i =>
+      out.write(be(8 * (n - i))); out.write("trak".getBytes("US-ASCII"))
+    }
+    total(4L, out.toByteArray)
+  }
+
   test("decodeHeader is total on bit-flipped valid containers") {
     val valids = Seq(
       MultimodalOps.synthPng(64, 64, 6),
