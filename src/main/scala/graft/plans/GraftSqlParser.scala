@@ -62,6 +62,8 @@ object GraftSqlParser {
     """(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+([\w.`]+)\s*\(\s*([\w`]+)\s*\)(?:\s+OPTIONS\s*\(\s*items\s*=\s*(\d+)\s*,\s*fpp\s*=\s*([0-9.eE+-]+)\s*\))?\s*;?\s*$""".r
   private val RefreshBloom =
     """(?is)^\s*REFRESH\s+BLOOM\s+INDEX(?:ES)?\s+ON\s+([\w.`]+)\s*;?\s*$""".r
+  private val ShowMetrics =
+    """(?is)^\s*SHOW\s+GRAFT\s+METRICS\s*;?\s*$""".r
   private val CloneTable =
     """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val AddConstraint =
@@ -95,6 +97,7 @@ object GraftSqlParser {
         Option(fpp).map(_.toDouble).getOrElse(0.01), sqlText))
     case RefreshBloom(ident) =>
       Some(GraftRefreshBloomCommand(parts(ident), sqlText))
+    case ShowMetrics() => Some(GraftShowMetricsCommand())
     case CloneTable(dst, src, v) =>
       Some(GraftCloneCommand(parts(dst), parts(src),
         Option(v).map(_.toLong), sqlText))
@@ -346,5 +349,28 @@ final case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
         s"CLONE source '${src.mkString(".")}' and target " +
           s"'${dst.mkString(".")}' must live in the same graft catalog")
       new GraftLake(spark, wh).cloneTable(srcT, dstT, version)
+    }
+}
+
+/** `SHOW GRAFT METRICS` — the engine's op sensors (reference §2.9,
+  * DucklakeMetrics' JMX surface) as a result set: one row per recorded
+  * operation with invocation count and total/avg/max latency. The
+  * "GRAFT" keyword makes the shape collision-free: plain `SHOW METRICS`
+  * or `DESCRIBE metrics` could be a statement about a table named
+  * metrics, which interception must never eat. */
+final case class GraftShowMetricsCommand() extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("n", LongType, nullable = false)(),
+    AttributeReference("total_ms", DoubleType, nullable = false)(),
+    AttributeReference("avg_ms", DoubleType, nullable = false)(),
+    AttributeReference("max_ms", DoubleType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.metrics.GraftMetrics.totalsMs().toSeq.sortBy(_._1).map {
+      case (op, (n, totalMs)) =>
+        val st = graft.metrics.GraftMetrics.op(op)
+        Row(op, n, totalMs, if (n == 0) 0.0 else totalMs / n, st.maxMs)
     }
 }

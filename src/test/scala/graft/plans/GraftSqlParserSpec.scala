@@ -167,6 +167,23 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW GRAFT METRICS surfaces the op sensors as a result set") {
+    withCat("admm") { (lake, cat) =>
+      lake.write("t", Seq((1, "a")).toDF("id", "v"))
+      val rows = spark.sql("SHOW GRAFT METRICS").collect()
+      val ops = rows.map(_.getString(0)).toSet
+      assert(ops.contains(graft.metrics.GraftMetrics.CommitVersion),
+        s"commit sensor missing from $ops")
+      val commit = rows.find(_.getString(0) ==
+        graft.metrics.GraftMetrics.CommitVersion).get
+      assert(commit.getLong(1) >= 1L, "at least one commit recorded")
+      assert(commit.getDouble(2) >= 0.0 && commit.getDouble(4) >= 0.0)
+      // projection over the result set works (it is a real command output)
+      assert(spark.sql("SHOW GRAFT METRICS").select("op", "n").count() ===
+        rows.length.toLong)
+    }
+  }
+
   test("unqualified / non-graft targets DELEGATE to Spark's native grammar") {
     withCat("admf") { (lake, cat) =>
       lake.write("t", Seq((1, "a")).toDF("id", "v"))
