@@ -30,21 +30,61 @@ object Bench {
 
   /** The bounded final stdout line: every field is a fixed-width scalar, so
     * its size does not depend on the number of registered queries. Kept as a
-    * pure function so BenchTailSpec can assert the O(1)-size contract. */
+    * pure function so BenchTailSpec can assert the O(1)-size contract.
+    * `loadAvg`/`staleCleaned` make the artifact interpretable STANDALONE:
+    * round-over-round totals on a shared host swung 35–48 % purely from
+    * external load and stale temp-warehouse accumulation, and without the
+    * context stamped in, every such swing reads as a code regression. */
   def tailLine(total: Double, nQueries: Int, nErrors: Int, mergeMs: Double,
       insertMs: Double, amortMergeMs: Double, amortInsertMs: Double,
-      sfDir: String): String =
+      sfDir: String, loadAvg: Double = -1.0, staleCleaned: Int = 0): String =
     s"""{"metric":"total","value":${num(total)},"unit":"sec"""" +
       s""","n_queries":$nQueries,"n_errors":$nErrors""" +
       s""","upsert_merge_ms_per_10k_batch":${num(mergeMs)}""" +
       s""","insert_ms_per_10k_batch":${num(insertMs)}""" +
       s""","upsert_merge_ms_per_10k_amortized_1m_flush":${num(amortMergeMs)}""" +
       s""","insert_ms_per_10k_amortized_1m_flush":${num(amortInsertMs)}""" +
+      s""","load_avg_1m":${num(loadAvg)},"stale_tmp_dirs_cleaned":$staleCleaned""" +
       s""","sf":${jstr(sfDir)},"detail":"bench.json"}"""
+
+  /** Delete stale graft temp warehouses left in java.io.tmpdir by earlier
+    * verify/test/bench runs (they accumulate by the thousands and degrade
+    * bench totals run-over-run through directory-listing and page-cache
+    * pressure). Only `graft-*` dirs created by `Files.createTempDirectory`
+    * are touched; the persistent scale dataset (`graft-sf1`) and anything
+    * not matching the prefix are kept. Returns how many were deleted. */
+  def cleanStaleTmp(): Int = {
+    val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    if (!Files.isDirectory(tmp)) return 0
+    val keep = Set("graft-sf1")
+    var n = 0
+    val stream = Files.list(tmp)
+    try stream.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("graft-") && !keep(name) && Files.isDirectory(p)) {
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+          finally walk.close()
+          n += 1
+        } catch { case _: java.io.IOException => () } // foreign/live dir: skip
+      }
+    } finally stream.close()
+    n
+  }
+
+  /** 1-minute system load average (-1 when the platform can't say). */
+  def loadAvg1m(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val staleCleaned = cleanStaleTmp()
+    val loadBefore = loadAvg1m()
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -113,8 +153,14 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")
+    // host context measured at both ends: a load spike DURING the run is
+    // visible as before/after divergence, not just a high single sample
+    val loadAfter = loadAvg1m()
     val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec"""" +
       s""","queries":$qs""" +
+      s""","load_avg_1m_start":${num(loadBefore)}""" +
+      s""","load_avg_1m_end":${num(loadAfter)}""" +
+      s""","stale_tmp_dirs_cleaned":$staleCleaned""" +
       s""","upsert_merge_ms_per_10k_batch":${num(mergeMs)}""" +
       s""","insert_ms_per_10k_batch":${num(insertMs)}""" +
       s""","upsert_merge_ms_per_10k_amortized_1m_flush":${num(amortMergeMs)}""" +
@@ -152,6 +198,6 @@ object Bench {
     // printed LAST: the O(1)-size summary, so a bounded stdout tail always
     // contains one complete metric line (only sbt's epilogue follows)
     println(tailLine(total, ok.size, errors.size, mergeMs, insertMs,
-      amortMergeMs, amortInsertMs, sfDir))
+      amortMergeMs, amortInsertMs, sfDir, loadAfter, staleCleaned))
   }
 }

@@ -661,8 +661,18 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           GraftLake.dvRuleSlowPathEvals.increment()
           val ok = dvsAtVersion(name, v).isEmpty &&
             GraftLake.logicalNamesOf(schemaAtVersion(name, v)).isEmpty
-          if (GraftLake.dvRulePassAtVersion.size() > 65536)
-            GraftLake.dvRulePassAtVersion.clear()
+          // defensive bound with PER-ENTRY eviction: drop an arbitrary
+          // quarter instead of clear() — a full wipe would force every
+          // concurrent analyzer pass onto the slow path at once (a
+          // thundering herd on a wide multi-table session), while a
+          // partial evict keeps 3/4 of the steady state hot. Arbitrary
+          // order is fine: verdicts are immutable and cheap to re-derive
+          // one at a time
+          if (GraftLake.dvRulePassAtVersion.size() > 65536) {
+            val it = GraftLake.dvRulePassAtVersion.keySet().iterator()
+            var n = 16384
+            while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+          }
           GraftLake.dvRulePassAtVersion.put(vk, java.lang.Boolean.valueOf(ok))
           ok
         }
@@ -1955,10 +1965,19 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           // manifests are immutable, so the pre-version's watermarks read
           // the same now as they would have before the body — and the
           // happy path pays zero manifest walks
-          val preTxns: Map[String, Map[String, Long]] =
+          // None = the PRE-version watermarks could not be resolved
+          // (transient IO, corrupt manifest): the reset below is then
+          // SKIPPED for that member — defaulting to an empty map would
+          // commit txnsReset=Some(empty), wiping ALL pre-transaction
+          // watermarks and re-landing every already-committed idempotent
+          // batch on its next redelivery (duplicates). Leaving the
+          // watermarks as-committed is the safe failure mode: at worst an
+          // aborted batch's redelivery no-ops (the pre-existing at-least-
+          // once caveat), never a double-land of a committed one
+          val preTxns: Map[String, Option[Map[String, Long]]] =
             sorted.map(n => n ->
-              pre(n).map(v => scala.util.Try(resolveTxns(n, v))
-                .getOrElse(Map.empty[String, Long])).getOrElse(Map.empty))
+              pre(n).map(v => scala.util.Try(resolveTxns(n, v)).toOption)
+                .getOrElse(Some(Map.empty[String, Long])))
               .toMap
           sorted.foreach { n =>
             try {
@@ -1974,12 +1993,15 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
                   writeMeta(n, m)
               }
               // and the watermark reset (anchored by a full manifest —
-              // deltas can only fold watermarks UP)
-              val nowTxns = versions(n).lastOption
-                .map(v => resolveTxns(n, v)).getOrElse(Map.empty)
-              if (nowTxns != preTxns(n)) writeLock(n) {
-                commitVersion(n, Nil, Nil, op = "txn-rollback",
-                  txnsReset = Some(preTxns(n)))
+              // deltas can only fold watermarks UP). Skipped when the
+              // pre-version watermarks failed to resolve (see preTxns)
+              preTxns(n).foreach { preT =>
+                val nowTxns = versions(n).lastOption
+                  .map(v => resolveTxns(n, v)).getOrElse(Map.empty)
+                if (nowTxns != preT) writeLock(n) {
+                  commitVersion(n, Nil, Nil, op = "txn-rollback",
+                    txnsReset = Some(preT))
+                }
               }
             } catch {
               case r: Throwable => e.addSuppressed(r)
@@ -3740,8 +3762,10 @@ object GraftLake {
     * substituted read every pass anyway. */
   private val dvRulePassCache = new ConcurrentHashMap[String, java.lang.Long]()
   /** Same verdict for `VERSION AS OF` snapshot relations — immutable per
-    * (table, version), size-bounded defensively. */
-  private val dvRulePassAtVersion =
+    * (table, version), size-bounded defensively with PER-ENTRY eviction
+    * (never clear() — see dvRuleUnchanged). private[graft] for the
+    * eviction spec only. */
+  private[graft] val dvRulePassAtVersion =
     new ConcurrentHashMap[String, java.lang.Boolean]()
   /** Times the rule's slow path (resolve DVs + read schema metadata) ran —
     * spec observability for the memoization: analyzing the same clean

@@ -412,18 +412,21 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       .map(_.toInt)
       .getOrElse(math.min(8, spark.sparkContext.defaultParallelism))
     // the partition probe costs a physical planning of the batch frame.
-    // A first trigger that already carries enough partitions decides NO
-    // for the pipeline's lifetime (a stream's source partitioning is
-    // stable; wide sources never pay the probe again). A skinny first
-    // trigger keeps probing per batch: the spread must never SHRINK a
-    // later wide batch down to the floor (a blind repartition would), and
-    // on the skinny pipelines that reach here the probe is planning a
-    // trivial frame anyway
+    // A first trigger that already carries enough partitions decides NO —
+    // but only until the next RE-PROBE (every 16 batches): a stream's
+    // source partitioning is usually stable (wide sources pay the probe
+    // 1/16th of the time), yet a topic rebalance or a filtered replay can
+    // turn a wide stream skinny mid-life, and a lifetime pin would then
+    // run whole flushes on too few cores with no recovery short of a
+    // restart. A skinny trigger keeps probing per batch: the spread must
+    // never SHRINK a later wide batch down to the floor (a blind
+    // repartition would), and on the skinny pipelines that reach here the
+    // probe is planning a trivial frame anyway
     val needsSpread = fanoutDecision match {
-      case Some(false) => false
+      case Some(false) if batchId % 16 != 0 => false
       case _ =>
         val d = minFanout > 1 && batch.rdd.getNumPartitions < minFanout
-        if (fanoutDecision.isEmpty) fanoutDecision = Some(d)
+        fanoutDecision = Some(d)
         d
     }
     val spread = if (needsSpread) batch.repartition(minFanout) else batch
@@ -569,34 +572,55 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     * columns lands un-flagged and bumps `dedup.skipped.batches` — schema
     * drift must not poison the stream, but it must be visible.
     *
-    * Admission runs before the landing write: a crash between the two can
-    * leave an admitted doc whose landing retries next batch — it then
-    * flags as a dup of itself in the index, matching the pipeline's
-    * at-least-once contract (re-delivered records are expected; PK
-    * last-wins landing absorbs them). */
+    * Admission runs before the landing write, both inside one transaction
+    * (see writeToLake). An admission that LEAKS past a rollback — a
+    * driver crash between the index-admission commit and the landing
+    * commit is outside any in-process compensation — is absorbed on
+    * redelivery: the probe exempts a doc whose OWN id already band-matches
+    * in the index from both dup flagging and re-admission, so the
+    * redelivered rows land (txn watermark / PK last-wins dedup the landing
+    * side) instead of self-flagging and, under dropDups, being dropped
+    * permanently.
+    *
+    * `nRecords` (the profiled batch row count, -1 = unknown) gates the
+    * trigger-sized-batch optimizations: above
+    * `spark.graft.ingest.dedupBroadcastMaxRows` (default 5M) the flag
+    * frame joins without a broadcast hint (AQE picks) and admission writes
+    * proportional-to-data slices instead of coalesce(1) — a backfill
+    * replay must degrade to shuffles, not fail the stream on the
+    * broadcast limit or serialize its index write onto one task. */
   private def applyDedup(table: String, dc: DedupConfig,
-      df: DataFrame): (DataFrame, Option[() => Unit]) = {
+      df: DataFrame, nRecords: Long): (DataFrame, Option[() => Unit]) = {
     if (!df.columns.contains(dc.idCol) || !df.columns.contains(dc.textCol)) {
       GraftMetrics.dedupSkippedBatches.increment()
       return (df, None)
     }
+    val bcMax = spark.conf.getOption("spark.graft.ingest.dedupBroadcastMaxRows")
+      .map(_.toLong).getOrElse(5000000L)
+    val huge = nRecords >= 0 && nRecords > bcMax
+    val admitSlices = if (!huge) 1
+      else math.min(64L, (nRecords + GraftLake.maxRecordsPerFile - 1) /
+        GraftLake.maxRecordsPerFile).toInt
     val probe = df
       .select(col(dc.idCol), col(dc.textCol).cast("string").as(dc.textCol))
       .dropDuplicates(dc.idCol)
     // STAGED: the probe runs now (flags are stable — the dup set is
     // checkpointed before any index mutation); admission is handed back
     // so writeToLake commits it inside ONE transact with the landing
-    // write — index and table can never diverge on a failed flush
+    // write — index and table never diverge on an in-process flush failure
     val (flags, admit) = GraftMetrics.time(GraftMetrics.IngestDedup) {
       graft.operators.DedupOps.incrementalNearDupsStaged(
         lake, s"${table}_lshidx", probe, dc.idCol, dc.textCol,
         dc.threshold, dc.shingleK, dc.bands, dc.rowsPerBand,
-        parallelAdmit = true)
+        parallelAdmit = true, hintBroadcast = !huge,
+        admitSlices = admitSlices)
     }
     // the flag frame is batch-bounded (ids + a bit) — broadcast it back
-    // onto the batch rather than shuffling the landing projection
+    // onto the batch rather than shuffling the landing projection (gated:
+    // see nRecords above)
+    val flagsRenamed = flags.withColumnRenamed("is_dup", dc.flagCol)
     val flagged = df
-      .join(broadcast(flags.withColumnRenamed("is_dup", dc.flagCol)),
+      .join(if (huge) flagsRenamed else broadcast(flagsRenamed),
         Seq(dc.idCol), "left")
       .withColumn(dc.flagCol, coalesce(col(dc.flagCol), lit(0L)))
     (if (dc.dropDups) flagged.filter(col(dc.flagCol) === 0L).drop(dc.flagCol)
@@ -628,13 +652,14 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     }
   }
 
-  private def writeToLake(table: String, rawDf: DataFrame): Unit = {
+  private def writeToLake(table: String, rawDf: DataFrame,
+      nRecords: Long = -1L): Unit = {
     val gated = config.quality.get(table) match {
       case Some(qc) => applyQuality(table, qc, rawDf)
       case None => rawDf
     }
     val (deduped, admitIndex) = config.dedup.get(table) match {
-      case Some(dc) => applyDedup(table, dc, gated)
+      case Some(dc) => applyDedup(table, dc, gated, nRecords)
       case None => (gated, None)
     }
     val (df, gateDone) = applyConstraintGate(table, deduped)
@@ -678,8 +703,11 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       case Some(admit) =>
         // index admission and the landing commit are ONE transaction: a
         // flush that fails after admitting rolls the index back too, so
-        // the persisted LSH index never runs ahead of the table it
-        // curates. transactOwned (this pipeline is the members' only
+        // within a live process the persisted LSH index never runs ahead
+        // of the table it curates. (A driver CRASH between the two commits
+        // is outside compensation — that leak is absorbed at probe time:
+        // redelivered ids are exempt from flagging/re-admission, see
+        // applyDedup.) transactOwned (this pipeline is the members' only
         // writer — foreachBatch serializes triggers) so admission and
         // landing run CONCURRENTLY: all three writes read only
         // checkpointed probe state + the trigger cache, and a streaming
@@ -884,7 +912,7 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
       else good0.repartition(math.max(1L, math.min(Int.MaxValue.toLong,
         (nRecords + GraftLake.maxRecordsPerFile - 1) /
           GraftLake.maxRecordsPerFile)).toInt)
-    writeToLake(table, good)
+    writeToLake(table, good, nRecords)
     config.dlqTable.foreach { dlq =>
       val bad = parsed.filter(col("__corrupt").isNotNull || col("__parsed").isNull)
       if (!bad.isEmpty) sendToDlq(dlq, table, bad

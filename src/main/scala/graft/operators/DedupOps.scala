@@ -243,7 +243,9 @@ object DedupOps {
       prefix: String, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4,
-      parallelAdmit: Boolean = false): (DataFrame, () => Unit) = {
+      parallelAdmit: Boolean = false,
+      hintBroadcast: Boolean = true,
+      admitSlices: Int = 1): (DataFrame, () => Unit) = {
     graft.functions.SketchExpressions.register(batch.sparkSession)
     graft.functions.ShingleExpression.register(batch.sparkSession)
     // text rides along so the ADMISSION doc append also plans against the
@@ -269,7 +271,8 @@ object DedupOps {
     incrementalNearDupsBody(lake, prefix, batch, idCol, textCol,
       threshold, shingleK, admit = true, parallelAdmit = parallelAdmit,
       bKeys, bShOuter,
-      docsSource = sketch.select(col(idCol), col(textCol)))
+      docsSource = sketch.select(col(idCol), col(textCol)),
+      hintBroadcast = hintBroadcast, admitSlices = admitSlices)
   }
 
   private def incrementalNearDupsBody(lake: graft.catalog.GraftLake,
@@ -277,7 +280,14 @@ object DedupOps {
       threshold: Double, shingleK: Int, admit: Boolean,
       parallelAdmit: Boolean,
       bKeys: DataFrame, bSh: DataFrame,
-      docsSource: DataFrame = null): (DataFrame, () => Unit) = {
+      docsSource: DataFrame = null,
+      hintBroadcast: Boolean = true,
+      admitSlices: Int = 1): (DataFrame, () => Unit) = {
+    // trigger-sized batches broadcast their frames (the steady-state
+    // streaming shape); a genuinely large batch (replay/backfill) drops
+    // the hints and lets AQE pick the join — a forced broadcast above the
+    // limit fails the stream where a shuffle join degrades gracefully
+    def bc(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     // admission's doc rows: the shallow checkpointed sketch when staged,
     // else the caller's batch
     val docsFrom = Option(docsSource).getOrElse(batch)
@@ -289,18 +299,31 @@ object DedupOps {
       else bKeys.limit(0)
     // corpus candidates: the index side stays partitioned on its own
     // (band, band_hash); the batch side broadcasts into it
-    val vsCorpus = index
-      .join(broadcast(bKeys.withColumnRenamed(idCol, "__bid")),
+    val vsCorpusAll = index
+      .join(bc(bKeys.withColumnRenamed(idCol, "__bid")),
         Seq("band", "band_hash"))
       .select(col("__bid"), col(idCol).as("__partner"))
+    // a batch doc whose OWN id already band-matches in the index is an
+    // at-least-once REDELIVERY (e.g. a crash between the index-admission
+    // commit and the landing commit, then the source re-sends the batch):
+    // it is exempt from dup flagging — the landing layer absorbs the
+    // replay (txn watermark / PK last-wins), whereas flagging would, under
+    // dropDups, silently drop rows that never landed (permanent loss) —
+    // and exempt from RE-admission (its bands are already indexed). A
+    // same-id doc whose TEXT changed band-matches nothing of itself and
+    // is admitted again: the index verify-joins tolerate duplicate ids
+    val vsCorpus = vsCorpusAll.filter(col("__bid") =!= col("__partner"))
       .distinct()
+    val selfMarks = vsCorpusAll.filter(col("__bid") === col("__partner"))
+      .select(col("__bid")).distinct()
+      .select(col("__bid"), lit(0L).as("__dup"), lit(1L).as("__self"))
     // batch-internal candidates, keep-min-id (lower id wins admission).
     // One broadcast side: both legs are the trigger-bounded batch (the
     // same bound that lets bKeys broadcast above), so the self-join needs
     // no shuffle at all
     val l = bKeys.select(col(idCol).as("__bid"), col("band"), col("band_hash"))
     val r = bKeys.select(col(idCol).as("__partner"), col("band"), col("band_hash"))
-    val vsBatch = l.join(broadcast(r), Seq("band", "band_hash"))
+    val vsBatch = l.join(bc(r), Seq("band", "band_hash"))
       .filter(col("__partner") < col("__bid"))
       .select(col("__bid"), col("__partner")).distinct()
     // exact-Jaccard verify on candidate texts only: batch shingles are
@@ -312,7 +335,7 @@ object DedupOps {
       if (lake.tableExists(s"${prefix}_docs")) lake.read(s"${prefix}_docs")
       else batch.select(col(idCol), col(textCol)).limit(0)
     val cSh = shingled(
-      indexedDocs.join(broadcast(partnerIds),
+      indexedDocs.join(bc(partnerIds),
         indexedDocs(idCol) === col("__partner"), "left_semi"),
       idCol, textCol, shingleK)
       .select(col(idCol).as("__partner"), col("__shingles").as("__sc"))
@@ -323,50 +346,61 @@ object DedupOps {
     // and the candidate-bounded indexed shingle frame: the candidate pair
     // list is the only shuffled data in the probe
     val dupVsCorpus = vsCorpus
-      .join(broadcast(bSh), Seq("__bid"))
-      .join(broadcast(cSh), Seq("__partner"))
+      .join(bc(bSh), Seq("__bid"))
+      .join(bc(cSh), Seq("__partner"))
       .filter(jaccard(col("__sb"), col("__sc")) >= threshold)
       .select(col("__bid"))
     val dupVsBatch = vsBatch
-      .join(broadcast(bSh), Seq("__bid"))
-      .join(broadcast(bSh.select(col("__bid").as("__partner"),
+      .join(bc(bSh), Seq("__bid"))
+      .join(bc(bSh.select(col("__bid").as("__partner"),
         col("__sb").as("__sp"))), Seq("__partner"))
       .filter(jaccard(col("__sb"), col("__sp")) >= threshold)
       .select(col("__bid"))
     val dupsRaw = dupVsCorpus.unionByName(dupVsBatch).distinct()
-      .withColumn("__dup", lit(1L))
+      .select(col("__bid"), lit(1L).as("__dup"), lit(0L).as("__self"))
     // Admission mutates the very index tables the probe lineage reads, so
-    // the dup-id set (narrow, batch-bounded — just ids) is materialized
-    // FIRST: re-evaluating the returned frame after the appends must not
-    // find the batch in its own index and flag everything. Probe-only
-    // calls are pure — the lazy plan is the caller's to evaluate.
-    val dups = if (admit) graft.metrics.GraftMetrics.time(
+    // the mark set (narrow, batch-bounded — ids + two bits: dup flag and
+    // already-indexed flag) is materialized FIRST: re-evaluating the
+    // returned frame after the appends must not find the batch in its own
+    // index and flag everything. Probe-only calls are pure — the lazy
+    // plan is the caller's to evaluate (and needs no __self leg: self
+    // matches are already excluded from dup candidates above).
+    val marks = if (admit) graft.metrics.GraftMetrics.time(
       graft.metrics.GraftMetrics.DedupProbe) {
-        dupsRaw.localCheckpoint(true)
+        dupsRaw.unionByName(selfMarks).groupBy("__bid")
+          .agg(max(col("__dup")).as("__dup"), max(col("__self")).as("__self"))
+          .localCheckpoint(true)
       } else dupsRaw
-    def flagsOf(base: DataFrame) = base.select(col(idCol))
-      .join(dups.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
+    def marksOf(base: DataFrame) = base.select(col(idCol))
+      .join(marks.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"),
+        coalesce(col("__self"), lit(0L)).as("__self"))
     // the RETURNED frame derives from the caller's batch (it may stay
     // alive through the whole flush — see the staged wrapper); the
     // ADMISSION-internal frames derive from the shallow sketch when one
     // exists, so the two append actions never re-run the caller's
     // (dropDuplicates-shuffle) lineage
-    val flagged = flagsOf(batch)
+    val flagged = marksOf(batch).select(col(idCol), col("is_dup"))
     val doAdmit: () => Unit = if (!admit) () => () else () =>
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.DedupAdmit) {
         // survivors broadcast into both append frames (batch-bounded ids —
-        // the same bound that lets the probe broadcast), and each append
-        // coalesces to ONE write task: the frames are trigger-sized, so a
-        // task per upstream shuffle partition would fragment the index
-        // into tiny files every trigger (maxRecordsPerFile still rolls a
-        // genuinely large admission into right-sized files)
-        val admittedIds = broadcast(
-          flagsOf(docsFrom).filter(col("is_dup") === 0L).select(col(idCol)))
+        // the same bound that lets the probe broadcast; a large batch
+        // drops the hint with the rest, see bc), and each append coalesces
+        // to `admitSlices` write tasks — ONE for a trigger-sized batch
+        // (a task per upstream shuffle partition would fragment the index
+        // into tiny files every trigger), proportional-to-data for a
+        // replay/backfill batch (the caller sizes it from the profiled
+        // row count; maxRecordsPerFile still rolls oversized tasks).
+        // Already-indexed ids (__self — redelivered docs) are NOT
+        // re-admitted: their bands are in the index
+        val admittedIds = bc(marksOf(docsFrom)
+          .filter(col("is_dup") === 0L && col("__self") === 0L)
+          .select(col(idCol)))
         def docsFrame = docsFrom.select(col(idCol), col(textCol))
-          .join(admittedIds, Seq(idCol), "left_semi").coalesce(1)
+          .join(admittedIds, Seq(idCol), "left_semi")
+          .coalesce(math.max(1, admitSlices))
         def bandsFrame = bKeys.join(admittedIds, Seq(idCol), "left_semi")
-          .coalesce(1)
+          .coalesce(math.max(1, admitSlices))
         if (parallelAdmit) {
           // the two index tables are independent (separate write locks,
           // separate manifests) — submit their append jobs concurrently so

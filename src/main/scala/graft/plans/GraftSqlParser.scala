@@ -110,24 +110,38 @@ object GraftSqlParser {
     case _ => None
   }
 
-  /** (warehouse, table) when `ident` is a catalog-qualified graft table —
-    * resolved through the session's CatalogManager at RUN time. None when
-    * the identifier is unqualified, names an unknown catalog, or resolves
-    * to a NON-graft catalog: the statement then belongs to whoever else
+  /** (warehouse, table) when `ident` names a graft table — resolved
+    * through the session's CatalogManager at RUN time. A single-part
+    * identifier resolves against the session's CURRENT catalog (so `USE
+    * <graft-catalog>` makes unqualified OPTIMIZE/RESTORE/… work). None
+    * when the identifier names an unknown catalog or resolves to a
+    * NON-graft catalog: the statement then belongs to whoever else
     * handles it, and the command re-parses through Spark's NATIVE parser
     * instead of failing (the anchored regexes intercept session-wide, and
     * e.g. `ALTER TABLE … ADD CONSTRAINT` is also valid Spark grammar
     * against other DSv2 catalogs — interception must not eat it). */
   private[plans] def resolve(spark: SparkSession,
       ident: Seq[String]): Option[(String, String)] =
-    if (ident.size != 2) None
-    else try {
-      spark.sessionState.catalogManager.catalog(ident.head) match {
-        case g: GraftCatalog => Some((g.warehouseDir, ident(1)))
-        case _ => None
-      }
-    } catch { case _: org.apache.spark.sql.connector.catalog
-        .CatalogNotFoundException => None }
+    ident.size match {
+      case 1 =>
+        // unqualified: graft behavior iff the session's CURRENT catalog is
+        // a graft catalog (`USE <graft-catalog>` followed by `OPTIMIZE t`
+        // must hit graft, not fall through to a generic Spark
+        // ParseException for a statement Spark's grammar lacks)
+        spark.sessionState.catalogManager.currentCatalog match {
+          case g: GraftCatalog => Some((g.warehouseDir, ident.head))
+          case _ => None
+        }
+      case 2 =>
+        try {
+          spark.sessionState.catalogManager.catalog(ident.head) match {
+            case g: GraftCatalog => Some((g.warehouseDir, ident(1)))
+            case _ => None
+          }
+        } catch { case _: org.apache.spark.sql.connector.catalog
+            .CatalogNotFoundException => None }
+      case _ => None
+    }
 
   /** Fall-through half of [[resolve]]: run the intercepted statement
     * under Spark's OWN grammar — a fresh [[org.apache.spark.sql.execution

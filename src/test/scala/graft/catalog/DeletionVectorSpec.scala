@@ -452,6 +452,30 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned dv-rule verdict cache evicts per-entry at its bound, never clear-all") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a")).toDF("id", "v"))
+    val map = GraftLake.dvRulePassAtVersion
+    val saved = new java.util.HashMap[String, java.lang.Boolean](map)
+    try {
+      map.clear()
+      (0 until 65537).foreach(i =>
+        map.put(s"__evict_synth#$i", java.lang.Boolean.TRUE))
+      // one slow-path eval trips the defensive bound: an arbitrary QUARTER
+      // is evicted (16384 entries), never the whole cache — a clear-all
+      // would stampede every concurrent analyzer pass onto the slow path
+      lake.dvRuleUnchanged("t", Some(0L))
+      val size = map.size()
+      assert(size === 65537 - 16384 + 1,
+        s"expected one quarter evicted + the new verdict, got size=$size")
+      // the fresh verdict itself must have survived the eviction pass
+      assert(map.containsKey(s"${lake.warehouseDir}/t#0"))
+    } finally {
+      map.clear()
+      map.putAll(saved)
+    }
+  }
+
   test("DV/rename rule fast path is memoized: zero metadata work steady-state") {
     val lake = newLake()
     spark.conf.set("spark.sql.catalog.dvmemo", classOf[GraftCatalog].getName)

@@ -580,6 +580,37 @@ class IngestPipelineSpec extends AnyFunSuite {
       "rollback is compensation, not erasure: the history moved forward")
   }
 
+  test("ingest dedup: an admission leaked by a crash between commits — redelivery lands") {
+    graft.catalog.GraftLake.invalidateCaches()
+    val p = new IngestPipeline(spark, IngestConfig(
+      warehouse = Files.createTempDirectory("graft-dedup-leak").toString,
+      dedup = Map("d" -> DedupConfig("doc_id", "text", threshold = 0.8,
+        dropDups = true))))
+    p.processBatch(batchOf("d" -> doc(1, tA)), 0)
+    // simulate the crash window the in-process transaction cannot cover:
+    // doc 9 was ADMITTED into the index, the driver died before the
+    // landing commit, and the watermark never advanced
+    val (_, admit) = graft.operators.DedupOps.incrementalNearDupsStaged(
+      p.lake, "d_lshidx", Seq((9, tC)).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.8)
+    admit()
+    assert(p.lake.read("d_lshidx_docs").filter(col("doc_id") === 9).count() === 1)
+    assert(p.lake.read("d").filter(col("doc_id") === 9).count() === 0)
+    // the source redelivers: the doc's own id band-matches in the index,
+    // so it is exempt from dup flagging (dropping it would be PERMANENT
+    // loss — it never landed) and from double admission
+    p.processBatch(batchOf("d" -> doc(9, tC)), 1)
+    assert(p.lake.read("d").filter(col("doc_id") === 9).count() === 1,
+      "a leaked admission must not swallow the redelivered batch")
+    assert(p.lake.read("d_lshidx_docs").filter(col("doc_id") === 9).count() === 1,
+      "an already-indexed id is not re-admitted")
+    // near-dup detection is untouched: a NEW doc (different id) with the
+    // same text still flags against the leaked admission and is dropped
+    p.processBatch(batchOf("d" -> doc(10, tC)), 2)
+    assert(p.lake.read("d").filter(col("doc_id") === 10).count() === 0,
+      "a genuine near-dup of the indexed text must still be caught")
+  }
+
   test("ingest dedup: dropDups lands only non-duplicates, no flag column") {
     val p = dedupPipeline(dropDups = true)
     p.processBatch(batchOf("d" -> doc(1, tA)), 0)

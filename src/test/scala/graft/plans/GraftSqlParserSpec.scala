@@ -184,6 +184,24 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("USE <graft-catalog> makes unqualified admin statements resolve through it") {
+    withCat("admu") { (lake, cat) =>
+      lake.write("t", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+      lake.write("t", Seq((1, "CHANGED")).toDF("id", "v"), pks = Seq("id"))
+      val prev = spark.sessionState.catalogManager.currentCatalog.name()
+      spark.sql(s"USE $cat")
+      try {
+        // unqualified graft-only statements hit graft through the CURRENT
+        // catalog — not Spark's generic ParseException for grammar it lacks
+        spark.sql("RESTORE TABLE t TO VERSION AS OF 0")
+        assert(spark.sql(s"SELECT v FROM $cat.t").head().getString(0) === "a")
+        spark.sql("OPTIMIZE t")
+        assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) === 1)
+        assert(spark.sql("DESCRIBE HISTORY t").count() >= 2)
+      } finally spark.sql(s"USE $prev")
+    }
+  }
+
   test("unqualified / non-graft targets DELEGATE to Spark's native grammar") {
     withCat("admf") { (lake, cat) =>
       lake.write("t", Seq((1, "a")).toDF("id", "v"))
