@@ -46,7 +46,12 @@ object ScaleBench {
     "q143_change_feed", // metadata-derived CDF: O(window delta)
     "q148_provenance", // commit-lineage join: O(pairs + manifest)
     "q149_fast_count", // metadata-only count(*): zero data files opened
-    "q153_metadata_delete") // file-drop DELETE: O(metadata) at any size
+    "q153_metadata_delete", // file-drop DELETE: O(metadata) at any size
+    "q160_bucketed_merge") // bucketed upsert: cost ~ batch buckets (the
+                           // registered query's BATCH scales with SF, so
+                           // its ratio tracks data; the FIXED-batch
+                           // steady-state contract is measured separately
+                           // by [[bucketedMergeFlush]])
 
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
@@ -89,17 +94,74 @@ object ScaleBench {
         s"big=${num(bigW)}s ratio=${num(bigW / smallW)}x")
       (q, small, big, smallW, bigW)
     }
+    val bmerge = bucketedMergeFlush(spark, smallDir, bigDir)
     val race = multiWriterRace(spark)
     val json = rows.map { case (q, s, b, sw, bw) =>
       s""""$q":{"small_s":${num(s)},"big_s":${num(b)},"ratio":${num(b / s)}""" +
         s""","warm_small_s":${num(sw)},"warm_big_s":${num(bw)}""" +
         s""","warm_ratio":${num(bw / sw)}}"""
     }.mkString("{\"small\":\"" + smallDir + "\",\"big\":\"" + bigDir +
-      "\",\"queries\":{", ",", s"},\"race\":$race}")
+      "\",\"queries\":{", ",",
+      s"},\"bucketed_merge_flush\":$bmerge,\"race\":$race}")
     Files.write(Paths.get("scale_bench.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()
+  }
+
+  /** Steady-state MERGE per-flush cost on a PK-BUCKETED layout at two data
+    * scales, with the batch FIXED and the bucket SIZE fixed (bucket count
+    * grows with the table — the layout policy a 100 TB deployment uses):
+    * flush cost ≈ touched-buckets × bucket-size ≤ batch × bucket-size, a
+    * bound that does not move when the table grows 10×. This is the
+    * round-11 contract: per-flush merge cost tracks the BATCH, never the
+    * table. (The registered q160 shows the complementary axis: its batch
+    * scales WITH the table, so its cold ratio tracks data volume.) */
+  private def bucketedMergeFlush(spark: SparkSession, smallDir: String,
+      bigDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val targetBucketRows = 600L
+    val batchRows = 128
+    val flushes = 5
+    def run(dir: String): (Double, Long, Int) = {
+      val wh = Files.createTempDirectory("graft-bflush").toString
+      val lake = new graft.catalog.GraftLake(spark, wh)
+      val ord = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val nRows = ord.count()
+      val nb = math.max(8L, nRows / targetBucketRows).toInt
+      // seed write pre-clustered on the bucket value: each task owns whole
+      // buckets → one file per bucket, not tasks × buckets slivers
+      lake.write("m", ord.repartition(64, pmod(hash(col("o_orderkey")), lit(nb))),
+        partitions = Seq(s"bucket($nb, o_orderkey)"), pks = Seq("o_orderkey"))
+      val maxK = ord.agg(max("o_orderkey")).head().getLong(0)
+      var total = 0.0
+      for (f <- 1 to flushes) {
+        // half updates of existing keys (pseudo-random spread), half inserts
+        val batch = spark.range(batchRows).select(
+          when(col("id") % 2 === 0,
+            (col("id") * 7919L + f * 104729L) % maxK)
+            .otherwise(lit(maxK) + f * 1000000L + col("id"))
+            .as("o_orderkey"),
+          lit("X").as("o_orderstatus"), lit(1.0).as("o_totalprice"))
+          .repartition(4)
+        val t0 = System.nanoTime()
+        lake.upsert("m", batch)
+        total += (System.nanoTime() - t0) / 1e6
+      }
+      (total / flushes, nRows, nb)
+    }
+    val (sMs, sRows, sNb) = run(smallDir)
+    val (bMs, bRows, bNb) = run(bigDir)
+    println(s"[bucketed-merge] fixed $batchRows-row flush, " +
+      s"~$targetBucketRows rows/bucket: small(${sRows}r/${sNb}b)=" +
+      s"${num(sMs)}ms big(${bRows}r/${bNb}b)=${num(bMs)}ms " +
+      s"ratio=${num(bMs / sMs)}x")
+    s"""{"batch_rows":$batchRows,"rows_per_bucket":$targetBucketRows,""" +
+      s""""flushes":$flushes,""" +
+      s""""small":{"rows":$sRows,"buckets":$sNb,"ms_per_flush":${num(sMs)}},""" +
+      s""""big":{"rows":$bRows,"buckets":$bNb,"ms_per_flush":${num(bMs)}},""" +
+      s""""ratio":${num(bMs / sMs)}}"""
   }
 
   /** MULTI-WRITER commit race with two REAL driver processes: this JVM

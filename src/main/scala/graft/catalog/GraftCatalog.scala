@@ -271,7 +271,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val props = properties.asScala
     val noSys = StructType(schema.filterNot(_.name == "_inserted_at"))
     lake.createTable(ident.name, noSys,
-      partitions = props.get("partitions").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      // paren-aware split: "bucket(16, id), year(ts)" is two specs
+      partitions = props.get("partitions")
+        .map(PartitionExpr.splitSpecs).getOrElse(Nil),
       pks = props.get("pks").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
     loadTable(ident)
   }

@@ -259,7 +259,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         "metadata once the column is gone")
     require(!meta.pks.exists(_.equalsIgnoreCase(n)),
       s"'$n' is a primary-key column and cannot be dropped")
-    require(!meta.partitionExprs.exists(_.column.equalsIgnoreCase(n)),
+    require(!meta.partitionExprs.exists(
+        _.sourceColumns.exists(_.equalsIgnoreCase(n))),
       s"'$n' is a partition source column and cannot be dropped")
     val remaining = meta.schema.fields.filterNot(_.name == n)
     require(remaining.exists(_.name != InsertedAtCol),
@@ -305,7 +306,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         s"'$cur' is engine-managed or '$to' is a reserved name")
       require(!meta.pks.exists(_.equalsIgnoreCase(field.name)),
         s"'$cur' is a primary-key column and cannot be renamed")
-      require(!meta.partitionExprs.exists(_.column.equalsIgnoreCase(field.name)),
+      require(!meta.partitionExprs.exists(
+          _.sourceColumns.exists(_.equalsIgnoreCase(field.name))),
         s"'$cur' is a partition source column and cannot be renamed")
       val taken = meta.schema.fields.filterNot(_ eq field)
         .flatMap(f => Seq(f.name, logicalOf(f)))
@@ -2111,16 +2113,40 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // Affected partitions: where batch rows land + where matching PKs live.
     // The PK-location probe reads only (pk, partition) columns — parquet
     // column pruning keeps this cheap at scale.
+    //
+    // PK-FUNCTIONAL layouts skip the probe entirely: when every partition
+    // expression reads only primary-key columns (`bucket(n, pk)`, raw pk,
+    // year(pk_ts), …), a row matching a batch key computes the SAME
+    // partition values as the batch row itself — matchedParts ⊆ batchParts
+    // by construction, and the probe (the one job here whose cost scales
+    // with the TABLE: a column-pruned but still full-table scan per flush)
+    // is provably redundant. Per-flush cost then tracks the BATCH: only
+    // the ≤|batch| buckets its keys hash into are read or rewritten —
+    // steady-state streaming MERGE at 100 TB. Float/double sources are
+    // excluded (0.0/-0.0 and NaN are join-equal yet can compute different
+    // partition values — the probe stays on for those pathologies).
+    val pkFunctional = meta.partitionExprs.nonEmpty &&
+      meta.partitionExprs.forall(_.sourceColumns.forall { sc =>
+        pks.exists(_.equalsIgnoreCase(sc)) &&
+          (meta.schema.find(_.name.equalsIgnoreCase(sc)).map(_.dataType) match {
+            case Some(FloatType) | Some(DoubleType) => false
+            case _ => true
+          })
+      })
     val scoped =
       if (partCols.isEmpty) existing
       else {
         val batchParts = withPartitionCols(deduped, meta)
           .select(partCols.map(c => col(quoted(c))): _*).distinct()
-        val matchedParts = existing
-          .select((pks ++ partCols).map(c => col(quoted(c))): _*)
-          .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
-          .select(partCols.map(c => col(quoted(c))): _*).distinct()
-        val parts = batchParts.union(matchedParts).distinct().collect()
+        val parts =
+          if (pkFunctional) batchParts.collect()
+          else {
+            val matchedParts = existing
+              .select((pks ++ partCols).map(c => col(quoted(c))): _*)
+              .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
+              .select(partCols.map(c => col(quoted(c))): _*).distinct()
+            batchParts.union(matchedParts).distinct().collect()
+          }
         existing.filter(GraftLake.partitionScope(partCols, parts))
       }
 
@@ -2151,7 +2177,18 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           when(col(bPresent).isNotNull, col(quoted(s"$bPrefix$n")))
             .otherwise(col(quoted(n))).as(n)
       }: _*)
-    val result = withPartitionCols(merged, meta)
+    val result0 = withPartitionCols(merged, meta)
+    // bucketed (PK-functional) layouts can touch HUNDREDS of partitions per
+    // flush; written straight off the join's PK-hash partitioning, every
+    // write task would emit a sliver file into every touched bucket
+    // (tasks × buckets tiny files per flush — steady compaction debt).
+    // One extra shuffle on the partition values (rows ∝ touched buckets,
+    // never the table) clusters each bucket into one task → one
+    // right-sized file per touched bucket per flush. Non-PK-functional
+    // layouts keep their existing plan (few partitions; no regression).
+    val result = if (pkFunctional)
+      result0.repartition(partCols.map(c => col(quoted(c))): _*)
+    else result0
 
     // Directories of the affected partitions BEFORE the rewrite: a
     // partition that ends up empty (its only rows moved elsewhere) has no
@@ -3038,7 +3075,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val snapCols = snapSchema.fieldNames.map(_.toLowerCase).toSet
     val srcMeta = readMeta(src)
     val missingPk = srcMeta.pks.filterNot(c => snapCols.contains(c.toLowerCase))
-    val missingPart = srcMeta.partitionExprs.map(_.column)
+    val missingPart = srcMeta.partitionExprs.flatMap(_.sourceColumns)
       .filterNot(c => snapCols.contains(c.toLowerCase))
     val missingCons = srcMeta.constraints.filter { case (_, text) =>
       !constraintRefs(text).subsetOf(snapCols)

@@ -294,6 +294,50 @@ object MergeSqlOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Steady-state MERGE on a PK-BUCKETED layout: the table is
+    * `bucket(16, o_orderkey)`-partitioned, so [[GraftLake.upsert]]'s
+    * matched-partition probe (the one per-flush job whose cost scales with
+    * the TABLE) is skipped outright — the partition of any matching row is
+    * a pure function of the batch's own keys — and only the buckets the
+    * batch hashes into are read or rewritten. The merge RESULT is
+    * layout-independent (the oracle is plain merge semantics over the same
+    * rows); the layout contracts — probe skipped, untouched buckets
+    * byte-identical, records read bounded by the touched buckets — are
+    * asserted in PlanQualitySpec ("bucketed merge"). Reference: the
+    * per-flush MERGE INTO loop, DucklakeWriter.java:151-168, whose conflict
+    * scan DuckDB serves from PK indexes; at 100 TB the LAYOUT must carry
+    * that locality. */
+  val q160BucketedMerge = QueryDef(
+    "q160_bucketed_merge",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h)),
+      |src AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+      |               o_totalprice + 7 AS o_totalprice
+      |        FROM orders WHERE o_orderkey % 5 = 0)
+      |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      |       round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END, 2) AS o_totalprice
+      |FROM seed t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val h = ord.agg(max("o_orderkey")).head().getLong(0) / 2.0
+    val lake = new GraftLake(s, warehouseFor(s, "gm"))
+    if (lake.tableExists("ord_bucketed")) lake.dropTable("ord_bucketed")
+    lake.write("ord_bucketed", ord.filter(col("o_orderkey") < h),
+      partitions = Seq("bucket(16, o_orderkey)"), pks = Seq("o_orderkey"))
+    lake.upsert("ord_bucketed",
+      ord.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+          (col("o_totalprice") + 7).as("o_totalprice")))
+    lake.read("ord_bucketed")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q59MergeSql, q60MergeGeneralSql, q61InsertSql,
-    q62DeleteSql, q63UpdateSql, q65MergeStarSql, q69MergeEvolveSql)
+    q62DeleteSql, q63UpdateSql, q65MergeStarSql, q69MergeEvolveSql,
+    q160BucketedMerge)
 }

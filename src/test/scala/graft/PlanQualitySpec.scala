@@ -74,6 +74,73 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q160: bucketed merge touches ONLY the batch's buckets — no table-scaled probe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-bmerge").toString)
+    val n = 8000
+    val base = (0 until n).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+    lake.write("bt", base.repartition(8),
+      partitions = Seq("bucket(8, id)"), pks = Seq("id"))
+    // the batch: 50 keys that all hash into ONE bucket (+ 5 fresh inserts
+    // of the same bucket), computed with the engine's own bucket function
+    val bucketOf = pmod(hash(col("id")), lit(8))
+    val hot = base.withColumn("b", bucketOf).filter(col("b") === 3)
+      .select("id").as[Long].take(50)
+    val fresh = spark.range(n, n + 2000).toDF("id")
+      .withColumn("b", bucketOf).filter(col("b") === 3)
+      .select("id").as[Long].take(5)
+    val batch = (hot.map(id => (id, -1L)) ++ fresh.map(id => (id, -2L)))
+      .toSeq.toDF("id", "v")
+    // snapshot the physical layout before the flush
+    def listing(): Map[String, Long] = lake.dataFiles("bt")
+      .map(p => p -> new java.io.File(new java.net.URI(p).getPath).lastModified())
+      .toMap
+    val before = listing()
+    val untouchedBefore = before.filterNot(_._1.contains("__p_bucket_8_id=3"))
+    assert(untouchedBefore.nonEmpty && before.size > untouchedBefore.size)
+    // count parquet records read by the flush: with the PK-functional fast
+    // path the probe job is GONE and the scoped rewrite reads only bucket
+    // 3 (~n/8 rows, twice: affected-dir resolution + the rewrite scan).
+    // The old path read the full table for the probe alone (+n)
+    val read = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          read.add(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      lake.upsert("bt", batch)
+      // listener events drain asynchronously; settle before reading
+      val deadline = System.nanoTime() + 10e9.toLong
+      var last = -1L
+      while (System.nanoTime() < deadline && read.sum() != last) {
+        last = read.sum(); Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val after = listing()
+    // 1) untouched buckets are byte-identical: same files, same mtimes
+    assert(after.filterNot(_._1.contains("__p_bucket_8_id=3")) ===
+      untouchedBefore, "untouched buckets must never be rewritten")
+    // 2) the touched bucket WAS rewritten
+    assert(after.keySet.filter(_.contains("__p_bucket_8_id=3")) !==
+      before.keySet.filter(_.contains("__p_bucket_8_id=3")))
+    // 3) records read tracks the touched bucket, not the table: bucket 3
+    // holds ~1000 rows and is scanned twice (dir resolution + rewrite);
+    // anything >= n means a full-table pass leaked back in
+    assert(read.sum() < n / 2,
+      s"flush read ${read.sum()} records — a table-scaled scan leaked in")
+    // 4) merge semantics held
+    val got = lake.read("bt").filter(col("v") < 0).count()
+    assert(got === batch.count(),
+      "updates and inserts of the batch must all land")
+    assert(lake.read("bt").count() === n + 5)
+  }
+
   test("q31: brute-force KNN broadcasts the query side") {
     val p = plan("q31_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -143,6 +143,39 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(rows(lake.read("p"), "id", "v") === Set(Seq(1, "a"), Seq(2, "b2")))
   }
 
+  test("bucket(n, col) layout: parse, write/read round-trip, guards, DDL split") {
+    // parse + spec splitting (the SQL 'partitions' property is one string)
+    val b = PartitionExpr.parse("bucket(16, id)")
+      .asInstanceOf[PartitionExpr.Bucket]
+    assert(b.n === 16 && b.columns === Seq("id") &&
+      b.outputName === "__p_bucket_16_id")
+    assert(PartitionExpr.parse("BUCKET( 4 , a, b )") ===
+      PartitionExpr.Bucket(4, Seq("a", "b")))
+    assert(PartitionExpr.splitSpecs("bucket(16, id), year(ts), seg") ===
+      Seq("bucket(16, id)", "year(ts)", "seg"))
+    intercept[IllegalArgumentException](PartitionExpr.parse("bucket(0, id)"))
+    intercept[IllegalArgumentException](PartitionExpr.parse("hour(ts)"))
+
+    val lake = newLake()
+    val df = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    lake.write("bk", df, partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    // layout: every row landed in the directory its key hashes to
+    val dirs = lake.read("bk").inputFiles
+      .flatMap(_.split('/').find(_.startsWith("__p_bucket_4_id="))).toSet
+    assert(dirs.size === 4, s"4 buckets expected, got $dirs")
+    assert(rows(lake.read("bk"), "id", "v") ===
+      df.collect().map(_.toSeq).toSet)
+    // upsert keeps merge semantics on the bucketed layout
+    lake.write("bk", Seq((7L, "UPD"), (777L, "NEW")).toDF("id", "v"),
+      pks = Seq("id"))
+    assert(lake.read("bk").count() === 201)
+    assert(rows(lake.read("bk").filter(col("id").isin(7L, 777L)), "id", "v")
+      === Set(Seq(7L, "UPD"), Seq(777L, "NEW")))
+    // bucket source columns are guarded like any partition source
+    intercept[IllegalArgumentException](lake.dropColumn("bk", "id"))
+    intercept[IllegalArgumentException](lake.renameColumn("bk", "id", "id2"))
+  }
+
   test("upsert touching many partitions (isin-set scope path) stays correct") {
     val lake = newLake()
     // 100 raw partitions > maxExactPartitionPredicates (64) → the scope
