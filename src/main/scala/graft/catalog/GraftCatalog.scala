@@ -90,6 +90,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!lake.tableExists(ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name))
+    // a SHALLOW clone reads as the source's pinned snapshot (read-only —
+    // the SnapshotTable facade carries BATCH_READ only, so SQL writes are
+    // refused by capability, matching the engine's commit chokepoint)
+    lake.shallowInfo(ident.name).foreach { case (src, v) =>
+      return loadTable(Identifier.of(Array.empty[String], src), v.toString)
+    }
     val meta = lake.readMeta(ident.name)
     requireDvCapable(ident.name, lake.liveDvs(ident.name), meta.schema)
     // the relation's columns are the LOGICAL names; with renames live the

@@ -138,6 +138,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   }
 
   def dropTable(name: String): Unit = {
+    // a source with LIVE shallow clones must not disappear under them
+    val held = pins(name)
+    require(held.isEmpty,
+      s"table '$name' is pinned by shallow clone(s) ${held.keys.mkString(", ")}" +
+        " — drop or materialize them first")
+    // dropping a shallow clone releases its pin on the source
+    shallowInfo(name).foreach { case (src, _) => unpin(src, name) }
     val dir = new Path(tableDir(name))
     fs(dir).delete(dir, true)
     metaCache.remove(s"$warehouse/$name")
@@ -149,6 +156,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * re-resolves from the filesystem — the recovery step after losing a
     * cross-process commit race. */
   private def invalidateTable(name: String): Unit = {
+    GraftLake.shallowCache.remove(s"$warehouse/$name")
     lastVersionCache.remove(s"$warehouse/$name")
     liveSetCache.remove(s"$warehouse/$name")
     statsMapCache.remove(s"$warehouse/$name")
@@ -1606,12 +1614,16 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
 
   /** User-facing table view (generated partition columns hidden).
     * Deletion-vector-masked rows are filtered out. */
-  def read(name: String): DataFrame = {
-    val meta = readMeta(name)
-    val live = applyDvs(name, readInternal(name, meta), liveDvs(name),
-      meta.partitionExprs.size)
-    toLogical(meta.schema,
-      live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
+  def read(name: String): DataFrame = shallowInfo(name) match {
+    // shallow clone: a zero-copy reference — resolve through the SOURCE's
+    // pinned snapshot (the pin guarantees it is never vacuumed)
+    case Some((src, v)) => readVersion(src, v)
+    case None =>
+      val meta = readMeta(name)
+      val live = applyDvs(name, readInternal(name, meta), liveDvs(name),
+        meta.partitionExprs.size)
+      toLogical(meta.schema,
+        live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
   /** V1 scan of an EXPLICIT manifest file set that keeps manifest-bounds
@@ -1672,6 +1684,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * the DV anti-join applies per surviving file ((file, position) keys
     * of pruned files never match anything). */
   def readLiveFull(name: String): DataFrame = {
+    shallowInfo(name).foreach { case (src, v) =>
+      return readVersion(src, v)
+    }
     val meta = readMeta(name)
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
@@ -1712,6 +1727,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * anything else falls back to keep-the-file (always safe — the full
     * predicate is re-applied row-level after the scan). */
   def readWhere(name: String, predicate: Column): DataFrame = {
+    // shallow clone: correct-but-unpruned — the pinned snapshot read plus
+    // a row filter (materialize for skipping-pruned scans)
+    shallowInfo(name).foreach { case (src, v) =>
+      return readVersion(src, v).filter(predicate)
+    }
     val meta = readMeta(name)
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
@@ -1834,6 +1854,9 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       pks: Seq[String] = Nil,
       ordering: Seq[Column] = Nil,
       exclude: Seq[String] = Nil): Unit = {
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
     // logical→physical before the evolution check (same reasoning as the
     // append path); toPhysical is idempotent, so the delegates' own
     // conversion is a no-op
@@ -1850,7 +1873,22 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   /** One write job per table at a time (the reference's flush lock,
     * DucklakeSinkTask.java:769-770): concurrent Spark jobs writing one
     * path share the committer's `_temporary` dir and clobber each other. */
-  private def writeLock[T](name: String)(f: => T): T =
+  private def writeLock[T](name: String)(f: => T): T = {
+    // every data-dir / manifest mutation funnels through here — ONE seam
+    // makes shallow clones read-only without a guard per mutator (a
+    // stray staged file in the clone's data dir would corrupt the
+    // materialized table later). Two cached map gets steady-state.
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
+    rawWriteLock(name)(f)
+  }
+
+  /** The bare monitor, no writability guard — [[lockedAll]] (transact /
+    * pin / clone) must be able to HOLD a shallow table's lock (e.g.
+    * [[materializeClone]] locking the clone it is converting) without
+    * implying a mutation. */
+  private def rawWriteLock[T](name: String)(f: => T): T =
     tableLocks.computeIfAbsent(s"$warehouse/$name/__write", _ => new Object)
       .synchronized(f)
 
@@ -1860,7 +1898,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def lockedAll[R](sortedNames: List[String])(f: => R): R =
     sortedNames match {
       case Nil => f
-      case h :: t => writeLock(h)(lockedAll(t)(f))
+      case h :: t => rawWriteLock(h)(lockedAll(t)(f))
     }
 
   /** A thread inside [[transact]] — nested transact calls acquire locks
@@ -2045,6 +2083,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def appendTxn(name: String, batch: DataFrame,
       txn: Option[(String, Long)], partitions: Seq[String] = Nil,
       pks: Seq[String] = Nil): Unit = {
+    // before ensureTable: schema evolution must not touch a read-only
+    // clone's meta either (writeLock would catch the data write later,
+    // but by then the registry would have drifted)
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
     // logical→physical BEFORE the evolution check: a renamed column's new
     // name must resolve to its frozen physical field, not add a column
     val batchP =
@@ -2702,6 +2746,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       dvRemoved: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       txnsReset: Option[Map[String, Long]] = None): Unit = {
+    // single chokepoint for EVERY mutation path: a shallow clone is
+    // read-only until materialized (its reads resolve through the
+    // SOURCE's pinned manifest — a local commit would silently fork)
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
     val appendOnly = removed.isEmpty && dvAdded.isEmpty && dvRemoved.isEmpty
     var attempt = 0
     var done = false
@@ -3059,6 +3109,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // vacuuming the very files the copy job is reading mid-flight
     lockedAll(Seq(src, dst).sorted.toList) {
     require(!tableExists(dst), s"clone target '$dst' already exists")
+    require(shallowInfo(src).isEmpty,
+      s"'$src' is a shallow clone — materialize it first, then clone")
     val v = version.getOrElse(versions(src).lastOption.getOrElse(
       throw new IllegalArgumentException(s"table '$src' has no snapshots")))
     val (_, resolved) = snapshotResolved(src, v)
@@ -3117,6 +3169,166 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     writeMeta(dst, srcMeta.copy(schema = snapSchema))
     commitVersion(dst, resolved.map(_._1), Nil, stats, op = "clone",
       dvAdded = dvs)
+    }
+  }
+
+  // ---- SHALLOW clones: zero-copy snapshot references + vacuum pins ----
+
+  private def shallowMarker(name: String) =
+    new Path(s"${tableDir(name)}/_graft_shallow.json")
+  private def pinsDir(name: String) = new Path(s"${tableDir(name)}/_pins")
+  private val ShallowJson =
+    """\{"src":"([^"]+)","version":(\d+)\}""".r
+
+  /** (source table, pinned snapshot) when `name` is a SHALLOW clone —
+    * cached per table; [[materializeClone]]/[[dropTable]] invalidate. */
+  def shallowInfo(name: String): Option[(String, Long)] = {
+    val key = s"$warehouse/$name"
+    val cached = GraftLake.shallowCache.get(key)
+    if (cached != null) return cached
+    val p = shallowMarker(name)
+    val f = fs(p)
+    val info =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        raw.trim match {
+          case ShallowJson(src, v) => Some((src, v.toLong))
+          case other => throw new IllegalStateException(
+            s"corrupt shallow-clone marker for '$name': $other")
+        }
+      }
+    GraftLake.shallowCache.put(key, info)
+    info
+  }
+
+  /** Vacuum pins on `name`'s snapshots: holder table → pinned version.
+    * [[expireSnapshots]] keeps every pinned snapshot resolvable — its
+    * manifest survives (re-anchored self-contained) and its files are
+    * never vacuumed — until [[unpin]] (clone drop or materialize). */
+  def pins(name: String): Map[String, Long] = {
+    val pd = pinsDir(name)
+    val f = fs(pd)
+    if (!f.exists(pd)) Map.empty
+    else f.listStatus(pd).toSeq.filter(_.getPath.getName.endsWith(".json"))
+      .map { s =>
+        val in = f.open(s.getPath)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        raw.trim match {
+          case ShallowJson(holder, v) => holder -> v.toLong
+          case other => throw new IllegalStateException(
+            s"corrupt pin ${s.getPath}: $other")
+        }
+      }.toMap
+  }
+
+  private def writePin(src: String, holder: String, version: Long): Unit = {
+    val pd = pinsDir(src)
+    val f = fs(pd)
+    f.mkdirs(pd)
+    val p = new Path(pd, s"$holder.json")
+    val tmp = new Path(pd, s".$holder-${UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"""{"src":"$holder","version":$version}""".getBytes("UTF-8"))
+    finally out.close()
+    replaceAtomic(f, tmp, p)
+  }
+
+  /** Release `holder`'s pin on `src` (no-op when absent). Public: a stale
+    * pin left by a crashed clone drop is released manually. */
+  def unpin(src: String, holder: String): Unit = {
+    val p = new Path(pinsDir(src), s"$holder.json")
+    fs(p).delete(p, false)
+  }
+
+  /** SHALLOW clone: `dst` becomes a ZERO-COPY read-only reference to
+    * snapshot `version` of `src` — no data files copied, reads resolve
+    * through the source's manifest. A PIN lands in the source's `_pins/`
+    * BEFORE the clone exists (crash-safe direction: a stale pin makes
+    * vacuum keep too much, never too little), and [[expireSnapshots]]
+    * refuses to retire the pinned snapshot's manifest or files until the
+    * clone is dropped (auto-unpin) or [[materializeClone]]d into an
+    * independent table (deep-copy, then auto-unpin). Until then every
+    * mutation of `dst` is refused at the commit chokepoint. The clone
+    * SURVIVES source evolution — later schema changes, rewrites, even
+    * vacuum — because it reads the pinned snapshot, never the live table.
+    * Reference analog: DuckLake snapshot ids stay addressable while
+    * retention holds them (ducklake catalog snapshots table); the pin is
+    * that retention hold, file-native. */
+  def shallowClone(src: String, dst: String,
+      version: Option[Long] = None): Unit = {
+    require(src != dst, "clone target must differ from the source")
+    lockedAll(Seq(src, dst).sorted.toList) {
+      require(!tableExists(dst), s"clone target '$dst' already exists")
+      require(shallowInfo(src).isEmpty,
+        s"'$src' is itself a shallow clone — materialize it first")
+      val v = version.getOrElse(versions(src).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"table '$src' has no snapshots")))
+      snapshotResolved(src, v) // fail fast if already vacuumed
+      val snapSchema = schemaAtVersion(src, v)
+      val srcMeta = readMeta(src)
+      writePin(src, dst, v)
+      writeMeta(dst, srcMeta.copy(schema = snapSchema))
+      val p = shallowMarker(dst)
+      val f = fs(p)
+      val tmp = new Path(p.getParent, s".shallow-${UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"""{"src":"$src","version":$v}""".getBytes("UTF-8"))
+      finally out.close()
+      replaceAtomic(f, tmp, p)
+      GraftLake.shallowCache.put(s"$warehouse/$dst", Some((src, v)))
+    }
+  }
+
+  /** Turn a shallow clone into an INDEPENDENT table: the pinned
+    * snapshot's files deep-copy in (the [[cloneTable]] distributed-copy
+    * machinery — per-file bounds carried, DVs copied, zero footer
+    * re-reads), the marker drops, and the source pin releases LAST (a
+    * crash mid-way leaves a stale pin — vacuum keeps too much, never a
+    * broken clone). After this, vacuum of the source can retire the
+    * snapshot freely. */
+  def materializeClone(name: String): Unit = {
+    val (src, v) = shallowInfo(name).getOrElse(throw new IllegalArgumentException(
+      s"table '$name' is not a shallow clone"))
+    lockedAll(Seq(src, name).sorted.toList) {
+      val (_, resolved) = snapshotResolved(src, v)
+      val stats = statsFor(src, v)
+      val dvs = resolveDvs(src, v)
+      val dstData = dataDir(name)
+      val srcDvDir = dvDir(src).toString
+      val dstDvDir = dvDir(name).toString
+      val work: Seq[(String, String)] =
+        resolved.map { case ((rel, fn), at) =>
+          val destDir = if (rel.isEmpty) dstData else s"$dstData/$rel"
+          (at.toString, s"$destDir/$fn")
+        } ++ dvs.map(d => (s"$srcDvDir/$d", s"$dstDvDir/$d"))
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      if (work.nonEmpty)
+        spark.sparkContext
+          .parallelize(work, math.min(work.size, 64))
+          .foreachPartition { it =>
+            it.foreach { case (from, to) =>
+              val srcP = new Path(from); val dstP = new Path(to)
+              val f = srcP.getFileSystem(hconf.value)
+              f.mkdirs(dstP.getParent)
+              org.apache.hadoop.fs.FileUtil.copy(f, srcP,
+                dstP.getFileSystem(hconf.value), dstP, false, hconf.value)
+            }
+          }
+      // marker off BEFORE the commit (the commit chokepoint refuses
+      // shallow tables); a crash in the window between leaves a
+      // zero-snapshot table with its data files on disk — repairTable
+      // recovers, and the still-held pin keeps the source snapshot safe
+      val mp = shallowMarker(name)
+      fs(mp).delete(mp, false)
+      GraftLake.shallowCache.put(s"$warehouse/$name", None)
+      commitVersion(name, resolved.map(_._1), Nil, stats, op = "clone",
+        dvAdded = dvs)
+      unpin(src, name)
     }
   }
 
@@ -3566,28 +3778,37 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def expireSnapshotsLocked(name: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
     val vs = versions(name)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val (drop0, keepWindow) = vs.splitAt(math.max(0, vs.size - keepLast))
+    // PINNED snapshots (live shallow clones) are excluded from expiry
+    // wholesale: their manifests survive, their files are never vacuumed —
+    // the retention hold the reference gets from its catalog's snapshot
+    // table, file-native. Unpinned by clone drop / materialize.
+    val pinnedVs = pins(name).values.toSet
+    val drop = drop0.filterNot(pinnedVs)
+    val keep = vs.filter(v => keepWindow.contains(v) || pinnedVs.contains(v))
     if (drop.isEmpty) return
     val f = fs(versionsDir(name))
-    // re-anchor: the oldest kept snapshot becomes self-contained BEFORE
-    // its chain predecessors are deleted
-    val oldest = keep.head
-    val oldestManifest = readManifestFile(name, oldest)
-    if (oldestManifest.files.isEmpty) {
-      val (_, files, _) = resolveManifest(name, oldest)
-      val oldStats = resolveStats(name, oldest)
-      val oldDvs = resolveDvs(name, oldest)
-      val p = new Path(versionsDir(name), s"v$oldest.json")
-      val tmp = new Path(versionsDir(name), s".v$oldest-${UUID.randomUUID()}.tmp")
+    // re-anchor: every surviving snapshot whose chain predecessors are
+    // about to be deleted (the oldest kept + each pinned survivor below
+    // the keep window) becomes SELF-CONTAINED first. Atomic per manifest:
+    // a crash leaves either the delta (still resolvable — predecessors are
+    // deleted only below) or the checkpoint
+    def ensureSelfContained(v: Long): Unit = {
+      val m = readManifestFile(name, v)
+      if (m.files.nonEmpty) return
+      val (_, files, _) = resolveManifest(name, v)
+      val st = resolveStats(name, v)
+      val dv = resolveDvs(name, v)
+      val p = new Path(versionsDir(name), s"v$v.json")
+      val tmp = new Path(versionsDir(name), s".v$v-${UUID.randomUUID()}.tmp")
       val out = f.create(tmp, true)
-      try out.write(GraftLake.renderManifestWithSchema(oldest,
-        oldestManifest.schema, files, oldStats,
-        oldestManifest.op, dvs = oldDvs,
-        txns = resolveTxns(name, oldest)).getBytes("UTF-8")) finally out.close()
-      // atomic: a crash leaves either the delta (still resolvable — its
-      // chain predecessors are deleted only below) or the checkpoint
+      try out.write(GraftLake.renderManifestWithSchema(v,
+        m.schema, files, st, m.op, dvs = dv,
+        txns = resolveTxns(name, v)).getBytes("UTF-8")) finally out.close()
       replaceAtomic(f, tmp, p)
     }
+    keep.filter(v => v == keepWindow.head || !keepWindow.contains(v))
+      .foreach(ensureSelfContained)
     val referenced: Set[(String, String)] = keep.flatMap { v =>
       resolveManifest(name, v)._2
     }.toSet
@@ -3722,6 +3943,9 @@ object GraftLake {
     * known-columns caches with per-table locks
     * (DucklakeTableManager.java:51-59, 96-145). */
   private val verifiedTables = new ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Shallow-clone marker verdicts (None = plain table) — read() is hot. */
+  private val shallowCache =
+    new ConcurrentHashMap[String, Option[(String, Long)]]()
   private val metaCache = new ConcurrentHashMap[String, TableMeta]()
   private val tableLocks = new ConcurrentHashMap[String, Object]()
 
@@ -4260,7 +4484,7 @@ object GraftLake {
 
   /** Clear caches (tests / external table mutation). */
   def invalidateCaches(): Unit = {
-    verifiedTables.clear(); metaCache.clear()
+    verifiedTables.clear(); metaCache.clear(); shallowCache.clear()
     lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
     dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
     dvRulePassCache.clear(); dvRulePassAtVersion.clear()

@@ -1385,6 +1385,84 @@ object AnalyticsOps {
       .orderBy(col("clone"))
   }
 
+  /** q162: SHALLOW CLONE + vacuum pinning through the hash-checked gate.
+    * The clone is a ZERO-COPY pinned reference to snapshot 0 of the
+    * source; the in-query `require`s prove the round-11 contract — the
+    * pin lands in the source's registry, vacuum refuses to retire the
+    * pinned snapshot (manifest AND files) while the clone lives, the
+    * clone is read-only and survives source evolution (MoR delete +
+    * append + expireSnapshots), dropping a clone releases its pin, and
+    * [[graft.catalog.GraftLake.materializeClone]] turns it into an
+    * independent deep table and releases the pin — after which the same
+    * vacuum that was refused retires the snapshot. The oracle recomputes
+    * both relations from the raw rows: the clone must equal the
+    * PRE-evolution seed; the source must show the evolution. */
+  val q162ShallowClone = QueryDef(
+    "q162_shallow_clone",
+    """WITH h AS (SELECT max(o_orderkey) / 2 AS v FROM orders),
+      |seed AS (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_orderkey < (SELECT v FROM h))
+      |SELECT 'clone_v0' AS rel, count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total100
+      |FROM seed
+      |UNION ALL
+      |SELECT 'source_final' AS rel, count(*) + 1 AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) + 100 AS BIGINT)
+      |    AS total100
+      |FROM seed WHERE o_orderkey % 50 <> 0
+      |ORDER BY rel""".stripMargin) { (s, dir) =>
+    val lake = skipLakeMemo.computeIfAbsent(s"shclone:$dir", _ => {
+      import s.implicits._
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-shcloneq").toString)
+      val orders = Tables.orders(s, dir)
+      val hmax = orders.agg(max("o_orderkey")).head().getLong(0) / 2.0
+      l.append("src", orders.filter(col("o_orderkey") < hmax)
+        .select(col("o_orderkey"), col("o_totalprice")).repartition(2))
+      val n0 = l.read("src").count()
+      l.shallowClone("src", "sc", Some(0L))
+      require(l.versions("sc").isEmpty,
+        "shallow clone must carry no commits of its own (zero-copy)")
+      require(l.pins("src") == Map("sc" -> 0L),
+        "the pin must be recorded against the source")
+      require(scala.util.Try(
+        l.append("sc", Seq((1L, 1.0)).toDF("o_orderkey", "o_totalprice")))
+        .isFailure, "a shallow clone is read-only until materialized")
+      // the source moves on: ~2% MoR delete + one insert, then vacuum
+      l.deleteWhere("src", col("o_orderkey") % 50 === 0)
+      l.append("src", Seq((999999999L, 1.0)).toDF("o_orderkey", "o_totalprice"))
+      l.expireSnapshots("src", 1)
+      require(l.versions("src").contains(0L),
+        "vacuum must refuse to retire the PINNED snapshot's manifest")
+      require(l.read("sc").count() == n0,
+        "the clone must survive source evolution AND vacuum")
+      // a dropped clone releases its pin
+      l.shallowClone("src", "sc2")
+      require(l.pins("src").keySet == Set("sc", "sc2"))
+      l.dropTable("sc2")
+      require(l.pins("src") == Map("sc" -> 0L), "drop must unpin")
+      // materialize: independent table, pin released, vacuum proceeds
+      l.materializeClone("sc")
+      require(l.pins("src").isEmpty, "materialize must release the pin")
+      require(l.versions("sc").size == 1 && l.read("sc").count() == n0,
+        "materialized clone must be an independent snapshot copy")
+      l.expireSnapshots("src", 1)
+      require(!l.versions("src").contains(0L),
+        "once unpinned, the same vacuum retires the snapshot")
+      require(l.read("sc").count() == n0,
+        "the materialized clone must not depend on the vacuumed source")
+      l
+    })
+    def agg(t: String, label: String) = lake.read(t)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("total100"))
+      .select(lit(label).as("rel"), col("n"), col("total100"))
+    agg("sc", "clone_v0").unionByName(agg("src", "source_final"))
+      .orderBy(col("rel"))
+  }
+
   /** q138: incrementally maintained additive aggregate
     * ([[refreshAdditiveAgg]]), proven incremental IN-QUERY: the source
     * lands in three appends with a refresh after each, and the
@@ -1986,6 +2064,7 @@ object AnalyticsOps {
     q98CdcReplicate, q102FileSkipping, q104TemporalSkipping, q106SqlSkipping,
     q117HllRollup, q118DriftPsi, q126HourlyAnomaly, q128FreshnessAudit,
     q129MorDelete, q130History, q132BloomSkipping, q135MorUpdate, q136Restore, q157Clone,
+    q162ShallowClone,
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,

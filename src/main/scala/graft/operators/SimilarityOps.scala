@@ -874,6 +874,46 @@ object SimilarityOps {
     rerankExact(pairs, left, right, idCol, vecCol, k)
   }
 
+  /** PREDICATE-CONSTRAINED ANN off the persisted band index: k nearest
+    * within an eligibility predicate ("k nearest with lang='en' AND
+    * source='web'" — the curation-query shape). The predicate is pushed
+    * into the CANDIDATE stage: `eligible` — typically a manifest-pruned
+    * [[graft.catalog.GraftLake.readWhere]] scan of the corpus table —
+    * semi-joins the band table BEFORE the bucket join, so ineligible
+    * vectors never occupy candidate slots and the rerank's top-k is taken
+    * over eligible neighbors only. Filtering AFTER rerank instead would
+    * decimate recall on selective predicates: each ineligible candidate
+    * in the raw top-k would evict an eligible true neighbor. Scale shape:
+    * the semi-join keys on id (broadcast when the pruned eligible set is
+    * small, AQE otherwise); the only shuffled data is the candidate pair
+    * list, exactly as in [[knnJoinLshIndexed]]; neither corpus is ever
+    * re-banded or broadcast. */
+  def knnFilteredLshIndexed(lake: graft.catalog.GraftLake, prefix: String,
+      eligible: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val (pt, pb, pd, ps) = loadVectorLshParams(lake, prefix)
+    require(pt == tables && pb == bitsPerTable && pd == dim && ps == seed,
+      s"persisted LSH index '$prefix' was built with (tables=$pt, bits=$pb, " +
+        s"dim=$pd, seed=$ps) but the probe requested (tables=$tables, " +
+        s"bits=$bitsPerTable, dim=$dim, seed=$seed) — rebuild the index or " +
+        "match its quantizer")
+    val eligibleIds = eligible.select(col(idCol).as("neighbor_id"))
+    val bandsA = lake.read(s"${prefix}_vbands")
+      .select(col(idCol).as("neighbor_id"), col("band").as("__t"),
+        col("sig").as("__s"))
+      .join(eligibleIds, Seq("neighbor_id"), "left_semi")
+    val bandsB = bandedSignatures(right, idCol, vecCol, tables, bitsPerTable,
+      dim, seed)
+      .select(col(idCol).as("query_id"), col("band").as("__t"),
+        col("sig").as("__s"))
+    val pairs = bandsA.join(bandsB, Seq("__t", "__s"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // rerank vectors come from the ELIGIBLE frame: a candidate that
+    // slipped past the semi-join could not re-enter here
+    rerankExact(pairs, eligible, right, idCol, vecCol, k)
+  }
+
   /** Per-JVM quantizer memo for the driver-facing ANN queries, keyed by
     * corpus dir: the production contract is "fit once per corpus refresh,
     * persist ([[saveCentroids]]/[[savePqCodebooks]]), load at query time"
@@ -1157,6 +1197,74 @@ object SimilarityOps {
     val slice = corpusB.filter(col("vec_id") < 20)
     annContract(corpusA, slice, ann.filter(col("query_id") < 20),
       "vec_id", "embedding", 5, recallFloor = 0.4)
+  }
+
+  /** q161: FILTERED ANN through the q114/q131 hash-gated contract — "k
+    * nearest within label < 5", the predicate-constrained curation-query
+    * shape. The reference corpus (even ids) persists as a graft table
+    * PARTITIONED BY label plus its vector-LSH band index; the probe's
+    * eligible set is a manifest/partition-PRUNED readWhere scan (the plan
+    * spec asserts only label<5 files are ever listed) semi-joined into
+    * the band table BEFORE the bucket join ([[knnFilteredLshIndexed]]).
+    * Recall is gated against the FILTERED brute-force ground truth — the
+    * honest baseline for constrained search; `n_offlabel` pins that no
+    * ineligible neighbor can surface, and `n_eligible` ties the predicate
+    * to the data. */
+  val q161FilteredAnn = QueryDef(
+    "q161_filtered_ann",
+    """SELECT vec_id AS query_id,
+      |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0 AND label < 5)
+      |    AS n_eligible,
+      |  CAST(5 AS BIGINT) AS n_results, CAST(5 AS BIGINT) AS n_exact_cos,
+      |  CAST(1 AS BIGINT) AS recall_ok, CAST(0 AS BIGINT) AS n_offlabel
+      |FROM embeddings WHERE vec_id < 20 AND vec_id % 2 = 1
+      |ORDER BY query_id""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val corpusA = emb.filter(col("vec_id") % 2 === 0)
+    val corpusB = emb.filter(col("vec_id") % 2 === 1)
+    // one-time per corpus refresh: the corpus ATTRIBUTE table (the
+    // filterable metadata — label/lang/source live here, partitioned by
+    // the predicate column; vectors stay in the embedding store, the
+    // engine lands nested arrays as JSON strings by design) + the band
+    // index — the quantizerMemo contract
+    val wh = memo(s"$dir#vlshidxF") {
+      val w = java.nio.file.Files.createTempDirectory("graft-q161").toString
+      val l = new graft.catalog.GraftLake(s, w)
+      l.write("annf_corpus", corpusA.select(col("vec_id"), col("label")),
+        partitions = Seq("label"), pks = Seq("vec_id"))
+      buildVectorLshIndex(l, "annF", corpusA, "vec_id", "embedding",
+        tables = 16, bitsPerTable = 4)
+      w
+    }
+    val lake = new graft.catalog.GraftLake(s, wh)
+    // the PRUNED doc set: only label<5 partition files are ever listed
+    // (plan spec); its ids gate the band join, its semi-join against the
+    // embedding store supplies the rerank vectors
+    val eligibleIds = lake.readWhere("annf_corpus", col("label") < 5)
+      .select(col("vec_id"))
+    val eligible = corpusA.join(eligibleIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val queries = corpusB.filter(col("vec_id") < 20)
+    val ann = knnFilteredLshIndexed(lake, "annF", eligible, queries,
+      "vec_id", "embedding", 5, tables = 16, bitsPerTable = 4)
+    val contract = annContract(eligible, queries, ann,
+      "vec_id", "embedding", 5, recallFloor = 0.4)
+    // predicate violations (must be structurally impossible): every
+    // returned neighbor joined back to its label — ann is queries×k, so
+    // it broadcasts into the corpus scan
+    val off = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(ann.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("label") >= 5, 1L).otherwise(0L)).as("n_offlabel"))
+    val nEligible = eligible.count()
+    contract
+      .join(off, Seq("query_id"), "left")
+      .select(col("query_id"), lit(nEligible).as("n_eligible"),
+        col("n_results"), col("n_exact_cos"), col("recall_ok"),
+        coalesce(col("n_offlabel"), lit(0L)).as("n_offlabel"))
+      .orderBy(col("query_id"))
   }
 
   /** q77: SemDeDup verification CONTRACT, hash-gated per label (the
@@ -1620,5 +1728,6 @@ object SimilarityOps {
   val all: Seq[QueryDef] = Seq(q30EmbeddingNearDup, q31KnnBrute, q32AnnIvf,
     q77SemanticDedup, q80AnnIvfPq, q109AnnIncremental, q110HybridRrf,
     q114AnnLsh, q119LabelSeparability, q122EmbedQuantize, q125EmbedOutliers,
-    q131AnnJoin, q140HardNegatives, q146SemanticDecontamination)
+    q131AnnJoin, q140HardNegatives, q146SemanticDecontamination,
+    q161FilteredAnn)
 }

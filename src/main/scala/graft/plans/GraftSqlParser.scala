@@ -65,7 +65,7 @@ object GraftSqlParser {
   private val ShowMetrics =
     """(?is)^\s*SHOW\s+GRAFT\s+METRICS\s*;?\s*$""".r
   private val CloneTable =
-    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW\s+)?CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val AddConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+([\w`]+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
   private val DropConstraint =
@@ -98,9 +98,9 @@ object GraftSqlParser {
     case RefreshBloom(ident) =>
       Some(GraftRefreshBloomCommand(parts(ident), sqlText))
     case ShowMetrics() => Some(GraftShowMetricsCommand())
-    case CloneTable(dst, src, v) =>
+    case CloneTable(dst, shallow, src, v) =>
       Some(GraftCloneCommand(parts(dst), parts(src),
-        Option(v).map(_.toLong), sqlText))
+        Option(v).map(_.toLong), sqlText, shallow = shallow != null))
     case AddConstraint(ident, cname, check) =>
       Some(GraftAddConstraintCommand(parts(ident),
         cname.stripPrefix("`").stripSuffix("`"), check.trim, sqlText))
@@ -355,14 +355,17 @@ final case class GraftDescribePartitionsCommand(ident: Seq[String], sql: String)
   * in the SAME graft catalog — a cross-warehouse clone would silently
   * change storage placement. */
 final case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
-    version: Option[Long], sql: String) extends LeafRunnableCommand {
+    version: Option[Long], sql: String,
+    shallow: Boolean = false) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.runOrDelegate(spark, dst, sql) { (wh, dstT) =>
       val (srcWh, srcT) = GraftSqlParser.resolveRequired(spark, src)
       require(srcWh == wh,
         s"CLONE source '${src.mkString(".")}' and target " +
           s"'${dst.mkString(".")}' must live in the same graft catalog")
-      new GraftLake(spark, wh).cloneTable(srcT, dstT, version)
+      val lake = new GraftLake(spark, wh)
+      if (shallow) lake.shallowClone(srcT, dstT, version)
+      else lake.cloneTable(srcT, dstT, version)
     }
 }
 

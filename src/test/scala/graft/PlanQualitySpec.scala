@@ -141,6 +141,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(lake.read("bt").count() === n + 5)
   }
 
+  test("q161: filtered ANN — skipping-pruned scan gates the band join pre-rerank") {
+    import org.apache.spark.sql.functions._
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-fann").toString)
+    val emb = Tables.embeddings(spark, sf)
+    val corpusA = emb.filter(col("vec_id") % 2 === 0)
+    lake.write("c", corpusA.select(col("vec_id"), col("label")),
+      partitions = Seq("label"), pks = Seq("vec_id"))
+    operators.SimilarityOps.buildVectorLshIndex(lake, "f", corpusA,
+      "vec_id", "embedding", tables = 4, bitsPerTable = 4)
+    // the eligibility scan is file-pruned at PLANNING: only label=2 files
+    // are ever listed (bounds skipping + partition layout)
+    val pruned = lake.readWhere("c", col("label") === 2)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("__p_label=2")),
+      s"eligibility scan must be pruned to the predicate's files: " +
+        s"${pruned.inputFiles.take(3).mkString(",")}")
+    val eligible = corpusA
+      .join(pruned.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 9)
+    val ann = operators.SimilarityOps.knnFilteredLshIndexed(lake, "f",
+      eligible, queries, "vec_id", "embedding", 3,
+      tables = 4, bitsPerTable = 4)
+    val p = ann.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftSemi"),
+      "the predicate must gate candidates as a semi join BEFORE rerank")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the probe")
+    // structural guarantee: every returned neighbor satisfies the predicate
+    val offLabel = ann
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .filter(col("label") =!= 2).count()
+    assert(offLabel === 0L, "ineligible neighbors must be impossible")
+  }
+
   test("q31: brute-force KNN broadcasts the query side") {
     val p = plan("q31_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -23,6 +23,82 @@ class SnapshotSpec extends AnyFunSuite {
   private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
     df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
 
+  test("shallow clone: zero-copy pinned reference; vacuum refuses; unpin on drop/materialize") {
+    val lake = newLake()
+    lake.write("s", (1 to 100).map(i => (i, s"v$i")).toDF("id", "v"),
+      pks = Seq("id"))
+    lake.shallowClone("s", "c", Some(0L))
+    // ZERO bytes copied: the clone dir has no data files of its own
+    assert(new java.io.File(s"${lake.warehouseDir}/c/data")
+      .listFiles() == null, "shallow clone must copy no data files")
+    assert(rows(lake.read("c"), "id", "v") ===
+      (1 to 100).map(i => Seq(i, s"v$i")).toSet)
+    // (a) vacuum of pinned files REFUSES: evolve + rewrite the source,
+    // then expire — the pinned snapshot stays resolvable
+    lake.write("s", Seq((1, "CHANGED")).toDF("id", "v"), pks = Seq("id"))
+    lake.deleteWhere("s", col("id") > 90)
+    lake.expireSnapshots("s", 1)
+    assert(lake.versions("s").contains(0L),
+      "pinned snapshot manifest must survive expireSnapshots")
+    // (b) the clone survives source evolution — incl. the rewrite that
+    // retired version 0's files into _history
+    assert(rows(lake.read("c"), "id", "v") ===
+      (1 to 100).map(i => Seq(i, s"v$i")).toSet,
+      "clone must read the PINNED snapshot, untouched by evolution")
+    // read-only until materialized
+    intercept[IllegalArgumentException] {
+      lake.write("c", Seq((999, "x")).toDF("id", "v"), pks = Seq("id"))
+    }
+    intercept[IllegalArgumentException](lake.deleteWhere("c", col("id") === 1))
+    // the pinned SOURCE cannot be dropped from under the clone
+    intercept[IllegalArgumentException](lake.dropTable("s"))
+    // (c) materializing releases the pin; the clone becomes independent
+    lake.materializeClone("c")
+    assert(lake.pins("s").isEmpty, "materialize must unpin")
+    lake.expireSnapshots("s", 1)
+    assert(!lake.versions("s").contains(0L),
+      "unpinned snapshot must expire on the next vacuum")
+    assert(rows(lake.read("c"), "id", "v") ===
+      (1 to 100).map(i => Seq(i, s"v$i")).toSet,
+      "materialized clone is independent of the vacuumed source")
+    // now writable
+    lake.write("c", Seq((999, "x")).toDF("id", "v"), pks = Seq("id"))
+    assert(lake.read("c").count() === 101)
+    // and the source can finally be dropped
+    lake.dropTable("s")
+    assert(!lake.tableExists("s") && lake.read("c").count() === 101)
+  }
+
+  test("shallow clone SQL: CREATE TABLE ... SHALLOW CLONE; SELECT reads the pin; writes refused") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-shsql").toString
+    val lake = new GraftLake(spark, wh)
+    spark.conf.set("spark.sql.catalog.shc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.shc.warehouse", wh)
+    try {
+      lake.write("s", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+      lake.write("s", Seq((2, "B2")).toDF("id", "v"), pks = Seq("id"))
+      spark.sql("CREATE TABLE shc.c SHALLOW CLONE shc.s VERSION AS OF 0")
+      assert(lake.pins("s") === Map("c" -> 0L))
+      assert(spark.sql("SELECT id, v FROM shc.c ORDER BY id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq ===
+        Seq((1, "a"), (2, "b")), "SQL SELECT must read the pinned snapshot")
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO shc.c VALUES (3, 'x', NULL)")
+      }
+      assert(e.getMessage.contains("does not support") ||
+        e.getMessage.contains("SHALLOW"), e.getMessage)
+      // deep CLONE of a shallow clone is refused with guidance
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE shc.c2 CLONE shc.c")
+      }
+      assert(e2.getMessage.contains("materialize"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.shc")
+      spark.conf.unset("spark.sql.catalog.shc.warehouse")
+    }
+  }
+
   test("upsert history: each write is a version; old versions read back exactly") {
     val lake = newLake()
     lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
