@@ -96,13 +96,15 @@ object ScaleBench {
     }
     val bmerge = bucketedMergeFlush(spark, smallDir, bigDir)
     val race = multiWriterRace(spark)
+    val optRace = compactVsAppendRace(spark)
     val json = rows.map { case (q, s, b, sw, bw) =>
       s""""$q":{"small_s":${num(s)},"big_s":${num(b)},"ratio":${num(b / s)}""" +
         s""","warm_small_s":${num(sw)},"warm_big_s":${num(bw)}""" +
         s""","warm_ratio":${num(bw / sw)}}"""
     }.mkString("{\"small\":\"" + smallDir + "\",\"big\":\"" + bigDir +
       "\",\"queries\":{", ",",
-      s"},\"bucketed_merge_flush\":$bmerge,\"race\":$race}")
+      s"},\"bucketed_merge_flush\":$bmerge,\"race\":$race," +
+        s"\"optimize_vs_append\":$optRace}")
     Files.write(Paths.get("scale_bench.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)
@@ -162,6 +164,92 @@ object ScaleBench {
       s""""small":{"rows":$sRows,"buckets":$sNb,"ms_per_flush":${num(sMs)}},""" +
       s""""big":{"rows":$bRows,"buckets":$bNb,"ms_per_flush":${num(bMs)}},""" +
       s""""ratio":${num(bMs / sMs)}}"""
+  }
+
+  /** CONCURRENT OPTIMIZE vs streaming appends, two REAL processes: the
+    * parent runs a LONG z-ordered compaction of an sf1-sized table while
+    * a forked [[RaceAppender]] JVM appends to the same table. The
+    * round-11 contract: compaction neither blocks nor is blocked by
+    * appends — the rewrite holds no table lock, the commit validates its
+    * input files are still live (appends always win), and every row from
+    * both writers survives. `appends_during_compaction` counts the child
+    * commits that landed strictly inside the parent's compaction window —
+    * the overlap evidence. */
+  private def compactVsAppendRace(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = Files.createTempDirectory("graft-optrace").toString
+    val lake = new graft.catalog.GraftLake(spark, wh)
+    val baseRows = 1500000L
+    lake.append("opt_t", spark.range(baseRows)
+      .select(col("id").as("seq"), lit("base").as("writer"),
+        (col("id") % 97).cast("int").as("bucket")).repartition(24))
+    val nBatches = 16
+    val rowsPerBatch = 100000L
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RaceAppender", wh, "opt_t", "w2",
+      nBatches.toString, rowsPerBatch.toString)).toArray
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    @volatile var childLine = ""
+    val drainer = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      var line = r.readLine()
+      while (line != null) {
+        if (line.startsWith("[race-child]")) childLine = line
+        line = r.readLine()
+      }
+    }, "opt-race-drain")
+    drainer.setDaemon(true); drainer.start()
+    // overlap: start the compaction only once the child is live
+    val v0 = lake.versions("opt_t").size
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (lake.versions("opt_t").size == v0 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    require(lake.versions("opt_t").size > v0, "opt-race child never committed")
+    val vStart = lake.versions("opt_t").last
+    val t0 = System.nanoTime()
+    lake.compact("opt_t", clusterBy = Seq("seq")) // z-order = the LONG rewrite
+    val compactSecs = (System.nanoTime() - t0) / 1e9
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake2 = new graft.catalog.GraftLake(spark, wh)
+    val hist = lake2.history("opt_t").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val compactV = hist.filter(_._2 == "zorder").map(_._1).max
+    val appendsDuring = hist.count { case (v, op) =>
+      v > vStart && v < compactV && op == "append"
+    }
+    if (!child.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)) {
+      child.destroyForcibly()
+      throw new IllegalStateException("opt-race child did not exit")
+    }
+    drainer.join(10000)
+    require(child.exitValue() == 0, s"opt-race child failed: $childLine")
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake3 = new graft.catalog.GraftLake(spark, wh)
+    val byWriter = lake3.read("opt_t")
+      .groupBy(col("writer")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byWriter.getOrElse("base", 0L) == baseRows &&
+      byWriter.getOrElse("w2", 0L) == nBatches * rowsPerBatch,
+      s"optimize-vs-append lost rows: $byWriter")
+    require(appendsDuring >= 1,
+      s"no child append landed inside the compaction window " +
+        s"(compact ${num(compactSecs)}s) — no overlap was exercised")
+    println(s"[opt-race] z-order compaction of $baseRows rows took " +
+      s"${num(compactSecs)}s with $appendsDuring concurrent appends " +
+      "landing mid-compaction; zero lost rows")
+    s"""{"base_rows":$baseRows,"child_batches":$nBatches,""" +
+      s""""rows_per_batch":$rowsPerBatch,"all_landed":true,""" +
+      s""""compact_seconds":${num(compactSecs)},""" +
+      s""""appends_during_compaction":$appendsDuring}"""
   }
 
   /** MULTI-WRITER commit race with two REAL driver processes: this JVM

@@ -2363,10 +2363,55 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * no-op check there. */
   def compact(name: String, targetRecordsPerFile: Long = maxRecordsPerFile,
       predicate: Option[Column] = None,
-      clusterBy: Seq[String] = Nil): Unit = writeLock(name) {
+      clusterBy: Seq[String] = Nil): Unit = {
+    // CONCURRENT-APPEND-SAFE: the (long) rewrite runs with NO table lock —
+    // at scale, compaction must neither block nor be blocked by streaming
+    // appends (the reference gets this from PG snapshot isolation +
+    // serialization retries, DucklakeConnectionFactory.java:69-70). The
+    // rewrite reads an EXPLICIT manifest file set (never the directory, so
+    // mid-rewrite appends are invisible to it), and the short commit
+    // section validates that every input file is still live and the DV
+    // set unchanged — appends only ADD files, so appends always win and
+    // coexist; a concurrent rewrite/delete invalidates and the compaction
+    // retries from the new state (aborts after 3 attempts).
+    var attempt = 0
+    def once(): Boolean =
+      try compactAttempt(name, targetRecordsPerFile, predicate, clusterBy)
+      catch {
+        // a CROSS-PROCESS writer won the manifest version race inside the
+        // commit section; commitVersion already rolled the swap back
+        // physically — same answer as an in-process conflict: re-derive
+        // from the winner's state and try again
+        case _: java.util.ConcurrentModificationException => false
+      }
+    while (!once()) {
+      attempt += 1
+      graft.metrics.GraftMetrics.op("compactRetry").record(0L)
+      if (attempt >= 5) throw new IllegalStateException(
+        s"compaction of '$name' lost to concurrent rewrites $attempt times " +
+          "— retry when the table quiesces")
+    }
+  }
+
+  /** Test seam: runs between the lock-free rewrite and the commit-time
+    * validation — the deterministic window a concurrency spec uses to
+    * land an append (must coexist) or a rewrite (must force a retry)
+    * mid-compaction. Production no-op. */
+  private[graft] var compactBeforeCommitHook: () => Unit = () => ()
+
+  /** One lock-free-rewrite + validate-and-commit attempt; false = lost a
+    * conflict check (caller retries), true = committed or no-op. */
+  private def compactAttempt(name: String, targetRecordsPerFile: Long,
+      predicate: Option[Column], clusterBy: Seq[String]): Boolean = {
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
-    val dvsLive = liveDvs(name)
+    val v0 = versions(name).lastOption.getOrElse(return true) // no commits
+    val refs0 = resolveManifest(name, v0)._2
+    if (refs0.isEmpty) return true
+    val dvs0 = dvsAtVersion(name, v0)
     // user-facing names are LOGICAL: the scope predicate filters the
     // logical view and clusterBy columns translate to their physical
     // names (the rewrite itself stays purely physical)
@@ -2374,21 +2419,39 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     def physName(c: String): String =
       toPhys.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
     val clusterCols = clusterBy.map(physName)
+    val dd = dataDir(name)
+    val paths = refs0.map { case (rel, fn) =>
+      if (rel.isEmpty) s"$dd/$fn" else s"$dd/$rel/$fn"
+    }
+    val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
+    // the pinned-snapshot scan (v0's files, v0's stats) — NOT the data
+    // directory: concurrently appended files must not be read, rewritten
+    // or retired by this compaction
+    val scanOnly = manifestScan(paths, statsFor(name, v0), full,
+      partCols.size, Some(dd))
     // compaction MATERIALIZES deletion vectors for whatever it rewrites:
     // rows masked by a DV must not be copied into the compacted files
-    val all = applyDvs(name, readInternal(name, meta), dvsLive, partCols.size)
-    val scoped = (predicate, partCols) match {
-      case (None, _) => all
+    val all = applyDvs(name, scanOnly, dvs0, partCols.size)
+    val (scoped, scopedRefs) = (predicate, partCols) match {
+      case (None, _) => (all, refs0)
       case (Some(p), Nil) =>
         // whole-table rewrite unit: an empty match is a no-op, anything
         // else must carry ALL rows or the swap would drop the rest
-        if (toLogical(meta.schema, all).filter(p).isEmpty) return
-        all
+        if (toLogical(meta.schema, all).filter(p).isEmpty) return true
+        (all, refs0)
       case (Some(p), pcs) =>
         val parts = toLogical(meta.schema, all).filter(p)
           .select(pcs.map(c => col(quoted(c))): _*).distinct().collect()
-        if (parts.isEmpty) return // nothing matches: no rewrite, no commit
-        all.filter(GraftLake.partitionScope(pcs, parts))
+        if (parts.isEmpty) return true // nothing matches: no rewrite
+        val scope = GraftLake.partitionScope(pcs, parts)
+        // the files of the scoped partitions, off the DV-FREE scan
+        // (input_file_name over a DV anti-join frame throws MULTI_SOURCES)
+        val scopedFiles = scanOnly.filter(scope)
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(r =>
+            GraftLake.keyOfPath(r.getString(0), partCols.size)).toSet
+        (all.filter(scope),
+          refs0.filter(r => scopedFiles.contains(GraftLake.fileKey(r))))
     }
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val projected = scoped
@@ -2474,16 +2537,37 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         .parquet(stage.toString)
     }
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
-    val (added, removed) =
-      swapInto(name, stage, new Path(dataDir(name)), partCols.size)
-    // a whole-table rewrite (no predicate, or unpartitioned) leaves every
-    // DV entry pointing at a retired file — drop them all; a
-    // partition-scoped rewrite keeps the DVs (entries for the rewritten
-    // partitions are inert, other partitions still need theirs)
-    val fullRewrite = predicate.isEmpty || partCols.isEmpty
-    commitVersion(name, added, removed, writeStats,
-      op = if (clusterCols.nonEmpty) "zorder" else "compact",
-      dvRemoved = if (fullRewrite) dvsLive else Nil)
+    compactBeforeCommitHook()
+    // COMMIT section — the only part under the table lock (microseconds
+    // against the rewrite's seconds-to-minutes): validate, place, retire,
+    // commit. Appends that landed during the rewrite are untouched — their
+    // files are neither read nor retired and stay live in the manifest.
+    writeLock(name) {
+      val vNow = versions(name).lastOption.getOrElse(-1L)
+      val ok = vNow == v0 || {
+        val liveNow = resolveManifest(name, vNow)._2.toSet
+        scopedRefs.forall(liveNow.contains) &&
+          liveDvs(name).toSet == dvs0.toSet
+      }
+      if (!ok) { fs(stage).delete(stage, true); return false }
+      val added = mergeStageInto(stage, new Path(dd))
+      val ddPath = new Path(dd)
+      val removed = scopedRefs.flatMap { case (rel, fn) =>
+        val p = if (rel.isEmpty) new Path(ddPath, fn)
+          else new Path(new Path(ddPath, rel), fn)
+        retire(name, ddPath, p)
+      }
+      // a whole-table rewrite (no predicate, or unpartitioned) leaves
+      // every DV entry pointing at a retired file — drop them all; a
+      // partition-scoped rewrite keeps the DVs (entries for the rewritten
+      // partitions are inert, other partitions still need theirs)
+      val fullRewrite = predicate.isEmpty || partCols.isEmpty
+      commitVersion(name, added, removed, writeStats,
+        op = if (clusterCols.nonEmpty) "zorder" else "compact",
+        dvRemoved = if (fullRewrite) dvs0 else Nil)
+      fs(stage).delete(stage, true) // committer droppings (_SUCCESS etc.)
+      true
+    }
   }
 
   /** Data files currently backing a table (observability / compaction

@@ -923,8 +923,20 @@ object SimilarityOps {
     * results. */
   private val quantizerMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def memo[T <: AnyRef](key: String)(fit: => T): T =
-    quantizerMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
+  /** NOT computeIfAbsent: several fit bodies themselves mutate this map
+    * (buildVectorLshIndex invalidates its `#vparams` entry) — a map
+    * mutation inside computeIfAbsent throws `Recursive update` whenever
+    * the two keys share a hash bin (observed as a same-bin-dependent
+    * flake on q161). Double-checked lock on the map object instead. */
+  private def memo[T <: AnyRef](key: String)(fit: => T): T = {
+    val hit = quantizerMemo.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    quantizerMemo.synchronized {
+      val again = quantizerMemo.get(key)
+      if (again != null) again.asInstanceOf[T]
+      else { val v = fit; quantizerMemo.put(key, v); v }
+    }
+  }
 
   /** Oracle-checkable verification contract over an ANN result: per
     * query, (a) exactly `k` neighbors came back, (b) every reported `cos`
