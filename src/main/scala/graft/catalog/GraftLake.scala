@@ -157,6 +157,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * cross-process commit race. */
   private def invalidateTable(name: String): Unit = {
     GraftLake.shallowCache.remove(s"$warehouse/$name")
+    GraftLake.dvBroadcastCache.keySet.removeIf(_.endsWith(s"#$warehouse/$name"))
     lastVersionCache.remove(s"$warehouse/$name")
     liveSetCache.remove(s"$warehouse/$name")
     statsMapCache.remove(s"$warehouse/$name")
@@ -733,8 +734,41 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       case _: org.apache.spark.sql.execution.LogicalRDD => ()
     }.isEmpty
     if (!isFileBacked) return df
-    dvAntiJoinFrames(df, dvFrame(name, dvs), partDepth,
-      broadcastDv = dvEntryCountCached(name, dvs) <= dvMaxEntries)
+    if (dvEntryCountCached(name, dvs) <= dvMaxEntries) {
+      // steady-state path: a codegen'd FILTER probing the cached
+      // broadcast DV set — no join, no per-query broadcast-build job
+      // (executors fetched the blocks at the first query after the DV
+      // commit), scan stays single-source and whole-stage-codegen'd
+      val b = dvBroadcastCached(name, dvs)
+      import org.apache.spark.sql.graft.PlanBridge
+      val masked = graft.functions.DvMasked(
+        PlanBridge.expression(GraftLake.dvKeyColumn(partDepth)),
+        PlanBridge.expression(col("_metadata.row_index")), b)
+      df.filter(!PlanBridge.column(masked))
+    } else
+      // config-lowered bound after commits: an unbounded set must not be
+      // collected to the driver — AQE picks the join
+      dvAntiJoinFrames(df, dvFrame(name, dvs), partDepth, broadcastDv = false)
+  }
+
+  /** Driver-built [[graft.functions.DvSet]] broadcast, memoized per
+    * (SparkContext, table) on the exact DV file set — rebuilt only when a
+    * DV commit changes the set; the dropped broadcast is reclaimed by the
+    * ContextCleaner once the last plan referencing it goes away. The
+    * caller has already bounded the entry count (`dvMaxEntries`), so the
+    * collect is the same size the old broadcast join shipped. */
+  private def dvBroadcastCached(name: String, dvs: Seq[String])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.DvSet] = {
+    val key = s"${System.identityHashCode(spark.sparkContext)}#$warehouse/$name"
+    val hit = GraftLake.dvBroadcastCache.get(key)
+    if (hit != null && hit._1 == dvs) hit._2
+    else {
+      val entries = dvFrame(name, dvs).collect().iterator
+        .map(r => (r.getString(0), r.getLong(1)))
+      val b = spark.sparkContext.broadcast(graft.functions.DvSet.build(entries))
+      GraftLake.dvBroadcastCache.put(key, (dvs.toVector, b))
+      b
+    }
   }
 
   /** The shared (file key, row position) LEFT ANTI join every DV-masking
@@ -762,6 +796,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
   private def dvFrame(name: String, dvs: Seq[String]): DataFrame =
     spark.read.schema(GraftLake.dvSchema)
       .parquet(dvs.map(d => s"${dvDir(name)}/$d"): _*)
+
 
   /** Total deleted-position count across the live DVs — parquet metadata
     * only (footer row counts), no data scan. */
@@ -4030,6 +4065,10 @@ object GraftLake {
   /** Shallow-clone marker verdicts (None = plain table) — read() is hot. */
   private val shallowCache =
     new ConcurrentHashMap[String, Option[(String, Long)]]()
+  /** Broadcast DV sets, keyed `context#warehouse/table` with the exact DV
+    * file set as the freshness token (see dvBroadcastCached). */
+  private val dvBroadcastCache = new ConcurrentHashMap[String,
+    (Vector[String], org.apache.spark.broadcast.Broadcast[graft.functions.DvSet])]()
   private val metaCache = new ConcurrentHashMap[String, TableMeta]()
   private val tableLocks = new ConcurrentHashMap[String, Object]()
 
@@ -4569,6 +4608,7 @@ object GraftLake {
   /** Clear caches (tests / external table mutation). */
   def invalidateCaches(): Unit = {
     verifiedTables.clear(); metaCache.clear(); shallowCache.clear()
+    dvBroadcastCache.clear()
     lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
     dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
     dvRulePassCache.clear(); dvRulePassAtVersion.clear()

@@ -933,19 +933,20 @@ class SnapshotSpec extends AnyFunSuite {
     // the failure invalidated the caches: an immediate re-run succeeds
     assert(lake.deleteWhere("t", col("id") === 1) === 1L)
     assert(rows(lake.read("t"), "id") === Set(Seq(2), Seq(3)))
-    // a FILE-MOVING rewrite losing the race must roll its swap back:
-    // the winner's manifest references the pre-rewrite files as live,
-    // so without the unswap every later read would FileNotFound. The
-    // winner here is (again) a copy of v0 — no DVs — so its state is
-    // all three rows with the delete undone: exactly what an external
-    // writer's commit meant
+    // a COMPACTION losing the race rolls its swap back (the winner's
+    // manifest references the pre-rewrite files as live — without the
+    // unswap every later read would FileNotFound) and then RETRIES
+    // against the winner's state inside the same call (round-11
+    // concurrent-optimize semantics: appends always win, compaction
+    // re-derives; it no longer fails fast like a one-shot DML). The
+    // winner here is (again) a copy of v0 — no DVs — so the visible
+    // state is all three rows with the delete undone: exactly what an
+    // external writer's commit meant
     externalCommit(lake.versions("t").last + 1)
-    intercept[java.util.ConcurrentModificationException] {
-      lake.compact("t")
-    }
+    lake.compact("t")
     assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(2), Seq(3)),
-      "after a lost rewrite race the table must read the winner's state")
-    // and the re-run against the winner's state succeeds
+      "after a lost rewrite race the compaction must land against the " +
+        "winner's state, never a stale one")
     lake.compact("t")
     assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(2), Seq(3)))
   }
