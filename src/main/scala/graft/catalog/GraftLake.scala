@@ -2018,6 +2018,243 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     transactBody(sorted)(body)
   }
 
+  // ---- cross-process durable transactions (lock files + journal) ----
+
+  private def txnJournalDir = new Path(s"$warehouse/_txn_journal")
+  private def txnLockPath(name: String) =
+    new Path(s"${tableDir(name)}/_txn.lock")
+  private def txnLockTimeoutMs: Long = spark.conf
+    .getOption("spark.graft.txn.lockTimeoutMs").map(_.toLong)
+    .getOrElse(10L * 60 * 1000)
+
+  /** [[transact]] upgraded to a CROSS-PROCESS contract — the reference
+    * inherits multi-table ACID from its PostgreSQL catalog
+    * (DucklakeConnectionFactory.java:64-70); this is the file-native
+    * equivalent: per-member LOCK FILES (atomic create-if-absent, acquired
+    * in the global sorted order) exclude other durable coordinators, and
+    * a PERSISTED JOURNAL (`_txn_journal/<txnId>.json`, written before the
+    * body runs: members, pre-versions, pre-meta) makes a crashed
+    * coordinator's partial transaction detectable — the next durable
+    * writer (or an explicit [[recoverStaleTransactions]]) compensates it
+    * exactly like the in-process rollback (restore pre-versions, revert
+    * registry evolution, reset exactly-once watermarks) and breaks the
+    * dead locks. Takeover requires the holder process to be DEAD
+    * (ProcessHandle liveness) or the journal older than
+    * `spark.graft.txn.lockTimeoutMs` (default 10 min). FENCING: before
+    * the coordinator commits (journal delete), it re-verifies it still
+    * owns every member lock — a (mistaken) takeover has already rolled
+    * the members back, and the fenced coordinator fails loudly instead of
+    * resurrecting half a transaction. Remaining honest caveats: plain
+    * single-table cross-process appends do not consult the locks (they
+    * race normally, as before — and a rollback discards what they wrote
+    * between the body's commits and the compensation, same as the
+    * in-process contract); readers get no isolation (use [[pin]]). */
+  def transactDurable[T](names: Seq[String])(body: => T): T = {
+    val sorted = names.distinct.sorted
+    require(sorted.nonEmpty, "transact needs at least one member table")
+    require(!inTransact.get, "nested transact is not supported")
+    recoverStaleTransactions() // heal any dead coordinator first
+    val txnId = UUID.randomUUID().toString
+    acquireTxnLocks(sorted, txnId)
+    var journalLive = false
+    try {
+      writeTxnJournal(txnId, sorted)
+      journalLive = true
+      val result = lockedAll(sorted.toList) { transactBody(sorted)(body) }
+      // FENCE: a takeover (pid-reuse, timeout misfire, manual recovery)
+      // has already compensated the members and deleted the journal —
+      // finishing normally would resurrect half a transaction
+      require(ownsAllTxnLocks(sorted, txnId),
+        s"transaction $txnId was fenced out: a recovery broke its locks " +
+          "and rolled its members back — this coordinator's result is void")
+      deleteTxnJournal(txnId)
+      journalLive = false
+      result
+    } catch {
+      case e: Throwable =>
+        // in-process failures were compensated by transactBody already;
+        // the journal's crash-recovery job is done
+        if (journalLive && ownsAllTxnLocks(sorted, txnId))
+          try deleteTxnJournal(txnId)
+          catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    } finally releaseTxnLocks(sorted, txnId)
+  }
+
+  private def atomicCreate(p: Path, content: String): Boolean = {
+    val f = fs(p)
+    if (f.getScheme == "file") {
+      // POSIX createNewFile IS atomic; Hadoop's create(overwrite=false)
+      // on the local FS is check-then-create (a TOCTOU window two racing
+      // coordinators could both win)
+      val jf = new java.io.File(p.toUri.getPath)
+      jf.getParentFile.mkdirs()
+      if (!jf.createNewFile()) return false
+      java.nio.file.Files.write(jf.toPath, content.getBytes("UTF-8"))
+      true
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def acquireTxnLocks(sorted: Seq[String], txnId: String): Unit = {
+    val me = ProcessHandle.current().pid()
+    val deadline = System.nanoTime() +
+      math.max(txnLockTimeoutMs, 60000L) * 1000000L
+    val held = scala.collection.mutable.ListBuffer[String]()
+    try sorted.foreach { n =>
+      var got = false
+      while (!got) {
+        got = atomicCreate(txnLockPath(n),
+          s"""{"txn":"$txnId","pid":$me}""")
+        if (!got) {
+          // a holder exists: recover it when dead/stale, else wait
+          recoverStaleTransactions()
+          if (System.nanoTime() > deadline) throw new IllegalStateException(
+            s"could not acquire transaction lock on '$n' (live holder)")
+          if (!got) Thread.sleep(50)
+        }
+      }
+      held += n
+    } catch {
+      case e: Throwable => releaseTxnLocks(held.toSeq, txnId); throw e
+    }
+  }
+
+  private def ownsAllTxnLocks(sorted: Seq[String], txnId: String): Boolean =
+    sorted.forall { n =>
+      val p = txnLockPath(n)
+      val f = fs(p)
+      f.exists(p) && {
+        val in = f.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        raw.contains(s""""txn":"$txnId"""")
+      }
+    }
+
+  private def releaseTxnLocks(sorted: Seq[String], txnId: String): Unit =
+    sorted.foreach { n =>
+      try {
+        if (ownsAllTxnLocks(Seq(n), txnId))
+          fs(txnLockPath(n)).delete(txnLockPath(n), false)
+      } catch { case _: java.io.IOException => () }
+    }
+
+  private def writeTxnJournal(txnId: String, sorted: Seq[String]): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val members = sorted.map { n =>
+      val pre = versions(n).lastOption.getOrElse(-1L)
+      val metaB64 =
+        if (pre >= 0 || tableExists(n))
+          scala.util.Try(enc.encodeToString(
+            GraftLake.renderMeta(readMeta(n)).getBytes("UTF-8")))
+            .getOrElse("")
+        else ""
+      s"""{"name":"$n","pre":$pre,"meta":"$metaB64"}"""
+    }.mkString("[", ",", "]")
+    val p = new Path(txnJournalDir, s"$txnId.json")
+    val f = fs(p)
+    f.mkdirs(txnJournalDir)
+    val tmp = new Path(txnJournalDir, s".$txnId-${UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write((s"""{"txn":"$txnId","pid":${ProcessHandle.current().pid()},""" +
+      s""""members":$members}""").getBytes("UTF-8"))
+    finally out.close()
+    replaceAtomic(f, tmp, p)
+  }
+
+  private def deleteTxnJournal(txnId: String): Unit = {
+    val p = new Path(txnJournalDir, s"$txnId.json")
+    fs(p).delete(p, false)
+  }
+
+  private val JournalMember =
+    """\{"name":"([^"]+)","pre":(-?\d+),"meta":"([^"]*)"\}""".r
+  private val JournalHead = """"pid":(\d+)""".r.unanchored
+
+  /** Detect and compensate transactions whose coordinator DIED (or whose
+    * journal exceeded the takeover timeout): each member restores to its
+    * journaled pre-version (truncate when it did not exist), registry
+    * evolution reverts to the journaled meta, exactly-once watermarks
+    * reset to the pre-version's — the same discipline as the in-process
+    * rollback — then the dead coordinator's locks and journal are
+    * removed. Returns how many transactions were compensated. Runs
+    * automatically at the start of every [[transactDurable]]; public for
+    * manual healing. */
+  def recoverStaleTransactions(): Int = {
+    val dir = txnJournalDir
+    val f = fs(dir)
+    if (!f.exists(dir)) return 0
+    var recovered = 0
+    f.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).foreach { s =>
+      val in = f.open(s.getPath)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val holderPid = JournalHead.findFirstMatchIn(raw).map(_.group(1).toLong)
+      val alive = holderPid.exists(pid =>
+        ProcessHandle.of(pid).map[java.lang.Boolean](h =>
+          java.lang.Boolean.valueOf(h.isAlive)).orElse(java.lang.Boolean.FALSE))
+      val age = System.currentTimeMillis() - s.getModificationTime
+      if (!alive || age > txnLockTimeoutMs) {
+        val txnId = s.getPath.getName.stripSuffix(".json")
+        val dec = java.util.Base64.getDecoder
+        JournalMember.findAllMatchIn(raw).foreach { m =>
+          val n = m.group(1)
+          val pre = m.group(2).toLong
+          val preMeta =
+            if (m.group(3).isEmpty) None
+            else scala.util.Try(GraftLake.parseMeta(
+              new String(dec.decode(m.group(3)), "UTF-8"))).toOption
+          invalidateTable(n) // the dead coordinator committed externally
+          try {
+            if (versions(n).lastOption != (if (pre < 0) None else Some(pre))) {
+              if (pre >= 0) restore(n, pre) else if (tableExists(n)) truncate(n)
+            }
+            preMeta.foreach { pm =>
+              if (scala.util.Try(readMeta(n)).toOption.exists(_ != pm))
+                writeMeta(n, pm)
+            }
+            val preT: Option[Map[String, Long]] =
+              if (pre < 0) Some(Map.empty)
+              else scala.util.Try(resolveTxns(n, pre)).toOption
+            preT.foreach { pt =>
+              val nowT = versions(n).lastOption
+                .map(v => resolveTxns(n, v)).getOrElse(Map.empty)
+              if (nowT != pt) writeLock(n) {
+                commitVersion(n, Nil, Nil, op = "txn-rollback",
+                  txnsReset = Some(pt))
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              // keep healing other members; the journal stays for retry
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"recovery of '$n' (txn $txnId) failed: $e")
+          }
+          // break the dead coordinator's lock on this member
+          val lp = txnLockPath(n)
+          try {
+            if (f.exists(lp)) {
+              val lin = f.open(lp)
+              val lraw = try scala.io.Source.fromInputStream(lin, "UTF-8")
+                .mkString finally lin.close()
+              if (lraw.contains(s""""txn":"$txnId"""")) f.delete(lp, false)
+            }
+          } catch { case _: java.io.IOException => () }
+        }
+        f.delete(s.getPath, false)
+        graft.metrics.GraftMetrics.op("txnRecovered").record(0L)
+        recovered += 1
+      }
+    }
+    recovered
+  }
+
   private def transactBody[T](sorted: Seq[String])(body: => T): T = {
     {
       val pre: Map[String, Option[Long]] =

@@ -134,6 +134,57 @@ object TextExpressions {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** NFKC — the COMPATIBILITY fold NFC lacks: ligatures (`ﬁ`→`fi`),
+    * fullwidth forms (`Ａ`→`A`), superscripts, roman numerals all map to
+    * their plain equivalents. The canonicalization a unicode-equivalence
+    * dedup key needs (byte-variant spellings of the same text must hash
+    * identically). Same zero-alloc ASCII fast path as [[nfc]]. */
+  def nfkc(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s // all-ASCII ⇒ already NFKC
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC))
+  }
+
+  /** Full case folding (upper-then-lower through the JVM's Unicode
+    * tables — the standard JVM realization of case-insensitive matching:
+    * `ß`→`ss`, `İ`→`i̇`, Cherokee/Greek handled), NOT plain lower():
+    * `lower('ß') = 'ß'` would keep case-variant spellings apart. ASCII
+    * rows take UTF8String's own lowercase fast path. */
+  def casefold(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s.toLowerCase // ASCII fast path
+    UTF8String.fromString(s.toString
+      .toUpperCase(java.util.Locale.ROOT)
+      .toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** Unicode NFKC normalization as a native expression (see [[nfkc]]). */
+  case class NormalizeNfkc(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextExpressions.nfkc(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.nfkc($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
+  /** Full Unicode case folding as a native expression (see [[casefold]]). */
+  case class CaseFold(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextExpressions.casefold(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.casefold($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
@@ -141,6 +192,10 @@ object TextExpressions {
       "graft_count_in", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NormalizeNfc(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfkc", exprs => NormalizeNfkc(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_casefold", exprs => CaseFold(exprs.head), "built-in")
   }
 
   /** Rolling-hash fingerprint as a Column; [[register]] the session first. */
@@ -150,6 +205,18 @@ object TextExpressions {
   def normalizeNfc(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_nfc", c)
+  }
+
+  /** Unicode NFKC (compatibility) normalization as a Column. */
+  def normalizeNfkc(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_nfkc", c)
+  }
+
+  /** Full Unicode case folding as a Column. */
+  def caseFold(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_casefold", c)
   }
 
   /** Count of tokens present in the given constant word list. */

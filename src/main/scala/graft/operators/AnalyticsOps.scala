@@ -2028,11 +2028,16 @@ object AnalyticsOps {
         floor(col("o_totalprice")).cast("long").as("p"))
       l.append("hot", o.filter(col("k") % 4 === 0))
       l.append("cold", o.filter(col("k") % 4 === 1))
-      // committed transaction: both members land their second batch
-      l.transact(Seq("hot", "cold")) {
+      // committed transaction — the DURABLE (cross-process: lock files +
+      // journal) variant, so the oracle gates that path end-to-end; a
+      // clean commit must leave zero journal/lock residue
+      l.transactDurable(Seq("hot", "cold")) {
         l.append("hot", o.filter(col("k") % 4 === 2))
         l.append("cold", o.filter(col("k") % 4 === 3))
       }
+      require(l.recoverStaleTransactions() == 0 &&
+        !new java.io.File(s"${l.warehouseDir}/hot/_txn.lock").exists(),
+        "a committed durable transaction must leave no journal/lock residue")
       val pins = l.pin(Seq("hot", "cold"))
       // aborted transaction: both members wrote, both must roll back
       val aborted = try {

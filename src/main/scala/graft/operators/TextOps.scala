@@ -517,9 +517,51 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q163: UNICODE-EQUIVALENCE exact dedup key — `casefold(nfkc(text))`
+    * as native codegen'd expressions (q159's NFC family completed:
+    * compatibility folds NFC lacks — ligatures, fullwidth forms — plus
+    * FULL case folding, which plain lower() is not: lower('ß')='ß').
+    * Oracle construction: the corpus slice is pure ASCII (asserted
+    * in-query), where the key degenerates to lower(text) — something
+    * DuckDB CAN compute — while the PLANTED variants are aggressively
+    * non-ASCII (fullwidth substitutions, uppercasing) and must collapse
+    * onto their base doc's key: every group's size triples exactly, so
+    * the group count equals the base corpus's distinct-lower count and
+    * zero groups are ragged. A dedup key that missed a fold (or folded
+    * two distinct texts together) breaks the constants. */
+  val q163UnicodeDedupKey = QueryDef(
+    "q163_unicode_dedup_key",
+    """WITH d AS (SELECT text FROM documents WHERE doc_id < 600)
+      |SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_groups,
+      |  CAST(count(*) * 3 AS BIGINT) AS n_docs,
+      |  CAST(0 AS BIGINT) AS n_ragged_groups
+      |FROM d""".stripMargin) { (s, dir) =>
+    graft.functions.TextExpressions.register(s)
+    val base = docs(s, dir).filter(col("doc_id") < 600)
+      .select(col("doc_id"), col("text"))
+    require(base.filter(length(col("text")) =!= octet_length(col("text")))
+      .isEmpty, "oracle precondition: the base corpus slice is pure ASCII")
+    // planted byte-variant spellings of the SAME text: fullwidth letters
+    // (an NFKC-only fold — NFC keeps them) and an uppercased copy (full
+    // casefold territory) — neither computable by the DuckDB oracle,
+    // both MUST land in their base doc's group
+    val v1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      translate(col("text"), "ae", "ａｅ").as("text"))
+    val v2 = base.select((col("doc_id") + 2000000L).as("doc_id"),
+      upper(col("text")).as("text"))
+    val keyed = base.unionByName(v1).unionByName(v2)
+      .withColumn("key", graft.functions.TextExpressions.caseFold(
+        graft.functions.TextExpressions.normalizeNfkc(col("text"))))
+    keyed.groupBy(col("key")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz")).cast("long").as("n_docs"),
+        sum(when(col("sz") % 3 =!= 0, 1L).otherwise(0L))
+          .as("n_ragged_groups"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DocStats, q21TokenCount, q22DedupExact, q23TextQuality,
     q24Fingerprint, q25RollingFingerprint, q26LangId, q47TrainSplit,
     q48GroupSample, q76BpeTokens, q100Bm25, q111TemperatureMix,
-    q116WeightedSample, q159NfcNormalize)
+    q116WeightedSample, q159NfcNormalize, q163UnicodeDedupKey)
 }

@@ -21,6 +21,80 @@ class TransactionSpec extends AnyFunSuite {
     new GraftLake(spark, Files.createTempDirectory("graft-txn").toString)
   }
 
+  test("durable transact: in-process semantics match transact; journal+locks clean up") {
+    val lake = newLake()
+    lake.append("a", Seq((1, "a1")).toDF("k", "v").repartition(1))
+    lake.append("b", Seq((1, "b1")).toDF("k", "v").repartition(1))
+    lake.transactDurable(Seq("a", "b")) {
+      lake.append("a", Seq((2, "a2")).toDF("k", "v"))
+      lake.append("b", Seq((2, "b2")).toDF("k", "v"))
+    }
+    assert(lake.read("a").count() === 2 && lake.read("b").count() === 2)
+    val e = intercept[IllegalStateException](
+      lake.transactDurable(Seq("a", "b")) {
+        lake.append("a", Seq((3, "a3")).toDF("k", "v"))
+        throw new IllegalStateException("boom")
+      })
+    assert(e.getMessage === "boom")
+    assert(lake.read("a").count() === 2, "in-process failure compensates")
+    // no residue: journal empty, lock files gone, next txn acquires freely
+    val whf = new java.io.File(s"${lake.warehouseDir}/_txn_journal")
+    assert(!whf.exists() || whf.listFiles().forall(!_.getName.endsWith(".json")))
+    assert(!new java.io.File(s"${lake.warehouseDir}/a/_txn.lock").exists())
+    lake.transactDurable(Seq("a", "b")) {
+      lake.append("b", Seq((3, "b3")).toDF("k", "v"))
+    }
+    assert(lake.read("b").count() === 3)
+    assert(lake.recoverStaleTransactions() === 0, "nothing stale to heal")
+  }
+
+  test("durable transact: a coordinator that DIES mid-transaction is compensated by the next writer (two real JVMs)") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-txn2p").toString
+    val lake = new GraftLake(spark, wh)
+    lake.append("ta", Seq((1, "a1")).toDF("id", "v").repartition(1))
+    lake.append("tb", Seq((1, "b1")).toDF("id", "v").repartition(1))
+    // fork a coordinator that commits to ta then HALTS before tb
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.TxnCrasher", wh)).toArray
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+    assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "crasher JVM did not exit")
+    assert(child.exitValue() === 42, s"crasher exited ${child.exitValue()}")
+    // the crash left exactly a dead coordinator's state behind
+    GraftLake.invalidateCaches()
+    val lake2 = new GraftLake(spark, wh)
+    assert(new java.io.File(s"$wh/_txn_journal").listFiles()
+      .count(_.getName.endsWith(".json")) === 1, "journal must survive the crash")
+    assert(new java.io.File(s"$wh/ta/_txn.lock").exists(), "lock must survive")
+    assert(lake2.read("ta").count() === 6,
+      "the partial commit is visible before recovery (5 crash rows + 1)")
+    // the NEXT durable writer detects the dead pid, compensates ta,
+    // breaks the locks, and runs its own transaction atomically
+    lake2.transactDurable(Seq("ta", "tb")) {
+      lake2.append("ta", Seq((2, "a2")).toDF("id", "v"))
+      lake2.append("tb", Seq((2, "b2")).toDF("id", "v"))
+    }
+    assert(lake2.read("ta").count() === 2,
+      "the dead coordinator's partial commit must be compensated away")
+    assert(lake2.read("ta").filter(col("id") >= 100).count() === 0)
+    assert(lake2.read("tb").count() === 2)
+    assert(new java.io.File(s"$wh/_txn_journal").listFiles()
+      .count(_.getName.endsWith(".json")) === 0, "journal healed")
+    assert(!new java.io.File(s"$wh/ta/_txn.lock").exists() &&
+      !new java.io.File(s"$wh/tb/_txn.lock").exists(), "locks healed")
+    assert(graft.metrics.GraftMetrics.op("txnRecovered").count.sum() >= 1)
+  }
+
   test("transact commits all members; failure rolls every member back") {
     val lake = newLake()
     lake.append("a", Seq((1, "a1")).toDF("k", "v").repartition(1))

@@ -59,4 +59,26 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(TextExpressions.nfc(ascii) eq ascii)
     assert(TextExpressions.nfc(composed) eq composed)
   }
+
+  test("NormalizeNfkc: compatibility folds NFC lacks; CaseFold: full folding beyond lower()") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    // ligature + fullwidth: NFC keeps them, NFKC folds to plain forms
+    assert(TextExpressions.nfc(u("ﬁle")).toString === "ﬁle")
+    assert(TextExpressions.nfkc(u("ﬁle")).toString === "file")
+    assert(TextExpressions.nfkc(u("ＡＢ")).toString === "AB") // ＡＢ
+    // canonical composition still applies under NFKC
+    assert(TextExpressions.nfkc(u("é")).toString === "é")
+    // identity fast paths: ASCII and already-normalized return SAME object
+    val ascii = u("plain ascii")
+    assert(TextExpressions.nfkc(ascii) eq ascii)
+    // full case folding: 'ß' -> 'ss' (plain lower() keeps 'ß'), ASCII
+    // takes the UTF8String lowercase fast path
+    assert(TextExpressions.casefold(u("STRAßE")).toString === "strasse")
+    assert(TextExpressions.casefold(u("MiXeD Ascii")).toString === "mixed ascii")
+    // the dedup-key composition collapses byte-variant spellings
+    val a = TextExpressions.casefold(TextExpressions.nfkc(u("ＦﬁLE"))) // ＦﬁLE
+    val b = TextExpressions.casefold(TextExpressions.nfkc(u("ffile")))
+    assert(a.toString === b.toString)
+  }
 }
