@@ -51,17 +51,22 @@ object Bench {
     * verify/test/bench runs (they accumulate by the thousands and degrade
     * bench totals run-over-run through directory-listing and page-cache
     * pressure). Only `graft-*` dirs created by `Files.createTempDirectory`
-    * are touched; the persistent scale dataset (`graft-sf1`) and anything
-    * not matching the prefix are kept. Returns how many were deleted. */
+    * are touched, and only ones older than two hours — a CONCURRENT
+    * test/verify session's live warehouses are recent and spared (Linux
+    * deletes under a live process silently; an mtime guard is the only
+    * reliable protection). The persistent scale dataset (`graft-sf1`)
+    * is always kept. Returns how many were deleted. */
   def cleanStaleTmp(): Int = {
     val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     if (!Files.isDirectory(tmp)) return 0
     val keep = Set("graft-sf1")
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     var n = 0
     val stream = Files.list(tmp)
     try stream.iterator().forEachRemaining { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("graft-") && !keep(name) && Files.isDirectory(p)) {
+      if (name.startsWith("graft-") && !keep(name) && Files.isDirectory(p) &&
+          p.toFile.lastModified() < cutoff) {
         try {
           import scala.jdk.CollectionConverters._
           val walk = Files.walk(p)

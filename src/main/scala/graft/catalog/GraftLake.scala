@@ -157,7 +157,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * cross-process commit race. */
   private def invalidateTable(name: String): Unit = {
     GraftLake.shallowCache.remove(s"$warehouse/$name")
-    GraftLake.dvBroadcastCache.keySet.removeIf(_.endsWith(s"#$warehouse/$name"))
+    GraftLake.dvBroadcastCache.keySet.removeIf(_.contains(s"#$warehouse/$name#"))
     lastVersionCache.remove(s"$warehouse/$name")
     liveSetCache.remove(s"$warehouse/$name")
     statsMapCache.remove(s"$warehouse/$name")
@@ -759,14 +759,23 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * collect is the same size the old broadcast join shipped. */
   private def dvBroadcastCached(name: String, dvs: Seq[String])
       : org.apache.spark.broadcast.Broadcast[graft.functions.DvSet] = {
-    val key = s"${System.identityHashCode(spark.sparkContext)}#$warehouse/$name"
+    val set = dvs.toVector
+    val key = s"${System.identityHashCode(spark.sparkContext)}#$warehouse/" +
+      s"$name#${set.hashCode()}"
     val hit = GraftLake.dvBroadcastCache.get(key)
-    if (hit != null && hit._1 == dvs) hit._2
+    if (hit != null && hit._1 == set) hit._2
     else {
       val entries = dvFrame(name, dvs).collect().iterator
         .map(r => (r.getString(0), r.getLong(1)))
       val b = spark.sparkContext.broadcast(graft.functions.DvSet.build(entries))
-      GraftLake.dvBroadcastCache.put(key, (dvs.toVector, b))
+      // defensive bound, per-entry eviction (covers stopped contexts'
+      // stale entries too — their broadcasts free once unreferenced)
+      if (GraftLake.dvBroadcastCache.size() > 256) {
+        val it = GraftLake.dvBroadcastCache.keySet().iterator()
+        var n = 64
+        while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+      }
+      GraftLake.dvBroadcastCache.put(key, (set, b))
       b
     }
   }
@@ -2039,15 +2048,20 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     * exactly like the in-process rollback (restore pre-versions, revert
     * registry evolution, reset exactly-once watermarks) and breaks the
     * dead locks. Takeover requires the holder process to be DEAD
-    * (ProcessHandle liveness) or the journal older than
-    * `spark.graft.txn.lockTimeoutMs` (default 10 min). FENCING: before
-    * the coordinator commits (journal delete), it re-verifies it still
-    * owns every member lock — a (mistaken) takeover has already rolled
-    * the members back, and the fenced coordinator fails loudly instead of
-    * resurrecting half a transaction. Remaining honest caveats: plain
-    * single-table cross-process appends do not consult the locks (they
-    * race normally, as before — and a rollback discards what they wrote
-    * between the body's commits and the compensation, same as the
+    * (ProcessHandle liveness — a SINGLE-HOST check: coordinators on other
+    * machines sharing the warehouse are protected only by the journal-age
+    * timeout, so size `spark.graft.txn.lockTimeoutMs` (default 10 min)
+    * comfortably above the longest transaction when multiple hosts
+    * write). FENCING: before the coordinator commits (journal delete), it
+    * re-verifies it still owns every member lock — if a takeover
+    * (timeout misfire on a slow-but-alive coordinator, pid reuse) already
+    * rolled the members back, the coordinator COMPENSATES its own
+    * post-takeover commits back to the journaled pre-state (restoring
+    * all-members-rolled-back, the recoverer's intent) and fails loudly
+    * instead of leaving half a transaction. Remaining honest caveats:
+    * plain single-table cross-process appends do not consult the locks
+    * (they race normally, as before — and a rollback discards what they
+    * wrote between the body's commits and the compensation, same as the
     * in-process contract); readers get no isolation (use [[pin]]). */
   def transactDurable[T](names: Seq[String])(body: => T): T = {
     val sorted = names.distinct.sorted
@@ -2056,28 +2070,58 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     recoverStaleTransactions() // heal any dead coordinator first
     val txnId = UUID.randomUUID().toString
     acquireTxnLocks(sorted, txnId)
-    var journalLive = false
-    try {
-      writeTxnJournal(txnId, sorted)
-      journalLive = true
-      val result = lockedAll(sorted.toList) { transactBody(sorted)(body) }
-      // FENCE: a takeover (pid-reuse, timeout misfire, manual recovery)
-      // has already compensated the members and deleted the journal —
-      // finishing normally would resurrect half a transaction
-      require(ownsAllTxnLocks(sorted, txnId),
-        s"transaction $txnId was fenced out: a recovery broke its locks " +
-          "and rolled its members back — this coordinator's result is void")
-      deleteTxnJournal(txnId)
-      journalLive = false
-      result
-    } catch {
-      case e: Throwable =>
-        // in-process failures were compensated by transactBody already;
-        // the journal's crash-recovery job is done
-        if (journalLive && ownsAllTxnLocks(sorted, txnId))
-          try deleteTxnJournal(txnId)
-          catch { case r: Throwable => e.addSuppressed(r) }
-        throw e
+    try lockedAll(sorted.toList) {
+      // journal INSIDE the in-process locks: the journaled pre-versions
+      // must equal the ones transactBody captures — a same-process append
+      // sneaking in between would otherwise be destroyed by crash
+      // recovery (it restores the JOURNALED versions)
+      val pre: Map[String, Option[Long]] =
+        sorted.map(n => n -> versions(n).lastOption).toMap
+      val preMeta: Map[String, Option[TableMeta]] =
+        sorted.map(n =>
+          n -> (if (pre(n).isDefined) scala.util.Try(readMeta(n)).toOption
+                else None)).toMap
+      writeTxnJournal(txnId, sorted, pre)
+      var journalLive = true
+      try {
+        val result = transactBody(sorted)(body)
+        // FENCE: a takeover has already compensated the members and
+        // deleted the journal; any commit this coordinator landed AFTER
+        // the takeover must not survive as half a transaction — roll the
+        // members back to the journaled pre-state (the recoverer's
+        // intent) before failing. Best-effort: a third coordinator that
+        // legitimately started after the takeover holds the locks now
+        // and its state is left alone (compensation skips mismatches
+        // conservatively by restoring only past our own pre-versions).
+        if (!ownsAllTxnLocks(sorted, txnId)) {
+          val fence = new IllegalStateException(
+            s"transaction $txnId was fenced out: a recovery broke its " +
+              "locks and rolled its members back — this coordinator's " +
+              "post-takeover commits were compensated and its result is void")
+          sorted.foreach { n =>
+            try compensateMember(n, pre(n), preMeta(n))
+            catch { case r: Throwable => fence.addSuppressed(r) }
+          }
+          throw fence
+        }
+        deleteTxnJournal(txnId)
+        journalLive = false
+        result
+      } catch {
+        case e: Throwable =>
+          // in-process failure: transactBody compensated — UNLESS a
+          // rollback step itself failed (tagged suppressed marker), in
+          // which case the journal must SURVIVE as the retry record
+          // (recoverStaleTransactions finishes the compensation once
+          // this coordinator exits or the timeout passes)
+          val rollbackIncomplete = e.getSuppressed.exists(
+            _.isInstanceOf[GraftLake.RollbackStepFailed])
+          if (journalLive && !rollbackIncomplete &&
+              ownsAllTxnLocks(sorted, txnId))
+            try deleteTxnJournal(txnId)
+            catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      }
     } finally releaseTxnLocks(sorted, txnId)
   }
 
@@ -2108,21 +2152,65 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val held = scala.collection.mutable.ListBuffer[String]()
     try sorted.foreach { n =>
       var got = false
+      var waitMs = 50L
       while (!got) {
         got = atomicCreate(txnLockPath(n),
           s"""{"txn":"$txnId","pid":$me}""")
         if (!got) {
-          // a holder exists: recover it when dead/stale, else wait
+          // a holder exists: break it if ORPHANED (dead pid and/or no
+          // journal — a coordinator that crashed between lock creation
+          // and the journal write leaves a lock no journal-driven
+          // recovery would ever see), run a full recovery sweep for
+          // journaled dead holders, else back off and wait
+          breakOrphanLock(n)
           recoverStaleTransactions()
           if (System.nanoTime() > deadline) throw new IllegalStateException(
             s"could not acquire transaction lock on '$n' (live holder)")
-          if (!got) Thread.sleep(50)
+          Thread.sleep(waitMs)
+          waitMs = math.min(waitMs * 2, 2000L) // exponential backoff
         }
       }
       held += n
     } catch {
       case e: Throwable => releaseTxnLocks(held.toSeq, txnId); throw e
     }
+  }
+
+  private val LockPid = """"pid":(\d+)""".r.unanchored
+  private val LockTxn = """"txn":"([^"]+)"""".r.unanchored
+
+  /** Break a lock whose holder died WITHOUT a journal (crash between lock
+    * creation and the journal write): no compensation is needed — the
+    * transaction never started mutating — the lock just has to go, or
+    * every later coordinator waits out the full timeout against a ghost.
+    * An unparseable (e.g. crash-mid-write, empty) lock is broken once its
+    * mtime exceeds the takeover timeout. Journaled holders are left for
+    * [[recoverStaleTransactions]] (which compensates BEFORE breaking). */
+  private def breakOrphanLock(n: String): Unit = {
+    val p = txnLockPath(n)
+    val f = fs(p)
+    try {
+      if (!f.exists(p)) return
+      val st = f.getFileStatus(p)
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val pid = LockPid.findFirstMatchIn(raw).map(_.group(1).toLong)
+      val txn = LockTxn.findFirstMatchIn(raw).map(_.group(1))
+      val journaled = txn.exists(t =>
+        f.exists(new Path(txnJournalDir, s"$t.json")))
+      if (journaled) return // recovery owns this case
+      val alive = pid.exists(x =>
+        ProcessHandle.of(x).map[java.lang.Boolean](h =>
+          java.lang.Boolean.valueOf(h.isAlive)).orElse(java.lang.Boolean.FALSE))
+      val ageMs = System.currentTimeMillis() - st.getModificationTime
+      // dead-pid + no journal → safe after a short grace (the pid check is
+      // single-host: a REMOTE coordinator between lock and journal write
+      // would read as 'dead' — 5 s comfortably covers that ms-sized
+      // window); unparseable/foreign locks only age out on the timeout
+      if ((pid.isDefined && !alive && ageMs > 5000L) ||
+        ageMs > txnLockTimeoutMs) f.delete(p, false)
+    } catch { case _: java.io.IOException => () }
   }
 
   private def ownsAllTxnLocks(sorted: Seq[String], txnId: String): Boolean =
@@ -2145,10 +2233,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       } catch { case _: java.io.IOException => () }
     }
 
-  private def writeTxnJournal(txnId: String, sorted: Seq[String]): Unit = {
+  private def writeTxnJournal(txnId: String, sorted: Seq[String],
+      preVersions: Map[String, Option[Long]]): Unit = {
     val enc = java.util.Base64.getEncoder
     val members = sorted.map { n =>
-      val pre = versions(n).lastOption.getOrElse(-1L)
+      val pre = preVersions(n).getOrElse(-1L)
       val metaB64 =
         if (pre >= 0 || tableExists(n))
           scala.util.Try(enc.encodeToString(
@@ -2203,6 +2292,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       if (!alive || age > txnLockTimeoutMs) {
         val txnId = s.getPath.getName.stripSuffix(".json")
         val dec = java.util.Base64.getDecoder
+        var allOk = true
         JournalMember.findAllMatchIn(raw).foreach { m =>
           val n = m.group(1)
           val pre = m.group(2).toLong
@@ -2211,48 +2301,75 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             else scala.util.Try(GraftLake.parseMeta(
               new String(dec.decode(m.group(3)), "UTF-8"))).toOption
           invalidateTable(n) // the dead coordinator committed externally
-          try {
-            if (versions(n).lastOption != (if (pre < 0) None else Some(pre))) {
-              if (pre >= 0) restore(n, pre) else if (tableExists(n)) truncate(n)
+          val memberOk =
+            try {
+              compensateMember(n, if (pre < 0) None else Some(pre), preMeta)
+              true
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"recovery of '$n' (txn $txnId) failed: $e")
+                false
             }
-            preMeta.foreach { pm =>
-              if (scala.util.Try(readMeta(n)).toOption.exists(_ != pm))
-                writeMeta(n, pm)
-            }
-            val preT: Option[Map[String, Long]] =
-              if (pre < 0) Some(Map.empty)
-              else scala.util.Try(resolveTxns(n, pre)).toOption
-            preT.foreach { pt =>
-              val nowT = versions(n).lastOption
-                .map(v => resolveTxns(n, v)).getOrElse(Map.empty)
-              if (nowT != pt) writeLock(n) {
-                commitVersion(n, Nil, Nil, op = "txn-rollback",
-                  txnsReset = Some(pt))
+          // break the dead coordinator's lock ONLY once this member is
+          // healed — a still-locked member keeps later coordinators out
+          // of a half-compensated table until a retry heals it
+          if (memberOk) {
+            val lp = txnLockPath(n)
+            try {
+              if (f.exists(lp)) {
+                val lin = f.open(lp)
+                val lraw = try scala.io.Source.fromInputStream(lin, "UTF-8")
+                  .mkString finally lin.close()
+                if (lraw.contains(s""""txn":"$txnId"""")) f.delete(lp, false)
               }
-            }
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              // keep healing other members; the journal stays for retry
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"recovery of '$n' (txn $txnId) failed: $e")
-          }
-          // break the dead coordinator's lock on this member
-          val lp = txnLockPath(n)
-          try {
-            if (f.exists(lp)) {
-              val lin = f.open(lp)
-              val lraw = try scala.io.Source.fromInputStream(lin, "UTF-8")
-                .mkString finally lin.close()
-              if (lraw.contains(s""""txn":"$txnId"""")) f.delete(lp, false)
-            }
-          } catch { case _: java.io.IOException => () }
+            } catch { case _: java.io.IOException => () }
+          } else allOk = false
         }
-        f.delete(s.getPath, false)
-        graft.metrics.GraftMetrics.op("txnRecovered").record(0L)
-        recovered += 1
+        // the journal is the RETRY RECORD: it leaves only when every
+        // member compensated (a partial delete would freeze the failed
+        // member's partial commit in place forever — atomicity violation)
+        if (allOk) {
+          f.delete(s.getPath, false)
+          graft.metrics.GraftMetrics.op("txnRecovered").record(0L)
+          recovered += 1
+        }
       }
     }
     recovered
+  }
+
+  /** Roll ONE member back to a pre-transaction state: version restore
+    * (truncate when it did not exist), registry-meta revert (restore
+    * keeps the current schema by design — rollback must also revert
+    * evolution), exactly-once watermark reset anchored by a full
+    * manifest. The watermark reset is SKIPPED when the pre-version's
+    * watermarks cannot be resolved (transient IO, corrupt manifest) —
+    * defaulting to empty would wipe ALL watermarks and re-land every
+    * already-committed idempotent batch on redelivery. Shared by the
+    * in-process rollback, crash recovery and fencing self-compensation. */
+  private def compensateMember(n: String, pre: Option[Long],
+      preMeta: Option[TableMeta]): Unit = {
+    if (versions(n).lastOption != pre) pre match {
+      case Some(v) => restore(n, v)
+      case None => if (tableExists(n)) truncate(n)
+    }
+    preMeta.foreach { m =>
+      if (scala.util.Try(readMeta(n)).toOption.exists(_ != m))
+        writeMeta(n, m)
+    }
+    val preT: Option[Map[String, Long]] = pre match {
+      case Some(v) => scala.util.Try(resolveTxns(n, v)).toOption
+      case None => Some(Map.empty[String, Long])
+    }
+    preT.foreach { pt =>
+      val nowTxns = versions(n).lastOption
+        .map(v => resolveTxns(n, v)).getOrElse(Map.empty)
+      if (nowTxns != pt) writeLock(n) {
+        commitVersion(n, Nil, Nil, op = "txn-rollback",
+          txnsReset = Some(pt))
+      }
+    }
   }
 
   private def transactBody[T](sorted: Seq[String])(body: => T): T = {
@@ -2277,46 +2394,13 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           // manifests are immutable, so the pre-version's watermarks read
           // the same now as they would have before the body — and the
           // happy path pays zero manifest walks
-          // None = the PRE-version watermarks could not be resolved
-          // (transient IO, corrupt manifest): the reset below is then
-          // SKIPPED for that member — defaulting to an empty map would
-          // commit txnsReset=Some(empty), wiping ALL pre-transaction
-          // watermarks and re-landing every already-committed idempotent
-          // batch on its next redelivery (duplicates). Leaving the
-          // watermarks as-committed is the safe failure mode: at worst an
-          // aborted batch's redelivery no-ops (the pre-existing at-least-
-          // once caveat), never a double-land of a committed one
-          val preTxns: Map[String, Option[Map[String, Long]]] =
-            sorted.map(n => n ->
-              pre(n).map(v => scala.util.Try(resolveTxns(n, v)).toOption)
-                .getOrElse(Some(Map.empty[String, Long])))
-              .toMap
           sorted.foreach { n =>
-            try {
-              if (versions(n).lastOption != pre(n)) pre(n) match {
-                case Some(v) => restore(n, v)
-                case None => truncate(n)
-              }
-              // restore keeps the CURRENT schema by design (its own
-              // contract) — the transaction rollback must ALSO revert
-              // registry evolution the aborted body committed
-              preMeta(n).foreach { m =>
-                if (scala.util.Try(readMeta(n)).toOption.exists(_ != m))
-                  writeMeta(n, m)
-              }
-              // and the watermark reset (anchored by a full manifest —
-              // deltas can only fold watermarks UP). Skipped when the
-              // pre-version watermarks failed to resolve (see preTxns)
-              preTxns(n).foreach { preT =>
-                val nowTxns = versions(n).lastOption
-                  .map(v => resolveTxns(n, v)).getOrElse(Map.empty)
-                if (nowTxns != preT) writeLock(n) {
-                  commitVersion(n, Nil, Nil, op = "txn-rollback",
-                    txnsReset = Some(preT))
-                }
-              }
-            } catch {
-              case r: Throwable => e.addSuppressed(r)
+            try compensateMember(n, pre(n), preMeta(n))
+            catch {
+              // the marker type lets transactDurable know its journal
+              // must SURVIVE as the crash-recovery retry record
+              case r: Throwable =>
+                e.addSuppressed(new GraftLake.RollbackStepFailed(n, r))
             }
           }
           throw e
@@ -2432,7 +2516,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     //
     // PK-FUNCTIONAL layouts skip the probe entirely: when every partition
     // expression reads only primary-key columns (`bucket(n, pk)`, raw pk,
-    // year(pk_ts), …), a row matching a batch key computes the SAME
+    // year(pk_date), …), a row matching a batch key computes the SAME
     // partition values as the batch row itself — matchedParts ⊆ batchParts
     // by construction, and the probe (the one job here whose cost scales
     // with the TABLE: a column-pruned but still full-table scan per flush)
@@ -2441,14 +2525,30 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // steady-state streaming MERGE at 100 TB. Float/double sources are
     // excluded (0.0/-0.0 and NaN are join-equal yet can compute different
     // partition values — the probe stays on for those pathologies).
+    // Exclusions where "computes the SAME partition value" does not
+    // follow from join equality: float/double sources (0.0/-0.0 and NaN
+    // are join-equal yet hash/render differently), and year/month/day
+    // over a TIMESTAMP source (they evaluate in the SESSION time zone —
+    // a later session with a different zone would compute a different
+    // partition for the same key, miss the stored row and duplicate the
+    // PK; over a DATE source they are zone-free and stay eligible). Raw
+    // and bucket() are value-functional.
     val pkFunctional = meta.partitionExprs.nonEmpty &&
-      meta.partitionExprs.forall(_.sourceColumns.forall { sc =>
-        pks.exists(_.equalsIgnoreCase(sc)) &&
-          (meta.schema.find(_.name.equalsIgnoreCase(sc)).map(_.dataType) match {
-            case Some(FloatType) | Some(DoubleType) => false
-            case _ => true
-          })
-      })
+      meta.partitionExprs.forall { e =>
+        val tzSafe = e match {
+          case _: PartitionExpr.Raw | _: PartitionExpr.Bucket => true
+          case _ => // year/month/day: zone-free only over DATE sources
+            meta.schema.find(_.name.equalsIgnoreCase(e.column))
+              .exists(_.dataType == DateType)
+        }
+        tzSafe && e.sourceColumns.forall { sc =>
+          pks.exists(_.equalsIgnoreCase(sc)) &&
+            (meta.schema.find(_.name.equalsIgnoreCase(sc)).map(_.dataType) match {
+              case Some(FloatType) | Some(DoubleType) => false
+              case _ => true
+            })
+        }
+      }
     val scoped =
       if (partCols.isEmpty) existing
       else {
@@ -2645,7 +2745,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // section validates that every input file is still live and the DV
     // set unchanged — appends only ADD files, so appends always win and
     // coexist; a concurrent rewrite/delete invalidates and the compaction
-    // retries from the new state (aborts after 3 attempts).
+    // retries from the new state (aborts after 5 lost attempts).
     var attempt = 0
     def once(): Boolean =
       try compactAttempt(name, targetRecordsPerFile, predicate, clusterBy)
@@ -4302,8 +4402,17 @@ object GraftLake {
   /** Shallow-clone marker verdicts (None = plain table) — read() is hot. */
   private val shallowCache =
     new ConcurrentHashMap[String, Option[(String, Long)]]()
-  /** Broadcast DV sets, keyed `context#warehouse/table` with the exact DV
-    * file set as the freshness token (see dvBroadcastCached). */
+  /** A transaction-rollback step that itself failed — the marker
+    * [[transactDurable]] reads off the suppressed chain to know its
+    * journal must survive as the crash-recovery retry record. */
+  final class RollbackStepFailed(member: String, cause: Throwable)
+    extends RuntimeException(s"rollback of member '$member' failed", cause)
+
+  /** Broadcast DV sets, keyed `context#warehouse/table#dvSetHash` (a slot
+    * PER DV STATE — live reads interleaved with time travel must not
+    * thrash rebuilds), exact set verified on hit. Size-bounded with
+    * per-entry eviction; dropped broadcasts are reclaimed by the
+    * ContextCleaner once the last referencing plan goes away. */
   private val dvBroadcastCache = new ConcurrentHashMap[String,
     (Vector[String], org.apache.spark.broadcast.Broadcast[graft.functions.DvSet])]()
   private val metaCache = new ConcurrentHashMap[String, TableMeta]()
