@@ -2505,11 +2505,6 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         .filter(col("__rn") === 1).drop("__rn"),
       meta))
 
-    // read through the live deletion vectors: DV-masked rows must neither
-    // match batch PKs nor survive into the rewritten partitions
-    val existing = applyDvs(name, readInternal(name, meta), liveDvs(name),
-      partCols.size)
-
     // Affected partitions: where batch rows land + where matching PKs live.
     // The PK-location probe reads only (pk, partition) columns — parquet
     // column pruning keeps this cheap at scale.
@@ -2520,19 +2515,14 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // partition values as the batch row itself — matchedParts ⊆ batchParts
     // by construction, and the probe (the one job here whose cost scales
     // with the TABLE: a column-pruned but still full-table scan per flush)
-    // is provably redundant. Per-flush cost then tracks the BATCH: only
-    // the ≤|batch| buckets its keys hash into are read or rewritten —
-    // steady-state streaming MERGE at 100 TB. Float/double sources are
-    // excluded (0.0/-0.0 and NaN are join-equal yet can compute different
-    // partition values — the probe stays on for those pathologies).
-    // Exclusions where "computes the SAME partition value" does not
-    // follow from join equality: float/double sources (0.0/-0.0 and NaN
-    // are join-equal yet hash/render differently), and year/month/day
-    // over a TIMESTAMP source (they evaluate in the SESSION time zone —
-    // a later session with a different zone would compute a different
-    // partition for the same key, miss the stored row and duplicate the
-    // PK; over a DATE source they are zone-free and stay eligible). Raw
-    // and bucket() are value-functional.
+    // is provably redundant. Exclusions where "computes the SAME partition
+    // value" does not follow from join equality: float/double sources
+    // (0.0/-0.0 and NaN are join-equal yet hash/render differently), and
+    // year/month/day over a TIMESTAMP source (they evaluate in the SESSION
+    // time zone — a later session with a different zone would compute a
+    // different partition for the same key, miss the stored row and
+    // duplicate the PK; over a DATE source they are zone-free and stay
+    // eligible). Raw and bucket() are value-functional.
     val pkFunctional = meta.partitionExprs.nonEmpty &&
       meta.partitionExprs.forall { e =>
         val tzSafe = e match {
@@ -2549,21 +2539,69 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             })
         }
       }
+    // Manifest-planned fast path: a PK-functional flush whose partition
+    // values render deterministically (int/long partition fields, Hive-
+    // escaped strings — the exact encodings Spark's writer produces)
+    // derives BOTH the scoped scan AND the affected directories straight
+    // from the MANIFEST: zero data-directory listings, zero
+    // affected-dir discovery jobs per flush. At 100 TB a per-flush
+    // directory listing (millions of files) would dwarf the data work;
+    // the manifest filter is O(live files) of in-memory string matches
+    // against the rendered bucket rel-paths. Nulls or non-renderable
+    // partition types fall back to the directory path.
+    val partFields = GraftLake.partitionFields(meta)
+    val renderable = pkFunctional && partFields.forall(f =>
+      f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == StringType)
+    // the directory-based live view, built ONLY on the paths that need it
+    // (constructing it eagerly would pay the data-dir listing per flush)
+    def existingDirScan: DataFrame =
+      applyDvs(name, readInternal(name, meta), liveDvs(name), partCols.size)
+    var manifestDirs: Option[Seq[Path]] = None
     val scoped =
-      if (partCols.isEmpty) existing
+      if (partCols.isEmpty) existingDirScan
       else {
         val batchParts = withPartitionCols(deduped, meta)
           .select(partCols.map(c => col(quoted(c))): _*).distinct()
-        val parts =
-          if (pkFunctional) batchParts.collect()
-          else {
-            val matchedParts = existing
-              .select((pks ++ partCols).map(c => col(quoted(c))): _*)
-              .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
-              .select(partCols.map(c => col(quoted(c))): _*).distinct()
-            batchParts.union(matchedParts).distinct().collect()
+        if (pkFunctional) {
+          val parts = batchParts.collect()
+          // null (and empty-string) partition values render as Hive's
+          // DEFAULT partition — not reproducible here, use the dir path
+          val noNulls = parts.forall(r => (0 until r.length).forall(i =>
+            !r.isNullAt(i) && (r.get(i) match {
+              case s: String => s.nonEmpty
+              case _ => true
+            })))
+          (if (renderable && noNulls) versions(name).lastOption else None) match {
+            case Some(v) =>
+              val wanted: Set[String] = parts.map(r =>
+                partCols.zipWithIndex.map { case (c, i) =>
+                  s"$c=${GraftLake.renderPartitionValue(r.get(i))}"
+                }.mkString("/")).toSet
+              val refs = resolveManifest(name, v)._2
+                .filter(ref => wanted.contains(ref._1))
+              val dd = dataDir(name)
+              manifestDirs = Some(
+                refs.map(_._1).distinct.map(rel => new Path(s"$dd/$rel")))
+              val paths = refs.map { case (rel, fn) => s"$dd/$rel/$fn" }
+              val full = StructType(
+                meta.schema.fields.toSeq ++ partFields)
+              applyDvs(name,
+                manifestScan(paths, statsFor(name, v), full, partCols.size,
+                  Some(dd)),
+                liveDvs(name), partCols.size)
+            case None =>
+              existingDirScan.filter(GraftLake.partitionScope(partCols, parts))
           }
-        existing.filter(GraftLake.partitionScope(partCols, parts))
+        } else {
+          val existing = existingDirScan
+          val matchedParts = existing
+            .select((pks ++ partCols).map(c => col(quoted(c))): _*)
+            .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
+            .select(partCols.map(c => col(quoted(c))): _*).distinct()
+          val parts = batchParts.union(matchedParts).distinct().collect()
+          existing.filter(GraftLake.partitionScope(partCols, parts))
+        }
       }
 
     // W2 rewrite with exact MERGE INTO semantics in ONE full-outer join
@@ -2609,14 +2647,17 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     // Directories of the affected partitions BEFORE the rewrite: a
     // partition that ends up empty (its only rows moved elsewhere) has no
     // stage leaf, but its old files must still be deleted or a stale copy
-    // survives the merge. input_file_name() goes through the PRUNED scan
-    // (DataFrame.inputFiles would list every partition of the relation and
-    // delete data) and is encoding-robust (no hand-built partition names).
-    val affectedDirs: Seq[Path] =
+    // survives the merge. The manifest path already knows them (rendered
+    // rel-dirs — zero jobs); the directory path derives them with
+    // input_file_name() through the PRUNED scan (DataFrame.inputFiles
+    // would list every partition of the relation and delete data) and is
+    // encoding-robust (no hand-built partition names).
+    val affectedDirs: Seq[Path] = manifestDirs.getOrElse {
       if (partCols.isEmpty) Nil
       else scoped.select(input_file_name().as("f")).distinct()
         .collect().map(r => new Path(r.getString(0)).getParent)
         .toSeq.distinct
+    }
 
     // Stage + swap (Spark cannot overwrite a path it is reading from).
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
@@ -4523,6 +4564,15 @@ object GraftLake {
   private[catalog] def dvKeyColumn(partDepth: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, substring_index}
     substring_index(col("_metadata.file_path"), "/", -(partDepth + 1))
+  }
+
+  /** Hive-dir rendering of a partition VALUE — must byte-match what
+    * Spark's writer produced: ints/longs plain decimal, strings
+    * Hive-path-escaped. Callers restrict themselves to these types. */
+  private[catalog] def renderPartitionValue(v: Any): String = v match {
+    case s: String =>
+      org.apache.spark.sql.graft.PlanBridge.escapePartitionValue(s)
+    case other => String.valueOf(other)
   }
 
   /** Manifest key of a (rel, name) file identity. */

@@ -49,6 +49,11 @@ object PlanBridge {
       org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
   })
 
+  /** Hive partition-path escaping — byte-identical to what Spark's own
+    * partition writer produces for string values (ExternalCatalogUtils). */
+  def escapePartitionValue(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
   /** Nullability-insensitive type equality (DataType.sameType). */
   def sameType(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
