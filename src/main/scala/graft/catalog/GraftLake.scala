@@ -2574,12 +2574,23 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             })))
           (if (renderable && noNulls) versions(name).lastOption else None) match {
             case Some(v) =>
+              // BOTH halves of the Hive fragment escape: Spark's writer
+              // escapes the column NAME too (a column named `a:b` writes
+              // `__p_a%3Ab=...`) — an unescaped name would silently match
+              // nothing and land duplicates as pure inserts
               val wanted: Set[String] = parts.map(r =>
                 partCols.zipWithIndex.map { case (c, i) =>
-                  s"$c=${GraftLake.renderPartitionValue(r.get(i))}"
+                  org.apache.spark.sql.graft.PlanBridge.escapePartitionValue(c) +
+                    "=" + GraftLake.renderPartitionValue(r.get(i))
                 }.mkString("/")).toSet
-              val refs = resolveManifest(name, v)._2
-                .filter(ref => wanted.contains(ref._1))
+              // reuse the commit path's live-set cache — a steady-state
+              // flush must not re-fold the manifest delta chain per trigger
+              val key = s"$warehouse/$name"
+              val cachedLive = liveSetCache.get(key)
+              val live =
+                if (cachedLive != null && cachedLive._1 == v) cachedLive._2
+                else resolveManifest(name, v)._2
+              val refs = live.filter(ref => wanted.contains(ref._1))
               val dd = dataDir(name)
               manifestDirs = Some(
                 refs.map(_._1).distinct.map(rel => new Path(s"$dd/$rel")))

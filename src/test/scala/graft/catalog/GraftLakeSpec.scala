@@ -174,6 +174,24 @@ class GraftLakeSpec extends AnyFunSuite {
     // bucket source columns are guarded like any partition source
     intercept[IllegalArgumentException](lake.dropColumn("bk", "id"))
     intercept[IllegalArgumentException](lake.renameColumn("bk", "id", "id2"))
+
+    // partition column NAMES Hive-escape too (Spark's writer escapes both
+    // halves of `name=value`): a PK with an escapable char must still hit
+    // the manifest-planned fast path's rendered rel-dirs — an unescaped
+    // name would match nothing and land the update as a DUPLICATE insert
+    val lake2 = newLake()
+    val df2 = (0 until 40).map(i => (i.toLong, s"v$i")).toDF("a:b", "v")
+    lake2.write("bkx", df2, partitions = Seq("bucket(4, a:b)"),
+      pks = Seq("a:b"))
+    // on disk the dir is `__p_bucket_4_a%3Ab=...`; dataFiles returns URI
+    // strings, where the literal '%' re-escapes to %25
+    assert(lake2.dataFiles("bkx").exists(_.contains("__p_bucket_4_a%253Ab=")),
+      s"writer escapes the dir name: ${lake2.dataFiles("bkx").take(2)}")
+    lake2.write("bkx", Seq((7L, "UPD")).toDF("a:b", "v"), pks = Seq("a:b"))
+    assert(lake2.read("bkx").count() === 40,
+      "the escaped-name bucket must be rewritten, never duplicated")
+    assert(rows(lake2.read("bkx").filter(col("`a:b`") === 7L), "v") ===
+      Set(Seq("UPD")))
   }
 
   test("upsert touching many partitions (isin-set scope path) stays correct") {
