@@ -74,6 +74,14 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q129: DV mask is the broadcast-set filter probe, not a per-query anti-join") {
+    val p = plan("q129_mor_delete")
+    assert(p.contains("graft_dv_masked"),
+      s"the codegen'd DV probe must serve the bounded path:\n${p.take(1200)}")
+    assert(!p.contains("LeftAnti"),
+      "no per-query DV broadcast anti-join on the bounded path")
+  }
+
   test("q160: bucketed merge touches ONLY the batch's buckets — no table-scaled probe") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
