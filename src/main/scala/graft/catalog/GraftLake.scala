@@ -216,6 +216,30 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
           }.toSeq)
         val evolved = LandedTypes.evolve(
           StructType(meta.schema.filterNot(_.name == InsertedAtCol)), incoming)
+        // Partition-expression SOURCE columns must never change type:
+        // the stored partition value is a function of the column's TYPE,
+        // not just its value — bucket() hashes the native type
+        // (hash(42: INT) != hash(42L: LONG)) and a raw int→double
+        // widening renders "42.0" beside old "42" directories — so a
+        // widened source silently SPLITS the layout: new writes (and the
+        // PK-functional merge fast path's scoped probe) target different
+        // directories than the rows already stored, missing matches and
+        // landing duplicate PKs. Mirrors the drop/rename guards on the
+        // same columns; the incompatibility surfaces as the evolve
+        // exception the ingest DLQ triage already classifies.
+        meta.partitionExprs.flatMap(_.sourceColumns).distinct.foreach { sc =>
+          val before = meta.schema.fields
+            .find(_.name.equalsIgnoreCase(sc)).map(_.dataType)
+          val after = evolved.fields
+            .find(_.name.equalsIgnoreCase(sc)).map(_.dataType)
+          if (before.nonEmpty && after.nonEmpty && before != after)
+            throw new LandedTypes.SchemaEvolutionException(
+              s"column '$sc' is a partition source column of '$name' and " +
+                s"cannot change type (${before.get.simpleString} -> " +
+                s"${after.get.simpleString}): partition values are " +
+                "type-dependent, a widened source would split the stored " +
+                "bucket/directory layout")
+        }
         val withSys = StructType(
           evolved.fields.toSeq :+ meta.schema(InsertedAtCol))
         // a PK config arriving after auto-creation is adopted (the
@@ -874,7 +898,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         }
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         manifestScan(paths, statsFor(name, v), full, partDepth,
-          Some(dataDir(name)), bloomPruner(name, _))
+          Some(dataDir(name)), bloomPruner(name, _),
+          GraftLake.bucketKeyPruner(meta, _))
     }
     val fileBacked = base.queryExecution.logical.collectFirst {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
@@ -984,13 +1009,18 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val stats = statsFor(name, v)
     val allMatch = GraftLake.fileAllMatcher(pred, safeCol)
     val mayMatch = GraftLake.filePruner(pred)
+    // bucket-dir disproof: a file in a bucket no equality candidate
+    // hashes into provably holds zero matching rows — a point DELETE on
+    // a bucketed table proves its untouched buckets clean without stats
+    val bucketK = GraftLake.bucketKeyPruner(meta, pred)
     def statsOf(ref: (String, String)): Map[String, GraftLake.Bounds] =
       stats.getOrElse(GraftLake.fileKey(ref), Map.empty)
     val (drop, rest) = files.partition { ref =>
       val s = statsOf(ref)
       allMatch(s) && s.contains(GraftLake.RowCountKey)
     }
-    if (rest.exists(ref => mayMatch(statsOf(ref)))) return None
+    if (rest.exists(ref => mayMatch(statsOf(ref)) &&
+        bucketK.forall(_(GraftLake.fileKey(ref))))) return None
     // every un-dropped file provably matches nothing: a provable no-op
     // delete costs zero jobs and zero commits
     if (drop.isEmpty) return Some(0L)
@@ -1685,6 +1715,8 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       fullSchema: StructType, partDepth: Int,
       basePath: Option[String],
       bloomFor: org.apache.spark.sql.graft.PlanBridge.SimplePred =>
+        Option[String => Boolean] = _ => None,
+      bucketFor: org.apache.spark.sql.graft.PlanBridge.SimplePred =>
         Option[String => Boolean] = _ => None): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata,
       HadoopFsRelation, LogicalRelation}
@@ -1705,9 +1737,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
             else pred0
           val keep = GraftLake.filePruner(pred)
           val bloomK = bloomFor(pred)
+          val bucketK = bucketFor(pred)
           Some((f: FileStatusWithMetadata) => {
             val k = GraftLake.keyOfPath(f.getPath.toString, partDepth)
-            keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k))
+            keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k)) &&
+              bucketK.forall(_(k))
           })
         }
     val index = new GraftPruningFileIndex(spark, paths.map(new Path(_)),
@@ -1751,7 +1785,7 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         val scan = manifestScan(paths, statsFor(name, v), full,
           meta.partitionExprs.size, Some(dataDir(name)),
-          bloomPruner(name, _))
+          bloomPruner(name, _), GraftLake.bucketKeyPruner(meta, _))
         applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
     }
     toLogical(meta.schema, masked)
@@ -1791,9 +1825,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
         val pred = loweredPhysicalPredicate(meta, predicate)
         val keep = GraftLake.filePruner(pred)
         val bloomK = bloomPruner(name, pred)
+        val bucketK = GraftLake.bucketKeyPruner(meta, pred)
         val kept = files.filter { ref =>
           val k = GraftLake.fileKey(ref)
-          keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k))
+          keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k)) &&
+            bucketK.forall(_(k))
         }
         if (kept.isEmpty)
           spark.createDataFrame(
@@ -1832,11 +1868,12 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
       .orElse(versions(name).lastOption)
     last.flatMap { v =>
+      val meta = readMeta(name)
       val pred0 = filters
         .map(org.apache.spark.sql.graft.PlanBridge.catalystPredicate)
         .reduce(org.apache.spark.sql.graft.PlanBridge.PAnd(_, _))
       val pred =
-        if (GraftLake.nullWitnessShadowed(readMeta(name).schema))
+        if (GraftLake.nullWitnessShadowed(meta.schema))
           GraftLake.stripNullTests(pred0)
         else pred0
       // reuse the commit path's live-set cache — repeated SQL queries must
@@ -1848,9 +1885,11 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       val stats = statsFor(name, v)
       val keep = GraftLake.filePruner(pred)
       val bloomK = bloomPruner(name, pred)
+      val bucketK = GraftLake.bucketKeyPruner(meta, pred)
       val kept = files.filter { ref =>
         val k = GraftLake.fileKey(ref)
-        keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k))
+        keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k)) &&
+          bucketK.forall(_(k))
       }
       if (kept.size >= files.size) None
       else {
@@ -3569,12 +3608,19 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         GraftLake.logicalSchema(schema))
-    val partDepth = readMeta(name).partitionExprs.size
+    val meta = readMeta(name)
+    val partDepth = meta.partitionExprs.size
     // pruning-capable scan against THAT snapshot's per-file bounds
     // (resolveStats directly, not statsFor — the single-entry cache must
-    // keep serving the latest version on the hot path)
+    // keep serving the latest version on the hot path).
+    // bucket-dir pruning holds AS OF any snapshot: the partition spec is
+    // fixed at creation and partition-source types can never evolve
+    // (ensureTable guard), so the current meta's bucket layout describes
+    // every snapshot's directories — including retired files under
+    // _history/, whose relative layout the key derivation preserves
     val scan = manifestScan(paths, resolveStats(name, version), schema,
-      partDepth, basePath = None, bloomPruner(name, _))
+      partDepth, basePath = None, bloomPruner(name, _),
+      GraftLake.bucketKeyPruner(meta, _))
     // apply the DELETION VECTORS OF THAT SNAPSHOT: the key derivation is
     // segment-based, so it matches retired files under _history/ too
     toLogical(schema, applyDvs(name, scan, resolveDvs(name, version), partDepth)
@@ -4652,6 +4698,156 @@ object GraftLake {
       case PNull(c) => s => !s.contains(NoNullsPrefix + c)
       // IS NOT NULL can never skip: "every row is null" is not witnessed
       case _ => _ => true
+    }
+  }
+
+  /** Equality candidates for `c` implied by a lowered predicate: a
+    * SUPERSET of the values `c` may take in any satisfying row — `None`
+    * when unconstrained (or the shape cannot be analyzed). Raw values
+    * stay in the lowering's domains (Double for [[org.apache.spark.sql
+    * .graft.PlanBridge.PCmp]], String for PStr); conversion to a typed
+    * hash input happens at the caller under the column's schema type.
+    * Conservative by construction: AND narrows (one analyzable side
+    * suffices — the true value set is contained in EACH side's), OR
+    * needs both sides analyzable (one open disjunct admits any value). */
+  private[catalog] def eqCandidates(
+      p: org.apache.spark.sql.graft.PlanBridge.SimplePred,
+      c: String): Option[Set[Any]] = {
+    import org.apache.spark.sql.graft.PlanBridge._
+    p match {
+      case PAnd(l, r) => (eqCandidates(l, c), eqCandidates(r, c)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case POr(l, r) =>
+        for { a <- eqCandidates(l, c); b <- eqCandidates(r, c) }
+          yield a.union(b)
+      case PCmp("=", cc, v) if cc.equalsIgnoreCase(c) => Some(Set(v))
+      case PStr("=", cc, v) if cc.equalsIgnoreCase(c) => Some(Set(v))
+      case _ => None
+    }
+  }
+
+  /** Convert a lowered-domain literal back into the CATALYST-INTERNAL
+    * value of the column's type — the exact input `pmod(hash(col), n)`
+    * saw at write time. `None` whenever the round-trip is not provably
+    * exact: non-integral doubles, values at/past ±2^53 (two longs
+    * collapse onto one double there), fractional/decimal/boolean columns
+    * (hash-sensitive normalization edge cases), non-UTF8_BINARY or
+    * char/varchar strings. A `None` makes the caller keep every file —
+    * pruning must never guess. */
+  private[catalog] def internalHashValue(raw: Any, dt: DataType): Option[Any] = {
+    val MaxExact = 9007199254740992.0 // 2^53
+    def exactLong(d: Double): Option[Long] =
+      if (d == math.rint(d) && !d.isInfinite && math.abs(d) < MaxExact)
+        Some(d.toLong)
+      else None
+    (raw, dt) match {
+      case (d: Double, ByteType) =>
+        exactLong(d).filter(v => v >= Byte.MinValue && v <= Byte.MaxValue)
+          .map(_.toByte)
+      case (d: Double, ShortType) =>
+        exactLong(d).filter(v => v >= Short.MinValue && v <= Short.MaxValue)
+          .map(_.toShort)
+      case (d: Double, IntegerType) =>
+        exactLong(d).filter(v => v >= Int.MinValue && v <= Int.MaxValue)
+          .map(_.toInt)
+      case (d: Double, LongType) => exactLong(d)
+      case (d: Double, DateType) => // lowered domain IS the internal (days)
+        exactLong(d).filter(v => v >= Int.MinValue && v <= Int.MaxValue)
+          .map(_.toInt)
+      case (d: Double, TimestampType) => exactLong(d) // micros
+      case (d: Double, TimestampNTZType) => exactLong(d)
+      case (s: String, st: StringType)
+          if org.apache.spark.sql.graft.PlanBridge.plainString(st) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+  }
+
+  /** Bucket ids a lowered predicate allows for one `bucket(n, cols…)`
+    * partition expression: `Some(ids)` when EVERY source column is
+    * equality-constrained to exactly-convertible values (the hash is
+    * Spark's own `Murmur3Hash` over the columns' native types — the same
+    * expression [[PartitionExpr.Bucket.toColumn]] evaluated at write
+    * time), `None` when unconstrained. `Some(empty)` is a provable
+    * contradiction (e.g. `pk = 1 AND pk = 2`) — no file can match.
+    * The candidate cross-product is capped (IN-lists lower to ≤64 ors
+    * per column; a blow-up keeps every file). */
+  private[catalog] def bucketIdsFor(
+      b: PartitionExpr.Bucket,
+      pred: org.apache.spark.sql.graft.PlanBridge.SimplePred,
+      fieldType: String => Option[DataType],
+      cap: Int = 256): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val dts: Seq[DataType] = b.columns.map(c => fieldType(c) match {
+      case Some(t) => t
+      case None => return None
+    })
+    val perCol: Seq[Set[Any]] = b.columns.zip(dts).map { case (c, dt) =>
+      eqCandidates(pred, c) match {
+        case None => return None
+        case Some(raws) =>
+          val internals = raws.flatMap(internalHashValue(_, dt))
+          // any unconvertible candidate → the hash of SOME admissible
+          // value is unknown → unconstrained
+          if (internals.size != raws.size) return None
+          internals
+      }
+    }
+    if (perCol.exists(_.isEmpty)) return Some(Set.empty)
+    if (perCol.map(_.size.toLong).product > cap) return None
+    val combos = perCol.foldLeft(Seq(Seq.empty[Any])) { (acc, s) =>
+      acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
+    }
+    Some(combos.map { vs =>
+      val h = Murmur3Hash(
+        vs.zip(dts).map { case (v, dt) => Literal(v, dt) }, 42)
+        .eval(null).asInstanceOf[Int]
+      ((h % b.n) + b.n) % b.n // pmod
+    }.toSet)
+  }
+
+  /** Compile a lowered (physical-keyed) predicate into a partition-DIRECTORY
+    * pruning decision over the table's `bucket(…)` partition expressions,
+    * keyed by manifest file key (`<partition dirs>/<file name>`). This is
+    * the read-side dual of the bucketed MERGE fast path: per-file min/max
+    * stats are USELESS on a hash-bucketed key (every bucket's [min, max]
+    * spans the domain), but a PK point lookup / IN-list determines its
+    * buckets exactly — at 100 TB, `WHERE pk = x` on a `bucket(n, pk)`
+    * table must plan 1/n of the files, not all of them. `None` when no
+    * bucket expression is equality-constrained (the common full-scan /
+    * range-scan case costs two map lookups). Conservative everywhere:
+    * unparseable directory components, unexpected key depth, or a
+    * `__HIVE_DEFAULT_PARTITION__` (null-key) directory keep the file. */
+  private[catalog] def bucketKeyPruner(meta: TableMeta,
+      pred: org.apache.spark.sql.graft.PlanBridge.SimplePred)
+      : Option[String => Boolean] = {
+    val exprs = meta.partitionExprs
+    if (exprs.isEmpty) return None
+    def ft(c: String): Option[DataType] =
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    val constrained: Seq[(Int, String, Set[Int])] = exprs.zipWithIndex.flatMap {
+      case (b: PartitionExpr.Bucket, i) =>
+        bucketIdsFor(b, pred, ft).map { ids =>
+          // dir NAME is Hive-escaped by Spark's writer, same as values
+          val prefix = org.apache.spark.sql.graft.PlanBridge
+            .escapePartitionValue(b.outputName) + "="
+          (i, prefix, ids)
+        }
+      case _ => None
+    }
+    if (constrained.isEmpty) None
+    else Some { key =>
+      val parts = key.split('/')
+      parts.length != exprs.size + 1 || constrained.forall {
+        case (i, prefix, ids) =>
+          val dir = parts(i)
+          !dir.startsWith(prefix) || {
+            val v = dir.substring(prefix.length)
+            scala.util.Try(v.toInt).toOption.forall(ids.contains)
+          }
+      }
     }
   }
 

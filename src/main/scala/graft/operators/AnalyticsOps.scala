@@ -684,12 +684,6 @@ object AnalyticsOps {
       s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
       name
     })
-    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collectLeaves().collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-            .fileIndex.inputFiles.length
-      }.foldLeft(0)(_ + _)
     val df = s.sql(
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
@@ -697,8 +691,76 @@ object AnalyticsOps {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     val all = scannedFiles(s.sql(s"SELECT * FROM $cat.li"))
     val pruned = scannedFiles(df)
-    require(pruned < all,
+    require(pruned > 0 && pruned < all,
       s"SQL scan must plan only bounds-matching files (planned $pruned of $all)")
+    df
+  }
+
+  /** Files the (post-pushdown) scan actually plans. Counted from the
+    * OPTIMIZED LOGICAL plan's scan relation, never `executedPlan`
+    * leaves: under AQE the executed plan is one opaque
+    * `AdaptiveSparkPlanExec` LEAF, which silently hides the scan and
+    * made the old physical-leaf count return 0 — turning a
+    * `pruned < all` contract vacuous. The pushed-filter file pruning
+    * happens in V2ScanRelationPushDown, so the optimized plan's
+    * `DataSourceV2ScanRelation` carries the exact planned file set. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          .fileIndex.inputFiles.length
+    }.sum
+
+  /** Per-JVM memo of q164's catalog registration (q106 pattern: one
+    * catalog name per sf dir, the warehouse behind a name never changes). */
+  private val bucketLookupCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q164: bucket-directory PRUNED point lookup — the read-side dual of
+    * the q160 bucketed MERGE. orders lands `bucket(16, o_orderkey)`-
+    * partitioned; a PK IN-list probe runs through plain SQL against the
+    * DSv2 catalog. Per-file min/max stats are USELESS here (every hash
+    * bucket's key range spans the whole domain — the exact layout q102's
+    * skipping cannot serve), but equality candidates determine their
+    * buckets exactly: [[graft.catalog.GraftLake.bucketKeyPruner]] re-hashes
+    * the probed keys with the write path's own `pmod(hash(key), n)` and
+    * plans only the matching buckets' files. At 100 TB this is a point
+    * lookup reading ≤2/16ths of the table instead of all of it — the
+    * in-query `require` makes that a driver-gated contract (≤¼ of the
+    * files planned), not just a spec. The oracle runs the same IN-list
+    * (the table's min and max key — real rows at every SF) over the raw
+    * table: a hash match proves pruning is invisible in results. */
+  val q164BucketPointLookup = QueryDef(
+    "q164_bucket_point_lookup",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT min(o_orderkey) FROM orders)
+      |   OR o_orderkey IN (SELECT max(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cat = bucketLookupCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"gbucket${bucketLookupCatalogs.size()}"
+      val wh = java.nio.file.Files.createTempDirectory("graft-blookup").toString
+      val lake = new graft.catalog.GraftLake(s, wh)
+      lake.write("ord_b", ord,
+        partitions = Seq("bucket(16, o_orderkey)"), pks = Seq("o_orderkey"))
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      name
+    })
+    val r = ord.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+    val df = s.sql(
+      s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+         |FROM $cat.ord_b WHERE o_orderkey IN ($lo, $hi)
+         |ORDER BY o_orderkey""".stripMargin)
+    val all = scannedFiles(s.sql(s"SELECT * FROM $cat.ord_b"))
+    val pruned = scannedFiles(df)
+    require(pruned > 0 && pruned * 4 <= all,
+      s"bucket point lookup must plan only the probed keys' buckets " +
+        s"(planned $pruned of $all files)")
     df
   }
 
@@ -2073,5 +2135,6 @@ object AnalyticsOps {
     q138IncrementalAgg, q139AdminSql, q142DropColumn, q143ChangeFeed,
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
-    q152ExpectationAudit, q153MetadataDelete, q155Transaction)
+    q152ExpectationAudit, q153MetadataDelete, q155Transaction,
+    q164BucketPointLookup)
 }

@@ -58,6 +58,17 @@ object PlanBridge {
   def sameType(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 
+  /** True iff the type is a plain UTF8_BINARY-collated StringType (not
+    * char/varchar) — the only string domain pruning may reason in (the
+    * collation check is `private[sql]`, hence bridged). */
+  def plainString(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: org.apache.spark.sql.types.StringType =>
+      st.isUTF8BinaryCollation &&
+        !st.isInstanceOf[org.apache.spark.sql.types.CharType] &&
+        !st.isInstanceOf[org.apache.spark.sql.types.VarcharType]
+    case _ => false
+  }
+
   /** The session's DSv2 catalog manager (private[sql] on SessionState). */
   def catalogManager(spark: SparkSession)
       : org.apache.spark.sql.connector.catalog.CatalogManager =

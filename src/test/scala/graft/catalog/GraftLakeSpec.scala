@@ -194,6 +194,126 @@ class GraftLakeSpec extends AnyFunSuite {
       Set(Seq("UPD")))
   }
 
+  test("partition source columns never change type (a widened source splits the layout)") {
+    // bucket source: hash(42: INT) != hash(42L: LONG) — widening the key
+    // column would make new writes (and the PK-functional merge probe)
+    // target different buckets than the rows already stored
+    val lake = newLake()
+    lake.write("bw", Seq((1, "a")).toDF("id", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    assert(lake.readMeta("bw").schema("id").dataType === IntegerType)
+    val e = intercept[LandedTypes.SchemaEvolutionException] {
+      lake.write("bw", Seq((5000000000L, "b")).toDF("id", "v"), pks = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition source"))
+    assert(rows(lake.read("bw"), "id", "v") === Set(Seq(1, "a")),
+      "rejected evolution must leave the table untouched")
+    // raw partition source: int→double would render `seg=2.5`-style dirs
+    // beside the existing `seg=2` ones — same split, different rendering
+    val lake2 = newLake()
+    lake2.write("rw", Seq((1, 10, "a")).toDF("id", "seg", "v"),
+      partitions = Seq("seg"), pks = Seq("id"))
+    intercept[LandedTypes.SchemaEvolutionException] {
+      lake2.write("rw", Seq((2, 2.5, "b")).toDF("id", "seg", "v"),
+        pks = Seq("id"))
+    }
+    // NON-source columns keep widening freely on a partitioned table
+    val lake3 = newLake()
+    lake3.write("bw2", Seq((1, 10, "a")).toDF("id", "n", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    lake3.write("bw2", Seq((2, 5000000000L, "b")).toDF("id", "n", "v"),
+      pks = Seq("id"))
+    assert(lake3.readMeta("bw2").schema("n").dataType === LongType)
+    assert(lake3.read("bw2").count() === 2)
+  }
+
+  test("bucketKeyPruner: equality candidates re-hash exactly like the write path") {
+    import org.apache.spark.sql.graft.PlanBridge
+    val lake = newLake()
+    val df = (0 until 64).map(i => (i.toLong, s"name$i", s"v$i"))
+      .toDF("id", "name", "v")
+    lake.write("bp", df, partitions = Seq("bucket(8, id)"), pks = Seq("id"))
+    val meta = lake.readMeta("bp")
+    def ft(c: String): Option[org.apache.spark.sql.types.DataType] =
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    // ground truth: the write path's own expression, evaluated by Spark
+    val expected = df
+      .select(col("id"), pmod(hash(col("id")), lit(8)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 64L).foreach { k =>
+      val pred = PlanBridge.simplePredicate(col("id") === k, meta.schema)
+      val ids = GraftLake.bucketIdsFor(
+        PartitionExpr.Bucket(8, Seq("id")), pred, ft)
+      assert(ids === Some(Set(expected(k))), s"key $k")
+    }
+    // string keys hash in the UTF8String domain
+    val expS = df
+      .select(col("name"), pmod(hash(col("name")), lit(8)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    Seq("name0", "name17", "name63").foreach { k =>
+      val pred = PlanBridge.simplePredicate(col("name") === k, meta.schema)
+      val ids = GraftLake.bucketIdsFor(
+        PartitionExpr.Bucket(8, Seq("name")), pred, ft)
+      assert(ids === Some(Set(expS(k))), s"key $k")
+    }
+    // the hash is TYPE-sensitive: the same numeric value under INT vs
+    // LONG buckets differently for some keys — this is why partition
+    // sources must never widen
+    val intBuckets = spark.range(0, 64)
+      .select(pmod(hash(col("id").cast("int")), lit(8)).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    val longBuckets = spark.range(0, 64)
+      .select(pmod(hash(col("id")), lit(8)).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(intBuckets !== longBuckets)
+    // IN-list → union of buckets; range predicates → unconstrained (None);
+    // contradictions → provably-empty (Some(empty))
+    val inPred = PlanBridge.simplePredicate(
+      col("id").isin(1L, 2L, 3L), meta.schema)
+    assert(GraftLake.bucketIdsFor(PartitionExpr.Bucket(8, Seq("id")), inPred, ft)
+      === Some(Set(1L, 2L, 3L).map(expected)))
+    val rangePred = PlanBridge.simplePredicate(col("id") > 5L, meta.schema)
+    assert(GraftLake.bucketIdsFor(
+      PartitionExpr.Bucket(8, Seq("id")), rangePred, ft) === None)
+    val contraPred = PlanBridge.simplePredicate(
+      col("id") === 1L && col("id") === 2L, meta.schema)
+    assert(GraftLake.bucketIdsFor(
+      PartitionExpr.Bucket(8, Seq("id")), contraPred, ft) === Some(Set.empty[Int]))
+    // a non-integral equality can match no stored int key — but the hash
+    // of "some admissible value" is unknowable, so it stays conservative
+    val fracPred = PlanBridge.simplePredicate(col("id") === 1.5, meta.schema)
+    assert(GraftLake.bucketIdsFor(
+      PartitionExpr.Bucket(8, Seq("id")), fracPred, ft) === None)
+  }
+
+  test("point lookups on a bucketed table plan only the probed buckets' files") {
+    val lake = newLake()
+    val df = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    lake.write("bpl", df, partitions = Seq("bucket(8, id)"), pks = Seq("id"))
+    val all = lake.read("bpl").inputFiles.length
+    assert(all >= 8, s"expected ≥8 bucket files, got $all")
+    // equality OR equality: ≤2 buckets planned, results exact
+    val probed = lake.readWhere("bpl", col("id") === 37L || col("id") === 123L)
+    assert(rows(probed, "id", "v") === Set(Seq(37L, "v37"), Seq(123L, "v123")))
+    assert(probed.inputFiles.length * 4 <= all,
+      s"planned ${probed.inputFiles.length} of $all files")
+    // IN-list: ≤3 buckets
+    val probe2 = lake.readWhere("bpl", col("id").isin(5L, 9L, 100L))
+    assert(probe2.count() === 3)
+    assert(probe2.inputFiles.length * 2 <= all)
+    // range predicates never bucket-prune (conservative — results exact)
+    assert(lake.readWhere("bpl", col("id") > 10L).count() === 389)
+    // provable contradiction → empty result, no crash
+    assert(lake.readWhere("bpl", col("id") === 1L && col("id") === 2L)
+      .count() === 0)
+    // a DELETE of one key stays correct under the bucket-pruned DML scan
+    lake.deleteWhere("bpl", col("id") === 37L)
+    assert(lake.read("bpl").count() === 399)
+    assert(lake.readWhere("bpl", col("id") === 37L).count() === 0)
+    assert(rows(lake.readWhere("bpl", col("id") === 123L), "id", "v") ===
+      Set(Seq(123L, "v123")))
+  }
+
   test("upsert touching many partitions (isin-set scope path) stays correct") {
     val lake = newLake()
     // 100 raw partitions > maxExactPartitionPredicates (64) → the scope
