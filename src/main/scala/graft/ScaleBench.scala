@@ -47,11 +47,16 @@ object ScaleBench {
     "q148_provenance", // commit-lineage join: O(pairs + manifest)
     "q149_fast_count", // metadata-only count(*): zero data files opened
     "q153_metadata_delete", // file-drop DELETE: O(metadata) at any size
-    "q160_bucketed_merge") // bucketed upsert: cost ~ batch buckets (the
+    "q160_bucketed_merge", // bucketed upsert: cost ~ batch buckets (the
                            // registered query's BATCH scales with SF, so
                            // its ratio tracks data; the FIXED-batch
                            // steady-state contract is measured separately
                            // by [[bucketedMergeFlush]])
+    "q164_bucket_point_lookup") // bucket-dir pruned PK lookup: warm run
+                                // probes the memoized bucketed lake —
+                                // planned files track the probed buckets
+                                // (2 of 16), never the table; expected
+                                // near-flat at 10×
 
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))

@@ -50,7 +50,8 @@ final case class TableMeta(
   * tables). All joins/dedups are shuffle-on-PK; the batch side of the
   * `_inserted_at` resolution join is the (small) incoming batch.
   */
-final class GraftLake(spark: SparkSession, warehouse: String) {
+final class GraftLake(private[graft] val spark: SparkSession,
+    warehouse: String) {
   import GraftLake._
 
   val InsertedAtCol = "_inserted_at"
@@ -4076,6 +4077,134 @@ final class GraftLake(spark: SparkSession, warehouse: String) {
       else pieces.reduce(_ unionByName _)
     toLogical(toSchema,
       out.select(outSchema.fieldNames.map(n => col(quoted(n))): _*))
+  }
+
+  /** One STREAMING micro-batch over the commit log, window
+    * `(fromVersion, toVersion]` — the engine half of the `graft-cdf`
+    * Structured-Streaming source ([[graft.streaming.GraftCdfSource]]).
+    * Returns the rows ADDED by the window's pure-additive commits (no
+    * files removed, no deletion vectors added — op-agnostic, so plain
+    * appends, idempotent appends and match-less upserts all stream) as a
+    * DataFrame whose plan is `isStreaming = true` (the contract
+    * MicroBatchExecution asserts on a v1 `Source.getBatch` result — the
+    * same `LogicalRelation(relation, isStreaming = true)` construction
+    * Spark's own FileStreamSource uses). Unlike the file-tailing
+    * [[readStream]], version-offset batches survive REWRITES:
+    * content-preserving commits (`compact`, `zorder`, `dv-clear`)
+    * contribute nothing — their files are rearrangements of rows already
+    * emitted — and row-changing commits (upsert matches, COW/MoR
+    * update/delete, truncate, restore) FAIL FAST by default (row
+    * attribution through a rewrite is not metadata-derivable;
+    * `onRewrite = "skip"` downgrades them to no-ops for consumers that
+    * accept documented at-least-once gaps). Emitted files are resolved
+    * to their CURRENT location (live or `_history/` after a later
+    * compaction), so a slow consumer is immune to concurrent rewrites.
+    *
+    * Bootstrap: when `fromVersion` equals the source's pinned
+    * `bootstrapAt` floor (the `startingVersion=snapshot` mode — the
+    * consumer has NOTHING yet), the first window commit contributes its
+    * FULL RESOLVED live set (explicitly via the manifest chain — a delta
+    * manifest's own add-list would under-emit the base) with that
+    * snapshot's deletion vectors applied as the codegen'd
+    * [[graft.functions.DvMasked]] FILTER (a filter preserves the
+    * streaming relation shape; an unbounded DV set fails with guidance
+    * to `materializeDeletes` first); later window commits stream as
+    * deltas. Any other `fromVersion` absent from the chain means the
+    * checkpoint's offset was expired by [[expireSnapshots]] — fail
+    * loudly, never silently re-emit (the explicit `bootstrapAt` is what
+    * keeps an expired offset from being MISREAD as a bootstrap). */
+  private[graft] def streamAppendBatch(name: String, fromVersion: Long,
+      toVersion: Long, onRewrite: String = "fail",
+      bootstrapAt: Option[Long] = None): DataFrame = {
+    val meta = readMeta(name)
+    val vs = versions(name)
+    val window = vs.filter(v => v > fromVersion && v <= toVersion)
+    val bootstrap = bootstrapAt.contains(fromVersion) && window.nonEmpty
+    if (window.nonEmpty && !bootstrap && !vs.contains(fromVersion))
+      throw new IllegalStateException(
+        s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
+          "by expireSnapshots — restart the stream from a retained version")
+    val logicalNoOps = Set("compact", "zorder", "dv-clear")
+    var prevRefs: Set[(String, String)] =
+      if (bootstrap) resolveManifest(name, window.head)._2.toSet
+      else if (window.isEmpty) Set.empty
+      else resolveManifest(name, fromVersion)._2.toSet
+    var prevDvs: Set[String] =
+      if (bootstrap) resolveDvs(name, window.head).toSet
+      else if (window.isEmpty) Set.empty
+      else resolveDvs(name, fromVersion).toSet
+    val out = Seq.newBuilder[(String, String)]
+    if (bootstrap) out ++= prevRefs.toSeq.sorted // the backfill snapshot
+    val rest = if (bootstrap) window.tail else window
+    rest.foreach { v =>
+      val m = readManifestFile(name, v)
+      val (refs, added, removed) = m.files match {
+        case Some(full) =>
+          val s = full.toSet
+          (s, (s -- prevRefs).toSeq.sorted, (prevRefs -- s).toSeq.sorted)
+        case None => ((prevRefs -- m.remove) ++ m.add,
+          m.add.sorted.toSeq, m.remove.sorted.toSeq)
+      }
+      val (dvs, dvAdded) = m.dvs match {
+        case Some(full) =>
+          val dvSet = full.toSet
+          (dvSet, (dvSet -- prevDvs).toSeq.sorted)
+        case None => (prevDvs -- m.dvRemove ++ m.dvAdd, m.dvAdd.sorted.toSeq)
+      }
+      if (logicalNoOps(m.op)) () // content-preserving rearrangement
+      else if (removed.isEmpty && dvAdded.isEmpty) out ++= added
+      else if (onRewrite == "skip") () // documented at-least-once gap
+      else throw new IllegalStateException(
+        s"graft-cdf stream on '$name': commit v$v ('${m.op}') rewrites or " +
+          "deletes rows — appends-mode cannot attribute it; use " +
+          "onRewrite=skip (documented at-least-once), diff snapshots by " +
+          "key, or consume tableChanges windows instead")
+      prevRefs = refs
+      prevDvs = dvs
+    }
+    val paths = resolveRefPaths(name, out.result())
+    val scan = streamingParquetScan(paths, meta.schema)
+    val bootDvs =
+      if (bootstrap) resolveDvs(name, window.head) else Nil
+    val masked =
+      if (bootDvs.isEmpty) scan
+      else {
+        // the snapshot's DVs mask only its own files; window-added files
+        // have no entries, so one filter over the combined scan is exact
+        require(dvEntryCount(name, bootDvs) <= dvMaxEntries,
+          s"graft-cdf bootstrap of '$name': the starting snapshot " +
+            s"carries more than $dvMaxEntries deletion-vector entries — " +
+            "run materializeDeletes first, then start the stream")
+        val b = dvBroadcastCached(name, bootDvs)
+        import org.apache.spark.sql.graft.PlanBridge
+        val probe = graft.functions.DvMasked(
+          PlanBridge.expression(
+            GraftLake.dvKeyColumn(meta.partitionExprs.size)),
+          PlanBridge.expression(col("_metadata.row_index")), b)
+        scan.filter(!PlanBridge.column(probe))
+      }
+    toLogical(meta.schema,
+      masked.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
+  }
+
+  /** Parquet scan of an explicit file list whose plan is tagged
+    * `isStreaming = true` — what a v1 streaming `Source.getBatch` must
+    * return (Spark's FileStreamSource builds the identical shape). Leaf
+    * files are passed as roots, so no partition discovery runs; partition
+    * SOURCE columns live in the data files themselves. An empty list
+    * yields an empty streaming relation, not a LocalRelation (a
+    * LocalRelation is not streaming and would fail MicroBatchExecution's
+    * assertion). */
+  private def streamingParquetScan(paths: Seq[String],
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val index = new org.apache.spark.sql.graft.GraftPruningFileIndex(
+      spark, paths.map(new Path(_)), Map.empty, Some(schema), _ => None)
+    val rel = HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      LogicalRelation(rel, isStreaming = true))
   }
 
   /** Exact `count(*)` from METADATA when every live file carries the

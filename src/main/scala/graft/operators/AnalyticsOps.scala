@@ -691,7 +691,9 @@ object AnalyticsOps {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     val all = scannedFiles(s.sql(s"SELECT * FROM $cat.li"))
     val pruned = scannedFiles(df)
-    require(pruned > 0 && pruned < all,
+    // a one-file lake (tiny SF) has nothing to prune; any real SF lands
+    // many z-ordered files and the strict contract applies
+    require(pruned > 0 && (all <= 1 || pruned < all),
       s"SQL scan must plan only bounds-matching files (planned $pruned of $all)")
     df
   }

@@ -270,6 +270,63 @@ object PipelineOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q165: the `graft-cdf` STREAMING source end-to-end — a
+    * Structured-Streaming query tails a lake table's COMMIT LOG with
+    * snapshot-version offsets ([[graft.streaming.GraftCdfSource]]).
+    * The stream starts in `snapshot` mode over the first append (the
+    * backfill batch), then — while the query is LIVE — two more appends
+    * and a COMPACTION land; the version feed delivers exactly the
+    * appended rows: the compaction commit contributes nothing (a
+    * content-preserving rewrite is a no-op on the version feed, where
+    * the file-tailing alternative would re-emit every compacted row).
+    * The in-query `require` pins exactly-once across the rewrite; the
+    * oracle sees the same rows a batch read would — an exactly-once
+    * streaming consumer is indistinguishable from batch. Restart /
+    * checkpoint resume, rewrite fail-fast, DV-masked backfill, rate
+    * limiting and expired-offset refusal are spec-gated
+    * (GraftCdfSourceSpec). */
+  val q165StreamFeed = QueryDef(
+    "q165_stream_feed",
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val wh = Files.createTempDirectory("graft-q165").toString
+    val lake = new GraftLake(s, wh)
+    lake.append("feed", orders.filter(col("o_orderkey") % 9 === 0))
+    val sink = s"q165_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-cdf")
+      .option("warehouse", wh).option("table", "feed")
+      .option("startingVersion", "snapshot")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-q165-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable() // the snapshot backfill batch
+      // live commits: two appends and a compaction the feed must skip
+      lake.append("feed", orders.filter(col("o_orderkey") % 9 === 3))
+      val before = lake.liveFileCount("feed")
+      lake.compact("feed", targetRecordsPerFile = 10000000)
+      require(before > lake.liveFileCount("feed") || before == 1,
+        s"compaction must have merged the small files (was $before)")
+      lake.append("feed", orders.filter(col("o_orderkey") % 9 === 6))
+      q.processAllAvailable() // the incremental batches
+    } finally q.stop()
+    val got = s.table(sink)
+    val (sinkN, tableN) = (got.count(), lake.read("feed").count())
+    require(sinkN == tableN,
+      s"commit-log stream must emit every appended row exactly once " +
+        s"across the compaction (sink $sinkN vs table $tableN)")
+    got.select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline,
-    q64Compaction, q105IngestDedup, q107IngestQuality, q108AutoCompact)
+    q64Compaction, q105IngestDedup, q107IngestQuality, q108AutoCompact,
+    q165StreamFeed)
 }

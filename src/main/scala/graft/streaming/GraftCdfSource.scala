@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.GraftLake
+
+/** `graft-cdf` — a Structured-Streaming SOURCE over a lake table's commit
+  * log, with SNAPSHOT VERSIONS as offsets. Each micro-batch is the rows
+  * added by the pure-additive commits in `(lastOffset, latest]`
+  * ([[GraftLake.streamAppendBatch]]): exactly-once under Spark's normal
+  * offset checkpointing, immune to compaction (content-preserving
+  * rewrites contribute nothing — the file-tailing [[GraftLake.readStream]]
+  * would re-emit every compacted file), and fail-fast on row-changing
+  * rewrites unless `onRewrite=skip`. The v1 `Source` realization is the
+  * established one for lakehouse streams (Delta's source is the same
+  * shape): `getBatch` returns an arbitrary DataFrame over exactly the
+  * window's files, so no custom readers are needed — Spark's parquet
+  * scan does the work.
+  *
+  * Options:
+  *  - `warehouse` (required): the lake warehouse directory
+  *  - `table` (required): the table name
+  *  - `startingVersion`: `latest` (default — only commits after stream
+  *    start), `snapshot` (backfill the stream-start snapshot's full live
+  *    rows — deletion vectors applied — then stream later commits), or
+  *    a retained version N (consumer already has snapshot N; stream
+  *    commits > N)
+  *  - `onRewrite`: `fail` (default) | `skip` (row-changing commits become
+  *    no-ops — documented at-least-once)
+  *  - `maxVersionsPerTrigger`: cap commits consumed per micro-batch
+  *
+  * The resolved starting floor is PERSISTED under the stream's metadata
+  * path on first start: `startingVersion=latest` must not re-resolve on
+  * restart (commits landed while the stream was down would be skipped —
+  * silent data loss; the same first-start pinning FileStreamSource does
+  * with its metadata log).
+  *
+  * Reference frame: the connector's Kafka intake is the reference's only
+  * stream; this source is the OUTBOUND half a lakehouse needs at scale —
+  * downstream jobs tail a 100 TB table's commit log in O(delta) per
+  * trigger, never re-listing or re-scanning the table. */
+final class GraftCdfSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdf"
+
+  private def required(parameters: Map[String, String], key: String): String =
+    parameters.getOrElse(key, throw new IllegalArgumentException(
+      s"graft-cdf needs the '$key' option"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val table = required(parameters, "table")
+    val lake = new GraftLake(sqlContext.sparkSession,
+      required(parameters, "warehouse"))
+    (s"graft-cdf:$table", lake.read(table).schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val lake = new GraftLake(sqlContext.sparkSession,
+      required(parameters, "warehouse"))
+    new GraftCdfSource(lake, required(parameters, "table"), metadataPath,
+      parameters.getOrElse("startingVersion", "latest"),
+      parameters.getOrElse("onRewrite", "fail"),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+  }
+}
+
+final class GraftCdfSource(lake: GraftLake, table: String,
+    metadataPath: String, startingVersion: String, onRewrite: String,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
+
+  require(onRewrite == "fail" || onRewrite == "skip",
+    s"graft-cdf onRewrite must be 'fail' or 'skip', got '$onRewrite'")
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"graft-cdf maxVersionsPerTrigger must be positive, got $m"))
+
+  private val spark = lake.spark
+
+  /** "Everything ≤ floor was already consumed" (`snapshot` mode: "…and
+    * the snapshot right above the floor is the backfill"). Resolved ONCE
+    * per stream lifetime and pinned — with its mode — in the metadata
+    * path: a restart re-reads the pin instead of re-resolving `latest`
+    * (which would silently skip the down-time window), and the pinned
+    * mode keeps a later option edit from re-interpreting the floor. */
+  private val (floor: Long, bootstrapAt: Option[Long]) = {
+    val p = new Path(metadataPath, "graft-cdf-floor")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parse(raw: String): (Long, Option[Long]) = {
+      val Array(mode, v) = raw.trim.split(':')
+      val fl = v.toLong
+      (fl, if (mode == "snapshot") Some(fl) else None)
+    }
+    def readPin(): (Long, Option[Long]) = {
+      val in = f.open(p)
+      try parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+    if (f.exists(p)) readPin()
+    else {
+      val vs = lake.versions(table)
+      val resolved: Long = startingVersion match {
+        case "latest" => vs.lastOption.getOrElse(-1L)
+        // floor under the first backfill commit: the next batch's window
+        // head IS the pinned snapshot, emitted whole (DV-masked)
+        case "snapshot" => vs.lastOption.map(_ - 1).getOrElse(-1L)
+        case n =>
+          val v = n.toLong
+          require(vs.contains(v),
+            s"graft-cdf startingVersion=$v is not a retained snapshot of " +
+              s"'$table' (have ${vs.headOption.getOrElse(-1L)}.." +
+              s"${vs.lastOption.getOrElse(-1L)})")
+          v
+      }
+      f.mkdirs(p.getParent)
+      // create-if-absent: two racing (re)starts of the same checkpoint
+      // must agree on the pin — the loser reads the winner's
+      try {
+        val out = f.create(p, false)
+        try out.write(s"$startingVersion:$resolved".getBytes("UTF-8"))
+        finally out.close()
+        (resolved, if (startingVersion == "snapshot") Some(resolved) else None)
+      } catch {
+        case _: java.io.IOException => readPin()
+      }
+    }
+  }
+
+  /** Highest version already offered to the engine — the rate-limit
+    * anchor. Advanced by [[getBatch]] too, so a restart's WAL replay
+    * jumps it to the checkpointed position instead of re-walking the
+    * whole backlog through the limiter. */
+  @volatile private var offered: Long = floor
+
+  override val schema: StructType = lake.read(table).schema
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val latest = lake.versions(table).lastOption.getOrElse(return None)
+    val base = math.max(offered, floor)
+    val target = maxVersionsPerTrigger
+      .map(m => math.min(latest, base + m)).getOrElse(latest)
+    offered = math.max(offered, target)
+    // an unchanged offset means "no new data" to the engine; None only
+    // before anything past the floor exists
+    if (offered <= floor) None else Some(LongOffset(offered))
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val from = start.map(version).getOrElse(floor)
+    val to = version(end)
+    offered = math.max(offered, to)
+    lake.streamAppendBatch(table, from, to, onRewrite, bootstrapAt)
+  }
+
+  private def version(
+      o: org.apache.spark.sql.execution.streaming.Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftCdfSource[$table]"
+}

@@ -121,15 +121,19 @@ class BloomIndexSpec extends AnyFunSuite {
     try {
       build(lake, "t")
       lake.buildBloomIndex("t", "uid", expectedItemsPerFile = 2000)
+      // count from the OPTIMIZED plan: under AQE the executed plan is one
+      // opaque AdaptiveSparkPlanExec LEAF that hides the scan (a physical
+      // collectLeaves would return 0 and make `pruned < all` vacuous)
       def scannedFiles(df: DataFrame): Int =
-        df.queryExecution.executedPlan.collectLeaves().collect {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
               .fileIndex.inputFiles.length
-        }.foldLeft(0)(_ + _)
+        }.sum
       val allN = scannedFiles(spark.sql("SELECT * FROM blc.t"))
       val q = spark.sql("SELECT uid, tag FROM blc.t WHERE uid = 1234")
-      assert(scannedFiles(q) < allN, "SQL equality scan must bloom-prune")
+      val prunedN = scannedFiles(q)
+      assert(prunedN > 0 && prunedN < allN, "SQL equality scan must bloom-prune")
       assert(q.collect().map(_.getString(1)).toSeq === Seq("u1234"))
       // merge-on-read: a live DV keeps bloom skipping (v1 path)
       lake.deleteWhere("t", col("uid") === 10L)

@@ -81,17 +81,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       lake.append("sq", batch(0, 1))
       lake.append("sq", batch(1000, 2))
       lake.append("sq", batch(2000, 3))
+      // count from the OPTIMIZED plan: under AQE the executed plan is one
+      // opaque AdaptiveSparkPlanExec LEAF that hides the scan (a physical
+      // collectLeaves would return 0 and make `pruned < all` vacuous)
       def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-        df.queryExecution.executedPlan.collectLeaves().collect {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
               .fileIndex.inputFiles.length
-        }.foldLeft(0)(_ + _)
+        }.sum
       val all = scannedFiles(spark.sql(s"SELECT * FROM $cat.sq"))
       assert(all >= 3)
       // numeric range: files outside [1001, 1080] must not be planned
       val mid = spark.sql(s"SELECT id, v FROM $cat.sq WHERE id BETWEEN 1001 AND 1080")
-      assert(scannedFiles(mid) < all, "SQL scan must plan only bounds-matching files")
+      val midN = scannedFiles(mid)
+      assert(midN > 0 && midN < all, "SQL scan must plan only bounds-matching files")
       assert(mid.collect().map(_.getInt(0)).sorted.toSeq === (1001 to 1080))
       // timestamp predicate (string literal folds to a timestamp literal)
       val ts = spark.sql(s"SELECT count(*) AS n FROM $cat.sq WHERE ts >= '2024-03-01'")

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.catalog.GraftLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft-cdf` commit-log streaming source: exactly-once across
+  * restarts, compaction invisibility, rewrite fail-fast/skip, rate
+  * limiting, floor pinning, expired-offset refusal. */
+class GraftCdfSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newLake(): GraftLake = {
+    GraftLake.invalidateCaches()
+    new GraftLake(spark, Files.createTempDirectory("graft-cdf").toString)
+  }
+
+  private var sinkN = 0
+  private def freshSink(): String = { sinkN += 1; s"cdf_sink_$sinkN" }
+
+  private def stream(lake: GraftLake, table: String, sink: String,
+      ckpt: String, options: Map[String, String] = Map.empty) = {
+    options.foldLeft(
+      spark.readStream.format("graft-cdf")
+        .option("warehouse", lake.warehouseDir).option("table", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
+  /** Restart tests need a sink that supports checkpoint RECOVERY — the
+    * memory sink refuses it; the parquet file sink's own transaction log
+    * additionally proves exactly-once end to end. */
+  private def fileStream(lake: GraftLake, table: String, outDir: String,
+      ckpt: String, options: Map[String, String] = Map.empty) = {
+    options.foldLeft(
+      spark.readStream.format("graft-cdf")
+        .option("warehouse", lake.warehouseDir).option("table", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
+  private def ids(df: DataFrame): Seq[Int] =
+    df.select("id").collect().map(_.getInt(0)).sorted.toSeq
+
+  test("exactly-once across a restart; compaction commits emit nothing") {
+    val lake = newLake()
+    def batch(r: Range): DataFrame = r.map(i => (i, s"v$i")).toDF("id", "v")
+    lake.append("t", batch(0 until 10))
+    lake.append("t", batch(10 until 20))
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    val out = Files.createTempDirectory("cdf-out").toString
+    val q1 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "snapshot"))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ids(spark.read.parquet(out)) === (0 until 20))
+
+    // while the stream is DOWN: a compaction (must emit nothing) and two
+    // more appends (must all arrive, exactly once, on restart)
+    lake.compact("t", targetRecordsPerFile = 1000000)
+    lake.append("t", batch(20 until 25))
+    lake.append("t", batch(25 until 30))
+    val q2 = fileStream(lake, "t", out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(spark.read.parquet(out)) === (0 until 30),
+      "restart must resume at the checkpointed version: no gaps, no dups")
+  }
+
+  test("startingVersion=latest pins its floor at FIRST start (no loss on restart)") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "pre")).toDF("id", "v")) // before the stream
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    val out = Files.createTempDirectory("cdf-out").toString
+    val q1 = fileStream(lake, "t", out, ckpt) // default latest
+    try q1.processAllAvailable() finally q1.stop()
+    // commits land while the stream is down; the restarted source must NOT
+    // re-resolve 'latest' (that would skip them) — the pinned floor wins
+    lake.append("t", Seq((2, "down")).toDF("id", "v"))
+    val q2 = fileStream(lake, "t", out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(spark.read.parquet(out)) === Seq(2),
+      "pre-existing row skipped; down-time commit delivered")
+  }
+
+  test("row-changing rewrites fail fast; onRewrite=skip downgrades them") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.deleteWhere("t", col("id") === 1) // MoR delete: a dv-add commit
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> (lake.versions("t").head.toString)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getCause.getMessage.contains("rewrites or deletes rows"))
+
+    val sink2 = freshSink()
+    val q2 = stream(lake, "t", sink2,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> (lake.versions("t").head.toString),
+        "onRewrite" -> "skip"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(spark.table(sink2)) === Seq.empty,
+      "skip: the delete commit becomes a no-op instead of an error")
+  }
+
+  test("snapshot bootstrap applies the starting snapshot's deletion vectors") {
+    val lake = newLake()
+    lake.write("t", (0 until 10).map(i => (i, s"v$i")).toDF("id", "v"),
+      pks = Seq("id"))
+    lake.deleteWhere("t", col("id") < 3) // MoR: rows masked, files intact
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> "snapshot", "onRewrite" -> "skip"))
+    try q.processAllAvailable() finally q.stop()
+    assert(ids(spark.table(sink)) === (3 until 10),
+      "bootstrap must not resurrect DV-deleted rows")
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch") {
+    val lake = newLake()
+    lake.append("t", Seq((-1, "seed")).toDF("id", "v")) // pre-stream floor
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("maxVersionsPerTrigger" -> "2")) // default latest: floor = seed
+    try {
+      q.processAllAvailable()
+      (0 until 6).foreach(i =>
+        lake.append("t", Seq((i, s"v$i")).toDF("id", "v")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(spark.table(sink)) === (0 until 6))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"6 commits at 2/trigger need ≥3 non-empty batches " +
+        s"(got ${q.recentProgress.map(_.numInputRows).mkString(",")})")
+  }
+
+  test("an expired checkpoint offset fails loudly, never re-emits") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))
+    lake.append("t", Seq((2, "b")).toDF("id", "v"))
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    val out = Files.createTempDirectory("cdf-out").toString
+    val q1 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "snapshot"))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ids(spark.read.parquet(out)) === Seq(1, 2))
+    // retention passes the checkpoint: only the latest snapshot survives
+    lake.append("t", Seq((3, "c")).toDF("id", "v"))
+    lake.expireSnapshots("t", keepLast = 1)
+    val q2 = fileStream(lake, "t", out, ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getCause.getMessage.contains("expired"))
+  }
+}
