@@ -4120,18 +4120,24 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
     val bootstrap = bootstrapAt.contains(fromVersion) && window.nonEmpty
-    if (window.nonEmpty && !bootstrap && !vs.contains(fromVersion))
+    // a negative floor against a chain that still RETAINS its first-ever
+    // commit (v0) is the legitimate "consumer has nothing, nothing was
+    // ever expired" origin — `latest` pinned on a then-empty table lands
+    // here when the first commit arrives
+    val originFloor = fromVersion < 0 && vs.headOption.contains(0L)
+    if (window.nonEmpty && !bootstrap && !originFloor &&
+        !vs.contains(fromVersion))
       throw new IllegalStateException(
         s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
           "by expireSnapshots — restart the stream from a retained version")
     val logicalNoOps = Set("compact", "zorder", "dv-clear")
     var prevRefs: Set[(String, String)] =
       if (bootstrap) resolveManifest(name, window.head)._2.toSet
-      else if (window.isEmpty) Set.empty
+      else if (window.isEmpty || originFloor) Set.empty
       else resolveManifest(name, fromVersion)._2.toSet
     var prevDvs: Set[String] =
       if (bootstrap) resolveDvs(name, window.head).toSet
-      else if (window.isEmpty) Set.empty
+      else if (window.isEmpty || originFloor) Set.empty
       else resolveDvs(name, fromVersion).toSet
     val out = Seq.newBuilder[(String, String)]
     if (bootstrap) out ++= prevRefs.toSeq.sorted // the backfill snapshot

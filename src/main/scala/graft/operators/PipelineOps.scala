@@ -326,7 +326,55 @@ object PipelineOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q166: lake→lake STREAMING REPLICATION — the `graft-cdf` source and
+    * the `graft` sink composed into one continuous query: the source
+    * table's commit log feeds snapshot-version micro-batches, each epoch
+    * lands in the replica through [[graft.catalog.GraftLake
+    * .appendIdempotent]] keyed `(checkpoint, batchId)` (a restart's WAL
+    * replay of the last epoch no-ops against the txn watermark — the
+    * exactly-once contract, spec-gated in GraftSinkSpec). Commits landing
+    * WHILE the query runs flow through; the oracle sees the replica equal
+    * a batch read of the source rows. At 100 TB this is continuous
+    * downstream replication in O(commit delta) per trigger — no table
+    * rescans on either side. */
+  val q166StreamReplicate = QueryDef(
+    "q166_stream_replicate",
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders WHERE o_orderkey % 4 = 1
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val wh = Files.createTempDirectory("graft-q166").toString
+    val lake = new GraftLake(s, wh)
+    lake.append("rsrc", orders.filter(col("o_orderkey") % 12 === 1))
+    lake.append("rsrc", orders.filter(col("o_orderkey") % 12 === 5))
+    val q = s.readStream.format("graft-cdf")
+      .option("warehouse", wh).option("table", "rsrc")
+      .option("startingVersion", "snapshot")
+      .load()
+      .drop("_inserted_at") // the replica stamps its own landing time
+      .writeStream.format("graft")
+      .option("warehouse", wh).option("table", "rdst")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-q166-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable() // the snapshot backfill epoch
+      lake.append("rsrc", orders.filter(col("o_orderkey") % 12 === 9))
+      q.processAllAvailable() // the live incremental epoch
+    } finally q.stop()
+    val (dstN, srcN) = (lake.read("rdst").count(), lake.read("rsrc").count())
+    require(dstN == srcN,
+      s"streaming replication must mirror the source exactly once " +
+        s"(replica $dstN vs source $srcN)")
+    lake.read("rdst")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline,
     q64Compaction, q105IngestDedup, q107IngestQuality, q108AutoCompact,
-    q165StreamFeed)
+    q165StreamFeed, q166StreamReplicate)
 }

@@ -39,6 +39,19 @@ object PlanBridge {
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
 
+  /** Rebind a streaming micro-batch DataFrame as a BATCH one over its
+    * executed rows — `LogicalRDD.fromDataset(toRdd, isStreaming = false)`,
+    * the exact construction Spark's own ForeachBatchSink uses to let user
+    * code call batch writers on an epoch. A no-op wrapper for plans that
+    * are already batch. */
+  def unstream(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    if (!ds.isStreaming) df
+    else classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   /** Re-target a RESOLVED predicate at a different DataFrame by column
     * NAME: every bound AttributeReference becomes an UnresolvedAttribute,
     * so the returned Column re-resolves against whatever frame it is

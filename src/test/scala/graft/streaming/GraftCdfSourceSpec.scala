@@ -148,6 +148,25 @@ class GraftCdfSourceSpec extends AnyFunSuite {
         s"(got ${q.recentProgress.map(_.numInputRows).mkString(",")})")
   }
 
+  test("latest on a table with NO commits yet streams its first-ever commit") {
+    val lake = newLake()
+    lake.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString)
+    try {
+      q.processAllAvailable() // nothing yet: the -1 floor must not error
+      lake.append("t", Seq((1, "first")).toDF("id", "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(spark.table(sink)) === Seq(1),
+      "the origin floor (complete chain from v0) is not an expired offset")
+  }
+
   test("an expired checkpoint offset fails loudly, never re-emits") {
     val lake = newLake()
     lake.append("t", Seq((1, "a")).toDF("id", "v"))
