@@ -34,6 +34,9 @@ import graft.catalog.GraftLake
   *  - `onRewrite`: `fail` (default) | `skip` (row-changing commits become
   *    no-ops — documented at-least-once)
   *  - `maxVersionsPerTrigger`: cap commits consumed per micro-batch
+  *  - `minPollIntervalMs`: throttle the commit-log listing behind
+  *    `getOffset` (default 0 — every poll lists; set on object-store
+  *    warehouses where the per-poll metadata call has a price)
   *
   * The resolved starting floor is PERSISTED under the stream's metadata
   * path on first start: `startingVersion=latest` must not re-resolve on
@@ -76,13 +79,15 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
     new GraftCdfSource(lake, required(parameters, "table"), metadataPath,
       parameters.getOrElse("startingVersion", "latest"),
       parameters.getOrElse("onRewrite", "fail"),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      parameters.get("minPollIntervalMs").map(_.toLong).getOrElse(0L))
   }
 }
 
 final class GraftCdfSource(lake: GraftLake, table: String,
     metadataPath: String, startingVersion: String, onRewrite: String,
-    maxVersionsPerTrigger: Option[Long]) extends Source {
+    maxVersionsPerTrigger: Option[Long],
+    minPollIntervalMs: Long = 0L) extends Source {
 
   require(onRewrite == "fail" || onRewrite == "skip",
     s"graft-cdf onRewrite must be 'fail' or 'skip', got '$onRewrite'")
@@ -148,8 +153,24 @@ final class GraftCdfSource(lake: GraftLake, table: String,
 
   override val schema: StructType = lake.read(table).schema
 
+  // each poll lists the table's commit-log directory (one metadata call);
+  // `minPollIntervalMs` bounds that rate for object-store warehouses —
+  // OFF by default so tests and low-latency tails see commits immediately
+  private var lastPollNs = Long.MinValue
+  private var cachedLatest: Option[Long] = None
+  private def latestVersion(): Option[Long] = {
+    val now = System.nanoTime()
+    if (minPollIntervalMs > 0 && cachedLatest.isDefined &&
+        now - lastPollNs < minPollIntervalMs * 1000000L) cachedLatest
+    else {
+      cachedLatest = lake.versions(table).lastOption
+      lastPollNs = now
+      cachedLatest
+    }
+  }
+
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
-    val latest = lake.versions(table).lastOption.getOrElse(return None)
+    val latest = latestVersion().getOrElse(return None)
     val base = math.max(offered, floor)
     val target = maxVersionsPerTrigger
       .map(m => math.min(latest, base + m)).getOrElse(latest)
