@@ -4193,6 +4193,62 @@ final class GraftLake(private[graft] val spark: SparkSession,
       masked.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
+  /** One STREAMING CHANGE-FEED micro-batch, window `(fromVersion,
+    * toVersion]` — the `feed=cdf` half of the `graft-cdf` source: the
+    * table's columns plus `_change_type` ('insert' | 'delete') and
+    * `_commit_version`, derived from commit METADATA by [[tableChanges]]
+    * (append commits' new files → inserts, MoR commits' new DV entries →
+    * deletes, metadata-only deletes → the retired files' unmasked rows;
+    * content-preserving rewrites contribute nothing; rewrite-class
+    * commits FAIL FAST — row attribution through a rewrite is not
+    * metadata-derivable). A bootstrap floor emits the pinned snapshot's
+    * live rows as `insert`s of the head commit, then the metadata walk
+    * takes over. The composed plan (unions + the DV semi-join) is tagged
+    * streaming via [[org.apache.spark.sql.graft.PlanBridge.streamify]].
+    * Cost per epoch: O(changed files + DV entries in the window) — a
+    * downstream CDC consumer follows a 100 TB table whose per-commit
+    * delta is megabytes. */
+  private[graft] def streamChangeBatch(name: String, fromVersion: Long,
+      toVersion: Long, bootstrapAt: Option[Long] = None): DataFrame = {
+    val vs = versions(name)
+    val window = vs.filter(v => v > fromVersion && v <= toVersion)
+    val originFloor = fromVersion < 0 && vs.headOption.contains(0L)
+    val bootstrap =
+      (bootstrapAt.contains(fromVersion) || originFloor) && window.nonEmpty
+    if (window.nonEmpty && !bootstrap && !vs.contains(fromVersion))
+      throw new IllegalStateException(
+        s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
+          "by expireSnapshots — restart the stream from a retained version")
+    val meta = readMeta(name)
+    val outSchema = StructType(
+      GraftLake.logicalSchema(meta.schema).fields.toSeq ++ Seq(
+        StructField(GraftLake.ChangeTypeCol, StringType, nullable = false),
+        StructField(GraftLake.CommitVersionCol, LongType, nullable = false)))
+    if (window.isEmpty)
+      return org.apache.spark.sql.graft.PlanBridge.streamify(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
+    val head = window.head
+    val boot: Option[DataFrame] =
+      if (!bootstrap) None
+      else Some(readVersion(name, head) // the snapshot's LIVE rows, DV-masked
+        .withColumn(GraftLake.ChangeTypeCol, lit("insert"))
+        .withColumn(GraftLake.CommitVersionCol, lit(head)))
+    val deltaFrom = if (bootstrap) head else fromVersion
+    val deltas: Option[DataFrame] =
+      if (deltaFrom >= toVersion) None
+      else Some(tableChanges(name, deltaFrom, toVersion))
+    val combined = (boot, deltas) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+    org.apache.spark.sql.graft.PlanBridge.streamify(
+      combined.select(outSchema.fieldNames.map(n => col(quoted(n))): _*))
+  }
+
   /** Parquet scan of an explicit file list whose plan is tagged
     * `isStreaming = true` — what a v1 streaming `Source.getBatch` must
     * return (Spark's FileStreamSource builds the identical shape). Leaf

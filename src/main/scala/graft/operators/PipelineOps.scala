@@ -374,7 +374,57 @@ object PipelineOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q167: the STREAMING row-level change feed (`feed=cdf`) — a CDC
+    * consumer tails the commit log and receives the table's columns plus
+    * `_change_type`/`_commit_version`, derived from commit METADATA
+    * ([[graft.catalog.GraftLake.tableChanges]] per epoch): an append
+    * commit streams its rows as `insert`s, a merge-on-read DELETE streams
+    * its preimages as `delete`s — the table is never value-diffed, so an
+    * epoch costs O(changed files + DV entries). Commit ids are
+    * deterministic (v0 seed write, v1 append, v2 MoR delete), which is
+    * what lets plain SQL reproduce the feed for the oracle. */
+  val q167StreamCdc = QueryDef(
+    "q167_stream_cdc",
+    """WITH b AS (SELECT o_orderkey, o_orderstatus FROM orders
+      |           WHERE o_orderkey % 8 = 6),
+      |     d AS (SELECT o_orderkey, o_orderstatus FROM orders
+      |           WHERE o_orderkey % 16 = 2)
+      |SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type,
+      |       CAST(1 AS BIGINT) AS _commit_version FROM b
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type,
+      |       CAST(2 AS BIGINT) AS _commit_version FROM d
+      |ORDER BY _commit_version, o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val wh = Files.createTempDirectory("graft-q167").toString
+    val lake = new GraftLake(s, wh)
+    lake.write("csrc", orders.filter(col("o_orderkey") % 8 === 2),
+      pks = Seq("o_orderkey"))                       // v0 — the seed
+    val sink = s"q167_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-cdf")
+      .option("warehouse", wh).option("table", "csrc")
+      .option("feed", "cdf").option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-q167-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable() // consumer owns v0; nothing to emit yet
+      lake.append("csrc", orders.filter(col("o_orderkey") % 8 === 6)) // v1
+      lake.deleteWhere("csrc", col("o_orderkey") % 16 === 2) // v2, MoR
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table(sink)
+    require(got.filter(col("_change_type") === "delete").count() > 0,
+      "the MoR delete's preimages must stream as delete rows")
+    got.select(col("o_orderkey"), col("o_orderstatus"),
+      col("_change_type"), col("_commit_version"))
+      .orderBy(col("_commit_version"), col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline,
     q64Compaction, q105IngestDedup, q107IngestQuality, q108AutoCompact,
-    q165StreamFeed, q166StreamReplicate)
+    q165StreamFeed, q166StreamReplicate, q167StreamCdc)
 }

@@ -26,6 +26,13 @@ import graft.catalog.GraftLake
   * Options:
   *  - `warehouse` (required): the lake warehouse directory
   *  - `table` (required): the table name
+  *  - `feed`: `appends` (default — rows added by pure-additive commits)
+  *    or `cdf` (the row-level CHANGE feed: the table's columns plus
+  *    `_change_type` 'insert'/'delete' and `_commit_version`, derived
+  *    from commit metadata — MoR deletes stream their preimages, a
+  *    bootstrap emits the snapshot's live rows as inserts; rewrite-class
+  *    windows fail fast, attribution through a rewrite is not
+  *    metadata-derivable)
   *  - `startingVersion`: `latest` (default — only commits after stream
   *    start), `snapshot` (backfill the stream-start snapshot's full live
   *    rows — deletion vectors applied — then stream later commits), or
@@ -57,6 +64,19 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
     parameters.getOrElse(key, throw new IllegalArgumentException(
       s"graft-cdf needs the '$key' option"))
 
+  private def schemaFor(lake: GraftLake, table: String,
+      feed: String): StructType = {
+    val base = lake.read(table).schema
+    if (feed == "cdf") StructType(base.fields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        GraftLake.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        GraftLake.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    else base
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -65,7 +85,8 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
     val table = required(parameters, "table")
     val lake = new GraftLake(sqlContext.sparkSession,
       required(parameters, "warehouse"))
-    (s"graft-cdf:$table", lake.read(table).schema)
+    (s"graft-cdf:$table",
+      schemaFor(lake, table, parameters.getOrElse("feed", "appends")))
   }
 
   override def createSource(
@@ -80,17 +101,25 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
       parameters.getOrElse("startingVersion", "latest"),
       parameters.getOrElse("onRewrite", "fail"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      parameters.get("minPollIntervalMs").map(_.toLong).getOrElse(0L))
+      parameters.get("minPollIntervalMs").map(_.toLong).getOrElse(0L),
+      parameters.getOrElse("feed", "appends"))
   }
 }
 
 final class GraftCdfSource(lake: GraftLake, table: String,
     metadataPath: String, startingVersion: String, onRewrite: String,
     maxVersionsPerTrigger: Option[Long],
-    minPollIntervalMs: Long = 0L) extends Source {
+    minPollIntervalMs: Long = 0L,
+    feed: String = "appends") extends Source {
 
   require(onRewrite == "fail" || onRewrite == "skip",
     s"graft-cdf onRewrite must be 'fail' or 'skip', got '$onRewrite'")
+  require(feed == "appends" || feed == "cdf",
+    s"graft-cdf feed must be 'appends' or 'cdf', got '$feed'")
+  require(feed == "appends" || onRewrite == "fail",
+    "graft-cdf feed=cdf attributes every row-changing commit exactly — " +
+      "onRewrite=skip does not apply (rewrite-class windows still fail " +
+      "fast: attribution through a rewrite is not metadata-derivable)")
   maxVersionsPerTrigger.foreach(m => require(m > 0,
     s"graft-cdf maxVersionsPerTrigger must be positive, got $m"))
 
@@ -151,7 +180,17 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     * whole backlog through the limiter. */
   @volatile private var offered: Long = floor
 
-  override val schema: StructType = lake.read(table).schema
+  override val schema: StructType = {
+    val base = lake.read(table).schema
+    if (feed == "cdf") StructType(base.fields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        GraftLake.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        GraftLake.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    else base
+  }
 
   // each poll lists the table's commit-log directory (one metadata call);
   // `minPollIntervalMs` bounds that rate for object-store warehouses —
@@ -186,7 +225,8 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     val from = start.map(version).getOrElse(floor)
     val to = version(end)
     offered = math.max(offered, to)
-    lake.streamAppendBatch(table, from, to, onRewrite, bootstrapAt)
+    if (feed == "cdf") lake.streamChangeBatch(table, from, to, bootstrapAt)
+    else lake.streamAppendBatch(table, from, to, onRewrite, bootstrapAt)
   }
 
   private def version(

@@ -52,6 +52,19 @@ object PlanBridge {
         ds.queryExecution.toRdd, ds, isStreaming = false))
   }
 
+  /** The dual of [[unstream]]: tag a BATCH DataFrame's rows as a
+    * streaming micro-batch result (`isStreaming = true`) — what a v1
+    * `Source.getBatch` must return when the batch is a composed plan
+    * (joins/unions) rather than one file relation. The wrapped RDD is a
+    * lazy DAG: planning happens here, execution when the epoch runs. */
+  def streamify(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    if (ds.isStreaming) df
+    else classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = true))
+  }
+
   /** Re-target a RESOLVED predicate at a different DataFrame by column
     * NAME: every bound AttributeReference becomes an UnresolvedAttribute,
     * so the returned Column re-resolves against whatever frame it is

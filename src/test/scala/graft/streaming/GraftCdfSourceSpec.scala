@@ -167,6 +167,49 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       "the origin floor (complete chain from v0) is not an expired offset")
   }
 
+  test("feed=cdf streams inserts and MoR-delete preimages with commit ids") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("feed" -> "cdf", "startingVersion" -> "snapshot"))
+    try {
+      q.processAllAvailable() // bootstrap: live rows as inserts of v0
+      lake.append("t", Seq((3, "c")).toDF("id", "v")) // v1: inserts
+      lake.deleteWhere("t", col("id") === 1) // v2: MoR delete preimage
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1, "insert", 0L), (2, "insert", 0L), // the bootstrap snapshot
+      (3, "insert", 1L), // the live append
+      (1, "delete", 2L))) // the MoR delete's preimage
+  }
+
+  test("feed=cdf bootstrap emits the snapshot's LIVE rows (DVs applied)") {
+    val lake = newLake()
+    lake.write("t", (0 until 10).map(i => (i, s"v$i")).toDF("id", "v"),
+      pks = Seq("id"))
+    lake.deleteWhere("t", col("id") < 3)
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("feed" -> "cdf", "startingVersion" -> "snapshot"))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(sink)
+    assert(ids(got) === (3 until 10))
+    assert(got.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("insert"))
+    // cdf refuses onRewrite=skip (attribution is exact or an error)
+    intercept[IllegalArgumentException] {
+      new GraftCdfSource(lake, "t", Files.createTempDirectory("m").toString,
+        "latest", "skip", None, 0L, "cdf")
+    }
+  }
+
   test("an expired checkpoint offset fails loudly, never re-emits") {
     val lake = newLake()
     lake.append("t", Seq((1, "a")).toDF("id", "v"))
