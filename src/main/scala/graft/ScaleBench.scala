@@ -52,11 +52,21 @@ object ScaleBench {
                            // its ratio tracks data; the FIXED-batch
                            // steady-state contract is measured separately
                            // by [[bucketedMergeFlush]])
-    "q164_bucket_point_lookup") // bucket-dir pruned PK lookup: warm run
+    "q164_bucket_point_lookup", // bucket-dir pruned PK lookup: warm run
                                 // probes the memoized bucketed lake —
                                 // planned files track the probed buckets
                                 // (2 of 16), never the table; expected
                                 // near-flat at 10×
+    "q166_stream_replicate", // lake→lake streaming replication: builds
+                             // its lake fresh each run (no memo), so the
+                             // ratio measures the FULL stream lifecycle —
+                             // backfill epoch + live epoch — against 10×
+                             // the rows; per-epoch cost is O(commit
+                             // delta), the wall tracks the data volume
+                             // that actually moves
+    "q167_stream_cdc") // streaming CDC: per-epoch cost is O(changed
+                       // files + window DV entries) — the delete leg
+                       // scans only DV-referenced files, never the table
 
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
@@ -208,7 +218,15 @@ object ScaleBench {
         new java.io.InputStreamReader(child.getInputStream))
       var line = r.readLine()
       while (line != null) {
-        if (line.startsWith("[race-child]")) childLine = line
+        // keep the contract line when present; else stick to the FIRST
+        // exception-ish line (the message, not the stack tail), falling
+        // back to whatever the child last printed
+        val sticky = childLine.startsWith("[race-child]") ||
+          childLine.contains("Exception") || childLine.contains("Error")
+        if (line.startsWith("[race-child]") ||
+            (!sticky && (line.contains("Exception") || line.contains("Error") ||
+              childLine.isEmpty)))
+          childLine = line
         line = r.readLine()
       }
     }, "opt-race-drain")
@@ -301,7 +319,15 @@ object ScaleBench {
         new java.io.InputStreamReader(child.getInputStream))
       var line = r.readLine()
       while (line != null) {
-        if (line.startsWith("[race-child]")) childLine = line
+        // keep the contract line when present; else stick to the FIRST
+        // exception-ish line (the message, not the stack tail), falling
+        // back to whatever the child last printed
+        val sticky = childLine.startsWith("[race-child]") ||
+          childLine.contains("Exception") || childLine.contains("Error")
+        if (line.startsWith("[race-child]") ||
+            (!sticky && (line.contains("Exception") || line.contains("Error") ||
+              childLine.isEmpty)))
+          childLine = line
         line = r.readLine()
       }
     }, "race-child-drain")

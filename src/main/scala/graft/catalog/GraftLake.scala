@@ -3303,12 +3303,23 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val appendOnly = removed.isEmpty && dvAdded.isEmpty && dvRemoved.isEmpty
     var attempt = 0
     var done = false
+    // pure appends COMMUTE, and every collision means another writer made
+    // progress — so their retries are deadlock-free and must be bounded
+    // by TIME, not a count: under two busy cross-process appenders a
+    // single commit can legitimately lose more rounds than any small
+    // fixed cap (the opponent's whole batch train can land inside one
+    // losing window). Non-appends keep the small cap: they fail fast
+    // into the caller's re-derive-and-retry anyway.
+    val appendDeadline = System.nanoTime() + spark.conf
+      .getOption("spark.graft.commit.appendRetryTimeoutMs").map(_.toLong)
+      .getOrElse(120000L) * 1000000L
     while (!done) {
       try { commitVersionOnce(name, added, removed, writeStats, op,
         dvAdded, dvRemoved, txn, txnsReset); done = true }
       catch {
         case e: java.io.IOException
-            if isManifestCollision(e) && attempt < 5 =>
+            if isManifestCollision(e) && (attempt < 5 ||
+              (appendOnly && System.nanoTime() < appendDeadline)) =>
           graft.metrics.GraftMetrics.op("commitRetry").record(0L)
           // drop this table's caches either way: the retry (or the
           // caller's re-run) must see the winner's state
@@ -3329,6 +3340,11 @@ final class GraftLake(private[graft] val spark: SparkSession,
                 s"automatically): $e")
           }
           attempt += 1
+          // jittered backoff after repeated losses: two appenders in
+          // lockstep would otherwise keep re-colliding on every round
+          if (attempt >= 2) Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L, math.min(100L, 5L << math.min(attempt, 4))))
       }
     }
   }
@@ -3363,6 +3379,31 @@ final class GraftLake(private[graft] val spark: SparkSession,
     e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
       e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
       Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
+
+  /** Publish `body` at `target` with BOTH create-if-absent atomicity (the
+    * manifest file name IS the optimistic version lock) and CONTENT
+    * atomicity — a concurrent cross-process reader must never observe a
+    * half-written manifest (create-then-write leaves a window in which
+    * `v<N>.json` exists but is empty/truncated; a second driver resolving
+    * the chain right then would die parsing it). Local FS: write a temp
+    * file first, then HARD-LINK it to the target — `link(2)` fails if the
+    * target exists (the lock) and makes the target appear with its FULL
+    * content in one metadata operation. Other filesystems keep the direct
+    * create-if-absent write (object stores publish on close) — and the
+    * reader-side in-flight retry in [[readManifestFile]] guards whatever
+    * window remains. */
+  private def atomicClaim(f: FileSystem, target: Path, body: String): Unit = {
+    if (f.getScheme == "file") {
+      val tgt = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = tgt.resolveSibling(s".${target.getName}.${UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(tgt, tmp)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out = f.create(target, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   private def commitVersionOnce(name: String, added: Seq[(String, String)],
       removed: Seq[(String, String)],
@@ -3432,23 +3473,44 @@ final class GraftLake(private[graft] val spark: SparkSession,
         addedV, removed.sorted, addedStats, op,
         dvAdd = dvAdded, dvRemove = dvRemoved, txn = txn)
     val p = new Path(vd, s"v$next.json")
-    val out = f.create(p, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    atomicClaim(f, p, body)
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, newList, if (asFull) 0 else prevDepth + 1))
     statsMapCache.put(key, (next, newStats))
     dvSetCache.put(key, (next, newDvs))
   }
 
-  /** Read one manifest file verbatim. */
+  /** Read one manifest file verbatim. An unparseable read RETRIES
+    * briefly: on filesystems without the hard-link publish
+    * ([[atomicClaim]]) a concurrent writer's manifest can be observed
+    * mid-write (exists but truncated) — it becomes whole milliseconds
+    * later. A file still unreadable after the window is genuinely torn
+    * (writer crashed mid-create on such a filesystem) and fails with a
+    * diagnosis instead of a bare parser NPE. */
   private def readManifestFile(name: String, version: Long): GraftLake.Manifest = {
     val p = new Path(versionsDir(name), s"v$version.json")
     val f = fs(p)
     require(f.exists(p), s"table '$name' has no snapshot $version " +
       s"(have: ${versions(name).mkString(", ")})")
-    val in = f.open(p)
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    GraftLake.parseManifest(raw)
+    val deadline = System.nanoTime() + 5000000000L // 5 s
+    var delayMs = 10L
+    while (true) {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      try return GraftLake.parseManifest(raw)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (System.nanoTime() > deadline) throw new IllegalStateException(
+            s"manifest v$version of '$name' is unreadable after retries — " +
+              "truncated by a writer that crashed mid-commit, or corrupt " +
+              s"(${raw.length} bytes); repairTable can re-adopt the " +
+              "directory state", e)
+          Thread.sleep(delayMs)
+          delayMs = math.min(delayMs * 2, 200L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Resolve a snapshot to (schema at commit, sorted live file list,
@@ -4492,8 +4554,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       txns = versions(name).lastOption.map(v => resolveTxns(name, v))
         .getOrElse(Map.empty))
     val p = new Path(vd, s"v$next.json")
-    val out = f.create(p, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    atomicClaim(f, p, body)
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, list, 0))
     statsMapCache.put(key, (next, stats))

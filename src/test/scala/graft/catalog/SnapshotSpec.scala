@@ -951,6 +951,33 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rows(lake.read("t"), "id") === Set(Seq(1), Seq(2), Seq(3)))
   }
 
+  test("manifests publish atomically; a torn manifest diagnoses, never NPEs") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-torn").toString
+    val lake = new GraftLake(spark, wh)
+    lake.write("t", Seq((1, "a")).toDF("id", "v"))
+    // the local-FS publish is hard-link based: at NO point does a
+    // versions-dir listing see a v*.json that isn't fully written — the
+    // only tmp artifacts are dot-prefixed and never match the listing
+    val vd = new java.io.File(s"$wh/t/_versions")
+    assert(vd.listFiles().forall(f =>
+      f.getName.startsWith(".") ||
+        (f.getName.matches("v\\d+\\.json") && f.length() > 0)))
+    // fabricate the pre-fix failure mode: another process crashed between
+    // claiming v1 and writing its bytes (possible on filesystems without
+    // link(2) semantics) — readers must fail with a DIAGNOSIS after the
+    // in-flight retry window, not a JSON parser NPE
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$wh/t/_versions/v1.json"), Array.empty[Byte])
+    GraftLake.invalidateCaches()
+    val lake2 = new GraftLake(spark, wh)
+    val e = intercept[IllegalStateException] {
+      lake2.read("t").collect()
+    }
+    assert(e.getMessage.contains("unreadable"),
+      s"expected the torn-manifest diagnosis, got: ${e.getMessage}")
+  }
+
   test("restore re-references an old snapshot without copying data") {
     val lake = newLake()
     lake.write("r", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
