@@ -190,6 +190,32 @@ object ScaleBench {
     * both writers survives. `appends_during_compaction` counts the child
     * commits that landed strictly inside the parent's compaction window —
     * the overlap evidence. */
+
+  /** Drain a forked child's merged output concurrently (a filled 64 KB
+    * pipe buffer would block the child mid-race), keeping the best
+    * diagnostic line: the `[race-child]` contract line when present,
+    * else the first exception-ish line (the message, not the stack
+    * tail), else the first line the child printed. */
+  private final class ChildDrain(child: Process, name: String) {
+    @volatile var line = ""
+    private val t = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      var l = r.readLine()
+      while (l != null) {
+        val sticky = line.startsWith("[race-child]") ||
+          line.contains("Exception") || line.contains("Error")
+        if (l.startsWith("[race-child]") ||
+            (!sticky && (l.contains("Exception") || l.contains("Error") ||
+              line.isEmpty)))
+          line = l
+        l = r.readLine()
+      }
+    }, name)
+    t.setDaemon(true); t.start()
+    def join(ms: Long): Unit = t.join(ms)
+  }
+
   private def compactVsAppendRace(spark: SparkSession): String = {
     import org.apache.spark.sql.functions.{col, lit}
     val wh = Files.createTempDirectory("graft-optrace").toString
@@ -212,25 +238,8 @@ object ScaleBench {
       "graft.RaceAppender", wh, "opt_t", "w2",
       nBatches.toString, rowsPerBatch.toString)).toArray
     val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    @volatile var childLine = ""
-    val drainer = new Thread(() => {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(child.getInputStream))
-      var line = r.readLine()
-      while (line != null) {
-        // keep the contract line when present; else stick to the FIRST
-        // exception-ish line (the message, not the stack tail), falling
-        // back to whatever the child last printed
-        val sticky = childLine.startsWith("[race-child]") ||
-          childLine.contains("Exception") || childLine.contains("Error")
-        if (line.startsWith("[race-child]") ||
-            (!sticky && (line.contains("Exception") || line.contains("Error") ||
-              childLine.isEmpty)))
-          childLine = line
-        line = r.readLine()
-      }
-    }, "opt-race-drain")
-    drainer.setDaemon(true); drainer.start()
+    val drainer = new ChildDrain(child, "opt-race-drain")
+    def childLine = drainer.line
     // overlap: start the compaction only once the child is live
     val v0 = lake.versions("opt_t").size
     val deadline = System.nanoTime() + 120L * 1000000000L
@@ -311,28 +320,8 @@ object ScaleBench {
     // earlier bench queries may have retried
     val retries0 = graft.metrics.GraftMetrics.op("commitRetry").count.sum()
     val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    // drain the child's output CONCURRENTLY: a filled 64 KB pipe buffer
-    // would block the child mid-race while the parent is busy appending
-    @volatile var childLine = ""
-    val drainer = new Thread(() => {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(child.getInputStream))
-      var line = r.readLine()
-      while (line != null) {
-        // keep the contract line when present; else stick to the FIRST
-        // exception-ish line (the message, not the stack tail), falling
-        // back to whatever the child last printed
-        val sticky = childLine.startsWith("[race-child]") ||
-          childLine.contains("Exception") || childLine.contains("Error")
-        if (line.startsWith("[race-child]") ||
-            (!sticky && (line.contains("Exception") || line.contains("Error") ||
-              childLine.isEmpty)))
-          childLine = line
-        line = r.readLine()
-      }
-    }, "race-child-drain")
-    drainer.setDaemon(true)
-    drainer.start()
+    val drainer = new ChildDrain(child, "race-child-drain")
+    def childLine = drainer.line
     // wait for the child's FIRST commit so the two writers genuinely
     // overlap (the child JVM pays Spark startup first; appending before
     // it is alive would measure two sequential writers, not a race)

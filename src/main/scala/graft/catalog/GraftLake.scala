@@ -3393,16 +3393,28 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * reader-side in-flight retry in [[readManifestFile]] guards whatever
     * window remains. */
   private def atomicClaim(f: FileSystem, target: Path, body: String): Unit = {
+    def direct(): Unit = {
+      val out = f.create(target, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     if (f.getScheme == "file") {
       val tgt = java.nio.file.Paths.get(target.toUri.getPath)
       val tmp = tgt.resolveSibling(s".${target.getName}.${UUID.randomUUID()}.tmp")
       java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
       try java.nio.file.Files.createLink(tgt, tmp)
-      finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      val out = f.create(target, false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-    }
+      catch {
+        // a "file"-scheme mount without link(2): the JDK's unix provider
+        // reports that as FileSystemException (EPERM/EOPNOTSUPP), not
+        // UnsupportedOperationException — fall back to the direct create
+        // (the reader-side in-flight retry covers its window). The
+        // COLLISION case stays the optimistic lock and must propagate,
+        // as must plain IO failures on the collision subclass.
+        case _: UnsupportedOperationException => direct()
+        case e: java.nio.file.FileSystemException
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+          direct()
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else direct()
   }
 
   private def commitVersionOnce(name: String, added: Seq[(String, String)],
@@ -4177,7 +4189,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * keeps an expired offset from being MISREAD as a bootstrap). */
   private[graft] def streamAppendBatch(name: String, fromVersion: Long,
       toVersion: Long, onRewrite: String = "fail",
-      bootstrapAt: Option[Long] = None): DataFrame = {
+      bootstrapAt: Option[Long] = None,
+      advertised: Option[StructType] = None): DataFrame = {
     val meta = readMeta(name)
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
@@ -4193,31 +4206,37 @@ final class GraftLake(private[graft] val spark: SparkSession,
         s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
           "by expireSnapshots — restart the stream from a retained version")
     val logicalNoOps = Set("compact", "zorder", "dv-clear")
-    var prevRefs: Set[(String, String)] =
-      if (bootstrap) resolveManifest(name, window.head)._2.toSet
-      else if (window.isEmpty || originFloor) Set.empty
-      else resolveManifest(name, fromVersion)._2.toSet
-    var prevDvs: Set[String] =
-      if (bootstrap) resolveDvs(name, window.head).toSet
-      else if (window.isEmpty || originFloor) Set.empty
-      else resolveDvs(name, fromVersion).toSet
     val out = Seq.newBuilder[(String, String)]
-    if (bootstrap) out ++= prevRefs.toSeq.sorted // the backfill snapshot
+    if (bootstrap) // the backfill snapshot: the one necessarily-full read
+      out ++= resolveManifest(name, window.head)._2
+    // O(commit delta) steady state: a DELTA manifest carries its own
+    // add/remove/dvAdd lists, so the walk needs NO prior state for it —
+    // the live set is resolved ONLY when a FULL checkpoint manifest
+    // appears in the window (1 in checkpointInterval commits), diffed
+    // against the immediately preceding version. Resolving the live set
+    // eagerly per trigger would make every epoch O(live files) — exactly
+    // the cost a commit-log tail of a 100 TB table must not pay.
+    var prevV: Option[Long] =
+      if (bootstrap) Some(window.head)
+      else if (originFloor || window.isEmpty) None
+      else Some(fromVersion)
     val rest = if (bootstrap) window.tail else window
     rest.foreach { v =>
       val m = readManifestFile(name, v)
-      val (refs, added, removed) = m.files match {
+      val (added, removed) = m.files match {
         case Some(full) =>
+          val prevRefs = prevV
+            .map(pv => resolveManifest(name, pv)._2.toSet).getOrElse(Set.empty)
           val s = full.toSet
-          (s, (s -- prevRefs).toSeq.sorted, (prevRefs -- s).toSeq.sorted)
-        case None => ((prevRefs -- m.remove) ++ m.add,
-          m.add.sorted.toSeq, m.remove.sorted.toSeq)
+          ((s -- prevRefs).toSeq.sorted, (prevRefs -- s).toSeq.sorted)
+        case None => (m.add.sorted.toSeq, m.remove.sorted.toSeq)
       }
-      val (dvs, dvAdded) = m.dvs match {
+      val dvAdded = m.dvs match {
         case Some(full) =>
-          val dvSet = full.toSet
-          (dvSet, (dvSet -- prevDvs).toSeq.sorted)
-        case None => (prevDvs -- m.dvRemove ++ m.dvAdd, m.dvAdd.sorted.toSeq)
+          val prevDvs = prevV
+            .map(pv => resolveDvs(name, pv).toSet).getOrElse(Set.empty)
+          (full.toSet -- prevDvs).toSeq.sorted
+        case None => m.dvAdd.sorted.toSeq
       }
       if (logicalNoOps(m.op)) () // content-preserving rearrangement
       else if (removed.isEmpty && dvAdded.isEmpty) out ++= added
@@ -4227,8 +4246,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
           "deletes rows — appends-mode cannot attribute it; use " +
           "onRewrite=skip (documented at-least-once), diff snapshots by " +
           "key, or consume tableChanges windows instead")
-      prevRefs = refs
-      prevDvs = dvs
+      prevV = Some(v)
     }
     val paths = resolveRefPaths(name, out.result())
     val scan = streamingParquetScan(paths, meta.schema)
@@ -4251,8 +4269,13 @@ final class GraftLake(private[graft] val spark: SparkSession,
           PlanBridge.expression(col("_metadata.row_index")), b)
         scan.filter(!PlanBridge.column(probe))
       }
-    toLogical(meta.schema,
+    val logical = toLogical(meta.schema,
       masked.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
+    // conform to the stream's ADVERTISED shape (schema may have evolved
+    // since stream start: extra columns drop, since-dropped ones null) —
+    // MicroBatchExecution substitutes the batch against the advertised
+    // attributes, so the column sets must match exactly
+    advertised.fold(logical)(GraftLake.conformTo(logical, _))
   }
 
   /** One STREAMING CHANGE-FEED micro-batch, window `(fromVersion,
@@ -4271,7 +4294,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * downstream CDC consumer follows a 100 TB table whose per-commit
     * delta is megabytes. */
   private[graft] def streamChangeBatch(name: String, fromVersion: Long,
-      toVersion: Long, bootstrapAt: Option[Long] = None): DataFrame = {
+      toVersion: Long, bootstrapAt: Option[Long] = None,
+      advertised: Option[StructType] = None): DataFrame = {
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
     val originFloor = fromVersion < 0 && vs.headOption.contains(0L)
@@ -4282,10 +4306,11 @@ final class GraftLake(private[graft] val spark: SparkSession,
         s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
           "by expireSnapshots — restart the stream from a retained version")
     val meta = readMeta(name)
-    val outSchema = StructType(
-      GraftLake.logicalSchema(meta.schema).fields.toSeq ++ Seq(
-        StructField(GraftLake.ChangeTypeCol, StringType, nullable = false),
-        StructField(GraftLake.CommitVersionCol, LongType, nullable = false)))
+    // the ADVERTISED schema (stream-start shape) is what
+    // MicroBatchExecution substitutes the batch plan against — fresh
+    // meta may already have evolved past it
+    val outSchema = advertised.getOrElse(
+      GraftLake.cdfSchema(GraftLake.logicalSchema(meta.schema)))
     if (window.isEmpty)
       return org.apache.spark.sql.graft.PlanBridge.streamify(
         spark.createDataFrame(
@@ -4300,15 +4325,22 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val deltas: Option[DataFrame] =
       if (deltaFrom >= toVersion) None
       else Some(tableChanges(name, deltaFrom, toVersion))
+    // schema-evolving commits inside one window make the legs differ
+    // (boot reads the HEAD-era schema, deltas the toVersion-era one, and
+    // the source advertised the schema of stream START time): union with
+    // missing-column tolerance and conform to the ADVERTISED shape —
+    // columns a leg lacks read null, columns the advertisement lacks are
+    // dropped (they only exist post-evolution; the consumer re-reads the
+    // schema on restart, the standard streaming-evolution contract)
     val combined = (boot, deltas) match {
-      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), Some(d)) => b.unionByName(d, allowMissingColumns = true)
       case (Some(b), None) => b
       case (None, Some(d)) => d
       case (None, None) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
     org.apache.spark.sql.graft.PlanBridge.streamify(
-      combined.select(outSchema.fieldNames.map(n => col(quoted(n))): _*))
+      GraftLake.conformTo(combined, outSchema))
   }
 
   /** Parquet scan of an explicit file list whose plan is tagged
@@ -4707,6 +4739,30 @@ object GraftLake {
   /** Change-feed metadata columns ([[GraftLake.tableChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  /** The change-feed schema over a table's (logical) base schema — ONE
+    * definition shared by the `graft-cdf` provider, the source and
+    * [[graft.catalog.GraftLake.streamChangeBatch]] (three hand-kept
+    * copies would have to stay byte-identical or MicroBatchExecution's
+    * schema assertion fails at runtime). */
+  def cdfSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
+
+  /** Select a frame into exactly `schema`'s columns: present columns
+    * pass through (case-insensitively), absent ones read typed null —
+    * the streaming batch-vs-advertised-schema bridge (schema evolution
+    * between stream start and an epoch must not break the plan
+    * substitution). */
+  private[catalog] def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    df.select(schema.fields.map { fd =>
+      if (present.contains(fd.name.toLowerCase(java.util.Locale.ROOT)))
+        col(s"`${fd.name.replace("`", "``")}`")
+      else lit(null).cast(fd.dataType).as(fd.name)
+    }.toIndexedSeq: _*)
+  }
 
   /** Provenance column ([[GraftLake.readWithProvenance]]). */
   val SourceFileCol = "_source_file"

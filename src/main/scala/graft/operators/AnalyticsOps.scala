@@ -655,6 +655,11 @@ object AnalyticsOps {
     * name must never change — one catalog name per sf dir. */
   private val sqlSkipCatalogs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // name counter OUTSIDE the mapping functions: `map.size()` inside
+  // computeIfAbsent races — two concurrent first-registrations for
+  // different dirs could both observe the same size and alias one
+  // catalog name onto two warehouses
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q106: manifest data skipping through the SQL surface — the catalog
     * twin of [[q102FileSkipping]]. The same z-ordered lake table is
@@ -672,7 +677,7 @@ object AnalyticsOps {
       |FROM lineitem WHERE l_partkey BETWEEN 50 AND 150
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val cat = sqlSkipCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"gskip${sqlSkipCatalogs.size()}"
+      val name = s"gskip${catalogSeq.getAndIncrement()}"
       val wh = java.nio.file.Files.createTempDirectory("graft-sqlskip").toString
       val lake = new graft.catalog.GraftLake(s, wh)
       lake.write("li", Tables.lineitem(s, dir)
@@ -742,7 +747,7 @@ object AnalyticsOps {
     val ord = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val cat = bucketLookupCatalogs.computeIfAbsent(dir, _ => {
-      val name = s"gbucket${bucketLookupCatalogs.size()}"
+      val name = s"gbucket${catalogSeq.getAndIncrement()}"
       val wh = java.nio.file.Files.createTempDirectory("graft-blookup").toString
       val lake = new graft.catalog.GraftLake(s, wh)
       lake.write("ord_b", ord,

@@ -67,14 +67,7 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
   private def schemaFor(lake: GraftLake, table: String,
       feed: String): StructType = {
     val base = lake.read(table).schema
-    if (feed == "cdf") StructType(base.fields.toSeq ++ Seq(
-      org.apache.spark.sql.types.StructField(
-        GraftLake.ChangeTypeCol,
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        GraftLake.CommitVersionCol,
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    else base
+    if (feed == "cdf") GraftLake.cdfSchema(base) else base
   }
 
   override def sourceSchema(
@@ -134,10 +127,15 @@ final class GraftCdfSource(lake: GraftLake, table: String,
   private val (floor: Long, bootstrapAt: Option[Long]) = {
     val p = new Path(metadataPath, "graft-cdf-floor")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parse(raw: String): (Long, Option[Long]) = {
-      val Array(mode, v) = raw.trim.split(':')
-      val fl = v.toLong
-      (fl, if (mode == "snapshot") Some(fl) else None)
+    def parse(raw: String): (Long, Option[Long]) = raw.trim.split(':') match {
+      case Array(mode, v) =>
+        val fl = v.toLong
+        (fl, if (mode == "snapshot") Some(fl) else None)
+      case _ => throw new IllegalStateException(
+        s"graft-cdf floor pin '$p' is unreadable ('${raw.take(64)}') — a " +
+          "writer crashed mid-publish on a rename-less filesystem; delete " +
+          "the pin (AND the checkpoint, or the stream's position is " +
+          "ambiguous) to start the stream over")
     }
     def readPin(): (Long, Option[Long]) = {
       val in = f.open(p)
@@ -161,16 +159,20 @@ final class GraftCdfSource(lake: GraftLake, table: String,
           v
       }
       f.mkdirs(p.getParent)
-      // create-if-absent: two racing (re)starts of the same checkpoint
-      // must agree on the pin — the loser reads the winner's
-      try {
-        val out = f.create(p, false)
-        try out.write(s"$startingVersion:$resolved".getBytes("UTF-8"))
-        finally out.close()
+      // ATOMIC publish (write temp, rename-no-overwrite): a crash must
+      // never leave an empty pin that bricks every restart, and of two
+      // racing first-starts the rename loser reads the winner's pin —
+      // rename without overwrite keeps the create-if-absent agreement
+      val tmp = new Path(p.getParent, s".graft-cdf-floor.${
+        java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"$startingVersion:$resolved".getBytes("UTF-8"))
+      finally out.close()
+      val won = f.rename(tmp, p) // no-overwrite: false when a racer won
+      if (!won) f.delete(tmp, false)
+      if (won)
         (resolved, if (startingVersion == "snapshot") Some(resolved) else None)
-      } catch {
-        case _: java.io.IOException => readPin()
-      }
+      else readPin()
     }
   }
 
@@ -180,16 +182,12 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     * whole backlog through the limiter. */
   @volatile private var offered: Long = floor
 
+  /** The stream-start shape — every epoch conforms to it even if the
+    * table's schema evolves mid-stream (the consumer re-reads the schema
+    * on restart, the standard streaming-evolution contract). */
   override val schema: StructType = {
     val base = lake.read(table).schema
-    if (feed == "cdf") StructType(base.fields.toSeq ++ Seq(
-      org.apache.spark.sql.types.StructField(
-        GraftLake.ChangeTypeCol,
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        GraftLake.CommitVersionCol,
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    else base
+    if (feed == "cdf") GraftLake.cdfSchema(base) else base
   }
 
   // each poll lists the table's commit-log directory (one metadata call);
@@ -225,8 +223,11 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     val from = start.map(version).getOrElse(floor)
     val to = version(end)
     offered = math.max(offered, to)
-    if (feed == "cdf") lake.streamChangeBatch(table, from, to, bootstrapAt)
-    else lake.streamAppendBatch(table, from, to, onRewrite, bootstrapAt)
+    if (feed == "cdf")
+      lake.streamChangeBatch(table, from, to, bootstrapAt, Some(schema))
+    else
+      lake.streamAppendBatch(table, from, to, onRewrite, bootstrapAt,
+        Some(schema))
   }
 
   private def version(

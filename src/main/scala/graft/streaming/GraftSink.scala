@@ -57,8 +57,26 @@ final class GraftSinkProvider extends StreamSinkProvider
       .getOrElse(partitionColumns)
     val pks = parameters.get("pks")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val appId = parameters.getOrElse("txnAppId",
-      parameters.getOrElse("checkpointLocation", s"graft-sink:$table"))
+    // Append-mode idempotence scope. A silent per-table DEFAULT would be
+    // a correctness trap: two independent queries (or one restarted with
+    // a fresh checkpoint, resetting batch ids to 0) would share one
+    // watermark and appendIdempotent would silently DROP the later
+    // stream's epochs. A checkpoint set only through the session conf is
+    // not in this options map, so in that case the scope must be named
+    // explicitly. (Update/Complete modes are idempotent by construction
+    // and need no scope.)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse {
+        if (outputMode == OutputMode.Append())
+          throw new IllegalArgumentException(
+            "graft sink (Append mode) needs an idempotence scope: set " +
+              "'txnAppId', or pass 'checkpointLocation' as a writeStream " +
+              "OPTION (a session-conf checkpoint is invisible here) — " +
+              "distinct streams appending to one table must not share a " +
+              "scope, or their epochs silently dedupe against each other")
+        s"graft-sink:$table"
+      }
     new GraftSink(lake, table, appId, partitions, pks, outputMode)
   }
 }

@@ -68,6 +68,24 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(lake.read("p").count() === 40)
   }
 
+  test("append mode requires an explicit idempotence scope") {
+    val lake = newLake()
+    val provider = new GraftSinkProvider
+    def create(params: Map[String, String]) = provider.createSink(
+      spark.sqlContext, params, Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val base = Map("warehouse" -> lake.warehouseDir, "table" -> "t")
+    // no txnAppId and no checkpointLocation OPTION: two streams would
+    // silently dedupe against each other's epochs — refuse
+    val e = intercept[IllegalArgumentException] { create(base) }
+    assert(e.getMessage.contains("idempotence scope"))
+    create(base + ("txnAppId" -> "a")) // explicit scope: fine
+    create(base + ("checkpointLocation" -> "/tmp/x")) // option-scope: fine
+    // Update/Complete are idempotent by construction — no scope needed
+    provider.createSink(spark.sqlContext, base + ("pks" -> "id"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   test("lake→lake replication survives a restart exactly once") {
     val lake = newLake()
     def slice(r: Range): DataFrame = r.map(i => (i, s"v$i")).toDF("id", "v")
