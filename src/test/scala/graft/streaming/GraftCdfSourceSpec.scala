@@ -210,6 +210,30 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("feed=cdf on a PARTITIONED table; a MoR UPDATE streams as delete+insert") {
+    val lake = newLake()
+    lake.write("t", (0 until 20).map(i => (i, i % 4, s"v$i")).toDF("id", "seg", "v"),
+      partitions = Seq("seg"), pks = Seq("id"))
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("feed" -> "cdf", "startingVersion" -> "snapshot"))
+    try {
+      q.processAllAvailable() // bootstrap across the partition dirs
+      // MoR UPDATE: preimage masked by a DV, postimage lands in new files
+      lake.updateWhere("t", col("id") === 7, Map("v" -> lit("UPD")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+    assert(got.filter(col("_commit_version") === 0).count() === 20,
+      "partitioned bootstrap emits every live row once")
+    val changed = got.filter(col("_commit_version") > 0)
+      .select("id", "_change_type", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(changed === Set((7, "delete", "v7"), (7, "insert", "UPD")),
+      s"MoR UPDATE must stream preimage delete + postimage insert, got $changed")
+  }
+
   test("an expired checkpoint offset fails loudly, never re-emits") {
     val lake = newLake()
     lake.append("t", Seq((1, "a")).toDF("id", "v"))
