@@ -24,8 +24,10 @@ import graft.catalog.GraftLake
   * scan does the work.
   *
   * Options:
-  *  - `warehouse` (required): the lake warehouse directory
-  *  - `table` (required): the table name
+  *  - `warehouse` + bare `table`, OR a catalog-qualified
+  *    `table = <graft-catalog>.<name>` resolved through the session's
+  *    catalog manager (the same registration SQL queries use —
+  *    streaming and SQL address tables identically)
   *  - `feed`: `appends` (default — rows added by pure-additive commits)
   *    or `cdf` (the row-level CHANGE feed: the table's columns plus
   *    `_change_type` 'insert'/'delete' and `_commit_version`, derived
@@ -64,6 +66,15 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
     parameters.getOrElse(key, throw new IllegalArgumentException(
       s"graft-cdf needs the '$key' option"))
 
+  /** Resolve (lake, table) from the options: either an explicit
+    * `warehouse` + bare `table`, or a catalog-qualified
+    * `table = <graft-catalog>.<name>` resolved through the session's
+    * catalog manager ([[GraftStreamAddress]]). */
+  private def resolve(sqlContext: SQLContext,
+      parameters: Map[String, String]): (GraftLake, String) =
+    GraftStreamAddress.resolve(sqlContext.sparkSession, "graft-cdf",
+      parameters.get("warehouse"), required(parameters, "table"))
+
   private def schemaFor(lake: GraftLake, table: String,
       feed: String): StructType = {
     val base = lake.read(table).schema
@@ -75,9 +86,7 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val table = required(parameters, "table")
-    val lake = new GraftLake(sqlContext.sparkSession,
-      required(parameters, "warehouse"))
+    val (lake, table) = resolve(sqlContext, parameters)
     (s"graft-cdf:$table",
       schemaFor(lake, table, parameters.getOrElse("feed", "appends")))
   }
@@ -88,9 +97,8 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source = {
-    val lake = new GraftLake(sqlContext.sparkSession,
-      required(parameters, "warehouse"))
-    new GraftCdfSource(lake, required(parameters, "table"), metadataPath,
+    val (lake, table) = resolve(sqlContext, parameters)
+    new GraftCdfSource(lake, table, metadataPath,
       parameters.getOrElse("startingVersion", "latest"),
       parameters.getOrElse("onRewrite", "fail"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),

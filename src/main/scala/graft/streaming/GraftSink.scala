@@ -50,8 +50,8 @@ final class GraftSinkProvider extends StreamSinkProvider
     def required(key: String): String =
       parameters.getOrElse(key, throw new IllegalArgumentException(
         s"graft sink needs the '$key' option"))
-    val table = required("table")
-    val lake = new GraftLake(sqlContext.sparkSession, required("warehouse"))
+    val (lake, table) = GraftStreamAddress.resolve(sqlContext.sparkSession,
+      "graft sink", parameters.get("warehouse"), required("table"))
     val partitions = parameters.get("partitions")
       .map(graft.catalog.PartitionExpr.splitSpecs)
       .getOrElse(partitionColumns)

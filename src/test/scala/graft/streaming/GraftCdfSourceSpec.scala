@@ -234,6 +234,36 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       s"MoR UPDATE must stream preimage delete + postimage insert, got $changed")
   }
 
+  test("catalog-qualified table option resolves through the session catalog") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))
+    spark.conf.set("spark.sql.catalog.gcdfspec",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdfspec.warehouse", lake.warehouseDir)
+    try {
+      val sink = freshSink()
+      val q = spark.readStream.format("graft-cdf")
+        .option("table", "gcdfspec.t") // no warehouse option
+        .option("startingVersion", "snapshot")
+        .load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation",
+          Files.createTempDirectory("cdf-ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(ids(spark.table(sink)) === Seq(1))
+      // an unregistered catalog and a both-forms conflict refuse clearly
+      val e = intercept[Exception] {
+        spark.readStream.format("graft-cdf")
+          .option("table", "nosuchcat.t").load()
+      }
+      assert(e.getMessage.contains("not a registered catalog"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcdfspec")
+      spark.conf.unset("spark.sql.catalog.gcdfspec.warehouse")
+    }
+  }
+
   test("an expired checkpoint offset fails loudly, never re-emits") {
     val lake = newLake()
     lake.append("t", Seq((1, "a")).toDF("id", "v"))
