@@ -234,6 +234,33 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       s"MoR UPDATE must stream preimage delete + postimage insert, got $changed")
   }
 
+  test("ingest-pipeline landings flow straight into the commit-log stream") {
+    // the composition a lakehouse runs in production: Kafka-shaped
+    // micro-batches land through the ingest pipeline (idempotent
+    // appends), and a downstream job tails the SAME table's commit log
+    val wh = Files.createTempDirectory("graft-cdf-ingest").toString
+    val pipeline = new graft.ingest.IngestPipeline(spark,
+      graft.ingest.IngestConfig(warehouse = wh, dlqTable = None))
+    def kafkaShaped(rows: Seq[(Int, String)], off: Int) =
+      rows.toDF("id", "v").select(
+        lit("feed").as("topic"), lit(0).as("partition"),
+        (monotonically_increasing_id() + off).as("offset"),
+        to_json(struct(col("id"), col("v"))).cast("binary").as("value"))
+    pipeline.processBatch(kafkaShaped(Seq((1, "a"), (2, "b")), 0), 0L)
+    val lake = new GraftLake(spark, wh)
+    val sink = freshSink()
+    val q = stream(lake, "feed", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> "snapshot"))
+    try {
+      q.processAllAvailable() // backfill = batch 0's rows
+      pipeline.processBatch(kafkaShaped(Seq((3, "c")), 100), 1L) // live
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(spark.table(sink)) === Seq(1, 2, 3),
+      "every ingest landing streams downstream exactly once")
+  }
+
   test("catalog-qualified table option resolves through the session catalog") {
     val lake = newLake()
     lake.append("t", Seq((1, "a")).toDF("id", "v"))
