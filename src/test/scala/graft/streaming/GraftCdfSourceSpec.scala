@@ -234,6 +234,25 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       s"MoR UPDATE must stream preimage delete + postimage insert, got $changed")
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.append("t", Seq((3, "c")).toDF("id", "v"))
+    val sink = freshSink()
+    val q = spark.readStream.format("graft-cdf")
+      .option("warehouse", lake.warehouseDir).option("table", "t")
+      .option("startingVersion", "snapshot")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdf-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must drain the backlog and stop on its own")
+    assert(ids(spark.table(sink)) === Seq(1, 2, 3))
+  }
+
   test("ingest-pipeline landings flow straight into the commit-log stream") {
     // the composition a lakehouse runs in production: Kafka-shaped
     // micro-batches land through the ingest pipeline (idempotent
