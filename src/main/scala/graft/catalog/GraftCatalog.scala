@@ -233,7 +233,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           }
         })
     override def partitioning(): Array[Transform] = underlying.partitioning()
-    override def properties(): util.Map[String, String] = underlying.properties()
+    // engine table properties (TableMeta.props — e.g. change-feed
+    // capture) surface through SHOW TBLPROPERTIES alongside the format's
+    override def properties(): util.Map[String, String] = {
+      val meta = new GraftLake(SparkSession.active, wh).readMeta(tableName)
+      (underlying.properties().asScala ++ meta.props).asJava
+    }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
@@ -307,10 +312,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     drops.foreach { case d: TableChange.DeleteColumn =>
       lake.dropColumn(ident.name, topLevel(d.fieldNames, "DROP COLUMN"))
     }
-    val (renames, others) = rest.partition(_.isInstanceOf[TableChange.RenameColumn])
+    val (renames, rest2) = rest.partition(_.isInstanceOf[TableChange.RenameColumn])
     renames.foreach { case r: TableChange.RenameColumn =>
       lake.renameColumn(ident.name,
         topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
+    }
+    // `ALTER TABLE t SET/UNSET TBLPROPERTIES` — the carrier for per-table
+    // flags like change-data-feed capture (TableMeta.CdfEnabledKey)
+    val (props, others) = rest2.partition(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    props.foreach {
+      case s: TableChange.SetProperty =>
+        lake.setTableProperty(ident.name, s.property, s.value)
+      case r: TableChange.RemoveProperty =>
+        lake.setTableProperty(ident.name, r.property, null)
     }
     val incoming = others.map {
       case a: TableChange.AddColumn =>

@@ -20,8 +20,23 @@ final case class TableMeta(
     schema: StructType,
     partitions: Seq[String],
     pks: Seq[String],
-    constraints: Seq[(String, String)] = Nil) {
+    constraints: Seq[(String, String)] = Nil,
+    props: Map[String, String] = Map.empty) {
   def partitionExprs: Seq[PartitionExpr] = PartitionExpr.parseList(partitions)
+
+  /** Change-data-feed capture: when set, every rewrite-class commit
+    * (upsert/MERGE, copy-on-write UPDATE/DELETE) WRITES its row-level
+    * changes as parquet sidecars under `_changes/` in the same commit —
+    * the Delta `_change_data` mechanism — so [[GraftLake.tableChanges]]
+    * and the `graft-cdf` streaming source attribute those windows exactly
+    * instead of failing fast. Off by default: capture costs one extra
+    * change-sized write per rewriting commit. */
+  def cdfEnabled: Boolean = props.get(TableMeta.CdfEnabledKey).contains("true")
+}
+
+object TableMeta {
+  /** `ALTER TABLE t SET TBLPROPERTIES ('graft.enableChangeDataFeed'='true')` */
+  val CdfEnabledKey = "graft.enableChangeDataFeed"
 }
 
 /** A minimal lakehouse table manager + writer: auto-create, schema
@@ -418,6 +433,19 @@ final class GraftLake(private[graft] val spark: SparkSession,
     }
 
   /** Live CHECK constraints of a table (name → expression). */
+  /** Set (or clear, with `value = null`) a table property — the generic
+    * carrier for per-table flags like [[TableMeta.CdfEnabledKey]].
+    * Metadata-only; SQL surface: `ALTER TABLE t SET TBLPROPERTIES
+    * ('k'='v')`. */
+  def setTableProperty(name: String, key: String, value: String): Unit =
+    writeLock(name) {
+      require(key != null && key.nonEmpty, "property key must be non-empty")
+      val meta = readMeta(name)
+      val props =
+        if (value == null) meta.props - key else meta.props + (key -> value)
+      writeMeta(name, meta.copy(props = props))
+    }
+
   def constraints(name: String): Seq[(String, String)] =
     readMeta(name).constraints
 
@@ -1204,10 +1232,13 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val partDepth = meta.partitionExprs.size
     val dvs0 = liveDvs(name)
     val keepRow = !coalesce(predicate, lit(false))
+    val hit = coalesce(predicate, lit(false))
+    val ct = GraftLake.ChangeTypeCol
     if (partDepth == 0) {
-      val survivors = toLogical(meta.schema,
-        applyDvs(name, readInternal(name, meta), dvs0, 0)).filter(keepRow)
-      replaceScoped(name, survivors, Nil, clearDvs = true)
+      val live = toLogical(meta.schema,
+        applyDvs(name, readInternal(name, meta), dvs0, 0))
+      replaceScoped(name, live.filter(keepRow), Nil, clearDvs = true,
+        changes = Some(live.filter(hit).withColumn(ct, lit("delete"))))
     } else {
       val rels = spark.read.schema(GraftLake.dvSchema).parquet(stage.toString)
         .select(substring_index(col("file_key"), "/", partDepth).as("rel"))
@@ -1231,9 +1262,9 @@ final class GraftLake(private[graft] val spark: SparkSession,
             scoped(keyC) === dv("file_key") && scoped(posC) === dv("pos"),
             "left_anti")
         }
-      val survivors = toLogical(meta.schema, masked).filter(keepRow)
-        .drop(keyC, posC)
-      replaceScoped(name, survivors, dirs)
+      val scopedLive = toLogical(meta.schema, masked).drop(keyC, posC)
+      replaceScoped(name, scopedLive.filter(keepRow), dirs,
+        changes = Some(scopedLive.filter(hit).withColumn(ct, lit("delete"))))
     }
   }
 
@@ -1382,8 +1413,18 @@ final class GraftLake(private[graft] val spark: SparkSession,
           case None => col(quoted(n)).as(n)
         }
       }: _*)
+    val ct = GraftLake.ChangeTypeCol
+    def changesOf(matching: DataFrame): DataFrame = {
+      // project away the generated partition columns the internal scan
+      // carries — change rows hold exactly the table's columns
+      val pre = matching
+        .select(logicalFields.fieldNames.map(n => col(quoted(n))).toSeq: _*)
+      pre.withColumn(ct, lit("update_preimage")).unionByName(
+        applyAssigns(matching).withColumn(ct, lit("update_postimage")))
+    }
     if (partCols.isEmpty) {
-      replaceScoped(name, updCols(masked), Nil, clearDvs = true)
+      replaceScoped(name, updCols(masked), Nil, clearDvs = true,
+        changes = Some(changesOf(masked.filter(hit))))
     } else {
       val matching = masked.filter(hit)
       val srcParts = matching
@@ -1396,7 +1437,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       // dirs from the DV-free scan: input_file_name over `scoped` (which
       // carries the DV anti-join when DVs are live) has two file sources
       val dirs = partitionDirsFor(name, partCols, parts)
-      replaceScoped(name, updCols(scoped), dirs)
+      replaceScoped(name, updCols(scoped), dirs,
+        changes = Some(changesOf(matching)))
     }
   }
 
@@ -2673,11 +2715,19 @@ final class GraftLake(private[graft] val spark: SparkSession,
       pks.map(c => col(quoted(c))) ++
         dataCols.map(c => col(quoted(c)).as(s"$bPrefix$c")) :+
         lit(true).as(bPresent): _*)
+    // change capture freezes the insert timestamp driver-side so the
+    // table write and the change-file write (two jobs) stamp IDENTICAL
+    // `_inserted_at` values; without capture the per-job evaluation of
+    // current_timestamp() stays (one job — nothing to disagree with)
+    val cdf = meta.cdfEnabled
+    val nowExpr =
+      if (cdf) lit(java.sql.Timestamp.from(java.time.Instant.now()))
+      else current_timestamp()
     val merged = scoped.join(bRenamed, pks, "full_outer")
       .select(meta.schema.fieldNames.map {
         case n if pks.contains(n) => col(quoted(n))
         case n if n == InsertedAtCol =>
-          coalesce(col(InsertedAtCol), current_timestamp()).as(InsertedAtCol)
+          coalesce(col(InsertedAtCol), nowExpr).as(InsertedAtCol)
         case n =>
           when(col(bPresent).isNotNull, col(quoted(s"$bPrefix$n")))
             .otherwise(col(quoted(n))).as(n)
@@ -2710,6 +2760,40 @@ final class GraftLake(private[graft] val spark: SparkSession,
         .toSeq.distinct
     }
 
+    // CHANGE CAPTURE (cdf-enabled tables): re-derive the batch-keyed
+    // slice of the merge join — matched keys become
+    // update_preimage/update_postimage pairs, batch-only keys inserts —
+    // and publish it under _changes/ BEFORE the swap retires the old
+    // files. Cost: one extra join sized by (touched partitions ∪ batch),
+    // never the table; zero when capture is off. The change set is the
+    // commit's COMPLETE attribution (the rewritten data files mix
+    // carried-over and new rows, so the file delta alone cannot).
+    val changeFiles: Seq[String] =
+      if (!cdf) Nil
+      else {
+        val tPresent = "__graft_t_present__"
+        val ct = GraftLake.ChangeTypeCol
+        val j = scoped.withColumn(tPresent, lit(true))
+          .join(bRenamed, pks, "full_outer")
+          .filter(col(bPresent).isNotNull)
+        def oldCols = meta.schema.fieldNames.map(n => col(quoted(n)))
+        def newCols(insert: Boolean) = meta.schema.fieldNames.map {
+          case n if pks.contains(n) => col(quoted(n))
+          case n if n == InsertedAtCol =>
+            (if (insert) nowExpr else col(InsertedAtCol)).as(InsertedAtCol)
+          case n => col(quoted(s"$bPrefix$n")).as(n)
+        }
+        val matched = j.filter(col(tPresent).isNotNull)
+        val pre = matched.select(oldCols: _*)
+          .withColumn(ct, lit("update_preimage"))
+        val post = matched.select(newCols(insert = false): _*)
+          .withColumn(ct, lit("update_postimage"))
+        val ins = j.filter(col(tPresent).isNull)
+          .select(newCols(insert = true): _*)
+          .withColumn(ct, lit("insert"))
+        writeChangeFiles(name, meta, pre.unionByName(post).unionByName(ins))
+      }
+
     // Stage + swap (Spark cannot overwrite a path it is reading from).
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val writer = result.write.mode(SaveMode.Overwrite)
@@ -2721,7 +2805,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
-    commitVersion(name, added, removed, writeStats, op = "upsert")
+    commitVersion(name, added, removed, writeStats, op = "upsert",
+      changes = changeFiles)
   }
 
   /** Replace the entire table contents with `df` (must carry exactly the
@@ -2729,12 +2814,22 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * write + directory swap; partition columns are recomputed from the new
     * row values. Used by the general-form SQL MERGE rewrite, which is an
     * explicit whole-table copy-on-write (the upsert-shaped form routes
-    * through [[upsert]]'s affected-partition path instead). */
-  def overwriteContents(name: String, df: DataFrame): Unit = writeLock(name) {
+    * through [[upsert]]'s affected-partition path instead).
+    *
+    * `changes`: as on [[replaceScoped]] — a caller that can attribute the
+    * overwrite row-by-row (the general MERGE can; a streaming Complete-
+    * mode epoch cannot) passes its change rows for write-time capture. */
+  def overwriteContents(name: String, df: DataFrame,
+      changes: Option[DataFrame] = None): Unit = writeLock(name) {
     val meta = readMeta(name)
     val projected = enforceConstraints(meta, physicalSelect(meta, df))
     val out = withPartitionCols(projected, meta)
     val partCols = meta.partitionExprs.map(_.outputName)
+    // BEFORE the swap: the change plan reads the pre-rewrite live files
+    val changeFiles = changes match {
+      case Some(c) if meta.cdfEnabled => writeChangeFiles(name, meta, c)
+      case _ => Nil
+    }
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val dd = new Path(dataDir(name))
     val f = fs(dd)
@@ -2758,7 +2853,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val added = listDataFiles(name)
       // every previous file is retired: all DV entries are inert — drop
       commitVersion(name, added, removed, writeStats, op = "overwrite",
-        dvRemoved = liveDvs(name))
+        dvRemoved = liveDvs(name), changes = changeFiles)
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -2790,13 +2885,25 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * covered — a partition whose rows all vanish has no staged leaf but
     * must still be cleared). Unpartitioned tables replace the whole file
     * set, so `survivors` must then be the full remaining table.
-    * Engine-internal support for the SQL DELETE/UPDATE rewrites. */
+    * Engine-internal support for the SQL DELETE/UPDATE rewrites.
+    *
+    * `changes`: the rewrite's row-level change rows (table columns +
+    * `_change_type`), published as write-time change files in the same
+    * commit when the table has change capture on ([[TableMeta
+    * .cdfEnabled]]) — the caller holds the pre/post-images anyway, so
+    * capture costs one change-sized write, never a second table scan. */
   private[graft] def replaceScoped(name: String, survivors: DataFrame,
-      affectedDirs: Seq[String], clearDvs: Boolean = false): Unit = writeLock(name) {
+      affectedDirs: Seq[String], clearDvs: Boolean = false,
+      changes: Option[DataFrame] = None): Unit = writeLock(name) {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
     val out = withPartitionCols(
       enforceConstraints(meta, physicalSelect(meta, survivors)), meta)
+    // BEFORE the swap: the change plan reads the pre-rewrite live files
+    val changeFiles = changes match {
+      case Some(c) if meta.cdfEnabled => writeChangeFiles(name, meta, c)
+      case _ => Nil
+    }
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val writer = out.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -2808,7 +2915,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val (added, removed) = swapInto(name, stage, new Path(dataDir(name)),
       partCols.size, affectedDirs.map(new Path(_)))
     commitVersion(name, added, removed, writeStats, op = "replace-scoped",
-      dvRemoved = if (clearDvs) liveDvs(name) else Nil)
+      dvRemoved = if (clearDvs) liveDvs(name) else Nil,
+      changes = changeFiles)
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -3293,7 +3401,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       dvAdded: Seq[String] = Nil,
       dvRemoved: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      txnsReset: Option[Map[String, Long]] = None): Unit = {
+      txnsReset: Option[Map[String, Long]] = None,
+      changes: Seq[String] = Nil): Unit = {
     // single chokepoint for EVERY mutation path: a shallow clone is
     // read-only until materialized (its reads resolve through the
     // SOURCE's pinned manifest — a local commit would silently fork)
@@ -3315,7 +3424,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       .getOrElse(120000L) * 1000000L
     while (!done) {
       try { commitVersionOnce(name, added, removed, writeStats, op,
-        dvAdded, dvRemoved, txn, txnsReset); done = true }
+        dvAdded, dvRemoved, txn, txnsReset, changes); done = true }
       catch {
         case e: java.io.IOException
             if isManifestCollision(e) && (attempt < 5 ||
@@ -3424,7 +3533,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       dvAdded: Seq[String],
       dvRemoved: Seq[String],
       txn: Option[(String, Long)],
-      txnsReset: Option[Map[String, Long]] = None): Unit =
+      txnsReset: Option[Map[String, Long]] = None,
+      changes: Seq[String] = Nil): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
@@ -3480,10 +3590,11 @@ final class GraftLake(private[graft] val spark: SparkSession,
           txn.fold(prevTxns) { case (a, v) =>
             prevTxns + (a -> math.max(v, prevTxns.getOrElse(a, Long.MinValue)))
           }
-        })
+        },
+        changes = changes)
       else GraftLake.renderDelta(next, meta, next - 1, prevDepth + 1,
         addedV, removed.sorted, addedStats, op,
-        dvAdd = dvAdded, dvRemove = dvRemoved, txn = txn)
+        dvAdd = dvAdded, dvRemove = dvRemoved, txn = txn, changes = changes)
     val p = new Path(vd, s"v$next.json")
     atomicClaim(f, p, body)
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
@@ -4035,6 +4146,65 @@ final class GraftLake(private[graft] val spark: SparkSession,
       .select(schema.fieldNames.map(n => col(quoted(n))): _*))
   }
 
+  // ---- write-time change files (CDF through rewrite-class commits) ----
+
+  private def changesDir(name: String) = new Path(s"${tableDir(name)}/_changes")
+
+  /** Stage + publish the row-level CHANGE files of an imminent
+    * rewrite-class commit ([[TableMeta.cdfEnabled]] tables only — the
+    * Delta `_change_data` mechanism). `rows` carries the table's columns
+    * (logical or physical names) plus `_change_type`
+    * ('insert' | 'delete' | 'update_preimage' | 'update_postimage').
+    * Returns the published file names; the caller records them in the
+    * commit's manifest — the manifest is the atomic pointer, so a crash
+    * (or a lost commit race) before the manifest lands leaves only
+    * UNREFERENCED files, reaped by [[expireSnapshots]]' change vacuum.
+    * Must run BEFORE the rewrite's stage/swap: the change plan reads the
+    * pre-commit live files. */
+  private def writeChangeFiles(name: String, meta: TableMeta,
+      rows: DataFrame): Seq[String] = {
+    val ct = GraftLake.ChangeTypeCol
+    val out = toPhysical(meta.schema, rows)
+      .select(meta.schema.fieldNames.map(n => col(quoted(n))).toSeq :+
+        col(ct): _*)
+    val stage = new Path(s"${tableDir(name)}/.chgstage-${UUID.randomUUID()}")
+    val f = fs(stage)
+    try {
+      // rebalance, as in the DV staging paths: AQE coalesces the typical
+      // batch-sized change set to one file without capping a huge COW
+      // fallback's write parallelism
+      val staged =
+        if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+          out.hint("rebalance")
+        else out
+      withLakeTimestampFormat {
+        staged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      }
+      org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+      val cd = changesDir(name)
+      f.mkdirs(cd)
+      f.listStatus(stage).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          val n = s"chg-${UUID.randomUUID()}.parquet"
+          renameOrFail(f, s.getPath, new Path(cd, n))
+          n
+        }
+    } finally f.delete(stage, true)
+  }
+
+  /** A commit's published change rows, read under `schema` (the feed's
+    * toVersion-era physical schema: columns added since the commit read
+    * null, and the registry's widened types apply — the same widened-read
+    * contract the live scan uses). */
+  private def changeFileRows(name: String, changeFiles: Seq[String],
+      schema: StructType): DataFrame = {
+    val withCt = StructType(schema.fields.toSeq :+
+      StructField(GraftLake.ChangeTypeCol, StringType, nullable = false))
+    spark.read.schema(withCt)
+      .parquet(changeFiles.map(n => s"${changesDir(name)}/$n"): _*)
+  }
+
   /** Row-level change feed between two snapshots, derived from commit
     * METADATA (per-commit file/DV deltas), never by diffing table
     * contents: each append-class commit's new files are its `insert`
@@ -4052,10 +4222,16 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * `spark.graft.dv.maxEntries` gate as live reads) — the table itself
     * is never scanned or value-diffed, which is what lets an incremental
     * consumer follow a 100 TB table whose per-commit delta is megabytes.
-    * Windows containing a rewrite-class commit (overwrite, upsert, COW
-    * update/delete, restore, repair) fail fast: row-level attribution
-    * through a rewrite is not metadata-derivable — diff those windows by
-    * key instead ([[graft.operators.AnalyticsOps]] snapshotDiff, q86/q98).
+    * A merge-on-read UPDATE commit pairs into
+    * 'update_preimage' (its new DV entries) / 'update_postimage' (its
+    * added files). Rewrite-class commits (overwrite, upsert, COW
+    * update/delete, restore, repair) are attributable ONLY when the
+    * commit carries WRITE-TIME CHANGE FILES ([[TableMeta.cdfEnabled]] —
+    * the commit's manifest then references its complete row-level change
+    * set under `_changes/`, read verbatim, O(changed rows)); otherwise
+    * such windows fail fast: attribution through a rewrite is not
+    * metadata-derivable — diff those windows by key instead
+    * ([[graft.operators.AnalyticsOps]] snapshotDiff, q86/q98).
     * Reference: DuckLake's `ducklake_table_changes` function, which reads
     * the same per-snapshot file/delete metadata. */
   def tableChanges(name: String, fromVersion: Long,
@@ -4108,20 +4284,34 @@ final class GraftLake(private[graft] val spark: SparkSession,
       // emission below anti-joins the PRE-commit DV state regardless.
       val metadataDelete = removedAny && added.isEmpty && dvAdded.isEmpty &&
         (m.op == "delete" || m.op == "truncate")
-      if (!logicalNoOps(m.op)) {
+      if (m.changes.nonEmpty) {
+        // write-time change files are the commit's AUTHORITATIVE,
+        // complete row-level change set — read them verbatim and ignore
+        // the file delta (an upsert's added files mix rewritten-old and
+        // new rows; only the change files attribute them)
+        pieces += changeFileRows(name, m.changes, toSchema)
+          .withColumn(GraftLake.CommitVersionCol, lit(v))
+      } else if (!logicalNoOps(m.op)) {
         require(metadataDelete || (!removedAny && !dvRemovedAny),
           s"tableChanges on '$name': commit v$v ('${m.op}') rewrites files " +
             "or clears deletion vectors — row-level attribution through a " +
-            "rewrite is not metadata-derivable; diff the snapshots by key " +
-            "instead (snapshotDiff)")
+            "rewrite is not metadata-derivable; enable the change feed " +
+            s"(table property ${TableMeta.CdfEnabledKey}) so such commits " +
+            "write their changes, or diff the snapshots by key " +
+            "(snapshotDiff)")
+        // a MoR UPDATE pairs exactly: its DV entries are the preimages,
+        // its added files the postimages (same commit, by construction)
+        val (delType, insType) =
+          if (m.op == "update") ("update_preimage", "update_postimage")
+          else ("delete", "insert")
         if (added.nonEmpty)
           pieces += spark.read.schema(toSchema)
             .parquet(resolveRefPaths(name, added): _*)
-            .withColumn(GraftLake.ChangeTypeCol, lit("insert"))
+            .withColumn(GraftLake.ChangeTypeCol, lit(insType))
             .withColumn(GraftLake.CommitVersionCol, lit(v))
         if (dvAdded.nonEmpty)
           pieces += dvMaskedRows(name, toSchema, dvAdded, partDepth)
-            .withColumn(GraftLake.ChangeTypeCol, lit("delete"))
+            .withColumn(GraftLake.ChangeTypeCol, lit(delType))
             .withColumn(GraftLake.CommitVersionCol, lit(v))
         if (metadataDelete) {
           val scan = spark.read.schema(toSchema)
@@ -4642,7 +4832,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val out = f.create(tmp, true)
       try out.write(GraftLake.renderManifestWithSchema(v,
         m.schema, files, st, m.op, dvs = dv,
-        txns = resolveTxns(name, v)).getBytes("UTF-8")) finally out.close()
+        txns = resolveTxns(name, v),
+        changes = m.changes).getBytes("UTF-8")) finally out.close()
       replaceAtomic(f, tmp, p)
     }
     keep.filter(v => v == keepWindow.head || !keepWindow.contains(v))
@@ -4653,11 +4844,21 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val referencedDvs: Set[String] = keep.flatMap { v =>
       resolveDvs(name, v)
     }.toSet
+    // change files referenced by RETAINED manifests survive (a CDC
+    // consumer can still read any retained window); expired versions'
+    // files — and orphans from crashed or out-raced commits — are reaped
+    val referencedChanges: Set[String] =
+      keep.flatMap(v => readManifestFile(name, v).changes).toSet
     drop.foreach(v => f.delete(new Path(versionsDir(name), s"v$v.json"), false))
     // vacuum deletion-vector sidecars no kept snapshot references
     val dd = dvDir(name)
     if (f.exists(dd)) f.listStatus(dd).foreach { s =>
       if (!referencedDvs.contains(s.getPath.getName))
+        f.delete(s.getPath, false)
+    }
+    val cd = changesDir(name)
+    if (f.exists(cd)) f.listStatus(cd).foreach { s =>
+      if (!referencedChanges.contains(s.getPath.getName))
         f.delete(s.getPath, false)
     }
     val hd = historyDir(name)
@@ -5476,7 +5677,13 @@ object GraftLake {
       dvAdd: Vector[String] = Vector.empty,
       dvRemove: Vector[String] = Vector.empty,
       txns: Option[Map[String, Long]] = None,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      // THIS commit's row-level change files under _changes/ (a
+      // per-commit attribute even in full manifests, unlike files/dvs
+      // which are snapshot state) — written by rewrite-class commits on
+      // CDF-enabled tables; when present, the change feed reads them
+      // INSTEAD of deriving the commit's changes from its file delta
+      changes: Vector[String] = Vector.empty)
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -5534,7 +5741,12 @@ object GraftLake {
       else meta.constraints
         .map { case (n, e) => s"{${q("name")}:${q(n)},${q("expr")}:${q(e)}}" }
         .mkString(s""","constraints":[""", ",", "]")
-    s"""{"schema":${meta.schema.json},"partitions":${arr(meta.partitions)},"pks":${arr(meta.pks)}$cs}"""
+    val ps =
+      if (meta.props.isEmpty) ""
+      else meta.props.toSeq.sorted
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }
+        .mkString(s""","props":{""", ",", "}")
+    s"""{"schema":${meta.schema.json},"partitions":${arr(meta.partitions)},"pks":${arr(meta.pks)}$cs$ps}"""
   }
 
   private def q(s: String): String =
@@ -5574,8 +5786,10 @@ object GraftLake {
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
       op: String = "write",
       dvs: Seq[String] = Nil,
-      txns: Map[String, Long] = Map.empty): String =
-    renderManifestWithSchema(version, meta.schema, files, stats, op, dvs, txns)
+      txns: Map[String, Long] = Map.empty,
+      changes: Seq[String] = Nil): String =
+    renderManifestWithSchema(version, meta.schema, files, stats, op, dvs,
+      txns, changes)
 
   private def strArr(xs: Seq[String]): String =
     xs.map(q).mkString("[", ",", "]")
@@ -5585,10 +5799,12 @@ object GraftLake {
       stats: Map[String, Map[String, GraftLake.Bounds]] = Map.empty,
       op: String = "write",
       dvs: Seq[String] = Nil,
-      txns: Map[String, Long] = Map.empty): String =
+      txns: Map[String, Long] = Map.empty,
+      changes: Seq[String] = Nil): String =
     s"""{"version":$version,"op":${q(op)},"schema":${schema.json},"files":${fileArr(files)}""" +
       s""","stats":${statsObj(stats, files.map(fileKey))}""" +
       (if (dvs.isEmpty) "" else s""","dvs":${strArr(dvs.sorted)}""") +
+      (if (changes.isEmpty) "" else s""","changes":${strArr(changes.sorted)}""") +
       (if (txns.isEmpty) "}"
        else txns.toSeq.sorted.map { case (a, v) => s"${q(a)}:$v" }
          .mkString(""","txns":{""", ",", "}}"))
@@ -5604,12 +5820,14 @@ object GraftLake {
       op: String = "write",
       dvAdd: Seq[String] = Nil,
       dvRemove: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): String =
+      txn: Option[(String, Long)] = None,
+      changes: Seq[String] = Nil): String =
     s"""{"version":$version,"op":${q(op)},"schema":${meta.schema.json},"base":$base,""" +
       s""""depth":$depth,"add":${fileArr(add)},"remove":${fileArr(remove)}""" +
       s""","stats":${statsObj(stats, add.map(fileKey))}""" +
       (if (dvAdd.isEmpty) "" else s""","dvAdd":${strArr(dvAdd.sorted)}""") +
       (if (dvRemove.isEmpty) "" else s""","dvRemove":${strArr(dvRemove.sorted)}""") +
+      (if (changes.isEmpty) "" else s""","changes":${strArr(changes.sorted)}""") +
       txn.map { case (a, v) => s""","txnApp":${q(a)},"txnV":$v""" }.getOrElse("") +
       "}"
 
@@ -5667,7 +5885,7 @@ object GraftLake {
       // (older writers) means "none", i.e. Some(∅)
       Manifest(version, schema, Some(refs("files")), -1L, 0,
         Vector.empty, Vector.empty, stats, op, dvs = Some(strs("dvs")),
-        txns = Some(txns))
+        txns = Some(txns), changes = strs("changes"))
     else
       Manifest(version, schema, None, node.get("base").asLong(),
         if (node.has("depth")) node.get("depth").asInt() else 1,
@@ -5675,7 +5893,8 @@ object GraftLake {
         dvs = None, dvAdd = strs("dvAdd"), dvRemove = strs("dvRemove"),
         txn = if (node.has("txnApp"))
           Some((node.get("txnApp").asText(), node.get("txnV").asLong()))
-        else None)
+        else None,
+        changes = strs("changes"))
   }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {
@@ -5694,6 +5913,15 @@ object GraftLake {
       else (0 until cn.size()).map(i =>
         (cn.get(i).get("name").asText(), cn.get(i).get("expr").asText()))
     }
-    TableMeta(schema, strs("partitions"), strs("pks"), constraints)
+    val props: Map[String, String] = {
+      val pn = node.get("props")
+      if (pn == null) Map.empty
+      else {
+        val b = Map.newBuilder[String, String]
+        pn.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+        b.result()
+      }
+    }
+    TableMeta(schema, strs("partitions"), strs("pks"), constraints, props)
   }
 }

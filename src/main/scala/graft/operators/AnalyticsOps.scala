@@ -339,7 +339,14 @@ object AnalyticsOps {
   def replicateFromFeed(src: graft.catalog.GraftLake, srcTable: String,
       dst: graft.catalog.GraftLake, dstTable: String, pks: Seq[String],
       compareCols: Seq[String], fromVersion: Long, toVersion: Long): Unit = {
+    // normalize update pre/post pairs to the replica's two primitives —
+    // a postimage IS the upserted row, a preimage the superseded one
+    val ctc = col(graft.catalog.GraftLake.ChangeTypeCol)
     val feed = src.tableChanges(srcTable, fromVersion, toVersion)
+      .withColumn(graft.catalog.GraftLake.ChangeTypeCol,
+        when(ctc === "update_postimage", lit("insert"))
+          .when(ctc === "update_preimage", lit("delete"))
+          .otherwise(ctc))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pks.map(col): _*)
       .orderBy(col(graft.catalog.GraftLake.CommitVersionCol).desc,
@@ -1653,10 +1660,11 @@ object AnalyticsOps {
     * keys, merge-on-read UPDATE another ~1 %, then read the changes AFTER
     * the first batch's snapshot: commit 1 yields the second batch as
     * inserts, commit 2 the deleted rows as deletes, commit 3 the update's
-    * preimages as deletes and postimages as inserts — all recovered from
-    * per-commit file/DV deltas alone (the feed never scans or value-diffs
-    * the table; q86/q98 cover rewrite windows by key diff). The oracle
-    * derives every (commit, change_type) class arithmetically. */
+    * preimages/postimages as a paired update_preimage/update_postimage —
+    * all recovered from per-commit file/DV deltas alone (the feed never
+    * scans or value-diffs the table; q86/q98 cover rewrite windows by key
+    * diff, q168 streams captured rewrites). The oracle derives every
+    * (commit, change_type) class arithmetically. */
   val q143ChangeFeed = QueryDef(
     "q143_change_feed",
     """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
@@ -1667,9 +1675,9 @@ object AnalyticsOps {
       |  UNION ALL
       |  SELECT 2, 'delete', price FROM o WHERE k % 100 = 7
       |  UNION ALL
-      |  SELECT 3, 'delete', price FROM o WHERE k % 100 = 3
+      |  SELECT 3, 'update_preimage', price FROM o WHERE k % 100 = 3
       |  UNION ALL
-      |  SELECT 3, 'insert', round(price + 1, 2) FROM o WHERE k % 100 = 3)
+      |  SELECT 3, 'update_postimage', round(price + 1, 2) FROM o WHERE k % 100 = 3)
       |SELECT commit_seq, change_type, count(*) AS n,
       |  round(sum(price), 2) AS price_sum
       |FROM feed GROUP BY commit_seq, change_type

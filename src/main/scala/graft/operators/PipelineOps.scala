@@ -424,7 +424,76 @@ object PipelineOps {
       .orderBy(col("_commit_version"), col("o_orderkey"))
   }
 
+  /** q168: CDC THROUGH REWRITE-CLASS COMMITS — the change feed streams a
+    * MERGE/upsert window, a copy-on-write UPDATE and a copy-on-write
+    * DELETE exactly, because the table has write-time change capture on
+    * (`graft.enableChangeDataFeed`): each rewriting commit publishes its
+    * row-level change set under `_changes/` in the same manifest commit
+    * (the Delta `_change_data` mechanism), and the `feed=cdf` source
+    * reads those files verbatim — O(changed rows) per epoch, where
+    * round-11 semantics failed fast on the reference's CORE workload
+    * (PK upsert, DucklakeWriterMergeTest.java:119-148). Commit ids are
+    * deterministic (v0 seed, v1 upsert, v2 COW update, v3 COW delete),
+    * which lets plain SQL reproduce the whole feed for the oracle. */
+  val q168StreamCdcRewrites = QueryDef(
+    "q168_stream_cdc_rewrites",
+    """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS st,
+      |                     round(o_totalprice, 2) AS price
+      |              FROM orders WHERE o_orderkey % 8 = 4)
+      |SELECT id, st, price, 'update_preimage' AS _change_type,
+      |       CAST(1 AS BIGINT) AS _commit_version FROM base WHERE id % 32 = 4
+      |UNION ALL SELECT id, 'UU', price, 'update_postimage', 1 FROM base WHERE id % 32 = 4
+      |UNION ALL SELECT id, st, price, 'insert', 1 FROM base WHERE id % 16 = 12
+      |UNION ALL SELECT id, st, price, 'update_preimage', 2 FROM base WHERE id % 32 = 20
+      |UNION ALL SELECT id, st, round(price + 10, 2), 'update_postimage', 2 FROM base WHERE id % 32 = 20
+      |UNION ALL SELECT id, st, price, 'delete', 3 FROM base WHERE id % 32 = 12
+      |ORDER BY _commit_version, _change_type, id""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir).filter(col("o_orderkey") % 8 === 4)
+      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice"), 2).as("price"))
+    // catalog registration: the COW UPDATE/DELETE run as literal SQL
+    val catKey = "spark.sql.catalog.gcdc"
+    if (s.conf.getOption(s"$catKey.warehouse").isEmpty) {
+      s.conf.set(catKey, classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"$catKey.warehouse",
+        Files.createTempDirectory("graft-gcdc").toString)
+    }
+    val lake = new GraftLake(s, s.conf.get(s"$catKey.warehouse"))
+    if (lake.tableExists("cdc_rw")) lake.dropTable("cdc_rw")
+    lake.write("cdc_rw", base.filter(col("id") % 16 === 4),
+      pks = Seq("id"))                                   // v0 — the seed
+    lake.setTableProperty("cdc_rw",
+      graft.catalog.TableMeta.CdfEnabledKey, "true")
+    val sink = s"q168_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-cdf")
+      .option("warehouse", lake.warehouseDir).option("table", "cdc_rw")
+      .option("feed", "cdf").option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-q168-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable() // consumer owns v0
+      // v1 — MERGE-shaped upsert: matched keys flip st, new keys insert
+      lake.upsert("cdc_rw",
+        base.filter(col("id") % 32 === 4).withColumn("st", lit("UU"))
+          .unionByName(base.filter(col("id") % 16 === 12)))
+      // v2 — copy-on-write UPDATE (no merge-on-read mode set)
+      s.sql("UPDATE gcdc.cdc_rw SET price = price + 10 WHERE id % 32 = 20")
+      // v3 — copy-on-write DELETE (interleaved keys: not provable
+      // metadata-only, so the rewrite path with change capture runs)
+      s.sql("DELETE FROM gcdc.cdc_rw WHERE id % 32 = 12")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .select(col("id"), col("st"), round(col("price"), 2).as("price"),
+        col("_change_type"), col("_commit_version"))
+      .orderBy(col("_commit_version"), col("_change_type"), col("id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18UpsertPipeline, q19EvolutionPipeline,
     q64Compaction, q105IngestDedup, q107IngestQuality, q108AutoCompact,
-    q165StreamFeed, q166StreamReplicate, q167StreamCdc)
+    q165StreamFeed, q166StreamReplicate, q167StreamCdc,
+    q168StreamCdcRewrites)
 }

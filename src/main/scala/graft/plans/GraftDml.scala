@@ -58,6 +58,11 @@ final case class GraftDeleteCommand(
     // conditions keep the row
     val hit = coalesce(PlanBridge.column(cond), lit(false))
     val partCols = meta.partitionExprs.map(_.outputName)
+    // write-time change capture (CDF-enabled tables): the deleted rows
+    // are the hit set the command already computes — published by
+    // replaceScoped in the same commit
+    def deleted(df: org.apache.spark.sql.DataFrame) = Some(df.filter(hit)
+      .withColumn(GraftLake.ChangeTypeCol, lit("delete")))
     if (partCols.isEmpty) {
       // no-op guard: a condition matching nothing must not trigger a
       // full-table rewrite (the partitioned branch early-exits via scope)
@@ -65,13 +70,15 @@ final case class GraftDeleteCommand(
       // live DVs), so every DV entry is inert — dropping them restores
       // the plain pruned DSv2 scan instead of pinning the DV plan forever
       if (!tdf.filter(hit).isEmpty)
-        lake.replaceScoped(table, tdf.filter(!hit), Nil, clearDvs = true)
+        lake.replaceScoped(table, tdf.filter(!hit), Nil, clearDvs = true,
+          changes = deleted(tdf))
     } else {
       GraftDml.scope(tdf, tdf.filter(hit), partCols) match {
         case None => () // nothing matches — no partition touched
         case Some((scoped, parts)) =>
           lake.replaceScoped(table, scoped.filter(!hit),
-            lake.partitionDirsFor(table, partCols, parts))
+            lake.partitionDirsFor(table, partCols, parts),
+            changes = deleted(scoped))
       }
     }
     Seq.empty
@@ -143,10 +150,21 @@ final case class GraftUpdateCommand(
         }
       }: _*)
     val partCols = meta.partitionExprs.map(_.outputName)
+    // write-time change capture (CDF-enabled tables): the matching rows
+    // are the preimages, their updated projection the postimages —
+    // published by replaceScoped in the same commit
+    def changesOf(matching: DataFrame): Option[DataFrame] = {
+      val ct = GraftLake.ChangeTypeCol
+      val pre = matching.select(GraftLake.logicalSchema(meta.schema)
+        .fieldNames.toSeq.map(n => col(GraftLake.quoted(n))): _*)
+      Some(pre.withColumn(ct, lit("update_preimage")).unionByName(
+        updatedCols(matching).withColumn(ct, lit("update_postimage"))))
+    }
     if (partCols.isEmpty) {
       // clearDvs: full file-set replace, same reasoning as DELETE above
       if (!tdf.filter(hit).isEmpty)
-        lake.replaceScoped(table, updatedCols(tdf), Nil, clearDvs = true)
+        lake.replaceScoped(table, updatedCols(tdf), Nil, clearDvs = true,
+          changes = changesOf(tdf.filter(hit)))
     } else {
       val matching = tdf.filter(hit)
       val srcParts = matching
@@ -159,7 +177,8 @@ final case class GraftUpdateCommand(
       if (parts.isEmpty) return Seq.empty
       val scoped = tdf.filter(GraftLake.partitionScope(partCols, parts))
       lake.replaceScoped(table, updatedCols(scoped),
-        lake.partitionDirsFor(table, partCols, parts))
+        lake.partitionDirsFor(table, partCols, parts),
+        changes = changesOf(matching))
     }
     Seq.empty
   }

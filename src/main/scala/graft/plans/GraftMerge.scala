@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DataType, TimestampType}
@@ -189,9 +189,21 @@ final case class GraftMergeCommand(
 
   private val InsertedAt = "_inserted_at"
 
+  /** Under change capture, the `_inserted_at` of INSERT-path rows is
+    * frozen driver-side: the table write and the change-file write are
+    * separate jobs, and each would otherwise evaluate CurrentTimestamp()
+    * to its own instant — the feed's postimage must equal the table's
+    * row. None (the per-query CurrentTimestamp) when capture is off. */
+  @transient private var insertNow: Option[Expression] = None
+
   override def run(spark: SparkSession): Seq[Row] = {
     val lake = new GraftLake(spark, warehouse)
     val meta = lake.readMeta(table)
+    if (meta.cdfEnabled) {
+      val now = java.time.Instant.now()
+      insertNow = Some(Literal(
+        now.getEpochSecond * 1000000L + now.getNano / 1000L, TimestampType))
+    }
     (matched ++ notMatched ++ notMatchedBySource).foreach {
       case _: UpdateStarAction | _: InsertStarAction =>
         throw new UnsupportedOperationException(
@@ -446,9 +458,67 @@ final case class GraftMergeCommand(
     val outPlan = Project(outCols, Filter(EqualNullSafe(keep, Literal(true)), joined))
     val result = PlanBridge.ofRows(spark, outPlan)
     assertUniquePks(spark, meta, result, scoping.map(_._3))
+    // write-time change capture (CDF-enabled tables): the SAME full-outer
+    // join classifies every row by its first applicable action — update
+    // rows explode into preimage/postimage pairs (old side = target
+    // attributes, null-padded on the insert side by the join itself),
+    // delete rows carry their old values, insert rows their new ones.
+    // One change-sized write; rows no action fires on emit nothing.
+    val changes: Option[org.apache.spark.sql.DataFrame] =
+      if (!meta.cdfEnabled) None
+      else {
+        def clsOf(actions: Seq[MergeAction]): Expression = {
+          val branches = actions.map {
+            case d: DeleteAction => condOf(d) -> Literal("delete")
+            case u: UpdateAction => condOf(u) -> Literal("update")
+            case i: InsertAction => condOf(i) -> Literal("insert")
+            case a => throw new UnsupportedOperationException(
+              s"MERGE into '$table': unsupported action $a")
+          }
+          if (branches.isEmpty) Literal("none")
+          else CaseWhen(branches, Some(Literal("none")))
+        }
+        val cls = CaseWhen(Seq(
+          matchedP -> clsOf(matched),
+          sourceOnly -> clsOf(notMatched)),
+          Some(clsOf(notMatchedBySource)))
+        val fields = GraftLake.logicalSchema(meta.schema).fields.toSeq
+        def tAttrOf(f: org.apache.spark.sql.types.StructField): Attribute =
+          tAttrByName.getOrElse(f.name.toLowerCase,
+            throw new IllegalStateException(
+              s"target output missing column ${f.name}"))
+        val chgProj = Project(
+          fields.map(f =>
+            Alias(tAttrOf(f), s"__graft_old_${f.name}")()) ++
+          fields.map { f =>
+            val expr = CaseWhen(Seq(
+              matchedP -> valueOf(matched, f.name, f.dataType, tAttrOf(f),
+                insertPath = false),
+              sourceOnly -> valueOf(notMatched, f.name, f.dataType,
+                Literal(null, f.dataType), insertPath = true)),
+              Some(valueOf(notMatchedBySource, f.name, f.dataType, tAttrOf(f),
+                insertPath = false)))
+            Alias(expr, s"__graft_new_${f.name}")()
+          } :+ Alias(cls, "__graft_cls")(), joined)
+        val cdf = PlanBridge.ofRows(spark, chgProj)
+        val ctCol = GraftLake.ChangeTypeCol
+        def proj(prefix: String) = fields.map(f =>
+          col(GraftLake.quoted(s"__graft_${prefix}_${f.name}")).as(f.name))
+        val clsC = col("__graft_cls")
+        val pre = cdf.filter(clsC === "update").select(proj("old"): _*)
+          .withColumn(ctCol, lit("update_preimage"))
+        val post = cdf.filter(clsC === "update").select(proj("new"): _*)
+          .withColumn(ctCol, lit("update_postimage"))
+        val del = cdf.filter(clsC === "delete").select(proj("old"): _*)
+          .withColumn(ctCol, lit("delete"))
+        val ins = cdf.filter(clsC === "insert").select(proj("new"): _*)
+          .withColumn(ctCol, lit("insert"))
+        Some(pre.unionByName(post).unionByName(del).unionByName(ins))
+      }
     scoping match {
-      case Some((_, dirs, _)) => lake.replaceScoped(table, result, dirs)
-      case None => lake.overwriteContents(table, result)
+      case Some((_, dirs, _)) =>
+        lake.replaceScoped(table, result, dirs, changes = changes)
+      case None => lake.overwriteContents(table, result, changes = changes)
     }
   }
 
@@ -500,7 +570,44 @@ final case class GraftMergeCommand(
     val union = Union(Seq(passThrough, nmbsApplied, inserts))
     val result = PlanBridge.ofRows(spark, union)
     assertUniquePks(spark, meta, result, None)
-    lake.overwriteContents(table, result)
+    // write-time change capture: unmatched-by-source rows classify by
+    // their first applicable NMBS action; kept inserts are the third leg
+    val changes: Option[org.apache.spark.sql.DataFrame] =
+      if (!meta.cdfEnabled) None
+      else {
+        val fields = GraftLake.logicalSchema(meta.schema).fields.toSeq
+        val cls = {
+          val branches = notMatchedBySource.map {
+            case d: DeleteAction => condOf(d) -> Literal("delete")
+            case u: UpdateAction => condOf(u) -> Literal("update")
+            case a => throw new UnsupportedOperationException(
+              s"MERGE into '$table': unsupported NMBS action $a")
+          }
+          if (branches.isEmpty) Literal("none")
+          else CaseWhen(branches, Some(Literal("none")))
+        }
+        val chgProj = Project(
+          fields.map(f => Alias(tAttr(f), s"__graft_old_${f.name}")()) ++
+          fields.map(f => Alias(valueOf(notMatchedBySource, f.name,
+            f.dataType, tAttr(f), insertPath = false),
+            s"__graft_new_${f.name}")()) :+
+          Alias(cls, "__graft_cls")(), unmatchedT)
+        val cdf = PlanBridge.ofRows(spark, chgProj)
+        val ctCol = GraftLake.ChangeTypeCol
+        def proj(prefix: String) = fields.map(f =>
+          col(GraftLake.quoted(s"__graft_${prefix}_${f.name}")).as(f.name))
+        val clsC = col("__graft_cls")
+        val pre = cdf.filter(clsC === "update").select(proj("old"): _*)
+          .withColumn(ctCol, lit("update_preimage"))
+        val post = cdf.filter(clsC === "update").select(proj("new"): _*)
+          .withColumn(ctCol, lit("update_postimage"))
+        val del = cdf.filter(clsC === "delete").select(proj("old"): _*)
+          .withColumn(ctCol, lit("delete"))
+        val ins = PlanBridge.ofRows(spark, inserts)
+          .withColumn(ctCol, lit("insert"))
+        Some(pre.unionByName(post).unionByName(del).unionByName(ins))
+      }
+    lake.overwriteContents(table, result, changes = changes)
   }
 
   // ---- shared action application ----
@@ -530,8 +637,9 @@ final case class GraftMergeCommand(
   private def valueOf(actions: Seq[MergeAction], name: String, dt: DataType,
       fallback: Expression, insertPath: Boolean): Expression = {
     def insertDefault: Expression =
-      if (name == InsertedAt) Cast(CurrentTimestamp(), TimestampType,
-        Option(SQLConf.get.sessionLocalTimeZone))
+      if (name == InsertedAt) insertNow.getOrElse(
+        Cast(CurrentTimestamp(), TimestampType,
+          Option(SQLConf.get.sessionLocalTimeZone)))
       else Literal(null, dt)
     val branches = actions.map {
       case UpdateAction(c, as, _) =>

@@ -30,11 +30,17 @@ import graft.catalog.GraftLake
   *    streaming and SQL address tables identically)
   *  - `feed`: `appends` (default — rows added by pure-additive commits)
   *    or `cdf` (the row-level CHANGE feed: the table's columns plus
-  *    `_change_type` 'insert'/'delete' and `_commit_version`, derived
-  *    from commit metadata — MoR deletes stream their preimages, a
-  *    bootstrap emits the snapshot's live rows as inserts; rewrite-class
-  *    windows fail fast, attribution through a rewrite is not
-  *    metadata-derivable)
+  *    `_change_type` 'insert' | 'delete' | 'update_preimage' |
+  *    'update_postimage' and `_commit_version`. Append commits stream
+  *    inserts, MoR deletes their preimages, MoR updates pre/post pairs —
+  *    all derived from commit metadata. Rewrite-class commits (upsert/
+  *    MERGE, copy-on-write UPDATE/DELETE) stream EXACTLY when the table
+  *    has change capture on (`ALTER TABLE t SET TBLPROPERTIES
+  *    ('graft.enableChangeDataFeed'='true')` — such commits then write
+  *    their row-level changes at commit time and the feed reads them
+  *    verbatim, O(changed rows) per epoch); without capture they fail
+  *    fast, attribution through a rewrite is not metadata-derivable.
+  *    A bootstrap emits the snapshot's live rows as inserts.)
   *  - `startingVersion`: `latest` (default — only commits after stream
   *    start), `snapshot` (backfill the stream-start snapshot's full live
   *    rows — deletion vectors applied — then stream later commits), or
@@ -119,8 +125,9 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     s"graft-cdf feed must be 'appends' or 'cdf', got '$feed'")
   require(feed == "appends" || onRewrite == "fail",
     "graft-cdf feed=cdf attributes every row-changing commit exactly — " +
-      "onRewrite=skip does not apply (rewrite-class windows still fail " +
-      "fast: attribution through a rewrite is not metadata-derivable)")
+      "onRewrite=skip does not apply (rewrite-class commits stream via " +
+      "their write-time change files when the table has " +
+      "graft.enableChangeDataFeed; without capture they fail fast)")
   maxVersionsPerTrigger.foreach(m => require(m > 0,
     s"graft-cdf maxVersionsPerTrigger must be positive, got $m"))
 

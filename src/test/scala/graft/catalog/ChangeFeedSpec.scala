@@ -41,7 +41,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       (3, "c", "insert", vs(1)), (4, "d", "insert", vs(2))))
   }
 
-  test("MoR delete and update: DV entries are deletes, postimages inserts") {
+  test("MoR delete and update: DV entries are deletes / pre-post pairs") {
     val lake = newLake()
     lake.append("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
     val v0 = lake.versions("t").head
@@ -51,10 +51,12 @@ class ChangeFeedSpec extends AnyFunSuite {
       Map("v" -> lit("C2"))) === 1L)
     val vUpd = lake.versions("t").last
     val feed = lake.tableChanges("t", v0, vUpd)
+    // a MoR UPDATE pairs exactly: its DV entries are the preimages, its
+    // added files the postimages — same commit, by construction
     assert(feedRows(feed) === Set(
       (2, "b", "delete", vDel),
-      (3, "c", "delete", vUpd),
-      (3, "C2", "insert", vUpd)))
+      (3, "c", "update_preimage", vUpd),
+      (3, "C2", "update_postimage", vUpd)))
   }
 
   test("compaction in the window is logically invisible; retired files still read") {
@@ -156,6 +158,79 @@ class ChangeFeedSpec extends AnyFunSuite {
     check()
   }
 
+  test("change capture: an upsert window attributes exactly (pre/post/insert)") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.setTableProperty("t", TableMeta.CdfEnabledKey, "true")
+    val v0 = lake.versions("t").last
+    lake.upsert("t", Seq((2, "B2"), (3, "c")).toDF("id", "v"))
+    val v1 = lake.versions("t").last
+    val feed = lake.tableChanges("t", v0, v1)
+    assert(feedRows(feed) === Set(
+      (2, "b", "update_preimage", v1),
+      (2, "B2", "update_postimage", v1),
+      (3, "c", "insert", v1)))
+    // the untouched row (1,a) must NOT appear: carried-over rows in the
+    // rewritten files are not changes
+    assert(feed.filter(col("id") === 1).isEmpty)
+  }
+
+  test("change capture: COW UPDATE/DELETE fallbacks attribute through replaceScoped") {
+    val lake = newLake()
+    lake.write("p", (0 until 40).map(i => (i, i % 2, s"v$i"))
+      .toDF("id", "seg", "v"), partitions = Seq("seg"), pks = Seq("id"))
+    lake.setTableProperty("p", TableMeta.CdfEnabledKey, "true")
+    val v0 = lake.versions("p").last
+    // dv.maxEntries=0 forces BOTH engine DML paths onto their
+    // copy-on-write fallbacks (the rewrite-class commits under test)
+    spark.conf.set("spark.graft.dv.maxEntries", "0")
+    try {
+      assert(lake.updateWhere("p", col("id") === 7,
+        Map("v" -> lit("U7"))) === 1L)
+      val vUpd = lake.versions("p").last
+      assert(lake.deleteWhere("p", col("id") === 8) === 1L)
+      val vDel = lake.versions("p").last
+      val feed = lake.tableChanges("p", v0, vDel)
+      assert(feedRows(feed) === Set(
+        (7, "v7", "update_preimage", vUpd),
+        (7, "U7", "update_postimage", vUpd),
+        (8, "v8", "delete", vDel)))
+    } finally spark.conf.unset("spark.graft.dv.maxEntries")
+  }
+
+  test("change capture off: the upsert window still fails fast") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a")).toDF("id", "v"), pks = Seq("id"))
+    val v0 = lake.versions("t").last
+    lake.write("t", Seq((1, "A2")).toDF("id", "v"), pks = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      lake.tableChanges("t", v0, lake.versions("t").last).collect()
+    }
+    assert(e.getMessage.contains(TableMeta.CdfEnabledKey))
+  }
+
+  test("change capture: vacuum keeps retained windows' change files, reaps expired") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.setTableProperty("t", TableMeta.CdfEnabledKey, "true")
+    lake.upsert("t", Seq((1, "A2")).toDF("id", "v")) // captured rewrite 1
+    val vMid = lake.versions("t").last
+    lake.upsert("t", Seq((2, "B2")).toDF("id", "v")) // captured rewrite 2
+    val vLast = lake.versions("t").last
+    val chg = new java.io.File(s"${lake.warehouseDir}/t/_changes")
+    assert(chg.listFiles().count(_.getName.endsWith(".parquet")) >= 2)
+    // keep the last two snapshots: rewrite 2's window stays readable,
+    // rewrite 1's change files become unreferenced and are reaped
+    lake.expireSnapshots("t", keepLast = 2)
+    val after = chg.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after >= 1 && after < 2 + 1,
+      s"expired change files must be vacuumed (left $after)")
+    val feed = lake.tableChanges("t", vMid, vLast)
+    assert(feedRows(feed) === Set(
+      (2, "b", "update_preimage", vLast),
+      (2, "B2", "update_postimage", vLast)))
+  }
+
   test("reconciliation: state(from) + inserts - deletes = state(to)") {
     val lake = newLake()
     val base = (1 to 200).map(i => (i, s"v$i"))
@@ -168,9 +243,11 @@ class ChangeFeedSpec extends AnyFunSuite {
     val vN = lake.versions("t").last
     val feed = lake.tableChanges("t", v0, vN)
     val from = lake.readVersion("t", v0).select("id", "v")
-    val ins = feed.filter(col(GraftLake.ChangeTypeCol) === "insert")
+    val ins = feed.filter(col(GraftLake.ChangeTypeCol)
+        .isin("insert", "update_postimage"))
       .select("id", "v")
-    val del = feed.filter(col(GraftLake.ChangeTypeCol) === "delete")
+    val del = feed.filter(col(GraftLake.ChangeTypeCol)
+        .isin("delete", "update_preimage"))
       .select("id", "v")
     val reconstructed = from.unionByName(ins).exceptAll(del)
     val to = lake.readVersion("t", vN).select("id", "v")

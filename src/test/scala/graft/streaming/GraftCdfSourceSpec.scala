@@ -210,7 +210,7 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("feed=cdf on a PARTITIONED table; a MoR UPDATE streams as delete+insert") {
+  test("feed=cdf on a PARTITIONED table; a MoR UPDATE streams pre/post images") {
     val lake = newLake()
     lake.write("t", (0 until 20).map(i => (i, i % 4, s"v$i")).toDF("id", "seg", "v"),
       partitions = Seq("seg"), pks = Seq("id"))
@@ -230,8 +230,58 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     val changed = got.filter(col("_commit_version") > 0)
       .select("id", "_change_type", "v").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
-    assert(changed === Set((7, "delete", "v7"), (7, "insert", "UPD")),
-      s"MoR UPDATE must stream preimage delete + postimage insert, got $changed")
+    assert(changed === Set(
+      (7, "update_preimage", "v7"), (7, "update_postimage", "UPD")),
+      s"MoR UPDATE must stream paired pre/post images, got $changed")
+  }
+
+  test("feed=cdf streams an UPSERT window exactly under change capture") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    // WITHOUT capture: the upsert rewrite is unattributable — fail fast
+    lake.write("t", Seq((2, "B2")).toDF("id", "v"), pks = Seq("id"))
+    val sinkFail = freshSink()
+    val qf = stream(lake, "t", sinkFail,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("feed" -> "cdf", "startingVersion" -> "0"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try qf.processAllAvailable() finally qf.stop()
+    }
+    assert(e.getCause.getMessage.contains("enableChangeDataFeed"),
+      s"uncaptured rewrite must fail with guidance, got: ${e.getCause.getMessage}")
+
+    // WITH capture: the upsert writes its change files at commit time and
+    // the feed attributes the window exactly — matched keys as
+    // update_preimage/update_postimage pairs, new keys as inserts
+    lake.setTableProperty("t",
+      graft.catalog.TableMeta.CdfEnabledKey, "true")
+    val vBefore = lake.versions("t").last
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("feed" -> "cdf", "startingVersion" -> vBefore.toString))
+    try {
+      q.processAllAvailable()
+      lake.upsert("t", Seq((1, "A3"), (9, "new")).toDF("id", "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val vUp = lake.versions("t").last
+    val got = spark.table(sink)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1, "a", "update_preimage", vUp),
+      (1, "A3", "update_postimage", vUp),
+      (9, "new", "insert", vUp)), s"got $got")
+    // the change feed's postimages equal the table's rows — including the
+    // frozen _inserted_at of the insert path
+    val tbl = lake.read("t").select("id", "v", "_inserted_at")
+    val post = spark.table(sink)
+      .filter(col("_change_type").isin("update_postimage", "insert"))
+      .select("id", "v", "_inserted_at")
+    assert(post.exceptAll(tbl).isEmpty,
+      "every streamed postimage/insert must appear verbatim in the table")
   }
 
   test("Trigger.AvailableNow drains the backlog and terminates") {
