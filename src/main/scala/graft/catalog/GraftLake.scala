@@ -174,6 +174,9 @@ final class GraftLake(private[graft] val spark: SparkSession,
   private def invalidateTable(name: String): Unit = {
     GraftLake.shallowCache.remove(s"$warehouse/$name")
     GraftLake.dvBroadcastCache.keySet.removeIf(_.contains(s"#$warehouse/$name#"))
+    // meta too: a CROSS-PROCESS rebucket/evolution behind a lost commit
+    // race must be re-read from disk before the caller re-derives
+    metaCache.remove(s"$warehouse/$name")
     lastVersionCache.remove(s"$warehouse/$name")
     liveSetCache.remove(s"$warehouse/$name")
     statsMapCache.remove(s"$warehouse/$name")
@@ -182,6 +185,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
     dvRulePassCache.remove(s"$warehouse/$name")
     dvRulePassAtVersion.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
     bloomCache.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
+    layoutCache.remove(s"$warehouse/$name")
+    typeStableCache.remove(s"$warehouse/$name")
   }
 
   // ---- DDL ----
@@ -928,7 +933,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         manifestScan(paths, statsFor(name, v), full, partDepth,
           Some(dataDir(name)), bloomPruner(name, _),
-          GraftLake.bucketKeyPruner(meta, _))
+          bucketPrunerAt(name, v, meta, _))
     }
     val fileBacked = base.queryExecution.logical.collectFirst {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
@@ -1041,7 +1046,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // bucket-dir disproof: a file in a bucket no equality candidate
     // hashes into provably holds zero matching rows — a point DELETE on
     // a bucketed table proves its untouched buckets clean without stats
-    val bucketK = GraftLake.bucketKeyPruner(meta, pred)
+    val bucketK = bucketPrunerAt(name, v, meta, pred)
     def statsOf(ref: (String, String)): Map[String, GraftLake.Bounds] =
       stats.getOrElse(GraftLake.fileKey(ref), Map.empty)
     val (drop, rest) = files.partition { ref =>
@@ -1216,7 +1221,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
           renameOrFail(f, s.getPath, new Path(dd, n))
           n
         }
-      commitVersion(name, Nil, Nil, op = "delete", dvAdded = names)
+      commitVersion(name, Nil, Nil, op = "delete", dvAdded = names,
+        assumedLayout = Some(meta.partitions))
       deleted
     } finally f.delete(stage, true)
   }
@@ -1365,7 +1371,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       } finally fs(dvStage).delete(dvStage, true)
       // 3) ONE commit: adds + DV in the same version
       commitVersion(name, added._1, Nil, added._2, op = "update",
-        dvAdded = dvNames)
+        dvAdded = dvNames, assumedLayout = Some(meta.partitions))
       updated
     } finally f.delete(stage, true)
   }
@@ -1828,7 +1834,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         val scan = manifestScan(paths, statsFor(name, v), full,
           meta.partitionExprs.size, Some(dataDir(name)),
-          bloomPruner(name, _), GraftLake.bucketKeyPruner(meta, _))
+          bloomPruner(name, _), bucketPrunerAt(name, v, meta, _))
         applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
     }
     toLogical(meta.schema, masked)
@@ -1868,7 +1874,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         val pred = loweredPhysicalPredicate(meta, predicate)
         val keep = GraftLake.filePruner(pred)
         val bloomK = bloomPruner(name, pred)
-        val bucketK = GraftLake.bucketKeyPruner(meta, pred)
+        val bucketK = bucketPrunerAt(name, v, meta, pred)
         val kept = files.filter { ref =>
           val k = GraftLake.fileKey(ref)
           keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k)) &&
@@ -1928,7 +1934,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val stats = statsFor(name, v)
       val keep = GraftLake.filePruner(pred)
       val bloomK = bloomPruner(name, pred)
-      val bucketK = GraftLake.bucketKeyPruner(meta, pred)
+      val bucketK = bucketPrunerAt(name, v, meta, pred)
       val kept = files.filter { ref =>
         val k = GraftLake.fileKey(ref)
         keep(stats.getOrElse(k, Map.empty)) && bloomK.forall(_(k)) &&
@@ -2520,7 +2526,23 @@ final class GraftLake(private[graft] val spark: SparkSession,
 
   private def appendTxn(name: String, batch: DataFrame,
       txn: Option[(String, Long)], partitions: Seq[String] = Nil,
-      pks: Seq[String] = Nil): Unit = {
+      pks: Seq[String] = Nil): Unit =
+    try appendTxnOnce(name, batch, txn, partitions, pks)
+    catch {
+      // the commit's layout validation refused the staged files (a
+      // concurrent REBUCKET changed the partition layout while this
+      // append was staging — commitVersion already rolled the stage
+      // back physically): appends commute, so re-derive under the fresh
+      // layout and retry once; a second refusal means rebuckets are
+      // racing each other and deserves the loud failure
+      case _: java.util.ConcurrentModificationException =>
+        graft.metrics.GraftMetrics.op("appendLayoutRetry").record(0L)
+        appendTxnOnce(name, batch, txn, partitions, pks)
+    }
+
+  private def appendTxnOnce(name: String, batch: DataFrame,
+      txn: Option[(String, Long)], partitions: Seq[String],
+      pks: Seq[String]): Unit = {
     // before ensureTable: schema evolution must not touch a read-only
     // clone's meta either (writeLock would catch the data write later,
     // but by then the registry would have drifted)
@@ -2549,7 +2571,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
         withLakeTimestampFormat { parted.parquet(stage.toString) }
         val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
         val added = mergeStageInto(stage, new Path(dataDir(name)))
-        commitVersion(name, added, Nil, writeStats, op = "append", txn = txn)
+        commitVersion(name, added, Nil, writeStats, op = "append", txn = txn,
+          assumedLayout = Some(meta.partitions))
       } finally fs(stage).delete(stage, true)
     }
   }
@@ -2645,7 +2668,23 @@ final class GraftLake(private[graft] val spark: SparkSession,
       else {
         val batchParts = withPartitionCols(deduped, meta)
           .select(partCols.map(c => col(quoted(c))): _*).distinct()
-        if (pkFunctional) {
+        // the always-correct scope: PK-probe the table for where matching
+        // keys LIVE (layout-agnostic — values come from the data, and a
+        // null-partition tuple from a foreign-layout file routes its rows
+        // into the scope via the isNull branch of partitionScope)
+        def fullProbeScoped(): DataFrame = {
+          val existing = existingDirScan
+          val matchedParts = existing
+            .select((pks ++ partCols).map(c => col(quoted(c))): _*)
+            .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
+            .select(partCols.map(c => col(quoted(c))): _*).distinct()
+          val parts = batchParts.union(matchedParts).distinct().collect()
+          existing.filter(GraftLake.partitionScope(partCols, parts))
+        }
+        // probe-skip soundness needs hash stability: a bucket source
+        // column widened before the ensureTable guard means old files
+        // hashed under the old type — only the probe can find them
+        if (pkFunctional && bucketSourceTypesStable(name, meta)) {
           val parts = batchParts.collect()
           // null (and empty-string) partition values render as Hive's
           // DEFAULT partition — not reproducible here, use the dir path
@@ -2672,29 +2711,39 @@ final class GraftLake(private[graft] val spark: SparkSession,
               val live =
                 if (cachedLive != null && cachedLive._1 == v) cachedLive._2
                 else resolveManifest(name, v)._2
-              val refs = live.filter(ref => wanted.contains(ref._1))
-              val dd = dataDir(name)
-              manifestDirs = Some(
-                refs.map(_._1).distinct.map(rel => new Path(s"$dd/$rel")))
-              val paths = refs.map { case (rel, fn) => s"$dd/$rel/$fn" }
-              val full = StructType(
-                meta.schema.fields.toSeq ++ partFields)
-              applyDvs(name,
-                manifestScan(paths, statsFor(name, v), full, partCols.size,
-                  Some(dd)),
-                liveDvs(name), partCols.size)
+              // every live file must CONFORM to the current layout (its
+              // rel dirs carry the layout's own `__p_…=` prefixes — the
+              // bucket count is part of the name): a foreign-layout file
+              // (a crashed mid-REBUCKET state) would silently miss the
+              // rendered `wanted` set and land its keys as duplicate
+              // inserts; such tables take the probe path, which finds and
+              // re-homes those rows
+              val prefixes = partCols.map(c =>
+                org.apache.spark.sql.graft.PlanBridge
+                  .escapePartitionValue(c) + "=")
+              def conforms(rel: String): Boolean = {
+                val segs = rel.split('/')
+                segs.length == partCols.size &&
+                  segs.zip(prefixes).forall { case (d, p) => d.startsWith(p) }
+              }
+              if (!live.forall(ref => conforms(ref._1))) fullProbeScoped()
+              else {
+                val refs = live.filter(ref => wanted.contains(ref._1))
+                val dd = dataDir(name)
+                manifestDirs = Some(
+                  refs.map(_._1).distinct.map(rel => new Path(s"$dd/$rel")))
+                val paths = refs.map { case (rel, fn) => s"$dd/$rel/$fn" }
+                val full = StructType(
+                  meta.schema.fields.toSeq ++ partFields)
+                applyDvs(name,
+                  manifestScan(paths, statsFor(name, v), full, partCols.size,
+                    Some(dd)),
+                  liveDvs(name), partCols.size)
+              }
             case None =>
               existingDirScan.filter(GraftLake.partitionScope(partCols, parts))
           }
-        } else {
-          val existing = existingDirScan
-          val matchedParts = existing
-            .select((pks ++ partCols).map(c => col(quoted(c))): _*)
-            .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
-            .select(partCols.map(c => col(quoted(c))): _*).distinct()
-          val parts = batchParts.union(matchedParts).distinct().collect()
-          existing.filter(GraftLake.partitionScope(partCols, parts))
-        }
+        } else fullProbeScoped()
       }
 
     // W2 rewrite with exact MERGE INTO semantics in ONE full-outer join
@@ -2806,7 +2855,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val (added, removed) =
       swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
     commitVersion(name, added, removed, writeStats, op = "upsert",
-      changes = changeFiles)
+      changes = changeFiles, assumedLayout = Some(meta.partitions))
   }
 
   /** Replace the entire table contents with `df` (must carry exactly the
@@ -2853,7 +2902,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val added = listDataFiles(name)
       // every previous file is retired: all DV entries are inert — drop
       commitVersion(name, added, removed, writeStats, op = "overwrite",
-        dvRemoved = liveDvs(name), changes = changeFiles)
+        dvRemoved = liveDvs(name), changes = changeFiles,
+        assumedLayout = Some(meta.partitions))
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -2876,7 +2926,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       }
       val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
       val added = mergeStageInto(stage, new Path(dataDir(name)))
-      commitVersion(name, added, Nil, writeStats, op = "append")
+      commitVersion(name, added, Nil, writeStats, op = "append",
+        assumedLayout = Some(meta.partitions))
     } finally fs(stage).delete(stage, true)
   }
 
@@ -2916,7 +2967,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       partCols.size, affectedDirs.map(new Path(_)))
     commitVersion(name, added, removed, writeStats, op = "replace-scoped",
       dvRemoved = if (clearDvs) liveDvs(name) else Nil,
-      changes = changeFiles)
+      changes = changeFiles, assumedLayout = Some(meta.partitions))
   }
 
   /** Compact a table's data files: rewrites each partition (or the whole
@@ -3136,8 +3187,134 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val fullRewrite = predicate.isEmpty || partCols.isEmpty
       commitVersion(name, added, removed, writeStats,
         op = if (clusterCols.nonEmpty) "zorder" else "compact",
-        dvRemoved = if (fullRewrite) dvs0 else Nil)
+        dvRemoved = if (fullRewrite) dvs0 else Nil,
+        assumedLayout = Some(meta.partitions))
       fs(stage).delete(stage, true) // committer droppings (_SUCCESS etc.)
+      true
+    }
+  }
+
+  /** ONLINE re-bucketing — `OPTIMIZE t REBUCKET TO n`: rewrite the whole
+    * table into a `bucket(n, …)` layout without blocking readers and
+    * without ever exposing a mixed directory. The 100 TB layout policy
+    * this enables: fix the bucket SIZE and grow the bucket COUNT with
+    * the table — without it, per-flush merge cost grows with bucket size
+    * forever once a table outgrows its creation-time n.
+    *
+    * Concurrency (the concurrent-OPTIMIZE machinery): the long rewrite
+    * runs with NO table lock against an EXPLICIT manifest file set; the
+    * short commit section validates the live set is EXACTLY the input
+    * set (unlike compaction, a mid-rewrite append wrote its files under
+    * the OLD layout — adopting them would mix layouts, so rebucket
+    * retries instead; appends always win) and the DV set unchanged, then
+    * swaps directories, updates the registry and commits `op=rebucket`
+    * in one lock section. The new layout is VERSIONED in the manifest:
+    * snapshot reads prune with the n their files were written under, and
+    * a writer that staged under the old layout is refused at commit
+    * (commitVersionOnce layout validation) and re-derives. Deletion
+    * vectors are folded into the rewrite (content-preserving), so the
+    * commit is a logical no-op to the change/append feeds.
+    *
+    * Crash window: like every staged-swap op, a crash between the
+    * directory swap and the commit leaves directory ≠ manifest —
+    * [[repairTable]] re-adopts the directory state (the meta write and
+    * commit share the lock section, so registry and manifest move
+    * together). */
+  def rebucket(name: String, n: Int): Unit = {
+    var attempt = 0
+    while (!rebucketAttempt(name, n)) {
+      attempt += 1
+      graft.metrics.GraftMetrics.op("rebucketRetry").record(0L)
+      if (attempt >= 5) throw new IllegalStateException(
+        s"rebucket of '$name' lost to concurrent commits $attempt times " +
+          "— retry when the table quiesces")
+    }
+  }
+
+  /** Test seam, as [[compactBeforeCommitHook]]: runs between the
+    * lock-free rewrite and the commit-time validation. */
+  private[graft] var rebucketBeforeCommitHook: () => Unit = () => ()
+
+  private def rebucketAttempt(name: String, n: Int): Boolean = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
+    val meta = readMeta(name)
+    val buckets = meta.partitionExprs.zipWithIndex
+      .collect { case (b: PartitionExpr.Bucket, i) => (b, i) }
+    require(buckets.size == 1,
+      s"REBUCKET needs exactly one bucket(…) partition expression; " +
+        s"'$name' has ${buckets.size} (partitions: ${meta.partitions.mkString(", ")})")
+    val (b, bi) = buckets.head
+    if (b.n == n) return true // already there
+    val newMeta = meta.copy(partitions = meta.partitions
+      .updated(bi, s"bucket($n, ${b.columns.mkString(", ")})"))
+    val newPartCols = newMeta.partitionExprs.map(_.outputName)
+    val v0 = versions(name).lastOption.getOrElse {
+      // no commits yet: pure registry flip (nothing on disk obeys any
+      // layout), still under the lock against racing first writes
+      writeLock(name) { writeMeta(name, newMeta) }
+      return true
+    }
+    val refs0 = resolveManifest(name, v0)._2
+    val dvs0 = dvsAtVersion(name, v0)
+    val dd = dataDir(name)
+    val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+    val writeStats: Map[String, Map[String, GraftLake.Bounds]] =
+      if (refs0.isEmpty) Map.empty
+      else {
+        val paths = refs0.map { case (rel, fn) =>
+          if (rel.isEmpty) s"$dd/$fn" else s"$dd/$rel/$fn"
+        }
+        val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
+        // pinned-snapshot scan of exactly v0's files; DVs fold in (their
+        // masked rows must not reach the re-bucketed files)
+        val all = applyDvs(name,
+          manifestScan(paths, statsFor(name, v0), full,
+            meta.partitionExprs.size, Some(dd)),
+          dvs0, meta.partitionExprs.size)
+        val projected = all
+          .select(meta.schema.fieldNames.map(nm => col(quoted(nm))): _*)
+        val out = withPartitionCols(projected, newMeta)
+        // one task per NEW bucket (rows cluster by the new partition
+        // values) — the rewrite emits one right-sized file per bucket
+        // instead of tasks × buckets slivers
+        val arranged =
+          out.repartition(newPartCols.map(c => col(quoted(c))): _*)
+        val writer = arranged.write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+        withLakeTimestampFormat {
+          writer.partitionBy(newPartCols: _*).parquet(stage.toString)
+        }
+        org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+      }
+    rebucketBeforeCommitHook()
+    writeLock(name) {
+      val vNow = versions(name).lastOption.getOrElse(-1L)
+      val ok = (vNow == v0 || {
+        resolveManifest(name, vNow)._2.toSet == refs0.toSet
+      }) && liveDvs(name).toSet == dvs0.toSet
+      if (!ok) { fs(stage).delete(stage, true); return false }
+      val affected = refs0.map(_._1).filter(_.nonEmpty).distinct
+        .map(rel => new Path(s"$dd/$rel"))
+      val (added, removed) =
+        if (refs0.isEmpty) (Nil, Nil)
+        else swapInto(name, stage, new Path(dd), newPartCols.size, affected)
+      // registry first, then manifest — both inside this lock section, so
+      // commitVersionOnce renders the NEW layout (the layout `added`
+      // obeys) into the manifest the validation chain reads
+      writeMeta(name, newMeta)
+      try commitVersion(name, added, removed, writeStats, op = "rebucket",
+        dvRemoved = dvs0)
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          // lost a cross-process race: commitVersion unswapped the files;
+          // roll the registry back too, then retry from the new state
+          writeMeta(name, meta)
+          graft.metrics.GraftMetrics.op("rebucketRetry").record(0L)
+          return false
+      }
       true
     }
   }
@@ -3402,7 +3579,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       dvRemoved: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       txnsReset: Option[Map[String, Long]] = None,
-      changes: Seq[String] = Nil): Unit = {
+      changes: Seq[String] = Nil,
+      assumedLayout: Option[Seq[String]] = None): Unit = {
     // single chokepoint for EVERY mutation path: a shallow clone is
     // read-only until materialized (its reads resolve through the
     // SOURCE's pinned manifest — a local commit would silently fork)
@@ -3424,8 +3602,17 @@ final class GraftLake(private[graft] val spark: SparkSession,
       .getOrElse(120000L) * 1000000L
     while (!done) {
       try { commitVersionOnce(name, added, removed, writeStats, op,
-        dvAdded, dvRemoved, txn, txnsReset, changes); done = true }
+        dvAdded, dvRemoved, txn, txnsReset, changes, assumedLayout)
+        done = true }
       catch {
+        case e: java.util.ConcurrentModificationException =>
+          // layout validation refused the commit (concurrent REBUCKET):
+          // same physical rollback as a lost rewrite race, then propagate
+          // — the caller re-derives under the new layout (appends retry
+          // internally, see appendTxn)
+          invalidateTable(name)
+          unswapOnCollision(name, added, removed)
+          throw e
         case e: java.io.IOException
             if isManifestCollision(e) && (attempt < 5 ||
               (appendOnly && System.nanoTime() < appendDeadline)) =>
@@ -3534,7 +3721,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       dvRemoved: Seq[String],
       txn: Option[(String, Long)],
       txnsReset: Option[Map[String, Long]] = None,
-      changes: Seq[String] = Nil): Unit =
+      changes: Seq[String] = Nil,
+      assumedLayout: Option[Seq[String]] = None): Unit =
       graft.metrics.GraftMetrics.time(graft.metrics.GraftMetrics.CommitVersion) {
     val vd = versionsDir(name)
     val f = fs(vd)
@@ -3542,6 +3730,21 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
       .orElse(versions(name).lastOption)
+    // LAYOUT VALIDATION: a writer staged its files under the partition
+    // layout it read at start; if a REBUCKET committed since (possibly in
+    // another process — the writer's next claim necessarily observes the
+    // rebucket's version first), those files sit in the OLD layout's
+    // directories and adopting them would leave a mixed directory that
+    // silently breaks bucket pruning and the merge fast path. Refuse
+    // loudly; the caller invalidates and re-derives under the new layout.
+    for (assumed <- assumedLayout; lv <- last;
+         current <- layoutAt(name, lv))
+      if (current != assumed)
+        throw new java.util.ConcurrentModificationException(
+          s"partition layout of '$name' changed while this $op was " +
+            s"staging (was [${assumed.mkString(", ")}], now " +
+            s"[${current.mkString(", ")}] — a concurrent REBUCKET): " +
+            "re-derive against the new layout and retry")
     val (prevList, prevDepth) = last match {
       case None => (Vector.empty[(String, String)], 0)
       case Some(v) =>
@@ -3601,6 +3804,73 @@ final class GraftLake(private[graft] val spark: SparkSession,
     liveSetCache.put(key, (next, newList, if (asFull) 0 else prevDepth + 1))
     statsMapCache.put(key, (next, newStats))
     dvSetCache.put(key, (next, newDvs))
+    layoutCache.put(key, (next, Some(meta.partitions)))
+  }
+
+  /** The partition layout recorded in snapshot `version`'s manifest
+    * (None on pre-versioning manifests). One manifest read per (table,
+    * version) — cached alongside the other per-version state. */
+  private def layoutAt(name: String, version: Long): Option[Seq[String]] = {
+    val key = s"$warehouse/$name"
+    val c = layoutCache.get(key)
+    if (c != null && c._1 == version) c._2
+    else {
+      val l = readManifestFile(name, version).partitionsOpt
+      layoutCache.put(key, (version, l))
+      l
+    }
+  }
+
+  /** Whether every bucket-source column's TYPE is identical across the
+    * retained manifest history. Hash-based bucket pruning and the
+    * PK-functional merge probe-skip both re-hash values under the
+    * CURRENT type — a table whose bucket source was widened BEFORE the
+    * round-11 ensureTable guard has files hashed under the old type in
+    * old directories, and both optimizations would silently route around
+    * them (missed rows / duplicated PKs). Such tables keep the always-
+    * correct probe/scan paths. One retained-chain walk per table; `true`
+    * is sticky per version (the guard makes regression impossible). */
+  private def bucketSourceTypesStable(name: String, meta: TableMeta): Boolean = {
+    val srcCols = meta.partitionExprs
+      .collect { case b: PartitionExpr.Bucket => b.columns }.flatten.distinct
+    if (srcCols.isEmpty) return true
+    val key = s"$warehouse/$name"
+    val vs = versions(name)
+    val last = vs.lastOption.getOrElse(return true)
+    val c = typeStableCache.get(key)
+    if (c != null && (c._2 || c._1 == last)) return c._2
+    val curTypes = srcCols.flatMap(cn => meta.schema.fields
+      .find(_.name.equalsIgnoreCase(cn)).map(cn -> _.dataType)).toMap
+    val stable = vs.forall { v =>
+      val sch = readManifestFile(name, v).schema
+      srcCols.forall { cn =>
+        sch.fields.find(_.name.equalsIgnoreCase(cn))
+          .forall(f => curTypes.get(cn).contains(f.dataType))
+      }
+    }
+    typeStableCache.put(key, (last, stable))
+    stable
+  }
+
+  /** Bucket-directory pruner for reads of snapshot `version`, LAYOUT-
+    * VERSIONED: hashes under the layout RECORDED in that snapshot's
+    * manifest (current meta only as the pre-versioning fallback), so
+    * time-travel reads across a REBUCKET prune with the n their files
+    * were written under; disabled outright when a bucket source column's
+    * type differs anywhere in retained history (see
+    * [[bucketSourceTypesStable]]). Directory names additionally encode
+    * the bucket count (`__p_bucket_<n>_<cols>=`), so a file from a
+    * DIFFERENT layout can never be mis-pruned — its prefix mismatches
+    * and the pruner keeps it. */
+  private def bucketPrunerAt(name: String, version: Long, meta: TableMeta,
+      pred: org.apache.spark.sql.graft.PlanBridge.SimplePred)
+      : Option[String => Boolean] = {
+    val layout = layoutAt(name, version).getOrElse(meta.partitions)
+    val eff = if (layout == meta.partitions) meta
+      else meta.copy(partitions = layout)
+    if (eff.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket]) &&
+        !bucketSourceTypesStable(name, eff)) None
+    else GraftLake.bucketKeyPruner(eff, pred)
   }
 
   /** Read one manifest file verbatim. An unparseable read RETRIES
@@ -3799,14 +4069,15 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // pruning-capable scan against THAT snapshot's per-file bounds
     // (resolveStats directly, not statsFor — the single-entry cache must
     // keep serving the latest version on the hot path).
-    // bucket-dir pruning holds AS OF any snapshot: the partition spec is
-    // fixed at creation and partition-source types can never evolve
-    // (ensureTable guard), so the current meta's bucket layout describes
-    // every snapshot's directories — including retired files under
-    // _history/, whose relative layout the key derivation preserves
+    // bucket-dir pruning holds AS OF any snapshot because the layout is
+    // VERSIONED: bucketPrunerAt hashes under the layout recorded in THAT
+    // snapshot's manifest (a later REBUCKET doesn't confuse it), and it
+    // disables itself when a bucket source column's type ever changed in
+    // retained history; retired files under _history/ keep their relative
+    // layout, which the key derivation preserves
     val scan = manifestScan(paths, resolveStats(name, version), schema,
       partDepth, basePath = None, bloomPruner(name, _),
-      GraftLake.bucketKeyPruner(meta, _))
+      bucketPrunerAt(name, version, meta, _))
     // apply the DELETION VECTORS OF THAT SNAPSHOT: the key derivation is
     // segment-based, so it matches retired files under _history/ too
     toLogical(schema, applyDvs(name, scan, resolveDvs(name, version), partDepth)
@@ -4247,7 +4518,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val outSchema = StructType(toSchema.fields.toSeq ++ Seq(
       StructField(GraftLake.ChangeTypeCol, StringType, nullable = false),
       StructField(GraftLake.CommitVersionCol, LongType, nullable = false)))
-    val logicalNoOps = Set("compact", "zorder", "dv-clear")
+    val logicalNoOps = Set("compact", "zorder", "dv-clear", "rebucket")
     // O(delta) per commit: delta manifests carry their own add/remove and
     // dvAdd/dvRemove, so the walk never re-materializes the live set
     // except at full-checkpoint manifests (every checkpointInterval
@@ -4395,7 +4666,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       throw new IllegalStateException(
         s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
           "by expireSnapshots — restart the stream from a retained version")
-    val logicalNoOps = Set("compact", "zorder", "dv-clear")
+    val logicalNoOps = Set("compact", "zorder", "dv-clear", "rebucket")
     val out = Seq.newBuilder[(String, String)]
     if (bootstrap) // the backfill snapshot: the one necessarily-full read
       out ++= resolveManifest(name, window.head)._2
@@ -4833,7 +5104,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       try out.write(GraftLake.renderManifestWithSchema(v,
         m.schema, files, st, m.op, dvs = dv,
         txns = resolveTxns(name, v),
-        changes = m.changes).getBytes("UTF-8")) finally out.close()
+        changes = m.changes,
+        partitions = m.partitionsOpt).getBytes("UTF-8")) finally out.close()
       replaceAtomic(f, tmp, p)
     }
     keep.filter(v => v == keepWindow.head || !keepWindow.contains(v))
@@ -5098,6 +5370,14 @@ object GraftLake {
     * POSITIVE verdicts are stored — a DV-carrying table must rebuild its
     * substituted read every pass anyway. */
   private val dvRulePassCache = new ConcurrentHashMap[String, java.lang.Long]()
+  /** table key → (version, that manifest's recorded partition layout). */
+  private val layoutCache =
+    new ConcurrentHashMap[String, (Long, Option[Seq[String]])]()
+  /** table key → (last version seen, bucket-source types stable across
+    * retained history). True is sticky per version — ensureTable rejects
+    * partition-source type evolution, so stability cannot regress. */
+  private val typeStableCache =
+    new ConcurrentHashMap[String, (Long, Boolean)]()
   /** Same verdict for `VERSION AS OF` snapshot relations — immutable per
     * (table, version), size-bounded defensively with PER-ENTRY eviction
     * (never clear() — see dvRuleUnchanged). private[graft] for the
@@ -5683,7 +5963,13 @@ object GraftLake {
       // which are snapshot state) — written by rewrite-class commits on
       // CDF-enabled tables; when present, the change feed reads them
       // INSTEAD of deriving the commit's changes from its file delta
-      changes: Vector[String] = Vector.empty)
+      changes: Vector[String] = Vector.empty,
+      // the partition LAYOUT the commit's files obey (raw spec strings) —
+      // versioned here so bucket-directory pruning of a snapshot uses the
+      // layout its files were actually written under (REBUCKET changes
+      // it), and so a commit computed under a stale layout is refused
+      // (commitVersionOnce validation). None on pre-versioning manifests.
+      partitionsOpt: Option[Seq[String]] = None)
 
   /** ≈ reference file.size.bytes flush cap, expressed in records. */
   val maxRecordsPerFile = 5000000
@@ -5730,6 +6016,7 @@ object GraftLake {
     lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
     dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
     dvRulePassCache.clear(); dvRulePassAtVersion.clear()
+    layoutCache.clear(); typeStableCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --
@@ -5789,7 +6076,7 @@ object GraftLake {
       txns: Map[String, Long] = Map.empty,
       changes: Seq[String] = Nil): String =
     renderManifestWithSchema(version, meta.schema, files, stats, op, dvs,
-      txns, changes)
+      txns, changes, Some(meta.partitions))
 
   private def strArr(xs: Seq[String]): String =
     xs.map(q).mkString("[", ",", "]")
@@ -5800,11 +6087,13 @@ object GraftLake {
       op: String = "write",
       dvs: Seq[String] = Nil,
       txns: Map[String, Long] = Map.empty,
-      changes: Seq[String] = Nil): String =
+      changes: Seq[String] = Nil,
+      partitions: Option[Seq[String]] = None): String =
     s"""{"version":$version,"op":${q(op)},"schema":${schema.json},"files":${fileArr(files)}""" +
       s""","stats":${statsObj(stats, files.map(fileKey))}""" +
       (if (dvs.isEmpty) "" else s""","dvs":${strArr(dvs.sorted)}""") +
       (if (changes.isEmpty) "" else s""","changes":${strArr(changes.sorted)}""") +
+      partitions.map(p => s""","partitions":${strArr(p)}""").getOrElse("") +
       (if (txns.isEmpty) "}"
        else txns.toSeq.sorted.map { case (a, v) => s"${q(a)}:$v" }
          .mkString(""","txns":{""", ",", "}}"))
@@ -5828,6 +6117,7 @@ object GraftLake {
       (if (dvAdd.isEmpty) "" else s""","dvAdd":${strArr(dvAdd.sorted)}""") +
       (if (dvRemove.isEmpty) "" else s""","dvRemove":${strArr(dvRemove.sorted)}""") +
       (if (changes.isEmpty) "" else s""","changes":${strArr(changes.sorted)}""") +
+      s""","partitions":${strArr(meta.partitions)}""" +
       txn.map { case (a, v) => s""","txnApp":${q(a)},"txnV":$v""" }.getOrElse("") +
       "}"
 
@@ -5880,12 +6170,15 @@ object GraftLake {
         b.result()
       }
     }
+    val partitionsOpt: Option[Seq[String]] =
+      if (node.has("partitions")) Some(strs("partitions")) else None
     if (node.has("files"))
       // a full manifest is the dv/txn-resolution anchor: an absent field
       // (older writers) means "none", i.e. Some(∅)
       Manifest(version, schema, Some(refs("files")), -1L, 0,
         Vector.empty, Vector.empty, stats, op, dvs = Some(strs("dvs")),
-        txns = Some(txns), changes = strs("changes"))
+        txns = Some(txns), changes = strs("changes"),
+        partitionsOpt = partitionsOpt)
     else
       Manifest(version, schema, None, node.get("base").asLong(),
         if (node.has("depth")) node.get("depth").asInt() else 1,
@@ -5894,7 +6187,8 @@ object GraftLake {
         txn = if (node.has("txnApp"))
           Some((node.get("txnApp").asText(), node.get("txnV").asLong()))
         else None,
-        changes = strs("changes"))
+        changes = strs("changes"),
+        partitionsOpt = partitionsOpt)
   }
 
   private[catalog] def parseMeta(raw: String): TableMeta = {

@@ -778,6 +778,75 @@ object AnalyticsOps {
     df
   }
 
+  private val rebucketCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** q169: ONLINE RE-BUCKETING — `OPTIMIZE t REBUCKET TO n`
+    * ([[graft.catalog.GraftLake.rebucket]]): a `bucket(4, pk)` table is
+    * re-bucketed to 16 through literal SQL, then a MERGE flush lands
+    * THROUGH the transition (updates + inserts — exactly-once proven by
+    * the PK-unique count) and a point lookup proves bucket pruning
+    * re-hashes under the NEW n (≤¼ of the files planned, the q164
+    * contract). Time travel across the transition stays exact: the
+    * pre-rebucket snapshot reads its own contents, pruned under its own
+    * recorded layout (the manifest VERSIONS the partition spec). This is
+    * the knob behind the 100 TB layout policy — fix the bucket size,
+    * grow the count — without a table rebuild or a write outage. */
+  val q169Rebucket = QueryDef(
+    "q169_rebucket",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |                  round(o_totalprice, 2) AS price FROM orders)
+      |SELECT k, c, round(CASE WHEN k % 10 = 0 THEN price + 100
+      |                        ELSE price END, 2) AS price
+      |FROM o ORDER BY k""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice"), 2).as("price"))
+    val (cat, wh) = rebucketCatalogs.computeIfAbsent(dir, _ => {
+      val name = s"grbk${catalogSeq.getAndIncrement()}"
+      val wh = java.nio.file.Files.createTempDirectory("graft-rbk").toString
+      val lake = new graft.catalog.GraftLake(s, wh)
+      lake.write("ord_rb", ord.filter(col("k") % 2 === 0),
+        partitions = Seq("bucket(4, k)"), pks = Seq("k"))      // v0 seed
+      val v0 = lake.versions("ord_rb").last
+      val seedN = lake.read("ord_rb").count()
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"OPTIMIZE $name.ord_rb REBUCKET TO 16")
+      require(lake.readMeta("ord_rb").partitions == Seq("bucket(16, k)"),
+        "REBUCKET must re-register the layout")
+      require(lake.read("ord_rb").count() == seedN,
+        "re-bucketing is content-preserving")
+      // MERGE flush THROUGH the transition: every %10 key (all even —
+      // matched) re-prices, every odd key inserts
+      lake.upsert("ord_rb",
+        ord.filter(col("k") % 10 === 0)
+          .withColumn("price", round(col("price") + 100, 2))
+          .unionByName(ord.filter(col("k") % 2 === 1)))
+      require(lake.read("ord_rb").count() == ord.count(),
+        "the post-rebucket merge must stay exactly-once per PK")
+      // time travel ACROSS the transition: the pre-rebucket snapshot
+      // reads its own contents under its own recorded bucket layout
+      require(lake.readVersion("ord_rb", v0).count() == seedN,
+        "the pre-rebucket snapshot must stay readable")
+      (name, wh)
+    })
+    // point lookup under the NEW layout: pruning re-hashes with n=16
+    val r = ord.agg(min("k"), max("k")).head()
+    val (lo, hi) = (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+    val probe = s.sql(
+      s"""SELECT k FROM $cat.ord_rb WHERE k IN ($lo, $hi)""")
+    val all = scannedFiles(s.sql(s"SELECT * FROM $cat.ord_rb"))
+    val pruned = scannedFiles(probe)
+    require(pruned > 0 && pruned * 4 <= all,
+      s"post-rebucket point lookup must prune under the new n " +
+        s"(planned $pruned of $all files)")
+    new graft.catalog.GraftLake(s, wh).read("ord_rb")
+      .select(col("k"), col("c"), round(col("price"), 2).as("price"))
+      .orderBy(col("k"))
+  }
+
   /** q91: per-group top-k through the native bounded-buffer aggregate
     * ([[graft.functions.TopKAggregate]]) — the k largest distinct
     * quantities per return flag, exploded to ranked rows. The oracle runs
@@ -2151,5 +2220,5 @@ object AnalyticsOps {
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
     q152ExpectationAudit, q153MetadataDelete, q155Transaction,
-    q164BucketPointLookup)
+    q164BucketPointLookup, q169Rebucket)
 }

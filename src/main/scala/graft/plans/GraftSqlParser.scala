@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.StructType
   *   RESTORE TABLE <cat>.<t> [TO] VERSION AS OF <n>   — [[GraftLake.restore]]
   *   VACUUM <cat>.<t> KEEP <n> SNAPSHOTS              — [[GraftLake.expireSnapshots]]
   *   OPTIMIZE <cat>.<t> [WHERE p] [ZORDER BY (c1, …)] — [[GraftLake.compact]]
+  *   OPTIMIZE <cat>.<t> REBUCKET TO <n>               — [[GraftLake.rebucket]]
   *
   * The table must be qualified with a catalog registered as a
   * [[GraftCatalog]]; resolution happens at run time through the session's
@@ -52,6 +53,8 @@ object GraftSqlParser {
     """(?is)^\s*VACUUM\s+([\w.`]+)\s+KEEP\s+(\d+)\s+SNAPSHOTS\s*;?\s*$""".r
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val Rebucket =
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s+REBUCKET\s+TO\s+(\d+)\s*;?\s*$""".r
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val DescribeDetail =
@@ -79,6 +82,8 @@ object GraftSqlParser {
       Some(GraftRestoreCommand(parts(ident), v.toLong, sqlText))
     case Vacuum(ident, n) =>
       Some(GraftVacuumCommand(parts(ident), n.toInt, sqlText))
+    case Rebucket(ident, n) =>
+      Some(GraftRebucketCommand(parts(ident), n.toInt, sqlText))
     case Optimize(ident, where, cols) =>
       val zorder = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
         .filter(_.nonEmpty).map(_.stripPrefix("`").stripSuffix("`"))
@@ -278,6 +283,19 @@ final case class GraftOptimizeCommand(ident: Seq[String],
       lake.compact(t,
         predicate = where.map(w => org.apache.spark.sql.functions.expr(w)),
         clusterBy = zorderCols)
+    }
+}
+
+/** `OPTIMIZE t REBUCKET TO n` — online re-bucketing: rewrite the table
+  * into a `bucket(n, …)` layout, lock-free against concurrent appends
+  * (the layout is versioned in the manifest; see [[GraftLake.rebucket]]).
+  * The knob behind the 100 TB layout policy: fix the bucket SIZE, grow
+  * the bucket COUNT as the table grows. */
+final case class GraftRebucketCommand(ident: Seq[String], n: Int,
+    sql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).rebucket(t, n)
     }
 }
 
