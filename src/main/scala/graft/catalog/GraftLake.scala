@@ -4648,13 +4648,42 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * checkpoint's offset was expired by [[expireSnapshots]] — fail
     * loudly, never silently re-emit (the explicit `bootstrapAt` is what
     * keeps an expired offset from being MISREAD as a bootstrap). */
+  /** Enforce the stream's schema-change policy over a commit window:
+    * `fail` refuses the first commit whose logical (name, type) shape
+    * differs from the stream's advertised schema — the loud option a
+    * REPLICATING consumer needs (conforming would silently drop a column
+    * added mid-stream from every epoch until restart); `conform` keeps
+    * the silent-projection behavior (analytics consumers of a fixed
+    * shape). Runs on manifests the batch walk reads anyway. */
+  private def enforceSchemaPolicy(name: String, window: Seq[Long],
+      advertisedBase: Option[StructType], onSchemaChange: String): Unit = {
+    if (onSchemaChange != "fail") return
+    advertisedBase.foreach { adv =>
+      val want = GraftLake.schemaShape(adv)
+      window.foreach { v =>
+        val got = GraftLake.schemaShape(readManifestFile(name, v).schema)
+        if (got != want) throw new IllegalStateException(
+          s"graft-cdf stream on '$name': commit v$v carries a DIFFERENT " +
+            s"schema than the stream advertised at start (" +
+            s"added: ${(got -- want).map(_._1).toSeq.sorted.mkString(", ")}; " +
+            s"removed: ${(want -- got).map(_._1).toSeq.sorted.mkString(", ")}) " +
+            "— onSchemaChange=fail refuses to silently conform. Restart " +
+            "the stream to pick up the new schema, or set " +
+            "onSchemaChange=conform to project every epoch to the " +
+            "stream-start shape")
+      }
+    }
+  }
+
   private[graft] def streamAppendBatch(name: String, fromVersion: Long,
       toVersion: Long, onRewrite: String = "fail",
       bootstrapAt: Option[Long] = None,
-      advertised: Option[StructType] = None): DataFrame = {
+      advertised: Option[StructType] = None,
+      onSchemaChange: String = "conform"): DataFrame = {
     val meta = readMeta(name)
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
+    enforceSchemaPolicy(name, window, advertised, onSchemaChange)
     val bootstrap = bootstrapAt.contains(fromVersion) && window.nonEmpty
     // a negative floor against a chain that still RETAINS its first-ever
     // commit (v0) is the legitimate "consumer has nothing, nothing was
@@ -4756,9 +4785,17 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * delta is megabytes. */
   private[graft] def streamChangeBatch(name: String, fromVersion: Long,
       toVersion: Long, bootstrapAt: Option[Long] = None,
-      advertised: Option[StructType] = None): DataFrame = {
+      advertised: Option[StructType] = None,
+      onSchemaChange: String = "fail"): DataFrame = {
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
+    // the advertised CDF shape carries the two feed columns — strip them
+    // before comparing against commit schemas
+    enforceSchemaPolicy(name, window,
+      advertised.map(a => StructType(a.fields.filterNot(f =>
+        f.name == GraftLake.ChangeTypeCol ||
+          f.name == GraftLake.CommitVersionCol))),
+      onSchemaChange)
     val originFloor = fromVersion < 0 && vs.headOption.contains(0L)
     val bootstrap =
       (bootstrapAt.contains(fromVersion) || originFloor) && window.nonEmpty
@@ -5252,6 +5289,12 @@ object GraftLake {
 
   /** physical → logical column names of a schema (identity entries are
     * never stored). */
+  /** Logical (name, type) shape of a schema — what the streaming
+    * schema-change policy compares (case-folded names; nullability and
+    * field order are presentation, not shape). */
+  private[graft] def schemaShape(s: StructType): Set[(String, DataType)] =
+    logicalSchema(s).fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
+
   private[graft] def logicalNamesOf(schema: StructType): Map[String, String] =
     schema.fields.iterator.collect {
       case f if f.metadata.contains(LogicalNameKey) =>

@@ -49,6 +49,14 @@ import graft.catalog.GraftLake
   *  - `onRewrite`: `fail` (default) | `skip` (row-changing commits become
   *    no-ops — documented at-least-once)
   *  - `maxVersionsPerTrigger`: cap commits consumed per micro-batch
+  *  - `onSchemaChange`: what to do when a window commit's schema differs
+  *    from the stream's advertised (start-time) schema — `fail` (refuse
+  *    loudly at the commit that carries the evolution; default for
+  *    `feed=cdf`, where a replicating consumer silently dropping a new
+  *    column is data loss) or `conform` (project every epoch to the
+  *    stream-start shape — added columns drop, removed ones read null;
+  *    default for `feed=appends`, the standard streaming-evolution
+  *    contract: the consumer re-reads the schema on restart)
   *  - `minPollIntervalMs`: throttle the commit-log listing behind
   *    `getOffset` (default 0 — every poll lists; set on object-store
   *    warehouses where the per-poll metadata call has a price)
@@ -104,12 +112,15 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val (lake, table) = resolve(sqlContext, parameters)
+    val feed = parameters.getOrElse("feed", "appends")
     new GraftCdfSource(lake, table, metadataPath,
       parameters.getOrElse("startingVersion", "latest"),
       parameters.getOrElse("onRewrite", "fail"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("minPollIntervalMs").map(_.toLong).getOrElse(0L),
-      parameters.getOrElse("feed", "appends"))
+      feed,
+      parameters.getOrElse("onSchemaChange",
+        if (feed == "cdf") "fail" else "conform"))
   }
 }
 
@@ -117,12 +128,16 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     metadataPath: String, startingVersion: String, onRewrite: String,
     maxVersionsPerTrigger: Option[Long],
     minPollIntervalMs: Long = 0L,
-    feed: String = "appends") extends Source {
+    feed: String = "appends",
+    onSchemaChange: String = "conform") extends Source {
 
   require(onRewrite == "fail" || onRewrite == "skip",
     s"graft-cdf onRewrite must be 'fail' or 'skip', got '$onRewrite'")
   require(feed == "appends" || feed == "cdf",
     s"graft-cdf feed must be 'appends' or 'cdf', got '$feed'")
+  require(onSchemaChange == "conform" || onSchemaChange == "fail",
+    s"graft-cdf onSchemaChange must be 'conform' or 'fail', got " +
+      s"'$onSchemaChange'")
   require(feed == "appends" || onRewrite == "fail",
     "graft-cdf feed=cdf attributes every row-changing commit exactly — " +
       "onRewrite=skip does not apply (rewrite-class commits stream via " +
@@ -197,9 +212,12 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     * whole backlog through the limiter. */
   @volatile private var offered: Long = floor
 
-  /** The stream-start shape — every epoch conforms to it even if the
-    * table's schema evolves mid-stream (the consumer re-reads the schema
-    * on restart, the standard streaming-evolution contract). */
+  /** The stream-start shape. Under `onSchemaChange=conform` every epoch
+    * projects to it even if the table's schema evolves mid-stream (the
+    * consumer re-reads the schema on restart, the standard streaming-
+    * evolution contract); under `fail` (the feed=cdf default) the epoch
+    * carrying the evolution refuses instead — silent conforming would
+    * drop a new column from a replicating consumer's feed. */
   override val schema: StructType = {
     val base = lake.read(table).schema
     if (feed == "cdf") GraftLake.cdfSchema(base) else base
@@ -239,10 +257,11 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     val to = version(end)
     offered = math.max(offered, to)
     if (feed == "cdf")
-      lake.streamChangeBatch(table, from, to, bootstrapAt, Some(schema))
+      lake.streamChangeBatch(table, from, to, bootstrapAt, Some(schema),
+        onSchemaChange)
     else
       lake.streamAppendBatch(table, from, to, onRewrite, bootstrapAt,
-        Some(schema))
+        Some(schema), onSchemaChange)
   }
 
   private def version(

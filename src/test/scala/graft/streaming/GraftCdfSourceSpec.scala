@@ -284,6 +284,120 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       "every streamed postimage/insert must appear verbatim in the table")
   }
 
+  test("mid-stream ADDITIVE evolution: appends feed conforms by default, fail refuses") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> "snapshot")) // appends: conform by default
+    try {
+      q.processAllAvailable()
+      // additive evolution + rows in one commit: conform mode delivers
+      // the rows projected to the stream-start shape (w drops silently)
+      lake.append("t", Seq((2, "b", 9.5)).toDF("id", "v", "w"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+    assert(ids(got) === Seq(1, 2))
+    assert(!got.columns.contains("w"),
+      "conform mode projects epochs to the stream-start shape")
+
+    // the same evolution landing MID-STREAM under onSchemaChange=fail
+    // refuses at the commit that carries it, with restart guidance (a
+    // stream started AFTER the evolution advertises the new schema and
+    // sails through — only the mid-stream window differs)
+    val lake2 = newLake()
+    lake2.append("t", Seq((1, "a")).toDF("id", "v"))
+    val sink2 = freshSink()
+    val q2 = stream(lake2, "t", sink2,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> "snapshot", "onSchemaChange" -> "fail"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        q2.processAllAvailable()
+        lake2.append("t", Seq((2, "b", 9.5)).toDF("id", "v", "w"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(e.getCause.getMessage.contains("Restart the stream"),
+      s"got: ${e.getCause.getMessage}")
+    assert(e.getCause.getMessage.contains("added: w"))
+  }
+
+  test("DROP and RENAME mid-stream are detected by fail mode at their commits") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a", 1.0)).toDF("id", "v", "dead")
+      .repartition(1))
+    val sinkDrop = freshSink()
+    val qd = stream(lake, "t", sinkDrop,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> "snapshot", "onSchemaChange" -> "fail"))
+    val ed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        qd.processAllAvailable()
+        lake.dropColumn("t", "dead") // mid-stream metadata commit
+        lake.append("t", Seq((2, "b")).toDF("id", "v"))
+        qd.processAllAvailable()
+      } finally qd.stop()
+    }
+    assert(ed.getCause.getMessage.contains("removed: dead"))
+
+    val lake2 = newLake()
+    lake2.append("t", Seq((1, "a")).toDF("id", "v").repartition(1))
+    val sinkRen = freshSink()
+    val qr = stream(lake2, "t", sinkRen,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingVersion" -> "snapshot", "onSchemaChange" -> "fail"))
+    val er = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        qr.processAllAvailable()
+        lake2.renameColumn("t", "v", "val") // mid-stream
+        qr.processAllAvailable()
+      } finally qr.stop()
+    }
+    assert(er.getCause.getMessage.contains("added: val") &&
+      er.getCause.getMessage.contains("removed: v"),
+      s"rename must surface as add+remove, got: ${er.getCause.getMessage}")
+  }
+
+  test("replication under fail mode: mid-stream evolution fails loudly, restart converges") {
+    val lake = newLake()
+    lake.append("rsrc", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    def replicate() = spark.readStream.format("graft-cdf")
+      .option("warehouse", lake.warehouseDir).option("table", "rsrc")
+      .option("startingVersion", "snapshot")
+      .option("onSchemaChange", "fail")
+      .load()
+      .drop("_inserted_at")
+      .writeStream.format("graft")
+      .option("warehouse", lake.warehouseDir).option("table", "rdst")
+      .option("checkpointLocation", ckpt)
+      .start()
+    // additive evolution + rows land WHILE replicating: the feed must
+    // NOT silently drop the new column from the replica — fail loudly
+    val q2 = replicate()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        q2.processAllAvailable()
+        assert(lake.read("rdst").count() === 2)
+        lake.append("rsrc", Seq((3, "c", 7.5)).toDF("id", "v", "w"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(e.getCause.getMessage.contains("onSchemaChange=conform"))
+
+    // restart re-reads the evolved schema; the refused epoch replays and
+    // the replica converges INCLUDING the new column
+    val q3 = replicate()
+    try q3.processAllAvailable() finally q3.stop()
+    val dst = lake.read("rdst")
+    assert(dst.count() === 3)
+    assert(dst.columns.contains("w"))
+    assert(dst.filter(col("id") === 3).select("w").head().getDouble(0) === 7.5)
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates") {
     val lake = newLake()
     lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
