@@ -57,6 +57,11 @@ object ScaleBench {
                                 // planned files track the probed buckets
                                 // (2 of 16), never the table; expected
                                 // near-flat at 10×
+    "q168_stream_cdc_rewrites", // CDC THROUGH REWRITES: upsert + COW
+                                // update/delete windows stream via their
+                                // write-time change files — per-epoch
+                                // cost is O(changed rows), and the
+                                // capture itself is change-sized
     "q166_stream_replicate", // lake→lake streaming replication: builds
                              // its lake fresh each run (no memo), so the
                              // ratio measures the FULL stream lifecycle —
@@ -110,6 +115,7 @@ object ScaleBench {
       (q, small, big, smallW, bigW)
     }
     val bmerge = bucketedMergeFlush(spark, smallDir, bigDir)
+    val rbk = rebucketFlushRestore(spark, bigDir)
     val race = multiWriterRace(spark)
     val optRace = compactVsAppendRace(spark)
     val json = rows.map { case (q, s, b, sw, bw) =>
@@ -118,7 +124,8 @@ object ScaleBench {
         s""","warm_ratio":${num(bw / sw)}}"""
     }.mkString("{\"small\":\"" + smallDir + "\",\"big\":\"" + bigDir +
       "\",\"queries\":{", ",",
-      s"},\"bucketed_merge_flush\":$bmerge,\"race\":$race," +
+      s"},\"bucketed_merge_flush\":$bmerge," +
+        s"\"rebucket_flush_restore\":$rbk,\"race\":$race," +
         s"\"optimize_vs_append\":$optRace}")
     Files.write(Paths.get("scale_bench.json"),
       json.getBytes(StandardCharsets.UTF_8))
@@ -134,13 +141,29 @@ object ScaleBench {
     * round-11 contract: per-flush merge cost tracks the BATCH, never the
     * table. (The registered q160 shows the complementary axis: its batch
     * scales WITH the table, so its cold ratio tracks data volume.) */
+  /** First `n` keys above `from` whose `bucket(nb, key)` value is 0 — the
+    * exact murmur3 the write path evaluates (LongType, seed 42), so a
+    * batch of these keys lands WHOLLY in one bucket: the skewed-flush
+    * worst case. */
+  private def keysInBucketZero(nb: Int, from: Long, n: Int): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    var k = from
+    var found = 0
+    while (found < n) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42)
+      if (((h % nb) + nb) % nb == 0) { out += k; found += 1 }
+      k += 1
+    }
+    out.result()
+  }
+
   private def bucketedMergeFlush(spark: SparkSession, smallDir: String,
       bigDir: String): String = {
     import org.apache.spark.sql.functions._
     val targetBucketRows = 600L
     val batchRows = 128
     val flushes = 5
-    def run(dir: String): (Double, Long, Int) = {
+    def run(dir: String): (Double, Double, Long, Int) = {
       val wh = Files.createTempDirectory("graft-bflush").toString
       val lake = new graft.catalog.GraftLake(spark, wh)
       val ord = Tables.orders(spark, dir)
@@ -166,19 +189,97 @@ object ScaleBench {
         lake.upsert("m", batch)
         total += (System.nanoTime() - t0) / 1e6
       }
-      (total / flushes, nRows, nb)
+      // SKEWED worst case: every key of the batch hashes into ONE bucket
+      // (all inserts above the key domain) — per-flush cost is bounded by
+      // a single bucket's rewrite, the bound that holds when a pathological
+      // batch concentrates instead of spreading
+      var skewTotal = 0.0
+      for (f <- 1 to flushes) {
+        val keys = keysInBucketZero(nb, maxK + f * 10000000L, batchRows)
+        val batch = spark.createDataset(keys)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("o_orderkey")
+          .select(col("o_orderkey"),
+            lit("S").as("o_orderstatus"), lit(2.0).as("o_totalprice"))
+          .repartition(4)
+        val t0 = System.nanoTime()
+        lake.upsert("m", batch)
+        skewTotal += (System.nanoTime() - t0) / 1e6
+      }
+      (total / flushes, skewTotal / flushes, nRows, nb)
     }
-    val (sMs, sRows, sNb) = run(smallDir)
-    val (bMs, bRows, bNb) = run(bigDir)
+    val (sMs, sSkewMs, sRows, sNb) = run(smallDir)
+    val (bMs, bSkewMs, bRows, bNb) = run(bigDir)
     println(s"[bucketed-merge] fixed $batchRows-row flush, " +
       s"~$targetBucketRows rows/bucket: small(${sRows}r/${sNb}b)=" +
       s"${num(sMs)}ms big(${bRows}r/${bNb}b)=${num(bMs)}ms " +
-      s"ratio=${num(bMs / sMs)}x")
+      s"ratio=${num(bMs / sMs)}x | skewed(one bucket): small=" +
+      s"${num(sSkewMs)}ms big=${num(bSkewMs)}ms ratio=${num(bSkewMs / sSkewMs)}x")
     s"""{"batch_rows":$batchRows,"rows_per_bucket":$targetBucketRows,""" +
       s""""flushes":$flushes,""" +
-      s""""small":{"rows":$sRows,"buckets":$sNb,"ms_per_flush":${num(sMs)}},""" +
-      s""""big":{"rows":$bRows,"buckets":$bNb,"ms_per_flush":${num(bMs)}},""" +
-      s""""ratio":${num(bMs / sMs)}}"""
+      s""""small":{"rows":$sRows,"buckets":$sNb,"ms_per_flush":${num(sMs)},""" +
+      s""""skewed_ms_per_flush":${num(sSkewMs)}},""" +
+      s""""big":{"rows":$bRows,"buckets":$bNb,"ms_per_flush":${num(bMs)},""" +
+      s""""skewed_ms_per_flush":${num(bSkewMs)}},""" +
+      s""""ratio":${num(bMs / sMs)},""" +
+      s""""skewed_ratio":${num(bSkewMs / sSkewMs)}}"""
+  }
+
+  /** REBUCKET restores per-flush merge cost on a GROWN table: build the
+    * big corpus under a bucket count sized for a table 10× smaller (each
+    * bucket ~10× oversized — exactly the state a fixed-at-creation layout
+    * decays into as data grows), measure the fixed-batch per-flush cost,
+    * run `OPTIMIZE … REBUCKET TO` the right count, measure again. The
+    * after-cost should approach the properly-sized layout's
+    * ([[bucketedMergeFlush]]'s `big.ms_per_flush`), because per-flush
+    * work ≈ touched-buckets × bucket-size and the rebucket restored the
+    * bucket size. */
+  private def rebucketFlushRestore(spark: SparkSession,
+      bigDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val targetBucketRows = 600L
+    val batchRows = 128
+    val flushes = 5
+    val wh = Files.createTempDirectory("graft-rbkflush").toString
+    val lake = new graft.catalog.GraftLake(spark, wh)
+    val ord = Tables.orders(spark, bigDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val nRows = ord.count()
+    val nbRight = math.max(8L, nRows / targetBucketRows).toInt
+    val nbStale = math.max(8, nbRight / 10) // sized for a 10×-smaller table
+    lake.write("m", ord.repartition(64,
+      pmod(hash(col("o_orderkey")), lit(nbStale))),
+      partitions = Seq(s"bucket($nbStale, o_orderkey)"), pks = Seq("o_orderkey"))
+    val maxK = ord.agg(max("o_orderkey")).head().getLong(0)
+    def flushAvg(tag: Int): Double = {
+      var total = 0.0
+      for (f <- 1 to flushes) {
+        val batch = spark.range(batchRows).select(
+          when(col("id") % 2 === 0,
+            (col("id") * 7919L + (tag * 10 + f) * 104729L) % maxK)
+            .otherwise(lit(maxK) + (tag * 10 + f) * 1000000L + col("id"))
+            .as("o_orderkey"),
+          lit("X").as("o_orderstatus"), lit(1.0).as("o_totalprice"))
+          .repartition(4)
+        val t0 = System.nanoTime()
+        lake.upsert("m", batch)
+        total += (System.nanoTime() - t0) / 1e6
+      }
+      total / flushes
+    }
+    val beforeMs = flushAvg(1)
+    val t0 = System.nanoTime()
+    lake.rebucket("m", nbRight)
+    val rebucketSecs = (System.nanoTime() - t0) / 1e9
+    val afterMs = flushAvg(2)
+    println(s"[rebucket-restore] $nRows rows: stale bucket($nbStale) " +
+      s"flush=${num(beforeMs)}ms → rebucket($nbRight) in " +
+      s"${num(rebucketSecs)}s → flush=${num(afterMs)}ms " +
+      s"(${num(beforeMs / afterMs)}x restored)")
+    s"""{"rows":$nRows,"stale_buckets":$nbStale,"right_buckets":$nbRight,""" +
+      s""""before_ms_per_flush":${num(beforeMs)},""" +
+      s""""rebucket_seconds":${num(rebucketSecs)},""" +
+      s""""after_ms_per_flush":${num(afterMs)},""" +
+      s""""restored_speedup":${num(beforeMs / afterMs)}}"""
   }
 
   /** CONCURRENT OPTIMIZE vs streaming appends, two REAL processes: the

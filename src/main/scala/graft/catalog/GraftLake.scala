@@ -2124,6 +2124,46 @@ final class GraftLake(private[graft] val spark: SparkSession,
     .getOption("spark.graft.txn.lockTimeoutMs").map(_.toLong)
     .getOrElse(10L * 60 * 1000)
 
+  /** Missed-heartbeat window after which a journaled coordinator is
+    * considered gone and its transaction is compensated — CROSS-HOST
+    * liveness (the pid check is single-host: a remote coordinator's pid
+    * means nothing here, and waiting out the full lock timeout stalls
+    * every writer for minutes). The coordinator renews the journal's
+    * mtime every [[txnHeartbeatIntervalMs]]; a SUSPENDED (not dead)
+    * coordinator stops renewing, gets taken over at this timeout, and on
+    * resume is FENCED: its post-takeover commits are detected via the
+    * broken locks and compensated (best-effort — the fence check and the
+    * compensation are not one atomic step; a third coordinator's
+    * concurrent state is left alone). */
+  private def txnHeartbeatTimeoutMs: Long = spark.conf
+    .getOption("spark.graft.txn.heartbeatTimeoutMs").map(_.toLong)
+    .getOrElse(15000L)
+
+  private def txnHeartbeatIntervalMs: Long = spark.conf
+    .getOption("spark.graft.txn.heartbeatMs").map(_.toLong)
+    .getOrElse(math.max(1000L, txnHeartbeatTimeoutMs / 3))
+
+  /** Renew the coordinator lease: bump the journal's mtime (one metadata
+    * call); filesystems without setTimes get an atomic same-content
+    * rewrite instead. Best-effort — a missed beat only narrows the
+    * takeover margin, never correctness. */
+  private def touchTxnJournal(p: Path): Unit = {
+    val f = fs(p)
+    try f.setTimes(p, System.currentTimeMillis(), -1)
+    catch {
+      case _: Exception =>
+        try if (f.exists(p)) {
+          val in = f.open(p)
+          val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val tmp = new Path(txnJournalDir, s".${p.getName}.${UUID.randomUUID()}.tmp")
+          val out = f.create(tmp, true)
+          try out.write(raw.getBytes("UTF-8")) finally out.close()
+          replaceAtomic(f, tmp, p)
+        } catch { case _: Exception => () }
+    }
+  }
+
   /** [[transact]] upgraded to a CROSS-PROCESS contract — the reference
     * inherits multi-table ACID from its PostgreSQL catalog
     * (DucklakeConnectionFactory.java:64-70); this is the file-native
@@ -2170,6 +2210,23 @@ final class GraftLake(private[graft] val spark: SparkSession,
           n -> (if (pre(n).isDefined) scala.util.Try(readMeta(n)).toOption
                 else None)).toMap
       writeTxnJournal(txnId, sorted, pre)
+      // LEASE heartbeat: renew the journal's mtime while the body runs,
+      // so takeover keys on MISSED HEARTBEATS (seconds) instead of total
+      // journal age — a long healthy transaction never looks stale, and
+      // a crashed/suspended remote coordinator is detected cross-host
+      // without waiting out the full lock timeout
+      val stopBeat = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val beat = new Thread(() => {
+        val jp = new Path(txnJournalDir, s"$txnId.json")
+        var interrupted = false
+        while (!stopBeat.get && !interrupted) {
+          try Thread.sleep(txnHeartbeatIntervalMs)
+          catch { case _: InterruptedException => interrupted = true }
+          if (!stopBeat.get && !interrupted) touchTxnJournal(jp)
+        }
+      }, s"graft-txn-heartbeat-${txnId.take(8)}")
+      beat.setDaemon(true)
+      beat.start()
       var journalLive = true
       try {
         val result = transactBody(sorted)(body)
@@ -2209,7 +2266,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
             try deleteTxnJournal(txnId)
             catch { case r: Throwable => e.addSuppressed(r) }
           throw e
-      }
+      } finally { stopBeat.set(true); beat.interrupt() }
     } finally releaseTxnLocks(sorted, txnId)
   }
 
@@ -2376,8 +2433,14 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val alive = holderPid.exists(pid =>
         ProcessHandle.of(pid).map[java.lang.Boolean](h =>
           java.lang.Boolean.valueOf(h.isAlive)).orElse(java.lang.Boolean.FALSE))
+      // liveness = pid (single-host accelerator: a dead local coordinator
+      // is taken over immediately) OR missed heartbeats (cross-host: the
+      // coordinator renews the journal mtime every heartbeatMs, so a
+      // crashed OR suspended remote holder is detected in seconds instead
+      // of the lock timeout's minutes; a suspended holder that resumes
+      // post-takeover is fenced by the broken locks)
       val age = System.currentTimeMillis() - s.getModificationTime
-      if (!alive || age > txnLockTimeoutMs) {
+      if (!alive || age > txnHeartbeatTimeoutMs) {
         val txnId = s.getPath.getName.stripSuffix(".json")
         val dec = java.util.Base64.getDecoder
         var allOk = true
@@ -3877,16 +3940,25 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * briefly: on filesystems without the hard-link publish
     * ([[atomicClaim]]) a concurrent writer's manifest can be observed
     * mid-write (exists but truncated) — it becomes whole milliseconds
-    * later. A file still unreadable after the window is genuinely torn
-    * (writer crashed mid-create on such a filesystem) and fails with a
+    * later. On `file:` the hard-link publish makes a torn OBSERVATION
+    * impossible (the target appears with its full content in one
+    * metadata op), so a parse failure there is genuine corruption and
+    * fails after ONE confirming re-read instead of stalling every reader
+    * 5 s; elsewhere the window also closes early once the file's LENGTH
+    * is stable across consecutive reads (an in-flight write grows; a
+    * torn one does not). A file still unreadable at the end fails with a
     * diagnosis instead of a bare parser NPE. */
   private def readManifestFile(name: String, version: Long): GraftLake.Manifest = {
     val p = new Path(versionsDir(name), s"v$version.json")
     val f = fs(p)
     require(f.exists(p), s"table '$name' has no snapshot $version " +
       s"(have: ${versions(name).mkString(", ")})")
-    val deadline = System.nanoTime() + 5000000000L // 5 s
+    val linkPublished = f.getScheme == "file"
+    val deadline = System.nanoTime() +
+      (if (linkPublished) 100000000L else 5000000000L) // 100 ms / 5 s
     var delayMs = 10L
+    var lastLen = -1L
+    var stableReads = 0
     while (true) {
       val in = f.open(p)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -3894,11 +3966,14 @@ final class GraftLake(private[graft] val spark: SparkSession,
       try return GraftLake.parseManifest(raw)
       catch {
         case scala.util.control.NonFatal(e) =>
-          if (System.nanoTime() > deadline) throw new IllegalStateException(
-            s"manifest v$version of '$name' is unreadable after retries — " +
-              "truncated by a writer that crashed mid-commit, or corrupt " +
-              s"(${raw.length} bytes); repairTable can re-adopt the " +
-              "directory state", e)
+          if (raw.length.toLong == lastLen) stableReads += 1
+          else { stableReads = 0; lastLen = raw.length.toLong }
+          if (System.nanoTime() > deadline || stableReads >= 2)
+            throw new IllegalStateException(
+              s"manifest v$version of '$name' is unreadable — " +
+                "truncated by a writer that crashed mid-commit, or corrupt " +
+                s"(${raw.length} bytes, stable across re-reads); " +
+                "repairTable can re-adopt the directory state", e)
           Thread.sleep(delayMs)
           delayMs = math.min(delayMs * 2, 200L)
       }

@@ -58,8 +58,10 @@ import graft.catalog.GraftLake
   *    default for `feed=appends`, the standard streaming-evolution
   *    contract: the consumer re-reads the schema on restart)
   *  - `minPollIntervalMs`: throttle the commit-log listing behind
-  *    `getOffset` (default 0 — every poll lists; set on object-store
-  *    warehouses where the per-poll metadata call has a price)
+  *    `getOffset`. Default 0 on `file:` warehouses (tests and
+  *    low-latency local tails see commits immediately) and 1000 on every
+  *    other scheme — a 1 s-trigger stream against an object store would
+  *    otherwise issue ~86k LIST calls/day/stream
   *
   * The resolved starting floor is PERSISTED under the stream's metadata
   * path on first start: `startingVersion=latest` must not re-resolve on
@@ -117,10 +119,23 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
       parameters.getOrElse("startingVersion", "latest"),
       parameters.getOrElse("onRewrite", "fail"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      parameters.get("minPollIntervalMs").map(_.toLong).getOrElse(0L),
+      parameters.get("minPollIntervalMs").map(_.toLong).getOrElse(
+        GraftCdfSourceProvider.defaultPollIntervalMs(lake.warehouseDir)),
       feed,
       parameters.getOrElse("onSchemaChange",
         if (feed == "cdf") "fail" else "conform"))
+  }
+}
+
+object GraftCdfSourceProvider {
+  /** Default `minPollIntervalMs` by warehouse scheme: 0 for local `file:`
+    * warehouses (a directory listing is free; tests and low-latency tails
+    * see commits immediately), 1000 everywhere else (each poll is a paid
+    * object-store LIST — a 1 s trigger would issue ~86k/day/stream).
+    * Decided from the URI alone, no filesystem instantiated. */
+  def defaultPollIntervalMs(warehouse: String): Long = {
+    val scheme = Option(new Path(warehouse).toUri.getScheme)
+    if (scheme.forall(_ == "file")) 0L else 1000L
   }
 }
 
@@ -189,20 +204,44 @@ final class GraftCdfSource(lake: GraftLake, table: String,
           v
       }
       f.mkdirs(p.getParent)
-      // ATOMIC publish (write temp, rename-no-overwrite): a crash must
-      // never leave an empty pin that bricks every restart, and of two
-      // racing first-starts the rename loser reads the winner's pin —
-      // rename without overwrite keeps the create-if-absent agreement
-      val tmp = new Path(p.getParent, s".graft-cdf-floor.${
-        java.util.UUID.randomUUID()}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(s"$startingVersion:$resolved".getBytes("UTF-8"))
-      finally out.close()
-      val won = f.rename(tmp, p) // no-overwrite: false when a racer won
-      if (!won) f.delete(tmp, false)
+      // ATOMIC create-if-absent publish: a crash must never leave an
+      // empty pin that bricks every restart, and of two racing
+      // first-starts exactly one wins — the loser reads the winner's pin.
+      // On file:// that is write-temp + HARD LINK (link(2) fails if the
+      // target exists AND publishes full content in one metadata op —
+      // Hadoop's rename on RawLocalFileSystem delegates to
+      // File.renameTo, which on POSIX silently OVERWRITES an existing
+      // destination, so both racers would 'win' and the later pin would
+      // silently replace the earlier one); elsewhere a direct
+      // create(overwrite=false), which object stores publish on close.
+      val body = s"$startingVersion:$resolved".getBytes("UTF-8")
+      def createIfAbsent(): Boolean =
+        try {
+          val out = f.create(p, false)
+          try out.write(body) finally out.close()
+          true
+        } catch {
+          case e: java.io.IOException
+              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                Option(e.getMessage).exists(
+                  _.toLowerCase.contains("already exists")) => false
+        }
+      val won =
+        if (f.getScheme == "file") {
+          val tgt = java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+          val tmp = tgt.resolveSibling(
+            s".graft-cdf-floor.${java.util.UUID.randomUUID()}.tmp")
+          java.nio.file.Files.write(tmp, body)
+          try { java.nio.file.Files.createLink(tgt, tmp); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException => createIfAbsent()
+            case _: java.nio.file.FileSystemException => createIfAbsent()
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+        } else createIfAbsent()
       if (won)
         (resolved, if (startingVersion == "snapshot") Some(resolved) else None)
-      else readPin()
+      else readPin() // the racer's pin is whole (link/close-published)
     }
   }
 

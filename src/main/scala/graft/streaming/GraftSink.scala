@@ -65,8 +65,15 @@ final class GraftSinkProvider extends StreamSinkProvider
     // not in this options map, so in that case the scope must be named
     // explicitly. (Update/Complete modes are idempotent by construction
     // and need no scope.)
+    // NORMALIZE the checkpoint-derived scope to a qualified absolute URI:
+    // the same checkpoint spelled differently across restarts (trailing
+    // slash, file:/ vs file:///, relative vs absolute) must not mint a
+    // NEW appId — that would reset the txn watermark and let a
+    // WAL-replayed epoch land twice
     val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation"))
+      .orElse(parameters.get("checkpointLocation")
+        .map(GraftSinkProvider.normalizeScope(
+          sqlContext.sparkSession.sparkContext.hadoopConfiguration, _)))
       .getOrElse {
         if (outputMode == OutputMode.Append())
           throw new IllegalArgumentException(
@@ -78,6 +85,24 @@ final class GraftSinkProvider extends StreamSinkProvider
         s"graft-sink:$table"
       }
     new GraftSink(lake, table, appId, partitions, pks, outputMode)
+  }
+}
+
+object GraftSinkProvider {
+  /** Canonical idempotence scope for a checkpoint path: resolve to the
+    * filesystem-QUALIFIED absolute URI (scheme + authority + normalized
+    * path, trailing slash stripped), so every spelling of one location —
+    * `/tmp/ck`, `/tmp/ck/`, `file:/tmp/ck`, `file:///tmp/ck`, a relative
+    * path — maps to ONE appId and one txn watermark. */
+  private[graft] def normalizeScope(
+      conf: org.apache.hadoop.conf.Configuration, raw: String): String = {
+    val p = new org.apache.hadoop.fs.Path(raw)
+    val q = p.getFileSystem(conf).makeQualified(p).toUri
+    // rebuild from components: URI.toString renders `file:/x` or
+    // `file:///x` depending on how the authority was parsed — the scope
+    // must not depend on that
+    val auth = Option(q.getAuthority).getOrElse("")
+    s"${q.getScheme}://$auth${q.getPath}".stripSuffix("/")
   }
 }
 

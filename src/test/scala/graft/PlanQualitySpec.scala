@@ -187,6 +187,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offLabel === 0L, "ineligible neighbors must be impossible")
   }
 
+  test("q114: index-served ANN bands ONLY the probe side (one Generate)") {
+    import org.apache.spark.sql.functions._
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-annidx").toString)
+    val emb = Tables.embeddings(spark, sf)
+    operators.SimilarityOps.buildVectorLshIndex(lake, "ann", emb,
+      "vec_id", "embedding", tables = 4, bitsPerTable = 4)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ann = operators.SimilarityOps.knnLshAuto(lake, "ann",
+      emb, queries, "vec_id", "embedding", 10,
+      tables = 4, bitsPerTable = 4)
+    val p = ann.queryExecution.optimizedPlan
+    // the banding pass is the posexplode Generate: the served plan must
+    // carry exactly ONE (the 5-probe side) — a second would mean the
+    // corpus is being re-banded per call, the exact cost the persisted
+    // index exists to remove
+    val generates = p.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.size === 1,
+      s"expected one banding Generate (probe side only), got ${generates.size}")
+    // ...and identical results to the one-shot inline path (same planes)
+    val inline = operators.SimilarityOps.knnLsh(emb, queries,
+      "vec_id", "embedding", 10, tables = 4, bitsPerTable = 4)
+    assert(ann.exceptAll(inline).isEmpty && inline.exceptAll(ann).isEmpty,
+      "served and one-shot routes must agree exactly")
+  }
+
   test("q31: brute-force KNN broadcasts the query side") {
     val p = plan("q31_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -600,4 +600,23 @@ class GraftLakeSpec extends AnyFunSuite {
     lake.write("yes", Seq((1, "a")).toDF("id", "v"))
     assert(lake.tableExists("yes"))
   }
+
+  test("a genuinely corrupt manifest on file: fails FAST, not after a 5s retry stall") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))
+    val v = lake.versions("t").last
+    val mf = new java.io.File(s"${lake.warehouseDir}/t/_versions/v$v.json")
+    java.nio.file.Files.write(mf.toPath, "{not json".getBytes("UTF-8"))
+    new java.io.File(mf.getParent, s".v$v.json.crc").delete()
+    GraftLake.invalidateCaches()
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] { lake.read("t").count() }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(e.getMessage.contains("unreadable"))
+    // the hard-link publish makes torn observations impossible locally —
+    // diagnosing corruption must not stall readers the full retry window
+    assert(elapsedMs < 3000,
+      s"corrupt-manifest diagnosis took ${elapsedMs}ms — the file:-scheme " +
+        "fast path must not sit out the object-store retry window")
+  }
 }

@@ -95,6 +95,58 @@ class TransactionSpec extends AnyFunSuite {
     assert(graft.metrics.GraftMetrics.op("txnRecovered").count.sum() >= 1)
   }
 
+  test("a SUSPENDED (alive, heartbeat-stopped) coordinator is taken over and fenced on resume (two real JVMs)") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-txnhb").toString
+    val lake = new GraftLake(spark, wh)
+    lake.append("ta", Seq((1, "a1")).toDF("id", "v").repartition(1))
+    // takeover keys on MISSED HEARTBEATS (the suspended child's pid stays
+    // alive throughout — pid liveness alone would wait out the 10-minute
+    // lock timeout)
+    spark.conf.set("spark.graft.txn.heartbeatTimeoutMs", "1500")
+    try {
+      import scala.jdk.CollectionConverters._
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filter(a =>
+          a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.TxnSuspender", wh)).toArray
+      val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+      try {
+        val ready = new java.io.File(wh, "_suspender_ready")
+        val deadline = System.nanoTime() + 180e9.toLong
+        while (!ready.exists() && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(ready.exists(), "suspender never signalled readiness")
+        GraftLake.invalidateCaches()
+        assert(lake.read("ta").count() === 2,
+          "the partial commit is visible while the coordinator naps")
+        Thread.sleep(2500) // > heartbeatTimeout with zero renewals
+        GraftLake.invalidateCaches()
+        assert(child.isAlive, "the coordinator must still be ALIVE")
+        assert(lake.recoverStaleTransactions() === 1,
+          "missed heartbeats must trigger takeover despite the live pid")
+        assert(lake.read("ta").count() === 1,
+          "the suspended coordinator's partial commit is compensated")
+        // resume: the coordinator lands one more commit, detects the
+        // broken locks, self-compensates and reports the fence
+        new java.io.File(wh, "_suspender_resume").createNewFile()
+        assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+          "suspender JVM did not exit")
+        assert(child.exitValue() === 43,
+          s"suspender exited ${child.exitValue()} (43 = fenced as expected)")
+        GraftLake.invalidateCaches()
+        assert(lake.read("ta").count() === 1,
+          "the post-takeover commit must not survive the fence")
+      } finally if (child.isAlive) child.destroyForcibly()
+    } finally spark.conf.unset("spark.graft.txn.heartbeatTimeoutMs")
+  }
+
   test("transact commits all members; failure rolls every member back") {
     val lake = newLake()
     lake.append("a", Seq((1, "a1")).toDF("k", "v").repartition(1))

@@ -474,6 +474,17 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("minPollIntervalMs defaults by warehouse scheme: 0 local, 1000 elsewhere") {
+    assert(GraftCdfSourceProvider.defaultPollIntervalMs("/tmp/wh") === 0L)
+    assert(GraftCdfSourceProvider.defaultPollIntervalMs("file:/tmp/wh") === 0L)
+    assert(GraftCdfSourceProvider.defaultPollIntervalMs("file:///tmp/wh") === 0L)
+    // every non-local scheme pays per LIST — a 1 s trigger must not
+    // issue ~86k listing calls/day/stream by default
+    assert(GraftCdfSourceProvider.defaultPollIntervalMs("s3a://b/wh") === 1000L)
+    assert(GraftCdfSourceProvider.defaultPollIntervalMs("hdfs://nn/wh") === 1000L)
+    assert(GraftCdfSourceProvider.defaultPollIntervalMs("abfss://c@a/wh") === 1000L)
+  }
+
   test("an expired checkpoint offset fails loudly, never re-emits") {
     val lake = newLake()
     lake.append("t", Seq((1, "a")).toDF("id", "v"))

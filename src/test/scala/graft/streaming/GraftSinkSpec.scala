@@ -86,6 +86,19 @@ class GraftSinkSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  test("checkpoint-derived idempotence scope is spelling-invariant") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val n = GraftSinkProvider.normalizeScope(conf, _: String)
+    // every spelling of ONE location maps to ONE appId — a restart with a
+    // trailing slash or a file: prefix must not reset the txn watermark
+    val canon = n("/tmp/ckpt-x")
+    assert(n("/tmp/ckpt-x/") === canon)
+    assert(n("file:/tmp/ckpt-x") === canon)
+    assert(n("file:///tmp/ckpt-x") === canon)
+    // distinct locations stay distinct scopes
+    assert(n("/tmp/ckpt-y") !== canon)
+  }
+
   test("lake→lake replication survives a restart exactly once") {
     val lake = newLake()
     def slice(r: Range): DataFrame = r.map(i => (i, s"v$i")).toDF("id", "v")
