@@ -224,62 +224,83 @@ object ScaleBench {
       s""""skewed_ratio":${num(bSkewMs / sSkewMs)}}"""
   }
 
-  /** REBUCKET restores per-flush merge cost on a GROWN table: build the
-    * big corpus under a bucket count sized for a table 10× smaller (each
-    * bucket ~10× oversized — exactly the state a fixed-at-creation layout
-    * decays into as data grows), measure the fixed-batch per-flush cost,
-    * run `OPTIMIZE … REBUCKET TO` the right count, measure again. The
-    * after-cost should approach the properly-sized layout's
-    * ([[bucketedMergeFlush]]'s `big.ms_per_flush`), because per-flush
-    * work ≈ touched-buckets × bucket-size and the rebucket restored the
-    * bucket size. */
+  /** REBUCKET restores per-flush merge I/O on a GROWN table: build the
+    * big corpus under a bucket count sized for a table 100× smaller (each
+    * bucket ~100× oversized — the state a fixed-at-creation layout decays
+    * into as data grows), run `OPTIMIZE … REBUCKET TO` the right count,
+    * and compare the fixed-batch per-flush cost. The contract metric is
+    * ROWS READ per flush (task input metrics): per-flush work ≈
+    * touched-buckets × bucket-size, which the rebucket shrinks ~an order
+    * of magnitude — at 100 TB the data term IS the cost. Wall time is
+    * reported too but at local toy scale it is fixed-overhead-dominated
+    * (a ~100-task job costs seconds regardless of 75k vs 1.5M rows), so
+    * the rows ratio carries the scaling argument. */
   private def rebucketFlushRestore(spark: SparkSession,
       bigDir: String): String = {
     import org.apache.spark.sql.functions._
     val targetBucketRows = 600L
     val batchRows = 128
-    val flushes = 5
+    val flushes = 3
     val wh = Files.createTempDirectory("graft-rbkflush").toString
     val lake = new graft.catalog.GraftLake(spark, wh)
     val ord = Tables.orders(spark, bigDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val nRows = ord.count()
     val nbRight = math.max(8L, nRows / targetBucketRows).toInt
-    val nbStale = math.max(8, nbRight / 10) // sized for a 10×-smaller table
+    val nbStale = math.max(8, nbRight / 100) // sized for a 100×-smaller table
     lake.write("m", ord.repartition(64,
       pmod(hash(col("o_orderkey")), lit(nbStale))),
       partitions = Seq(s"bucket($nbStale, o_orderkey)"), pks = Seq("o_orderkey"))
     val maxK = ord.agg(max("o_orderkey")).head().getLong(0)
-    def flushAvg(tag: Int): Double = {
-      var total = 0.0
-      for (f <- 1 to flushes) {
-        val batch = spark.range(batchRows).select(
-          when(col("id") % 2 === 0,
-            (col("id") * 7919L + (tag * 10 + f) * 104729L) % maxK)
-            .otherwise(lit(maxK) + (tag * 10 + f) * 1000000L + col("id"))
-            .as("o_orderkey"),
-          lit("X").as("o_orderstatus"), lit(1.0).as("o_totalprice"))
-          .repartition(4)
-        val t0 = System.nanoTime()
-        lake.upsert("m", batch)
-        total += (System.nanoTime() - t0) / 1e6
+    def flushAvg(tag: Int): (Double, Double) = {
+      val read = new java.util.concurrent.atomic.LongAdder
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            read.add(te.taskMetrics.inputMetrics.recordsRead)
       }
-      total / flushes
+      spark.sparkContext.addSparkListener(listener)
+      var totalMs = 0.0
+      try {
+        for (f <- 1 to flushes) {
+          val batch = spark.range(batchRows).select(
+            when(col("id") % 2 === 0,
+              (col("id") * 7919L + (tag * 10 + f) * 104729L) % maxK)
+              .otherwise(lit(maxK) + (tag * 10 + f) * 1000000L + col("id"))
+              .as("o_orderkey"),
+            lit("X").as("o_orderstatus"), lit(1.0).as("o_totalprice"))
+            .repartition(4)
+          val t0 = System.nanoTime()
+          lake.upsert("m", batch)
+          totalMs += (System.nanoTime() - t0) / 1e6
+        }
+        // listener events drain asynchronously; settle before reading
+        val deadline = System.nanoTime() + 10e9.toLong
+        var last = -1L
+        while (System.nanoTime() < deadline && read.sum() != last) {
+          last = read.sum(); Thread.sleep(200)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      (totalMs / flushes, read.sum().toDouble / flushes)
     }
-    val beforeMs = flushAvg(1)
+    val (beforeMs, beforeRows) = flushAvg(1)
     val t0 = System.nanoTime()
     lake.rebucket("m", nbRight)
     val rebucketSecs = (System.nanoTime() - t0) / 1e9
-    val afterMs = flushAvg(2)
+    val (afterMs, afterRows) = flushAvg(2)
     println(s"[rebucket-restore] $nRows rows: stale bucket($nbStale) " +
-      s"flush=${num(beforeMs)}ms → rebucket($nbRight) in " +
-      s"${num(rebucketSecs)}s → flush=${num(afterMs)}ms " +
-      s"(${num(beforeMs / afterMs)}x restored)")
+      s"flush=${num(beforeMs)}ms/${num(beforeRows)}rows → " +
+      s"rebucket($nbRight) in ${num(rebucketSecs)}s → " +
+      s"flush=${num(afterMs)}ms/${num(afterRows)}rows " +
+      s"(${num(beforeRows / afterRows)}x fewer rows per flush)")
     s"""{"rows":$nRows,"stale_buckets":$nbStale,"right_buckets":$nbRight,""" +
       s""""before_ms_per_flush":${num(beforeMs)},""" +
+      s""""before_rows_per_flush":${num(beforeRows)},""" +
       s""""rebucket_seconds":${num(rebucketSecs)},""" +
       s""""after_ms_per_flush":${num(afterMs)},""" +
-      s""""restored_speedup":${num(beforeMs / afterMs)}}"""
+      s""""after_rows_per_flush":${num(afterRows)},""" +
+      s""""restored_rows_ratio":${num(beforeRows / afterRows)}}"""
   }
 
   /** CONCURRENT OPTIMIZE vs streaming appends, two REAL processes: the

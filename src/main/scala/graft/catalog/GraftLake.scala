@@ -4808,9 +4808,10 @@ final class GraftLake(private[graft] val spark: SparkSession,
       else if (onRewrite == "skip") () // documented at-least-once gap
       else throw new IllegalStateException(
         s"graft-cdf stream on '$name': commit v$v ('${m.op}') rewrites or " +
-          "deletes rows — appends-mode cannot attribute it; use " +
-          "onRewrite=skip (documented at-least-once), diff snapshots by " +
-          "key, or consume tableChanges windows instead")
+          "deletes rows — appends-mode cannot attribute it; use feed=cdf " +
+          s"(with ${TableMeta.CdfEnabledKey} for exact rewrite attribution), " +
+          "onRewrite=skip (documented at-least-once), or diff snapshots " +
+          "by key")
       prevV = Some(v)
     }
     val paths = resolveRefPaths(name, out.result())

@@ -69,6 +69,26 @@ import graft.catalog.GraftLake
   * silent data loss; the same first-start pinning FileStreamSource does
   * with its metadata log).
   *
+  * WHY v1 `Source`, not DSv2 `MicroBatchStream` (a considered
+  * determination, not legacy drift): an epoch here is a RELATIONAL plan —
+  * a multi-file parquet relation behind the codegen'd DV-mask filter,
+  * unioned with change-file scans and conform projections, all of which
+  * Catalyst plans, prunes and codegens because `getBatch` returns a
+  * DataFrame. DSv2's `MicroBatchStream` contract is per-partition ROW
+  * READERS (`planInputPartitions`/`PartitionReaderFactory`): shipping
+  * these epochs through it would mean re-implementing parquet reading,
+  * DV masking and the change-file union outside the optimizer (losing
+  * pushdown and whole-stage codegen) or collecting epochs at the driver.
+  * Delta Lake ships its source on the same v1 shape for the same reason.
+  * The benefits DSv2 would advertise hold here and are SPEC-GATED on v1:
+  * column pruning reaches the per-epoch parquet scan through Catalyst
+  * (the micro-batch plan is substituted and optimized per epoch — see
+  * the "column pruning" GraftCdfSourceSpec case, which reads the
+  * executed epoch plan), `Trigger.AvailableNow` drains and terminates
+  * via getOffset exhaustion, rate limiting composes through
+  * `maxVersionsPerTrigger`, and version offsets surface in every
+  * progress event's `sources[0].startOffset/endOffset`.
+  *
   * Reference frame: the connector's Kafka intake is the reference's only
   * stream; this source is the OUTBOUND half a lakehouse needs at scale —
   * downstream jobs tail a 100 TB table's commit log in O(delta) per

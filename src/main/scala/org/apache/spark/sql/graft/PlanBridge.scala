@@ -65,6 +65,17 @@ object PlanBridge {
         ds.queryExecution.toRdd, ds, isStreaming = true))
   }
 
+  /** The last micro-batch's QueryExecution of a RUNNING streaming query —
+    * spec-side visibility into what the engine actually planned for an
+    * epoch (StreamingQueryWrapper is private[sql]; this package sits
+    * inside the boundary). None before the first batch executes. */
+  def lastStreamExecution(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[org.apache.spark.sql.execution.QueryExecution] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution)
+    case _ => None
+  }
+
   /** Re-target a RESOLVED predicate at a different DataFrame by column
     * NAME: every bound AttributeReference becomes an UnresolvedAttribute,
     * so the returned Column re-resolves against whatever frame it is

@@ -474,6 +474,46 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("column pruning reaches the per-epoch parquet scan; offsets surface in progress") {
+    val lake = newLake()
+    lake.append("t", (0 until 50).map(i => (i, s"payload$i" * 10, i * 1.5))
+      .toDF("id", "big_payload", "score"))
+    val sink = freshSink()
+    // the consumer projects ONE column; the v1 batch plan is substituted
+    // into the streaming plan and optimized PER EPOCH, so Catalyst must
+    // push the projection into the parquet scan — the DSv2-advertised
+    // benefit, delivered by the relational epoch plan
+    val q = spark.readStream.format("graft-cdf")
+      .option("warehouse", lake.warehouseDir).option("table", "t")
+      .option("startingVersion", "snapshot")
+      .load()
+      .select("id")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdf-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val exec = org.apache.spark.sql.graft.PlanBridge.lastStreamExecution(q)
+        .getOrElse(fail("no epoch executed"))
+      val scans = exec.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "the epoch must plan a parquet file scan")
+      scans.foreach { s =>
+        val read = s.requiredSchema.fieldNames.toSet
+        assert(!read.contains("big_payload") && !read.contains("score"),
+          s"epoch scan must read only the projected column, got $read")
+      }
+      // version offsets are visible per progress event (what the DSv2
+      // 'offsets in the UI' item actually buys an operator)
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      assert(prog.nonEmpty && prog.forall(p =>
+        p.sources.nonEmpty && p.sources(0).endOffset != null))
+    } finally q.stop()
+    assert(spark.table(sink).count() === 50)
+  }
+
   test("minPollIntervalMs defaults by warehouse scheme: 0 local, 1000 elsewhere") {
     assert(GraftCdfSourceProvider.defaultPollIntervalMs("/tmp/wh") === 0L)
     assert(GraftCdfSourceProvider.defaultPollIntervalMs("file:/tmp/wh") === 0L)
