@@ -22,6 +22,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     f(cat, wh)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES flips engine flags through SQL") {
+    withCatalog { (cat, wh) =>
+      val lake = new GraftLake(spark, wh)
+      lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"),
+        pks = Seq("id"))
+      val v0 = lake.versions("t").last
+      // capture OFF: an upsert window is unattributable
+      lake.upsert("t", Seq((1, "A2")).toDF("id", "v"))
+      intercept[IllegalArgumentException] {
+        lake.tableChanges("t", v0, lake.versions("t").last).collect()
+      }
+      // flip it on through LITERAL SQL; the property surfaces and the
+      // next rewrite writes its change files
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        s"('${TableMeta.CdfEnabledKey}'='true')")
+      assert(lake.readMeta("t").cdfEnabled)
+      val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get(TableMeta.CdfEnabledKey).contains("true"))
+      val v1 = lake.versions("t").last
+      lake.upsert("t", Seq((2, "B2")).toDF("id", "v"))
+      val feed = lake.tableChanges("t", v1, lake.versions("t").last)
+        .select("id", "v", GraftLake.ChangeTypeCol).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(feed === Set((2, "b", "update_preimage"),
+        (2, "B2", "update_postimage")))
+      // UNSET turns capture back off
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES " +
+        s"('${TableMeta.CdfEnabledKey}')")
+      assert(!lake.readMeta("t").cdfEnabled)
+    }
+  }
+
   test("SQL SELECT and JOIN against lake tables through the v2 catalog") {
     withCatalog { (cat, wh) =>
       val lake = new GraftLake(spark, wh)
