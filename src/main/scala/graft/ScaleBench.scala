@@ -116,6 +116,7 @@ object ScaleBench {
     }
     val bmerge = bucketedMergeFlush(spark, smallDir, bigDir)
     val rbk = rebucketFlushRestore(spark, bigDir)
+    val rbkRace = rebucketVsAppendRace(spark)
     val race = multiWriterRace(spark)
     val optRace = compactVsAppendRace(spark)
     val json = rows.map { case (q, s, b, sw, bw) =>
@@ -125,7 +126,8 @@ object ScaleBench {
     }.mkString("{\"small\":\"" + smallDir + "\",\"big\":\"" + bigDir +
       "\",\"queries\":{", ",",
       s"},\"bucketed_merge_flush\":$bmerge," +
-        s"\"rebucket_flush_restore\":$rbk,\"race\":$race," +
+        s"\"rebucket_flush_restore\":$rbk," +
+        s"\"rebucket_vs_append\":$rbkRace,\"race\":$race," +
         s"\"optimize_vs_append\":$optRace}")
     Files.write(Paths.get("scale_bench.json"),
       json.getBytes(StandardCharsets.UTF_8))
@@ -301,6 +303,96 @@ object ScaleBench {
       s""""after_ms_per_flush":${num(afterMs)},""" +
       s""""after_rows_per_flush":${num(afterRows)},""" +
       s""""restored_rows_ratio":${num(beforeRows / afterRows)}}"""
+  }
+
+  /** ONLINE REBUCKET vs streaming appends, two REAL processes: the parent
+    * re-buckets a table while a forked [[RaceAppender]] JVM appends to it.
+    * The round-12 contract: rebucket's commit validates the live set is
+    * EXACTLY its input set — appends always win, the rebucket RETRIES
+    * from the new state (`rebucketRetry` metered) and converges once the
+    * writer quiesces; a mixed directory is never committed, and every
+    * row from both writers survives into the NEW layout. The child's
+    * stale-layout commits exercise the cross-process layout validation
+    * (a stale append is refused at commit and re-derives —
+    * `appendLayoutRetry` in the child). Should the appender outlast the
+    * 5-attempt bound, the loud exhaustion error is caught and one
+    * post-quiesce rebucket completes — exactly the documented operator
+    * runbook. */
+  private def rebucketVsAppendRace(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-rbkrace").toString
+    val lake = new graft.catalog.GraftLake(spark, wh)
+    val baseRows = 1000000L
+    lake.write("rbk_t", spark.range(baseRows)
+      .select(col("id").as("seq"), lit("base").as("writer"),
+        (col("id") % 97).cast("int").as("bucket"))
+      .repartition(24, pmod(hash(col("seq")), lit(8))),
+      partitions = Seq("bucket(8, seq)"))
+    val nBatches = 8
+    val rowsPerBatch = 100000L
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RaceAppender", wh, "rbk_t", "w2",
+      nBatches.toString, rowsPerBatch.toString)).toArray
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val drainer = new ChildDrain(child, "rbk-race-drain")
+    val v0 = lake.versions("rbk_t").size
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (lake.versions("rbk_t").size == v0 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    require(lake.versions("rbk_t").size > v0, "rbk-race child never committed")
+    val retries0 = graft.metrics.GraftMetrics.op("rebucketRetry").count.sum()
+    val t0 = System.nanoTime()
+    val exhaustedOnce =
+      try { lake.rebucket("rbk_t", 32); false }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("lost to concurrent") =>
+          // the appender outlasted the attempt bound: quiesce, then redo
+          child.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+          lake.rebucket("rbk_t", 32)
+          true
+      }
+    val rebucketSecs = (System.nanoTime() - t0) / 1e9
+    if (!child.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)) {
+      child.destroyForcibly()
+      throw new IllegalStateException("rbk-race child did not exit")
+    }
+    drainer.join(10000)
+    require(child.exitValue() == 0, s"rbk-race child failed: ${drainer.line}")
+    val retries = graft.metrics.GraftMetrics.op("rebucketRetry").count.sum() -
+      retries0
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake2 = new graft.catalog.GraftLake(spark, wh)
+    require(lake2.readMeta("rbk_t").partitions == Seq("bucket(32, seq)"),
+      "the rebucket must have converged to the new layout")
+    val dirs = lake2.dataFiles("rbk_t").map(p =>
+      new org.apache.hadoop.fs.Path(p).getParent.getName.split('=').head).toSet
+    require(dirs == Set("__p_bucket_32_seq"),
+      s"NO mixed layout may survive the race, got dirs $dirs")
+    val byWriter = lake2.read("rbk_t")
+      .groupBy(col("writer")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byWriter.getOrElse("base", 0L) == baseRows &&
+      byWriter.getOrElse("w2", 0L) == nBatches * rowsPerBatch,
+      s"rebucket-vs-append lost rows: $byWriter")
+    require(retries >= 1 || exhaustedOnce,
+      "no overlap was exercised — the appender never forced a retry")
+    println(s"[rbk-race] rebucket of ${baseRows + nBatches * rowsPerBatch} " +
+      s"rows converged in ${num(rebucketSecs)}s against a live appender " +
+      s"($retries retries${if (exhaustedOnce) " + one post-quiesce redo" else ""}); " +
+      "zero lost rows, no mixed layout")
+    s"""{"base_rows":$baseRows,"child_batches":$nBatches,""" +
+      s""""rows_per_batch":$rowsPerBatch,"all_landed":true,""" +
+      s""""rebucket_seconds":${num(rebucketSecs)},""" +
+      s""""rebucket_retries":$retries,"exhausted_once":$exhaustedOnce}"""
   }
 
   /** CONCURRENT OPTIMIZE vs streaming appends, two REAL processes: the

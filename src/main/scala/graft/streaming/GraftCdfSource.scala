@@ -46,6 +46,12 @@ import graft.catalog.GraftLake
   *    rows — deletion vectors applied — then stream later commits), or
   *    a retained version N (consumer already has snapshot N; stream
   *    commits > N)
+  *  - `startingTimestamp` (mutually exclusive with `startingVersion`):
+  *    epoch millis or ISO-8601 instant — the consumer owns the table AS
+  *    OF that time; commits after it stream. Resolved once at first
+  *    start to the snapshot current at the timestamp (a time before the
+  *    first commit, with the full chain retained, streams everything)
+  *    and pinned exactly like a version floor
   *  - `onRewrite`: `fail` (default) | `skip` (row-changing commits become
   *    no-ops — documented at-least-once)
   *  - `maxVersionsPerTrigger`: cap commits consumed per micro-batch
@@ -135,8 +141,28 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val (lake, table) = resolve(sqlContext, parameters)
     val feed = parameters.getOrElse("feed", "appends")
+    // startingTimestamp resolves to a version floor HERE, but the pin
+    // (written by the source at first start) stays authoritative across
+    // restarts — this re-resolution is only consulted when no pin exists
+    val startingVersion = parameters.get("startingTimestamp") match {
+      case Some(raw) =>
+        require(!parameters.contains("startingVersion"),
+          "graft-cdf: startingTimestamp and startingVersion are mutually " +
+            "exclusive")
+        val millis = GraftCdfSourceProvider.parseTimestampMs(raw)
+        (try lake.versionAt(table, millis)
+        catch {
+          case e: IllegalArgumentException =>
+            // before the FIRST commit: with the full chain retained the
+            // consumer owns nothing and every commit streams (floor -1);
+            // a partially expired chain cannot honor the ask — propagate
+            if (lake.versions(table).headOption.contains(0L)) -1L
+            else throw e
+        }).toString
+      case None => parameters.getOrElse("startingVersion", "latest")
+    }
     new GraftCdfSource(lake, table, metadataPath,
-      parameters.getOrElse("startingVersion", "latest"),
+      startingVersion,
       parameters.getOrElse("onRewrite", "fail"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("minPollIntervalMs").map(_.toLong).getOrElse(
@@ -156,6 +182,20 @@ object GraftCdfSourceProvider {
   def defaultPollIntervalMs(warehouse: String): Long = {
     val scheme = Option(new Path(warehouse).toUri.getScheme)
     if (scheme.forall(_ == "file")) 0L else 1000L
+  }
+
+  /** `startingTimestamp` accepts epoch millis or an ISO-8601 instant. */
+  def parseTimestampMs(raw: String): Long = {
+    val t = raw.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"graft-cdf startingTimestamp '$raw' is neither epoch millis " +
+              "nor an ISO-8601 instant (e.g. 2026-08-16T10:00:00Z)", e)
+      }
   }
 }
 
@@ -217,7 +257,9 @@ final class GraftCdfSource(lake: GraftLake, table: String,
         case "snapshot" => vs.lastOption.map(_ - 1).getOrElse(-1L)
         case n =>
           val v = n.toLong
-          require(vs.contains(v),
+          // -1 is the explicit ORIGIN floor (a startingTimestamp before
+          // the first commit): legal only while the chain retains v0
+          require(vs.contains(v) || (v == -1L && vs.headOption.forall(_ == 0L)),
             s"graft-cdf startingVersion=$v is not a retained snapshot of " +
               s"'$table' (have ${vs.headOption.getOrElse(-1L)}.." +
               s"${vs.lastOption.getOrElse(-1L)})")

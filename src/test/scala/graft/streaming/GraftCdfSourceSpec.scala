@@ -514,6 +514,48 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     assert(spark.table(sink).count() === 50)
   }
 
+  test("startingTimestamp floors the stream at the snapshot current AS OF that time") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "old")).toDF("id", "v"))          // v0
+    Thread.sleep(1200)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1200)
+    lake.append("t", Seq((2, "new")).toDF("id", "v"))          // v1
+    val sink = freshSink()
+    val q = stream(lake, "t", sink,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingTimestamp" -> between.toString))
+    try q.processAllAvailable() finally q.stop()
+    assert(ids(spark.table(sink)) === Seq(2),
+      "the consumer owns the table as of the timestamp; only later " +
+        "commits stream")
+
+    // before the FIRST commit (full chain retained): everything streams
+    val sink2 = freshSink()
+    val q2 = stream(lake, "t", sink2,
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingTimestamp" -> "2001-01-01T00:00:00Z"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(spark.table(sink2)) === Seq(1, 2))
+
+    // mutual exclusion with startingVersion (the source is created on the
+    // stream thread, so the refusal surfaces through the query)
+    val q3 = stream(lake, "t", freshSink(),
+      Files.createTempDirectory("cdf-ckpt").toString,
+      Map("startingTimestamp" -> between.toString,
+        "startingVersion" -> "0"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(e.getCause.getMessage.contains("mutually exclusive"))
+    // unparseable timestamps refuse with guidance
+    assert(GraftCdfSourceProvider.parseTimestampMs("1723800000000") ===
+      1723800000000L)
+    intercept[IllegalArgumentException] {
+      GraftCdfSourceProvider.parseTimestampMs("yesterday-ish")
+    }
+  }
+
   test("minPollIntervalMs defaults by warehouse scheme: 0 local, 1000 elsewhere") {
     assert(GraftCdfSourceProvider.defaultPollIntervalMs("/tmp/wh") === 0L)
     assert(GraftCdfSourceProvider.defaultPollIntervalMs("file:/tmp/wh") === 0L)
