@@ -5246,6 +5246,23 @@ final class GraftLake(private[graft] val spark: SparkSession,
       if (!referencedChanges.contains(s.getPath.getName))
         f.delete(s.getPath, false)
     }
+    // staging droppings of CRASHED writers (kill -9 between a stage write
+    // and its finally-delete): invisible to reads but they leak disk
+    // forever. Age-gated — a live writer's stage is always younger than
+    // the retention window (default 24 h; multi-hour 100 TB rewrites
+    // refresh their dir mtimes as leaves land)
+    val stageRetentionMs = spark.conf
+      .getOption("spark.graft.vacuum.stageRetentionMs").map(_.toLong)
+      .getOrElse(24L * 3600 * 1000)
+    val td = new Path(tableDir(name))
+    val stagePrefixes =
+      Seq(".stage-", ".dvstage-", ".updstage-", ".chgstage-", ".old-")
+    f.listStatus(td).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && stagePrefixes.exists(n.startsWith) &&
+          System.currentTimeMillis() - s.getModificationTime > stageRetentionMs)
+        f.delete(s.getPath, true)
+    }
     val hd = historyDir(name)
     val hdUri = f.makeQualified(hd).toUri
     def vacuum(p: Path): Unit =

@@ -231,6 +231,22 @@ class ChangeFeedSpec extends AnyFunSuite {
       (2, "B2", "update_postimage", vLast)))
   }
 
+  test("vacuum reaps CRASHED writers' stage droppings, age-gated") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.append("t", Seq((3, "c")).toDF("id", "v"))
+    val td = new java.io.File(s"${lake.warehouseDir}/t")
+    val stale = new java.io.File(td, ".stage-dead-writer")
+    val fresh = new java.io.File(td, ".chgstage-live-writer")
+    stale.mkdirs(); fresh.mkdirs()
+    stale.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    lake.expireSnapshots("t", keepLast = 1)
+    assert(!stale.exists(), "a day-old crashed stage must be vacuumed")
+    assert(fresh.exists(), "a live writer's fresh stage must be spared")
+    assert(lake.read("t").count() === 3)
+    fresh.delete()
+  }
+
   test("reconciliation: state(from) + inserts - deletes = state(to)") {
     val lake = newLake()
     val base = (1 to 200).map(i => (i, s"v$i"))
