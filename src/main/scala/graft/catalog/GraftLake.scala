@@ -4750,6 +4750,20 @@ final class GraftLake(private[graft] val spark: SparkSession,
     }
   }
 
+  /** A streaming micro-batch that fails AT EXECUTION with `msg`, not at
+    * plan build: Spark's v1 restart contract invokes getBatch ONCE for
+    * the already-committed window and DISCARDS the result (source
+    * catch-up, populateStartOffsets) — an eager refusal would crash a
+    * healthy restart on a window it will never execute. A genuinely
+    * replayed or progressing batch executes the plan and fails loudly. */
+  private def failingStreamBatch(schema: StructType, msg: String): DataFrame = {
+    val failing = spark.range(1)
+      .select(schema.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+      .filter(raise_error(lit(msg)).cast("boolean").isNotNull)
+    org.apache.spark.sql.graft.PlanBridge.streamify(failing)
+  }
+
   private[graft] def streamAppendBatch(name: String, fromVersion: Long,
       toVersion: Long, onRewrite: String = "fail",
       bootstrapAt: Option[Long] = None,
@@ -4767,7 +4781,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val originFloor = fromVersion < 0 && vs.headOption.contains(0L)
     if (window.nonEmpty && !bootstrap && !originFloor &&
         !vs.contains(fromVersion))
-      throw new IllegalStateException(
+      return failingStreamBatch(
+        advertised.getOrElse(GraftLake.logicalSchema(meta.schema)),
         s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
           "by expireSnapshots — restart the stream from a retained version")
     val logicalNoOps = Set("compact", "zorder", "dv-clear", "rebucket")
@@ -4875,11 +4890,13 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val originFloor = fromVersion < 0 && vs.headOption.contains(0L)
     val bootstrap =
       (bootstrapAt.contains(fromVersion) || originFloor) && window.nonEmpty
+    val meta = readMeta(name)
     if (window.nonEmpty && !bootstrap && !vs.contains(fromVersion))
-      throw new IllegalStateException(
+      return failingStreamBatch(
+        advertised.getOrElse(
+          GraftLake.cdfSchema(GraftLake.logicalSchema(meta.schema))),
         s"graft-cdf stream on '$name': offset v$fromVersion was expired " +
           "by expireSnapshots — restart the stream from a retained version")
-    val meta = readMeta(name)
     // the ADVERTISED schema (stream-start shape) is what
     // MicroBatchExecution substitutes the batch plan against — fresh
     // meta may already have evolved past it

@@ -141,24 +141,16 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val (lake, table) = resolve(sqlContext, parameters)
     val feed = parameters.getOrElse("feed", "appends")
-    // startingTimestamp resolves to a version floor HERE, but the pin
-    // (written by the source at first start) stays authoritative across
-    // restarts — this re-resolution is only consulted when no pin exists
+    // startingTimestamp is validated here but RESOLVED lazily in the
+    // source's no-pin branch: the pin (written at first start) stays
+    // authoritative across restarts, so a later retention change that
+    // would make the timestamp unresolvable cannot break a restart
     val startingVersion = parameters.get("startingTimestamp") match {
       case Some(raw) =>
         require(!parameters.contains("startingVersion"),
           "graft-cdf: startingTimestamp and startingVersion are mutually " +
             "exclusive")
-        val millis = GraftCdfSourceProvider.parseTimestampMs(raw)
-        (try lake.versionAt(table, millis)
-        catch {
-          case e: IllegalArgumentException =>
-            // before the FIRST commit: with the full chain retained the
-            // consumer owns nothing and every commit streams (floor -1);
-            // a partially expired chain cannot honor the ask — propagate
-            if (lake.versions(table).headOption.contains(0L)) -1L
-            else throw e
-        }).toString
+        s"timestamp:${GraftCdfSourceProvider.parseTimestampMs(raw)}"
       case None => parameters.getOrElse("startingVersion", "latest")
     }
     new GraftCdfSource(lake, table, metadataPath,
@@ -232,15 +224,25 @@ final class GraftCdfSource(lake: GraftLake, table: String,
   private val (floor: Long, bootstrapAt: Option[Long]) = {
     val p = new Path(metadataPath, "graft-cdf-floor")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parse(raw: String): (Long, Option[Long]) = raw.trim.split(':') match {
-      case Array(mode, v) =>
-        val fl = v.toLong
-        (fl, if (mode == "snapshot") Some(fl) else None)
-      case _ => throw new IllegalStateException(
-        s"graft-cdf floor pin '$p' is unreadable ('${raw.take(64)}') — a " +
-          "writer crashed mid-publish on a rename-less filesystem; delete " +
-          "the pin (AND the checkpoint, or the stream's position is " +
-          "ambiguous) to start the stream over")
+    // pin format: "<mode>:<floor>" — mode may itself carry a ':'
+    // ("timestamp:1723800000000"), so the floor is everything after the
+    // LAST separator
+    def parse(raw: String): (Long, Option[Long]) = {
+      val t = raw.trim
+      val i = t.lastIndexOf(':')
+      val parsed =
+        if (i <= 0 || i == t.length - 1) None
+        else scala.util.Try((t.substring(0, i), t.substring(i + 1).toLong))
+          .toOption
+      parsed match {
+        case Some((mode, fl)) =>
+          (fl, if (mode == "snapshot") Some(fl) else None)
+        case None => throw new IllegalStateException(
+          s"graft-cdf floor pin '$p' is unreadable ('${t.take(64)}') — a " +
+            "writer crashed mid-publish on a rename-less filesystem; delete " +
+            "the pin (AND the checkpoint, or the stream's position is " +
+            "ambiguous) to start the stream over")
+      }
     }
     def readPin(): (Long, Option[Long]) = {
       val in = f.open(p)
@@ -255,10 +257,21 @@ final class GraftCdfSource(lake: GraftLake, table: String,
         // floor under the first backfill commit: the next batch's window
         // head IS the pinned snapshot, emitted whole (DV-masked)
         case "snapshot" => vs.lastOption.map(_ - 1).getOrElse(-1L)
+        // "timestamp:<millis>": the consumer owns the table AS OF that
+        // time — floor at the snapshot current then; before the FIRST
+        // commit (full chain retained) the origin floor streams
+        // everything, while a partially expired chain refuses loudly
+        case t if t.startsWith("timestamp:") =>
+          val millis = t.stripPrefix("timestamp:").toLong
+          try lake.versionAt(table, millis)
+          catch {
+            case e: IllegalArgumentException =>
+              if (vs.headOption.contains(0L)) -1L else throw e
+          }
         case n =>
           val v = n.toLong
-          // -1 is the explicit ORIGIN floor (a startingTimestamp before
-          // the first commit): legal only while the chain retains v0
+          // -1 is the explicit ORIGIN floor: legal while the chain
+          // retains v0
           require(vs.contains(v) || (v == -1L && vs.headOption.forall(_ == 0L)),
             s"graft-cdf startingVersion=$v is not a retained snapshot of " +
               s"'$table' (have ${vs.headOption.getOrElse(-1L)}.." +

@@ -521,26 +521,40 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     val between = System.currentTimeMillis()
     Thread.sleep(1200)
     lake.append("t", Seq((2, "new")).toDF("id", "v"))          // v1
-    val sink = freshSink()
-    val q = stream(lake, "t", sink,
-      Files.createTempDirectory("cdf-ckpt").toString,
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    val out = Files.createTempDirectory("cdf-out").toString
+    val q = fileStream(lake, "t", out, ckpt,
       Map("startingTimestamp" -> between.toString))
     try q.processAllAvailable() finally q.stop()
-    assert(ids(spark.table(sink)) === Seq(2),
+    assert(ids(spark.read.parquet(out)) === Seq(2),
       "the consumer owns the table as of the timestamp; only later " +
         "commits stream")
+    // restart AFTER retention expired the resolution point: the PIN wins
+    // and the timestamp is never re-resolved (an eager re-resolution
+    // would refuse — v0, the snapshot current at the timestamp, is gone)
+    lake.append("t", Seq((3, "down")).toDF("id", "v"))         // v2
+    // keep the checkpoint anchor (v1) but EXPIRE v0 — the snapshot the
+    // timestamp resolves to; an eager re-resolution would now refuse
+    lake.expireSnapshots("t", keepLast = 2)
+    val q2 = fileStream(lake, "t", out, ckpt,
+      Map("startingTimestamp" -> between.toString))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(spark.read.parquet(out)) === Seq(2, 3),
+      "restart resumes from the pinned floor across the expiry")
 
     // before the FIRST commit (full chain retained): everything streams
+    val lakeB = newLake()
+    lakeB.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
     val sink2 = freshSink()
-    val q2 = stream(lake, "t", sink2,
+    val qPre = stream(lakeB, "t", sink2,
       Files.createTempDirectory("cdf-ckpt").toString,
       Map("startingTimestamp" -> "2001-01-01T00:00:00Z"))
-    try q2.processAllAvailable() finally q2.stop()
+    try qPre.processAllAvailable() finally qPre.stop()
     assert(ids(spark.table(sink2)) === Seq(1, 2))
 
     // mutual exclusion with startingVersion (the source is created on the
     // stream thread, so the refusal surfaces through the query)
-    val q3 = stream(lake, "t", freshSink(),
+    val q3 = stream(lakeB, "t", freshSink(),
       Files.createTempDirectory("cdf-ckpt").toString,
       Map("startingTimestamp" -> between.toString,
         "startingVersion" -> "0"))
