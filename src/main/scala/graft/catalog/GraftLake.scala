@@ -4723,29 +4723,35 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * checkpoint's offset was expired by [[expireSnapshots]] — fail
     * loudly, never silently re-emit (the explicit `bootstrapAt` is what
     * keeps an expired offset from being MISREAD as a bootstrap). */
-  /** Enforce the stream's schema-change policy over a commit window:
-    * `fail` refuses the first commit whose logical (name, type) shape
-    * differs from the stream's advertised schema — the loud option a
-    * REPLICATING consumer needs (conforming would silently drop a column
-    * added mid-stream from every epoch until restart); `conform` keeps
-    * the silent-projection behavior (analytics consumers of a fixed
-    * shape). Runs on manifests the batch walk reads anyway. */
-  private def enforceSchemaPolicy(name: String, window: Seq[Long],
-      advertisedBase: Option[StructType], onSchemaChange: String): Unit = {
-    if (onSchemaChange != "fail") return
-    advertisedBase.foreach { adv =>
+  /** The stream's schema-change policy over a commit window: under
+    * `fail`, Some(message) for the first commit whose logical (name,
+    * type) shape differs from the stream's advertised schema — the loud
+    * option a REPLICATING consumer needs (conforming would silently drop
+    * a column added mid-stream from every epoch until restart);
+    * `conform` (None always) keeps the silent-projection behavior.
+    * Returns the violation instead of throwing: the caller converts it
+    * into an EXECUTION-time failure ([[failingStreamBatch]]) because a
+    * restart's discarded catch-up getBatch may legitimately span an
+    * old-shape committed window (the stream re-advertised the evolved
+    * schema on restart) and must not crash at plan build. Runs on
+    * manifests the batch walk reads anyway. */
+  private def schemaPolicyViolation(name: String, window: Seq[Long],
+      advertisedBase: Option[StructType],
+      onSchemaChange: String): Option[String] = {
+    if (onSchemaChange != "fail") return None
+    advertisedBase.flatMap { adv =>
       val want = GraftLake.schemaShape(adv)
-      window.foreach { v =>
-        val got = GraftLake.schemaShape(readManifestFile(name, v).schema)
-        if (got != want) throw new IllegalStateException(
-          s"graft-cdf stream on '$name': commit v$v carries a DIFFERENT " +
-            s"schema than the stream advertised at start (" +
-            s"added: ${(got -- want).map(_._1).toSeq.sorted.mkString(", ")}; " +
-            s"removed: ${(want -- got).map(_._1).toSeq.sorted.mkString(", ")}) " +
-            "— onSchemaChange=fail refuses to silently conform. Restart " +
-            "the stream to pick up the new schema, or set " +
-            "onSchemaChange=conform to project every epoch to the " +
-            "stream-start shape")
+      window.iterator.map { v =>
+        v -> GraftLake.schemaShape(readManifestFile(name, v).schema)
+      }.collectFirst { case (v, got) if got != want =>
+        s"graft-cdf stream on '$name': commit v$v carries a DIFFERENT " +
+          s"schema than the stream advertised at start (" +
+          s"added: ${(got -- want).map(_._1).toSeq.sorted.mkString(", ")}; " +
+          s"removed: ${(want -- got).map(_._1).toSeq.sorted.mkString(", ")}) " +
+          "— onSchemaChange=fail refuses to silently conform. Restart " +
+          "the stream to pick up the new schema, or set " +
+          "onSchemaChange=conform to project every epoch to the " +
+          "stream-start shape"
       }
     }
   }
@@ -4772,7 +4778,9 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val meta = readMeta(name)
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
-    enforceSchemaPolicy(name, window, advertised, onSchemaChange)
+    for (msg <- schemaPolicyViolation(name, window, advertised, onSchemaChange))
+      return failingStreamBatch(
+        advertised.getOrElse(GraftLake.logicalSchema(meta.schema)), msg)
     val bootstrap = bootstrapAt.contains(fromVersion) && window.nonEmpty
     // a negative floor against a chain that still RETAINS its first-ever
     // commit (v0) is the legitimate "consumer has nothing, nothing was
@@ -4882,11 +4890,15 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
     // the advertised CDF shape carries the two feed columns — strip them
     // before comparing against commit schemas
-    enforceSchemaPolicy(name, window,
-      advertised.map(a => StructType(a.fields.filterNot(f =>
-        f.name == GraftLake.ChangeTypeCol ||
-          f.name == GraftLake.CommitVersionCol))),
-      onSchemaChange)
+    for (msg <- schemaPolicyViolation(name, window,
+        advertised.map(a => StructType(a.fields.filterNot(f =>
+          f.name == GraftLake.ChangeTypeCol ||
+            f.name == GraftLake.CommitVersionCol))),
+        onSchemaChange))
+      return failingStreamBatch(
+        advertised.getOrElse(
+          GraftLake.cdfSchema(GraftLake.logicalSchema(readMeta(name).schema))),
+        msg)
     val originFloor = fromVersion < 0 && vs.headOption.contains(0L)
     val bootstrap =
       (bootstrapAt.contains(fromVersion) || originFloor) && window.nonEmpty

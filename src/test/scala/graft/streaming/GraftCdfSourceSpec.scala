@@ -361,6 +361,27 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       s"rename must surface as add+remove, got: ${er.getCause.getMessage}")
   }
 
+  test("fail policy: a DOWN-TIME evolution must not crash the restart's catch-up") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    val out = Files.createTempDirectory("cdf-out").toString
+    val q1 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "snapshot", "onSchemaChange" -> "fail"))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ids(spark.read.parquet(out)) === Seq(1))
+    // the table evolves WHILE THE STREAM IS DOWN; the restart advertises
+    // the evolved schema, and Spark's v1 catch-up re-plans the OLD-shape
+    // committed window (discarded) — the policy must fail lazily or this
+    // healthy restart dies at plan build
+    lake.append("t", Seq((2, "b", 1.5)).toDF("id", "v", "w"))
+    val q2 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "snapshot", "onSchemaChange" -> "fail"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(spark.read.parquet(out)) === Seq(1, 2),
+      "the down-time evolved commit arrives under the fresh advertisement")
+  }
+
   test("replication under fail mode: mid-stream evolution fails loudly, restart converges") {
     val lake = newLake()
     lake.append("rsrc", Seq((1, "a"), (2, "b")).toDF("id", "v"))
