@@ -21,6 +21,11 @@ object TxnSuspender {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.txn.heartbeatMs", "3600000") // never beats
+      // journal as a FOREIGN host: same-host live coordinators are
+      // protected by pid liveness (a GC-paused local driver must not be
+      // compensated mid-flight), so the suspended-coordinator takeover
+      // this helper exists to prove is the cross-host heartbeat path
+      .config("spark.graft.txn.host", "txn-suspender-remote-sim")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val lake = new graft.catalog.GraftLake(spark, wh)

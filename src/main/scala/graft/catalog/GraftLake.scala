@@ -2146,8 +2146,14 @@ final class GraftLake(private[graft] val spark: SparkSession,
   /** Renew the coordinator lease: bump the journal's mtime (one metadata
     * call); filesystems without setTimes get an atomic same-content
     * rewrite instead. Best-effort — a missed beat only narrows the
-    * takeover margin, never correctness. */
-  private def touchTxnJournal(p: Path): Unit = {
+    * takeover margin, never correctness. `stillBeating` gates the
+    * rewrite FALLBACK right before it publishes: the coordinator joins
+    * the beat thread before deleting the journal at commit, but a
+    * fallback racing that shutdown must never re-create a journal the
+    * commit just deleted (the next recovery would compensate an
+    * already-committed transaction). */
+  private def touchTxnJournal(p: Path,
+      stillBeating: () => Boolean = () => true): Unit = {
     val f = fs(p)
     try f.setTimes(p, System.currentTimeMillis(), -1)
     catch {
@@ -2159,7 +2165,12 @@ final class GraftLake(private[graft] val spark: SparkSession,
           val tmp = new Path(txnJournalDir, s".${p.getName}.${UUID.randomUUID()}.tmp")
           val out = f.create(tmp, true)
           try out.write(raw.getBytes("UTF-8")) finally out.close()
-          replaceAtomic(f, tmp, p)
+          // re-check right before publishing: a stop (commit in progress)
+          // or a takeover's journal delete between the read above and here
+          // must win — the rewrite is only a lease renewal, never a
+          // resurrection
+          if (stillBeating() && f.exists(p)) replaceAtomic(f, tmp, p)
+          else f.delete(tmp, false)
         } catch { case _: Exception => () }
     }
   }
@@ -2222,14 +2233,28 @@ final class GraftLake(private[graft] val spark: SparkSession,
         while (!stopBeat.get && !interrupted) {
           try Thread.sleep(txnHeartbeatIntervalMs)
           catch { case _: InterruptedException => interrupted = true }
-          if (!stopBeat.get && !interrupted) touchTxnJournal(jp)
+          if (!stopBeat.get && !interrupted)
+            touchTxnJournal(jp, () => !stopBeat.get)
         }
       }, s"graft-txn-heartbeat-${txnId.take(8)}")
       beat.setDaemon(true)
       beat.start()
+      // the beat must be fully STOPPED (joined, not just signalled)
+      // before the fence check and the journal delete: on filesystems
+      // where setTimes fails, a touch's read-then-rewrite fallback racing
+      // the delete could re-create the journal, and the next recovery
+      // would compensate an already-committed transaction
+      def stopHeartbeat(): Unit = {
+        stopBeat.set(true)
+        beat.interrupt()
+        try beat.join(10000)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt() }
+      }
       var journalLive = true
       try {
-        val result = transactBody(sorted)(body)
+        val result =
+          try transactBody(sorted)(body) finally stopHeartbeat()
         // FENCE: a takeover has already compensated the members and
         // deleted the journal; any commit this coordinator landed AFTER
         // the takeover must not survive as half a transaction — roll the
@@ -2266,7 +2291,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
             try deleteTxnJournal(txnId)
             catch { case r: Throwable => e.addSuppressed(r) }
           throw e
-      } finally { stopBeat.set(true); beat.interrupt() }
+      } finally stopHeartbeat() // idempotent; already joined on both paths
     } finally releaseTxnLocks(sorted, txnId)
   }
 
@@ -2397,6 +2422,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val tmp = new Path(txnJournalDir, s".$txnId-${UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write((s"""{"txn":"$txnId","pid":${ProcessHandle.current().pid()},""" +
+      s""""host":"${GraftLake.coordinatorHost(spark)}",""" +
       s""""members":$members}""").getBytes("UTF-8"))
     finally out.close()
     replaceAtomic(f, tmp, p)
@@ -2410,6 +2436,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
   private val JournalMember =
     """\{"name":"([^"]+)","pre":(-?\d+),"meta":"([^"]*)"\}""".r
   private val JournalHead = """"pid":(\d+)""".r.unanchored
+  private val JournalHost = """"host":"([^"]*)"""".r.unanchored
 
   /** Detect and compensate transactions whose coordinator DIED (or whose
     * journal exceeded the takeover timeout): each member restores to its
@@ -2430,17 +2457,31 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val holderPid = JournalHead.findFirstMatchIn(raw).map(_.group(1).toLong)
+      val holderHost = JournalHost.findFirstMatchIn(raw).map(_.group(1))
+      val myHost = GraftLake.coordinatorHost(spark)
+      val sameHost = holderHost.contains(myHost) && myHost.nonEmpty
       val alive = holderPid.exists(pid =>
         ProcessHandle.of(pid).map[java.lang.Boolean](h =>
           java.lang.Boolean.valueOf(h.isAlive)).orElse(java.lang.Boolean.FALSE))
-      // liveness = pid (single-host accelerator: a dead local coordinator
-      // is taken over immediately) OR missed heartbeats (cross-host: the
-      // coordinator renews the journal mtime every heartbeatMs, so a
-      // crashed OR suspended remote holder is detected in seconds instead
-      // of the lock timeout's minutes; a suspended holder that resumes
-      // post-takeover is fenced by the broken locks)
       val age = System.currentTimeMillis() - s.getModificationTime
-      if (!alive || age > txnHeartbeatTimeoutMs) {
+      // Takeover rules, keyed by the HOST the journal records:
+      //  - same host: pid liveness is authoritative — a dead pid is taken
+      //    over immediately, a LIVE pid is trusted (a driver GC pause or
+      //    a silently-failing touchTxnJournal must never get a healthy
+      //    local coordinator's committed work rolled back after it
+      //    reported success); the full lock timeout stays as the pid-reuse
+      //    safety net.
+      //  - foreign/unknown host: the pid check is MEANINGLESS (another
+      //    machine's pid number may or may not match a local process), so
+      //    the missed-heartbeat age decides alone — a crashed OR suspended
+      //    remote holder is detected in seconds instead of the lock
+      //    timeout's minutes, and a suspended holder that resumes
+      //    post-takeover is fenced by the broken locks.
+      val stale =
+        if (sameHost) !alive || age > math.max(txnHeartbeatTimeoutMs,
+          txnLockTimeoutMs)
+        else age > txnHeartbeatTimeoutMs
+      if (stale) {
         val txnId = s.getPath.getName.stripSuffix(".json")
         val dec = java.util.Base64.getDecoder
         var allOk = true
@@ -2578,9 +2619,18 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * same effect from PK upsert; this is the append-table half. */
   def appendIdempotent(name: String, batch: DataFrame, appId: String,
       txnVersion: Long, partitions: Seq[String] = Nil,
-      pks: Seq[String] = Nil): Boolean = writeLock(name) {
-    if (tableExists(name) &&
-        lastTxnVersion(name, appId).exists(_ >= txnVersion)) false
+      pks: Seq[String] = Nil, legacyAppId: Option[String] = None): Boolean =
+    writeLock(name) {
+    // `legacyAppId`: a PRIOR spelling of the same idempotence scope (the
+    // sink's pre-normalization checkpoint-string appId). When the current
+    // scope has no watermark yet, the legacy one is adopted — otherwise an
+    // appId rename across an upgrade would reset the watermark and let a
+    // WAL-replayed epoch land twice, the exact duplicate the scope exists
+    // to prevent. Once a commit lands under the new scope, the new
+    // watermark takes over and the legacy entry goes inert.
+    def watermark = lastTxnVersion(name, appId).orElse(
+      legacyAppId.filter(_ != appId).flatMap(lastTxnVersion(name, _)))
+    if (tableExists(name) && watermark.exists(_ >= txnVersion)) false
     else {
       appendTxn(name, batch, Some((appId, txnVersion)), partitions, pks)
       true
@@ -4737,11 +4787,21 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * manifests the batch walk reads anyway. */
   private def schemaPolicyViolation(name: String, window: Seq[Long],
       advertisedBase: Option[StructType],
-      onSchemaChange: String): Option[String] = {
+      onSchemaChange: String,
+      advertisedAt: Option[Long] = None): Option[String] = {
     if (onSchemaChange != "fail") return None
     advertisedBase.flatMap { adv =>
       val want = GraftLake.schemaShape(adv)
-      window.iterator.map { v =>
+      // only commits AFTER the version at which the stream advertised its
+      // schema are genuine MID-STREAM evolution; commits at or below it
+      // (a startingVersion=0/timestamp backfill over a table that evolved
+      // anywhere in retained history) pre-date the advertisement and
+      // conform under the widened-read contract — failing on them would
+      // brick every batch permanently, and the "restart the stream"
+      // remedy could never fix it (a restart re-advertises the same
+      // current schema)
+      val scoped = advertisedAt.fold(window)(at => window.filter(_ > at))
+      scoped.iterator.map { v =>
         v -> GraftLake.schemaShape(readManifestFile(name, v).schema)
       }.collectFirst { case (v, got) if got != want =>
         s"graft-cdf stream on '$name': commit v$v carries a DIFFERENT " +
@@ -4774,11 +4834,13 @@ final class GraftLake(private[graft] val spark: SparkSession,
       toVersion: Long, onRewrite: String = "fail",
       bootstrapAt: Option[Long] = None,
       advertised: Option[StructType] = None,
-      onSchemaChange: String = "conform"): DataFrame = {
+      onSchemaChange: String = "conform",
+      advertisedAt: Option[Long] = None): DataFrame = {
     val meta = readMeta(name)
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
-    for (msg <- schemaPolicyViolation(name, window, advertised, onSchemaChange))
+    for (msg <- schemaPolicyViolation(name, window, advertised, onSchemaChange,
+        advertisedAt))
       return failingStreamBatch(
         advertised.getOrElse(GraftLake.logicalSchema(meta.schema)), msg)
     val bootstrap = bootstrapAt.contains(fromVersion) && window.nonEmpty
@@ -4809,7 +4871,16 @@ final class GraftLake(private[graft] val spark: SparkSession,
       else if (originFloor || window.isEmpty) None
       else Some(fromVersion)
     val rest = if (bootstrap) window.tail else window
-    rest.foreach { v =>
+    // the unattributable-rewrite refusal must fail at EXECUTION, not
+    // here: a restart's discarded catch-up getBatch can replay a window
+    // the stream committed under DIFFERENT options (onRewrite=skip then,
+    // fail now — or feed flipped) and must not crash at plan build; the
+    // same v1-restart contract as the expired-offset and schema-policy
+    // refusals above
+    var refusal: Option[String] = None
+    val it = rest.iterator
+    while (it.hasNext && refusal.isEmpty) {
+      val v = it.next()
       val m = readManifestFile(name, v)
       val (added, removed) = m.files match {
         case Some(full) =>
@@ -4829,7 +4900,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       if (logicalNoOps(m.op)) () // content-preserving rearrangement
       else if (removed.isEmpty && dvAdded.isEmpty) out ++= added
       else if (onRewrite == "skip") () // documented at-least-once gap
-      else throw new IllegalStateException(
+      else refusal = Some(
         s"graft-cdf stream on '$name': commit v$v ('${m.op}') rewrites or " +
           "deletes rows — appends-mode cannot attribute it; use feed=cdf " +
           s"(with ${TableMeta.CdfEnabledKey} for exact rewrite attribution), " +
@@ -4837,6 +4908,9 @@ final class GraftLake(private[graft] val spark: SparkSession,
           "by key")
       prevV = Some(v)
     }
+    for (msg <- refusal)
+      return failingStreamBatch(
+        advertised.getOrElse(GraftLake.logicalSchema(meta.schema)), msg)
     val paths = resolveRefPaths(name, out.result())
     val scan = streamingParquetScan(paths, meta.schema)
     val bootDvs =
@@ -4885,7 +4959,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
   private[graft] def streamChangeBatch(name: String, fromVersion: Long,
       toVersion: Long, bootstrapAt: Option[Long] = None,
       advertised: Option[StructType] = None,
-      onSchemaChange: String = "fail"): DataFrame = {
+      onSchemaChange: String = "fail",
+      advertisedAt: Option[Long] = None): DataFrame = {
     val vs = versions(name)
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
     // the advertised CDF shape carries the two feed columns — strip them
@@ -4894,7 +4969,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         advertised.map(a => StructType(a.fields.filterNot(f =>
           f.name == GraftLake.ChangeTypeCol ||
             f.name == GraftLake.CommitVersionCol))),
-        onSchemaChange))
+        onSchemaChange, advertisedAt))
       return failingStreamBatch(
         advertised.getOrElse(
           GraftLake.cdfSchema(GraftLake.logicalSchema(readMeta(name).schema))),
@@ -5371,6 +5446,19 @@ object GraftLake {
   /** Change-feed metadata columns ([[GraftLake.tableChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  private lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "" }
+
+  /** The host name a durable transaction records in its journal. The
+    * journal's host decides which takeover rule applies to it (same-host
+    * pid liveness vs foreign-host heartbeat age). The conf override
+    * exists so a single-machine spec can exercise the foreign-host path
+    * (and so an operator can force distinct identities on hosts whose
+    * names collide, e.g. containers all reporting `localhost`). */
+  private[catalog] def coordinatorHost(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.txn.host").getOrElse(localHost)
 
   /** The change-feed schema over a table's (logical) base schema — ONE
     * definition shared by the `graft-cdf` provider, the source and

@@ -326,6 +326,16 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     * whole backlog through the limiter. */
   @volatile private var offered: Long = floor
 
+  /** The version at (or below) which the advertised schema took effect —
+    * captured BEFORE reading the schema, so a commit racing the two reads
+    * can only make the policy stricter, never looser. Commits ≤ this are
+    * backfill/pre-advertisement and conform under the widened-read
+    * contract even with `onSchemaChange=fail`; only LATER commits with a
+    * different shape are mid-stream evolution (where a restart genuinely
+    * picks up the new schema). */
+  private val advertisedAt: Long =
+    lake.versions(table).lastOption.getOrElse(-1L)
+
   /** The stream-start shape. Under `onSchemaChange=conform` every epoch
     * projects to it even if the table's schema evolves mid-stream (the
     * consumer re-reads the schema on restart, the standard streaming-
@@ -339,7 +349,9 @@ final class GraftCdfSource(lake: GraftLake, table: String,
 
   // each poll lists the table's commit-log directory (one metadata call);
   // `minPollIntervalMs` bounds that rate for object-store warehouses —
-  // OFF by default so tests and low-latency tails see commits immediately
+  // defaulted per warehouse scheme by the provider (1000 ms off `file:`,
+  // 0 on local filesystems so tests and low-latency tails see commits
+  // immediately)
   private var lastPollNs = Long.MinValue
   private var cachedLatest: Option[Long] = None
   private def latestVersion(): Option[Long] = {
@@ -372,10 +384,10 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     offered = math.max(offered, to)
     if (feed == "cdf")
       lake.streamChangeBatch(table, from, to, bootstrapAt, Some(schema),
-        onSchemaChange)
+        onSchemaChange, Some(advertisedAt))
     else
       lake.streamAppendBatch(table, from, to, onRewrite, bootstrapAt,
-        Some(schema), onSchemaChange)
+        Some(schema), onSchemaChange, Some(advertisedAt))
   }
 
   private def version(

@@ -70,7 +70,8 @@ final class GraftSinkProvider extends StreamSinkProvider
     // slash, file:/ vs file:///, relative vs absolute) must not mint a
     // NEW appId — that would reset the txn watermark and let a
     // WAL-replayed epoch land twice
-    val appId = parameters.get("txnAppId")
+    val explicit = parameters.get("txnAppId")
+    val appId = explicit
       .orElse(parameters.get("checkpointLocation")
         .map(GraftSinkProvider.normalizeScope(
           sqlContext.sparkSession.sparkContext.hadoopConfiguration, _)))
@@ -80,11 +81,19 @@ final class GraftSinkProvider extends StreamSinkProvider
             "graft sink (Append mode) needs an idempotence scope: set " +
               "'txnAppId', or pass 'checkpointLocation' as a writeStream " +
               "OPTION (a session-conf checkpoint is invisible here) — " +
-              "distinct streams appending to one table must not share a " +
-              "scope, or their epochs silently dedupe against each other")
+              "distinct streams appending to one table need distinct " +
+              "scopes, or their epochs silently dedupe against each other")
         s"graft-sink:$table"
       }
-    new GraftSink(lake, table, appId, partitions, pks, outputMode)
+    // pre-normalization scope of checkpoints created before the appId was
+    // qualified: its watermark is adopted when the normalized scope has
+    // none, so the one-time rename across an upgrade cannot replay the
+    // last WAL epoch twice
+    val legacyAppId =
+      if (explicit.isDefined) None
+      else parameters.get("checkpointLocation").filter(_ != appId)
+    new GraftSink(lake, table, appId, partitions, pks, outputMode,
+      legacyAppId)
   }
 }
 
@@ -107,7 +116,8 @@ object GraftSinkProvider {
 }
 
 final class GraftSink(lake: GraftLake, table: String, appId: String,
-    partitions: Seq[String], pks: Seq[String], mode: OutputMode)
+    partitions: Seq[String], pks: Seq[String], mode: OutputMode,
+    legacyAppId: Option[String] = None)
   extends Sink {
 
   if (mode == OutputMode.Update())
@@ -121,8 +131,8 @@ final class GraftSink(lake: GraftLake, table: String, appId: String,
     val df = PlanBridge.unstream(data)
     mode match {
       case m if m == OutputMode.Append() =>
-        val landed =
-          lake.appendIdempotent(table, df, appId, batchId, partitions, pks)
+        val landed = lake.appendIdempotent(table, df, appId, batchId,
+          partitions, pks, legacyAppId)
         if (!landed)
           graft.metrics.GraftMetrics.op("sinkEpochReplaySkipped").record(0L)
       case m if m == OutputMode.Update() =>

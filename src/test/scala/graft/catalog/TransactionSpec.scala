@@ -100,9 +100,11 @@ class TransactionSpec extends AnyFunSuite {
     val wh = Files.createTempDirectory("graft-txnhb").toString
     val lake = new GraftLake(spark, wh)
     lake.append("ta", Seq((1, "a1")).toDF("id", "v").repartition(1))
-    // takeover keys on MISSED HEARTBEATS (the suspended child's pid stays
-    // alive throughout — pid liveness alone would wait out the 10-minute
-    // lock timeout)
+    // takeover keys on MISSED HEARTBEATS for FOREIGN-host coordinators
+    // (the child journals under a simulated remote host name; its pid
+    // stays alive throughout — same-host pid liveness would trust it and
+    // wait out the lock timeout, which is exactly the protection a live
+    // local coordinator needs)
     spark.conf.set("spark.graft.txn.heartbeatTimeoutMs", "1500")
     try {
       import scala.jdk.CollectionConverters._
@@ -144,6 +146,43 @@ class TransactionSpec extends AnyFunSuite {
         assert(lake.read("ta").count() === 1,
           "the post-takeover commit must not survive the fence")
       } finally if (child.isAlive) child.destroyForcibly()
+    } finally spark.conf.unset("spark.graft.txn.heartbeatTimeoutMs")
+  }
+
+  test("same-host LIVE coordinator is protected from heartbeat takeover; a dead one is not") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-txnhost").toString
+    val lake = new GraftLake(spark, wh)
+    lake.append("ta", Seq((1, "a1")).toDF("id", "v").repartition(1))
+    lake.append("ta", Seq((2, "a2")).toDF("id", "v").repartition(1))
+    spark.conf.set("spark.graft.txn.heartbeatTimeoutMs", "500")
+    try {
+      val dir = new java.io.File(wh, "_txn_journal"); dir.mkdirs()
+      val j = new java.io.File(dir, "test-host-txn.json")
+      def writeJournal(pid: Long): Unit = {
+        val host = GraftLake.coordinatorHost(spark)
+        java.nio.file.Files.write(j.toPath,
+          (s"""{"txn":"test-host-txn","pid":$pid,"host":"$host",""" +
+            s""""members":[{"name":"ta","pre":0,"meta":""}]}""")
+            .getBytes("UTF-8"))
+        // mtime far past the heartbeat timeout: the lease looks expired
+        j.setLastModified(System.currentTimeMillis() - 60000L)
+      }
+      // LIVE pid on THIS host: pid liveness is authoritative — a stale
+      // lease alone (driver GC pause, silently-failing touch) must not
+      // get the coordinator's in-flight work compensated
+      writeJournal(ProcessHandle.current().pid())
+      assert(lake.recoverStaleTransactions() === 0,
+        "a live same-host coordinator must not be taken over on lease age")
+      assert(lake.read("ta").count() === 2, "no compensation ran")
+      // DEAD pid on THIS host: immediate takeover, member restored to its
+      // journaled pre-version
+      writeJournal(999999999L)
+      assert(lake.recoverStaleTransactions() === 1,
+        "a dead same-host coordinator is compensated immediately")
+      assert(lake.read("ta").count() === 1,
+        "member restored to its journaled pre-version")
+      assert(!j.exists(), "journal healed")
     } finally spark.conf.unset("spark.graft.txn.heartbeatTimeoutMs")
   }
 

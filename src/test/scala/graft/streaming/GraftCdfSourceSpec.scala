@@ -382,6 +382,83 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       "the down-time evolved commit arrives under the fresh advertisement")
   }
 
+  test("onRewrite flipped across a restart must not crash the discarded catch-up") {
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    val out = Files.createTempDirectory("cdf-out").toString
+    val q1 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "snapshot", "onRewrite" -> "skip"))
+    try {
+      q1.processAllAvailable()
+      lake.deleteWhere("t", col("id") === 1) // rewrite commit, skipped
+      lake.append("t", Seq((3, "c")).toDF("id", "v"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(ids(spark.read.parquet(out)) === Seq(1, 2, 3),
+      "skip mode: the delete is a no-op, the append arrives")
+    // restart with onRewrite=fail: Spark's v1 catch-up re-plans the
+    // COMMITTED window — which contains the rewrite commit that was
+    // legal under skip — and discards it. The refusal must fail at
+    // execution, not at plan build, or this healthy restart dies in
+    // populateStartOffsets on a batch it never runs.
+    val q2 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "snapshot", "onRewrite" -> "fail"))
+    try {
+      q2.processAllAvailable()
+      lake.append("t", Seq((4, "d")).toDF("id", "v"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids(spark.read.parquet(out)) === Seq(1, 2, 3, 4),
+      "the option flip only governs NEW windows")
+    // and a NEW rewrite under the flipped option still fails loudly
+    val q3 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "snapshot", "onRewrite" -> "fail"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        q3.processAllAvailable()
+        lake.deleteWhere("t", col("id") === 2)
+        lake.append("t", Seq((5, "e")).toDF("id", "v"))
+        q3.processAllAvailable()
+      } finally q3.stop()
+    }
+    assert(e.getCause.getMessage.contains("rewrites or deletes rows"),
+      s"got: ${e.getCause.getMessage}")
+  }
+
+  test("fail policy: a FIRST start over pre-evolved history conforms the backfill") {
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))          // v0 old shape
+    lake.append("t", Seq((2, "b")).toDF("id", "v"))          // v1 old shape
+    lake.append("t", Seq((3, "c", 1.5)).toDF("id", "v", "w")) // v2 evolves
+    // a FIRST start from the origin under onSchemaChange=fail: every
+    // commit the stream backfills pre-dates its schema advertisement, so
+    // the old-shape commits conform (widened read) instead of bricking
+    // every batch with a violation no restart could ever clear
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    val out = Files.createTempDirectory("cdf-out").toString
+    val q1 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "0", "onSchemaChange" -> "fail"))
+    try q1.processAllAvailable() finally q1.stop()
+    val got = spark.read.parquet(out)
+    assert(ids(got) === Seq(2, 3), "window above floor v0 delivered")
+    assert(got.filter(col("id") === 2).select("w").head().isNullAt(0),
+      "pre-evolution rows null-fill the advertised column")
+    assert(got.filter(col("id") === 3).select("w").head().getDouble(0) === 1.5)
+    // genuine MID-STREAM evolution still refuses at its commit
+    val q2 = fileStream(lake, "t", out, ckpt,
+      Map("startingVersion" -> "0", "onSchemaChange" -> "fail"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        q2.processAllAvailable()
+        lake.append("t", Seq((4, "d", 1.5, 9L)).toDF("id", "v", "w", "x"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(e.getCause.getMessage.contains("added: x"),
+      s"got: ${e.getCause.getMessage}")
+  }
+
   test("replication under fail mode: mid-stream evolution fails loudly, restart converges") {
     val lake = newLake()
     lake.append("rsrc", Seq((1, "a"), (2, "b")).toDF("id", "v"))

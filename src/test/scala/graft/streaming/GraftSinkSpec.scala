@@ -38,6 +38,29 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(ids(lake.read("t")) === Seq(1, 2, 3, 4))
   }
 
+  test("appId normalization upgrade adopts the legacy raw-path watermark") {
+    val lake = newLake()
+    // a pre-upgrade stream committed epochs 0..1 under the RAW checkpoint
+    // string as its scope
+    val legacy = new GraftSink(lake, "t", "/tmp/ck", Nil, Nil,
+      OutputMode.Append())
+    legacy.addBatch(0, Seq((1, "a")).toDF("id", "v"))
+    legacy.addBatch(1, Seq((2, "b")).toDF("id", "v"))
+    // post-upgrade the same checkpoint normalizes to a qualified URI; the
+    // WAL replays the last epoch — without legacy adoption the fresh
+    // scope has no watermark and the epoch would land TWICE
+    val upgraded = new GraftSink(lake, "t", "file:///tmp/ck", Nil, Nil,
+      OutputMode.Append(), legacyAppId = Some("/tmp/ck"))
+    upgraded.addBatch(1, Seq((2, "b")).toDF("id", "v")) // WAL replay
+    assert(ids(lake.read("t")) === Seq(1, 2),
+      "the replayed epoch must dedupe against the legacy watermark")
+    upgraded.addBatch(2, Seq((3, "c")).toDF("id", "v"))
+    assert(ids(lake.read("t")) === Seq(1, 2, 3))
+    // from here the new scope owns the watermark
+    upgraded.addBatch(2, Seq((3, "c")).toDF("id", "v"))
+    assert(ids(lake.read("t")) === Seq(1, 2, 3))
+  }
+
   test("update mode upserts each epoch by PK; complete mode overwrites") {
     val lake = newLake()
     val up = new GraftSink(lake, "u", "app", Nil, Seq("id"), OutputMode.Update())
