@@ -1779,6 +1779,52 @@ object AnalyticsOps {
       .orderBy(col("commit_seq"), col("change_type"))
   }
 
+  /** q170: SQL-SURFACED CHANGE FEED — `SELECT … FROM
+    * table_changes('cat.t', from, to)`, the TVF over
+    * [[graft.catalog.GraftLake.tableChanges]] (DuckLake parity: its
+    * `ducklake_table_changes(...)` is likewise a plain SQL function, so a
+    * SQL-only consumer can ask "what changed between v0 and v2" without
+    * Scala or a stream). Deterministic commits (v0 seed append, v1
+    * append, v2 merge-on-read DELETE) let the oracle rebuild the feed
+    * arithmetically; the TVF resolves its identifier through the
+    * session's CatalogManager like every other graft statement. */
+  val q170TableChangesSql = QueryDef(
+    "q170_table_changes_sql",
+    """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      |           FROM orders WHERE o_orderkey % 10 = 3)
+      |SELECT CAST(1 AS BIGINT) AS _commit_version,
+      |       'insert' AS _change_type, count(*) AS n,
+      |       round(sum(price), 2) AS price_sum
+      |FROM o WHERE k % 20 = 13
+      |UNION ALL
+      |SELECT 2, 'delete', count(*), round(sum(price), 2)
+      |FROM o WHERE k % 100 = 23
+      |ORDER BY _commit_version""".stripMargin) { (s, dir) =>
+    val catKey = "spark.sql.catalog.gtvf"
+    if (s.conf.getOption(s"$catKey.warehouse").isEmpty) {
+      s.conf.set(catKey, classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"$catKey.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-gtvf").toString)
+    }
+    // rebuild per run (q168's discipline): version ids must be the
+    // deterministic 0/1/2 the SQL below names, across SFs and re-runs
+    val l = new graft.catalog.GraftLake(s, s.conf.get(s"$catKey.warehouse"))
+    if (l.tableExists("chg")) l.dropTable("chg")
+    val o = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+    l.append("chg", o.filter(col("k") % 20 === 3))   // v0 — seed
+    l.append("chg", o.filter(col("k") % 20 === 13))  // v1 — insert wave
+    require(l.deleteWhere("chg", col("k") % 100 === 23) > 0,
+      "the MoR delete must match rows")               // v2 — dv-add
+    s.sql(
+      """SELECT _commit_version, _change_type, count(*) AS n,
+        |       round(sum(price), 2) AS price_sum
+        |FROM table_changes('gtvf.chg', 0, 2)
+        |GROUP BY _commit_version, _change_type
+        |ORDER BY _commit_version""".stripMargin)
+  }
+
   /** q144: RENAME COLUMN evolution — metadata-only (the physical parquet
     * name freezes at creation; the new name rides as schema metadata), so
     * the in-query `require` pins ZERO files rewritten, a pre-rename file
@@ -2220,5 +2266,5 @@ object AnalyticsOps {
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
     q152ExpectationAudit, q153MetadataDelete, q155Transaction,
-    q164BucketPointLookup, q169Rebucket)
+    q164BucketPointLookup, q169Rebucket, q170TableChangesSql)
 }

@@ -37,6 +37,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the engine's native codegen'd expressions, available to every
     // session built with the extensions (no per-session register() call)
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SQL surface over the change feed (DuckLake's
+    // ducklake_table_changes parity): SELECT * FROM
+    // table_changes('cat.t', from, to)
+    ext.injectTableFunction(GraftTableFunctions.tableChanges)
   }
 }
 

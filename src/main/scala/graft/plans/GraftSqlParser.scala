@@ -74,7 +74,7 @@ object GraftSqlParser {
   private val DropConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+([\w`]+)\s*;?\s*$""".r
 
-  private def parts(ident: String): Seq[String] =
+  private[plans] def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
 
   def parseAdmin(sqlText: String): Option[LogicalPlan] = sqlText match {

@@ -202,6 +202,48 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("table_changes TVF: catalog resolution, quoting, composition, literal guards") {
+    withCat("admtc") { (lake, cat) =>
+      lake.append("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))   // v0
+      lake.append("t", Seq((3, "c")).toDF("id", "v"))             // v1
+      assert(lake.deleteWhere("t", col("id") === 1) === 1)        // v2 MoR
+      // qualified resolution + relational composition (filter/agg over
+      // the TVF result like any other relation)
+      val agg = spark.sql(
+        s"""SELECT _change_type, count(*) AS n
+           |FROM table_changes('$cat.t', 0, 2)
+           |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(agg === Seq("delete" -> 1L, "insert" -> 1L))
+      // backquoted identifier spelling resolves identically
+      assert(spark.sql(
+        s"SELECT id FROM table_changes('`$cat`.`t`', 0, 1) ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq === Seq(3))
+      // USE <graft-catalog> makes the single-part spelling resolve
+      val prev = spark.catalog.currentCatalog()
+      spark.sql(s"USE $cat")
+      try assert(spark.sql("SELECT count(*) AS n FROM table_changes('t', 0, 2)")
+        .head().getLong(0) === 2)
+      finally spark.sql(s"USE $prev")
+      // joins against the TVF work (it is a plain relation)
+      val joined = spark.sql(
+        s"""SELECT c._change_type, t.v
+           |FROM table_changes('$cat.t', 1, 2) c JOIN $cat.t t USING (id)
+           |ORDER BY t.v""".stripMargin).collect()
+      assert(joined.isEmpty, "deleted id=1 no longer joins the live table")
+      // guards: non-literal args and unknown versions fail loudly
+      val e1 = intercept[Exception](spark.sql(
+        s"SELECT * FROM table_changes('$cat.t', 0, (SELECT 2))").collect())
+      assert(e1.getMessage.contains("literal") ||
+        e1.getMessage.toLowerCase.contains("unsupported"),
+        s"got: ${e1.getMessage}")
+      val e2 = intercept[Exception](spark.sql(
+        s"SELECT * FROM table_changes('$cat.t', 0, 99)").collect())
+      assert(e2.getMessage.contains("no snapshot pair"),
+        s"got: ${e2.getMessage}")
+    }
+  }
+
   test("unqualified / non-graft targets DELEGATE to Spark's native grammar") {
     withCat("admf") { (lake, cat) =>
       lake.write("t", Seq((1, "a")).toDF("id", "v"))
