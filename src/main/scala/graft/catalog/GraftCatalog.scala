@@ -268,25 +268,72 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def dataDir(ident: Identifier): String =
     s"$warehouse/${ident.name}/data"
 
+  /** SQL `PARTITIONED BY` transform → the engine's expression-partition
+    * spec string ([[PartitionExpr.parse]]): `bucket(n, c…)`,
+    * `years/months/days(c)` (Spark's plural spellings and the singular
+    * aliases), and identity columns. Anything else (hours, truncate,
+    * nested references) has no engine layout and is refused loudly. */
+  private def transformSpec(ident: Identifier, t: Transform): String = {
+    def colOf(r: org.apache.spark.sql.connector.expressions.NamedReference)
+        : String = {
+      require(r.fieldNames.length == 1,
+        s"graft table '${ident.name}': partition reference " +
+          s"'${r.fieldNames.mkString(".")}' must be a top-level column")
+      r.fieldNames.head
+    }
+    t.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "identity" => colOf(t.references.head)
+      case "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft table '${ident.name}': bucket transform needs a literal count"))
+        s"bucket($n, ${t.references.map(colOf).mkString(", ")})"
+      case "years" | "year" => s"year(${colOf(t.references.head)})"
+      case "months" | "month" => s"month(${colOf(t.references.head)})"
+      case "days" | "day" => s"day(${colOf(t.references.head)})"
+      case other => throw new IllegalArgumentException(
+        s"graft table '${ident.name}': unsupported partition transform " +
+          s"'$other' (column | years(c) | months(c) | days(c) | bucket(n, c…))")
+    }
+  }
+
   override def createTable(
       ident: Identifier,
       columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     requireRootNamespace(ident.namespace())
-    require(partitions.isEmpty,
-      "use the 'partitions' table property (graft expression partitioning) " +
-        "or the GraftLake API; SQL PARTITIONED BY is not mapped")
     val schema = StructType(columns.toSeq.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
     val props = properties.asScala
     val noSys = StructType(schema.filterNot(_.name == "_inserted_at"))
+    // two spellings of one layout: SQL `PARTITIONED BY (bucket(8, id))`
+    // transforms, or the 'partitions' table property (paren-aware split:
+    // "bucket(16, id), year(ts)" is two specs) — not both
+    val fromTransforms = partitions.toSeq.map(transformSpec(ident, _))
+    val fromProp = props.get("partitions")
+      .map(PartitionExpr.splitSpecs).getOrElse(Nil)
+    require(fromTransforms.isEmpty || fromProp.isEmpty,
+      s"graft table '${ident.name}': give the layout either as " +
+        "PARTITIONED BY or as the 'partitions' property, not both")
     lake.createTable(ident.name, noSys,
-      // paren-aware split: "bucket(16, id), year(ts)" is two specs
-      partitions = props.get("partitions")
-        .map(PartitionExpr.splitSpecs).getOrElse(Nil),
+      partitions = if (fromTransforms.nonEmpty) fromTransforms else fromProp,
       pks = props.get("pks").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
-    loadTable(ident)
+    // return a facade whose schema is exactly the DECLARED columns: CTAS
+    // resolves its write against this very object, and the engine-managed
+    // columns (`_inserted_at`, `__p_*`) must not be demanded from the
+    // SELECT output — the V1 insert path stamps/derives them itself.
+    // Subsequent statements loadTable() fresh and see the full schema.
+    val parquet = ParquetTable(
+      ident.name,
+      spark,
+      new CaseInsensitiveStringMap(Map("path" -> dataDir(ident)).asJava),
+      Seq(dataDir(ident)),
+      Some(schema),
+      classOf[ParquetFileFormat])
+    new GraftTable(ident.name, parquet, warehouse)
   }
 
   /** Schema evolution through the engine's evolve path ([[GraftLake

@@ -2979,19 +2979,103 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * through [[upsert]]'s affected-partition path instead).
     *
     * `changes`: as on [[replaceScoped]] — a caller that can attribute the
-    * overwrite row-by-row (the general MERGE can; a streaming Complete-
-    * mode epoch cannot) passes its change rows for write-time capture. */
+    * overwrite row-by-row (the general MERGE can) passes its change rows
+    * for write-time capture. When the table has capture on and the caller
+    * passes NONE (a streaming Complete-mode epoch), the attribution is
+    * DERIVED here by a keyed diff against the pre-version — O(table), but
+    * so is Complete mode itself — so the commit never poisons the change
+    * feed with an uncapturable rewrite: PK tables diff by key (unchanged
+    * keys emit nothing and keep their original `_inserted_at`, upsert
+    * parity; changed keys emit update pre/postimages; vanished keys
+    * deletes; new keys inserts), keyless tables emit the exact
+    * delete-all ∪ insert-all set. Insert timestamps in the derived
+    * branches are frozen driver-side (the table write and the change-file
+    * write are separate jobs — per-job `current_timestamp()` would make
+    * the feed disagree with the table). */
   def overwriteContents(name: String, df: DataFrame,
       changes: Option[DataFrame] = None): Unit = writeLock(name) {
     val meta = readMeta(name)
-    val projected = enforceConstraints(meta, physicalSelect(meta, df))
-    val out = withPartitionCols(projected, meta)
+    val projected0 = enforceConstraints(meta, physicalSelect(meta, df))
     val partCols = meta.partitionExprs.map(_.outputName)
+    val ct = GraftLake.ChangeTypeCol
     // BEFORE the swap: the change plan reads the pre-rewrite live files
-    val changeFiles = changes match {
-      case Some(c) if meta.cdfEnabled => writeChangeFiles(name, meta, c)
-      case _ => Nil
+    val (projected, changeFiles) = changes match {
+      case Some(c) if meta.cdfEnabled =>
+        (projected0, writeChangeFiles(name, meta, c))
+      case None if meta.cdfEnabled =>
+        val frozen = lit(java.sql.Timestamp.from(java.time.Instant.now()))
+        def freeze(d: DataFrame): DataFrame =
+          if (meta.schema.fieldNames.contains(InsertedAtCol))
+            d.withColumn(InsertedAtCol, frozen)
+          else d
+        val pks = meta.pks.flatMap(p =>
+          meta.schema.fieldNames.find(_.equalsIgnoreCase(p)))
+        if (versions(name).isEmpty) {
+          // first-ever commit: the whole contents ARE the insert set
+          val landed = freeze(projected0)
+          (landed, writeChangeFiles(name, meta,
+            landed.withColumn(ct, lit("insert"))))
+        } else {
+          val old = applyDvs(name, readInternal(name, meta),
+            liveDvs(name), partCols.size)
+            .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
+          if (pks.isEmpty) {
+            val landed = freeze(projected0)
+            (landed, writeChangeFiles(name, meta,
+              old.withColumn(ct, lit("delete"))
+                .unionByName(landed.withColumn(ct, lit("insert")))))
+          } else {
+            val nPrefix = "__graft_new_"
+            val nPresent = s"${nPrefix}present__"
+            val tPresent = "__graft_t_present__"
+            val isPk = (n: String) => pks.exists(_.equalsIgnoreCase(n))
+            val newRenamed = projected0.select(meta.schema.fieldNames.map {
+              case n if isPk(n) => col(quoted(n))
+              case n => col(quoted(n)).as(s"$nPrefix$n")
+            }: _*).withColumn(nPresent, lit(true))
+            val j = old.withColumn(tPresent, lit(true))
+              .join(newRenamed, pks, "full_outer")
+            val userCols = meta.schema.fieldNames
+              .filterNot(n => isPk(n) || n == InsertedAtCol)
+            val changed = userCols.map(n =>
+              !(col(quoted(n)) <=> col(quoted(s"$nPrefix$n"))))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            def oldCols = meta.schema.fieldNames.map(n => col(quoted(n)))
+            def newCols(insert: Boolean) = meta.schema.fieldNames.map {
+              case n if isPk(n) => col(quoted(n))
+              case n if n == InsertedAtCol =>
+                (if (insert) frozen else col(quoted(n))).as(InsertedAtCol)
+              case n => col(quoted(s"$nPrefix$n")).as(n)
+            }
+            val matched = j.filter(
+              col(tPresent).isNotNull && col(nPresent).isNotNull &&
+                changed)
+            val chg = matched.select(oldCols: _*)
+                .withColumn(ct, lit("update_preimage"))
+              .unionByName(matched.select(newCols(insert = false): _*)
+                .withColumn(ct, lit("update_postimage")))
+              .unionByName(j.filter(col(nPresent).isNull)
+                .select(oldCols: _*).withColumn(ct, lit("delete")))
+              .unionByName(j.filter(col(tPresent).isNull)
+                .select(newCols(insert = true): _*)
+                .withColumn(ct, lit("insert")))
+            // the landed rows: the NEW contents, with matched keys keeping
+            // the pre-version's _inserted_at (upsert parity — and exactly
+            // what makes an unchanged key invisible to the feed)
+            val landed = j.filter(col(nPresent).isNotNull)
+              .select(meta.schema.fieldNames.map {
+                case n if isPk(n) => col(quoted(n))
+                case n if n == InsertedAtCol =>
+                  coalesce(when(col(tPresent).isNotNull, col(quoted(n))),
+                    frozen).as(InsertedAtCol)
+                case n => col(quoted(s"$nPrefix$n")).as(n)
+              }: _*)
+            (landed, writeChangeFiles(name, meta, chg))
+          }
+        }
+      case _ => (projected0, Nil)
     }
+    val out = withPartitionCols(projected, meta)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val dd = new Path(dataDir(name))
     val f = fs(dd)

@@ -184,6 +184,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS / partitioned CTAS / CREATE OR REPLACE / failed-CTAS cleanup") {
+    withCatalog { (cat, wh) =>
+      val lake = new GraftLake(spark, wh)
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+        .createOrReplaceTempView("ctas_src")
+      // plain CTAS: create + populate in one statement
+      spark.sql(s"CREATE TABLE $cat.t1 AS SELECT id, v FROM ctas_src")
+      assert(spark.sql(s"SELECT id FROM $cat.t1 ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+      // partitioned CTAS with the engine's expression layout
+      spark.sql(s"CREATE TABLE $cat.t2 PARTITIONED BY (bucket(8, id)) " +
+        "AS SELECT id, v FROM ctas_src")
+      assert(lake.readMeta("t2").partitions === Seq("bucket(8, id)"),
+        "PARTITIONED BY transforms map to the engine layout")
+      assert(new java.io.File(s"$wh/t2/data").listFiles()
+        .exists(_.getName.startsWith("__p_bucket_8_id=")),
+        "data landed under the bucket directories")
+      assert(spark.sql(s"SELECT v FROM $cat.t2 WHERE id = 2")
+        .head().getString(0) === "b")
+      // CREATE OR REPLACE replaces contents AND schema
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.t1 AS " +
+        "SELECT id * 10 AS id2 FROM ctas_src")
+      assert(spark.sql(s"SELECT id2 FROM $cat.t1 ORDER BY id2")
+        .collect().map(_.getInt(0)).toSeq === Seq(10, 20, 30))
+      // a SELECT that fails at RUNTIME (valid schema, mid-write error)
+      // must not leave an orphan half-created table
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.t3 AS SELECT id, " +
+          "CASE WHEN id < 2 THEN v ELSE raise_error('boom') END AS b " +
+          "FROM ctas_src")
+      }
+      assert(!lake.tableExists("t3"),
+        "failed CTAS cleans its half-created table up")
+      assert(intercept[Exception](spark.sql(s"SELECT * FROM $cat.t3"))
+        .getMessage.toLowerCase.contains("t3"))
+    }
+  }
+
   test("widened registry schema reads through the catalog") {
     withCatalog { (cat, wh) =>
       val lake = new GraftLake(spark, wh)

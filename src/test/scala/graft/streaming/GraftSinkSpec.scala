@@ -80,6 +80,51 @@ class GraftSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("Complete-mode epochs on a cdf table capture a keyed diff; feed=cdf streams them") {
+    val lake = newLake()
+    val full = new GraftSink(lake, "c", "app", Nil, Seq("id"),
+      OutputMode.Complete())
+    full.addBatch(0, Seq((1, "a"), (2, "b")).toDF("id", "v"))   // v0 seed
+    lake.setTableProperty("c",
+      graft.catalog.TableMeta.CdfEnabledKey, "true")
+    val v1 = lake.versions("c").last
+    // epoch: id=1 unchanged, id=2 changed, id=3 new
+    full.addBatch(1, Seq((1, "a"), (2, "B"), (3, "c")).toDF("id", "v"))
+    // epoch: only id=2 survives → 1 and 3 are deletes
+    full.addBatch(2, Seq((2, "B")).toDF("id", "v"))
+    val feed = lake.tableChanges("c", v1, lake.versions("c").last)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set(
+      (2, "b", "update_preimage"), (2, "B", "update_postimage"),
+      (3, "c", "insert"),
+      (1, "a", "delete"), (3, "c", "delete")),
+      s"unchanged id=1 must be invisible to the first epoch; got $feed")
+    // feed == table: the update postimage's _inserted_at equals the live
+    // row's (matched keys keep their original stamp — upsert parity)
+    val liveTs = lake.read("c").filter(col("id") === 2)
+      .select("_inserted_at").head().getTimestamp(0)
+    val postTs = lake.tableChanges("c", v1, lake.versions("c").last)
+      .filter(col("_change_type") === "update_postimage")
+      .select("_inserted_at").head().getTimestamp(0)
+    assert(postTs === liveTs, "captured postimages must equal table rows")
+    // and a feed=cdf streaming consumer replays the same epochs exactly
+    val sinkName = s"cdf_complete_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-cdf")
+      .option("warehouse", lake.warehouseDir).option("table", "c")
+      .option("feed", "cdf").option("startingVersion", v1.toString)
+      .load()
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-cdfck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(sinkName)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed === feed)
+  }
+
   test("expression partitioning lands through the sink") {
     val lake = newLake()
     val sink = new GraftSink(lake, "p", "app", Seq("bucket(4, id)"),
