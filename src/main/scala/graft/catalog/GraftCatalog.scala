@@ -98,6 +98,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val meta = lake.readMeta(ident.name)
     requireDvCapable(ident.name, lake.liveDvs(ident.name), meta.schema)
+    // MIXED-layout state (mid-incremental-REBUCKET): live files span two
+    // bucket counts whose directory names conflict in Spark's partition
+    // discovery, so the directory-based table can't even resolve its
+    // schema. Serve the explicit live FILE list (each file its own leaf —
+    // no partition inference) under the logical schema; the DV read rule
+    // substitutes the engine's recompute scan before planning anyway
+    // (dvRuleUnchanged is false while the set is mixed).
+    for (v <- lake.versions(ident.name).lastOption
+         if !lake.liveSetConforms(ident.name, v)) {
+      val (_, files) = lake.snapshotFiles(ident.name, v)
+      val parquet = ParquetTable(
+        ident.name,
+        spark,
+        new CaseInsensitiveStringMap(Map("path" -> dataDir(ident)).asJava),
+        files,
+        Some(GraftLake.logicalSchema(meta.schema)),
+        classOf[ParquetFileFormat])
+      return new GraftTable(ident.name, parquet, warehouse,
+        mixedLayout = true)
+    }
     // the relation's columns are the LOGICAL names; with renames live the
     // analyzer rule substitutes the engine read before any scan plans
     val full = StructType(
@@ -187,7 +207,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * generated `__p_*` and `_inserted_at` columns are system-managed:
     * values supplied for them by SQL writers are discarded. */
   private final class GraftTable(tableName: String, underlying: ParquetTable,
-      wh: String) extends Table with SupportsRead with SupportsWrite
+      wh: String, mixedLayout: Boolean = false)
+      extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.TruncatableTable
       with GraftTableIdentity {
     override def graftWarehouse: String = wh
@@ -218,7 +239,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       * explicit file list. Falls back to the full directory scan whenever
       * pruning proves nothing. */
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
-      new org.apache.spark.sql.graft.PruningScanBuilder(
+      if (mixedLayout)
+        // explicit-file scan, no manifest re-pruning: the pruning rebuild
+        // sets a basePath, which mixed-layout files cannot share (and the
+        // DV rule routes sessions with the extensions through the engine
+        // read before this scan ever plans)
+        underlying.newScanBuilder(options)
+      else new org.apache.spark.sql.graft.PruningScanBuilder(
         underlying.newScanBuilder(options),
         filters => {
           val sp = SparkSession.active

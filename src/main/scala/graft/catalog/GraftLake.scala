@@ -183,6 +183,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     dvSetCache.remove(s"$warehouse/$name")
     dvCountCache.remove(s"$warehouse/$name")
     dvRulePassCache.remove(s"$warehouse/$name")
+    conformCache.remove(s"$warehouse/$name")
     dvRulePassAtVersion.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
     bloomCache.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
     layoutCache.remove(s"$warehouse/$name")
@@ -614,8 +615,35 @@ final class GraftLake(private[graft] val spark: SparkSession,
   private def partitionFields(meta: TableMeta): Seq[StructField] =
     GraftLake.partitionFields(meta)
 
-  /** Full on-disk view incl. generated partition columns. */
+  /** Full on-disk view incl. generated partition columns. During a
+    * MIXED-layout state (mid-incremental-REBUCKET: live files under two
+    * bucket counts, whose directory names conflict in Spark's partition
+    * discovery) the view serves the live manifest set through the
+    * recompute scan shape instead of the directory — same rows, partition
+    * columns recomputed from the stored source columns. */
   private def readInternal(name: String, meta: TableMeta): DataFrame = {
+    val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
+    if (meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket])) {
+      val key = s"$warehouse/$name"
+      val last: Option[Long] = Option(lastVersionCache.get(key))
+        .map(_.longValue()).orElse(versions(name).lastOption)
+      for (v <- last) {
+        val cached = liveSetCache.get(key)
+        val refs =
+          if (cached != null && cached._1 == v) cached._2
+          else resolveManifest(name, v)._2
+        val prefixes = GraftLake.layoutPrefixes(meta)
+        if (!refs.forall(r => GraftLake.relConforms(r._1, prefixes))) {
+          val dd = dataDir(name)
+          val paths = refs.map { case (rel, fn) =>
+            if (rel.isEmpty) s"$dd/$fn" else s"$dd/$rel/$fn"
+          }
+          return manifestScan(paths, statsFor(name, v), full,
+            meta.partitionExprs.size, Some(dd),
+            recomputeWith = Some(meta))
+        }
+      }
+    }
     val dd = new Path(dataDir(name))
     val f = fs(dd)
     // partition dirs (`__p_x=v`) begin with '_' but ARE data
@@ -624,7 +652,6 @@ final class GraftLake(private[graft] val spark: SparkSession,
       (s.isDirectory && n.contains("=")) ||
         (!n.startsWith("_") && !n.startsWith("."))
     }
-    val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
     if (!hasData) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     } else {
@@ -761,14 +788,42 @@ final class GraftLake(private[graft] val spark: SparkSession,
             if (memo != null && memo.longValue() == v) true
             else {
               GraftLake.dvRuleSlowPathEvals.increment()
+              // the mixed-layout check routes SQL reads through the
+              // engine scan for the duration of an incremental REBUCKET:
+              // the plain DSv2 directory scan would trip Spark's
+              // conflicting-partition-names assertion on a table whose
+              // live files span two bucket counts
               val ok = liveDvs(name).isEmpty &&
-                GraftLake.logicalNamesOf(readMeta(name).schema).isEmpty
+                GraftLake.logicalNamesOf(readMeta(name).schema).isEmpty &&
+                liveSetConforms(name, v)
               if (ok)
                 GraftLake.dvRulePassCache.put(key, java.lang.Long.valueOf(v))
               ok
             }
         }
     }
+  }
+
+  /** Whether every live file of snapshot `v` sits under the CURRENT
+    * layout's directory names — false during an incremental REBUCKET's
+    * transient mixed state. O(live files) of in-memory string prefix
+    * checks off the live-set cache; only consulted on the DV rule's
+    * slow path (the verdict memoizes per version once true). */
+  private[graft] def liveSetConforms(name: String, v: Long): Boolean = {
+    val meta = readMeta(name)
+    if (!meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket]))
+      return true
+    val key = s"$warehouse/$name"
+    val memo = GraftLake.conformCache.get(key)
+    if (memo != null && memo._1 == v) return memo._2
+    val cached = liveSetCache.get(key)
+    val refs =
+      if (cached != null && cached._1 == v) cached._2
+      else resolveManifest(name, v)._2
+    val prefixes = GraftLake.layoutPrefixes(meta)
+    val ok = refs.forall(r => GraftLake.relConforms(r._1, prefixes))
+    GraftLake.conformCache.put(key, (v, ok))
+    ok
   }
 
   /** Filter out rows masked by deletion vectors: left-anti join on
@@ -933,7 +988,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         manifestScan(paths, statsFor(name, v), full, partDepth,
           Some(dataDir(name)), bloomPruner(name, _),
-          bucketPrunerAt(name, v, meta, _))
+          bucketPrunerAt(name, v, meta, _), recomputeWith = Some(meta))
     }
     val fileBacked = base.queryExecution.logical.collectFirst {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
@@ -1766,7 +1821,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       bloomFor: org.apache.spark.sql.graft.PlanBridge.SimplePred =>
         Option[String => Boolean] = _ => None,
       bucketFor: org.apache.spark.sql.graft.PlanBridge.SimplePred =>
-        Option[String => Boolean] = _ => None): DataFrame = {
+        Option[String => Boolean] = _ => None,
+      recomputeWith: Option[TableMeta] = None): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata,
       HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -1774,6 +1830,27 @@ final class GraftLake(private[graft] val spark: SparkSession,
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+    // MIXED-LAYOUT guard (mid-incremental-REBUCKET, or a crashed one):
+    // files from two layouts carry CONFLICTING partition directory names
+    // (`__p_bucket_8_id=` next to `__p_bucket_16_id=`), which Spark's
+    // partition discovery refuses in one scan. Partition-source columns
+    // are stored IN the data files, so the mixed shape reads every file
+    // with NO directory-derived columns (basePath-free: each file is its
+    // own leaf) and recomputes the generated `__p_*` columns from the
+    // data under the CURRENT layout — one scan, both layouts, exact
+    // values. File-key pruning (stats/bloom/bucket) still applies; only
+    // directory-constant partition columns are traded for per-row
+    // expressions, for the duration of the mixed state.
+    for (m <- recomputeWith if partDepth > 0 &&
+        !GraftLake.pathsConform(paths, m)) {
+      val partNames = GraftLake.partitionFields(m).map(_.name).toSet
+      val dataOnly = StructType(
+        fullSchema.filterNot(f => partNames.contains(f.name)))
+      val flat = manifestScan(paths, stats, dataOnly, partDepth,
+        basePath = None, bloomFor, bucketFor)
+      return withPartitionCols(flat, m)
+        .select(fullSchema.fieldNames.map(n => col(quoted(n))): _*)
+    }
     val keepFor =
       (filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         if (filters.isEmpty) None
@@ -1834,7 +1911,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
         val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
         val scan = manifestScan(paths, statsFor(name, v), full,
           meta.partitionExprs.size, Some(dataDir(name)),
-          bloomPruner(name, _), bucketPrunerAt(name, v, meta, _))
+          bloomPruner(name, _), bucketPrunerAt(name, v, meta, _),
+          recomputeWith = Some(meta))
         applyDvs(name, scan, liveDvs(name), meta.partitionExprs.size)
     }
     toLogical(meta.schema, masked)
@@ -2824,34 +2902,76 @@ final class GraftLake(private[graft] val spark: SparkSession,
               val live =
                 if (cachedLive != null && cachedLive._1 == v) cachedLive._2
                 else resolveManifest(name, v)._2
-              // every live file must CONFORM to the current layout (its
-              // rel dirs carry the layout's own `__p_…=` prefixes — the
-              // bucket count is part of the name): a foreign-layout file
-              // (a crashed mid-REBUCKET state) would silently miss the
-              // rendered `wanted` set and land its keys as duplicate
-              // inserts; such tables take the probe path, which finds and
-              // re-homes those rows
-              val prefixes = partCols.map(c =>
-                org.apache.spark.sql.graft.PlanBridge
-                  .escapePartitionValue(c) + "=")
-              def conforms(rel: String): Boolean = {
-                val segs = rel.split('/')
-                segs.length == partCols.size &&
-                  segs.zip(prefixes).forall { case (d, p) => d.startsWith(p) }
-              }
-              if (!live.forall(ref => conforms(ref._1))) fullProbeScoped()
-              else {
-                val refs = live.filter(ref => wanted.contains(ref._1))
-                val dd = dataDir(name)
-                manifestDirs = Some(
-                  refs.map(_._1).distinct.map(rel => new Path(s"$dd/$rel")))
-                val paths = refs.map { case (rel, fn) => s"$dd/$rel/$fn" }
-                val full = StructType(
-                  meta.schema.fields.toSeq ++ partFields)
-                applyDvs(name,
-                  manifestScan(paths, statsFor(name, v), full, partCols.size,
-                    Some(dd)),
-                  liveDvs(name), partCols.size)
+              // a live file either CONFORMS to the current layout (its rel
+              // dirs carry the layout's own `__p_…=` prefixes — the bucket
+              // count is part of the name) and matches against `wanted`,
+              // or it sits under a FOREIGN bucket count (mid-incremental-
+              // REBUCKET): its bucket component self-describes its k, and
+              // the batch's wanted set is re-rendered under that k — the
+              // key→bucket map is exact on BOTH sides of a split, so the
+              // flush stays manifest-planned (rows read ∝ touched buckets)
+              // through the whole migration. Anything unparseable falls to
+              // the probe path, which finds and re-homes rows anywhere.
+              val prefixes = GraftLake.layoutPrefixes(meta)
+              def conforms(rel: String): Boolean =
+                GraftLake.relConforms(rel, prefixes)
+              val (confRefs, foreignRefs) =
+                live.partition(ref => conforms(ref._1))
+              val esc = org.apache.spark.sql.graft.PlanBridge
+                .escapePartitionValue(_)
+              val bucketExprs = meta.partitionExprs.zipWithIndex
+                .collect { case (bb: PartitionExpr.Bucket, i) => (bb, i) }
+              val keptForeign: Option[Seq[(String, String)]] =
+                if (foreignRefs.isEmpty) Some(Nil)
+                else if (bucketExprs.size != 1) None
+                else {
+                  val (bb, bi) = bucketExprs.head
+                  val escPrefix = esc("__p_bucket_")
+                  val colsSuffix = esc(s"_${bb.columns.mkString("_")}")
+                  def parseK(dirName: String): Option[Int] =
+                    if (dirName.startsWith(escPrefix) &&
+                        dirName.endsWith(colsSuffix)) {
+                      val mid = dirName.substring(escPrefix.length,
+                        dirName.length - colsSuffix.length)
+                      scala.util.Try(mid.toInt).toOption.filter(_ > 0)
+                    } else None
+                  val byName = foreignRefs.groupBy(
+                    _._1.split('/')(bi).takeWhile(_ != '='))
+                  val resolved = byName.toSeq.map { case (dirName, refs) =>
+                    parseK(dirName).map { k =>
+                      val effMeta = meta.copy(partitions = meta.partitions
+                        .updated(bi, s"bucket($k, ${bb.columns.mkString(", ")})"))
+                      val effPartCols =
+                        effMeta.partitionExprs.map(_.outputName)
+                      val effParts = withPartitionCols(deduped, effMeta)
+                        .select(effPartCols.map(c => col(quoted(c))): _*)
+                        .distinct().collect()
+                      val wantedK: Set[String] = effParts.map(r =>
+                        effPartCols.zipWithIndex.map { case (c, i) =>
+                          esc(c) + "=" +
+                            GraftLake.renderPartitionValue(r.get(i))
+                        }.mkString("/")).toSet
+                      refs.filter(ref => wantedK.contains(ref._1))
+                    }
+                  }
+                  if (resolved.exists(_.isEmpty)) None
+                  else Some(resolved.flatMap(_.get))
+                }
+              keptForeign match {
+                case None => fullProbeScoped()
+                case Some(fk) =>
+                  val refs =
+                    confRefs.filter(ref => wanted.contains(ref._1)) ++ fk
+                  val dd = dataDir(name)
+                  manifestDirs = Some(
+                    refs.map(_._1).distinct.map(rel => new Path(s"$dd/$rel")))
+                  val paths = refs.map { case (rel, fn) => s"$dd/$rel/$fn" }
+                  val full = StructType(
+                    meta.schema.fields.toSeq ++ partFields)
+                  applyDvs(name,
+                    manifestScan(paths, statsFor(name, v), full, partCols.size,
+                      Some(dd), recomputeWith = Some(meta)),
+                    liveDvs(name), partCols.size)
               }
             case None =>
               existingDirScan.filter(GraftLake.partitionScope(partCols, parts))
@@ -3248,7 +3368,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // directory: concurrently appended files must not be read, rewritten
     // or retired by this compaction
     val scanOnly = manifestScan(paths, statsFor(name, v0), full,
-      partCols.size, Some(dd))
+      partCols.size, Some(dd), recomputeWith = Some(meta))
     // compaction MATERIALIZES deletion vectors for whatever it rewrites:
     // rows masked by a DV must not be copied into the compacted files
     val all = applyDvs(name, scanOnly, dvs0, partCols.size)
@@ -3391,128 +3511,196 @@ final class GraftLake(private[graft] val spark: SparkSession,
     }
   }
 
-  /** ONLINE re-bucketing — `OPTIMIZE t REBUCKET TO n`: rewrite the whole
-    * table into a `bucket(n, …)` layout without blocking readers and
-    * without ever exposing a mixed directory. The 100 TB layout policy
-    * this enables: fix the bucket SIZE and grow the bucket COUNT with
-    * the table — without it, per-flush merge cost grows with bucket size
-    * forever once a table outgrows its creation-time n.
+  /** ONLINE re-bucketing — `OPTIMIZE t REBUCKET TO n`, INCREMENTAL: the
+    * 100 TB layout policy this enables is "fix the bucket SIZE, grow the
+    * bucket COUNT with the table" — without it, per-flush merge cost
+    * grows with bucket size forever once a table outgrows its
+    * creation-time n.
     *
-    * Concurrency (the concurrent-OPTIMIZE machinery): the long rewrite
-    * runs with NO table lock against an EXPLICIT manifest file set; the
-    * short commit section validates the live set is EXACTLY the input
-    * set (unlike compaction, a mid-rewrite append wrote its files under
-    * the OLD layout — adopting them would mix layouts, so rebucket
-    * retries instead; appends always win) and the DV set unchanged, then
-    * swaps directories, updates the registry and commits `op=rebucket`
-    * in one lock section. The new layout is VERSIONED in the manifest:
-    * snapshot reads prune with the n their files were written under, and
-    * a writer that staged under the old layout is refused at commit
-    * (commitVersionOnce layout validation) and re-derives. Deletion
-    * vectors are folded into the rewrite (content-preserving), so the
-    * commit is a logical no-op to the change/append feeds.
+    * Two phases, neither of which blocks readers or writers:
     *
-    * Crash window: like every staged-swap op, a crash between the
-    * directory swap and the commit leaves directory ≠ manifest —
-    * [[repairTable]] re-adopts the directory state (the meta write and
-    * commit share the lock section, so registry and manifest move
-    * together). */
+    *  1. FLIP — one short-lock metadata commit: the registry and the
+    *     manifest record the new `bucket(n, …)` layout (the meta is
+    *     RE-READ inside the lock, and only the bucket spec is updated on
+    *     it, so a concurrent metadata change — TBLPROPERTIES, constraint,
+    *     rename — can never be clobbered). From this commit on, every
+    *     writer stages under the new layout; writers that staged under
+    *     the old one are refused by the commit-time layout validation
+    *     and re-derive.
+    *  2. MIGRATE — one commit PER OLD BUCKET directory: the bucket's live
+    *     files are rewritten into the new layout and retired, validated
+    *     compaction-style (inputs still live + DV set unchanged — never
+    *     "live set == input set"), so a concurrent append conflicts with
+    *     NOTHING and a rewrite/delete invalidates only the one bucket
+    *     mid-split. The race window shrinks from O(table rewrite) to
+    *     O(bucket rewrite): re-bucketing COMPLETES under sustained
+    *     concurrent appends, which a monolithic whole-table swap loses
+    *     to by construction (continuous ingest is the reference's core
+    *     workload, DucklakeSinkTask.java:469-487).
+    *
+    * The transient MIXED state (some buckets migrated, some not) is
+    * exact everywhere: directory names carry their own bucket count
+    * (`__p_bucket_<k>_<cols>=`), so reads route through the recompute
+    * scan shape ([[manifestScan]]), point lookups prune each file under
+    * the count its directory carries ([[GraftLake.bucketKeyPruner]]),
+    * the manifest-planned flush renders its wanted set per layout, and
+    * the doubling identity `pmod(h, m·k) ≡ i (mod k)` keeps every
+    * migration commit's fan-out bounded by the multiplier for
+    * power-of-two growth. Deletion vectors fold into each migration
+    * (content-preserving), so every commit is a logical no-op to the
+    * change/append feeds. A crashed migration resumes on the next
+    * `rebucket` call (same n: the flip no-ops, the remaining foreign
+    * buckets migrate); snapshot reads of mid-split versions stay exact
+    * forever (per-file layout attribution). */
   def rebucket(name: String, n: Int): Unit = {
-    var attempt = 0
-    while (!rebucketAttempt(name, n)) {
-      attempt += 1
-      graft.metrics.GraftMetrics.op("rebucketRetry").record(0L)
-      if (attempt >= 5) throw new IllegalStateException(
-        s"rebucket of '$name' lost to concurrent commits $attempt times " +
-          "— retry when the table quiesces")
-    }
-  }
-
-  /** Test seam, as [[compactBeforeCommitHook]]: runs between the
-    * lock-free rewrite and the commit-time validation. */
-  private[graft] var rebucketBeforeCommitHook: () => Unit = () => ()
-
-  private def rebucketAttempt(name: String, n: Int): Boolean = {
     require(n > 0, s"bucket count must be positive, got $n")
     require(shallowInfo(name).isEmpty,
       s"table '$name' is a SHALLOW clone (read-only reference) — run " +
         "materializeClone first to make it writable")
-    val meta = readMeta(name)
-    val buckets = meta.partitionExprs.zipWithIndex
-      .collect { case (b: PartitionExpr.Bucket, i) => (b, i) }
-    require(buckets.size == 1,
-      s"REBUCKET needs exactly one bucket(…) partition expression; " +
-        s"'$name' has ${buckets.size} (partitions: ${meta.partitions.mkString(", ")})")
-    val (b, bi) = buckets.head
-    if (b.n == n) return true // already there
-    val newMeta = meta.copy(partitions = meta.partitions
-      .updated(bi, s"bucket($n, ${b.columns.mkString(", ")})"))
-    val newPartCols = newMeta.partitionExprs.map(_.outputName)
-    val v0 = versions(name).lastOption.getOrElse {
-      // no commits yet: pure registry flip (nothing on disk obeys any
-      // layout), still under the lock against racing first writes
-      writeLock(name) { writeMeta(name, newMeta) }
-      return true
-    }
-    val refs0 = resolveManifest(name, v0)._2
-    val dvs0 = dvsAtVersion(name, v0)
-    val dd = dataDir(name)
-    val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
-    val writeStats: Map[String, Map[String, GraftLake.Bounds]] =
-      if (refs0.isEmpty) Map.empty
-      else {
-        val paths = refs0.map { case (rel, fn) =>
-          if (rel.isEmpty) s"$dd/$fn" else s"$dd/$rel/$fn"
-        }
-        val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
-        // pinned-snapshot scan of exactly v0's files; DVs fold in (their
-        // masked rows must not reach the re-bucketed files)
-        val all = applyDvs(name,
-          manifestScan(paths, statsFor(name, v0), full,
-            meta.partitionExprs.size, Some(dd)),
-          dvs0, meta.partitionExprs.size)
-        val projected = all
-          .select(meta.schema.fieldNames.map(nm => col(quoted(nm))): _*)
-        val out = withPartitionCols(projected, newMeta)
-        // one task per NEW bucket (rows cluster by the new partition
-        // values) — the rewrite emits one right-sized file per bucket
-        // instead of tasks × buckets slivers
-        val arranged =
-          out.repartition(newPartCols.map(c => col(quoted(c))): _*)
-        val writer = arranged.write.mode(SaveMode.Overwrite)
-          .option("maxRecordsPerFile", maxRecordsPerFile)
-        withLakeTimestampFormat {
-          writer.partitionBy(newPartCols: _*).parquet(stage.toString)
-        }
-        org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+    // PHASE 1 — flip, re-reading the meta INSIDE the lock: the routing
+    // decision above may be stale, and a metadata-only change landing
+    // during an earlier long rewrite must never be reverted
+    writeLock(name) {
+      val fresh = readMeta(name)
+      val buckets = fresh.partitionExprs.zipWithIndex
+        .collect { case (b: PartitionExpr.Bucket, i) => (b, i) }
+      require(buckets.size == 1,
+        s"REBUCKET needs exactly one bucket(…) partition expression; " +
+          s"'$name' has ${buckets.size} (partitions: ${fresh.partitions.mkString(", ")})")
+      val (b, bi) = buckets.head
+      if (b.n != n) {
+        val newMeta = fresh.copy(partitions = fresh.partitions
+          .updated(bi, s"bucket($n, ${b.columns.mkString(", ")})"))
+        // registry first, then manifest — both inside this lock section,
+        // so commitVersionOnce renders the NEW layout into the manifest
+        // the validation chain reads. An empty-delta rebucket commit is a
+        // pure append-class manifest write: cross-process collisions
+        // retry internally, nothing can be lost.
+        writeMeta(name, newMeta)
+        if (versions(name).nonEmpty)
+          commitVersion(name, Nil, Nil, Map.empty, op = "rebucket")
       }
+    }
+    // PHASE 2 — migrate every foreign-layout bucket, one commit each
+    var lastRel: Option[String] = None
+    var fails = 0
+    var more = true
+    while (more) migrateOneForeignBucket(name) match {
+      case None => more = false
+      case Some((rel, committed)) =>
+        if (committed) fails = 0
+        else {
+          graft.metrics.GraftMetrics.op("rebucketRetry").record(0L)
+          fails = if (lastRel.contains(rel)) fails + 1 else 1
+          if (fails >= 5) throw new IllegalStateException(
+            s"rebucket of '$name': bucket '$rel' lost to concurrent " +
+              s"rewrites $fails times — retry when its writers quiesce " +
+              "(appends never conflict; only rewrites/deletes of this " +
+              "bucket or DV churn do)")
+        }
+        lastRel = Some(rel)
+    }
+  }
+
+  /** Test seam, as [[compactBeforeCommitHook]]: runs between each
+    * migration's lock-free rewrite and its commit-time validation. */
+  private[graft] var rebucketBeforeCommitHook: () => Unit = () => ()
+
+  /** AUTO-REBUCKET policy probe: when the table's mean live rows per
+    * bucket exceeds `targetRowsPerBucket`, double the bucket count (up
+    * to `maxBuckets`) — the layout policy ("fix the bucket size, grow
+    * the count") expressed as a post-flush check instead of an operator
+    * someone must remember to run, mirroring auto-compaction. The signal
+    * is METADATA-only (manifest footer row counts; zero data files
+    * opened) and the doubling is the incremental [[rebucket]], which
+    * completes under live writers. Returns true when a doubling ran.
+    * Tables without exactly one bucket expression, without complete
+    * footer counts, or already at `maxBuckets` are left alone. */
+  def maybeAutoRebucket(name: String, targetRowsPerBucket: Long,
+      maxBuckets: Int = 65536): Boolean = {
+    require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    val meta = readMeta(name)
+    val buckets = meta.partitionExprs
+      .collect { case b: PartitionExpr.Bucket => b }
+    if (buckets.size != 1) return false
+    val n = buckets.head.n
+    if (n * 2 > maxBuckets) return false
+    val rows = rowCountFromStats(name).getOrElse(return false)
+    if (rows / n.toLong < targetRowsPerBucket) return false
+    graft.metrics.GraftMetrics.op("autoRebucket").record(0L)
+    rebucket(name, n * 2)
+    true
+  }
+
+  /** Rewrite ONE foreign-layout bucket directory into the current layout
+    * as its own commit. None = nothing foreign remains (migration done);
+    * Some((rel, true)) = that bucket committed; Some((rel, false)) = the
+    * attempt lost a validation/commit race (caller decides retry/abort).
+    *
+    * Validation is compaction's, scoped to the GROUP: every input file
+    * still live, the DV set unchanged, the layout unchanged. Appends —
+    * which only ADD files — always coexist; that is the entire point. */
+  private def migrateOneForeignBucket(name: String)
+      : Option[(String, Boolean)] = {
+    val meta = readMeta(name)
+    val partCols = meta.partitionExprs.map(_.outputName)
+    val v0 = versions(name).lastOption.getOrElse(return None)
+    val refs0 = resolveManifest(name, v0)._2
+    val prefixes = GraftLake.layoutPrefixes(meta)
+    val foreign = refs0.filterNot(r => GraftLake.relConforms(r._1, prefixes))
+    if (foreign.isEmpty) return None
+    val rel = foreign.map(_._1).min
+    val group = foreign.filter(_._1 == rel)
+    val dvs0 = liveDvs(name)
+    val dd = dataDir(name)
+    val paths = group.map { case (r, fn) =>
+      if (r.isEmpty) s"$dd/$fn" else s"$dd/$r/$fn"
+    }
+    val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
+    // pinned scan of exactly this bucket's files; DVs fold in (their
+    // masked rows must not reach the migrated files)
+    val all = applyDvs(name,
+      manifestScan(paths, statsFor(name, v0), full, partCols.size,
+        Some(dd), recomputeWith = Some(meta)),
+      dvs0, partCols.size)
+    val projected = all
+      .select(meta.schema.fieldNames.map(nm => col(quoted(nm))): _*)
+    val out = withPartitionCols(projected, meta)
+    // one task per destination bucket: a doubling split lands in exactly
+    // (new n / old k) child directories, each as one right-sized file
+    val arranged = out.repartition(partCols.map(c => col(quoted(c))): _*)
+    val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+    val writer = arranged.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    withLakeTimestampFormat {
+      writer.partitionBy(partCols: _*).parquet(stage.toString)
+    }
+    val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     rebucketBeforeCommitHook()
     writeLock(name) {
       val vNow = versions(name).lastOption.getOrElse(-1L)
       val ok = (vNow == v0 || {
-        resolveManifest(name, vNow)._2.toSet == refs0.toSet
-      }) && liveDvs(name).toSet == dvs0.toSet
-      if (!ok) { fs(stage).delete(stage, true); return false }
-      val affected = refs0.map(_._1).filter(_.nonEmpty).distinct
-        .map(rel => new Path(s"$dd/$rel"))
-      val (added, removed) =
-        if (refs0.isEmpty) (Nil, Nil)
-        else swapInto(name, stage, new Path(dd), newPartCols.size, affected)
-      // registry first, then manifest — both inside this lock section, so
-      // commitVersionOnce renders the NEW layout (the layout `added`
-      // obeys) into the manifest the validation chain reads
-      writeMeta(name, newMeta)
+        val liveNow = resolveManifest(name, vNow)._2.toSet
+        group.forall(liveNow.contains)
+      }) && liveDvs(name).toSet == dvs0.toSet &&
+        readMeta(name).partitions == meta.partitions
+      if (!ok) { fs(stage).delete(stage, true); return Some((rel, false)) }
+      val added = mergeStageInto(stage, new Path(dd))
+      val ddPath = new Path(dd)
+      val removed = group.flatMap { case (r, fn) =>
+        val p = if (r.isEmpty) new Path(ddPath, fn)
+          else new Path(new Path(ddPath, r), fn)
+        retire(name, ddPath, p)
+      }
       try commitVersion(name, added, removed, writeStats, op = "rebucket",
-        dvRemoved = dvs0)
+        assumedLayout = Some(meta.partitions))
       catch {
         case _: java.util.ConcurrentModificationException =>
-          // lost a cross-process race: commitVersion unswapped the files;
-          // roll the registry back too, then retry from the new state
-          writeMeta(name, meta)
-          graft.metrics.GraftMetrics.op("rebucketRetry").record(0L)
-          return false
+          // cross-process loser: commitVersion already unswapped the files
+          return Some((rel, false))
       }
-      true
+      fs(stage).delete(stage, true) // committer droppings (_SUCCESS etc.)
+      Some((rel, true))
     }
   }
 
@@ -5544,6 +5732,34 @@ object GraftLake {
   private[catalog] def coordinatorHost(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.txn.host").getOrElse(localHost)
 
+  /** Hive-escaped `<name>=` prefixes of the layout's partition directory
+    * components — the writer's own rendering, shared by every layout-
+    * conformity check. */
+  private[catalog] def layoutPrefixes(meta: TableMeta): Seq[String] =
+    partitionFields(meta).map(f =>
+      org.apache.spark.sql.graft.PlanBridge.escapePartitionValue(f.name) + "=")
+
+  /** Whether a manifest REL dir (exactly `partDepth` components) obeys
+    * the given layout's directory names. */
+  private[catalog] def relConforms(rel: String, prefixes: Seq[String]): Boolean = {
+    val segs = rel.split('/')
+    segs.length == prefixes.size &&
+      segs.zip(prefixes).forall { case (d, p) => d.startsWith(p) }
+  }
+
+  /** Whether every ABSOLUTE file path's partition components obey the
+    * given table's CURRENT layout — false means the set spans layouts
+    * (mid-incremental-REBUCKET) and needs the recompute scan shape. */
+  private[catalog] def pathsConform(paths: Seq[String], meta: TableMeta): Boolean = {
+    val prefixes = layoutPrefixes(meta)
+    val depth = prefixes.size
+    depth == 0 || paths.forall { p =>
+      val segs = p.split('/')
+      segs.length > depth && prefixes.indices.forall(i =>
+        segs(segs.length - 1 - depth + i).startsWith(prefixes(i)))
+    }
+  }
+
   /** The change-feed schema over a table's (logical) base schema — ONE
     * definition shared by the `graft-cdf` provider, the source and
     * [[graft.catalog.GraftLake.streamChangeBatch]] (three hand-kept
@@ -5694,6 +5910,12 @@ object GraftLake {
     * version — consulted on EVERY read, so it must be an O(1) lookup on
     * the hot path (one manifest-chain read on a cold start). */
   private val dvSetCache = new ConcurrentHashMap[String, (Long, Vector[String])]()
+  /** Memoized layout-conformity verdicts per (table, version) — whether
+    * the live set obeys the current layout (false mid-incremental-
+    * REBUCKET). Version-keyed: any commit (incl. the layout flip) moves
+    * the version and invalidates naturally. */
+  private[catalog] val conformCache =
+    new ConcurrentHashMap[String, (Long, Boolean)]()
   private val dvCountCache =
     new ConcurrentHashMap[String, (Vector[String], Long)]()
   /** Memoized analyzer-rule fast-path verdicts: `warehouse/table` →
@@ -5900,7 +6122,12 @@ object GraftLake {
     * contradiction (e.g. `pk = 1 AND pk = 2`) — no file can match.
     * The candidate cross-product is capped (IN-lists lower to ≤64 ors
     * per column; a blow-up keeps every file). */
-  private[catalog] def bucketIdsFor(
+  /** Raw murmur3 hash values (BEFORE the pmod) the predicate's equality
+    * candidates produce for one bucket expression — the layout-count-free
+    * half of [[bucketIdsFor]]: the same hash set prunes under ANY bucket
+    * count (`pmod(h, k)` per directory), which is what lets a point
+    * lookup prune exactly over a MIXED-layout table mid-REBUCKET. */
+  private[catalog] def bucketHashesFor(
       b: PartitionExpr.Bucket,
       pred: org.apache.spark.sql.graft.PlanBridge.SimplePred,
       fieldType: String => Option[DataType],
@@ -5927,12 +6154,20 @@ object GraftLake {
       acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
     }
     Some(combos.map { vs =>
-      val h = Murmur3Hash(
+      Murmur3Hash(
         vs.zip(dts).map { case (v, dt) => Literal(v, dt) }, 42)
         .eval(null).asInstanceOf[Int]
-      ((h % b.n) + b.n) % b.n // pmod
     }.toSet)
   }
+
+  private[catalog] def pmod(h: Int, n: Int): Int = ((h % n) + n) % n
+
+  private[catalog] def bucketIdsFor(
+      b: PartitionExpr.Bucket,
+      pred: org.apache.spark.sql.graft.PlanBridge.SimplePred,
+      fieldType: String => Option[DataType],
+      cap: Int = 256): Option[Set[Int]] =
+    bucketHashesFor(b, pred, fieldType, cap).map(_.map(pmod(_, b.n)))
 
   /** Compile a lowered (physical-keyed) predicate into a partition-DIRECTORY
     * pruning decision over the table's `bucket(…)` partition expressions,
@@ -5953,25 +6188,43 @@ object GraftLake {
     if (exprs.isEmpty) return None
     def ft(c: String): Option[DataType] =
       meta.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-    val constrained: Seq[(Int, String, Set[Int])] = exprs.zipWithIndex.flatMap {
-      case (b: PartitionExpr.Bucket, i) =>
-        bucketIdsFor(b, pred, ft).map { ids =>
-          // dir NAME is Hive-escaped by Spark's writer, same as values
-          val prefix = org.apache.spark.sql.graft.PlanBridge
-            .escapePartitionValue(b.outputName) + "="
-          (i, prefix, ids)
-        }
-      case _ => None
-    }
+    val esc = org.apache.spark.sql.graft.PlanBridge.escapePartitionValue(_)
+    // per bucket expression: the RAW hash set — each directory then prunes
+    // under the bucket count its OWN name carries (`__p_bucket_<k>_<cols>=`),
+    // so mixed-layout tables (mid-incremental-REBUCKET, time travel across
+    // one) prune exactly on every side: pmod(h, k) is computed per dir.
+    // Hive escaping is per-character, so escape(a+b) == escape(a)+escape(b)
+    // and the generic prefix/suffix decomposition below stays faithful to
+    // the writer's rendering for any column spelling.
+    val constrained: Seq[(Int, String, String, Set[Int])] =
+      exprs.zipWithIndex.flatMap {
+        case (b: PartitionExpr.Bucket, i) =>
+          bucketHashesFor(b, pred, ft).map { hashes =>
+            (i, esc("__p_bucket_"), esc(s"_${b.columns.mkString("_")}") + "=",
+              hashes)
+          }
+        case _ => None
+      }
     if (constrained.isEmpty) None
     else Some { key =>
       val parts = key.split('/')
       parts.length != exprs.size + 1 || constrained.forall {
-        case (i, prefix, ids) =>
+        case (i, prefix, colsEq, hashes) =>
           val dir = parts(i)
           !dir.startsWith(prefix) || {
-            val v = dir.substring(prefix.length)
-            scala.util.Try(v.toInt).toOption.forall(ids.contains)
+            // <prefix><k><colsEq><v> — anything unparseable keeps the file
+            val rest = dir.substring(prefix.length)
+            val kEnd = rest.indexOf(colsEq)
+            kEnd <= 0 || {
+              val kOpt = scala.util.Try(rest.substring(0, kEnd).toInt).toOption
+              val vOpt = scala.util.Try(
+                rest.substring(kEnd + colsEq.length).toInt).toOption
+              (kOpt, vOpt) match {
+                case (Some(k), Some(v)) if k > 0 =>
+                  hashes.exists(h => pmod(h, k) == v)
+                case _ => true
+              }
+            }
           }
       }
     }
@@ -6353,7 +6606,7 @@ object GraftLake {
     lastVersionCache.clear(); liveSetCache.clear(); statsMapCache.clear()
     dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
     dvRulePassCache.clear(); dvRulePassAtVersion.clear()
-    layoutCache.clear(); typeStableCache.clear()
+    layoutCache.clear(); typeStableCache.clear(); conformCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --

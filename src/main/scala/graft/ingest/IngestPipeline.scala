@@ -72,6 +72,7 @@ final case class IngestConfig(
     dedup: Map[String, DedupConfig] = Map.empty,
     quality: Map[String, QualityConfig] = Map.empty,
     autoCompact: Map[String, CompactionConfig] = Map.empty,
+    autoRebucket: Map[String, RebucketConfig] = Map.empty,
     retention: Map[String, RetentionConfig] = Map.empty,
     bloomRefresh: Set[String] = Set.empty,
     txnAppId: Option[String] = None) {
@@ -153,6 +154,20 @@ final case class CompactionConfig(
     minFiles: Int = 64,
     targetRecordsPerFile: Long = graft.catalog.GraftLake.maxRecordsPerFile,
     clusterBy: Seq[String] = Nil)
+
+/** Auto-rebucket policy for one table (see [[IngestConfig.autoRebucket]]):
+  * after each flush, when the mean live rows per bucket (metadata-only —
+  * manifest footer counts) exceeds `targetRowsPerBucket`, the bucket
+  * count DOUBLES via the incremental online rebucket, bounded by
+  * `maxBuckets` — the 100 TB layout policy ("fix the bucket size, grow
+  * the count with the table") as standing policy: without it a stream's
+  * per-flush merge cost grows with bucket size forever once the table
+  * outgrows its creation-time count. Safe under the stream's own
+  * concurrent writes by the incremental rebucket's construction (appends
+  * conflict with nothing; each old bucket migrates as its own commit). */
+final case class RebucketConfig(
+    targetRowsPerBucket: Long,
+    maxBuckets: Int = 65536)
 
 /** Snapshot-retention policy for one table (see
   * [[IngestConfig.retention]]): when the committed snapshot count reaches
@@ -736,6 +751,12 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
         GraftMetrics.time(GraftMetrics.AutoCompact) {
           lake.compact(table, cc.targetRecordsPerFile, clusterBy = cc.clusterBy)
         }
+    }
+    // post-flush auto-rebucket: metadata-only mean-bucket-size probe;
+    // the doubling itself is the incremental rebucket, safe under the
+    // stream's continuing flushes
+    config.autoRebucket.get(table).foreach { rc =>
+      lake.maybeAutoRebucket(table, rc.targetRowsPerBucket, rc.maxBuckets)
     }
     // post-flush snapshot retention: expiry batches up per `slack` commits
     // (the versions listing is bounded by keepLast + slack precisely

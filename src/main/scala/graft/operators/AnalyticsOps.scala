@@ -813,17 +813,41 @@ object AnalyticsOps {
       s.conf.set(s"spark.sql.catalog.$name",
         classOf[graft.catalog.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      s.sql(s"OPTIMIZE $name.ord_rb REBUCKET TO 16")
+      // freeze the INCREMENTAL migration after one bucket: the table
+      // sits MID-SPLIT (flip committed, one old bucket re-homed, three
+      // foreign) — the transient state a 100 TB table spends hours in
+      var calls = 0
+      lake.rebucketBeforeCommitHook = () =>
+        { calls += 1; if (calls == 2) throw new RuntimeException("freeze") }
+      try lake.rebucket("ord_rb", 16)
+      catch { case e: RuntimeException if e.getMessage == "freeze" => () }
+      finally lake.rebucketBeforeCommitHook = () => ()
       require(lake.readMeta("ord_rb").partitions == Seq("bucket(16, k)"),
-        "REBUCKET must re-register the layout")
+        "the flip commits first")
       require(lake.read("ord_rb").count() == seedN,
-        "re-bucketing is content-preserving")
-      // MERGE flush THROUGH the transition: every %10 key (all even —
-      // matched) re-prices, every odd key inserts
+        "the mid-split read sees every row exactly once")
+      // MID-SPLIT point lookup + MERGE: a probed key answers exactly,
+      // and a flush lands exactly-once per PK across BOTH layouts
+      // (half the re-prices and a quarter of the inserts land here)
+      val probeKey = ord.filter(col("k") % 20 === 0)
+        .agg(min("k")).head().getAs[Number](0).longValue()
+      require(lake.readWhere("ord_rb", col("k") === probeKey)
+        .count() == 1, "mid-split point lookup must answer exactly")
       lake.upsert("ord_rb",
-        ord.filter(col("k") % 10 === 0)
+        ord.filter(col("k") % 20 === 0)
           .withColumn("price", round(col("price") + 100, 2))
-          .unionByName(ord.filter(col("k") % 2 === 1)))
+          .unionByName(ord.filter(col("k") % 4 === 1)))
+      // resume through LITERAL SQL: the same target finishes the
+      // remaining foreign buckets (the flip no-ops)
+      s.sql(s"OPTIMIZE $name.ord_rb REBUCKET TO 16")
+      require(lake.read("ord_rb").count() ==
+        seedN + ord.filter(col("k") % 4 === 1).count(),
+        "re-bucketing is content-preserving")
+      // the rest of the churn, post-completion
+      lake.upsert("ord_rb",
+        ord.filter(col("k") % 20 === 10)
+          .withColumn("price", round(col("price") + 100, 2))
+          .unionByName(ord.filter(col("k") % 4 === 3)))
       require(lake.read("ord_rb").count() == ord.count(),
         "the post-rebucket merge must stay exactly-once per PK")
       // time travel ACROSS the transition: the pre-rebucket snapshot

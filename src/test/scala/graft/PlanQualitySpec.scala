@@ -149,6 +149,106 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(lake.read("bt").count() === n + 5)
   }
 
+  test("change capture costs one batch-sized join, never a table pass (task metrics)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.catalog.GraftLake.invalidateCaches()
+    val n = 8000
+    val base = (0 until n).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+    val bucketOf = pmod(hash(col("id")), lit(8))
+    val hot = base.withColumn("b", bucketOf).filter(col("b") === 3)
+      .select("id").as[Long].take(50)
+    val batch = hot.map(id => (id, -1L)).toSeq.toDF("id", "v")
+    def flushRead(cdf: Boolean): Long = {
+      graft.catalog.GraftLake.invalidateCaches()
+      val lake = new graft.catalog.GraftLake(spark,
+        java.nio.file.Files.createTempDirectory("graft-capcost").toString)
+      lake.write("ct", base.repartition(8),
+        partitions = Seq("bucket(8, id)"), pks = Seq("id"))
+      if (cdf) lake.setTableProperty("ct",
+        graft.catalog.TableMeta.CdfEnabledKey, "true")
+      val read = new java.util.concurrent.atomic.LongAdder
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            read.add(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        lake.upsert("ct", batch)
+        val deadline = System.nanoTime() + 10e9.toLong
+        var last = -1L
+        while (System.nanoTime() < deadline && read.sum() != last) {
+          last = read.sum(); Thread.sleep(200)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      read.sum()
+    }
+    val off = flushRead(cdf = false)
+    val on = flushRead(cdf = true)
+    // the O(touched ∪ batch) claim (GraftLake upsert capture): capture
+    // re-derives the batch-keyed slice of the merge join — the union's
+    // three branches (pre/post/ins) each re-execute the bucket-scoped
+    // scan, so the extra cost is a small CONSTANT multiple of the touched
+    // bucket (~n/8 rows), never the table. A table-sized regression would
+    // show as on ≳ off + n.
+    assert(on < off + (n / 8) * 4,
+      s"capture cost must track the touched bucket: off=$off on=$on")
+    assert(on < (3 * n) / 4,
+      s"captured flush read $on records — a table-scaled scan leaked in")
+  }
+
+  test("mid-split flush stays manifest-planned: rows read track touched buckets on BOTH layouts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake = new graft.catalog.GraftLake(spark,
+      java.nio.file.Files.createTempDirectory("graft-midflush").toString)
+    val n = 8000
+    val base = (0 until n).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+    lake.write("mt", base.repartition(8),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    // freeze the incremental rebucket mid-split: one bucket under n=8,
+    // the rest under n=4
+    var calls = 0
+    lake.rebucketBeforeCommitHook = () =>
+      { calls += 1; if (calls == 2) throw new RuntimeException("freeze") }
+    try intercept[RuntimeException](lake.rebucket("mt", 8))
+    finally lake.rebucketBeforeCommitHook = () => ()
+    // a 30-key single-old-bucket batch: its wanted set renders under BOTH
+    // counts (pmod(h,4) for unmigrated dirs, pmod(h,8) for migrated), so
+    // the flush plans ≤ a couple of buckets' files — never the table and
+    // never the unbounded PK probe
+    val bucketOf4 = pmod(hash(col("id")), lit(4))
+    val hot = base.withColumn("b", bucketOf4).filter(col("b") === 2)
+      .select("id").as[Long].take(30)
+    val batch = hot.map(id => (id, -7L)).toSeq.toDF("id", "v")
+    val read = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          read.add(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      lake.upsert("mt", batch)
+      val deadline = System.nanoTime() + 10e9.toLong
+      var last = -1L
+      while (System.nanoTime() < deadline && read.sum() != last) {
+        last = read.sum(); Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one old bucket ≈ n/4 rows; scanned ~twice by the flush machinery.
+    // A probe fallback or full pass would read ≥ n.
+    assert(read.sum() < (3 * n) / 4,
+      s"mid-split flush read ${read.sum()} records — lost the " +
+        "manifest-planned bound")
+    assert(lake.read("mt").filter(col("v") === -7L).count() === 30)
+    assert(lake.read("mt").count() === n)
+  }
+
   test("q161: filtered ANN — skipping-pruned scan gates the band join pre-rerank") {
     import org.apache.spark.sql.functions._
     graft.catalog.GraftLake.invalidateCaches()

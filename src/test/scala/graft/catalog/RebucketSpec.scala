@@ -6,14 +6,17 @@ import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** [[GraftLake.rebucket]] — `OPTIMIZE t REBUCKET TO n`: online
-  * re-bucketing with the layout VERSIONED in the manifest. Contracts:
-  * contents preserved; point lookups and merges route under the NEW n
-  * after the transition; the pre-rebucket snapshot reads (and prunes)
-  * under its OWN recorded layout; a concurrent append wins and forces
-  * the rebucket to retry (never a mixed directory); and a historically
-  * type-widened bucket source disables hash-based pruning outright
-  * (legacy tables from before the ensureTable guard). */
+/** [[GraftLake.rebucket]] — `OPTIMIZE t REBUCKET TO n`: INCREMENTAL
+  * online re-bucketing (metadata flip + one commit per old bucket).
+  * Contracts: contents preserved; point lookups and merges route under
+  * the new n after the transition AND stay exact mid-split (each
+  * directory prunes under the count its own name carries); the
+  * pre-rebucket snapshot reads under its OWN recorded layout; the
+  * migration COMPLETES under live appends (in-process and two real
+  * JVMs — the race window is one bucket, not the table); the
+  * auto-rebucket policy doubles a growing table's count; and a
+  * historically type-widened bucket source disables hash-based pruning
+  * outright (legacy tables from before the ensureTable guard). */
 class RebucketSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -85,6 +88,159 @@ class RebucketSpec extends AnyFunSuite {
       "the mid-window append's old-layout file must have been re-homed " +
         "by the retried rewrite, not adopted as-is")
     assert(lake.readMeta("t").partitions === Seq("bucket(8, id)"))
+  }
+
+  test("MID-SPLIT state is exact: reads, point-lookup pruning, merge, time travel, resume") {
+    val lake = newLake()
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i"))
+    lake.write("t", rows.toDF("id", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    val vPre = lake.versions("t").last
+    // freeze the migration after ONE bucket: flip committed, one old
+    // bucket re-homed, three still foreign — the exact transient state a
+    // 100 TB table spends hours in
+    var calls = 0
+    lake.rebucketBeforeCommitHook = () =>
+      { calls += 1; if (calls == 2) throw new RuntimeException("freeze") }
+    try intercept[RuntimeException](lake.rebucket("t", 8))
+    finally lake.rebucketBeforeCommitHook = () => ()
+    assert(lake.readMeta("t").partitions === Seq("bucket(8, id)"),
+      "the flip commits first")
+    val dirs = bucketDirs(lake, "t")
+    assert(dirs === Set("__p_bucket_4_id", "__p_bucket_8_id"),
+      s"one bucket migrated, the rest foreign — got $dirs")
+    // full read: every row, exactly once, across both layouts
+    assert(lake.read("t").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      rows.toSet)
+    // point lookups stay correct AND prune on BOTH sides: each directory
+    // prunes under the bucket count its own name carries
+    for (k <- Seq(0L, 7L, 123L, 399L))
+      assert(lake.readWhere("t", col("id") === k)
+        .collect().map(_.getLong(0)).toSeq === Seq(k))
+    val meta8 = lake.readMeta("t")
+    val pruner = GraftLake.bucketKeyPruner(meta8,
+      org.apache.spark.sql.graft.PlanBridge.simplePredicate(
+        col("id") === 7L, meta8.schema)).get
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(Literal(7L,
+      org.apache.spark.sql.types.LongType)), 42).eval(null).asInstanceOf[Int]
+    assert(pruner(s"__p_bucket_8_id=${GraftLake.pmod(h, 8)}/f.parquet"))
+    assert(!pruner(s"__p_bucket_8_id=${GraftLake.pmod(h, 8) + 1}/f.parquet"))
+    assert(pruner(s"__p_bucket_4_id=${GraftLake.pmod(h, 4)}/f.parquet"),
+      "an unmigrated directory prunes under ITS OWN count")
+    assert(!pruner(s"__p_bucket_4_id=${(GraftLake.pmod(h, 4) + 1) % 4}/f.parquet"))
+    // SQL reads route through the engine scan mid-split (the plain DSv2
+    // directory scan would trip conflicting-partition-names)
+    spark.conf.set("spark.sql.catalog.grbkmid",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grbkmid.warehouse", lake.warehouseDir)
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM grbkmid.t")
+        .head().getLong(0) === 400)
+      assert(spark.sql("SELECT v FROM grbkmid.t WHERE id = 123")
+        .head().getString(0) === "v123")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grbkmid")
+      spark.conf.unset("spark.sql.catalog.grbkmid.warehouse")
+    }
+    // a MERGE through the mixed state: exactly-once per PK, both sides
+    lake.upsert("t",
+      (0 until 400 by 2).map(i => (i.toLong, "UPD")).toDF("id", "v")
+        .unionByName(
+          (400 until 420).map(i => (i.toLong, s"n$i")).toDF("id", "v")))
+    val after = lake.read("t")
+    assert(after.count() === 420)
+    assert(after.filter(col("v") === "UPD").count() === 200)
+    assert(after.filter(col("id") === 400L).count() === 1)
+    // time travel below the flip reads the old uniform layout exactly
+    assert(lake.readVersion("t", vPre).count() === 400)
+    // resume: the same call finishes the migration (flip no-ops)
+    lake.rebucket("t", 8)
+    assert(bucketDirs(lake, "t") === Set("__p_bucket_8_id"))
+    assert(lake.read("t").count() === 420)
+    assert(after.filter(col("v") === "UPD").count() === 200)
+  }
+
+  test("rebucket COMPLETES while a second JVM streams appends (two real processes)") {
+    GraftLake.invalidateCaches()
+    val wh = Files.createTempDirectory("graft-rbk2p").toString
+    val lake = new GraftLake(spark, wh)
+    val base = (0 until 2000).map(i => (i.toLong, "base", i % 7))
+    lake.write("t", base.toDF("seq", "writer", "bucket"),
+      partitions = Seq("bucket(4, seq)"))
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val nBatches = 10
+    val rowsPerBatch = 2000L
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RaceAppender", wh, "t", "w2",
+      nBatches.toString, rowsPerBatch.toString)).toArray
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+    try {
+      // wait for the child's first commit so the streams genuinely overlap
+      val v0 = lake.versions("t").size
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (lake.versions("t").size == v0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(lake.versions("t").size > v0, "child never committed")
+      // THE headline contract: the migration COMPLETES under the live
+      // appender — per-bucket commits conflict with nothing an append does
+      lake.rebucket("t", 8)
+      assert(lake.readMeta("t").partitions === Seq("bucket(8, seq)"))
+      assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "appender JVM did not exit")
+      assert(child.exitValue() === 0)
+      GraftLake.invalidateCaches()
+      val lake2 = new GraftLake(spark, wh)
+      // no old-layout file can COMMIT after the flip (stale-layout commits
+      // are refused and re-derive — appendLayoutRetry), and the migration
+      // loop only ends when no foreign file remains: the final directory
+      // state is uniform with NO post-quiesce pass
+      assert(bucketDirs(lake2, "t") === Set("__p_bucket_8_seq"))
+      val byWriter = lake2.read("t").groupBy(col("writer")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byWriter === Map("base" -> 2000L,
+        "w2" -> nBatches * rowsPerBatch), s"rows lost: $byWriter")
+    } finally if (child.isAlive) child.destroyForcibly()
+  }
+
+  test("auto-rebucket policy: a growing table doubles its bucket count twice") {
+    val lake = newLake()
+    def batch(r: Range) = r.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    lake.write("t", batch(0 until 100),
+      partitions = Seq("bucket(2, id)"), pks = Seq("id"))
+    // policy: ≥100 mean rows per bucket → double. 100 rows / 2 buckets
+    // = 50: under threshold, no action
+    assert(!lake.maybeAutoRebucket("t", 100))
+    assert(lake.readMeta("t").partitions === Seq("bucket(2, id)"))
+    // grow to 300 rows: 150/bucket → doubles to 4 (75/bucket, settles)
+    lake.append("t", batch(100 until 300))
+    assert(lake.maybeAutoRebucket("t", 100))
+    assert(lake.readMeta("t").partitions === Seq("bucket(4, id)"))
+    assert(!lake.maybeAutoRebucket("t", 100), "75/bucket: settled")
+    // grow to 900 rows: 225/bucket → doubles again to 8
+    lake.append("t", batch(300 until 900))
+    assert(lake.maybeAutoRebucket("t", 100))
+    assert(lake.readMeta("t").partitions === Seq("bucket(8, id)"))
+    assert(bucketDirs(lake, "t") === Set("__p_bucket_8_id"),
+      "each doubling migrates every live file")
+    assert(lake.read("t").count() === 900)
+    // maxBuckets caps the growth
+    lake.append("t", batch(900 until 2000))
+    assert(!lake.maybeAutoRebucket("t", 100, maxBuckets = 8))
+    assert(lake.readMeta("t").partitions === Seq("bucket(8, id)"))
+    // and the per-flush merge stays exactly-once after the doublings
+    lake.upsert("t", batch(0 until 50).withColumn("v", lit("UPD")))
+    assert(lake.read("t").count() === 2000)
+    assert(lake.read("t").filter(col("v") === "UPD").count() === 50)
   }
 
   test("rebucket validates: no bucket expr / same n / shallow clone") {
