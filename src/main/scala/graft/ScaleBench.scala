@@ -117,6 +117,7 @@ object ScaleBench {
     val bmerge = bucketedMergeFlush(spark, smallDir, bigDir)
     val rbk = rebucketFlushRestore(spark, bigDir)
     val rbkRace = rebucketVsAppendRace(spark)
+    val cdcRace = cdcVsAppendRace(spark)
     val race = multiWriterRace(spark)
     val optRace = compactVsAppendRace(spark)
     val json = rows.map { case (q, s, b, sw, bw) =>
@@ -127,7 +128,8 @@ object ScaleBench {
       "\",\"queries\":{", ",",
       s"},\"bucketed_merge_flush\":$bmerge," +
         s"\"rebucket_flush_restore\":$rbk," +
-        s"\"rebucket_vs_append\":$rbkRace,\"race\":$race," +
+        s"\"rebucket_vs_append\":$rbkRace," +
+        s"\"cdc_vs_append\":$cdcRace,\"race\":$race," +
         s"\"optimize_vs_append\":$optRace}")
     Files.write(Paths.get("scale_bench.json"),
       json.getBytes(StandardCharsets.UTF_8))
@@ -508,6 +510,117 @@ object ScaleBench {
     * both writers lands, no rows lost, one linear version history, and
     * the `commitRetry` sensor counts the collisions. Returns a JSON
     * object for scale_bench.json. */
+  /** CHANGE CAPTURE under the cross-process commit race: a cdf-enabled
+    * PK-bucketed table receives appends from a forked [[RaceAppender]]
+    * JVM while the parent lands CAPTURED upserts (write-time change
+    * files) and a `feed=cdf` consumer follows the commit log into a
+    * parquet sink — change files, the bucketed merge fast path and the
+    * append commit race COMPOSE. Contracts: every child append and every
+    * parent upsert lands exactly once (upserts retry on cross-process
+    * collisions — the documented non-append contract); the consumer's
+    * accumulated feed replays the history exactly (insert rows == the
+    * child's rows, update postimages == the parent's upsert matches);
+    * nothing lost, nothing duplicated. */
+  private def cdcVsAppendRace(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-cdcrace").toString
+    val lake = new graft.catalog.GraftLake(spark, wh)
+    val seedRows = 50000L
+    val seedBase = 10000000L // disjoint from the child's key range
+    lake.write("cdc_t", spark.range(seedRows)
+      .select((col("id") + seedBase).as("seq"), lit("base").as("writer"),
+        (col("id") % 97).cast("int").as("bucket")),
+      partitions = Seq("bucket(8, seq)"), pks = Seq("seq"))
+    lake.setTableProperty("cdc_t",
+      graft.catalog.TableMeta.CdfEnabledKey, "true")
+    val floor = lake.versions("cdc_t").last
+    val outDir = Files.createTempDirectory("graft-cdcrace-out").toString
+    val ckpt = Files.createTempDirectory("graft-cdcrace-ck").toString
+    val consumer = spark.readStream.format("graft-cdf")
+      .option("warehouse", wh).option("table", "cdc_t")
+      .option("feed", "cdf").option("startingVersion", floor.toString)
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val nBatches = 6
+    val rowsPerBatch = 50000L
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RaceAppender", wh, "cdc_t", "w2",
+      nBatches.toString, rowsPerBatch.toString)).toArray
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val drainer = new ChildDrain(child, "cdc-race-drain")
+    // interleave CAPTURED upserts while the child streams appends; a
+    // cross-process collision is the non-append contract: re-derive, retry
+    val upserts = 3
+    val keysPerUpsert = 500L
+    var collisions = 0
+    val t0 = System.nanoTime()
+    for (u <- 1 to upserts) {
+      val batch = spark.range(keysPerUpsert)
+        .select((col("id") * 97 + seedBase).as("seq"),
+          lit(s"upd$u").as("writer"), lit(-u).cast("int").as("bucket"))
+      var landed = false
+      while (!landed)
+        try { lake.upsert("cdc_t", batch); landed = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            collisions += 1
+        }
+      Thread.sleep(500)
+    }
+    if (!child.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+      child.destroyForcibly()
+      throw new IllegalStateException("cdc-race child did not exit")
+    }
+    drainer.join(10000)
+    require(child.exitValue() == 0, s"cdc-race child failed: ${drainer.line}")
+    consumer.processAllAvailable()
+    consumer.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.catalog.GraftLake.invalidateCaches()
+    val lake2 = new graft.catalog.GraftLake(spark, wh)
+    // table: exactly-once per writer, upserts matched in place
+    val byWriter = lake2.read("cdc_t").groupBy(col("writer")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val childRows = nBatches * rowsPerBatch
+    require(byWriter.getOrElse("w2", 0L) == childRows,
+      s"child appends lost under capture: $byWriter")
+    require(byWriter.collect {
+      case (w, c) if w.startsWith("upd") || w == "base" => c }.sum == seedRows,
+      s"upserts must match in place, never duplicate: $byWriter")
+    // feed: the consumer replays the history exactly — child appends as
+    // inserts, each upsert round as matched update pairs
+    val feed = spark.read.parquet(outDir)
+    val inserts = feed.filter(col("_change_type") === "insert").count()
+    val posts = feed.filter(col("_change_type") === "update_postimage").count()
+    val pres = feed.filter(col("_change_type") === "update_preimage").count()
+    require(inserts == childRows,
+      s"feed inserts must equal the child's rows: $inserts vs $childRows")
+    require(posts == upserts * keysPerUpsert && pres == posts,
+      s"feed must carry every upsert as a pre/post pair: pre=$pres post=$posts")
+    // every feed insert is a real table row (exactly-once, by key)
+    require(feed.filter(col("_change_type") === "insert")
+      .select("seq").distinct().count() == childRows,
+      "feed inserts must be distinct by key")
+    println(s"[cdc-race] ${childRows} child rows + $upserts captured " +
+      s"upserts in ${num(secs)}s ($collisions upsert collisions retried); " +
+      "feed == history, zero lost")
+    s"""{"child_rows":$childRows,"upserts":$upserts,""" +
+      s""""keys_per_upsert":$keysPerUpsert,""" +
+      s""""upsert_collisions":$collisions,""" +
+      s""""feed_inserts":$inserts,"feed_update_pairs":$posts,""" +
+      s""""seconds":${num(secs)},"all_exact":true}"""
+  }
+
   private def multiWriterRace(spark: SparkSession): String = {
     val wh = Files.createTempDirectory("graft-race").toString
     val lake = new graft.catalog.GraftLake(spark, wh)
