@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   * `[race-child] appended=<rows> batches=<n> retries=<k>`.
   */
 object RaceAppender {
+  /** Fork a RaceAppender JVM against `wh`/`table` — the ONE spawn recipe
+    * shared by every two-process harness and spec (jvm module opens,
+    * classpath, ui off); a new required flag lands here once instead of
+    * drifting across five copies. stderr merges into stdout; the caller
+    * decides whether to drain or discard it. */
+  def spawn(wh: String, table: String, writerId: String, nBatches: Int,
+      rowsPerBatch: Long, heap: String = "-Xmx4g"): Process = {
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      heap, "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RaceAppender", wh, table, writerId,
+      nBatches.toString, rowsPerBatch.toString)).toArray
+    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+  }
+
   def main(args: Array[String]): Unit = {
     val wh = args(0)
     val table = args(1)

@@ -331,18 +331,7 @@ object ScaleBench {
       partitions = Seq("bucket(8, seq)"))
     val nBatches = 8
     val rowsPerBatch = 100000L
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.RaceAppender", wh, "rbk_t", "w2",
-      nBatches.toString, rowsPerBatch.toString)).toArray
-    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val child = RaceAppender.spawn(wh, "rbk_t", "w2", nBatches, rowsPerBatch)
     val drainer = new ChildDrain(child, "rbk-race-drain")
     val v0 = lake.versions("rbk_t").size
     val deadline = System.nanoTime() + 120L * 1000000000L
@@ -444,18 +433,7 @@ object ScaleBench {
         (col("id") % 97).cast("int").as("bucket")).repartition(24))
     val nBatches = 16
     val rowsPerBatch = 100000L
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.RaceAppender", wh, "opt_t", "w2",
-      nBatches.toString, rowsPerBatch.toString)).toArray
-    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val child = RaceAppender.spawn(wh, "opt_t", "w2", nBatches, rowsPerBatch)
     val drainer = new ChildDrain(child, "opt-race-drain")
     def childLine = drainer.line
     // overlap: start the compaction only once the child is live
@@ -545,18 +523,7 @@ object ScaleBench {
       .start()
     val nBatches = 6
     val rowsPerBatch = 50000L
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.RaceAppender", wh, "cdc_t", "w2",
-      nBatches.toString, rowsPerBatch.toString)).toArray
-    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val child = RaceAppender.spawn(wh, "cdc_t", "w2", nBatches, rowsPerBatch)
     val drainer = new ChildDrain(child, "cdc-race-drain")
     // interleave CAPTURED upserts while the child streams appends; a
     // cross-process collision is the non-append contract: re-derive, retry
@@ -633,22 +600,11 @@ object ScaleBench {
         org.apache.spark.sql.functions.lit("seed").as("writer"),
         org.apache.spark.sql.functions.lit(0).as("bucket")))
     // fork the second driver with this JVM's classpath + module opens
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.RaceAppender", wh, "race_t", "w2",
-      nBatches.toString, rowsPerBatch.toString)).toArray
     val t0 = System.nanoTime()
     // retry evidence must be a DELTA from here — the sensor is global and
     // earlier bench queries may have retried
     val retries0 = graft.metrics.GraftMetrics.op("commitRetry").count.sum()
-    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val child = RaceAppender.spawn(wh, "race_t", "w2", nBatches, rowsPerBatch)
     val drainer = new ChildDrain(child, "race-child-drain")
     def childLine = drainer.line
     // wait for the child's FIRST commit so the two writers genuinely

@@ -102,22 +102,40 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // bucket counts whose directory names conflict in Spark's partition
     // discovery, so the directory-based table can't even resolve its
     // schema. Serve the explicit live FILE list (each file its own leaf —
-    // no partition inference) under the logical schema; the DV read rule
-    // substitutes the engine's recompute scan before planning anyway
-    // (dvRuleUnchanged is false while the set is mixed).
-    for (v <- lake.versions(ident.name).lastOption
-         if !lake.liveSetConforms(ident.name, v)) {
-      val (_, files) = lake.snapshotFiles(ident.name, v)
-      val parquet = ParquetTable(
-        ident.name,
-        spark,
-        new CaseInsensitiveStringMap(Map("path" -> dataDir(ident)).asJava),
-        files,
-        Some(GraftLake.logicalSchema(meta.schema)),
-        classOf[ParquetFileFormat])
-      return new GraftTable(ident.name, parquet, warehouse,
-        mixedLayout = true)
-    }
+    // no partition inference) under the SAME full schema as the normal
+    // path (no transient schema flap for SQL consumers); the DV read
+    // rule substitutes the engine's recompute scan — which computes the
+    // `__p_*` columns from the stored source columns — before planning
+    // (dvRuleUnchanged is false while the set is mixed), and a session
+    // WITHOUT the extensions is refused like a DV-carrying table (its
+    // plain scan would read the generated columns as nulls). Probe cost:
+    // only bucketed tables can be mixed, the last version is cache-first
+    // and the conformity verdict memoizes per version — zero extra LISTs
+    // on the steady-state path.
+    if (meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket]))
+      for (v <- lake.lastVersionCached(ident.name)
+           if !lake.liveSetConforms(ident.name, v)) {
+        val installed = spark.sessionState.analyzer.postHocResolutionRules
+          .exists(_.isInstanceOf[graft.plans.ApplyGraftDeletionVectors])
+        if (!installed) throw new IllegalStateException(
+          s"graft table '${ident.name}' is mid-REBUCKET (live files span " +
+            "two bucket layouts); reading it requires the session to be " +
+            "built with graft.plans.GraftExtensions (spark.sql.extensions)" +
+            " — or let the migration finish")
+        val (_, files) = lake.snapshotFiles(ident.name, v)
+        val full = StructType(
+          GraftLake.logicalSchema(meta.schema).fields.toSeq ++
+            GraftLake.partitionFields(meta))
+        val parquet = ParquetTable(
+          ident.name,
+          spark,
+          new CaseInsensitiveStringMap(Map("path" -> dataDir(ident)).asJava),
+          files,
+          Some(full),
+          classOf[ParquetFileFormat])
+        return new GraftTable(ident.name, parquet, warehouse,
+          mixedLayout = true)
+      }
     // the relation's columns are the LOGICAL names; with renames live the
     // analyzer rule substitutes the engine read before any scan plans
     val full = StructType(

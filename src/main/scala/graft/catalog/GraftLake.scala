@@ -625,23 +625,18 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
     if (meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket])) {
       val key = s"$warehouse/$name"
-      val last: Option[Long] = Option(lastVersionCache.get(key))
-        .map(_.longValue()).orElse(versions(name).lastOption)
-      for (v <- last) {
+      for (v <- lastVersionCached(name) if !liveSetConforms(name, v)) {
         val cached = liveSetCache.get(key)
         val refs =
           if (cached != null && cached._1 == v) cached._2
           else resolveManifest(name, v)._2
-        val prefixes = GraftLake.layoutPrefixes(meta)
-        if (!refs.forall(r => GraftLake.relConforms(r._1, prefixes))) {
-          val dd = dataDir(name)
-          val paths = refs.map { case (rel, fn) =>
-            if (rel.isEmpty) s"$dd/$fn" else s"$dd/$rel/$fn"
-          }
-          return manifestScan(paths, statsFor(name, v), full,
-            meta.partitionExprs.size, Some(dd),
-            recomputeWith = Some(meta))
+        val dd = dataDir(name)
+        val paths = refs.map { case (rel, fn) =>
+          if (rel.isEmpty) s"$dd/$fn" else s"$dd/$rel/$fn"
         }
+        return manifestScan(paths, statsFor(name, v), full,
+          meta.partitionExprs.size, Some(dd),
+          recomputeWith = Some(meta))
       }
     }
     val dd = new Path(dataDir(name))
@@ -809,6 +804,15 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * transient mixed state. O(live files) of in-memory string prefix
     * checks off the live-set cache; only consulted on the DV rule's
     * slow path (the verdict memoizes per version once true). */
+  /** Latest committed version, cache-first — the same O(1)-on-the-hot-
+    * path discipline as [[liveDvs]] (one versions-dir listing only on a
+    * cold start). For callers that must not pay a LIST per analysis. */
+  private[graft] def lastVersionCached(name: String): Option[Long] = {
+    val key = s"$warehouse/$name"
+    Option(lastVersionCache.get(key)).map(_.longValue())
+      .orElse(versions(name).lastOption)
+  }
+
   private[graft] def liveSetConforms(name: String, v: Long): Boolean = {
     val meta = readMeta(name)
     if (!meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket]))
@@ -2923,7 +2927,12 @@ final class GraftLake(private[graft] val spark: SparkSession,
                 .collect { case (bb: PartitionExpr.Bucket, i) => (bb, i) }
               val keptForeign: Option[Seq[(String, String)]] =
                 if (foreignRefs.isEmpty) Some(Nil)
-                else if (bucketExprs.size != 1) None
+                else if (bucketExprs.size != 1 ||
+                    // a repair-adopted stray at the wrong depth is not a
+                    // layout — keep the promise that anything unparseable
+                    // falls to the probe, never an index crash
+                    foreignRefs.exists(_._1.split('/').length !=
+                      meta.partitionExprs.size)) None
                 else {
                   val (bb, bi) = bucketExprs.head
                   val escPrefix = esc("__p_bucket_")
@@ -3600,6 +3609,36 @@ final class GraftLake(private[graft] val spark: SparkSession,
         }
         lastRel = Some(rel)
     }
+    // PHASE 3 — retire INERT deletion-vector sidecars: each migration
+    // folded its bucket's masked rows out physically, so entries that
+    // reference only retired files are dead weight — left live they would
+    // pin the anti-join read plan, erode the dvMaxEntries budget and
+    // refuse plain-session SQL reads forever (the monolithic rewrite
+    // dropped the whole set; the incremental one must prove inertness
+    // per sidecar). Best-effort: a lost race just leaves the drop to the
+    // next rebucket/materializeDeletes.
+    try dropInertDvs(name)
+    catch { case _: java.util.ConcurrentModificationException => () }
+  }
+
+  /** Drop deletion-vector sidecars none of whose entries reference a
+    * LIVE file — O(DV sidecars) tiny parquet reads, one remove-only
+    * commit (a logical no-op: masked rows of retired files are invisible
+    * to every reader already). */
+  private def dropInertDvs(name: String): Unit = writeLock(name) {
+    val dvs = liveDvs(name)
+    if (dvs.isEmpty) return
+    val v = versions(name).lastOption.getOrElse(return)
+    val liveKeys = resolveManifest(name, v)._2.map(GraftLake.fileKey).toSet
+    val inert = dvs.filter { d =>
+      val keys = spark.read.schema(GraftLake.dvSchema)
+        .parquet(s"${dvDir(name)}/$d")
+        .select("file_key").distinct().collect().map(_.getString(0))
+      keys.forall(!liveKeys.contains(_))
+    }
+    if (inert.nonEmpty)
+      commitVersion(name, Nil, Nil, Map.empty, op = "dv-clear",
+        dvRemoved = inert)
   }
 
   /** Test seam, as [[compactBeforeCommitHook]]: runs between each

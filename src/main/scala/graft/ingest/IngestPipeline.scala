@@ -754,9 +754,18 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     }
     // post-flush auto-rebucket: metadata-only mean-bucket-size probe;
     // the doubling itself is the incremental rebucket, safe under the
-    // stream's continuing flushes
+    // stream's continuing flushes. ADVISORY: a lost race (external
+    // rewrite churn exhausting one bucket's attempts) must not kill the
+    // ingest stream — the next flush resumes the migration anyway (the
+    // flip no-ops, remaining foreign buckets retry)
     config.autoRebucket.get(table).foreach { rc =>
-      lake.maybeAutoRebucket(table, rc.targetRowsPerBucket, rc.maxBuckets)
+      try lake.maybeAutoRebucket(table, rc.targetRowsPerBucket, rc.maxBuckets)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          GraftMetrics.op("autoRebucketDeferred").record(0L)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-rebucket of '$table' deferred to the next flush: $e")
+      }
     }
     // post-flush snapshot retention: expiry batches up per `slack` commits
     // (the versions listing is bounded by keepLast + slack precisely

@@ -169,21 +169,10 @@ class RebucketSpec extends AnyFunSuite {
     val base = (0 until 2000).map(i => (i.toLong, "base", i % 7))
     lake.write("t", base.toDF("seq", "writer", "bucket"),
       partitions = Seq("bucket(4, seq)"))
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val nBatches = 10
     val rowsPerBatch = 2000L
-    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.RaceAppender", wh, "t", "w2",
-      nBatches.toString, rowsPerBatch.toString)).toArray
-    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-      .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+    val child = graft.RaceAppender.spawn(wh, "t", "w2", nBatches,
+      rowsPerBatch, heap = "-Xmx2g")
     try {
       // wait for the child's first commit so the streams genuinely overlap
       val v0 = lake.versions("t").size
@@ -210,6 +199,25 @@ class RebucketSpec extends AnyFunSuite {
       assert(byWriter === Map("base" -> 2000L,
         "w2" -> nBatches * rowsPerBatch), s"rows lost: $byWriter")
     } finally if (child.isAlive) child.destroyForcibly()
+  }
+
+  test("rebucket with live deletion vectors: masked rows fold out, inert DVs retire") {
+    val lake = newLake()
+    lake.write("t", (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    assert(lake.deleteWhere("t", col("id") % 10 === 3) === 40) // MoR → DV
+    assert(lake.liveDvs("t").nonEmpty, "precondition: a DV commit")
+    lake.rebucket("t", 8)
+    val got = lake.read("t")
+    assert(got.count() === 360)
+    assert(got.filter(col("id") % 10 === 3).count() === 0,
+      "DV-masked rows must not resurrect through the migration")
+    assert(bucketDirs(lake, "t") === Set("__p_bucket_8_id"))
+    // every migration folded its bucket's masked rows out physically, so
+    // the DV entries reference only retired files — left live they would
+    // pin the anti-join plan and refuse plain-session SQL reads forever
+    assert(lake.liveDvs("t").isEmpty,
+      "inert deletion vectors must be retired when the migration completes")
   }
 
   test("auto-rebucket policy: a growing table doubles its bucket count twice") {
