@@ -98,30 +98,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val meta = lake.readMeta(ident.name)
     requireDvCapable(ident.name, lake.liveDvs(ident.name), meta.schema)
-    // MIXED-layout state (mid-incremental-REBUCKET): live files span two
-    // bucket counts whose directory names conflict in Spark's partition
-    // discovery, so the directory-based table can't even resolve its
-    // schema. Serve the explicit live FILE list (each file its own leaf —
-    // no partition inference) under the SAME full schema as the normal
-    // path (no transient schema flap for SQL consumers); the DV read
-    // rule substitutes the engine's recompute scan — which computes the
-    // `__p_*` columns from the stored source columns — before planning
-    // (dvRuleUnchanged is false while the set is mixed), and a session
-    // WITHOUT the extensions is refused like a DV-carrying table (its
-    // plain scan would read the generated columns as nulls). Probe cost:
-    // only bucketed tables can be mixed, the last version is cache-first
-    // and the conformity verdict memoizes per version — zero extra LISTs
-    // on the steady-state path.
-    if (meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket]))
+    // MIXED-layout state (mid-incremental-REBUCKET or mid-partition-
+    // evolution): live files span two layouts whose directory names
+    // conflict in Spark's partition discovery, so the directory-based
+    // table can't even resolve its schema. Serve the explicit live FILE
+    // list (each file its own leaf — no partition inference) under the
+    // SAME full schema as the normal path (no transient schema flap for
+    // SQL consumers); the DV read rule substitutes the engine's
+    // recompute scan — which computes the `__p_*` columns from the
+    // stored source columns — before planning (dvRuleUnchanged is false
+    // while the set is mixed), and a session WITHOUT the extensions is
+    // refused like a DV-carrying table (its plain scan would read the
+    // generated columns as nulls). Probe cost: only partitioned tables
+    // can be mixed, the last version is cache-first and the conformity
+    // verdict memoizes per version — zero extra LISTs on the
+    // steady-state path.
+    if (meta.partitionExprs.nonEmpty)
       for (v <- lake.lastVersionCached(ident.name)
            if !lake.liveSetConforms(ident.name, v)) {
         val installed = spark.sessionState.analyzer.postHocResolutionRules
           .exists(_.isInstanceOf[graft.plans.ApplyGraftDeletionVectors])
         if (!installed) throw new IllegalStateException(
-          s"graft table '${ident.name}' is mid-REBUCKET (live files span " +
-            "two bucket layouts); reading it requires the session to be " +
-            "built with graft.plans.GraftExtensions (spark.sql.extensions)" +
-            " — or let the migration finish")
+          s"graft table '${ident.name}' is mid-layout-migration (live " +
+            "files span two partition layouts); reading it requires the " +
+            "session to be built with graft.plans.GraftExtensions " +
+            "(spark.sql.extensions) — or let the migration finish")
         val (_, files) = lake.snapshotFiles(ident.name, v)
         val full = StructType(
           GraftLake.logicalSchema(meta.schema).fields.toSeq ++

@@ -623,7 +623,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * columns recomputed from the stored source columns. */
   private def readInternal(name: String, meta: TableMeta): DataFrame = {
     val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
-    if (meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket])) {
+    if (meta.partitionExprs.nonEmpty) {
       val key = s"$warehouse/$name"
       for (v <- lastVersionCached(name) if !liveSetConforms(name, v)) {
         val cached = liveSetCache.get(key)
@@ -815,8 +815,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
 
   private[graft] def liveSetConforms(name: String, v: Long): Boolean = {
     val meta = readMeta(name)
-    if (!meta.partitionExprs.exists(_.isInstanceOf[PartitionExpr.Bucket]))
-      return true
+    if (meta.partitionExprs.isEmpty) return true
     val key = s"$warehouse/$name"
     val memo = GraftLake.conformCache.get(key)
     if (memo != null && memo._1 == v) return memo._2
@@ -3590,7 +3589,59 @@ final class GraftLake(private[graft] val spark: SparkSession,
           commitVersion(name, Nil, Nil, Map.empty, op = "rebucket")
       }
     }
-    // PHASE 2 — migrate every foreign-layout bucket, one commit each
+    migrateLayout(name)
+  }
+
+  /** ONLINE partition-layout EVOLUTION — the generalization of
+    * [[rebucket]] to ANY same-depth layout change (`year(ts)` →
+    * `month(ts)` re-granularization, a bucket-source column change,
+    * raw-column swaps — Iceberg's partition-evolution capability,
+    * expressed through the same flip + per-directory-group migration
+    * machinery, so it too COMPLETES under live writers): the registry
+    * and manifest flip to the new spec in one short-lock metadata
+    * commit, then every foreign-layout directory group rewrites into
+    * the new layout as its own commit. The transient mixed state rides
+    * the same rails as a rebucket's (recompute scan shape, per-file
+    * pruning conservatism, probe-path flushes), and inert deletion
+    * vectors retire at completion.
+    *
+    * The expression COUNT must be preserved: file keys and
+    * deletion-vector keys derive from a fixed number of path segments
+    * ([[GraftLake.keyOfPath]]), so a depth change would mis-key every
+    * pre-evolution file's DV entries (resurrected rows — the worst
+    * failure class). Changing depth requires a table rebuild (CTAS). */
+  def evolvePartitions(name: String, newSpecs: Seq[String]): Unit = {
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
+    val parsed = newSpecs.map(PartitionExpr.parse)
+    writeLock(name) {
+      val fresh = readMeta(name)
+      require(parsed.size == fresh.partitionExprs.size,
+        s"partition evolution preserves the expression COUNT (file and " +
+          s"deletion-vector keys are path-depth-derived): '$name' has " +
+          s"${fresh.partitionExprs.size} expression(s), got ${parsed.size} " +
+          "— changing depth requires a table rebuild (CREATE TABLE AS)")
+      parsed.flatMap(_.sourceColumns).distinct.foreach { c =>
+        require(fresh.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"partition evolution of '$name': source column '$c' does not exist")
+      }
+      if (fresh.partitions != newSpecs) {
+        writeMeta(name, fresh.copy(partitions = newSpecs))
+        if (versions(name).nonEmpty)
+          commitVersion(name, Nil, Nil, Map.empty, op = "rebucket")
+      }
+    }
+    migrateLayout(name)
+  }
+
+  /** Phases 2–3 of every online layout change: migrate each
+    * foreign-layout directory group as its own commit
+    * ([[migrateOneForeignBucket]] — generic over WHAT changed, it groups
+    * by rel dir), then retire deletion-vector sidecars the migration
+    * made inert. */
+  private def migrateLayout(name: String): Unit = {
+    // migrate every foreign-layout directory group, one commit each
     var lastRel: Option[String] = None
     var fails = 0
     var more = true
@@ -3602,21 +3653,21 @@ final class GraftLake(private[graft] val spark: SparkSession,
           graft.metrics.GraftMetrics.op("rebucketRetry").record(0L)
           fails = if (lastRel.contains(rel)) fails + 1 else 1
           if (fails >= 5) throw new IllegalStateException(
-            s"rebucket of '$name': bucket '$rel' lost to concurrent " +
+            s"layout migration of '$name': group '$rel' lost to concurrent " +
               s"rewrites $fails times — retry when its writers quiesce " +
               "(appends never conflict; only rewrites/deletes of this " +
-              "bucket or DV churn do)")
+              "group or DV churn do)")
         }
         lastRel = Some(rel)
     }
-    // PHASE 3 — retire INERT deletion-vector sidecars: each migration
-    // folded its bucket's masked rows out physically, so entries that
-    // reference only retired files are dead weight — left live they would
-    // pin the anti-join read plan, erode the dvMaxEntries budget and
-    // refuse plain-session SQL reads forever (the monolithic rewrite
+    // retire INERT deletion-vector sidecars: each migration folded its
+    // group's masked rows out physically, so entries that reference only
+    // retired files are dead weight — left live they would pin the
+    // anti-join read plan, erode the dvMaxEntries budget and refuse
+    // plain-session SQL reads forever (the old monolithic rewrite
     // dropped the whole set; the incremental one must prove inertness
     // per sidecar). Best-effort: a lost race just leaves the drop to the
-    // next rebucket/materializeDeletes.
+    // next migration/materializeDeletes.
     try dropInertDvs(name)
     catch { case _: java.util.ConcurrentModificationException => () }
   }

@@ -1803,6 +1803,73 @@ object AnalyticsOps {
       .orderBy(col("commit_seq"), col("change_type"))
   }
 
+  /** q171: ONLINE PARTITION-LAYOUT EVOLUTION — `ALTER TABLE t SET
+    * PARTITIONED BY (…)` ([[graft.catalog.GraftLake.evolvePartitions]]),
+    * Iceberg's partition-evolution capability on the incremental
+    * rebucket machinery: a `year(d)`-partitioned table re-granularizes
+    * to `month(d)` ONLINE (flip + per-directory-group migration —
+    * completes under live writers), frozen MID-MIGRATION to land an
+    * append through the mixed state, resumed through literal SQL. The
+    * in-query requires pin: the flip commits first, the mixed state
+    * reads exactly, the final directory set is uniformly month-layout,
+    * and the pre-evolution snapshot time-travels under its own year
+    * layout. The oracle reproduces the month-level rollup of the final
+    * contents arithmetically. */
+  val q171PartitionEvolution = QueryDef(
+    "q171_partition_evolution",
+    """WITH o AS (SELECT o_orderkey AS k, o_orderdate AS d,
+      |                  round(o_totalprice, 2) AS price
+      |           FROM orders WHERE o_orderkey % 6 IN (0, 3))
+      |SELECT year(d) AS y, month(d) AS m, count(*) AS n,
+      |       round(sum(price), 2) AS price_sum
+      |FROM o GROUP BY year(d), month(d)
+      |ORDER BY y, m""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderdate").as("d"),
+        round(col("o_totalprice"), 2).as("price"))
+    val lake = skipLakeMemo.computeIfAbsent(s"evo:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-evo").toString)
+      l.write("evo_t", ord.filter(col("k") % 6 === 0),
+        partitions = Seq("year(d)"))                       // v0, year layout
+      val vPre = l.versions("evo_t").last
+      val seedN = l.read("evo_t").count()
+      // freeze the migration after one year-group: mixed state
+      var calls = 0
+      l.rebucketBeforeCommitHook = () =>
+        { calls += 1; if (calls == 2) throw new RuntimeException("freeze") }
+      try l.evolvePartitions("evo_t", Seq("month(d)"))
+      catch { case e: RuntimeException if e.getMessage == "freeze" => () }
+      finally l.rebucketBeforeCommitHook = () => ()
+      require(l.readMeta("evo_t").partitions == Seq("month(d)"),
+        "the flip commits first")
+      require(l.read("evo_t").count() == seedN,
+        "the mixed state reads every row exactly once")
+      // an append lands THROUGH the mixed state (new layout)
+      l.append("evo_t", ord.filter(col("k") % 6 === 3))
+      // resume through literal SQL
+      val catKey = "spark.sql.catalog.gevoq"
+      if (s.conf.getOption(s"$catKey.warehouse").isEmpty) {
+        s.conf.set(catKey, classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set(s"$catKey.warehouse", l.warehouseDir)
+      }
+      s.sql("ALTER TABLE gevoq.evo_t SET PARTITIONED BY (month(d))")
+      val dirs = l.dataFiles("evo_t").map(p =>
+        new org.apache.hadoop.fs.Path(p).getParent.getName.split('=').head)
+        .toSet
+      require(dirs == Set("__p_month_d"),
+        s"the migration must complete to the month layout, got $dirs")
+      require(l.readVersion("evo_t", vPre).count() == seedN,
+        "the pre-evolution snapshot time-travels under its year layout")
+      l
+    })
+    lake.read("evo_t")
+      .groupBy(year(col("d")).cast("long").as("y"),
+        month(col("d")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("price_sum"))
+      .orderBy(col("y"), col("m"))
+  }
+
   /** q170: SQL-SURFACED CHANGE FEED — `SELECT … FROM
     * table_changes('cat.t', from, to)`, the TVF over
     * [[graft.catalog.GraftLake.tableChanges]] (DuckLake parity: its
@@ -2290,5 +2357,6 @@ object AnalyticsOps {
     q144RenameColumn, q145CheckConstraints, q147DescribeDetail,
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
     q152ExpectationAudit, q153MetadataDelete, q155Transaction,
-    q164BucketPointLookup, q169Rebucket, q170TableChangesSql)
+    q164BucketPointLookup, q169Rebucket, q170TableChangesSql,
+    q171PartitionEvolution)
 }

@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.StructType
   *   VACUUM <cat>.<t> KEEP <n> SNAPSHOTS              — [[GraftLake.expireSnapshots]]
   *   OPTIMIZE <cat>.<t> [WHERE p] [ZORDER BY (c1, …)] — [[GraftLake.compact]]
   *   OPTIMIZE <cat>.<t> REBUCKET TO <n>               — [[GraftLake.rebucket]]
+  *   ALTER TABLE <cat>.<t> SET PARTITIONED BY (specs) — [[GraftLake.evolvePartitions]]
   *
   * The table must be qualified with a catalog registered as a
   * [[GraftCatalog]]; resolution happens at run time through the session's
@@ -69,6 +70,8 @@ object GraftSqlParser {
     """(?is)^\s*SHOW\s+GRAFT\s+METRICS\s*;?\s*$""".r
   private val CloneTable =
     """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW\s+)?CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val SetPartitioning =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*;?\s*$""".r
   private val AddConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+([\w`]+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
   private val DropConstraint =
@@ -106,6 +109,9 @@ object GraftSqlParser {
     case CloneTable(dst, shallow, src, v) =>
       Some(GraftCloneCommand(parts(dst), parts(src),
         Option(v).map(_.toLong), sqlText, shallow = shallow != null))
+    case SetPartitioning(ident, specs) =>
+      Some(GraftSetPartitioningCommand(parts(ident),
+        graft.catalog.PartitionExpr.splitSpecs(specs), sqlText))
     case AddConstraint(ident, cname, check) =>
       Some(GraftAddConstraintCommand(parts(ident),
         cname.stripPrefix("`").stripSuffix("`"), check.trim, sqlText))
@@ -296,6 +302,18 @@ final case class GraftRebucketCommand(ident: Seq[String], n: Int,
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
       new GraftLake(spark, wh).rebucket(t, n)
+    }
+}
+
+/** `ALTER TABLE t SET PARTITIONED BY (year(ts), bucket(8, id), …)` —
+  * ONLINE partition-layout evolution ([[GraftLake.evolvePartitions]]):
+  * flip + per-directory-group migration, completes under live writers;
+  * same-depth specs only (file/DV keys are path-depth-derived). */
+final case class GraftSetPartitioningCommand(ident: Seq[String],
+    specs: Seq[String], sql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).evolvePartitions(t, specs)
     }
 }
 

@@ -251,6 +251,72 @@ class RebucketSpec extends AnyFunSuite {
     assert(lake.read("t").filter(col("v") === "UPD").count() === 50)
   }
 
+  test("partition-layout EVOLUTION: year→month online, bucket-source swap, depth refused") {
+    val lake = newLake()
+    import java.sql.Date
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Date.valueOf(f"202${i % 3}%d-${(i % 12) + 1}%02d-15"), s"v$i")
+    }
+    val df = rows.toDF("id", "d", "v")
+    lake.write("t", df, partitions = Seq("year(d)"))
+    val vPre = lake.versions("t").last
+    assert(bucketDirs(lake, "t") === Set("__p_year_d"))
+    // ONLINE re-granularization through literal SQL — the same flip +
+    // per-group migration as a rebucket, so it completes under writers
+    spark.conf.set("spark.sql.catalog.gevo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gevo.warehouse", lake.warehouseDir)
+    try {
+      spark.sql("ALTER TABLE gevo.t SET PARTITIONED BY (month(d))")
+      assert(lake.readMeta("t").partitions === Seq("month(d)"))
+      assert(bucketDirs(lake, "t") === Set("__p_month_d"),
+        "every live file migrated to the month layout")
+      assert(lake.read("t").count() === 300, "contents preserved")
+      // time travel below the flip reads the year layout exactly
+      assert(lake.readVersion("t", vPre).count() === 300)
+      // SQL reads work on the evolved table
+      assert(spark.sql("SELECT count(*) AS n FROM gevo.t").head().getLong(0)
+        === 300)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gevo")
+      spark.conf.unset("spark.sql.catalog.gevo.warehouse")
+    }
+    // depth change is refused with the rebuild remedy
+    val e = intercept[IllegalArgumentException](
+      lake.evolvePartitions("t", Seq("month(d)", "bucket(4, id)")))
+    assert(e.getMessage.contains("preserves the expression COUNT"))
+    // unknown source column refused
+    val e2 = intercept[IllegalArgumentException](
+      lake.evolvePartitions("t", Seq("year(nope)")))
+    assert(e2.getMessage.contains("does not exist"))
+
+    // BUCKET-SOURCE swap on a PK table, frozen mid-migration: reads and
+    // merges stay exact through the mixed state, resume finishes
+    val lake2 = newLake()
+    val kv = (0 until 400).map(i => (i.toLong, (i % 50).toLong, s"v$i"))
+    lake2.write("t", kv.toDF("id", "grp", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    var calls = 0
+    lake2.rebucketBeforeCommitHook = () =>
+      { calls += 1; if (calls == 2) throw new RuntimeException("freeze") }
+    try intercept[RuntimeException](
+      lake2.evolvePartitions("t", Seq("bucket(4, grp)")))
+    finally lake2.rebucketBeforeCommitHook = () => ()
+    assert(lake2.readMeta("t").partitions === Seq("bucket(4, grp)"))
+    assert(bucketDirs(lake2, "t") ===
+      Set("__p_bucket_4_id", "__p_bucket_4_grp"), "mixed mid-migration")
+    assert(lake2.read("t").count() === 400)
+    assert(lake2.readWhere("t", col("id") === 123L)
+      .collect().map(_.getLong(0)).toSeq === Seq(123L))
+    lake2.upsert("t",
+      (0 until 400 by 4).map(i => (i.toLong, (i % 50).toLong, "UPD"))
+        .toDF("id", "grp", "v"))
+    assert(lake2.read("t").count() === 400, "merge exactly-once mid-migration")
+    assert(lake2.read("t").filter(col("v") === "UPD").count() === 100)
+    lake2.evolvePartitions("t", Seq("bucket(4, grp)")) // resume
+    assert(bucketDirs(lake2, "t") === Set("__p_bucket_4_grp"))
+    assert(lake2.read("t").count() === 400)
+  }
+
   test("rebucket validates: no bucket expr / same n / shallow clone") {
     val lake = newLake()
     lake.write("plain", Seq((1L, "a")).toDF("id", "v"))
