@@ -1847,13 +1847,13 @@ object AnalyticsOps {
         "the mixed state reads every row exactly once")
       // an append lands THROUGH the mixed state (new layout)
       l.append("evo_t", ord.filter(col("k") % 6 === 3))
-      // resume through literal SQL
-      val catKey = "spark.sql.catalog.gevoq"
-      if (s.conf.getOption(s"$catKey.warehouse").isEmpty) {
-        s.conf.set(catKey, classOf[graft.catalog.GraftCatalog].getName)
-        s.conf.set(s"$catKey.warehouse", l.warehouseDir)
-      }
-      s.sql("ALTER TABLE gevoq.evo_t SET PARTITIONED BY (month(d))")
+      // resume through literal SQL — catalog name PER DIR (catalog
+      // instances cache by name; two SFs in one JVM must not cross wires)
+      val cat = s"gevoq${catalogSeq.getAndIncrement()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", l.warehouseDir)
+      s.sql(s"ALTER TABLE $cat.evo_t SET PARTITIONED BY (month(d))")
       val dirs = l.dataFiles("evo_t").map(p =>
         new org.apache.hadoop.fs.Path(p).getParent.getName.split('=').head)
         .toSet
