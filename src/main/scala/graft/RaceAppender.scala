@@ -23,7 +23,8 @@ object RaceAppender {
     * drifting across five copies. stderr merges into stdout; the caller
     * decides whether to drain or discard it. */
   def spawn(wh: String, table: String, writerId: String, nBatches: Int,
-      rowsPerBatch: Long, heap: String = "-Xmx4g"): Process = {
+      rowsPerBatch: Long, heap: String = "-Xmx4g",
+      discardOutput: Boolean = false): Process = {
     import scala.jdk.CollectionConverters._
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
@@ -35,7 +36,12 @@ object RaceAppender {
       "-cp", System.getProperty("java.class.path"),
       "graft.RaceAppender", wh, table, writerId,
       nBatches.toString, rowsPerBatch.toString)).toArray
-    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    // a PIPE nobody reads fills and BLOCKS the child mid-write — callers
+    // either attach a drainer (ScaleBench's ChildDrain) or discard here
+    if (discardOutput)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.start()
   }
 
   def main(args: Array[String]): Unit = {

@@ -65,24 +65,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * so a DV-carrying table REFUSES to load in such a session. O(1) on
     * the common path: `liveDvs` is served from the commit cache, and the
     * rule lookup is a list scan of the session's post-hoc rules. */
+  /** Whether this session carries the engine read rule — the ONE probe
+    * behind every "this state needs the engine scan" refusal. */
+  private def engineReadInstalled: Boolean =
+    spark.sessionState.analyzer.postHocResolutionRules
+      .exists(_.isInstanceOf[graft.plans.ApplyGraftDeletionVectors])
+
+  private def requireEngineRead(name: String, state: String,
+      remedy: String = ""): Unit =
+    if (!engineReadInstalled) throw new IllegalStateException(
+      s"graft table '$name' $state; reading it requires the session to " +
+        "be built with graft.plans.GraftExtensions (spark.sql.extensions)" +
+        remedy)
+
   private def requireDvCapable(name: String, dvs: Seq[String],
       schema: StructType): Unit = {
     val renamed = GraftLake.logicalNamesOf(schema)
     if (dvs.isEmpty && renamed.isEmpty) return
-    val installed = spark.sessionState.analyzer.postHocResolutionRules
-      .exists(_.isInstanceOf[graft.plans.ApplyGraftDeletionVectors])
-    if (!installed) throw new IllegalStateException(
-      s"graft table '$name' " +
-        (if (dvs.nonEmpty)
-          s"carries live deletion vectors (${dvs.size} file(s))"
-        else
-          s"has renamed columns (${renamed.values.mkString(", ")})") +
-        "; reading it requires the session to be built with " +
-        "graft.plans.GraftExtensions (spark.sql.extensions)" +
-        (if (dvs.nonEmpty)
-          ", or run GraftLake.materializeDeletes to fold the deletes " +
-            "into the data"
-        else ""))
+    requireEngineRead(name,
+      if (dvs.nonEmpty) s"carries live deletion vectors (${dvs.size} file(s))"
+      else s"has renamed columns (${renamed.values.mkString(", ")})",
+      if (dvs.nonEmpty)
+        ", or run GraftLake.materializeDeletes to fold the deletes " +
+          "into the data"
+      else "")
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -114,15 +120,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // verdict memoizes per version — zero extra LISTs on the
     // steady-state path.
     if (meta.partitionExprs.nonEmpty)
-      for (v <- lake.lastVersionCached(ident.name)
+      for (v <- lake.probeLastVersion(ident.name)
            if !lake.liveSetConforms(ident.name, v)) {
-        val installed = spark.sessionState.analyzer.postHocResolutionRules
-          .exists(_.isInstanceOf[graft.plans.ApplyGraftDeletionVectors])
-        if (!installed) throw new IllegalStateException(
-          s"graft table '${ident.name}' is mid-layout-migration (live " +
-            "files span two partition layouts); reading it requires the " +
-            "session to be built with graft.plans.GraftExtensions " +
-            "(spark.sql.extensions) — or let the migration finish")
+        requireEngineRead(ident.name, "is mid-layout-migration (live " +
+          "files span two partition layouts)",
+          " — or let the migration finish")
         val (_, files) = lake.snapshotFiles(ident.name, v)
         val full = StructType(
           GraftLake.logicalSchema(meta.schema).fields.toSeq ++

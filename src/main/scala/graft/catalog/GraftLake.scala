@@ -184,6 +184,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     dvCountCache.remove(s"$warehouse/$name")
     dvRulePassCache.remove(s"$warehouse/$name")
     conformCache.remove(s"$warehouse/$name")
+    probeFreshCache.remove(s"$warehouse/$name")
     dvRulePassAtVersion.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
     bloomCache.keySet.removeIf(_.startsWith(s"$warehouse/$name#"))
     layoutCache.remove(s"$warehouse/$name")
@@ -625,6 +626,10 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
     if (meta.partitionExprs.nonEmpty) {
       val key = s"$warehouse/$name"
+      // lastVersionCached, NOT the TTL probe: this branch decides which
+      // REFS to serve, and same-JVM read-your-writes demands the JVM's
+      // own latest version — a TTL-stale version's refs may since have
+      // been retired and would read empty
       for (v <- lastVersionCached(name) if !liveSetConforms(name, v)) {
         val cached = liveSetCache.get(key)
         val refs =
@@ -811,6 +816,38 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val key = s"$warehouse/$name"
     Option(lastVersionCache.get(key)).map(_.longValue())
       .orElse(versions(name).lastOption)
+  }
+
+  /** Latest version for the LAYOUT-CONFORMITY probe: freshly listed, but
+    * at most once per `spark.graft.layout.probeTtlMs` (default 10 s) per
+    * table. `lastVersionCached` alone would serve a WRITER JVM's own
+    * last-commit version forever, so a cross-process layout migration
+    * would stay invisible to it and its directory-discovery reads would
+    * crash on the mixed state; a raw LIST per analysis would pay an
+    * object-store request per table reference. The TTL bounds both: the
+    * steady state pays one LIST per table per TTL window, and a foreign
+    * migration is observed within it. */
+  private[graft] def probeLastVersion(name: String): Option[Long] = {
+    val key = s"$warehouse/$name"
+    val ttl = spark.conf
+      .getOption("spark.graft.layout.probeTtlMs").map(_.toLong)
+      .getOrElse(10000L)
+    val now = System.currentTimeMillis()
+    val memo = GraftLake.probeFreshCache.get(key)
+    val listed: Option[Long] =
+      if (memo != null && now - memo._1 < ttl)
+        (if (memo._2 < 0) None else Some(memo._2))
+      else {
+        val v = versions(name).lastOption
+        GraftLake.probeFreshCache.put(key, (now, v.getOrElse(-1L)))
+        v
+      }
+    // this JVM's OWN commits advance lastVersionCache immediately — the
+    // probe must never lag its own writes (a writer mid-ITS-OWN
+    // migration would otherwise misclassify the table as conforming
+    // within the TTL window)
+    val own = Option(lastVersionCache.get(key)).map(_.longValue())
+    (listed ++ own).reduceOption(_ max _)
   }
 
   private[graft] def liveSetConforms(name: String, v: Long): Boolean = {
@@ -3614,9 +3651,26 @@ final class GraftLake(private[graft] val spark: SparkSession,
     require(shallowInfo(name).isEmpty,
       s"table '$name' is a SHALLOW clone (read-only reference) — run " +
         "materializeClone first to make it writable")
-    val parsed = newSpecs.map(PartitionExpr.parse)
+    newSpecs.foreach(PartitionExpr.parse) // syntax, before the lock
     writeLock(name) {
       val fresh = readMeta(name)
+      // user-facing specs address LOGICAL column names; the stored spec
+      // addresses the frozen physical fields (renames must not strand a
+      // layout on a name the write path cannot resolve)
+      val toPhys = GraftLake.logicalNamesOf(fresh.schema).map(_.swap)
+      def physName(c: String): String =
+        toPhys.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
+      def translate(spec: String): String =
+        PartitionExpr.parse(spec) match {
+          case PartitionExpr.Raw(c) => physName(c)
+          case PartitionExpr.Year(c) => s"year(${physName(c)})"
+          case PartitionExpr.Month(c) => s"month(${physName(c)})"
+          case PartitionExpr.Day(c) => s"day(${physName(c)})"
+          case PartitionExpr.Bucket(n, cs) =>
+            s"bucket($n, ${cs.map(physName).mkString(", ")})"
+        }
+      val specs = newSpecs.map(translate)
+      val parsed = specs.map(PartitionExpr.parse)
       require(parsed.size == fresh.partitionExprs.size,
         s"partition evolution preserves the expression COUNT (file and " +
           s"deletion-vector keys are path-depth-derived): '$name' has " +
@@ -3625,9 +3679,25 @@ final class GraftLake(private[graft] val spark: SparkSession,
       parsed.flatMap(_.sourceColumns).distinct.foreach { c =>
         require(fresh.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"partition evolution of '$name': source column '$c' does not exist")
+        require(!c.equalsIgnoreCase(InsertedAtCol) && !c.startsWith("__p_"),
+          s"partition evolution of '$name': column '$c' is engine-managed")
       }
-      if (fresh.partitions != newSpecs) {
-        writeMeta(name, fresh.copy(partitions = newSpecs))
+      // a NEW expression whose generated directory NAME equals a
+      // DIFFERENT old expression's would make old files falsely
+      // "conform" (layout attribution is directory-name-based) — their
+      // migration would silently skip and reads would serve the OLD
+      // values as the new column's. Refuse the collision outright.
+      fresh.partitionExprs.zip(parsed).foreach { case (o, nw) =>
+        require(o == nw || o.outputName != nw.outputName,
+          s"partition evolution of '$name': new expression " +
+            s"'${specs(parsed.indexOf(nw))}' generates the same directory " +
+            s"name '${nw.outputName}' as the current layout's " +
+            s"'${fresh.partitions(fresh.partitionExprs.indexOf(o))}' — " +
+            "files could not be attributed to either layout; pick a " +
+            "different expression or rebuild (CREATE TABLE AS)")
+      }
+      if (fresh.partitions != specs) {
+        writeMeta(name, fresh.copy(partitions = specs))
         if (versions(name).nonEmpty)
           commitVersion(name, Nil, Nil, Map.empty, op = "rebucket")
       }
@@ -3666,30 +3736,48 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // anti-join read plan, erode the dvMaxEntries budget and refuse
     // plain-session SQL reads forever (the old monolithic rewrite
     // dropped the whole set; the incremental one must prove inertness
-    // per sidecar). Best-effort: a lost race just leaves the drop to the
-    // next migration/materializeDeletes.
+    // per sidecar). Best-effort by construction: the migration itself
+    // has already SUCCEEDED, so no failure here — a lost commit race, a
+    // concurrently vacuumed sidecar, a transient job error — may fail
+    // the caller; the drop re-runs on the next migration or
+    // materializeDeletes.
     try dropInertDvs(name)
-    catch { case _: java.util.ConcurrentModificationException => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"inert-DV sweep of '$name' deferred (migration itself " +
+            s"committed fine): $e")
+    }
   }
 
   /** Drop deletion-vector sidecars none of whose entries reference a
-    * LIVE file — O(DV sidecars) tiny parquet reads, one remove-only
-    * commit (a logical no-op: masked rows of retired files are invisible
-    * to every reader already). */
-  private def dropInertDvs(name: String): Unit = writeLock(name) {
-    val dvs = liveDvs(name)
-    if (dvs.isEmpty) return
+    * LIVE file — ONE batched job over all sidecars (input_file_name
+    * attribution), run OUTSIDE the table lock; the remove-only commit (a
+    * logical no-op: masked rows of retired files are invisible to every
+    * reader already) takes the lock alone and skips if the DV set moved
+    * meanwhile. */
+  private def dropInertDvs(name: String): Unit = {
+    val dvs0 = liveDvs(name)
+    if (dvs0.isEmpty) return
     val v = versions(name).lastOption.getOrElse(return)
     val liveKeys = resolveManifest(name, v)._2.map(GraftLake.fileKey).toSet
-    val inert = dvs.filter { d =>
-      val keys = spark.read.schema(GraftLake.dvSchema)
-        .parquet(s"${dvDir(name)}/$d")
-        .select("file_key").distinct().collect().map(_.getString(0))
-      keys.forall(!liveKeys.contains(_))
+    // sidecar → does ANY of its entries reference a live file
+    val dd = dvDir(name)
+    val byFile = spark.read.schema(GraftLake.dvSchema)
+      .parquet(dvs0.map(d => s"$dd/$d"): _*)
+      .select(input_file_name().as("f"), col("file_key"))
+      .distinct().collect()
+      .groupBy(r => new Path(r.getString(0)).getName)
+      .view.mapValues(_.exists(r => liveKeys.contains(r.getString(1))))
+      .toMap
+    val inert = dvs0.filter(d => byFile.get(d).contains(false))
+    if (inert.nonEmpty) writeLock(name) {
+      // the verdicts were computed lock-free; a DV commit since makes
+      // them stale — skip, the next sweep re-derives
+      if (liveDvs(name).toSet == dvs0.toSet)
+        commitVersion(name, Nil, Nil, Map.empty, op = "dv-clear",
+          dvRemoved = inert)
     }
-    if (inert.nonEmpty)
-      commitVersion(name, Nil, Nil, Map.empty, op = "dv-clear",
-        dvRemoved = inert)
   }
 
   /** Test seam, as [[compactBeforeCommitHook]]: runs between each
@@ -6006,6 +6094,10 @@ object GraftLake {
     * the version and invalidates naturally. */
   private[catalog] val conformCache =
     new ConcurrentHashMap[String, (Long, Boolean)]()
+  /** (wall-clock ms of last fresh LIST, version or -1) per table — the
+    * TTL memo behind [[GraftLake.probeLastVersion]]. */
+  private[catalog] val probeFreshCache =
+    new ConcurrentHashMap[String, (Long, Long)]()
   private val dvCountCache =
     new ConcurrentHashMap[String, (Vector[String], Long)]()
   /** Memoized analyzer-rule fast-path verdicts: `warehouse/table` →
@@ -6697,6 +6789,7 @@ object GraftLake {
     dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
     dvRulePassCache.clear(); dvRulePassAtVersion.clear()
     layoutCache.clear(); typeStableCache.clear(); conformCache.clear()
+    probeFreshCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --

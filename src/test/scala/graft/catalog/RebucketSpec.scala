@@ -172,7 +172,7 @@ class RebucketSpec extends AnyFunSuite {
     val nBatches = 10
     val rowsPerBatch = 2000L
     val child = graft.RaceAppender.spawn(wh, "t", "w2", nBatches,
-      rowsPerBatch, heap = "-Xmx2g")
+      rowsPerBatch, heap = "-Xmx2g", discardOutput = true)
     try {
       // wait for the child's first commit so the streams genuinely overlap
       val v0 = lake.versions("t").size
@@ -288,6 +288,28 @@ class RebucketSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       lake.evolvePartitions("t", Seq("year(nope)")))
     assert(e2.getMessage.contains("does not exist"))
+
+    // outputName collision refused: a raw column literally named like
+    // the current layout's generated directory would make old files
+    // falsely "conform" and silently skip their migration
+    val lake3 = newLake()
+    lake3.write("t", Seq((1L, Date.valueOf("2024-01-15"), 7, "x"))
+      .toDF("id", "d", "year_d", "v"), partitions = Seq("year(d)"))
+    val e3 = intercept[IllegalArgumentException](
+      lake3.evolvePartitions("t", Seq("year_d")))
+    assert(e3.getMessage.contains("same directory name"),
+      s"got: ${e3.getMessage}")
+    // engine-managed columns refused
+    val e4 = intercept[IllegalArgumentException](
+      lake3.evolvePartitions("t", Seq("_inserted_at")))
+    assert(e4.getMessage.contains("engine-managed"))
+    // LOGICAL names resolve to their frozen physical fields
+    lake3.renameColumn("t", "v", "label")
+    lake3.evolvePartitions("t", Seq("label"))
+    assert(lake3.readMeta("t").partitions === Seq("v"),
+      "the stored spec addresses the physical field behind the rename")
+    assert(bucketDirs(lake3, "t") === Set("__p_v"))
+    assert(lake3.read("t").count() === 1)
 
     // BUCKET-SOURCE swap on a PK table, frozen mid-migration: reads and
     // merges stay exact through the mixed state, resume finishes
