@@ -2971,6 +2971,22 @@ final class GraftLake(private[graft] val spark: SparkSession,
                       meta.partitionExprs.size)) None
                 else {
                   val (bb, bi) = bucketExprs.head
+                  // a foreign rel may differ from the current layout ONLY
+                  // in its bucket count: during a non-bucket
+                  // evolvePartitions (year(d)->month(d) beside an
+                  // unchanged bucket expr) the bucket dir still parses
+                  // (k == current n) and effMeta == meta, but wantedK is
+                  // rendered under the NEW layout — old-layout files would
+                  // silently miss the match set and their matched PKs
+                  // re-insert as duplicates. Any non-bucket divergence
+                  // must route through the probe path instead.
+                  val nonBucketDiverges = foreignRefs.exists { ref =>
+                    val segs = ref._1.split('/')
+                    prefixes.indices.exists(i =>
+                      i != bi && !segs(i).startsWith(prefixes(i)))
+                  }
+                  if (nonBucketDiverges) None
+                  else {
                   val escPrefix = esc("__p_bucket_")
                   val colsSuffix = esc(s"_${bb.columns.mkString("_")}")
                   def parseK(dirName: String): Option[Int] =
@@ -3001,6 +3017,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
                   }
                   if (resolved.exists(_.isEmpty)) None
                   else Some(resolved.flatMap(_.get))
+                  }
                 }
               keptForeign match {
                 case None => fullProbeScoped()

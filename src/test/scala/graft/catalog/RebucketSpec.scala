@@ -339,6 +339,54 @@ class RebucketSpec extends AnyFunSuite {
     assert(lake2.read("t").count() === 400)
   }
 
+  test("NON-bucket evolution beside an unchanged bucket expr, frozen " +
+      "mid-migration: matched-key upsert stays exactly-once") {
+    // The merge fast path self-describes a foreign file only by its
+    // BUCKET count. During [bucket(4,id), year(d)] -> [bucket(4,id),
+    // month(d)] an unmigrated file's bucket dir parses with k == the
+    // current n, so the effective meta equals the CURRENT meta and the
+    // wanted set is rendered under the NEW (month) layout — old
+    // __p_year_d files must route the flush to the probe scan, or
+    // their matched PKs would be treated as absent and re-inserted.
+    val lake = newLake()
+    import java.sql.Date
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Date.valueOf(f"202${i % 3}%d-${(i % 12) + 1}%02d-15"), s"v$i")
+    }
+    // d is part of the PK so the layout is PK-functional and the flush
+    // takes the manifest-planned fast path (the code under test);
+    // year/month over a DATE pk source keep the probe-skip eligible
+    lake.write("t", rows.toDF("id", "d", "v"),
+      partitions = Seq("bucket(4, id)", "year(d)"), pks = Seq("id", "d"))
+    var calls = 0
+    lake.rebucketBeforeCommitHook = () =>
+      { calls += 1; if (calls == 2) throw new RuntimeException("freeze") }
+    try intercept[RuntimeException](
+      lake.evolvePartitions("t", Seq("bucket(4, id)", "month(d)")))
+    finally lake.rebucketBeforeCommitHook = () => ()
+    assert(lake.readMeta("t").partitions === Seq("bucket(4, id)", "month(d)"))
+    val dirs = lake.dataFiles("t").map { p =>
+      new org.apache.hadoop.fs.Path(p).getParent.getName.split('=').head
+    }.toSet
+    assert(dirs === Set("__p_year_d", "__p_month_d"),
+      s"mixed non-bucket layouts mid-migration, got $dirs")
+    // upsert keys that live in BOTH migrated and unmigrated files
+    lake.upsert("t",
+      (0 until 400 by 3).map { i =>
+        (i.toLong, Date.valueOf(f"202${i % 3}%d-${(i % 12) + 1}%02d-15"), "UPD")
+      }.toDF("id", "d", "v"))
+    assert(lake.read("t").count() === 400,
+      "matched PKs in unmigrated year-layout files must not re-insert")
+    assert(lake.read("t").filter(col("v") === "UPD").count() === 134)
+    assert(lake.read("t").groupBy(col("id")).count()
+      .filter(col("count") > 1).count() === 0, "no duplicate PKs")
+    // resume completes the migration; contents intact
+    lake.evolvePartitions("t", Seq("bucket(4, id)", "month(d)"))
+    assert(lake.dataFiles("t").forall(_.contains("__p_month_d=")))
+    assert(lake.read("t").count() === 400)
+    assert(lake.read("t").filter(col("v") === "UPD").count() === 134)
+  }
+
   test("rebucket validates: no bucket expr / same n / shallow clone") {
     val lake = newLake()
     lake.write("plain", Seq((1L, "a")).toDF("id", "v"))
