@@ -117,6 +117,7 @@ object ScaleBench {
     val bmerge = bucketedMergeFlush(spark, smallDir, bigDir)
     val rbk = rebucketFlushRestore(spark, bigDir)
     val rbkRace = rebucketVsAppendRace(spark)
+    val abr = boundedAutoRebucket(spark)
     val cdcRace = cdcVsAppendRace(spark)
     val race = multiWriterRace(spark)
     val optRace = compactVsAppendRace(spark)
@@ -129,6 +130,7 @@ object ScaleBench {
       s"},\"bucketed_merge_flush\":$bmerge," +
         s"\"rebucket_flush_restore\":$rbk," +
         s"\"rebucket_vs_append\":$rbkRace," +
+        s"\"auto_rebucket_bounded\":$abr," +
         s"\"cdc_vs_append\":$cdcRace,\"race\":$race," +
         s"\"optimize_vs_append\":$optRace}")
     Files.write(Paths.get("scale_bench.json"),
@@ -319,6 +321,71 @@ object ScaleBench {
     * validation (refused at commit, re-derived — `appendLayoutRetry`);
     * no mixed directory survives and every row from both writers lands
     * in the NEW layout, with NO post-quiesce pass. */
+  /** BOUNDED auto-rebucket (round-14 contract): the policy's doubling
+    * must not stall the triggering micro-batch for an O(table) rewrite.
+    * With `maxGroupsPerCall`, each simulated flush (append + post-flush
+    * policy probe) migrates at most K old buckets and successive flushes
+    * drain the migration — so the WORST per-flush latency stays far
+    * under the unbounded whole-table rebucket the same table pays on a
+    * reference copy, while reads/merges stay exact through every mixed
+    * state and the layout converges with zero lost rows. */
+  private def boundedAutoRebucket(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val base = 1200000L
+    def seed(wh: String): graft.catalog.GraftLake = {
+      val lake = new graft.catalog.GraftLake(spark, wh)
+      lake.write("abk_t", spark.range(base)
+        .select(col("id").as("k"), (col("id") % 13).as("v"))
+        .repartition(24, pmod(hash(col("id")), lit(16))),
+        partitions = Seq("bucket(16, k)"))
+      lake
+    }
+    // reference: the UNBOUNDED doubling on an identical copy — the
+    // stall round 13 shipped, measured on this host for the comparison
+    val lakeRef = seed(Files.createTempDirectory("graft-abk-ref").toString)
+    val tRef0 = System.nanoTime()
+    lakeRef.rebucket("abk_t", 32)
+    val fullSecs = (System.nanoTime() - tRef0) / 1e9
+    // bounded: per-flush append + policy probe with maxGroupsPerCall=2
+    val lake = seed(Files.createTempDirectory("graft-abk").toString)
+    val target = base / 16 - 5000 // 75k/bucket mean trips the doubling
+    val batchRows = 10000L
+    var flushes = 0
+    var maxFlush = 0.0
+    var totalFlush = 0.0
+    var converged = false
+    while (!converged && flushes < 40) {
+      val t0 = System.nanoTime()
+      lake.append("abk_t", spark.range(
+          base + flushes * batchRows, base + (flushes + 1) * batchRows)
+        .select(col("id").as("k"), (col("id") % 13).as("v")))
+      lake.maybeAutoRebucket("abk_t", target, maxGroupsPerCall = 2)
+      val dt = (System.nanoTime() - t0) / 1e9
+      flushes += 1
+      maxFlush = math.max(maxFlush, dt)
+      totalFlush += dt
+      converged = lake.readMeta("abk_t").partitions == Seq("bucket(32, k)") &&
+        lake.dataFiles("abk_t").forall(_.contains("__p_bucket_32_k="))
+    }
+    require(converged, "bounded auto-rebucket never converged")
+    require(flushes >= 8, // 16 old groups / 2 per call, + the trigger flush
+      s"the doubling must amortize across flushes, finished in $flushes")
+    val n = lake.read("abk_t").count()
+    require(n == base + flushes * batchRows,
+      s"rows lost under the bounded migration: $n")
+    require(maxFlush < fullSecs,
+      s"bounded per-flush latency ($maxFlush s) must beat the unbounded " +
+        s"stall ($fullSecs s)")
+    println(s"[auto-rebucket] unbounded doubling stalls ${num(fullSecs)}s; " +
+      s"bounded (2 groups/flush) worst flush ${num(maxFlush)}s across " +
+      s"$flushes flushes, converged, zero lost rows")
+    s"""{"base_rows":$base,"full_rebucket_s":${num(fullSecs)},""" +
+      s""""flushes":$flushes,"max_flush_s":${num(maxFlush)},""" +
+      s""""mean_flush_s":${num(totalFlush / flushes)},""" +
+      s""""groups_per_flush":2,"rows_exact":true,""" +
+      s""""bounded_beats_stall":true}"""
+  }
+
   private def rebucketVsAppendRace(spark: SparkSession): String = {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft-rbkrace").toString

@@ -626,11 +626,22 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val full = StructType(meta.schema.fields.toSeq ++ partitionFields(meta))
     if (meta.partitionExprs.nonEmpty) {
       val key = s"$warehouse/$name"
-      // lastVersionCached, NOT the TTL probe: this branch decides which
-      // REFS to serve, and same-JVM read-your-writes demands the JVM's
-      // own latest version — a TTL-stale version's refs may since have
-      // been retired and would read empty
-      for (v <- lastVersionCached(name) if !liveSetConforms(name, v)) {
+      // Two-step on purpose. The ENTRY decision (is the table mixed?)
+      // rides the TTL-bounded probe: in a reader-only JVM
+      // `lastVersionCached` never populates and would pay an uncached
+      // versions-dir LIST per table reference on the read hot path —
+      // the probe caps that at one LIST per TTL, and its own-commit max
+      // keeps a writer mid-ITS-OWN migration exact. The REFS themselves
+      // are then resolved at `lastVersionCached` (own commit, or a
+      // fresh list only in the rare mixed state): a TTL-stale version
+      // must never choose which refs a read serves — its files may
+      // since have been retired and a manifestScan over moved paths
+      // reads empty silently. Worst case of probe staleness is
+      // direction-safe: a just-started foreign migration is seen as
+      // conforming for <= one TTL and the directory read fails LOUD on
+      // the mixed names, never wrong rows.
+      for (v0 <- probeLastVersion(name) if !liveSetConforms(name, v0);
+           v <- lastVersionCached(name)) {
         val cached = liveSetCache.get(key)
         val refs =
           if (cached != null && cached._1 == v) cached._2
@@ -714,14 +725,14 @@ final class GraftLake(private[graft] val spark: SparkSession,
   /** Highest transaction version committed for `appId` on this table —
     * the reader half of [[appendIdempotent]]'s exactly-once contract. */
   def lastTxnVersion(name: String, appId: String): Option[Long] =
-    versions(name).lastOption.flatMap(v => resolveTxns(name, v).get(appId))
+    latestVersion(name).flatMap(v => resolveTxns(name, v).get(appId))
 
   /** Live deletion-vector files of the LATEST snapshot — O(1) from the
     * commit cache on the hot path (every read goes through this). */
   def liveDvs(name: String): Vector[String] = {
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
     last match {
       case None => Vector.empty
       case Some(v) =>
@@ -775,7 +786,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       case None =>
         val last: Option[Long] =
           Option(GraftLake.lastVersionCache.get(key)).map(_.longValue())
-            .orElse(versions(name).lastOption)
+            .orElse(latestVersion(name))
         last match {
           case None =>
             // zero commits: no DVs possible, but play it safe on renames
@@ -815,7 +826,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
   private[graft] def lastVersionCached(name: String): Option[Long] = {
     val key = s"$warehouse/$name"
     Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
   }
 
   /** Latest version for the LAYOUT-CONFORMITY probe: freshly listed, but
@@ -838,7 +849,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       if (memo != null && now - memo._1 < ttl)
         (if (memo._2 < 0) None else Some(memo._2))
       else {
-        val v = versions(name).lastOption
+        val v = latestVersion(name)
         GraftLake.probeFreshCache.put(key, (now, v.getOrElse(-1L)))
         v
       }
@@ -1013,7 +1024,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // bounds can match the predicate, not the table
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
     val base = last match {
       case None => readInternal(name, meta)
       case Some(v) =>
@@ -1117,7 +1128,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
 
   private def metadataDeleteLocked(name: String, meta: TableMeta,
       predicate: Column): Option[Long] = {
-    val v = versions(name).lastOption.getOrElse(return None)
+    val v = latestVersion(name).getOrElse(return None)
     // shadow guards: a user column occupying the row-count slot makes
     // footer counts unreadable, and one in the witness namespace makes
     // EVERY all-match proof untrustworthy (comparison leaves consult the
@@ -1238,7 +1249,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * Reference analog: DuckLake deletes the snapshot's data-file rows
     * from its catalog; the parquet stays for time travel. */
   def truncate(name: String): Unit = writeLock(name) {
-    val v = versions(name).lastOption.getOrElse(return)
+    val v = latestVersion(name).getOrElse(return)
     val (_, files, _) = resolveManifest(name, v)
     val dvs = liveDvs(name)
     // no live files = already empty. Any remaining DV sidecars are inert
@@ -1628,7 +1639,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     if (cols.isEmpty) return Map.empty
     val meta = readMeta(name)
     val partDepth = meta.partitionExprs.size
-    val last = versions(name).lastOption
+    val last = latestVersion(name)
     val liveRefs = last match {
       case Some(v) => resolveManifest(name, v)._2
       case None => listDataFiles(name)
@@ -1934,7 +1945,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val meta = readMeta(name)
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
     val masked = last match {
       case None =>
         applyDvs(name, readInternal(name, meta), liveDvs(name),
@@ -1980,7 +1991,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val meta = readMeta(name)
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
     last match {
       case None => read(name).filter(predicate)
       case Some(v) =>
@@ -2033,7 +2044,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     if (filters.isEmpty) return None
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
     last.flatMap { v =>
       val meta = readMeta(name)
       val pred0 = filters
@@ -2230,7 +2241,11 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val sorted = names.distinct.sorted
     require(sorted.nonEmpty, "transact needs at least one member table")
     require(!inTransact.get, "nested transact is not supported")
-    transactBody(sorted)(body)
+    // standing table-property policies stay out of transactions: a
+    // compaction/rebucket firing off a member's append inside the
+    // transaction window would race the coordinator's own commits (the
+    // caller re-runs policies after the transaction if it wants them)
+    GraftLake.withPoliciesSuppressed { transactBody(sorted)(body) }
   }
 
   // ---- cross-process durable transactions (lock files + journal) ----
@@ -2725,6 +2740,73 @@ final class GraftLake(private[graft] val spark: SparkSession,
   def append(name: String, batch: DataFrame): Unit =
     appendTxn(name, batch, txn = None)
 
+  /** Standing per-table maintenance policies carried as `graft.policy.*`
+    * TABLE PROPERTIES — the IngestConfig policies (auto-compaction,
+    * auto-rebucket, snapshot retention) for tables whose writers are NOT
+    * the ingest pipeline: SQL INSERT/MERGE sessions, the streaming sink,
+    * plain engine callers. Without this, only pipeline-fed tables get a
+    * standing layout policy; a 100 TB table fed by the sink would
+    * accumulate small files and oversized buckets with no one polling.
+    * Probes are the same cheap signals the pipeline polls (commit-cache
+    * file count; manifest footer row means; version count), run AFTER
+    * the triggering write releases its lock. Execution failures of the
+    * advisory kind (a lost rebucket race) defer to the next write;
+    * malformed property VALUES fail loudly — a typo'd policy silently
+    * not running is the worse failure.
+    *
+    * `exclude` lets the ingest pipeline keep its config-first contract:
+    * it suppresses these hooks during its own flushes
+    * ([[GraftLake.withPoliciesSuppressed]]) and re-invokes post-flush
+    * with the kinds its IngestConfig already handled excluded. */
+  private[graft] def runStandingPolicies(name: String,
+      exclude: Set[String] = Set.empty): Unit = {
+    if (GraftLake.policiesSuppressed.get()) return
+    val props =
+      try { if (!tableExists(name)) return else readMeta(name).props }
+      catch { case scala.util.control.NonFatal(_) => return }
+    if (!props.keysIterator.exists(_.startsWith("graft.policy."))) return
+    def longProp(k: String): Option[Long] = props.get(k).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"table property $k of '$name' must be an integer, got '$v'")
+      }
+    }
+    // policies must not re-trigger off their own commits (compaction is
+    // a rewrite, not an append — but guard the whole section anyway)
+    GraftLake.policiesSuppressed.set(true)
+    try {
+      if (!exclude("autoCompact"))
+        for (minFiles <- longProp("graft.policy.autoCompact.minFiles"))
+          if (liveFileCount(name) >= minFiles)
+            graft.metrics.GraftMetrics.time(
+                graft.metrics.GraftMetrics.AutoCompact) {
+              compact(name, longProp(
+                "graft.policy.autoCompact.targetRecordsPerFile")
+                .getOrElse(maxRecordsPerFile))
+            }
+      if (!exclude("autoRebucket"))
+        for (target <- longProp("graft.policy.autoRebucket.targetRowsPerBucket"))
+          try maybeAutoRebucket(name, target,
+            longProp("graft.policy.autoRebucket.maxBuckets")
+              .map(_.toInt).getOrElse(65536),
+            longProp("graft.policy.autoRebucket.maxGroupsPerCall")
+              .map(_.toInt).getOrElse(4))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              graft.metrics.GraftMetrics.op("autoRebucketDeferred").record(0L)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"standing auto-rebucket of '$name' deferred: $e")
+          }
+      if (!exclude("retention"))
+        for (keep <- longProp("graft.policy.retention.keepLast")) {
+          val slack = longProp("graft.policy.retention.slack").getOrElse(16L)
+          if (versions(name).size >= keep + slack)
+            expireSnapshots(name, keep.toInt)
+        }
+    } finally GraftLake.policiesSuppressed.set(false)
+  }
+
   /** IDEMPOTENT append — the exactly-once upgrade for at-least-once
     * delivery (Delta's txnAppId/txnVersion pattern): the commit records
     * `(appId, txnVersion)` IN THE MANIFEST, atomically with the data, so
@@ -2757,7 +2839,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
 
   private def appendTxn(name: String, batch: DataFrame,
       txn: Option[(String, Long)], partitions: Seq[String] = Nil,
-      pks: Seq[String] = Nil): Unit =
+      pks: Seq[String] = Nil): Unit = {
     try appendTxnOnce(name, batch, txn, partitions, pks)
     catch {
       // the commit's layout validation refused the staged files (a
@@ -2770,6 +2852,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
         graft.metrics.GraftMetrics.op("appendLayoutRetry").record(0L)
         appendTxnOnce(name, batch, txn, partitions, pks)
     }
+    runStandingPolicies(name)
+  }
 
   private def appendTxnOnce(name: String, batch: DataFrame,
       txn: Option[(String, Long)], partitions: Seq[String],
@@ -2822,7 +2906,13 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * rewrites its own partition key forfeits pruning by construction and
     * degrades toward a full copy-on-write. Partition by a stable key that
     * merges never update (see README "Scale design notes"). */
-  def upsert(name: String, batch: DataFrame, ordering: Seq[Column] = Nil): Unit = writeLock(name) {
+  def upsert(name: String, batch: DataFrame, ordering: Seq[Column] = Nil): Unit = {
+    upsertLocked(name, batch, ordering)
+    runStandingPolicies(name)
+  }
+
+  private def upsertLocked(name: String, batch: DataFrame,
+      ordering: Seq[Column]): Unit = writeLock(name) {
     val meta = readMeta(name)
     require(meta.pks.nonEmpty, s"upsert on '$name' requires configured PKs")
     val pks = meta.pks
@@ -2924,7 +3014,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
               case s: String => s.nonEmpty
               case _ => true
             })))
-          (if (renderable && noNulls) versions(name).lastOption else None) match {
+          (if (renderable && noNulls) latestVersion(name) else None) match {
             case Some(v) =>
               // BOTH halves of the Hive fragment escape: Spark's writer
               // escapes the column NAME too (a column named `a:b` writes
@@ -3175,9 +3265,41 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * write are separate jobs — per-job `current_timestamp()` would make
     * the feed disagree with the table). */
   def overwriteContents(name: String, df: DataFrame,
-      changes: Option[DataFrame] = None): Unit = writeLock(name) {
+      changes: Option[DataFrame] = None): Unit = {
+    overwriteContentsLocked(name, df, changes)
+    runStandingPolicies(name)
+  }
+
+  private def overwriteContentsLocked(name: String, df: DataFrame,
+      changes: Option[DataFrame],
+      newPartitions: Option[Seq[String]] = None): Unit = writeLock(name) {
     val meta = readMeta(name)
-    val projected0 = enforceConstraints(meta, physicalSelect(meta, df))
+    // the REPLACE TABLE … PARTITIONED BY rebuild ([[rebuildPartitioned]]):
+    // reads of the PRE-version stay under the current meta; only the
+    // staged write and the generated partition columns use the new
+    // layout, and the metadata flips in the same locked section as the
+    // directory swap
+    val effMeta = newPartitions.fold(meta)(sp => meta.copy(partitions = sp))
+    val projectedRaw = enforceConstraints(meta, physicalSelect(meta, df))
+    val pks = meta.pks.flatMap(p =>
+      meta.schema.fieldNames.find(_.equalsIgnoreCase(p)))
+    val projected0 = projectedRaw
+    // LAST-WINS PK dedup for the DERIVED Complete-mode capture below
+    // (the upsert's row_number pattern): that branch's full-outer keyed
+    // diff assumes unique PKs — duplicate keys would land twice and fan
+    // out into duplicated pre/postimages. Scoped to that branch ONLY:
+    // the general SQL MERGE rewrite also routes through here (with its
+    // own change attribution or none) and its ANSI insert semantics
+    // legitimately land duplicate keys (MergeSqlSpec pins it).
+    def dedupLastWins(d: DataFrame): DataFrame =
+      if (pks.isEmpty) d
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pks.map(c => col(quoted(c))): _*)
+          .orderBy(monotonically_increasing_id().desc)
+        d.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     val partCols = meta.partitionExprs.map(_.outputName)
     val ct = GraftLake.ChangeTypeCol
     // BEFORE the swap: the change plan reads the pre-rewrite live files
@@ -3185,16 +3307,15 @@ final class GraftLake(private[graft] val spark: SparkSession,
       case Some(c) if meta.cdfEnabled =>
         (projected0, writeChangeFiles(name, meta, c))
       case None if meta.cdfEnabled =>
+        val deduped = dedupLastWins(projected0)
         val frozen = lit(java.sql.Timestamp.from(java.time.Instant.now()))
         def freeze(d: DataFrame): DataFrame =
           if (meta.schema.fieldNames.contains(InsertedAtCol))
             d.withColumn(InsertedAtCol, frozen)
           else d
-        val pks = meta.pks.flatMap(p =>
-          meta.schema.fieldNames.find(_.equalsIgnoreCase(p)))
         if (versions(name).isEmpty) {
           // first-ever commit: the whole contents ARE the insert set
-          val landed = freeze(projected0)
+          val landed = freeze(deduped)
           (landed, writeChangeFiles(name, meta,
             landed.withColumn(ct, lit("insert"))))
         } else {
@@ -3202,7 +3323,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
             liveDvs(name), partCols.size)
             .select(meta.schema.fieldNames.map(n => col(quoted(n))): _*)
           if (pks.isEmpty) {
-            val landed = freeze(projected0)
+            val landed = freeze(deduped)
             (landed, writeChangeFiles(name, meta,
               old.withColumn(ct, lit("delete"))
                 .unionByName(landed.withColumn(ct, lit("insert")))))
@@ -3211,7 +3332,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
             val nPresent = s"${nPrefix}present__"
             val tPresent = "__graft_t_present__"
             val isPk = (n: String) => pks.exists(_.equalsIgnoreCase(n))
-            val newRenamed = projected0.select(meta.schema.fieldNames.map {
+            val newRenamed = deduped.select(meta.schema.fieldNames.map {
               case n if isPk(n) => col(quoted(n))
               case n => col(quoted(n)).as(s"$nPrefix$n")
             }: _*).withColumn(nPresent, lit(true))
@@ -3257,7 +3378,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
         }
       case _ => (projected0, Nil)
     }
-    val out = withPartitionCols(projected, meta)
+    val out = withPartitionCols(projected, effMeta)
+    val outPartCols = effMeta.partitionExprs.map(_.outputName)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     val dd = new Path(dataDir(name))
     val f = fs(dd)
@@ -3265,14 +3387,18 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val writer = out.write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
       withLakeTimestampFormat {
-        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-          .parquet(stage.toString)
+        (if (outPartCols.nonEmpty) writer.partitionBy(outPartCols: _*)
+         else writer).parquet(stage.toString)
       }
       // rename-aside instead of delete-then-rename: a crash between the
       // two renames leaves the old contents recoverable in .old-*, never
       // a lost table
       val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
       val old = new Path(s"${tableDir(name)}/.old-${UUID.randomUUID()}")
+      // layout rebuild: flip the registry in the same locked breath as
+      // the swap (the crash-inconsistent window is this flip + two
+      // renames, never the rewrite itself)
+      newPartitions.foreach(_ => writeMeta(name, effMeta))
       if (f.exists(dd)) renameOrFail(f, dd, old)
       renameOrFail(f, stage, dd)
       val removed = retire(name, old, old)
@@ -3282,7 +3408,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       // every previous file is retired: all DV entries are inert — drop
       commitVersion(name, added, removed, writeStats, op = "overwrite",
         dvRemoved = liveDvs(name), changes = changeFiles,
-        assumedLayout = Some(meta.partitions))
+        assumedLayout =
+          if (newPartitions.isEmpty) Some(meta.partitions) else None)
     } finally f.delete(stage, true) // no-op when the rename consumed it
   }
 
@@ -3410,7 +3537,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         "materializeClone first to make it writable")
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
-    val v0 = versions(name).lastOption.getOrElse(return true) // no commits
+    val v0 = latestVersion(name).getOrElse(return true) // no commits
     val refs0 = resolveManifest(name, v0)._2
     if (refs0.isEmpty) return true
     val dvs0 = dvsAtVersion(name, v0)
@@ -3545,7 +3672,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // commit. Appends that landed during the rewrite are untouched — their
     // files are neither read nor retired and stay live in the manifest.
     writeLock(name) {
-      val vNow = versions(name).lastOption.getOrElse(-1L)
+      val vNow = latestVersion(name).getOrElse(-1L)
       val ok = vNow == v0 || {
         val liveNow = resolveManifest(name, vNow)._2.toSet
         scopedRefs.forall(liveNow.contains) &&
@@ -3614,7 +3741,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * `rebucket` call (same n: the flip no-ops, the remaining foreign
     * buckets migrate); snapshot reads of mid-split versions stay exact
     * forever (per-file layout attribution). */
-  def rebucket(name: String, n: Int): Unit = {
+  def rebucket(name: String, n: Int,
+      maxGroupsPerCall: Int = Int.MaxValue): Unit = {
     require(n > 0, s"bucket count must be positive, got $n")
     require(shallowInfo(name).isEmpty,
       s"table '$name' is a SHALLOW clone (read-only reference) — run " +
@@ -3643,7 +3771,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
           commitVersion(name, Nil, Nil, Map.empty, op = "rebucket")
       }
     }
-    migrateLayout(name)
+    migrateLayout(name, maxGroupsPerCall)
   }
 
   /** ONLINE partition-layout EVOLUTION — the generalization of
@@ -3692,7 +3820,10 @@ final class GraftLake(private[graft] val spark: SparkSession,
         s"partition evolution preserves the expression COUNT (file and " +
           s"deletion-vector keys are path-depth-derived): '$name' has " +
           s"${fresh.partitionExprs.size} expression(s), got ${parsed.size} " +
-          "— changing depth requires a table rebuild (CREATE TABLE AS)")
+          "— changing depth requires a guided rebuild: REPLACE TABLE " +
+          s"$name PARTITIONED BY (${newSpecs.mkString(", ")}) AS " +
+          s"SELECT * FROM $name (carries primary keys, constraints and " +
+          "properties forward; engine API rebuildPartitioned)")
       parsed.flatMap(_.sourceColumns).distinct.foreach { c =>
         require(fresh.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"partition evolution of '$name': source column '$c' does not exist")
@@ -3722,28 +3853,172 @@ final class GraftLake(private[graft] val spark: SparkSession,
     migrateLayout(name)
   }
 
+  /** Translate user-facing partition specs (LOGICAL column names) to
+    * the stored form over the frozen physical fields, validating source
+    * columns exist and are not engine-managed. Shared by
+    * [[evolvePartitions]] and [[rebuildPartitioned]]. */
+  private def translatePartitionSpecs(name: String, fresh: TableMeta,
+      newSpecs: Seq[String], what: String): Seq[String] = {
+    val toPhys = GraftLake.logicalNamesOf(fresh.schema).map(_.swap)
+    def physName(c: String): String =
+      toPhys.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
+    val specs = newSpecs.map(spec => PartitionExpr.parse(spec) match {
+      case PartitionExpr.Raw(c) => physName(c)
+      case PartitionExpr.Year(c) => s"year(${physName(c)})"
+      case PartitionExpr.Month(c) => s"month(${physName(c)})"
+      case PartitionExpr.Day(c) => s"day(${physName(c)})"
+      case PartitionExpr.Bucket(n, cs) =>
+        s"bucket($n, ${cs.map(physName).mkString(", ")})"
+    })
+    val parsed = specs.map(PartitionExpr.parse)
+    parsed.flatMap(_.sourceColumns).distinct.foreach { c =>
+      require(fresh.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"$what of '$name': source column '$c' does not exist")
+      require(!c.equalsIgnoreCase(InsertedAtCol) && !c.startsWith("__p_"),
+        s"$what of '$name': column '$c' is engine-managed")
+    }
+    require(parsed.map(_.outputName).distinct.size == parsed.size,
+      s"$what of '$name': two expressions generate the same directory name")
+    specs
+  }
+
+  /** GUIDED DEPTH-CHANGE REBUILD — the remedy [[evolvePartitions]]'
+    * depth refusal names (`REPLACE TABLE t PARTITIONED BY (…) [AS
+    * SELECT …]`): a whole-table rewrite under a layout of ANY
+    * expression count that — unlike a CTAS rebuild — CARRIES primary
+    * keys, CHECK constraints and table properties forward and keeps the
+    * table's history (pre-rebuild snapshots time-travel under their own
+    * recorded layouts; the rebuild is one more commit).
+    *
+    * Without `contents` the rebuild is CONTENT-PRESERVING and commits as
+    * the logical-no-op class (`rebucket`) the change feed ignores — live
+    * deletion vectors are materialized first, so the swap never leaves a
+    * window where old-depth DV keys could misresolve under the new
+    * depth. With `contents` (the AS SELECT form) the swap routes through
+    * [[overwriteContents]] under the new layout: PK last-wins dedup and
+    * cdf derived capture apply exactly as for any replace.
+    *
+    * O(table) by construction — this is a REBUILD, not the online
+    * same-depth migration; the depth change is why the incremental path
+    * is unavailable (path-depth-derived file/DV keys). The new-layout
+    * stage is written OUTSIDE the lock from the pinned live set and
+    * validated at commit (version unmoved, no DV churn), so the
+    * crash-inconsistent window is the metadata flip + two renames, and
+    * a lost race fails loudly for a plain re-run. */
+  def rebuildPartitioned(name: String, newSpecs: Seq[String],
+      contents: Option[DataFrame] = None): Unit = {
+    require(tableExists(name), s"REPLACE TABLE: '$name' does not exist")
+    require(shallowInfo(name).isEmpty,
+      s"table '$name' is a SHALLOW clone (read-only reference) — run " +
+        "materializeClone first to make it writable")
+    require(newSpecs.nonEmpty, s"REPLACE TABLE $name: empty partition spec")
+    newSpecs.foreach(PartitionExpr.parse) // syntax first
+    if (liveDvs(name).nonEmpty) materializeDeletes(name)
+    val meta0 = readMeta(name)
+    val specs = translatePartitionSpecs(name, meta0, newSpecs,
+      "partition rebuild")
+    contents match {
+      case Some(df) =>
+        overwriteContentsLocked(name, df, changes = None,
+          newPartitions = Some(specs))
+        runStandingPolicies(name)
+      case None =>
+        val v0 = latestVersion(name).getOrElse(-1L)
+        val refs0 =
+          if (v0 >= 0) resolveManifest(name, v0)._2 else Vector.empty
+        if (refs0.isEmpty) {
+          // nothing to rewrite: pure metadata flip
+          writeLock(name) {
+            val fresh = readMeta(name)
+            if (fresh.partitions != specs) {
+              writeMeta(name, fresh.copy(partitions = specs))
+              if (versions(name).nonEmpty)
+                commitVersion(name, Nil, Nil, Map.empty, op = "rebucket")
+            }
+          }
+          return
+        }
+        val newMeta = meta0.copy(partitions = specs)
+        val partCols = newMeta.partitionExprs.map(_.outputName)
+        val dd = dataDir(name)
+        val paths = refs0.map { case (r, fn) =>
+          if (r.isEmpty) s"$dd/$fn" else s"$dd/$r/$fn"
+        }
+        val full = StructType(
+          meta0.schema.fields.toSeq ++ partitionFields(meta0))
+        val projected = manifestScan(paths, statsFor(name, v0), full,
+            meta0.partitionExprs.size, Some(dd), recomputeWith = Some(meta0))
+          .select(meta0.schema.fieldNames.map(nm => col(quoted(nm))): _*)
+        val out = withPartitionCols(projected, newMeta)
+        val arranged = out.repartition(partCols.map(c => col(quoted(c))): _*)
+        val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
+        val writer = arranged.write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+        withLakeTimestampFormat {
+          writer.partitionBy(partCols: _*).parquet(stage.toString)
+        }
+        val writeStats =
+          org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
+        writeLock(name) {
+          val vNow = latestVersion(name).getOrElse(-1L)
+          if (vNow != v0 || liveDvs(name).nonEmpty ||
+              readMeta(name).partitions != meta0.partitions) {
+            fs(stage).delete(stage, true)
+            throw new java.util.ConcurrentModificationException(
+              s"REPLACE TABLE $name: the table changed while the rebuild " +
+                "was staging — re-run when concurrent writers quiesce")
+          }
+          writeMeta(name, newMeta)
+          val ddPath = new Path(dd)
+          val added = mergeStageInto(stage, ddPath)
+          val removed = refs0.flatMap { case (r, fn) =>
+            val p = if (r.isEmpty) new Path(ddPath, fn)
+              else new Path(new Path(ddPath, r), fn)
+            retire(name, ddPath, p)
+          }
+          commitVersion(name, added, removed, writeStats, op = "rebucket")
+          fs(stage).delete(stage, true)
+        }
+    }
+  }
+
   /** Phases 2–3 of every online layout change: migrate each
     * foreign-layout directory group as its own commit
     * ([[migrateOneForeignBucket]] — generic over WHAT changed, it groups
     * by rel dir), then retire deletion-vector sidecars the migration
-    * made inert. */
-  private def migrateLayout(name: String): Unit = {
-    // migrate every foreign-layout directory group, one commit each
+    * made inert.
+    *
+    * `maxGroups` BOUNDS the rewrite work of one invocation: at most that
+    * many groups commit before the call returns, leaving the (exact,
+    * fully readable/mergeable) mixed state for the NEXT call to resume —
+    * the amortization the auto-rebucket policy needs so a doubling never
+    * stalls the triggering micro-batch for an O(table) rewrite. Returns
+    * true when no foreign-layout group remains (migration complete). */
+  private def migrateLayout(name: String,
+      maxGroups: Int = Int.MaxValue): Boolean = {
+    // migrate foreign-layout directory groups, one commit each, up to
+    // the per-call budget
     var lastRel: Option[String] = None
     var fails = 0
-    var more = true
+    var committedGroups = 0
+    var complete = false
+    var more = maxGroups > 0
     while (more) migrateOneForeignBucket(name) match {
-      case None => more = false
+      case None => more = false; complete = true
       case Some((rel, committed)) =>
-        if (committed) fails = 0
-        else {
+        if (committed) {
+          fails = 0
+          committedGroups += 1
+          if (committedGroups >= maxGroups) more = false
+        } else {
           graft.metrics.GraftMetrics.op("rebucketRetry").record(0L)
           fails = if (lastRel.contains(rel)) fails + 1 else 1
           if (fails >= 5) throw new IllegalStateException(
             s"layout migration of '$name': group '$rel' lost to concurrent " +
               s"rewrites $fails times — retry when its writers quiesce " +
-              "(appends never conflict; only rewrites/deletes of this " +
-              "group or DV churn do)")
+              "(appends and DML on other buckets never conflict; only " +
+              "rewrites/deletes touching this group's files or its " +
+              "deletion vectors do)")
         }
         lastRel = Some(rel)
     }
@@ -3753,18 +4028,25 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // anti-join read plan, erode the dvMaxEntries budget and refuse
     // plain-session SQL reads forever (the old monolithic rewrite
     // dropped the whole set; the incremental one must prove inertness
-    // per sidecar). Best-effort by construction: the migration itself
-    // has already SUCCEEDED, so no failure here — a lost commit race, a
-    // concurrently vacuumed sidecar, a transient job error — may fail
-    // the caller; the drop re-runs on the next migration or
-    // materializeDeletes.
-    try dropInertDvs(name)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"inert-DV sweep of '$name' deferred (migration itself " +
-            s"committed fine): $e")
+    // per sidecar). Only when this call COMPLETED the migration AND
+    // actually committed a group: a no-op resume (already-uniform
+    // table, every maybeAutoRebucket probe) must not pay a full
+    // DV-sidecar scan for nothing, and a budget-bounded partial call
+    // defers the sweep to the completing call. Best-effort by
+    // construction: the migration itself has already SUCCEEDED, so no
+    // failure here — a lost commit race, a concurrently vacuumed
+    // sidecar, a transient job error — may fail the caller; the drop
+    // re-runs on the next migration or materializeDeletes.
+    if (complete && committedGroups > 0) {
+      try dropInertDvs(name)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"inert-DV sweep of '$name' deferred (migration itself " +
+              s"committed fine): $e")
+      }
     }
+    complete
   }
 
   /** Drop deletion-vector sidecars none of whose entries reference a
@@ -3776,7 +4058,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
   private def dropInertDvs(name: String): Unit = {
     val dvs0 = liveDvs(name)
     if (dvs0.isEmpty) return
-    val v = versions(name).lastOption.getOrElse(return)
+    val v = latestVersion(name).getOrElse(return)
     val liveKeys = resolveManifest(name, v)._2.map(GraftLake.fileKey).toSet
     // sidecar → does ANY of its entries reference a live file
     val dd = dvDir(name)
@@ -3808,22 +4090,55 @@ final class GraftLake(private[graft] val spark: SparkSession,
     * someone must remember to run, mirroring auto-compaction. The signal
     * is METADATA-only (manifest footer row counts; zero data files
     * opened) and the doubling is the incremental [[rebucket]], which
-    * completes under live writers. Returns true when a doubling ran.
+    * completes under live writers. Returns true when migration work ran.
     * Tables without exactly one bucket expression, without complete
-    * footer counts, or already at `maxBuckets` are left alone. */
+    * footer counts, or already at `maxBuckets` are left alone.
+    *
+    * `maxGroupsPerCall` bounds the REWRITE work of one invocation (the
+    * 100 TB contract: a policy probe runs INSIDE the triggering
+    * micro-batch, and an unbounded doubling would stall the stream for
+    * an O(table) rewrite exactly when the table is largest — the policy
+    * throttling the very stream it protects). With a bound, each flush
+    * migrates at most that many old buckets and successive flushes
+    * amortize the rewrite: an IN-FLIGHT migration (foreign-layout
+    * groups remaining — also a crashed manual rebucket's) takes
+    * priority over a new doubling probe and resumes here, so the mixed
+    * state always drains even when the mean-size trigger has gone
+    * quiet. Reads, merges and appends stay exact through every
+    * intermediate state by the incremental rebucket's construction. */
   def maybeAutoRebucket(name: String, targetRowsPerBucket: Long,
-      maxBuckets: Int = 65536): Boolean = {
+      maxBuckets: Int = 65536,
+      maxGroupsPerCall: Int = Int.MaxValue): Boolean = {
     require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    require(maxGroupsPerCall > 0, "maxGroupsPerCall must be positive")
     val meta = readMeta(name)
     val buckets = meta.partitionExprs
       .collect { case b: PartitionExpr.Bucket => b }
     if (buckets.size != 1) return false
+    // resume an in-flight migration FIRST: once a doubling has flipped
+    // the count, the mean-size probe below reads the NEW n (often below
+    // target again) — without this branch a budget-bounded migration
+    // would strand its unmigrated tail forever. The probe is
+    // metadata-only: the cached live set against the current layout's
+    // directory prefixes, zero data files opened.
+    val hasForeign = latestVersion(name).exists { v =>
+      val prefixes = GraftLake.layoutPrefixes(meta)
+      val cached = liveSetCache.get(s"$warehouse/$name")
+      val refs = if (cached != null && cached._1 == v) cached._2
+        else resolveManifest(name, v)._2
+      refs.exists(r => !GraftLake.relConforms(r._1, prefixes))
+    }
+    if (hasForeign) {
+      graft.metrics.GraftMetrics.op("autoRebucketStep").record(0L)
+      migrateLayout(name, maxGroupsPerCall)
+      return true
+    }
     val n = buckets.head.n
     if (n * 2 > maxBuckets) return false
     val rows = rowCountFromStats(name).getOrElse(return false)
     if (rows / n.toLong < targetRowsPerBucket) return false
     graft.metrics.GraftMetrics.op("autoRebucket").record(0L)
-    rebucket(name, n * 2)
+    rebucket(name, n * 2, maxGroupsPerCall)
     true
   }
 
@@ -3839,7 +4154,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       : Option[(String, Boolean)] = {
     val meta = readMeta(name)
     val partCols = meta.partitionExprs.map(_.outputName)
-    val v0 = versions(name).lastOption.getOrElse(return None)
+    val v0 = latestVersion(name).getOrElse(return None)
     val refs0 = resolveManifest(name, v0)._2
     val prefixes = GraftLake.layoutPrefixes(meta)
     val foreign = refs0.filterNot(r => GraftLake.relConforms(r._1, prefixes))
@@ -3873,11 +4188,34 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val writeStats = org.apache.spark.sql.graft.StatsCommitProtocol.drain(stage)
     rebucketBeforeCommitHook()
     writeLock(name) {
-      val vNow = versions(name).lastOption.getOrElse(-1L)
+      val vNow = latestVersion(name).getOrElse(-1L)
+      // DV validation is scoped to THIS group's files: the rewrite baked
+      // dvs0's masks for exactly these files, so only churn whose
+      // entries reference a group file can invalidate it. A table-global
+      // set-equality here would let ANY concurrent MoR DELETE — on
+      // buckets the migration isn't touching — burn one of the group's
+      // five attempts: under sustained DML (a CDC-apply consumer, a core
+      // reference workload shape) a group whose rewrite takes longer
+      // than the delete interval could then NEVER commit. Churned
+      // sidecars are read (added ones always exist; a removed one still
+      // on disk proves its keys) — an unreadable removed sidecar stays
+      // conservative and retries.
+      val dvsNow = liveDvs(name).toSet
+      val dvOk = dvsNow == dvs0.toSet || {
+        val groupKeys = group.map(GraftLake.fileKey).toSet
+        val churned = (dvsNow -- dvs0) ++ (dvs0.toSet -- dvsNow)
+        val ddv = dvDir(name)
+        try {
+          !spark.read.schema(GraftLake.dvSchema)
+            .parquet(churned.toSeq.map(d => s"$ddv/$d"): _*)
+            .select("file_key").distinct().collect()
+            .exists(r => groupKeys.contains(r.getString(0)))
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
       val ok = (vNow == v0 || {
         val liveNow = resolveManifest(name, vNow)._2.toSet
         group.forall(liveNow.contains)
-      }) && liveDvs(name).toSet == dvs0.toSet &&
+      }) && dvOk &&
         readMeta(name).partitions == meta.partitions
       if (!ok) { fs(stage).delete(stage, true); return Some((rel, false)) }
       val added = mergeStageInto(stage, new Path(dd))
@@ -3915,7 +4253,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
   def liveFileCount(name: String): Int = {
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
     last match {
       case Some(v) =>
         val cached = liveSetCache.get(key)
@@ -4309,7 +4647,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     f.mkdirs(vd)
     val key = s"$warehouse/$name"
     val last: Option[Long] = Option(lastVersionCache.get(key)).map(_.longValue())
-      .orElse(versions(name).lastOption)
+      .orElse(latestVersion(name))
     // LAYOUT VALIDATION: a writer staged its files under the partition
     // layout it read at start; if a REBUCKET committed since (possibly in
     // another process — the writer's next claim necessarily observes the
@@ -4380,6 +4718,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         dvAdd = dvAdded, dvRemove = dvRemoved, txn = txn, changes = changes)
     val p = new Path(vd, s"v$next.json")
     atomicClaim(f, p, body)
+    writeLastHint(name, next)
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, newList, if (asFull) 0 else prevDepth + 1))
     statsMapCache.put(key, (next, newStats))
@@ -4602,6 +4941,10 @@ final class GraftLake(private[graft] val spark: SparkSession,
 
   /** Committed snapshot ids of a table, oldest first. */
   def versions(name: String): Seq[Long] = {
+    // observable contract for the O(1)-probe spec and bench runs: the
+    // hot paths (streaming polls, commit claims, liveFileCount) must
+    // stop paying this listing once the `_last` hint is in play
+    graft.metrics.GraftMetrics.op("versionsList").record(0L)
     val vd = versionsDir(name)
     val f = fs(vd)
     if (!f.exists(vd)) Nil
@@ -4609,6 +4952,66 @@ final class GraftLake(private[graft] val spark: SparkSession,
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong
       }.sorted
+  }
+
+  private def lastHintPath(name: String) =
+    new Path(versionsDir(name), "_last")
+
+  /** Advisory latest-version hint (the Delta `_last_checkpoint`
+    * mechanism): written best-effort after every manifest claim so
+    * [[latestVersion]] can skip the `_versions/` directory LISTING —
+    * which otherwise runs on every streaming poll, commit claim and
+    * liveFileCount fallback, and at a commit-per-few-seconds pace with a
+    * generous retention window dominates poll cost on object stores.
+    * Non-atomic tears, crashes between claim and hint, and lost races
+    * are all harmless: the hint only positions the DENSE forward
+    * existence probe, and an unreadable/stale-beyond-probe hint falls
+    * back to the listing (which stays the authority). */
+  private def writeLastHint(name: String, v: Long): Unit =
+    try {
+      val vd = versionsDir(name)
+      val f = fs(vd)
+      val tmp = new Path(vd, s"._last.${UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!f.rename(tmp, lastHintPath(name))) {
+        // LocalFS refuses rename-onto-existing: replace, then retry once;
+        // the unprotected window is covered by the fallback contract
+        f.delete(lastHintPath(name), false)
+        if (!f.rename(tmp, lastHintPath(name))) f.delete(tmp, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Latest committed snapshot id WITHOUT listing `_versions/`: read the
+    * advisory `_last` hint, verify it exists, then walk the DENSE id
+    * sequence FORWARD past any staleness (commits claim `v(last+1).json`
+    * exclusively, so ids never skip) — O(1 + hint lag) existence probes
+    * against the listing's O(retained snapshots). A missing, torn or
+    * vacuumed-away hint falls back to the listing, so the hint can never
+    * change WHAT resolves — only what it costs. */
+  def latestVersion(name: String): Option[Long] = {
+    val vd = versionsDir(name)
+    val hinted: Option[Long] =
+      try {
+        val f = fs(vd)
+        val in = f.open(lastHintPath(name))
+        val raw = try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          if (n <= 0) "" else new String(buf, 0, n,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        raw.trim.toLongOption
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted match {
+      case Some(h) if fs(vd).exists(new Path(vd, s"v$h.json")) =>
+        var v = h
+        val f = fs(vd)
+        while (f.exists(new Path(vd, s"v${v + 1}.json"))) v += 1
+        Some(v)
+      case _ => versions(name).lastOption
+    }
   }
 
   /** (schema at commit, (rel,name) identity → resolved absolute path) of
@@ -4657,7 +5060,14 @@ final class GraftLake(private[graft] val spark: SparkSession,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         GraftLake.logicalSchema(schema))
     val meta = readMeta(name)
-    val partDepth = meta.partitionExprs.size
+    // THAT snapshot's layout depth, not the current one: DV keys are
+    // path-depth-derived, and a depth REBUILD (REPLACE TABLE …
+    // PARTITIONED BY) in later history must not make an older
+    // snapshot's masks silently miss (rows would resurrect in time
+    // travel). Pre-versioned-layout manifests fall back to current.
+    val partDepth = layoutAt(name, version)
+      .map(sp => PartitionExpr.parseList(sp).size)
+      .getOrElse(meta.partitionExprs.size)
     // pruning-capable scan against THAT snapshot's per-file bounds
     // (resolveStats directly, not statsFor — the single-entry cache must
     // keep serving the latest version on the hot path).
@@ -4936,7 +5346,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
   }
 
   def restore(name: String, version: Long): Unit = writeLock(name) {
-    val cur = versions(name).lastOption.getOrElse(
+    val cur = latestVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table '$name' has no snapshots"))
     if (cur == version) return
     // resolves every target file to its live/retired location and FAILS
@@ -5172,10 +5582,16 @@ final class GraftLake(private[graft] val spark: SparkSession,
             .parquet(resolveRefPaths(name, added): _*)
             .withColumn(GraftLake.ChangeTypeCol, lit(insType))
             .withColumn(GraftLake.CommitVersionCol, lit(v))
-        if (dvAdded.nonEmpty)
-          pieces += dvMaskedRows(name, toSchema, dvAdded, partDepth)
+        if (dvAdded.nonEmpty) {
+          // the DV entries reference files of commit v's era — key
+          // them under THAT commit's layout depth (a later depth
+          // REBUILD must not silently drop this window's deletes)
+          val depthAtV = layoutAt(name, v)
+            .map(sp => PartitionExpr.parseList(sp).size).getOrElse(partDepth)
+          pieces += dvMaskedRows(name, toSchema, dvAdded, depthAtV)
             .withColumn(GraftLake.ChangeTypeCol, lit(delType))
             .withColumn(GraftLake.CommitVersionCol, lit(v))
+        }
         if (metadataDelete) {
           val scan = spark.read.schema(toSchema)
             .parquet(resolveRefPaths(name, removedRefs): _*)
@@ -5713,7 +6129,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // repair is the one O(table) path by design — refreshing every
     // file's bounds here keeps data skipping alive for adopted orphans
     val stats = boundsOf(name, list)
-    val next = versions(name).lastOption.getOrElse(-1L) + 1L
+    val next = latestVersion(name).getOrElse(-1L) + 1L
     val vd = versionsDir(name)
     val f = fs(vd)
     f.mkdirs(vd)
@@ -5721,17 +6137,18 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // the directory without them would resurrect deleted rows — carry the
     // previous snapshot's set forward (restricted to sidecars still on
     // disk, in case the crash lost one)
-    val dvs = versions(name).lastOption.map(v => resolveDvs(name, v))
+    val dvs = latestVersion(name).map(v => resolveDvs(name, v))
       .getOrElse(Vector.empty)
       .filter(d => f.exists(new Path(dvDir(name), d)))
     // txn watermarks are manifest state too: losing them on repair would
     // re-apply already-committed idempotent batches
     val body = GraftLake.renderManifest(next, readMeta(name), list, stats,
       op = "repair", dvs = dvs,
-      txns = versions(name).lastOption.map(v => resolveTxns(name, v))
+      txns = latestVersion(name).map(v => resolveTxns(name, v))
         .getOrElse(Map.empty))
     val p = new Path(vd, s"v$next.json")
     atomicClaim(f, p, body)
+    writeLastHint(name, next)
     lastVersionCache.put(key, java.lang.Long.valueOf(next))
     liveSetCache.put(key, (next, list, 0))
     statsMapCache.put(key, (next, stats))
@@ -5913,6 +6330,22 @@ object GraftLake {
   /** Change-feed metadata columns ([[GraftLake.tableChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  /** Reentrancy + scoping guard for [[GraftLake.runStandingPolicies]]:
+    * true while a policy (or a caller that manages policies itself —
+    * the ingest pipeline's flush, a durable transaction body) is on
+    * this thread's stack, so policy-triggered writes never cascade. */
+  private[catalog] val policiesSuppressed: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Run `f` with standing `graft.policy.*` hooks suppressed on this
+    * thread (the ingest pipeline wraps its landing calls: its
+    * IngestConfig owns policy timing there, re-invoking post-flush). */
+  private[graft] def withPoliciesSuppressed[T](f: => T): T = {
+    val prev = policiesSuppressed.get()
+    policiesSuppressed.set(true)
+    try f finally policiesSuppressed.set(prev)
+  }
 
   private lazy val localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName

@@ -164,10 +164,19 @@ final case class CompactionConfig(
   * per-flush merge cost grows with bucket size forever once the table
   * outgrows its creation-time count. Safe under the stream's own
   * concurrent writes by the incremental rebucket's construction (appends
-  * conflict with nothing; each old bucket migrates as its own commit). */
+  * conflict with nothing; each old bucket migrates as its own commit).
+  *
+  * `maxGroupsPerFlush` bounds the migration work done inside any one
+  * micro-batch: a doubling flips the count immediately, then each flush
+  * migrates at most this many old buckets and the NEXT flush resumes
+  * (the probe prioritizes in-flight migrations over new doublings), so
+  * the rewrite amortizes across triggers instead of stalling the stream
+  * for an O(table) rewrite exactly when the table is largest. Mixed
+  * layouts stay exact for reads, merges and appends throughout. */
 final case class RebucketConfig(
     targetRowsPerBucket: Long,
-    maxBuckets: Int = 65536)
+    maxBuckets: Int = 65536,
+    maxGroupsPerFlush: Int = 4)
 
 /** Snapshot-retention policy for one table (see
   * [[IngestConfig.retention]]): when the committed snapshot count reaches
@@ -714,7 +723,10 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
             exclude = if (hasOffset) Seq("__offset") else Nil)
       }
     }
-    try admitIndex match {
+    // the pipeline owns policy timing for its tables: standing
+    // graft.policy.* hooks stay out of the landing (and its index
+    // transaction) and run post-flush below, config-first
+    try graft.catalog.GraftLake.withPoliciesSuppressed { admitIndex match {
       case Some(admit) =>
         // index admission and the landing commit are ONE transaction: a
         // flush that fails after admitting rolls the index back too, so
@@ -743,7 +755,7 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
           }
         }
       case None => land()
-    } finally gateDone() // release the cached gate frame even on failure
+    } } finally gateDone() // release the cached gate frame even on failure
     // post-flush auto-compaction: the trigger check is O(1) against the
     // commit cache, so polling it every micro-batch costs nothing
     config.autoCompact.get(table).foreach { cc =>
@@ -759,7 +771,8 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     // ingest stream — the next flush resumes the migration anyway (the
     // flip no-ops, remaining foreign buckets retry)
     config.autoRebucket.get(table).foreach { rc =>
-      try lake.maybeAutoRebucket(table, rc.targetRowsPerBucket, rc.maxBuckets)
+      try lake.maybeAutoRebucket(table, rc.targetRowsPerBucket, rc.maxBuckets,
+        rc.maxGroupsPerFlush)
       catch {
         case scala.util.control.NonFatal(e) =>
           GraftMetrics.op("autoRebucketDeferred").record(0L)
@@ -778,6 +791,17 @@ final class IngestPipeline(spark: SparkSession, config: IngestConfig) {
     // missed) flush added — O(new files), so the probe index never decays
     if (config.bloomRefresh.contains(table))
       GraftMetrics.time("bloomRefresh") { lake.refreshBloomIndexes(table) }
+    // standing graft.policy.* table properties, CONFIG-FIRST: kinds this
+    // IngestConfig already handled above are excluded, so a table can
+    // carry a warehouse-wide standing policy while a pipeline override
+    // stays authoritative for its own stream
+    lake.runStandingPolicies(table, exclude =
+      (if (config.autoCompact.contains(table)) Set("autoCompact")
+       else Set.empty[String]) ++
+      (if (config.autoRebucket.contains(table)) Set("autoRebucket")
+       else Set.empty[String]) ++
+      (if (config.retention.contains(table)) Set("retention")
+       else Set.empty[String]))
   }
 
   private def processJson(topic: String, table: String, records: DataFrame,

@@ -1870,6 +1870,132 @@ object AnalyticsOps {
       .orderBy(col("y"), col("m"))
   }
 
+  /** q172: GUIDED DEPTH-CHANGE REBUILD — `REPLACE TABLE … PARTITIONED
+    * BY (…) [AS SELECT …]` ([[graft.catalog.GraftLake.rebuildPartitioned]]):
+    * the remedy the online evolution's depth refusal names. Unlike CTAS
+    * it carries primary keys, constraints and properties forward and
+    * keeps snapshot history. In-query `require`s pin the carried
+    * metadata, the uniform two-expression layout, exact merge routing
+    * after the rebuild, and pre-rebuild time travel; the oracle pins the
+    * final contents. */
+  val q172ReplaceRebuild = QueryDef(
+    "q172_replace_rebuild",
+    """WITH o AS (SELECT o_orderkey AS k, o_orderdate AS d,
+      |                  round(o_totalprice, 2) AS price
+      |           FROM orders WHERE o_orderkey % 6 = 1)
+      |SELECT year(d) AS y, count(*) AS n,
+      |       round(sum(CASE WHEN k % 30 = 1 THEN round(price * 2, 2)
+      |                      ELSE price END), 2) AS price_sum
+      |FROM o GROUP BY year(d)
+      |ORDER BY y""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderdate").as("d"),
+        round(col("o_totalprice"), 2).as("price"))
+    val lake = skipLakeMemo.computeIfAbsent(s"rpl:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-rpl").toString)
+      l.write("rpl_t", ord.filter(col("k") % 6 === 1),
+        partitions = Seq("bucket(4, k)"), pks = Seq("k"))  // depth 1
+      l.setTableProperty("rpl_t", "custom.tag", "carried")
+      val vPre = l.versions("rpl_t").last
+      val seedN = l.read("rpl_t").count()
+      // the ONLINE path refuses the depth change, naming the statement
+      val refusal = scala.util.Try(
+        l.evolvePartitions("rpl_t", Seq("bucket(4, k)", "year(d)")))
+      require(refusal.isFailure && refusal.failed.get.getMessage
+        .contains("REPLACE TABLE"), "depth refusal must name the remedy")
+      val cat = s"grplq${catalogSeq.getAndIncrement()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", l.warehouseDir)
+      // depth 1 -> 2 through the named statement (content-preserving)
+      s.sql(s"REPLACE TABLE $cat.rpl_t " +
+        "PARTITIONED BY (bucket(4, k), year(d))")
+      val meta = l.readMeta("rpl_t")
+      require(meta.partitions == Seq("bucket(4, k)", "year(d)") &&
+        meta.pks == Seq("k") &&
+        meta.props.get("custom.tag").contains("carried"),
+        "the rebuild must carry pks and properties forward")
+      require(l.read("rpl_t").count() == seedN, "contents preserved")
+      require(l.dataFiles("rpl_t").forall(p =>
+        p.contains("__p_bucket_4_k=") && p.contains("__p_year_d=")),
+        "uniform two-expression layout after the rebuild")
+      require(l.readVersion("rpl_t", vPre).count() == seedN,
+        "pre-rebuild snapshots time-travel under the old layout")
+      // merges route exactly under the rebuilt layout (doubled price
+      // for every 5th key — deterministic, oracle-reproducible)
+      l.upsert("rpl_t", l.read("rpl_t").filter(col("k") % 30 === 1)
+        .withColumn("price", round(col("price") * 2, 2)))
+      require(l.read("rpl_t").count() == seedN,
+        "merge exactly-once after the rebuild")
+      l
+    })
+    lake.read("rpl_t")
+      .groupBy(year(col("d")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("price_sum"))
+      .orderBy(col("y"))
+  }
+
+  /** q173: STANDING TABLE-PROPERTY POLICIES — `graft.policy.*`
+    * TBLPROPERTIES honored by every write path's post-commit hook
+    * ([[graft.catalog.GraftLake.runStandingPolicies]]): plain appends
+    * trigger auto-compaction and the bounded auto-rebucket doubling
+    * without any pipeline config. In-query `require`s pin the compacted
+    * file count, the doubled bucket layout, the bounded (one group per
+    * write) drain, and exact contents; the oracle pins the final rows. */
+  val q173StandingPolicies = QueryDef(
+    "q173_standing_policies",
+    """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      |           FROM orders WHERE o_orderkey % 4 = 2)
+      |SELECT count(*) AS n, round(sum(price), 2) AS price_sum,
+      |       count(DISTINCT k) AS n_keys
+      |FROM o""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      .filter(col("k") % 4 === 2)
+    val lake = skipLakeMemo.computeIfAbsent(s"pol:$dir", _ => {
+      val l = new graft.catalog.GraftLake(s,
+        java.nio.file.Files.createTempDirectory("graft-pol").toString)
+      val total = ord.count()
+      val half = ord.filter(col("k") % 8 === 2)
+      l.write("pol_t", half, partitions = Seq("bucket(2, k)"))
+      // standing policies: compact at 6 files; double buckets past
+      // half the table's rows per bucket, one group per write
+      l.setTableProperty("pol_t", "graft.policy.autoCompact.minFiles", "6")
+      l.setTableProperty("pol_t",
+        "graft.policy.autoRebucket.targetRowsPerBucket",
+        math.max(total / 3, 1L).toString)
+      l.setTableProperty("pol_t",
+        "graft.policy.autoRebucket.maxGroupsPerCall", "1")
+      // plain appends — no pipeline, no operator calls: the properties
+      // alone must compact and re-bucket
+      val rest = ord.filter(col("k") % 8 === 6)
+      val parts = 4
+      (0 until parts).foreach(i =>
+        l.append("pol_t", rest.filter(col("k") % 32 === (8 * i + 6))))
+      require(l.readMeta("pol_t").partitions == Seq("bucket(4, k)"),
+        s"standing policy must double the count, " +
+          s"got ${l.readMeta("pol_t").partitions}")
+      // drain any migration tail through further no-op-sized appends
+      var guard = 0
+      while (!l.dataFiles("pol_t").forall(_.contains("__p_bucket_4_k=")) &&
+          guard < 6) {
+        l.append("pol_t", ord.limit(0)) // empty append still runs policy
+        guard += 1
+      }
+      require(l.dataFiles("pol_t").forall(_.contains("__p_bucket_4_k=")),
+        "the bounded migration must drain across writes")
+      require(l.liveFileCount("pol_t") < 6,
+        s"standing compaction must bound files, got ${l.liveFileCount("pol_t")}")
+      require(l.read("pol_t").count() == total, "exact contents")
+      l
+    })
+    lake.read("pol_t").agg(count(lit(1)).as("n"),
+      round(sum(col("price")), 2).as("price_sum"),
+      countDistinct(col("k")).as("n_keys"))
+  }
+
   /** q170: SQL-SURFACED CHANGE FEED — `SELECT … FROM
     * table_changes('cat.t', from, to)`, the TVF over
     * [[graft.catalog.GraftLake.tableChanges]] (DuckLake parity: its
@@ -1908,12 +2034,18 @@ object AnalyticsOps {
     l.append("chg", o.filter(col("k") % 20 === 13))  // v1 — insert wave
     require(l.deleteWhere("chg", col("k") % 100 === 23) > 0,
       "the MoR delete must match rows")               // v2 — dv-add
+    // the upper bound exercises the TIMESTAMP form (an ISO instant an
+    // hour from now resolves to the latest snapshot via versionAt —
+    // "what changed since v0 as of now"), mixing with the integer form
+    // on the lower bound; same window as (0, 2), so the oracle is
+    // unchanged
+    val toTs = java.time.Instant.now().plusSeconds(3600).toString
     s.sql(
-      """SELECT _commit_version, _change_type, count(*) AS n,
-        |       round(sum(price), 2) AS price_sum
-        |FROM table_changes('gtvf.chg', 0, 2)
-        |GROUP BY _commit_version, _change_type
-        |ORDER BY _commit_version""".stripMargin)
+      s"""SELECT _commit_version, _change_type, count(*) AS n,
+         |       round(sum(price), 2) AS price_sum
+         |FROM table_changes('gtvf.chg', 0, '$toTs')
+         |GROUP BY _commit_version, _change_type
+         |ORDER BY _commit_version""".stripMargin)
   }
 
   /** q144: RENAME COLUMN evolution — metadata-only (the physical parquet
@@ -2358,5 +2490,6 @@ object AnalyticsOps {
     q148Provenance, q149FastCount, q150FeedReplicate, q151PartitionStats,
     q152ExpectationAudit, q153MetadataDelete, q155Transaction,
     q164BucketPointLookup, q169Rebucket, q170TableChangesSql,
+    q172ReplaceRebuild, q173StandingPolicies,
     q171PartitionEvolution)
 }

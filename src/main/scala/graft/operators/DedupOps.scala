@@ -70,15 +70,56 @@ object DedupOps {
       }: _*)).as(Seq("band", "band_hash")))
 
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand), bucket
-    * join per band, pairs deduped. */
+    * join per band, pairs deduped.
+    *
+    * `maxBucketSize` is the 100 TB hub-bucket guard (standard
+    * LSH-at-scale practice): a bucket whose membership exceeds it —
+    * boilerplate shingles, adversarial spam, a million identical docs —
+    * would otherwise emit |bucket|² candidate pairs and turn one hot
+    * bucket into a quadratic island. Oversized buckets switch from
+    * ALL-PAIRS to a deterministic CHAIN (each member pairs with its
+    * successor in hash(id) order): O(|bucket|) pairs, and TRUE
+    * duplicate hubs keep full recall through the verify + transitive
+    * closure downstream (consecutive identical docs verify at
+    * jaccard 1.0, and union-find stitches the chain into one cluster),
+    * while junk hubs — whose pairs fail the verify anyway — stop
+    * costing quadratic work. Buckets at or under the cap are exactly
+    * the uncapped plan. `maxBucketSize <= 0` disables the guard. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 256): DataFrame = {
     val banded = bandKeys(sigs, idCol, bands, rowsPerBand)
-    val l = banded.select(col(idCol).as("a"), col("band"), col("band_hash"))
-    val r = banded.select(col(idCol).as("b"), col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    if (maxBucketSize <= 0) {
+      val l = banded.select(col(idCol).as("a"), col("band"), col("band_hash"))
+      val r = banded.select(col(idCol).as("b"), col("band"), col("band_hash"))
+      l.join(r, Seq("band", "band_hash"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val part = Window.partitionBy(col("band"), col("band_hash"))
+      // hash-ranked deterministic order; the id tie-break keeps the
+      // chain stable across runs and partitionings
+      val ord = part.orderBy(hash(col(idCol)), col(idCol))
+      // both windows share the (band, band_hash) partitioning, so the
+      // size + order pass is ONE shuffle — the same key the pair join
+      // shuffles on anyway
+      val sized = banded
+        .withColumn("__bsz", count(lit(1)).over(part))
+        .withColumn("__nx", lead(col(idCol), 1).over(ord))
+      val small = sized.filter(col("__bsz") <= maxBucketSize)
+      val l = small.select(col(idCol).as("a"), col("band"), col("band_hash"))
+      val r = small.select(col(idCol).as("b"), col("band"), col("band_hash"))
+      val allPairs = l.join(r, Seq("band", "band_hash"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      val chained = sized
+        .filter(col("__bsz") > maxBucketSize && col("__nx").isNotNull)
+        .select(least(col(idCol), col("__nx")).as("a"),
+          greatest(col(idCol), col("__nx")).as("b"))
+        .filter(col("a") =!= col("b"))
+      allPairs.union(chained).distinct()
+    }
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified with exact
@@ -114,13 +155,31 @@ object DedupOps {
     * and nothing is quadratic (PlanQualitySpec pins the shape). Exposed
     * lazily (no checkpoint) so plan tests can inspect it. */
   def crossCorpusCandidates(reference: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String, shingleK: Int = 3): DataFrame = {
-    val bandsA = bandKeys(
+      idCol: String, textCol: String, shingleK: Int = 3,
+      maxBucketSide: Int = 256): DataFrame = {
+    // hub-bucket guard, per SIDE (the cross-corpus twin of
+    // [[lshCandidatePairs]]'s cap): an oversized (band, band_hash)
+    // bucket caps each corpus's membership at `maxBucketSide` before
+    // the join, bounding any bucket's fan-out at cap² instead of
+    // |A|·|B|. Survivors are hash-ranked WITH the band in the key, so
+    // a hub that collides in all 16 bands rotates DIFFERENT survivors
+    // per band — a member's miss probability decays geometrically in
+    // the band count rather than being decided once. 0 disables. */
+    def cap(df: DataFrame, side: String): DataFrame =
+      if (maxBucketSide <= 0) df
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("band"), col("band_hash"))
+          .orderBy(hash(col(side), col("band")), col(side))
+        df.withColumn("__bn", row_number().over(ord))
+          .filter(col("__bn") <= maxBucketSide).drop("__bn")
+      }
+    val bandsA = cap(bandKeys(
       minHashSignatures(reference, idCol, textCol, shingleK), idCol)
-      .select(col(idCol).as("a"), col("band"), col("band_hash"))
-    val bandsB = bandKeys(
+      .select(col(idCol).as("a"), col("band"), col("band_hash")), "a")
+    val bandsB = cap(bandKeys(
       minHashSignatures(incoming, idCol, textCol, shingleK), idCol)
-      .select(col(idCol).as("b"), col("band"), col("band_hash"))
+      .select(col(idCol).as("b"), col("band"), col("band_hash")), "b")
     bandsB.join(bandsA, Seq("band", "band_hash"))
       .select(col("b"), col("a")).distinct()
   }

@@ -70,6 +70,8 @@ object GraftSqlParser {
     """(?is)^\s*SHOW\s+GRAFT\s+METRICS\s*;?\s*$""".r
   private val CloneTable =
     """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW\s+)?CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val ReplaceTable =
+    """(?is)^\s*REPLACE\s+TABLE\s+([\w.`]+)\s+PARTITIONED\s+BY\s*\((.*?)\)(?:\s+AS\s+(.+?))?\s*;?\s*$""".r
   private val SetPartitioning =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*;?\s*$""".r
   private val AddConstraint =
@@ -109,6 +111,10 @@ object GraftSqlParser {
     case CloneTable(dst, shallow, src, v) =>
       Some(GraftCloneCommand(parts(dst), parts(src),
         Option(v).map(_.toLong), sqlText, shallow = shallow != null))
+    case ReplaceTable(ident, specs, select) =>
+      Some(GraftReplaceTableCommand(parts(ident),
+        graft.catalog.PartitionExpr.splitSpecs(specs),
+        Option(select).map(_.trim).filter(_.nonEmpty), sqlText))
     case SetPartitioning(ident, specs) =>
       Some(GraftSetPartitioningCommand(parts(ident),
         graft.catalog.PartitionExpr.splitSpecs(specs), sqlText))
@@ -193,6 +199,25 @@ object GraftSqlParser {
     resolve(spark, ident).getOrElse(throw new IllegalArgumentException(
       s"'${ident.mkString(".")}' is not a <graft-catalog>.<table>-qualified " +
         "graft table — this statement exists only for graft tables"))
+}
+
+/** `REPLACE TABLE t PARTITIONED BY (…) [AS SELECT …]` — the guided
+  * DEPTH-CHANGE rebuild ([[graft.catalog.GraftLake.rebuildPartitioned]]):
+  * unlike CTAS it carries primary keys, CHECK constraints and table
+  * properties forward and keeps the table's snapshot history. Without
+  * AS SELECT the rebuild is content-preserving (a logical no-op to the
+  * change feed); with it, the replace lands under the new layout with
+  * the full replace semantics (PK dedup, cdf derived capture). For
+  * NON-graft catalogs the statement delegates to Spark's native
+  * REPLACE TABLE grammar untouched. */
+final case class GraftReplaceTableCommand(ident: Seq[String],
+    specs: Seq[String], select: Option[String], sql: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.runOrDelegate(spark, ident, sql) { (wh, t) =>
+      new GraftLake(spark, wh).rebuildPartitioned(t, specs,
+        select.map(sel => spark.sql(sel)))
+    }
 }
 
 /** `RESTORE TABLE t [TO] VERSION AS OF n` — roll the table back (or

@@ -334,7 +334,7 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     * different shape are mid-stream evolution (where a restart genuinely
     * picks up the new schema). */
   private val advertisedAt: Long =
-    lake.versions(table).lastOption.getOrElse(-1L)
+    lake.latestVersion(table).getOrElse(-1L)
 
   /** The stream-start shape. Under `onSchemaChange=conform` every epoch
     * projects to it even if the table's schema evolves mid-stream (the
@@ -359,7 +359,7 @@ final class GraftCdfSource(lake: GraftLake, table: String,
     if (minPollIntervalMs > 0 && cachedLatest.isDefined &&
         now - lastPollNs < minPollIntervalMs * 1000000L) cachedLatest
     else {
-      cachedLatest = lake.versions(table).lastOption
+      cachedLatest = lake.latestVersion(table)
       lastPollNs = now
       cachedLatest
     }

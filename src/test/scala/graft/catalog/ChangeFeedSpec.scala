@@ -175,6 +175,33 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed.filter(col("id") === 1).isEmpty)
   }
 
+  test("overwriteContents with duplicate-PK contents: last-wins dedup, " +
+      "exact-once landing and feed") {
+    // the engine API accepts ANY DataFrame — duplicate keys must not
+    // land the PK twice nor fan out the derived-capture full-outer diff
+    // into duplicated pre/postimages
+    val lake = newLake()
+    lake.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"), pks = Seq("id"))
+    lake.setTableProperty("t", TableMeta.CdfEnabledKey, "true")
+    val v0 = lake.versions("t").last
+    lake.overwriteContents("t",
+      Seq((1, "x1"), (4, "n1"), (1, "x2"), (4, "n2")).toDF("id", "v")
+        .coalesce(1) // deterministic arrival order: later row wins
+        .withColumn("_inserted_at", current_timestamp()))
+    val landed = lake.read("t").select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(landed === Set((1, "x2"), (4, "n2")),
+      s"last-wins dedup before the keyed diff; got $landed")
+    assert(lake.read("t").groupBy("id").count()
+      .filter(col("count") > 1).isEmpty, "no duplicate PKs land")
+    val v1 = lake.versions("t").last
+    assert(feedRows(lake.tableChanges("t", v0, v1)) === Set(
+      (1, "a", "update_preimage", v1),
+      (1, "x2", "update_postimage", v1),
+      (4, "n2", "insert", v1),
+      (2, "b", "delete", v1)), "one attribution per key, no fan-out")
+  }
+
   test("change capture: COW UPDATE/DELETE fallbacks attribute through replaceScoped") {
     val lake = newLake()
     lake.write("p", (0 until 40).map(i => (i, i % 2, s"v$i"))

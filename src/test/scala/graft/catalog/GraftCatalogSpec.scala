@@ -222,6 +222,71 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("REPLACE TABLE ... PARTITIONED BY: guided depth-change rebuild " +
+      "carries pks, constraints and properties; CTAS remedy named") {
+    withCatalog { (cat, wh) =>
+      import org.apache.spark.sql.functions._
+      val lake = new GraftLake(spark, wh)
+      lake.write("t",
+        (0 until 200).map(i =>
+          (i.toLong, java.sql.Date.valueOf(f"202${i % 3}%d-0${i % 9 + 1}%d-15"),
+            i * 1.0)).toDF("id", "d", "price"),
+        partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+      lake.addConstraint("t", "nonneg", "price >= 0")
+      lake.setTableProperty("t", "custom.tag", "keep-me")
+      lake.deleteWhere("t", col("id") === 7L) // a live DV to materialize
+      val vPre = lake.versions("t").last
+      // the online path refuses the depth change and NAMES the remedy
+      val e = intercept[IllegalArgumentException](
+        lake.evolvePartitions("t", Seq("bucket(4, id)", "year(d)")))
+      assert(e.getMessage.contains("REPLACE TABLE"), s"got: ${e.getMessage}")
+      // the named statement: 1 -> 2 expressions, carried metadata
+      spark.sql(
+        s"REPLACE TABLE $cat.t PARTITIONED BY (bucket(4, id), year(d))")
+      val meta = lake.readMeta("t")
+      assert(meta.partitions === Seq("bucket(4, id)", "year(d)"))
+      assert(meta.pks === Seq("id"), "primary keys carried")
+      assert(meta.constraints.map(_._1) === Seq("nonneg"), "constraints carried")
+      assert(meta.props.get("custom.tag").contains("keep-me"), "props carried")
+      assert(lake.read("t").count() === 199, "contents preserved, DV folded")
+      assert(lake.read("t").filter(col("id") === 7L).isEmpty,
+        "the materialized delete stays deleted")
+      assert(lake.liveDvs("t").isEmpty)
+      assert(lake.dataFiles("t").forall(p =>
+        p.contains("__p_bucket_4_id=") && p.contains("__p_year_d=")),
+        "every live file sits under the two-expression layout")
+      // constraints still enforce after the rebuild
+      intercept[Exception](
+        lake.append("t", Seq((999L, java.sql.Date.valueOf("2024-01-01"), -1.0))
+          .toDF("id", "d", "price")))
+      // upserts route exactly under the rebuilt layout
+      lake.upsert("t", Seq((3L, java.sql.Date.valueOf("2020-05-15"), 333.0))
+        .toDF("id", "d", "price"))
+      assert(lake.read("t").count() === 199)
+      assert(lake.read("t").filter(col("id") === 3L)
+        .select("price").head().getDouble(0) === 333.0)
+      // pre-rebuild snapshots time-travel under their own layout
+      assert(lake.readVersion("t", vPre).count() === 199)
+      // the change feed treats the content-preserving rebuild as a no-op
+      // (commits as the rebucket class) — no poisoned window
+      lake.setTableProperty("t", TableMeta.CdfEnabledKey, "true")
+      val v1 = lake.versions("t").last
+      spark.sql(s"REPLACE TABLE $cat.t PARTITIONED BY (bucket(8, id))")
+      assert(lake.readMeta("t").partitions === Seq("bucket(8, id)"))
+      assert(lake.tableChanges("t", v1, lake.versions("t").last).isEmpty,
+        "a pure re-layout contributes nothing to the feed")
+      // the AS SELECT form replaces contents under the new layout
+      spark.sql(s"REPLACE TABLE $cat.t PARTITIONED BY (year(d)) AS " +
+        s"SELECT id, d, CAST(price * 2 AS DOUBLE) AS price, _inserted_at " +
+        s"FROM $cat.t WHERE id < 100")
+      assert(lake.readMeta("t").partitions === Seq("year(d)"))
+      assert(lake.readMeta("t").pks === Seq("id"))
+      assert(lake.read("t").count() === 99) // ids 0..99 minus the deleted 7
+      assert(lake.read("t").filter(col("id") === 3L)
+        .select("price").head().getDouble(0) === 666.0)
+    }
+  }
+
   test("widened registry schema reads through the catalog") {
     withCatalog { (cat, wh) =>
       val lake = new GraftLake(spark, wh)

@@ -251,6 +251,99 @@ class RebucketSpec extends AnyFunSuite {
     assert(lake.read("t").filter(col("v") === "UPD").count() === 50)
   }
 
+  test("auto-rebucket with maxGroupsPerCall: a 16-bucket doubling " +
+      "amortizes across >=4 calls with bounded per-call work") {
+    // The 100 TB contract: the policy probe runs INSIDE the triggering
+    // micro-batch — an unbounded doubling would stall the stream for an
+    // O(table) rewrite. With the bound, each call commits at most
+    // maxGroupsPerCall migration commits and the next call RESUMES the
+    // in-flight migration (the probe must prioritize it: after the
+    // flip the mean-size trigger reads the new n and goes quiet).
+    val lake = newLake()
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i"))
+    lake.write("t", rows.toDF("id", "v"),
+      partitions = Seq("bucket(16, id)"), pks = Seq("id"))
+    // 400/16 = 25 >= 20 triggers; post-doubling 400/32 = 12.5 settles
+    def commits() = lake.versions("t").size
+    val c0 = commits()
+    assert(lake.maybeAutoRebucket("t", 20, maxGroupsPerCall = 4))
+    assert(commits() - c0 <= 5, "call 1: flip + at most 4 group commits")
+    assert(lake.readMeta("t").partitions === Seq("bucket(32, id)"))
+    assert(bucketDirs(lake, "t") ===
+      Set("__p_bucket_16_id", "__p_bucket_32_id"), "mixed mid-amortization")
+    assert(lake.read("t").count() === 400, "mixed state reads exactly")
+    // an append between steps lands in the NEW layout and conflicts
+    // with nothing (the stream keeps flushing while the rewrite drains)
+    lake.append("t", Seq((400L, "v400")).toDF("id", "v"))
+    var calls = 1
+    val c1 = commits()
+    while (lake.maybeAutoRebucket("t", 20, maxGroupsPerCall = 4)) {
+      calls += 1
+      assert(calls < 20, "migration must drain, not loop")
+    }
+    assert(calls >= 4, s"16 groups / 4 per call needs >=4 calls, got $calls")
+    // resume calls did only migration commits: one per remaining group
+    assert(commits() - c1 === 12,
+      s"resume calls commit one per group, got ${commits() - c1}")
+    assert(bucketDirs(lake, "t") === Set("__p_bucket_32_id"))
+    assert(lake.read("t").count() === 401)
+    assert(lake.read("t").select("id").distinct().count() === 401)
+    // settled: no further trigger at the new count
+    assert(!lake.maybeAutoRebucket("t", 20, maxGroupsPerCall = 4))
+  }
+
+  test("migration DV validation is scoped to the group: MoR DELETE on a " +
+      "non-migrating bucket commits without burning an attempt") {
+    import graft.metrics.GraftMetrics
+    def bucketOf(k: Int, id: Long): Int = {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+      ((h % k) + k) % k
+    }
+    // (a) DV landing on a bucket the migration is NOT touching: the old
+    // table-global DV-set equality burned an attempt per delete — under
+    // sustained MoR churn (a CDC-apply consumer) a slow group could
+    // NEVER commit. Scoped validation must let it pass untouched.
+    val lake = newLake()
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i"))
+    lake.write("t", rows.toDF("id", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    // the migration starts at the lexicographically smallest foreign
+    // rel — bucket dir 0; land the delete in bucket 3
+    val otherId = (0L until 400L).find(i => bucketOf(4, i) == 3).get
+    val retry0 = GraftMetrics.op("rebucketRetry").count.sum()
+    var fired = false
+    lake.rebucketBeforeCommitHook = () =>
+      if (!fired) { fired = true; lake.deleteWhere("t", col("id") === otherId) }
+    try lake.rebucket("t", 8)
+    finally lake.rebucketBeforeCommitHook = () => ()
+    assert(GraftMetrics.op("rebucketRetry").count.sum() === retry0,
+      "a MoR DELETE on a non-migrating bucket must not invalidate")
+    assert(bucketDirs(lake, "t") === Set("__p_bucket_8_id"))
+    assert(lake.read("t").count() === 399)
+    assert(lake.read("t").filter(col("id") === otherId).count() === 0,
+      "the concurrent delete survives the migration")
+    assert(lake.liveDvs("t").isEmpty,
+      "the fold + inert sweep retire the sidecar")
+
+    // (b) a DV landing ON the migrating group still invalidates —
+    // committing the pre-delete rewrite would resurrect the row
+    val lake2 = newLake()
+    lake2.write("t", rows.toDF("id", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    val groupId = (0L until 400L).find(i => bucketOf(4, i) == 0).get
+    val retry1 = GraftMetrics.op("rebucketRetry").count.sum()
+    var fired2 = false
+    lake2.rebucketBeforeCommitHook = () =>
+      if (!fired2) { fired2 = true; lake2.deleteWhere("t", col("id") === groupId) }
+    try lake2.rebucket("t", 8)
+    finally lake2.rebucketBeforeCommitHook = () => ()
+    assert(GraftMetrics.op("rebucketRetry").count.sum() === retry1 + 1,
+      "a DV on the group's own files must invalidate exactly once")
+    assert(lake2.read("t").count() === 399)
+    assert(lake2.read("t").filter(col("id") === groupId).count() === 0,
+      "no resurrection: the retry folds the delete")
+  }
+
   test("partition-layout EVOLUTION: year→month online, bucket-source swap, depth refused") {
     val lake = newLake()
     import java.sql.Date

@@ -958,10 +958,12 @@ class SnapshotSpec extends AnyFunSuite {
     lake.write("t", Seq((1, "a")).toDF("id", "v"))
     // the local-FS publish is hard-link based: at NO point does a
     // versions-dir listing see a v*.json that isn't fully written — the
-    // only tmp artifacts are dot-prefixed and never match the listing
+    // only tmp artifacts are dot-prefixed and never match the listing.
+    // (`_last` is the ADVISORY latest-version hint, explicitly allowed
+    // to be torn/stale: latestVersion verifies and falls back.)
     val vd = new java.io.File(s"$wh/t/_versions")
     assert(vd.listFiles().forall(f =>
-      f.getName.startsWith(".") ||
+      f.getName.startsWith(".") || f.getName == "_last" ||
         (f.getName.matches("v\\d+\\.json") && f.length() > 0)))
     // fabricate the pre-fix failure mode: another process crashed between
     // claiming v1 and writing its bytes (possible on filesystems without
@@ -1044,5 +1046,48 @@ class SnapshotSpec extends AnyFunSuite {
     lake2.expireSnapshots("x", keepLast = 2)
     intercept[Exception] { lake2.restore("x", xv0) }
     assert(rows(lake2.read("x"), "n") === Set(Seq(6)), "failed restore is a no-op")
+  }
+
+  test("_last version hint: polls stop listing _versions/; crash and " +
+      "corruption fall back to the listing") {
+    import graft.metrics.GraftMetrics
+    val lake = newLake()
+    lake.append("t", Seq((1, "a")).toDF("id", "v"))
+    lake.append("t", Seq((2, "b")).toDF("id", "v"))
+    val expect = lake.versions("t").last
+    // steady state: the hinted probe resolves WITHOUT a directory
+    // listing (the streaming-poll hot path's cost contract)
+    val lists0 = GraftMetrics.op("versionsList").count.sum()
+    (1 to 5).foreach(_ => assert(lake.latestVersion("t") === Some(expect)))
+    assert(GraftMetrics.op("versionsList").count.sum() === lists0,
+      "latestVersion must not pay the _versions/ listing when hinted")
+    val vd = new java.io.File(s"${lake.warehouseDir}/t/_versions")
+    val hint = new java.io.File(vd, "_last")
+    assert(hint.isFile && new String(java.nio.file.Files
+      .readAllBytes(hint.toPath)).trim === expect.toString)
+    // crash between claim and hint write: a dense forward probe walks
+    // past the stale hint — the new claim is visible with no listing
+    val fake = new java.io.File(vd, s"v${expect + 1}.json")
+    java.nio.file.Files.write(fake.toPath, "{}".getBytes)
+    val lists1 = GraftMetrics.op("versionsList").count.sum()
+    assert(lake.latestVersion("t") === Some(expect + 1))
+    assert(GraftMetrics.op("versionsList").count.sum() === lists1,
+      "a stale hint resolves by forward probe, not by listing")
+    assert(fake.delete())
+    // torn/corrupt hint: fall back to the listing, same answer
+    // (out-of-band edits must drop the Hadoop checksum sidecar)
+    val crc = new java.io.File(vd, "._last.crc")
+    java.nio.file.Files.write(hint.toPath, "garbage".getBytes)
+    if (crc.exists) crc.delete()
+    assert(lake.latestVersion("t") === Some(expect))
+    // missing hint (pre-upgrade table): fallback again
+    assert(hint.delete())
+    if (crc.exists) crc.delete()
+    assert(lake.latestVersion("t") === Some(expect))
+    // and the next commit restores the hint
+    lake.append("t", Seq((3, "c")).toDF("id", "v"))
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath)).trim
+      === (expect + 1).toString)
+    assert(lake.latestVersion("t") === Some(expect + 1))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Adversarial cases for the two approximate near-dup pipelines: exact
@@ -48,6 +49,53 @@ class DedupAdversarialSpec extends AnyFunSuite {
     val got = DedupOps.minHashNearDups(docs, "doc_id", "text", 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)), "identical unicode docs pair at J=1, nothing else")
+  }
+
+  test("minhash-LSH hub-bucket guard: an oversized bucket emits O(n) " +
+      "chain pairs, keeps full recall for true dups, exact below the cap") {
+    // 300 IDENTICAL docs: every band hashes them into ONE bucket. The
+    // uncapped plan would emit 300*299/2 = 44,850 pairs per band; the
+    // guard (cap 64 here) chains oversized buckets — O(n) pairs — while
+    // the verify (jaccard 1.0 between identical docs) and downstream
+    // transitive closure keep every member attached to the cluster.
+    val hubText = (1 to 12).map(i => s"h$i").mkString(" ")
+    val hub = (0 until 300).map(i => (i.toLong, hubText))
+    // plus one small genuine near-dup pair away from the hub
+    val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = (hub ++ Seq((1000L, s"$p8 a9 a10 a11"),
+      (1001L, s"$p8 b9 b10 b11"))).toDF("doc_id", "text")
+    val sigs = DedupOps.minHashSignatures(docs, "doc_id", "text")
+    val capped = DedupOps.lshCandidatePairs(sigs, "doc_id",
+      maxBucketSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length < 2000,
+      s"hub candidates must be O(n), got ${capped.length}")
+    // chain coverage: EVERY hub member appears in some candidate pair
+    val touched = capped.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((0L until 300L).forall(touched.contains),
+      "every hub member must stay reachable for the transitive closure")
+    // the small genuine pair is untouched by the cap (its bucket is tiny)
+    assert(capped.contains((1000L, 1001L)))
+    // full pipeline: verified pairs connect the whole hub component
+    val verified = DedupOps.minHashNearDups(docs, "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    verified.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 300L).map(find).toSet.size === 1,
+      "all 300 identical docs resolve to ONE cluster through the chains")
+    // below the cap the plan is EXACTLY the uncapped one
+    val smallSigs = DedupOps.minHashSignatures(
+      docs.filter(col("doc_id") >= 1000L), "doc_id", "text")
+    val a = DedupOps.lshCandidatePairs(smallSigs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = DedupOps.lshCandidatePairs(smallSigs, "doc_id",
+      maxBucketSize = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
   }
 
   test("simhash banding: exact pair set around the hamming threshold") {

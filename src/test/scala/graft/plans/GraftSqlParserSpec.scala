@@ -244,6 +244,55 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("table_changes TVF: timestamp/date bounds resolve to the snapshot " +
+      "as of that time (versionAt semantics)") {
+    withCat("admts") { (lake, cat) =>
+      lake.append("t", Seq((1, "a")).toDF("id", "v"))             // v0
+      Thread.sleep(1200) // commit-file mtimes must straddle `between`
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(1200)
+      lake.append("t", Seq((2, "b")).toDF("id", "v"))             // v1
+      lake.append("t", Seq((3, "c")).toDF("id", "v"))             // v2
+      val afterMs = System.currentTimeMillis() + 1000
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+      def local(ms: Long) = java.time.Instant.ofEpochMilli(ms).atZone(zone)
+        .toLocalDateTime.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      def ids(sql: String): Seq[Int] =
+        spark.sql(sql).select("id").collect().map(_.getInt(0)).toSeq.sorted
+      // ISO-instant strings both ends: between→v0, after→v2 ⇒ (v0, v2]
+      assert(ids(s"SELECT id FROM table_changes('$cat.t', " +
+        s"'${iso(betweenMs)}', '${iso(afterMs)}')") === Seq(2, 3))
+      // TIMESTAMP literal + local 'yyyy-MM-dd HH:mm:ss.SSS' string (both
+      // session-zone local), mixed with an integer version on one end
+      assert(ids(s"SELECT id FROM table_changes('$cat.t', " +
+        s"TIMESTAMP '${local(betweenMs)}', 2)") === Seq(2, 3))
+      assert(ids(s"SELECT id FROM table_changes('$cat.t', " +
+        s"'${local(betweenMs)}', 2)") === Seq(2, 3))
+      // DATE literal bound: tomorrow resolves to the latest snapshot
+      val tomorrow = java.time.Instant.ofEpochMilli(afterMs).atZone(zone)
+        .toLocalDate.plusDays(1)
+      assert(ids(s"SELECT id FROM table_changes('$cat.t', " +
+        s"'${iso(betweenMs)}', DATE '$tomorrow')") === Seq(2, 3))
+      // a time before the first commit fails loudly
+      val e1 = intercept[Exception](spark.sql(
+        s"SELECT * FROM table_changes('$cat.t', " +
+          s"'${iso(betweenMs - 864000000L)}', 2)").collect())
+      assert(e1.getMessage.contains("no snapshot at or before"),
+        s"got: ${e1.getMessage}")
+      // digit-only strings are refused as ambiguous, not guessed at
+      val e2 = intercept[Exception](spark.sql(
+        s"SELECT * FROM table_changes('$cat.t', '0', 2)").collect())
+      assert(e2.getMessage.contains("ambiguous"), s"got: ${e2.getMessage}")
+      // garbage time strings name the accepted forms
+      val e3 = intercept[Exception](spark.sql(
+        s"SELECT * FROM table_changes('$cat.t', 'not-a-time', 2)").collect())
+      assert(e3.getMessage.contains("ISO-8601"), s"got: ${e3.getMessage}")
+    }
+  }
+
   test("unqualified / non-graft targets DELEGATE to Spark's native grammar") {
     withCat("admf") { (lake, cat) =>
       lake.write("t", Seq((1, "a")).toDF("id", "v"))
