@@ -865,15 +865,20 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val meta = readMeta(name)
     if (meta.partitionExprs.isEmpty) return true
     val key = s"$warehouse/$name"
+    val prefixes = GraftLake.layoutPrefixes(meta)
+    // the memo keys on (version, LAYOUT): a cross-process layout flip
+    // changes the verdict for the SAME version (post-flip, pre-first-
+    // group every file is suddenly foreign) — a version-only memo would
+    // serve the pre-flip "conforms" and route a directory read against
+    // the new meta (dropped/null partition columns, silently wrong)
     val memo = GraftLake.conformCache.get(key)
-    if (memo != null && memo._1 == v) return memo._2
+    if (memo != null && memo._1 == v && memo._3 == prefixes) return memo._2
     val cached = liveSetCache.get(key)
     val refs =
       if (cached != null && cached._1 == v) cached._2
       else resolveManifest(name, v)._2
-    val prefixes = GraftLake.layoutPrefixes(meta)
     val ok = refs.forall(r => GraftLake.relConforms(r._1, prefixes))
-    GraftLake.conformCache.put(key, (v, ok))
+    GraftLake.conformCache.put(key, (v, ok, prefixes))
     ok
   }
 
@@ -2223,7 +2228,12 @@ final class GraftLake(private[graft] val spark: SparkSession,
       "nested transact is not supported: inner members would be locked " +
         "out of global sorted order (deadlock risk) — pass every member " +
         "to ONE transact call")
-    lockedAll(sorted.toList) { transactBody(sorted)(body) }
+    // standing policies stay out of ALL transaction variants (see
+    // transactOwned): a policy commit inside the journal/lock window
+    // would not be in the captured pre-versions
+    GraftLake.withPoliciesSuppressed {
+      lockedAll(sorted.toList) { transactBody(sorted)(body) }
+    }
   }
 
   /** [[transact]] for bodies whose member tables have a SINGLE writer —
@@ -2342,7 +2352,10 @@ final class GraftLake(private[graft] val spark: SparkSession,
     recoverStaleTransactions() // heal any dead coordinator first
     val txnId = UUID.randomUUID().toString
     acquireTxnLocks(sorted, txnId)
-    try lockedAll(sorted.toList) {
+    // standing policies stay out of the journal window: a policy commit
+    // the journaled pre-versions know nothing about would be destroyed
+    // (or compensated past) by crash recovery
+    try GraftLake.withPoliciesSuppressed { lockedAll(sorted.toList) {
       // journal INSIDE the in-process locks: the journaled pre-versions
       // must equal the ones transactBody captures — a same-process append
       // sneaking in between would otherwise be destroyed by crash
@@ -2425,7 +2438,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
             catch { case r: Throwable => e.addSuppressed(r) }
           throw e
       } finally stopHeartbeat() // idempotent; already joined on both paths
-    } finally releaseTxnLocks(sorted, txnId)
+    } } finally releaseTxnLocks(sorted, txnId)
   }
 
   private def atomicCreate(p: Path, content: String): Boolean = {
@@ -2772,38 +2785,60 @@ final class GraftLake(private[graft] val spark: SparkSession,
           s"table property $k of '$name' must be an integer, got '$v'")
       }
     }
+    def intProp(k: String): Option[Int] = longProp(k).map { v =>
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"table property $k of '$name' is out of range: $v")
+      v.toInt
+    }
+    // VALUES parse loudly, up front (a typo'd policy silently not
+    // running is the worse failure) …
+    val compactMin = intProp("graft.policy.autoCompact.minFiles")
+    val compactTarget = longProp("graft.policy.autoCompact.targetRecordsPerFile")
+    val rbkTarget = longProp("graft.policy.autoRebucket.targetRowsPerBucket")
+    val rbkMax = intProp("graft.policy.autoRebucket.maxBuckets")
+    val rbkGroups = intProp("graft.policy.autoRebucket.maxGroupsPerCall")
+    val keepLast = intProp("graft.policy.retention.keepLast")
+    val slack = intProp("graft.policy.retention.slack")
+    // … but EXECUTION failures are advisory across all three kinds: the
+    // triggering write has already committed, and an at-least-once
+    // caller that sees its committed append "fail" on a lost
+    // maintenance race would retry and duplicate. Defer to the next
+    // write instead (the pipeline's own policy hooks use the same
+    // discipline).
+    def advisory(kind: String)(f: => Unit): Unit =
+      try f catch {
+        case scala.util.control.NonFatal(e) =>
+          graft.metrics.GraftMetrics.op("policyDeferred").record(0L)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"standing $kind of '$name' deferred to the next write: $e")
+      }
     // policies must not re-trigger off their own commits (compaction is
     // a rewrite, not an append — but guard the whole section anyway)
     GraftLake.policiesSuppressed.set(true)
     try {
       if (!exclude("autoCompact"))
-        for (minFiles <- longProp("graft.policy.autoCompact.minFiles"))
+        for (minFiles <- compactMin)
           if (liveFileCount(name) >= minFiles)
-            graft.metrics.GraftMetrics.time(
-                graft.metrics.GraftMetrics.AutoCompact) {
-              compact(name, longProp(
-                "graft.policy.autoCompact.targetRecordsPerFile")
-                .getOrElse(maxRecordsPerFile))
+            advisory("auto-compaction") {
+              graft.metrics.GraftMetrics.time(
+                  graft.metrics.GraftMetrics.AutoCompact) {
+                compact(name, compactTarget.getOrElse(maxRecordsPerFile))
+              }
             }
       if (!exclude("autoRebucket"))
-        for (target <- longProp("graft.policy.autoRebucket.targetRowsPerBucket"))
-          try maybeAutoRebucket(name, target,
-            longProp("graft.policy.autoRebucket.maxBuckets")
-              .map(_.toInt).getOrElse(65536),
-            longProp("graft.policy.autoRebucket.maxGroupsPerCall")
-              .map(_.toInt).getOrElse(4))
-          catch {
-            case scala.util.control.NonFatal(e) =>
+        for (target <- rbkTarget)
+          advisory("auto-rebucket") {
+            try maybeAutoRebucket(name, target,
+              rbkMax.getOrElse(65536), rbkGroups.getOrElse(4))
+            catch { case e: Throwable =>
               graft.metrics.GraftMetrics.op("autoRebucketDeferred").record(0L)
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"standing auto-rebucket of '$name' deferred: $e")
+              throw e
+            }
           }
       if (!exclude("retention"))
-        for (keep <- longProp("graft.policy.retention.keepLast")) {
-          val slack = longProp("graft.policy.retention.slack").getOrElse(16L)
-          if (versions(name).size >= keep + slack)
-            expireSnapshots(name, keep.toInt)
-        }
+        for (keep <- keepLast)
+          if (versions(name).size >= keep + slack.getOrElse(16))
+            advisory("retention") { expireSnapshots(name, keep) }
     } finally GraftLake.policiesSuppressed.set(false)
   }
 
@@ -3397,8 +3432,17 @@ final class GraftLake(private[graft] val spark: SparkSession,
       val old = new Path(s"${tableDir(name)}/.old-${UUID.randomUUID()}")
       // layout rebuild: flip the registry in the same locked breath as
       // the swap (the crash-inconsistent window is this flip + two
-      // renames, never the rewrite itself)
-      newPartitions.foreach(_ => writeMeta(name, effMeta))
+      // renames, never the rewrite itself). A DV that landed since the
+      // caller's pre-lock materializeDeletes must abort: its old-depth
+      // keys would misresolve under the new depth during the window
+      // (the content-preserving path validates the same way).
+      newPartitions.foreach { _ =>
+        if (liveDvs(name).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"REPLACE TABLE $name: a deletion vector landed while the " +
+              "rebuild was staging — re-run against the new state")
+        writeMeta(name, effMeta)
+      }
       if (f.exists(dd)) renameOrFail(f, dd, old)
       renameOrFail(f, stage, dd)
       val removed = retire(name, old, old)
@@ -3802,19 +3846,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       // user-facing specs address LOGICAL column names; the stored spec
       // addresses the frozen physical fields (renames must not strand a
       // layout on a name the write path cannot resolve)
-      val toPhys = GraftLake.logicalNamesOf(fresh.schema).map(_.swap)
-      def physName(c: String): String =
-        toPhys.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)
-      def translate(spec: String): String =
-        PartitionExpr.parse(spec) match {
-          case PartitionExpr.Raw(c) => physName(c)
-          case PartitionExpr.Year(c) => s"year(${physName(c)})"
-          case PartitionExpr.Month(c) => s"month(${physName(c)})"
-          case PartitionExpr.Day(c) => s"day(${physName(c)})"
-          case PartitionExpr.Bucket(n, cs) =>
-            s"bucket($n, ${cs.map(physName).mkString(", ")})"
-        }
-      val specs = newSpecs.map(translate)
+      val specs = translatePartitionSpecs(name, fresh, newSpecs,
+        "partition evolution")
       val parsed = specs.map(PartitionExpr.parse)
       require(parsed.size == fresh.partitionExprs.size,
         s"partition evolution preserves the expression COUNT (file and " +
@@ -3824,12 +3857,6 @@ final class GraftLake(private[graft] val spark: SparkSession,
           s"$name PARTITIONED BY (${newSpecs.mkString(", ")}) AS " +
           s"SELECT * FROM $name (carries primary keys, constraints and " +
           "properties forward; engine API rebuildPartitioned)")
-      parsed.flatMap(_.sourceColumns).distinct.foreach { c =>
-        require(fresh.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-          s"partition evolution of '$name': source column '$c' does not exist")
-        require(!c.equalsIgnoreCase(InsertedAtCol) && !c.startsWith("__p_"),
-          s"partition evolution of '$name': column '$c' is engine-managed")
-      }
       // a NEW expression whose generated directory NAME equals a
       // DIFFERENT old expression's would make old files falsely
       // "conform" (layout attribution is directory-name-based) — their
@@ -3927,8 +3954,18 @@ final class GraftLake(private[graft] val spark: SparkSession,
         val refs0 =
           if (v0 >= 0) resolveManifest(name, v0)._2 else Vector.empty
         if (refs0.isEmpty) {
-          // nothing to rewrite: pure metadata flip
+          // nothing to rewrite: pure metadata flip — but revalidate
+          // INSIDE the lock: an append landing between the probe and
+          // here would leave live old-depth files under new-depth
+          // metadata (the exact mis-keying state this rebuild exists
+          // to avoid)
           writeLock(name) {
+            val stillEmpty = latestVersion(name)
+              .forall(v => resolveManifest(name, v)._2.isEmpty)
+            if (!stillEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"REPLACE TABLE $name: rows landed while the rebuild was " +
+                  "staging — re-run against the new state")
             val fresh = readMeta(name)
             if (fresh.partitions != specs) {
               writeMeta(name, fresh.copy(partitions = specs))
@@ -4021,6 +4058,19 @@ final class GraftLake(private[graft] val spark: SparkSession,
               "deletion vectors do)")
         }
         lastRel = Some(rel)
+    }
+    // exact-boundary drain detection: a call whose budget ran out ON the
+    // last group would otherwise leave complete=false, and the NEXT call
+    // commits zero groups with complete=true — the sweep below would be
+    // skipped on both and inert sidecars would linger until the next
+    // real migration. The probe is metadata-only (live refs vs the
+    // current layout's prefixes).
+    if (!complete && committedGroups > 0) {
+      val meta = readMeta(name)
+      val prefixes = GraftLake.layoutPrefixes(meta)
+      complete = latestVersion(name).forall(v =>
+        resolveManifest(name, v)._2
+          .forall(r => GraftLake.relConforms(r._1, prefixes)))
     }
     // retire INERT deletion-vector sidecars: each migration folded its
     // group's masked rows out physically, so entries that reference only
@@ -6540,10 +6590,12 @@ object GraftLake {
   private val dvSetCache = new ConcurrentHashMap[String, (Long, Vector[String])]()
   /** Memoized layout-conformity verdicts per (table, version) — whether
     * the live set obeys the current layout (false mid-incremental-
-    * REBUCKET). Version-keyed: any commit (incl. the layout flip) moves
-    * the version and invalidates naturally. */
+    * REBUCKET). Keyed on (version, layout prefixes): a same-process
+    * commit moves the version, and a CROSS-process layout flip observed
+    * through a TTL-stale version changes the prefixes — either
+    * invalidates. */
   private[catalog] val conformCache =
-    new ConcurrentHashMap[String, (Long, Boolean)]()
+    new ConcurrentHashMap[String, (Long, Boolean, Seq[String])]()
   /** (wall-clock ms of last fresh LIST, version or -1) per table — the
     * TTL memo behind [[GraftLake.probeLastVersion]]. */
   private[catalog] val probeFreshCache =

@@ -76,56 +76,106 @@ object DedupOps {
     * LSH-at-scale practice): a bucket whose membership exceeds it —
     * boilerplate shingles, adversarial spam, a million identical docs —
     * would otherwise emit |bucket|² candidate pairs and turn one hot
-    * bucket into a quadratic island. Oversized buckets switch from
-    * ALL-PAIRS to a deterministic CHAIN (each member pairs with its
-    * successor in hash(id) order): O(|bucket|) pairs, and TRUE
-    * duplicate hubs keep full recall through the verify + transitive
-    * closure downstream (consecutive identical docs verify at
-    * jaccard 1.0, and union-find stitches the chain into one cluster),
-    * while junk hubs — whose pairs fail the verify anyway — stop
-    * costing quadratic work. Buckets at or under the cap are exactly
-    * the uncapped plan. `maxBucketSize <= 0` disables the guard. */
+    * bucket into a quadratic island. A count-only PRE-PROBE (map-side
+    * partial aggregate; one small job when the guard is on) finds the
+    * hot buckets first: the common no-hub corpus keeps EXACTLY the
+    * uncapped plan — no window, no sort, no extra pass over the data
+    * rows. When hot buckets exist, their ids broadcast and only THEIR
+    * members switch from all-pairs to a deterministic CHAIN (each
+    * member pairs with its successor in hash(id) order): O(|bucket|)
+    * pairs, and TRUE duplicate hubs keep full recall through the
+    * verify + transitive closure downstream (consecutive identical
+    * docs verify at jaccard 1.0 and union-find stitches the chain into
+    * one cluster), while junk hubs — whose pairs fail the verify
+    * anyway — stop costing quadratic work. A pathological hot-bucket
+    * COUNT (beyond broadcast scale) falls back to a pure windowed
+    * plan. `maxBucketSize <= 0` disables the guard. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 4,
       maxBucketSize: Int = 256): DataFrame = {
     val banded = bandKeys(sigs, idCol, bands, rowsPerBand)
-    if (maxBucketSize <= 0) {
-      val l = banded.select(col(idCol).as("a"), col("band"), col("band_hash"))
-      val r = banded.select(col(idCol).as("b"), col("band"), col("band_hash"))
+    def allPairs(b: DataFrame): DataFrame = {
+      val l = b.select(col(idCol).as("a"), col("band"), col("band_hash"))
+      val r = b.select(col(idCol).as("b"), col("band"), col("band_hash"))
       l.join(r, Seq("band", "band_hash"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-    } else {
-      import org.apache.spark.sql.expressions.Window
-      val part = Window.partitionBy(col("band"), col("band_hash"))
-      // hash-ranked deterministic order; the id tie-break keeps the
-      // chain stable across runs and partitionings
-      val ord = part.orderBy(hash(col(idCol)), col(idCol))
-      // both windows share the (band, band_hash) partitioning, so the
-      // size + order pass is ONE shuffle — the same key the pair join
-      // shuffles on anyway
-      val sized = banded
-        .withColumn("__bsz", count(lit(1)).over(part))
-        .withColumn("__nx", lead(col(idCol), 1).over(ord))
-      val small = sized.filter(col("__bsz") <= maxBucketSize)
-      val l = small.select(col(idCol).as("a"), col("band"), col("band_hash"))
-      val r = small.select(col(idCol).as("b"), col("band"), col("band_hash"))
-      val allPairs = l.join(r, Seq("band", "band_hash"))
-        .filter(col("a") < col("b"))
         .select(col("a"), col("b"))
-      val chained = sized
-        .filter(col("__bsz") > maxBucketSize && col("__nx").isNotNull)
-        .select(least(col(idCol), col("__nx")).as("a"),
-          greatest(col(idCol), col("__nx")).as("b"))
-        .filter(col("a") =!= col("b"))
-      allPairs.union(chained).distinct()
     }
+    if (maxBucketSize <= 0) allPairs(banded).distinct()
+    else {
+      // one materialization feeds the probe AND both join sides: the
+      // banded frame is (id, band, band_hash) — ~20 B × bands per doc,
+      // a sliver of the corpus — while recomputing it per consumer
+      // would re-run the shingle+minhash pass (the dominant cost) three
+      // times instead of once
+      val bandedM = banded.localCheckpoint(true)
+      val hotCap = 200000
+      val hot = bandedM.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucketSize)
+        .select(col("band"), col("band_hash"))
+        .limit(hotCap + 1).collect()
+      if (hot.isEmpty) allPairs(bandedM).distinct()
+      else if (hot.length > hotCap) windowedCapPlan(bandedM, idCol, maxBucketSize)
+      else {
+        val spark = sigs.sparkSession
+        val hotDf = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(hot.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("band_hash",
+              org.apache.spark.sql.types.IntegerType, nullable = false)))))
+        val keys = Seq("band", "band_hash")
+        val small = bandedM.join(hotDf, keys, "left_anti")
+        val big = bandedM.join(hotDf, keys, "left_semi")
+        import org.apache.spark.sql.expressions.Window
+        // sort only the hot-bucket members; the chain is deterministic
+        // in hash(id) order with the id tie-break
+        val ord = Window.partitionBy(col("band"), col("band_hash"))
+          .orderBy(hash(col(idCol)), col(idCol))
+        val chained = big.withColumn("__nx", lead(col(idCol), 1).over(ord))
+          .filter(col("__nx").isNotNull)
+          .select(least(col(idCol), col("__nx")).as("a"),
+            greatest(col(idCol), col("__nx")).as("b"))
+          .filter(col("a") =!= col("b"))
+        allPairs(small).union(chained).distinct()
+      }
+    }
+  }
+
+  /** Pure (action-free) fallback shape of the hub guard for corpora
+    * whose HOT-BUCKET COUNT itself is beyond broadcast scale: one
+    * window pass sizes and chains in place. Costs a full sort of the
+    * banded frame — only reached in the pathological regime where the
+    * uncapped plan would be quadratic anyway. */
+  private def windowedCapPlan(banded: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("band"), col("band_hash"))
+    val ord = part.orderBy(hash(col(idCol)), col(idCol))
+    val sized = banded
+      .withColumn("__bsz", count(lit(1)).over(part))
+      .withColumn("__nx", lead(col(idCol), 1).over(ord))
+    val small = sized.filter(col("__bsz") <= maxBucketSize)
+    val l = small.select(col(idCol).as("a"), col("band"), col("band_hash"))
+    val r = small.select(col(idCol).as("b"), col("band"), col("band_hash"))
+    val allPairs = l.join(r, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val chained = sized
+      .filter(col("__bsz") > maxBucketSize && col("__nx").isNotNull)
+      .select(least(col(idCol), col("__nx")).as("a"),
+        greatest(col(idCol), col("__nx")).as("b"))
+      .filter(col("a") =!= col("b"))
+    allPairs.union(chained).distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified with exact
     * shingle Jaccard ≥ threshold. */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleK: Int = 3): DataFrame = {
+      threshold: Double, shingleK: Int = 3,
+      maxBucketSize: Int = 256): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, shingleK)
     // The candidate pair set feeds the plan TWICE (the broadcast id-prune
     // below and the verify join), and the prune's broadcast subquery is a
@@ -133,7 +183,8 @@ object DedupOps {
     // pipeline runs twice. The pair set is the SMALL output of LSH (that
     // is the point of banding), so materialize it once eagerly; at any
     // scale this is candidate-sized, never corpus-sized.
-    val cands = lshCandidatePairs(sigs, idCol).localCheckpoint(true)
+    val cands = lshCandidatePairs(sigs, idCol,
+      maxBucketSize = maxBucketSize).localCheckpoint(true)
     // verify-side shingles only for docs that appear in a candidate pair —
     // the expensive text pass runs on the (small) candidate set, not the
     // whole corpus
@@ -158,21 +209,42 @@ object DedupOps {
       idCol: String, textCol: String, shingleK: Int = 3,
       maxBucketSide: Int = 256): DataFrame = {
     // hub-bucket guard, per SIDE (the cross-corpus twin of
-    // [[lshCandidatePairs]]'s cap): an oversized (band, band_hash)
-    // bucket caps each corpus's membership at `maxBucketSide` before
-    // the join, bounding any bucket's fan-out at cap² instead of
-    // |A|·|B|. Survivors are hash-ranked WITH the band in the key, so
-    // a hub that collides in all 16 bands rotates DIFFERENT survivors
-    // per band — a member's miss probability decays geometrically in
-    // the band count rather than being decided once. 0 disables. */
+    // [[lshCandidatePairs]]'s cap): a count-only pre-probe finds
+    // oversized (band, band_hash) buckets first — the common no-hub
+    // corpus keeps EXACTLY the uncapped plan — and only hot buckets pay
+    // a scoped sort that caps each side's membership at `maxBucketSide`
+    // before the join, bounding any bucket's fan-out at cap² instead of
+    // |A|·|B|. Survivors are hash-ranked WITH the band in the key, so a
+    // hub that collides in all 16 bands rotates DIFFERENT survivors per
+    // band — a member's miss probability decays geometrically in the
+    // band count rather than being decided once. 0 disables.
     def cap(df: DataFrame, side: String): DataFrame =
       if (maxBucketSide <= 0) df
       else {
-        import org.apache.spark.sql.expressions.Window
-        val ord = Window.partitionBy(col("band"), col("band_hash"))
-          .orderBy(hash(col(side), col("band")), col(side))
-        df.withColumn("__bn", row_number().over(ord))
-          .filter(col("__bn") <= maxBucketSide).drop("__bn")
+        val hot = df.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSide)
+          .select(col("band"), col("band_hash"))
+          .limit(200000).collect()
+        if (hot.isEmpty) df
+        else {
+          val spark = df.sparkSession
+          val hotDf = broadcast(spark.createDataFrame(
+            spark.sparkContext.parallelize(hot.toSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("band",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("band_hash",
+                org.apache.spark.sql.types.IntegerType, nullable = false)))))
+          val keys = Seq("band", "band_hash")
+          import org.apache.spark.sql.expressions.Window
+          val ord = Window.partitionBy(col("band"), col("band_hash"))
+            .orderBy(hash(col(side), col("band")), col(side))
+          val kept = df.join(hotDf, keys, "left_semi")
+            .withColumn("__bn", row_number().over(ord))
+            .filter(col("__bn") <= maxBucketSide).drop("__bn")
+          df.join(hotDf, keys, "left_anti").unionByName(kept)
+        }
       }
     val bandsA = cap(bandKeys(
       minHashSignatures(reference, idCol, textCol, shingleK), idCol)

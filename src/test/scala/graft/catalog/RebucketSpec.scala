@@ -292,6 +292,28 @@ class RebucketSpec extends AnyFunSuite {
     assert(!lake.maybeAutoRebucket("t", 20, maxGroupsPerCall = 4))
   }
 
+  test("inert-DV sweep runs when a bounded migration drains exactly on " +
+      "its per-call budget") {
+    // the completing call's budget can run out ON the last group:
+    // complete-at-loop-exit is false there, and the next call commits
+    // zero groups — without the boundary probe the sweep would be
+    // skipped on both calls and inert sidecars would linger forever
+    val lake = newLake()
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i"))
+    lake.write("t", rows.toDF("id", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    assert(lake.deleteWhere("t", col("id") === 5L) === 1L)
+    assert(lake.liveDvs("t").nonEmpty)
+    lake.rebucket("t", 8, maxGroupsPerCall = 2) // groups 1-2 of 4
+    assert(lake.liveDvs("t").nonEmpty, "mid-migration: sweep deferred")
+    lake.rebucket("t", 8, maxGroupsPerCall = 2) // 3-4: drains ON budget
+    assert(lake.dataFiles("t").forall(_.contains("__p_bucket_8_id=")))
+    assert(lake.liveDvs("t").isEmpty,
+      "the budget-exact completing call must run the inert-DV sweep")
+    assert(lake.read("t").count() === 399)
+    assert(lake.read("t").filter(col("id") === 5L).isEmpty)
+  }
+
   test("migration DV validation is scoped to the group: MoR DELETE on a " +
       "non-migrating bucket commits without burning an attempt") {
     import graft.metrics.GraftMetrics
