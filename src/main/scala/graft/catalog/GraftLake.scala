@@ -2228,12 +2228,15 @@ final class GraftLake(private[graft] val spark: SparkSession,
       "nested transact is not supported: inner members would be locked " +
         "out of global sorted order (deadlock risk) — pass every member " +
         "to ONE transact call")
-    // standing policies stay out of ALL transaction variants (see
-    // transactOwned): a policy commit inside the journal/lock window
-    // would not be in the captured pre-versions
-    GraftLake.withPoliciesSuppressed {
+    // standing policies stay out of the transaction window (a policy
+    // commit inside it would not be in the captured pre-versions), and
+    // re-run per member AFTER the locks release — a table written only
+    // through transactions must still get its standing maintenance
+    val r = GraftLake.withPoliciesSuppressed {
       lockedAll(sorted.toList) { transactBody(sorted)(body) }
     }
+    sorted.foreach(runStandingPolicies(_))
+    r
   }
 
   /** [[transact]] for bodies whose member tables have a SINGLE writer —
@@ -2251,11 +2254,15 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val sorted = names.distinct.sorted
     require(sorted.nonEmpty, "transact needs at least one member table")
     require(!inTransact.get, "nested transact is not supported")
-    // standing table-property policies stay out of transactions: a
-    // compaction/rebucket firing off a member's append inside the
-    // transaction window would race the coordinator's own commits (the
-    // caller re-runs policies after the transaction if it wants them)
-    GraftLake.withPoliciesSuppressed { transactBody(sorted)(body) }
+    // standing table-property policies stay out of the transaction
+    // window (a compaction/rebucket firing off a member's append inside
+    // it would race the coordinator's own commits) and re-run per
+    // member after it — unless an OUTER scope (the ingest pipeline's
+    // flush) already suppresses, in which case its own post-flush
+    // invocation governs
+    val r = GraftLake.withPoliciesSuppressed { transactBody(sorted)(body) }
+    sorted.foreach(runStandingPolicies(_))
+    r
   }
 
   // ---- cross-process durable transactions (lock files + journal) ----
@@ -2355,7 +2362,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // standing policies stay out of the journal window: a policy commit
     // the journaled pre-versions know nothing about would be destroyed
     // (or compensated past) by crash recovery
-    try GraftLake.withPoliciesSuppressed { lockedAll(sorted.toList) {
+    val out = try GraftLake.withPoliciesSuppressed { lockedAll(sorted.toList) {
       // journal INSIDE the in-process locks: the journaled pre-versions
       // must equal the ones transactBody captures — a same-process append
       // sneaking in between would otherwise be destroyed by crash
@@ -2439,6 +2446,13 @@ final class GraftLake(private[graft] val spark: SparkSession,
           throw e
       } finally stopHeartbeat() // idempotent; already joined on both paths
     } } finally releaseTxnLocks(sorted, txnId)
+    // standing maintenance for tables written only through durable
+    // transactions — after the journal is closed and every lock is
+    // released (policy commits must never enter the recovery window);
+    // reached only when the body committed, loud on malformed
+    // properties like every other write path
+    sorted.foreach(runStandingPolicies(_))
+    out
   }
 
   private def atomicCreate(p: Path, content: String): Boolean = {
@@ -2790,6 +2804,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
         s"table property $k of '$name' is out of range: $v")
       v.toInt
     }
+    def positive(k: String, v: Option[Long]): Unit = v.foreach(x =>
+      require(x > 0, s"table property $k of '$name' must be positive, got $x"))
     // VALUES parse loudly, up front (a typo'd policy silently not
     // running is the worse failure) …
     val compactMin = intProp("graft.policy.autoCompact.minFiles")
@@ -2799,6 +2815,20 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val rbkGroups = intProp("graft.policy.autoRebucket.maxGroupsPerCall")
     val keepLast = intProp("graft.policy.retention.keepLast")
     val slack = intProp("graft.policy.retention.slack")
+    // positivity is a PARSE-time failure too: a zero/negative bound
+    // would otherwise trip an execution require that the advisory catch
+    // converts into a silent every-write deferral — the exact "typo'd
+    // policy silently not running" this loud path exists to prevent
+    positive("graft.policy.autoCompact.minFiles", compactMin.map(_.toLong))
+    positive("graft.policy.autoCompact.targetRecordsPerFile", compactTarget)
+    positive("graft.policy.autoRebucket.targetRowsPerBucket", rbkTarget)
+    positive("graft.policy.autoRebucket.maxBuckets", rbkMax.map(_.toLong))
+    positive("graft.policy.autoRebucket.maxGroupsPerCall",
+      rbkGroups.map(_.toLong))
+    positive("graft.policy.retention.keepLast", keepLast.map(_.toLong))
+    slack.foreach(x => require(x >= 0,
+      s"table property graft.policy.retention.slack of '$name' must be " +
+        s"non-negative, got $x"))
     // … but EXECUTION failures are advisory across all three kinds: the
     // triggering write has already committed, and an at-least-once
     // caller that sees its committed append "fail" on a lost
@@ -2827,13 +2857,16 @@ final class GraftLake(private[graft] val spark: SparkSession,
             }
       if (!exclude("autoRebucket"))
         for (target <- rbkTarget)
-          advisory("auto-rebucket") {
-            try maybeAutoRebucket(name, target,
-              rbkMax.getOrElse(65536), rbkGroups.getOrElse(4))
-            catch { case e: Throwable =>
+          try maybeAutoRebucket(name, target,
+            rbkMax.getOrElse(65536), rbkGroups.getOrElse(4))
+          catch {
+            // the pipeline's counter name, NonFatal only (a fatal error
+            // must fail the caller and not read as a benign deferral)
+            case scala.util.control.NonFatal(e) =>
               graft.metrics.GraftMetrics.op("autoRebucketDeferred").record(0L)
-              throw e
-            }
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"standing auto-rebucket of '$name' deferred to the " +
+                  s"next write: $e")
           }
       if (!exclude("retention"))
         for (keep <- keepLast)
@@ -3437,7 +3470,13 @@ final class GraftLake(private[graft] val spark: SparkSession,
       // keys would misresolve under the new depth during the window
       // (the content-preserving path validates the same way).
       newPartitions.foreach { _ =>
-        if (liveDvs(name).nonEmpty)
+        // FRESH filesystem probe, not the in-process caches: the DV that
+        // must abort here may have been committed by ANOTHER process
+        // after the caller's materializeDeletes, and lastVersionCache
+        // still holds this JVM's own older commit
+        val dvsNow = versions(name).lastOption
+          .map(v => resolveDvs(name, v)).getOrElse(Vector.empty)
+        if (dvsNow.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"REPLACE TABLE $name: a deletion vector landed while the " +
               "rebuild was staging — re-run against the new state")
@@ -4068,9 +4107,12 @@ final class GraftLake(private[graft] val spark: SparkSession,
     if (!complete && committedGroups > 0) {
       val meta = readMeta(name)
       val prefixes = GraftLake.layoutPrefixes(meta)
-      complete = latestVersion(name).forall(v =>
-        resolveManifest(name, v)._2
-          .forall(r => GraftLake.relConforms(r._1, prefixes)))
+      complete = latestVersion(name).forall { v =>
+        val cached = liveSetCache.get(s"$warehouse/$name")
+        val refs = if (cached != null && cached._1 == v) cached._2
+          else resolveManifest(name, v)._2
+        refs.forall(r => GraftLake.relConforms(r._1, prefixes))
+      }
     }
     // retire INERT deletion-vector sidecars: each migration folded its
     // group's masked rows out physically, so entries that reference only

@@ -118,30 +118,41 @@ object DedupOps {
       if (hot.isEmpty) allPairs(bandedM).distinct()
       else if (hot.length > hotCap) windowedCapPlan(bandedM, idCol, maxBucketSize)
       else {
-        val spark = sigs.sparkSession
-        val hotDf = broadcast(spark.createDataFrame(
-          spark.sparkContext.parallelize(hot.toSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("band",
-              org.apache.spark.sql.types.IntegerType, nullable = false),
-            org.apache.spark.sql.types.StructField("band_hash",
-              org.apache.spark.sql.types.IntegerType, nullable = false)))))
+        val hotDf = hotBucketDf(sigs.sparkSession, hot)
         val keys = Seq("band", "band_hash")
         val small = bandedM.join(hotDf, keys, "left_anti")
-        val big = bandedM.join(hotDf, keys, "left_semi")
-        import org.apache.spark.sql.expressions.Window
-        // sort only the hot-bucket members; the chain is deterministic
-        // in hash(id) order with the id tie-break
-        val ord = Window.partitionBy(col("band"), col("band_hash"))
-          .orderBy(hash(col(idCol)), col(idCol))
-        val chained = big.withColumn("__nx", lead(col(idCol), 1).over(ord))
-          .filter(col("__nx").isNotNull)
-          .select(least(col(idCol), col("__nx")).as("a"),
-            greatest(col(idCol), col("__nx")).as("b"))
-          .filter(col("a") =!= col("b"))
+        // sort only the hot-bucket members
+        val chained = chainPairs(bandedM.join(hotDf, keys, "left_semi"), idCol)
         allPairs(small).union(chained).distinct()
       }
     }
+  }
+
+  /** Broadcastable frame of hot (band, band_hash) keys collected by a
+    * guard probe — shared by both hub guards so the two cannot drift. */
+  private def hotBucketDf(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame =
+    broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("band_hash",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))))
+
+  /** Deterministic successor CHAIN within each (band, band_hash) bucket:
+    * each member pairs with the next in hash(id) order (id tie-break) —
+    * O(bucket) pairs with every member reachable. Shared by the hot
+    * branch and the windowed fallback. */
+  private def chainPairs(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(hash(col(idCol)), col(idCol))
+    df.withColumn("__nx", lead(col(idCol), 1).over(ord))
+      .filter(col("__nx").isNotNull)
+      .select(least(col(idCol), col("__nx")).as("a"),
+        greatest(col(idCol), col("__nx")).as("b"))
+      .filter(col("a") =!= col("b"))
   }
 
   /** Pure (action-free) fallback shape of the hub guard for corpora
@@ -203,47 +214,51 @@ object DedupOps {
   /** Candidate (b = incoming id, a = reference id) pairs of the
     * cross-corpus join: both corpora band independently and meet in ONE
     * bucket join keyed on (band, band_hash) — NEITHER side broadcasts
-    * and nothing is quadratic (PlanQualitySpec pins the shape). Exposed
-    * lazily (no checkpoint) so plan tests can inspect it. */
+    * and nothing is quadratic (PlanQualitySpec pins the shape). When the guard is
+    * on, each side's banded frame materializes once (probe + join share
+    * it); `maxBucketSide = 0` keeps the fully lazy shape plan tests can
+    * inspect end to end. */
   def crossCorpusCandidates(reference: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 3,
       maxBucketSide: Int = 256): DataFrame = {
     // hub-bucket guard, per SIDE (the cross-corpus twin of
-    // [[lshCandidatePairs]]'s cap): a count-only pre-probe finds
-    // oversized (band, band_hash) buckets first — the common no-hub
-    // corpus keeps EXACTLY the uncapped plan — and only hot buckets pay
-    // a scoped sort that caps each side's membership at `maxBucketSide`
-    // before the join, bounding any bucket's fan-out at cap² instead of
-    // |A|·|B|. Survivors are hash-ranked WITH the band in the key, so a
-    // hub that collides in all 16 bands rotates DIFFERENT survivors per
-    // band — a member's miss probability decays geometrically in the
-    // band count rather than being decided once. 0 disables.
-    def cap(df: DataFrame, side: String): DataFrame =
-      if (maxBucketSide <= 0) df
+    // [[lshCandidatePairs]]'s cap): each side's banded frame is
+    // materialized ONCE (the shingle+minhash pass is the dominant cost;
+    // probe + join must not recompute it), a count-only pre-probe finds
+    // oversized (band, band_hash) buckets — the common no-hub corpus
+    // keeps exactly the uncapped join plan — and only hot buckets pay a
+    // scoped sort that caps the side's membership at `maxBucketSide`,
+    // bounding any bucket's fan-out at cap² instead of |A|·|B|.
+    // Survivors are hash-ranked WITH the band in the key, so a hub that
+    // collides in all 16 bands rotates DIFFERENT survivors per band — a
+    // member's miss probability decays geometrically in the band count.
+    // A pathological hot-bucket COUNT (beyond broadcast scale) caps the
+    // whole side with the pure windowed shape instead of silently
+    // un-capping the overflow. 0 disables (fully lazy, no jobs).
+    def cap(raw: DataFrame, side: String): DataFrame =
+      if (maxBucketSide <= 0) raw
       else {
+        val df = raw.localCheckpoint(true)
+        val hotCap = 200000
         val hot = df.groupBy(col("band"), col("band_hash"))
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") > maxBucketSide)
           .select(col("band"), col("band_hash"))
-          .limit(200000).collect()
-        if (hot.isEmpty) df
-        else {
-          val spark = df.sparkSession
-          val hotDf = broadcast(spark.createDataFrame(
-            spark.sparkContext.parallelize(hot.toSeq, 1),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("band",
-                org.apache.spark.sql.types.IntegerType, nullable = false),
-              org.apache.spark.sql.types.StructField("band_hash",
-                org.apache.spark.sql.types.IntegerType, nullable = false)))))
-          val keys = Seq("band", "band_hash")
-          import org.apache.spark.sql.expressions.Window
+          .limit(hotCap + 1).collect()
+        import org.apache.spark.sql.expressions.Window
+        def rotate(in: DataFrame): DataFrame = {
           val ord = Window.partitionBy(col("band"), col("band_hash"))
             .orderBy(hash(col(side), col("band")), col(side))
-          val kept = df.join(hotDf, keys, "left_semi")
-            .withColumn("__bn", row_number().over(ord))
+          in.withColumn("__bn", row_number().over(ord))
             .filter(col("__bn") <= maxBucketSide).drop("__bn")
-          df.join(hotDf, keys, "left_anti").unionByName(kept)
+        }
+        if (hot.isEmpty) df
+        else if (hot.length > hotCap) rotate(df)
+        else {
+          val hotDf = hotBucketDf(df.sparkSession, hot)
+          val keys = Seq("band", "band_hash")
+          df.join(hotDf, keys, "left_anti")
+            .unionByName(rotate(df.join(hotDf, keys, "left_semi")))
         }
       }
     val bandsA = cap(bandKeys(

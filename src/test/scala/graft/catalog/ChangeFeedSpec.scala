@@ -175,6 +175,38 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed.filter(col("id") === 1).isEmpty)
   }
 
+  test("feed windows below a depth rebuild keep their deletes (DV keys " +
+      "resolve under each commit's own layout depth)") {
+    // DV keys are path-depth-derived; a later REPLACE TABLE ...
+    // PARTITIONED BY depth change must not make an older MoR window's
+    // delete rows silently vanish from the feed (or from time travel)
+    val lake = newLake()
+    lake.write("t", (0 until 100).map(i => (i.toLong,
+        java.sql.Date.valueOf(f"202${i % 3}%d-01-15"), s"v$i"))
+      .toDF("id", "d", "v"),
+      partitions = Seq("bucket(4, id)"), pks = Seq("id"))
+    lake.setTableProperty("t", TableMeta.CdfEnabledKey, "true")
+    val v0 = lake.versions("t").last
+    assert(lake.deleteWhere("t", col("id") === 7L) === 1L) // depth-1 DV
+    val v1 = lake.versions("t").last
+    val before = lake.tableChanges("t", v0, v1)
+      .select("id", GraftLake.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before === Set((7L, "delete")))
+    val vDel = lake.versions("t").last
+    // depth 1 -> 2 rebuild (materializes the DV, rewrites everything)
+    lake.rebuildPartitioned("t", Seq("bucket(4, id)", "year(d)"))
+    // the historical window still attributes its delete exactly
+    val after = lake.tableChanges("t", v0, v1)
+      .select("id", GraftLake.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === Set((7L, "delete")),
+      s"the old-depth window lost its delete after the rebuild: $after")
+    // and time travel below the rebuild applies the old-depth masks
+    assert(lake.readVersion("t", vDel).count() === 99)
+    assert(lake.readVersion("t", vDel).filter(col("id") === 7L).isEmpty)
+  }
+
   test("overwriteContents with duplicate-PK contents: last-wins dedup, " +
       "exact-once landing and feed") {
     // the engine API accepts ANY DataFrame — duplicate keys must not

@@ -94,6 +94,36 @@ class StandingPolicySpec extends AnyFunSuite {
     assert(lake.liveFileCount("t") < 4)
   }
 
+  test("tables written only through transactions still get standing " +
+      "maintenance (after the window, never inside it)") {
+    val lake = newLake()
+    lake.write("t", Seq((1L, "a")).toDF("id", "v"))
+    lake.setTableProperty("t", "graft.policy.autoCompact.minFiles", "3")
+    lake.transact(Seq("t")) {
+      (2 to 4).foreach(i =>
+        lake.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      // inside the window the hooks are suppressed: the journaled
+      // pre-versions must account for every commit
+      assert(lake.liveFileCount("t") >= 3, "no policy commit mid-window")
+    }
+    assert(lake.liveFileCount("t") < 3,
+      "the post-transaction re-run must compact")
+    assert(lake.read("t").count() === 4)
+  }
+
+  test("non-positive policy bounds fail loudly at parse, not as a " +
+      "silent every-write deferral") {
+    val lake = newLake()
+    lake.write("t", Seq((1L, "a")).toDF("id", "v"))
+    lake.setTableProperty("t",
+      "graft.policy.autoRebucket.maxGroupsPerCall", "0")
+    lake.setTableProperty("t",
+      "graft.policy.autoRebucket.targetRowsPerBucket", "100")
+    val e = intercept[IllegalArgumentException](
+      lake.append("t", Seq((2L, "b")).toDF("id", "v")))
+    assert(e.getMessage.contains("must be positive"), e.getMessage)
+  }
+
   test("malformed policy values fail loudly, after the write landed") {
     val lake = newLake()
     lake.write("t", Seq((1L, "a")).toDF("id", "v"))
