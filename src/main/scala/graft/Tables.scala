@@ -52,12 +52,35 @@ object Tables {
       }
     }
 
+  /** Session-scoped METADATA memo of loaded tables. `spark.read.parquet`
+    * pays a fixed driver toll on every call — directory listing, a footer
+    * schema-inference JOB, DataSource resolution — and the bench harness
+    * loads the same static table hundreds of times per run, so that toll
+    * was a per-query constant (~100–200 ms × 173 queries × 2 passes).
+    * The memo holds the resolved DataFrame (logical READ PLAN: file
+    * listing + schema), never rows — every execution still scans the
+    * parquet inputs, and Catalyst keeps full pushdown/pruning freedom on
+    * the shared plan. Keyed by session identity so cross-session reuse is
+    * impossible ([[DataFrame]]s are session-bound); the `eq` re-check
+    * guards identityHashCode collisions, and the size cap clears the memo
+    * outright (always safe — it is only a fast path) so long-lived
+    * multi-session processes (the test suite) cannot accumulate dead
+    * sessions' plans. */
+  private val dfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // harmless when no nanos column exists; REQUIRED before a scan that has
     // one (the reader refuses TIMESTAMP(NANOS) otherwise)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"),
+    val key = (System.identityHashCode(spark), sfDir, name)
+    val hit = dfMemo.get(key)
+    if (hit != null && (hit.sparkSession eq spark)) return hit
+    if (dfMemo.size > 256) dfMemo.clear()
+    val df = normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"),
       tsColumns.getOrElse(name, Nil))
+    dfMemo.put(key, df)
+    df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

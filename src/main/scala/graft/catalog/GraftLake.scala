@@ -100,6 +100,40 @@ final class GraftLake(private[graft] val spark: SparkSession,
     try f finally scope.exit(spark)
   }
 
+  /** Write-side DISTRIBUTION for staged data writes (the Iceberg
+    * `write.distribution-mode=hash` analog; optimization guide §6: small
+    * files hurt twice, and §2.4: share one exchange). Without it a
+    * partitioned flush writes one file per (map task × touched partition)
+    * — a 32-task batch into 16 buckets lands up to 512 near-empty files,
+    * paid three more times downstream: per-file commit renames + footer
+    * stats, manifest growth, and per-file open cost on every scan.
+    *
+    * Partitioned tables cluster the staged write by the partition output
+    * columns with the AQE REBALANCE hint rather than a plain
+    * `repartition(cols)`: small flushes coalesce to advisory-size
+    * outputs, and a skewed hot partition still SPLITS across tasks
+    * (`spark.sql.adaptive.optimizeSkewsInRebalancePartitions`), so one
+    * giant partition cannot serialize a large flush the way hash
+    * repartitioning would. The cost is one extra shuffle of the batch —
+    * the documented Iceberg-hash-mode trade, and the batch is the SMALL
+    * side of lake writes (flushes, merge deltas), never the table.
+    *
+    * Unpartitioned tables keep map-parallel writes (Iceberg's `none`
+    * default): measured A/B on the bench host, rebalancing an
+    * unpartitioned flush costs more than the small files it saves
+    * (the shuffle serializes a medium batch into few tasks), and at
+    * scale a map-parallel unpartitioned write already produces
+    * right-sized files. `spark.graft.write.distribution=none` disables
+    * the partitioned clustering too. */
+  private def distributeForWrite(out: DataFrame, partCols: Seq[String]): DataFrame =
+    if (partCols.isEmpty ||
+        spark.conf.getOption("spark.graft.write.distribution").contains("none"))
+      out
+    else out.hint("rebalance", partCols: _*)
+
+  private def distributeForWrite(out: DataFrame, meta: TableMeta): DataFrame =
+    distributeForWrite(out, meta.partitionExprs.map(_.outputName))
+
   private def tableDir(name: String) = s"$warehouse/$name"
   private def dataDir(name: String) = s"$warehouse/$name/data"
   private def metaPath(name: String) = new Path(s"$warehouse/$name/_graft_meta.json")
@@ -1453,7 +1487,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
         toPhysical(meta.schema, applyAssigns(hitDf))), meta)
       val dataStage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
       val added = try {
-        val writer = out.write.mode(SaveMode.Overwrite)
+        val writer = distributeForWrite(out, meta).write.mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", maxRecordsPerFile)
         val parted =
           if (meta.partitions.nonEmpty)
@@ -2944,7 +2978,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     writeLock(name) {
       val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
       try {
-        val writer = out.write
+        val writer = distributeForWrite(out, meta).write
           .mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", maxRecordsPerFile)
         val parted =
@@ -3298,7 +3332,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
 
     // Stage + swap (Spark cannot overwrite a path it is reading from).
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
-    val writer = result.write.mode(SaveMode.Overwrite)
+    val writer = distributeForWrite(result, partCols).write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     withLakeTimestampFormat {
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
@@ -3452,7 +3486,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
     val dd = new Path(dataDir(name))
     val f = fs(dd)
     try {
-      val writer = out.write.mode(SaveMode.Overwrite)
+      val writer = distributeForWrite(out, outPartCols).write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
       withLakeTimestampFormat {
         (if (outPartCols.nonEmpty) writer.partitionBy(outPartCols: _*)
@@ -3506,7 +3540,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       enforceConstraints(meta, physicalSelect(meta, batch)), meta)
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
     try {
-      val writer = out.write.mode(SaveMode.Overwrite)
+      val writer = distributeForWrite(out, meta).write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", maxRecordsPerFile)
       val partCols = meta.partitionExprs.map(_.outputName)
       withLakeTimestampFormat {
@@ -3545,7 +3579,7 @@ final class GraftLake(private[graft] val spark: SparkSession,
       case _ => Nil
     }
     val stage = new Path(s"${tableDir(name)}/.stage-${UUID.randomUUID()}")
-    val writer = out.write.mode(SaveMode.Overwrite)
+    val writer = distributeForWrite(out, partCols).write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     withLakeTimestampFormat {
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
