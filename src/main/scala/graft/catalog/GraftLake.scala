@@ -129,7 +129,12 @@ final class GraftLake(private[graft] val spark: SparkSession,
     if (partCols.isEmpty ||
         spark.conf.getOption("spark.graft.write.distribution").contains("none"))
       out
-    else out.hint("rebalance", partCols: _*)
+    else
+      // Column params, not names: the hint resolver PARSES string
+      // parameters as SQL identifiers, so a partition output column
+      // derived from an exotic source name (`__p_bucket_4_a:b`) would
+      // throw at analysis — quoted Columns resolve structurally
+      out.hint("rebalance", partCols.map(c => col(quoted(c))): _*)
 
   private def distributeForWrite(out: DataFrame, meta: TableMeta): DataFrame =
     distributeForWrite(out, meta.partitionExprs.map(_.outputName))
@@ -1888,10 +1893,43 @@ final class GraftLake(private[graft] val spark: SparkSession,
     case Some((src, v)) => readVersion(src, v)
     case None =>
       val meta = readMeta(name)
-      val live = applyDvs(name, readInternal(name, meta), liveDvs(name),
-        meta.partitionExprs.size)
-      toLogical(meta.schema,
-        live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
+      def build(): DataFrame = {
+        val live = applyDvs(name, readInternal(name, meta), liveDvs(name),
+          meta.partitionExprs.size)
+        toLogical(meta.schema,
+          live.select(meta.schema.fieldNames.map(n => col(quoted(n))): _*))
+      }
+      // READ-PLAN memo (the Delta snapshot-cache pattern): building the
+      // live view re-lists the data directory, re-creates the file index
+      // and re-derives the DV mask on EVERY call — 30–80 ms of driver
+      // work per read, paid several times per operation (probe scans,
+      // final reads, feed epochs). The memo pins the built DataFrame to
+      // (versions-dir mtime, own last version, meta instance): any
+      // commit — own or foreign — creates a version file and bumps the
+      // directory mtime, own commits additionally advance
+      // lastVersionCache, and every metadata change swaps the cached
+      // TableMeta instance, so ONE stat call replaces the per-read
+      // listing while cross-process commits stay immediately visible
+      // (the same freshness a fresh listing gave). Plans only — every
+      // execution still scans parquet. `spark.graft.read.planCache=false`
+      // disables.
+      if (spark.conf.getOption("spark.graft.read.planCache").contains("false"))
+        return build()
+      val key = s"$warehouse/$name"
+      val vd = versionsDir(name)
+      val mtime =
+        try fs(vd).getFileStatus(vd).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L }
+      val own = Option(lastVersionCache.get(key)).fold(-1L)(_.longValue())
+      val hit = readDfCache.get(key)
+      if (hit != null && hit.mtime == mtime && hit.own == own &&
+          (hit.meta eq meta) && (hit.df.sparkSession eq spark)) hit.df
+      else {
+        if (readDfCache.size > 512) readDfCache.clear()
+        val df = build()
+        readDfCache.put(key, GraftLake.ReadDfEntry(mtime, own, meta, df))
+        df
+      }
   }
 
   /** V1 scan of an EXPLICIT manifest file set that keeps manifest-bounds
@@ -6654,6 +6692,13 @@ object GraftLake {
     * file set + delta-chain depth, so the hot commit path reads nothing.
     * Only ever written under the table's write lock. */
   private val lastVersionCache = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** [[GraftLake.read]]'s plan memo entry — see the call site for the
+    * freshness argument (versions-dir mtime + own version + meta
+    * identity). Holds a PLAN, never rows. */
+  private[catalog] final case class ReadDfEntry(mtime: Long, own: Long,
+      meta: TableMeta, df: DataFrame)
+  private[catalog] val readDfCache = new ConcurrentHashMap[String, ReadDfEntry]()
   private val liveSetCache =
     new ConcurrentHashMap[String, (Long, Vector[(String, String)], Int)]()
   /** Per-file numeric column bounds of the latest version (file key →
@@ -7367,7 +7412,7 @@ object GraftLake {
     dvSetCache.clear(); dvCountCache.clear(); bloomCache.clear()
     dvRulePassCache.clear(); dvRulePassAtVersion.clear()
     layoutCache.clear(); typeStableCache.clear(); conformCache.clear()
-    probeFreshCache.clear()
+    probeFreshCache.clear(); readDfCache.clear()
   }
 
   // -- meta (de)serialization: tiny hand-rolled JSON (schema via DataType.json) --

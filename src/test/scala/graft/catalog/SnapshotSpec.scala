@@ -430,6 +430,12 @@ class SnapshotSpec extends AnyFunSuite {
       .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
     java.nio.file.Files.copy(src,
       dataDir.resolve("part-orphan-deadbeef-c000.snappy.parquet"))
+    // an orphan is UNCOMMITTED debris — below the commit protocol, so the
+    // read-plan memo (which tracks committed state: versions-dir mtime +
+    // meta) legitimately keeps serving the last committed view until a
+    // commit or repair lands. Force a cold view to pin the DIRECTORY
+    // read's adoption setup the rest of the test depends on.
+    graft.catalog.GraftLake.invalidateCaches()
     assert(lake.read("rp").count() === 2, "directory read sees the orphan")
     val vs = lake.versions("rp")
     assert(lake.readVersion("rp", vs.last).count() === 1,
