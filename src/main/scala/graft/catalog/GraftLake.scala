@@ -3051,8 +3051,25 @@ final class GraftLake(private[graft] val spark: SparkSession,
     runStandingPolicies(name)
   }
 
+  /** [[upsert]] that REFUSES a batch with duplicate primary keys instead of
+    * deduping it last-wins: returns false (table untouched) so the caller
+    * can route to ANSI general-merge semantics. The duplicate detection is
+    * FOLDED into the upsert's own affected-partition probe — one job
+    * answers both questions where the separate pre-check the SQL MERGE
+    * path used to run cost a whole extra action per statement — and a
+    * proven-unique batch also skips the last-wins dedup window (one fewer
+    * shuffle in the rewrite plan). */
+  def upsertIfUniquePks(name: String, batch: DataFrame): Boolean = {
+    val applied = upsertLocked(name, batch, Nil, refuseDuplicates = true)
+    if (applied) runStandingPolicies(name)
+    applied
+  }
+
+  /** Returns false only when `refuseDuplicates` is set and the batch holds
+    * duplicate PKs (nothing written); true otherwise. */
   private def upsertLocked(name: String, batch: DataFrame,
-      ordering: Seq[Column]): Unit = writeLock(name) {
+      ordering: Seq[Column], refuseDuplicates: Boolean = false): Boolean =
+      writeLock(name) {
     val meta = readMeta(name)
     require(meta.pks.nonEmpty, s"upsert on '$name' requires configured PKs")
     val pks = meta.pks
@@ -3061,16 +3078,18 @@ final class GraftLake(private[graft] val spark: SparkSession,
 
     // W4: dedup duplicate PKs within the batch — last wins. Runs on the raw
     // batch so ordering-only columns (e.g. Kafka offset) are usable even
-    // though they are not landed.
+    // though they are not landed. Under `refuseDuplicates` the window is
+    // SKIPPED: the probe below proves uniqueness first (or refuses), so the
+    // rewrite plan sheds the row_number shuffle entirely.
     val order = if (ordering.nonEmpty) ordering.map(_.desc)
       else Seq(monotonically_increasing_id().desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pks.map(c => col(quoted(c))): _*).orderBy(order: _*)
     val deduped = enforceConstraints(meta, conformBatch(
-      batchP.withColumn("__rn", row_number().over(w))
+      if (refuseDuplicates) batchP
+      else batchP.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn"),
       meta))
-
     // Affected partitions: where batch rows land + where matching PKs live.
     // The PK-location probe reads only (pk, partition) columns — parquet
     // column pruning keeps this cheap at scale.
@@ -3123,30 +3142,87 @@ final class GraftLake(private[graft] val spark: SparkSession,
     // (constructing it eagerly would pay the data-dir listing per flush)
     def existingDirScan: DataFrame =
       applyDvs(name, readInternal(name, meta), liveDvs(name), partCols.size)
+    // the refuse-mode probe (None = duplicate PKs, refuse the batch): folds
+    // the duplicate detection the SQL MERGE path used to run as a SEPARATE
+    // pre-action into the upsert's own affected-partition discovery — per-PK
+    // counts and the row's partition values come out of ONE aggregation.
+    // `first(partCol)` is exact when the batch is dup-free (one row per
+    // group); on a duplicate the whole result is discarded anyway (the
+    // caller re-routes to the general merge). `includeMatched` adds the
+    // where-matching-keys-LIVE leg (the non-PK-functional layouts' probe)
+    // to the same job. Unpartitioned tables have no partition probe to fold
+    // into and pay the plain one-job count check.
+    val dupC = "__graft_dup_c"
+    def probeUnique(includeMatched: Boolean): Option[Array[org.apache.spark.sql.Row]] = {
+      if (partCols.isEmpty) {
+        val dups = deduped.groupBy(pks.map(c => col(quoted(c))): _*)
+          .count().filter(col("count") > 1).limit(1).count() > 0
+        if (dups) None else Some(Array.empty)
+      } else {
+        val g = withPartitionCols(deduped, meta)
+          .groupBy(pks.map(c => col(quoted(c))): _*)
+          .agg(count(lit(1)).as(dupC),
+            partCols.map(c => first(col(quoted(c))).as(c)): _*)
+        val batchLeg = g.groupBy(partCols.map(c => col(quoted(c))): _*)
+          .agg(max(col(dupC)).as(dupC))
+        val legs = if (!includeMatched) batchLeg else {
+          val matchedLeg = existingDirScan
+            .select((pks ++ partCols).map(c => col(quoted(c))): _*)
+            .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
+            .select(partCols.map(c => col(quoted(c))): _*).distinct()
+            .withColumn(dupC, lit(1L))
+          batchLeg.unionByName(matchedLeg)
+            .groupBy(partCols.map(c => col(quoted(c))): _*)
+            .agg(max(col(dupC)).as(dupC))
+        }
+        val rows = legs.collect()
+        if (rows.exists(r => r.getLong(r.length - 1) > 1)) None
+        else Some(rows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))))
+      }
+    }
     var manifestDirs: Option[Seq[Path]] = None
+    var refusedDuplicates = false
     val scoped =
-      if (partCols.isEmpty) existingDirScan
+      if (partCols.isEmpty) {
+        if (refuseDuplicates && probeUnique(includeMatched = false).isEmpty) {
+          refusedDuplicates = true; null
+        } else existingDirScan
+      }
       else {
         val batchParts = withPartitionCols(deduped, meta)
           .select(partCols.map(c => col(quoted(c))): _*).distinct()
         // the always-correct scope: PK-probe the table for where matching
         // keys LIVE (layout-agnostic — values come from the data, and a
         // null-partition tuple from a foreign-layout file routes its rows
-        // into the scope via the isNull branch of partitionScope)
-        def fullProbeScoped(): DataFrame = {
-          val existing = existingDirScan
-          val matchedParts = existing
-            .select((pks ++ partCols).map(c => col(quoted(c))): _*)
-            .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
-            .select(partCols.map(c => col(quoted(c))): _*).distinct()
-          val parts = batchParts.union(matchedParts).distinct().collect()
-          existing.filter(GraftLake.partitionScope(partCols, parts))
-        }
+        // into the scope via the isNull branch of partitionScope). Refuse
+        // mode folds its duplicate check into the SAME probe job.
+        def fullProbeScoped(): DataFrame =
+          if (refuseDuplicates) {
+            probeUnique(includeMatched = true) match {
+              case None => refusedDuplicates = true; null
+              case Some(parts) =>
+                existingDirScan.filter(GraftLake.partitionScope(partCols, parts))
+            }
+          } else {
+            val existing = existingDirScan
+            val matchedParts = existing
+              .select((pks ++ partCols).map(c => col(quoted(c))): _*)
+              .join(deduped.select(pks.map(c => col(quoted(c))): _*), pks, "left_semi")
+              .select(partCols.map(c => col(quoted(c))): _*).distinct()
+            val parts = batchParts.union(matchedParts).distinct().collect()
+            existing.filter(GraftLake.partitionScope(partCols, parts))
+          }
         // probe-skip soundness needs hash stability: a bucket source
         // column widened before the ensureTable guard means old files
         // hashed under the old type — only the probe can find them
         if (pkFunctional && bucketSourceTypesStable(name, meta)) {
-          val parts = batchParts.collect()
+          val partsOpt =
+            if (refuseDuplicates) probeUnique(includeMatched = false)
+            else Some(batchParts.collect())
+          if (partsOpt.isEmpty) { refusedDuplicates = true; null }
+          else {
+          val parts = partsOpt.get
           // null (and empty-string) partition values render as Hive's
           // DEFAULT partition — not reproducible here, use the dir path
           val noNulls = parts.forall(r => (0 until r.length).forall(i =>
@@ -3268,8 +3344,11 @@ final class GraftLake(private[graft] val spark: SparkSession,
             case None =>
               existingDirScan.filter(GraftLake.partitionScope(partCols, parts))
           }
+          }
         } else fullProbeScoped()
       }
+    if (refusedDuplicates) false
+    else {
 
     // W2 rewrite with exact MERGE INTO semantics in ONE full-outer join
     // (each side shuffles once on the PK, vs three joins for a
@@ -3381,6 +3460,8 @@ final class GraftLake(private[graft] val spark: SparkSession,
       swapInto(name, stage, new Path(dataDir(name)), partCols.size, affectedDirs)
     commitVersion(name, added, removed, writeStats, op = "upsert",
       changes = changeFiles, assumedLayout = Some(meta.partitions))
+    true
+    }
   }
 
   /** Replace the entire table contents with `df` (must carry exactly the

@@ -215,12 +215,16 @@ final case class GraftMergeCommand(
       // arbitrary order for a SQL source) — but ANSI MERGE either raises
       // the cardinality error (key present in target) or inserts every
       // unmatched row (key absent). A duplicate-key source must therefore
-      // leave the fast path: the general rewrite reproduces both outcomes
-      // exactly — including persisting duplicate-key INSERTs, because on
-      // the general path PKs are advisory, not a uniqueness constraint
+      // leave the fast path: `upsertIfUniquePks` folds that duplicate
+      // check into the upsert's own affected-partition probe (one job
+      // answers both — a separate pre-check used to cost a whole action
+      // per statement) and REFUSES a duplicate-key source untouched; the
+      // general rewrite then reproduces both ANSI outcomes exactly —
+      // including persisting duplicate-key INSERTs, because on the
+      // general path PKs are advisory, not a uniqueness constraint
       // (README "Capability determinations").
       //
-      // The projected source is cached for the whole fast path: the PK
+      // The projected source is cached for the whole fast path: the
       // probe's aggregation materializes it, and the upsert's own jobs
       // (affected-partition probe + rewrite) read the cache instead of
       // re-executing the source plan — one source execution per MERGE, so
@@ -230,14 +234,26 @@ final case class GraftMergeCommand(
       case Some(batch) =>
         val src = PlanBridge.ofRows(spark, batch).cache()
         try {
-          if (!hasDuplicatePks(src, meta.pks))
-            graft.metrics.GraftMetrics.time("mergeSqlUpsertPath") {
+          // `spark.graft.merge.probeFold=false` restores the separate
+          // pre-check (A/B lever; the folded probe is the default).
+          // Sensor contract: mergeSqlUpsertPath counts APPLIED fast-path
+          // merges only — a refused probe's time is general-path cost.
+          val t0 = System.nanoTime()
+          val applied =
+            if (spark.conf.get("spark.graft.merge.probeFold", "true").toBoolean)
+              lake.upsertIfUniquePks(table, src)
+            else if (!hasDuplicatePks(src, meta.pks)) {
               lake.upsert(table, src)
-            }
-          else
-            graft.metrics.GraftMetrics.time("mergeSqlGeneralPath") {
-              generalMerge(spark, lake, meta)
-            }
+              true
+            } else false
+          if (applied)
+            graft.metrics.GraftMetrics.op("mergeSqlUpsertPath")
+              .record(System.nanoTime() - t0)
+          else {
+            generalMerge(spark, lake, meta)
+            graft.metrics.GraftMetrics.op("mergeSqlGeneralPath")
+              .record(System.nanoTime() - t0)
+          }
         } finally src.unpersist()
       case _ =>
         graft.metrics.GraftMetrics.time("mergeSqlGeneralPath") {
