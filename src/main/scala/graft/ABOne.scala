@@ -16,7 +16,7 @@ object ABOne {
     val valA = args(4)
     val valB = args(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.hadoop.FastLocalFileSystem.tune(SparkSession.builder())
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -90,7 +90,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val staleCleaned = cleanStaleTmp()
     val loadBefore = loadAvg1m()
-    val spark = SparkSession.builder()
+    val spark = graft.hadoop.FastLocalFileSystem.tune(SparkSession.builder())
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

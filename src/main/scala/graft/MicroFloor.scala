@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object MicroFloor {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.hadoop.FastLocalFileSystem.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -80,6 +80,31 @@ object MicroFloor {
     time("groupBy-count 8 slices (AQE on)") {
       spark.range(0, 100000, 1, 8).toDF("id")
         .groupBy(($"id" % 100).as("k")).count().count()
+    }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    time("groupBy-count (parallelismFirst=f)") {
+      spark.range(100000).toDF("id")
+        .groupBy(($"id" % 100).as("k")).count().count()
+    }
+    time("join+groupBy (parallelismFirst=f)") {
+      val a = spark.range(100000).toDF("id")
+      val b = spark.range(50000).toDF("id")
+      a.join(b, "id").groupBy(($"id" % 100).as("k")).count().count()
+    }
+    var j = 100
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-floor2").toString
+    time("write 75k 5-part (parallelismFirst=f)") {
+      j += 1
+      spark.range(75000).select($"id", ($"id" % 5).cast("string").as("p"))
+        .hint("rebalance", $"p")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$tmp2/t$j")
+    }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    time("write 75k 5-part rebal (pf=true)") {
+      j += 1
+      spark.range(75000).select($"id", ($"id" % 5).cast("string").as("p"))
+        .hint("rebalance", $"p")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$tmp2/t$j")
     }
     spark.stop()
   }

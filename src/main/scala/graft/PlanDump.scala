@@ -17,7 +17,7 @@ object PlanDump {
     val tag = args(2)
     val names = args(3).split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
+    val builder = graft.hadoop.FastLocalFileSystem.tune(SparkSession.builder())
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -50,7 +50,7 @@ object RaceAppender {
     val writerId = args(2)
     val nBatches = args(3).toInt
     val rowsPerBatch = args(4).toLong
-    val spark = SparkSession.builder()
+    val spark = graft.hadoop.FastLocalFileSystem.tune(SparkSession.builder())
       .withExtensions(new graft.plans.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

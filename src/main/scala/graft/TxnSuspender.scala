@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 object TxnSuspender {
   def main(args: Array[String]): Unit = {
     val wh = args(0)
-    val spark = SparkSession.builder()
+    val spark = graft.hadoop.FastLocalFileSystem.tune(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
