@@ -101,6 +101,21 @@ object ProfileOne {
               val fs = st.map(_.toString)
               val gi = fs.indexWhere(f => f.contains("graft.") &&
                 !f.contains("ProfileOne"))
+              if (gi < 0 && fs.exists(f => f.contains("catalyst") ||
+                  f.contains("spark.sql.execution"))) {
+                // Catalyst work with no engine frame on the stack — AQE
+                // re-planning threads and the final action's own planning
+                val cat =
+                  if (fs.exists(_.contains("AdaptiveSparkPlanExec"))) "aqe"
+                  else if (fs.exists(f => f.contains("CodeGenerator") ||
+                    f.contains("janino"))) "codegen-compile"
+                  else if (fs.exists(f => f.contains("RuleExecutor") ||
+                    f.contains("Analyzer") || f.contains("Optimizer"))) "plan/analyze"
+                  else if (fs.exists(_.contains("awaitResult"))) "job-wait"
+                  else "other"
+                samples.merge(("<no-graft-frame: " + tn.take(28) + ">", cat),
+                  1, (a, b) => a + b)
+              }
               if (gi >= 0) {
                 val doing = fs.take(gi).collectFirst {
                   case f if f.contains("RuleExecutor") || f.contains("Analyzer")

@@ -85,10 +85,16 @@ object PipelineOps {
       .select(to_json(struct(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))).as("v"))
     val wh = Files.createTempDirectory("graft-q19").toString
     val lake = new GraftLake(s, wh)
-    for (b <- Seq(batch1, batch2)) {
-      val schema = SchemaInference.inferSchemaDistributed(b.as[String])
-        .getOrElse(throw new IllegalStateException("no schema inferred"))
-      lake.write("orders_evolved", b.select(from_json(col("v"), schema).as("r")).select(col("r.*")))
+    for (b0 <- Seq(batch1, batch2)) {
+      // cache per batch, as the real ingest pipeline does (processBatch):
+      // the inference pass and the landing write otherwise EACH re-run
+      // the source scan + to_json lineage
+      val b = b0.cache()
+      try {
+        val schema = SchemaInference.inferSchemaDistributed(b.as[String])
+          .getOrElse(throw new IllegalStateException("no schema inferred"))
+        lake.write("orders_evolved", b.select(from_json(col("v"), schema).as("r")).select(col("r.*")))
+      } finally b.unpersist()
     }
     lake.read("orders_evolved")
       .groupBy(col("o_orderpriority"))

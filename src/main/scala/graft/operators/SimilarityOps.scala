@@ -1015,6 +1015,10 @@ object SimilarityOps {
       lit(0.0), (acc, v) => acc + v)
     def builtinCos(a: Column, b: Column): Column =
       dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    // NOTE round 15 measured a localCheckpoint plan-barrier on the two
+    // tiny legs (guide §3.3) a small net LOSS (interleaved A/B: q161
+    // 1.05 vs 0.98 s, q109 1.02 vs 0.91 s) — the extra materialization
+    // jobs cost more than the re-planning they save. Kept fully lazy.
     val vecs = corpus.select(col(idCol), col(vecCol))
     // two scans, each joined against a BROADCAST pair list (the
     // ann result and then its query-vector-carrying refinement — both
