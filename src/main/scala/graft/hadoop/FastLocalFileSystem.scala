@@ -67,8 +67,23 @@ class FastRawLocalFileSystem extends RawLocalFileSystem {
 }
 
 /** The checksum-wrapped local filesystem over [[FastRawLocalFileSystem]] —
-  * drop-in for Hadoop's default `file://` implementation. */
-class FastLocalFileSystem extends LocalFileSystem(new FastRawLocalFileSystem)
+  * drop-in for Hadoop's default `file://` implementation.
+  *
+  * WRITE-side checksums default OFF (`graft.fs.write-checksum=true`
+  * restores them): every output file otherwise pays a `.crc` sibling
+  * (create + write + rename, doubling per-file commit work) plus a CRC32
+  * pass over every byte — redundant for parquet, whose pages carry their
+  * own checksums, on a journaled local filesystem. READ verification is
+  * untouched: files that have a `.crc` (pre-existing data) still verify;
+  * files without one are read as-is — the mixed state is the wrapper's
+  * documented behavior. */
+class FastLocalFileSystem extends LocalFileSystem(new FastRawLocalFileSystem) {
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(uri, conf)
+    setWriteChecksum(conf.getBoolean("graft.fs.write-checksum", false))
+  }
+}
 
 /** The FileContext (AbstractFileSystem) twins — mirrors Hadoop's stock
   * `local.RawLocalFs` / `local.LocalFs` structure (checksum wrapper over a
